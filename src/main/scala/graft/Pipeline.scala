@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.config.LakeConfig
+import graft.io.{Sinks, Sources}
+import graft.quality.{Cleaner, Profile, Validator}
+import graft.query.QueryRunner
+import graft.transform.Derive
+
+/** Side-effect notification hook — reference SNS publishes
+  * (`scripts/...pyspark.py:40-45,:73-76,:132,:135-138`). Default impl logs.
+  */
+trait Notifier {
+  def send(subject: String, message: String): Unit
+}
+
+object LogNotifier extends Notifier {
+  def send(subject: String, message: String): Unit =
+    System.err.println(s"[notify] $subject: $message")
+}
+
+/** Result of one pipeline run. */
+final case class PipelineResult(
+    profile: Profile,
+    result: DataFrame,
+    outputFormat: String)
+
+/** The reference's one fixed "query plan"
+  * (`scripts/...pyspark.py:82-138`, order per SURVEY.md §2.A):
+  *
+  *   read → validate (profile) → fillna(Phone) → dropna → dropDuplicates
+  *   → register temp view → [dead branch: age + filter]
+  *   → spark.sql(config.psQuery) → format-flipped overwrite write → notify
+  *
+  * CRITICAL: the temp view is registered BEFORE the age transform, so the
+  * SQL (and the sink) see the cleaned-but-untransformed data. The age
+  * branch is computed on the side — a plan that is never executed — exactly
+  * like the reference's dead code at `:108-109`. We build the branch (cheap:
+  * lazy plan construction only, no action) to keep behavioral parity.
+  */
+final class Pipeline(spark: SparkSession, notifier: Notifier = LogNotifier) {
+
+  def run(config: LakeConfig, inputPath: String, outputPath: String): PipelineResult =
+    try {
+      val raw = Sources.read(spark, config.fileType, inputPath)
+      val profile = Validator.profile(raw)
+      val cleaned = Cleaner.clean(raw)
+
+      QueryRunner.register(cleaned, config.tableName)
+
+      // Dead branch, reference `:108-109`: plan built, never executed.
+      if (cleaned.columns.exists(_.equalsIgnoreCase("Date of Birth"))) {
+        val _ = Derive.adultsOver(Derive.age(cleaned))
+      }
+
+      val result = QueryRunner.run(spark, config.psQuery)
+      val outFmt = Sinks.writeFlipped(result, config.fileType, outputPath)
+
+      notifier.send(
+        "Glue Job Success",
+        s"Pipeline wrote $outFmt output to $outputPath (input rows=${profile.rows})")
+      PipelineResult(profile, result, outFmt)
+    } catch {
+      case e: Throwable =>
+        notifier.send("Glue Job Failure", s"Pipeline failed: ${e.getMessage}")
+        throw e
+    }
+}

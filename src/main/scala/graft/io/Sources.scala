@@ -1,0 +1,43 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Unsupported source/sink format — reference: SNS notify + sys.exit(1)
+  * (`scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:72-77`).
+  * Here a typed error the caller (Pipeline) routes through its Notifier.
+  */
+final case class UnsupportedFormatException(format: String)
+    extends IllegalArgumentException(
+      s"Unsupported file format: '$format' (expected 'csv' or 'parquet')")
+
+/** Source readers — reference `scripts/...pyspark.py:59-71`.
+  *
+  * CSV reads with header and NO schema inference: every column lands as
+  * string, faithfully reproducing Glue DynamicFrame's all-string CSV read
+  * (`:61-66`). Downstream expressions rely on Spark's implicit string casts
+  * (e.g. `datediff` over a string date) so inference must stay OFF.
+  * Parquet takes types from the file footer (`:67-71`).
+  *
+  * Scale note: both readers are plain `spark.read` — splittable, partition
+  * per file-block, predicate/column pushdown handled by Catalyst. No
+  * driver-side materialization anywhere.
+  */
+object Sources {
+
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("sep", ",")
+      .csv(path) // inferSchema deliberately off → all StringType
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Format dispatch — reference `:59,:67,:72-77`. */
+  def read(spark: SparkSession, format: String, path: String): DataFrame =
+    format.toLowerCase match {
+      case "csv"     => csv(spark, path)
+      case "parquet" => parquet(spark, path)
+      case other     => throw UnsupportedFormatException(other)
+    }
+}

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is a distributed aggregation/join — no
+  * driver-side state. The near-dup variants follow the standard two-phase
+  * shape: (1) cheap signature → bucket (map-only), (2) candidate generation
+  * by equi-join on bucket (shuffle on bucket key — sparse, skew-resistant
+  * because buckets are hash-random), (3) exact verification only on
+  * candidates. At 100 TB the verification join is the only quadratic-ish
+  * term and it is bounded by bucket collision rate, not corpus size.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on a subset of columns (generalizes the reference's
+    * full-row `dropDuplicates`, `scripts/...pyspark.py:103`).
+    * Hash-aggregate on the key columns; map-side partial aggregation is
+    * automatic.
+    */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Deterministic exact dedup: keep the row with the smallest `keep`
+    * value per key (dropDuplicates keeps an arbitrary first row — fine for
+    * semantics, bad for reproducible tests/oracles).
+    */
+  def exactKeepMin(df: DataFrame, keyCols: Seq[String], keep: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col).toIndexedSeq: _*)
+      .orderBy(col(keep).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ----------------------------------------------------- shingles/minhash
+
+  /** w-word shingles of the lowercased text, hashed to 64-bit via xxhash64.
+    * Returns array<long> (distinct). Built-ins only: transform over a
+    * 0..n−w index sequence + slice + concat.
+    */
+  def shingleHashes(text: Column, w: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val n = size(toks)
+    val starts = when(n < w, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), n - (w - 1))) // slice() is 1-based
+    array_distinct(
+      transform(starts, i => xxhash64(array_join(slice(toks, i, lit(w)), " "))))
+  }
+
+  /** MinHash signature: k permutations of the shingle hash space via the
+    * classic (aᵢ·h + bᵢ) mod p family with fixed seeds — deterministic
+    * across executors/runs. Returns array<long> length k (or null-free
+    * sentinel for shingle-less docs).
+    *
+    * Pure higher-order expressions: one pass over shingles per permutation.
+    */
+  def minHashSignature(shingles: Column, k: Int = 128, seed: Long = 42L): Column = {
+    val p = 2305843009213693951L // 2^61 − 1, Mersenne prime
+    val rng = new scala.util.Random(seed)
+    val abs_ = (x: Long) => if (x < 0) -x else x
+    val params = Seq.fill(k)((abs_(rng.nextLong()) % (p - 1) + 1, abs_(rng.nextLong()) % p))
+    val mins = params.map { case (a, b) =>
+      // (a*h + b) mod p over 64-bit wraparound is fine for a hash family:
+      // we only need determinism + spread, not exact modular arithmetic.
+      array_min(transform(shingles, h => pmod(lit(a) * h + lit(b), lit(p))))
+    }
+    when(size(shingles) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(array(mins.toIndexedSeq: _*))
+  }
+
+  /** Near-duplicate PAIRS via MinHash LSH.
+    *
+    * @param df        input
+    * @param idCol     unique id column
+    * @param textCol   text column
+    * @param k         signature length
+    * @param bands     LSH bands (rows-per-band = k/bands); more bands →
+    *                  higher recall, more candidates
+    * @param threshold exact-Jaccard verification threshold on shingle sets
+    * @return (id_a, id_b, jaccard) with id_a < id_b, verified
+    */
+  def minHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val withSig = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), k, seed))
+      .filter(col("sig").isNotNull)
+
+    // (id, band_hash) pairs; band hash = xxhash64 of the band's slice
+    val banded = withSig.select(
+      col("id"),
+      col("sh"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat(b.cast("string"), lit(":"),
+            array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))).as("bh"))
+
+    // candidate pairs: self-join on band hash, dedup pair ids
+    val a = banded.select(col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a
+      .join(b, Seq("bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // exact Jaccard verification on the shingle sets (arrays already distinct)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    candidates
+      .withColumn("jaccard", round(when(union === 0, 1.0).otherwise(inter / union), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Dedup (not just pairs): keep one representative per near-dup cluster —
+    * the minimum id of each connected component approximated by "drop any
+    * doc that has a near-dup with a smaller id" (one LSH pass; exact
+    * transitive closure needs iterative connected components, overkill for
+    * a dedup filter and this greedy rule is the industry-standard choice).
+    */
+  def minHashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val dupPairs = minHashNearDups(df, idCol, textCol, k, bands, w, threshold)
+    val losers = dupPairs.select(col("id_b").as("__loser")).distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign
+    * of Σ over tokens of (±1 depending on bit j of xxhash64(token)).
+    * Expressed with built-ins: per-bit weighted sums via aggregate.
+    */
+  def simHash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      // count of tokens with bit j set, minus count with bit j unset
+      val set = size(filter(hashes, h => (shiftright(h, j) % 2) =!= 0))
+      val total = size(hashes)
+      when(set * 2 >= total && total > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, candidates via
+    * the pigeonhole principle: split 64 bits into (maxDist+1) chunks — any
+    * pair within maxDist must agree exactly on ≥1 chunk → equi-join per
+    * chunk, verify hamming on candidates.
+    */
+  def simHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val chunkBits = 64 / chunks
+    val withFp = df.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
+
+    val chunkCols = (0 until chunks).map { c =>
+      concat(
+        lit(s"$c:"),
+        shiftright(col("fp"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
+    }
+    val banded = withFp.select(
+      col("id"),
+      col("fp"),
+      explode(array(chunkCols.toIndexedSeq: _*)).as("chunk"))
+
+    val a = banded.select(col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Word n-gram Jaccard similarity of two text columns (set semantics). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = shingleHashes(a, n)
+    val sb = shingleHashes(b, n)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union === 0, 1.0).otherwise(inter / union)
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs: cosine ≥ threshold, candidates via
+    * random-hyperplane LSH buckets (exact cosine verified on candidates).
+    * Vectors whose signatures agree on all `nPlanes` bits land in one
+    * bucket; near-identical vectors almost surely collide for small plane
+    * counts. Recall/cost tradeoff via nPlanes (fewer planes → bigger
+    * buckets → higher recall).
+    */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = VectorFunctions.randomPlanes(dim, nPlanes, seed)
+    val withSig = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), planes).as("sig"))
+
+    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization over an event stream table
+  * (`events(event_id, ts, user_id, …)`): classic gap-based sessions via
+  * window functions — lag per user, new-session flag when the gap exceeds
+  * the timeout, running sum of flags = session index.
+  *
+  * Works on an epoch-seconds column (`tsSecCol`) so it is agnostic to how
+  * the timestamp was stored (the test corpus stores TIMESTAMP(NANOS),
+  * which Spark reads as nanos-long under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`).
+  *
+  * Scale: one shuffle on user_id (the window partition key); everything
+  * after is per-partition sorted streaming. Skew is bounded by per-user
+  * event counts, not corpus size. The streaming twin is `session_window`
+  * in Structured Streaming (graft.streaming).
+  */
+object Sessionize {
+
+  /** Annotate events with `session_idx` (0-based per user). Rows are
+    * ordered within a user by (tsSec, idCol) so ties are deterministic.
+    */
+  def assign(
+      events: DataFrame,
+      tsSecCol: String = "ts_sec",
+      idCol: String = "event_id",
+      gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col(tsSecCol).asc, col(idCol).asc)
+    val prev = lag(col(tsSecCol), 1).over(byUser)
+    val isNew = when(prev.isNull || (col(tsSecCol) - prev) > gapSeconds, 1).otherwise(0)
+    events
+      .withColumn("__new_session", isNew)
+      .withColumn("session_idx", sum(col("__new_session")).over(byUser) - 1)
+      .drop("__new_session")
+  }
+
+  /** Per-session rollup: bounds (epoch seconds), event count, value sum
+    * (decimal-exact then double for cross-engine determinism).
+    */
+  def sessions(
+      events: DataFrame,
+      tsSecCol: String = "ts_sec",
+      idCol: String = "event_id",
+      gapSeconds: Long = 1800L): DataFrame =
+    assign(events, tsSecCol, idCol, gapSeconds)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col(tsSecCol)).as("start_sec"),
+        max(col(tsSecCol)).as("end_sec"),
+        count(lit(1)).as("n_events"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("total_value"))
+}

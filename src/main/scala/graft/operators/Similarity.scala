@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design:
+  *  - Brute force is the correctness baseline: one map-only cosine pass +
+  *    `orderBy(...).limit(k)` which Spark plans as TakeOrderedAndProject —
+  *    per-partition top-k heaps merged at the driver, NOT a global sort.
+  *    Linear in corpus size, embarrassingly parallel, zero shuffle.
+  *  - IVF is the scale path: corpus pre-partitioned into C centroid cells
+  *    (one-time k-means-ish assignment, broadcast centroids); a query
+  *    probes only the nprobe nearest cells ⇒ scan fraction ≈ nprobe/C.
+  *    At 100 TB the cell assignment is a bucketed write, and queries touch
+  *    only matching buckets (partition pruning on `cell`).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against a literal query vector. */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int): DataFrame = {
+    val qCol = array(query.map(lit).toIndexedSeq: _*)
+    df.select(
+        col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact top-k neighbors of an in-corpus vector (excluding itself).
+    * The single-row query lookup is a driver-side fetch of ONE vector —
+    * a parameter fetch, not a data collect.
+    */
+  def topKNeighborsOf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(vecCol).head()
+      .getSeq[Float](0).toArray
+    bruteForceTopK(df.filter(col(idCol) =!= queryId), idCol, vecCol, q, k)
+  }
+
+  /** Deterministic centroid selection: the `c` vectors with the smallest
+    * ids (cheap, reproducible; swap in ML k-means offline for quality).
+    * Returns (cell_id, centroid) rows collected to the driver — C is small
+    * (≤ thousands), this is broadcast state, not data.
+    */
+  def centroids(df: DataFrame, idCol: String, vecCol: String, c: Int): Array[(Int, Array[Double])] =
+    df.orderBy(col(idCol).asc)
+      .limit(c)
+      .select(vecCol)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toArray }
+
+  /** Cell assignment: argmin over centroid distances (squared L2).
+    * Distances are computed ONCE into an array column, then the argmin is
+    * `array_position(dists, array_min(dists))` — each centroid's distance
+    * subtree appears exactly twice in the plan (a naive per-centroid
+    * comparison chain embeds them quadratically and blows up codegen).
+    * Cells are ordered by centroid index, so ties resolve to the lowest
+    * cell deterministically (array_position returns the first match).
+    */
+  private def cellOf(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+    val ordered = cents.sortBy(_._1)
+    require(ordered.map(_._1).sameElements(ordered.indices), "cell ids must be 0..C-1")
+    val dists = array(ordered.map { case (_, cvec) =>
+      VectorFunctions.l2Sq(vec, array(cvec.map(lit).toIndexedSeq: _*))
+    }.toIndexedSeq: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF index build: assign every vector to its nearest centroid cell.
+    * At scale, persist with `.write.partitionBy("cell")` so probes prune
+    * partitions.
+    */
+  def ivfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame =
+    df.withColumn("cell", cellOf(col(vecCol), cents))
+
+  /** IVF query: score only vectors in the `nprobe` cells nearest to the
+    * query ⇒ scans ~nprobe/C of the corpus. Exact cosine within probed
+    * cells.
+    */
+  def ivfTopK(
+      indexed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])],
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val probeCells = cents
+      .map { case (cid, cvec) =>
+        val d = cvec.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+        (cid, d)
+      }
+      .sortBy(_._2)
+      .take(nprobe)
+      .map(_._1)
+    val qCol = array(query.map(lit).toIndexedSeq: _*)
+    indexed
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(
+        col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: hyperplane signature buckets; query scans only its
+    * own bucket (+ optionally multi-probe neighbors at 1-bit hamming).
+    */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      query: Array[Float],
+      k: Int,
+      nPlanes: Int = 6,
+      multiProbe: Boolean = true,
+      seed: Long = 42L): DataFrame = {
+    val planes = VectorFunctions.randomPlanes(dim, nPlanes, seed)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    val probes: Seq[Long] =
+      if (multiProbe) qSig +: (0 until nPlanes).map(i => qSig ^ (1L << i))
+      else Seq(qSig)
+    val qCol = array(query.map(lit).toIndexedSeq: _*)
+    df.withColumn("sig", VectorFunctions.hyperplaneSignature(col(vecCol), planes))
+      .filter(col("sig").isin(probes: _*))
+      .select(
+        col(idCol),
+        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,882 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+
+/** One declared operator: name, Spark implementation, optional DuckDB
+  * oracle SQL over the same parquet tables. Column names MUST match
+  * between the two (the driver's compare hashes values after sorting
+  * columns by name).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The full declared operator inventory (SURVEY.md §2.B + §2.C).
+  *
+  * Cross-engine determinism rules applied throughout (SURVEY.md §5):
+  *  - every aggregate over doubles goes through an exact decimal sum, then
+  *    a final cast to double (order-independent, bit-identical in both
+  *    engines);
+  *  - every query has a total ORDER BY on a unique key prefix;
+  *  - timestamps leave results as DATE or epoch-second BIGINT;
+  *  - int-width alignment: counts stay BIGINT, year()/length()/etc. are
+  *    cast so Spark and DuckDB agree (DuckDB's year() is BIGINT, Spark's
+  *    INT, …);
+  *  - `current_date` never appears (nondeterministic day-to-day).
+  */
+object Inventory {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Register tables as temp views for spark.sql pass-through queries. */
+  private def viewed(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  /** events with ts normalized to epoch seconds (source stores
+    * TIMESTAMP(NANOS) which Spark reads as nanos BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by GraftSession).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_sec", expr("ts div 1000000000"))
+
+  /** Exact decimal sum of a double expr, surfaced as double. */
+  private def dsum(e: String, scale: Int = 2): Column =
+    expr(s"cast(sum(cast($e as decimal(28,$scale))) as double)")
+
+  private def davg(e: String, scale: Int = 2): Column =
+    expr(s"cast(cast(sum(cast($e as decimal(28,$scale))) as double) / count(*) as double)")
+
+  // ================================================================ §2.B
+
+  private val projectionFilter = Seq(
+    Q("q01_pricing_summary",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum("l_quantity").as("sum_qty"),
+            dsum("l_extendedprice").as("sum_base_price"),
+            dsum("l_extendedprice*(1-l_discount)", 6).as("sum_disc_price"),
+            dsum("l_extendedprice*(1-l_discount)*(1+l_tax)", 6).as("sum_charge"),
+            davg("l_quantity").as("avg_qty"),
+            davg("l_discount", 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+        CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("q02_proj_filter",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .filter(col("l_quantity") > 45)
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q03_between",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"))
+          .filter(col("ship_date").between("1996-01-01", "1996-12-31"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+        FROM lineitem WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q04_in_like",
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(
+            (col("p_type").like("S%") || col("p_type").like("%ROMO%")) &&
+              col("p_brand").isin("Brand#13", "Brand#19", "Brand#23"))
+          .select("p_partkey", "p_name", "p_brand", "p_type")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part
+        WHERE (p_type LIKE 'S%' OR p_type LIKE '%ROMO%')
+          AND p_brand IN ('Brand#13','Brand#19','Brand#23')
+        ORDER BY p_partkey""")),
+
+    Q("q05_filter_bool",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .filter(
+            ((col("c_acctbal") > 5000 && col("c_mktsegment") === "BUILDING") ||
+              col("c_acctbal") < 0) && col("c_name").isNotNull)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        WHERE ((c_acctbal > 5000 AND c_mktsegment = 'BUILDING') OR c_acctbal < 0)
+          AND c_name IS NOT NULL
+        ORDER BY c_custkey""")),
+
+    Q("q06_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")))
+
+  private val joins = Seq(
+    Q("q10_join_inner",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum("l_extendedprice*(1-l_discount)", 6).as("revenue"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q("q11_join_multi5",
+      (s, dir) => {
+        // TPC-H Q5 shape: two broadcast dims + two fact joins, one agg.
+        val nation = broadcast(t(s, dir, "nation"))
+        val region = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+        t(s, dir, "customer")
+          .join(nation, col("c_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate").cast("date").between("1996-01-01", "1997-12-31"))
+          .groupBy("n_name")
+          .agg(dsum("l_extendedprice*(1-l_discount)", 6).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+          AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    Q("q12_join_left_hist",
+      (s, dir) => {
+        // TPC-H Q13 shape: left join + two-level aggregation.
+        val perCust = t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    Q("q13_join_semi",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(
+            t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+            col("o_orderkey") === col("l_orderkey"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q("q14_join_anti",
+      (s, dir) =>
+        // customers with no recent (2001+) order — non-trivial anti side
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_orderdate").cast("date") >= "2001-01-01"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("q15_join_cross",
+      (s, dir) =>
+        t(s, dir, "region")
+          .crossJoin(t(s, dir, "nation"))
+          .agg(count(lit(1)).as("n_pairs")),
+      Some("SELECT count(*) AS n_pairs FROM region CROSS JOIN nation")),
+
+    Q("q16_join_range",
+      (s, dir) => {
+        val su = t(s, dir, "supplier")
+        val cu = t(s, dir, "customer")
+        su.join(cu, col("s_nationkey") === col("c_nationkey") && col("s_acctbal") < col("c_acctbal"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_pairs
+        FROM supplier JOIN customer
+          ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+        GROUP BY s_nationkey ORDER BY s_nationkey""")))
+
+  private val aggregations = Seq(
+    Q("q20_agg_stats",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            dsum("l_quantity").as("sum_qty"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q21_count_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_linestatus")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    Q("q22_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"), col("n_rows"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""")),
+
+    Q("q23_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(dsum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"), col("n_rows"))
+          .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""")),
+
+    Q("q24_having",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_suppkey")
+          .agg(dsum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 10000)
+          .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_suppkey
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > 10000
+        ORDER BY l_suppkey""")),
+
+    Q("q25_approx_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+      None), // HLL sketch values are engine-specific — rows-only check
+
+    Q("q26_grouping_sets",
+      (s, dir) => {
+        viewed(s, dir, "lineitem")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+          count(*) AS n_rows
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY rf, ls""")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")))
+
+  private val windows = Seq(
+    Q("q30_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk", "quartile")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+        CAST(drnk AS INTEGER) AS drnk, CAST(quartile AS INTEGER) AS quartile
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER w AS rn, rank() OVER w AS rnk,
+            dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    Q("q31_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("prev_orderkey", coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)))
+          .withColumn("next_orderkey", coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)))
+          .withColumn(
+            "days_since_prev",
+            coalesce(
+              datediff(col("o_orderdate").cast("date"),
+                lag(col("o_orderdate"), 1).over(w).cast("date")),
+              lit(-1)).cast("int"))
+          .select("o_custkey", "o_orderkey", "prev_orderkey", "next_orderkey", "days_since_prev")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        COALESCE(lag(o_orderkey, 1) OVER w, -1) AS prev_orderkey,
+        COALESCE(lead(o_orderkey, 1) OVER w, -1) AS next_orderkey,
+        CAST(COALESCE(date_diff('day',
+          CAST(lag(o_orderdate, 1) OVER w AS DATE), CAST(o_orderdate AS DATE)), -1) AS INTEGER)
+          AS days_since_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    Q("q32_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn(
+            "running_spend",
+            expr("cast(sum(cast(o_totalprice as decimal(28,2))) over (" +
+              "partition by o_custkey order by o_orderdate asc, o_orderkey asc " +
+              "rows between unbounded preceding and current row) as double)"))
+          .select("o_custkey", "o_orderkey", "running_spend")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders ORDER BY o_custkey, o_orderkey""")))
+
+  private val sortLimit = Seq(
+    Q("q40_topk",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(dsum("l_extendedprice*(1-l_discount)", 6).as("revenue"))
+          .orderBy(desc("revenue"), col("l_partkey"))
+          .limit(10),
+      Some("""SELECT l_partkey,
+        CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_partkey ORDER BY revenue DESC, l_partkey LIMIT 10""")),
+
+    Q("q41_topk_pergroup",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 2 ORDER BY o_orderpriority, rn""")))
+
+  private val setOps = Seq(
+    Q("q50_union_all",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .groupBy("nationkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("nationkey"),
+      Some("""SELECT nationkey, count(*) AS n FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier)
+        GROUP BY nationkey ORDER BY nationkey""")),
+
+    Q("q51_union_distinct",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
+
+    Q("q52_intersect",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
+
+    Q("q53_except",
+      (s, dir) =>
+        // orders that have no lineitems — non-empty difference set
+        t(s, dir, "orders").select(col("o_orderkey").as("orderkey"))
+          .except(t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey")))
+          .orderBy("orderkey"),
+      Some("""SELECT o_orderkey AS orderkey FROM orders
+        EXCEPT SELECT l_orderkey FROM lineitem ORDER BY orderkey""")))
+
+  private val scalars = Seq(
+    Q("q60_string_funcs",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up_name"),
+            lower(col("p_brand")).as("low_brand"),
+            substring(col("p_name"), 1, 4).as("name4"),
+            concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+            length(col("p_name")).as("name_len"),
+            regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+            coalesce(element_at(split(col("p_name"), " "), 2), lit("")).as("second_word"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS low_brand,
+        substring(p_name, 1, 4) AS name4, p_brand || '/' || p_type AS brand_type,
+        CAST(length(p_name) AS INTEGER) AS name_len,
+        regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        split_part(p_name, ' ', 2) AS second_word
+        FROM part ORDER BY p_partkey""")),
+
+    Q("q61_date_funcs",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            col("o_orderdate").cast("date").as("od"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            quarter(col("o_orderdate")).as("qtr"),
+            date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+            datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+              .as("days_since_95"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        CAST(day(o_orderdate) AS INTEGER) AS dom,
+        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+          AS days_since_95
+        FROM orders ORDER BY o_orderkey""")),
+
+    Q("q62_math_funcs",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            // round() over exact decimals: double-rounding differs across
+            // engines (Spark rounds the shortest decimal repr, DuckDB the
+            // binary value), decimal rounding is well-defined in both
+            expr("cast(round(cast(l_extendedprice as decimal(18,2)) * cast(0.1 as decimal(2,1)), 2) as double)")
+              .as("price_tenth"),
+            abs(col("l_discount") - 0.05).as("disc_dev"),
+            floor(col("l_quantity") / 7).cast("long").as("qty_div7"),
+            ceil(col("l_quantity") / 7).cast("long").as("qty_div7_up"),
+            round(pow(col("l_discount") + lit(1.0), 2), 6).as("pw"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            (col("l_linenumber") % 3).as("ln_mod3"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS price_tenth,
+        abs(l_discount - 0.05) AS disc_dev,
+        CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+        CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_div7_up,
+        round(power(l_discount + 1.0, 2), 6) AS pw,
+        sqrt(l_quantity) AS qty_sqrt,
+        CAST(l_linenumber % 3 AS INTEGER) AS ln_mod3
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q63_case_coalesce",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            when(col("o_orderstatus") === "F", "done")
+              .when(col("o_orderstatus") === "O", "open")
+              .otherwise("other").as("status_label"),
+            coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), lit("NONE"))
+              .as("prio"),
+            floor(col("o_totalprice")).cast("long").as("price_floor"),
+            col("o_orderkey").cast("string").as("key_str"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'F' THEN 'done'
+             WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_label,
+        COALESCE(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'NONE') AS prio,
+        CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        CAST(o_orderkey AS VARCHAR) AS key_str
+        FROM orders ORDER BY o_orderkey""")),
+
+    Q("q64_json",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Q("q65_explode_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("token"))
+          .limit(20),
+      Some("""SELECT token, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20""")))
+
+  private val subqueries = Seq(
+    Q("q70_scalar_subquery",
+      (s, dir) => {
+        viewed(s, dir, "customer")
+        s.sql("""SELECT c_mktsegment, count(*) AS n_rich FROM customer
+          WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal as decimal(28,2))) as double)
+                             / count(*) FROM customer)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_rich FROM customer
+        WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal as decimal(28,2))) as double)
+                           / count(*) FROM customer)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("q71_exists_correlated",
+      (s, dir) => {
+        viewed(s, dir, "supplier", "lineitem")
+        s.sql("""SELECT s_nationkey, count(*) AS n_supp FROM supplier
+          WHERE EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+          GROUP BY s_nationkey ORDER BY s_nationkey""")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    Q("q72_in_subquery",
+      (s, dir) => {
+        viewed(s, dir, "part", "lineitem")
+        s.sql("""SELECT p_brand, count(*) AS n_parts FROM part
+          WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity = 50)
+          GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""SELECT p_brand, count(*) AS n_parts FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity = 50)
+        GROUP BY p_brand ORDER BY p_brand""")))
+
+  // ================================================================ §2.C
+
+  private val extensions = Seq(
+    Q("q80_dedup_exact",
+      (s, dir) =>
+        // Hash-grouped exact dedup: group on a content digest (sha256),
+        // not raw text — at 100 TB the shuffle carries 32-byte keys, not
+        // documents. Keeps min(doc_id) as the surviving representative.
+        t(s, dir, "documents")
+          .groupBy(sha2(col("text"), 256).as("text_hash"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies")
+          .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY sha256(text) ORDER BY doc_id""")),
+
+    Q("q81_dedup_minhash",
+      (s, dir) =>
+        Dedup.minHashNearDups(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, w = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      None), // probabilistic recall by design — rows-only; ScalaTest
+             // checks recall against the exhaustive q83 on small data
+
+    Q("q82_dedup_simhash",
+      (s, dir) =>
+        Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+          .orderBy("id_a", "id_b"),
+      None),
+
+    Q("q83_ngram_jaccard",
+      (s, dir) => {
+        // Exhaustive word-trigram Jaccard over doc pairs. Hashed shingle
+        // sets: Jaccard over hashes equals Jaccard over the trigrams
+        // themselves (both engines hash injectively w.h.p.), so DuckDB's
+        // different hash function still yields identical set SIZES.
+        val d = t(s, dir, "documents")
+        val a = d.select(col("doc_id").as("id_a"), Dedup.shingleHashes(col("text"), 3).as("sh_a"))
+        val b = d.select(col("doc_id").as("id_b"), Dedup.shingleHashes(col("text"), 3).as("sh_b"))
+        val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("jac", round(when(union === 0, 1.0).otherwise(inter / union), 6))
+          .filter(col("jac") >= 0.3)
+          .select("id_a", "id_b", "jac")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3
+        ORDER BY id_a, id_b""")),
+
+    Q("q84_embedding_neardup",
+      (s, dir) => {
+        // Exact pairwise cosine near-dups (oracle-checkable baseline; the
+        // LSH-bucketed scale path is q85).
+        val e = t(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cos", round(VectorFunctions.cosine(col("v_a"), col("v_b")), 4))
+          .filter(col("cos") >= 0.45)
+          .select("id_a", "id_b", "cos")
+          .orderBy("id_a", "id_b")
+      },
+      // NOTE: DuckDB's list_cosine_similarity accumulates in float32;
+      // the oracle computes the dot product in double (sequential fold,
+      // bit-identical to Spark's aggregate()).
+      Some("""WITH c AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(
+              list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM c WHERE cos >= 0.45 ORDER BY id_a, id_b""")),
+
+    Q("q85_embedding_neardup_lsh",
+      (s, dir) =>
+        Dedup.embeddingNearDups(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.45, nPlanes = 4)
+          .orderBy("id_a", "id_b"),
+      None), // approximate recall — rows-only; ScalaTest checks vs q84
+
+    Q("q90_sim_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 1).select("embedding").head()
+          .getSeq[Float](0).toArray
+        val qCol = array(q.map(lit).toIndexedSeq: _*)
+        e.filter(col("vec_id") =!= 1)
+          .select(
+            col("vec_id"),
+            round(VectorFunctions.cosine(col("embedding"), qCol), 4).as("cos"))
+          .orderBy(desc("cos"), col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        c AS (
+          SELECT b.vec_id,
+            round(
+              list_sum(list_transform(list_zip(b.embedding, q.qe),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qe,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+          FROM embeddings b, q WHERE b.vec_id <> 1)
+        SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    Q("q91_sim_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.centroids(e, "vec_id", "embedding", 16)
+        val q = e.filter(col("vec_id") === 1).select("embedding").head()
+          .getSeq[Float](0).toArray
+        Similarity.ivfTopK(
+          Similarity.ivfIndex(e.filter(col("vec_id") =!= 1), "vec_id", "embedding", cents),
+          "vec_id", "embedding", cents, q, k = 10, nprobe = 4)
+      },
+      None), // approximate — ScalaTest checks recall vs q90
+
+    Q("q92_sim_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 1).select("embedding").head()
+          .getSeq[Float](0).toArray
+        Similarity.lshTopK(
+          e.filter(col("vec_id") =!= 1), "vec_id", "embedding",
+          dim = 64, query = q, k = 10, nPlanes = 6)
+      },
+      None),
+
+    Q("q95_text_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            expr("cast(cast(sum(n_chars) as double) / count(*) as double)").as("avg_chars"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+        sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+        sum(n_chars) AS total_chars,
+        CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DOUBLE) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    Q("q96_text_quality",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+            TextAnalysis.punctCount(col("text")).as("punct_chars"),
+            round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+          AS n_subwords,
+        CAST(length(text) - length(regexp_replace(text,
+          '[.,!?;:''"()\[\]{}-]', '', 'g')) AS INTEGER) AS punct_chars,
+        round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+          t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(t))))
+          AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stop_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    Q("q97_lang_id",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      None), // heuristic internal to the engine — ScalaTest covers it
+
+    Q("q98_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .orderBy("doc_id"),
+      None), // xxhash64-based — no DuckDB equivalent; ScalaTest covers it
+
+    Q("q99_sessionize",
+      (s, dir) =>
+        Sessionize.sessions(events(s, dir), "ts_sec", "event_id", gapSeconds = 1800L)
+          .select(
+            col("user_id"), col("session_idx").cast("long").as("session_idx"),
+            col("start_sec"), col("end_sec"), col("n_events"), col("total_value"))
+          .orderBy("user_id", "session_idx"),
+      Some("""WITH e AS (
+          SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        m AS (
+          SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        sess AS (
+          SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM m)
+        SELECT user_id, session_idx, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
+
+    Q("q100_multimodal",
+      (s, dir) =>
+        Multimodal.decodeAssets(
+          s, Multimodal.syntheticAssets(t(s, dir, "documents"), "doc_id", "text"))
+          .groupBy("modality")
+          .agg(
+            count(lit(1)).as("n_assets"),
+            sum(col("width").cast("long")).as("total_width"),
+            sum(col("n_frames").cast("long")).as("total_frames"),
+            sum(col("duration_ms")).as("total_duration_ms"))
+          .orderBy("modality"),
+      None)) // FakeCodec is engine-internal — ScalaTest pins determinism
+
+  val all: Seq[Q] =
+    projectionFilter ++ joins ++ aggregations ++ windows ++ sortLimit ++
+      setOps ++ scalars ++ subqueries ++ extensions
+
+  /** Headline queries for Bench.scala — one per major operator family. */
+  val benchNames: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_between", "q11_join_multi5", "q12_join_left_hist",
+    "q21_count_distinct", "q30_window_rank", "q40_topk", "q64_json",
+    "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q95_text_stats",
+    "q99_sessionize")
+}

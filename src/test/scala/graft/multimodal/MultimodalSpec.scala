@@ -1,0 +1,47 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val assets = Multimodal.syntheticAssets(
+    spark.read.parquet(s"$sf/documents.parquet").limit(30), "doc_id", "text")
+
+  test("synthetic assets: binary content + modality round-robin") {
+    val schema = assets.schema
+    assert(schema("content").dataType.typeName == "binary")
+    val mods = assets.select("modality").distinct().collect().map(_.getString(0)).toSet
+    assert(mods == Set("image", "audio", "video"))
+  }
+
+  test("decodeAssets is deterministic and typed per modality") {
+    val d1 = Multimodal.decodeAssets(spark, assets).collect().sortBy(_.asset_id)
+    val d2 = Multimodal.decodeAssets(spark, assets).collect().sortBy(_.asset_id)
+    assert(d1.map(_.width).toSeq == d2.map(_.width).toSeq)
+    assert(d1.map(a => a.feature.toSeq).toSeq == d2.map(a => a.feature.toSeq).toSeq)
+    d1.foreach { a =>
+      a.modality match {
+        case "image" => assert(a.n_frames == 1 && a.duration_ms == 0 && a.width > 0)
+        case "audio" => assert(a.width == 0 && a.duration_ms > 0)
+        case "video" => assert(a.n_frames >= 1 && a.duration_ms > 0)
+      }
+      assert(a.feature.length == 16)
+    }
+  }
+
+  test("frame-sample plan: every second, capped frames, video only") {
+    val decoded = Multimodal.decodeAssets(spark, assets).toDF()
+    val plan = Multimodal.sampleFramePlan(decoded, everyMs = 1000L, maxFrames = 32)
+    val n = plan.count()
+    assert(n > 0)
+    val perAsset = plan.groupBy("asset_id").count().agg(max("count")).head.getLong(0)
+    assert(perAsset <= 32)
+    // joins back only to video assets
+    val videoIds = decoded.filter(col("modality") === "video")
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    val planIds = plan.select("asset_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(planIds.subsetOf(videoIds))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine matches hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 0f), Array(2.0f, 3.0f, 0f))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).head.getDouble(0)
+    val expected = (1 * 2 + 2 * 3) / (math.sqrt(5) * math.sqrt(13))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    import spark.implicits._
+    val df = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine(col("a"), col("b"))).head.getDouble(0) == 0.0)
+  }
+
+  test("normalize produces unit vectors") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(3f, 4f))).toDF("v")
+    val n = df.select(VectorFunctions.l2Norm(VectorFunctions.normalize(col("v")))).head.getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k is ordered desc and excludes nothing wrongly") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+    val top = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 1), "vec_id", "embedding", q, 10)
+      .collect()
+    assert(top.length == 10)
+    val cosines = top.map(_.getDouble(1))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("IVF top-k recall >= 0.5 vs brute force at nprobe=4/16") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 1)
+    val truth = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+    val got = Similarity.ivfTopK(
+      Similarity.ivfIndex(rest, "vec_id", "embedding", cents),
+      "vec_id", "embedding", cents, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("IVF scans fewer rows than corpus (partition pruning analogue)") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+    val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+    val indexed = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val total = indexed.count()
+    // rows in the 4 probed cells — the actual scan set
+    val probed = indexed.groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(probed.values.sum == total)
+    assert(probed.size > 4, "cells should spread vectors")
+  }
+
+  test("LSH top-k with multiprobe returns k results with decent recall") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 1)
+    val truth = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.lshTopK(rest, "vec_id", "embedding", 64, q, 10, nPlanes = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.2, s"LSH recall $recall") // 1/64 of corpus scanned
+  }
+
+  test("hyperplane signature is deterministic across evaluations") {
+    val planes = VectorFunctions.randomPlanes(64, 8)
+    val sigs1 = emb.select(VectorFunctions.hyperplaneSignature(col("embedding"), planes))
+      .collect().map(_.getLong(0))
+    val sigs2 = emb.select(VectorFunctions.hyperplaneSignature(col("embedding"), planes))
+      .collect().map(_.getLong(0))
+    assert(sigs1.toSeq == sigs2.toSeq)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("tokenCount: whitespace runs, empty string → 0") {
+    val df = Seq("one two  three", "", "   ", "single").toDF("text")
+    val n = df.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(n.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("subwordCount: letters, digits, punctuation units") {
+    val df = Seq(Tuple1("hello world42!")).toDF("text")
+    // "hello" + "world" + "42" + "!" = 4
+    assert(df.select(TextAnalysis.subwordCount(col("text"))).head.getInt(0) == 4)
+  }
+
+  test("punctCount counts punctuation chars only") {
+    val df = Seq(Tuple1("a, b. c! d?")).toDF("text")
+    assert(df.select(TextAnalysis.punctCount(col("text"))).head.getInt(0) == 4)
+  }
+
+  test("stopwordRatio: half stopwords → 0.5") {
+    val df = Seq(Tuple1("the cat and dog")).toDF("text")
+    val r = df.select(TextAnalysis.stopwordRatio(col("text"))).head.getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("qualityScore in [0,1] for corpus docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bounds = docs.select(
+      min(TextAnalysis.qualityScore(col("text"))),
+      max(TextAnalysis.qualityScore(col("text")))).head
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+  }
+
+  test("langId picks profile language by stopword evidence") {
+    val df = Seq(
+      "the cat sat on the mat with the hat",
+      "el perro y la casa de que los gatos",
+      "der hund und die katze ist nicht hier",
+      "le chat est dans les maisons pour une vie",
+      "这 是 一个 测试 的 文档 他 在 这").toDF("text")
+    val preds = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(preds.toSeq == Seq("en", "es", "de", "fr", "zh"))
+  }
+
+  test("langId returns 'und' when nothing matches") {
+    val df = Seq(Tuple1("xyzzy plugh qwerty")).toDF("text")
+    assert(df.select(TextAnalysis.langId(col("text"))).head.getString(0) == "und")
+  }
+
+  test("fingerprint: deterministic, order-sensitive, case-insensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha"),
+      (4L, "ALPHA BETA GAMMA")).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L)) // deterministic
+    assert(fps(1L) != fps(3L)) // order matters
+    assert(fps(1L) == fps(4L)) // lowercased first
+  }
+
+  test("annotate adds all analysis columns") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
+    val ann = TextAnalysis.annotate(docs)
+    val want = Seq("n_tokens", "n_subwords", "stopword_ratio", "quality", "lang_pred", "fingerprint")
+    assert(want.forall(ann.columns.contains))
+    assert(ann.count() == 10)
+  }
+}
