@@ -96,10 +96,15 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
+    // Native codegen'd signature kernel (MinHashSignatureExpr) — value-
+    // identical to minHashSignature() but one tight primitive loop.
+    // Persisted because BOTH sides of the candidate self-join scan it:
+    // without the persist the 128-permutation signature is computed twice.
     val withSig = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), k, seed))
+      .withColumn("sig", graft.functions.MinHashSignatureExpr(col("sh"), k, seed))
       .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (id, band_hash) pairs; band hash = xxhash64 of the band's slice
     val banded = withSig.select(

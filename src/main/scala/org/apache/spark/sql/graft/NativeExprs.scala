@@ -1,0 +1,53 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+import graft.functions.MinHash
+
+/** Native Catalyst expressions for the graft engine.
+  *
+  * Lives under `org.apache.spark.sql` because the expression-authoring
+  * surface (`AbstractDataType`, `ExpressionUtils.column`) is
+  * `private[sql]` in Spark 4 — the standard packaging for third-party
+  * Catalyst extensions.
+  */
+
+/** MinHash signature as a whole-stage-codegen-friendly expression:
+  * doGenCode emits a call to the static primitive-loop kernel
+  * (graft.functions.MinHash.signature) — no boxing, no interpreted
+  * lambdas, value-identical to the higher-order-function formulation in
+  * graft.operators.Dedup.minHashSignature.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash.signature(input.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.MinHash.signature($c, $k, ${seed}L);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+object NativeExprs {
+  /** Column-level entry for MinHashSignatureExpr. */
+  def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
+    ExpressionUtils.column(
+      MinHashSignatureExpr(ExpressionUtils.expression(shingles), k, seed))
+}

@@ -24,6 +24,18 @@ class DedupSpec extends SparkSpec {
     assert(sizes.toSeq == Seq(2, 0, 3))
   }
 
+  test("native MinHashSignatureExpr is value-identical to the HOF formulation") {
+    import graft.functions.MinHashSignatureExpr
+    val sh = Dedup.shingleHashes(col("text"), 3)
+    val both = docs.select(
+      Dedup.minHashSignature(sh, k = 128, seed = 42L).as("hof"),
+      MinHashSignatureExpr(sh, k = 128, seed = 42L).as("native"))
+    val mismatches = both.filter(
+      (col("hof").isNull =!= col("native").isNull) ||
+        (col("hof").isNotNull && col("hof") =!= col("native"))).count()
+    assert(mismatches == 0)
+  }
+
   test("minhash signature is deterministic and k-long") {
     val sig = docs.select(
       Dedup.minHashSignature(Dedup.shingleHashes(col("text"), 3), k = 64).as("s"))
