@@ -70,3 +70,60 @@ object MinHashSignatureExpr {
   def apply(shingles: Column, k: Int, seed: Long): Column =
     org.apache.spark.sql.graft.NativeExprs.minhashSignature(shingles, k, seed)
 }
+
+/** Primitive kernel for text → distinct w-shingle xxhash64 array, shared
+  * by org.apache.spark.sql.graft.ShingleHashesExpr.
+  *
+  * Value-identical to the HOF formulation in Dedup.shingleHashesHof:
+  * - lowercase via UTF8String.toLowerCase (what functions.lower compiles to)
+  * - trim + `\s+` split via UTF8String.trim/split (what trim/split compile to)
+  * - per-shingle hash = xxhash64 of the space-joined token bytes, seed 42
+  *   (Spark's xxhash64 default), via the same XXH64 used by the builtin
+  * - distinct preserving first occurrence (array_distinct semantics)
+  */
+object ShingleHash {
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private val SplitPattern = UTF8String.fromString("\\s+")
+  private val Empty = new GenericArrayData(Array.empty[Long])
+
+  def shingleHashes(text: UTF8String, w: Int): ArrayData = {
+    val trimmed = text.toLowerCase.trim()
+    if (trimmed.numBytes() == 0) return Empty
+    val toks = trimmed.split(SplitPattern, -1)
+    val n = toks.length
+    if (n < w) return Empty
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + w <= n) {
+      var len = w - 1 // separators
+      var j = i
+      while (j < i + w) { len += toks(j).numBytes(); j += 1 }
+      val bytes = new Array[Byte](len)
+      var pos = 0
+      j = i
+      while (j < i + w) {
+        val t = toks(j)
+        t.writeToMemory(bytes, Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes()
+        if (j < i + w - 1) { bytes(pos) = ' '; pos += 1 }
+        j += 1
+      }
+      seen.add(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Column-level façade for the native shingle-hash expression. */
+object ShingleHashesExpr {
+  def apply(text: Column, w: Int): Column =
+    org.apache.spark.sql.graft.NativeExprs.shingleHashes(text, w)
+}

@@ -41,10 +41,17 @@ object Dedup {
   // ----------------------------------------------------- shingles/minhash
 
   /** w-word shingles of the lowercased text, hashed to 64-bit via xxhash64.
-    * Returns array<long> (distinct). Built-ins only: transform over a
-    * 0..n−w index sequence + slice + concat.
+    * Returns array<long> (distinct). Native single-pass kernel
+    * (ShingleHashesExpr); value-identical to [[shingleHashesHof]], which
+    * the spec pins.
     */
-  def shingleHashes(text: Column, w: Int = 3): Column = {
+  def shingleHashes(text: Column, w: Int = 3): Column =
+    graft.functions.ShingleHashesExpr(text, w)
+
+  /** Reference formulation of [[shingleHashes]] with built-in higher-order
+    * functions only — kept as the semantic spec for the native kernel.
+    */
+  def shingleHashesHof(text: Column, w: Int = 3): Column = {
     val toks = TextAnalysis.tokens(lower(text))
     val n = size(toks)
     val starts = when(n < w, array().cast("array<int>"))

@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.MinHash
+import graft.functions.{MinHash, ShingleHash}
 
 /** Native Catalyst expressions for the graft engine.
   *
@@ -45,9 +46,37 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Distinct w-word-shingle xxhash64 hashes of a text column, as one
+  * codegen-friendly kernel (graft.functions.ShingleHash.shingleHashes) —
+  * replaces a lower→trim→split→transform(slice→array_join→xxhash64)→
+  * array_distinct chain of interpreted higher-order functions with a
+  * single pass. Value-identical to graft.operators.Dedup.shingleHashesHof.
+  */
+case class ShingleHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.shingleHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHash.shingleHashes($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 object NativeExprs {
   /** Column-level entry for MinHashSignatureExpr. */
   def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
     ExpressionUtils.column(
       MinHashSignatureExpr(ExpressionUtils.expression(shingles), k, seed))
+
+  /** Column-level entry for ShingleHashesExpr. */
+  def shingleHashes(text: Column, w: Int): Column =
+    ExpressionUtils.column(ShingleHashesExpr(ExpressionUtils.expression(text), w))
 }

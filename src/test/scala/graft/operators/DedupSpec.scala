@@ -24,6 +24,18 @@ class DedupSpec extends SparkSpec {
     assert(sizes.toSeq == Seq(2, 0, 3))
   }
 
+  test("native ShingleHashesExpr is value-identical to the HOF formulation") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "one two", "A b C d A b C d", "x\ty  z w").toDF("text")
+    for (frame <- Seq(docs, edge)) {
+      val both = frame.select(
+        Dedup.shingleHashesHof(col("text"), 3).as("hof"),
+        Dedup.shingleHashes(col("text"), 3).as("native"))
+      val mismatches = both.filter(col("hof") =!= col("native")).count()
+      assert(mismatches == 0)
+    }
+  }
+
   test("native MinHashSignatureExpr is value-identical to the HOF formulation") {
     import graft.functions.MinHashSignatureExpr
     val sh = Dedup.shingleHashes(col("text"), 3)
