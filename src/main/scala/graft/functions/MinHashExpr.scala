@@ -127,3 +127,51 @@ object ShingleHashesExpr {
   def apply(text: Column, w: Int): Column =
     org.apache.spark.sql.graft.NativeExprs.shingleHashes(text, w)
 }
+
+/** Primitive kernel for the 64-bit SimHash fingerprint, shared by
+  * org.apache.spark.sql.graft.SimHashExpr.
+  *
+  * Value-identical to the HOF formulation in Dedup.simHashHof:
+  * - same tokenizer as ShingleHash (lower → trim → `\s+` split)
+  * - per-token xxhash64 (seed 42) via the builtin's XXH64
+  * - bit j of the fingerprint is set iff 2·(tokens with hash bit j set)
+  *   ≥ token count, and the count is nonzero (majority vote, ties → set)
+  */
+object SimHash {
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private val SplitPattern = UTF8String.fromString("\\s+")
+
+  def fingerprint(text: UTF8String): Long = {
+    val trimmed = text.toLowerCase.trim()
+    if (trimmed.numBytes() == 0) return 0L
+    val toks = trimmed.split(SplitPattern, -1)
+    val n = toks.length
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+      var j = 0
+      while (j < 64) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) * 2 >= n) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
+/** Column-level façade for the native SimHash expression. */
+object SimHashExpr {
+  def apply(text: Column): Column =
+    org.apache.spark.sql.graft.NativeExprs.simHash(text)
+}

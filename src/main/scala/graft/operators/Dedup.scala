@@ -164,9 +164,16 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign
     * of Σ over tokens of (±1 depending on bit j of xxhash64(token)).
-    * Expressed with built-ins: per-bit weighted sums via aggregate.
+    * Native one-pass kernel (SimHashExpr); value-identical to
+    * [[simHashHof]], which the spec pins.
     */
-  def simHash(text: Column): Column = {
+  def simHash(text: Column): Column =
+    graft.functions.SimHashExpr(text)
+
+  /** Reference formulation of [[simHash]] with built-in higher-order
+    * functions only (64 per-bit passes) — kept as the semantic spec.
+    */
+  def simHashHof(text: Column): Column = {
     val toks = TextAnalysis.tokens(lower(text))
     val hashes = transform(toks, t => xxhash64(t))
     val bits = (0 until 64).map { j =>

@@ -70,6 +70,28 @@ case class ShingleHashesExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash fingerprint of a text column in one pass
+  * (graft.functions.SimHash.fingerprint) — replaces 64 per-bit
+  * interpreted filter/size higher-order passes over the token hash
+  * array. Value-identical to graft.operators.Dedup.simHashHof.
+  */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.SimHash.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.fingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
 object NativeExprs {
   /** Column-level entry for MinHashSignatureExpr. */
   def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
@@ -79,4 +101,8 @@ object NativeExprs {
   /** Column-level entry for ShingleHashesExpr. */
   def shingleHashes(text: Column, w: Int): Column =
     ExpressionUtils.column(ShingleHashesExpr(ExpressionUtils.expression(text), w))
+
+  /** Column-level entry for SimHashExpr. */
+  def simHash(text: Column): Column =
+    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(text)))
 }

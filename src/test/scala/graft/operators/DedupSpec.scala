@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native SimHashExpr is value-identical to the HOF formulation") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two three", "x\ty  z").toDF("text")
+    for (frame <- Seq(docs, edge)) {
+      val both = frame.select(
+        Dedup.simHashHof(col("text")).as("hof"),
+        Dedup.simHash(col("text")).as("native"))
+      assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    }
+  }
+
   test("native MinHashSignatureExpr is value-identical to the HOF formulation") {
     import graft.functions.MinHashSignatureExpr
     val sh = Dedup.shingleHashes(col("text"), 3)
