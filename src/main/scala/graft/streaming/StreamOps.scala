@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed row for the custom-state operators (shape of the `events` table's
+  * core columns).
+  */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Running per-user aggregate emitted by [[StreamOps.runningUserStats]]. */
+case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming twins of the batch operators — a clearly-marked
+  * EXTENSION: the reference is daily batch only (no streaming imports
+  * anywhere; schedule at `airflow_dag_code/data_lake_query_pyspark.py:16`),
+  * but its `events`-style data is the canonical streaming input, so the
+  * engine ships the streaming shapes a training-data pipeline needs.
+  *
+  * Every operator here takes/returns an UNBOUNDED DataFrame (from
+  * `spark.readStream`) and is driven by event time + watermark, so state
+  * is bounded and the same code runs on a 1000-executor cluster: state is
+  * partitioned by the grouping key across executors, and the watermark
+  * bounds per-key state retention regardless of stream length.
+  */
+object StreamOps {
+
+  /** Gap-based sessions via `session_window` — the streaming twin of
+    * `graft.operators.Sessionize.sessions`. Completed sessions are
+    * emitted once their window closes past the watermark (append mode).
+    */
+  def sessionAggregates(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Tumbling (slide == window) or sliding windowed counts per event type.
+    * Watermark bounds state; late rows beyond it are dropped.
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      window_ : String = "10 minutes",
+      slide: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window_, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("n_events"))
+
+  /** Exact streaming dedup with state bounded by the watermark — the
+    * streaming twin of `Dedup.exact`. Duplicates arriving within the
+    * watermark horizon of the first occurrence are dropped; state for
+    * older keys is evicted, so memory is O(keys per horizon), not
+    * O(stream).
+    */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail.toIndexedSeq: _*)
+
+  /** Custom keyed state via `mapGroupsWithState`: running per-user event
+    * count and value sum, re-emitted on every update (update mode).
+    * Demonstrates the arbitrary-state API for operators the built-in
+    * windows can't express; state lives in the state store, partitioned
+    * by user across executors.
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserStats(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

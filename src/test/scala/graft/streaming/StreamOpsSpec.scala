@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamOpsSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("sessionAggregates: gap-based session windows close past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF.toDF("user_id", "ts", "value")
+
+    val q = StreamOps.sessionAggregates(events, gap = "5 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // user 1: two events 2 min apart (one session), then a 20-min gap
+      // (second session); a final late-hour event advances the watermark
+      // far enough to close both.
+      in.addData((1L, ts(0), 1.0), (1L, ts(2), 2.0), (1L, ts(30), 5.0))
+      q.processAllAvailable()
+      in.addData((2L, Timestamp.valueOf("2024-01-01 03:00:00"), 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .select("user_id", "n_events", "total_value").orderBy("user_id", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("windowedEventCounts: tumbling windows count per event type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF.toDF("ts", "event_type")
+
+    val q = StreamOps.windowedEventCounts(
+        events, window_ = "10 minutes", slide = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      in.addData((ts(1), "click"), (ts(3), "click"), (ts(8), "view"), (ts(12), "click"))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "view"))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .select("w_start", "event_type", "n_events").orderBy("w_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(out.toSeq == Seq(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 00:00:00.0", "view", 1L),
+        ("2024-01-01 00:10:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate keys arriving within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF.toDF("event_id", "ts")
+
+    val q = StreamOps.dedupWithinWatermark(events, Seq("event_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData((7L, ts(0)), (7L, ts(1)), (8L, ts(2)), (7L, ts(3)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(out.toSeq == Seq(7L, 8L))
+    } finally q.stop()
+  }
+
+  test("runningUserStats: custom keyed state accumulates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("stats_out").outputMode("update").start()
+    try {
+      in.addData(UserEvent(1L, ts(0), 2.0), UserEvent(1L, ts(1), 3.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, ts(2), 5.0), UserEvent(2L, ts(2), 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("stats_out")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("tot"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(latest.toSeq == Seq((1L, 3L, 10.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+}
