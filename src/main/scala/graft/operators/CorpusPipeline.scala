@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning pipeline — the composite operator a
+  * 100 TB LLM-data run would execute, built entirely from the engine's
+  * distributed pieces:
+  *
+  *   annotate (token/quality/language, map-only)
+  *     → filter (quality + language + length gates, map-only)
+  *     → exact dedup on the order-sensitive fingerprint (one hash agg)
+  *     → MinHash-LSH near-dup removal (signature → band join → verify)
+  *
+  * Scale shape: two shuffles total (fingerprint agg; LSH band join) plus
+  * the verification join on candidates. Everything else is embarrassingly
+  * parallel projection/filter. No driver-side data movement.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Int = 10,
+      minQuality: Double = 0.3,
+      langs: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
+      nearDupThreshold: Double = 0.8)
+
+  /** Returns the cleaned corpus: survivors of all gates + both dedup
+    * stages, with the annotation columns retained for downstream
+    * sampling/mixing decisions.
+    */
+  def clean(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      cfg: Config = Config()): DataFrame = {
+    val annotated = TextAnalysis.annotate(docs, textCol)
+    val gated = annotated.filter(
+      col("n_tokens") >= cfg.minTokens &&
+        col("quality") >= cfg.minQuality &&
+        col("lang_pred").isin(cfg.langs: _*))
+    // Persisted: the near-dup stage scans this frame twice (signature
+    // branch + the keep side of the anti-join); without the persist the
+    // annotate+window chain runs twice per materialization.
+    val exactDeduped = Dedup.exactKeepMin(gated, Seq("fingerprint"), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.minHashDedup(exactDeduped, idCol, textCol, threshold = cfg.nearDupThreshold)
+  }
+}

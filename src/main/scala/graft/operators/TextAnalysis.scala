@@ -118,8 +118,26 @@ object TextAnalysis {
       st => st.getField("acc"))
   }
 
-  /** Convenience: annotate a documents frame with all analysis columns. */
+  /** Annotate a documents frame with all analysis columns. One native
+    * single-tokenization kernel (TextProfileExpr); field-by-field
+    * value-identical to [[annotateHof]], which the spec pins.
+    */
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val p = graft.functions.TextProfileExpr(col(textCol))
+    df.withColumn("__tp", p)
+      .withColumn("n_tokens", col("__tp.n_tokens"))
+      .withColumn("n_subwords", col("__tp.n_subwords"))
+      .withColumn("stopword_ratio", col("__tp.stopword_ratio"))
+      .withColumn("quality", col("__tp.quality"))
+      .withColumn("lang_pred", col("__tp.lang_pred"))
+      .withColumn("fingerprint", col("__tp.fingerprint"))
+      .drop("__tp")
+  }
+
+  /** Reference formulation of [[annotate]] from the individual built-in
+    * expressions — kept as the semantic spec for the native kernel.
+    */
+  def annotateHof(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))
       .withColumn("n_subwords", subwordCount(t))

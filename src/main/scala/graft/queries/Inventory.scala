@@ -339,7 +339,27 @@ object Inventory {
         count(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        ORDER BY rf, ls""")))
+        ORDER BY rf, ls""")),
+
+    Q("q27_percentiles",
+      (s, dir) =>
+        // Exact continuous percentiles (interpolating); l_quantity values
+        // are small integers so the interpolation arithmetic is exact in
+        // double for both engines.
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"),
+            expr("cast(max(l_quantity) as double)").as("max_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.50) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        CAST(max(l_quantity) AS DOUBLE) AS max_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
 
   private val windows = Seq(
     Q("q30_window_rank",
@@ -410,7 +430,31 @@ object Inventory {
         CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
-        FROM orders ORDER BY o_custkey, o_orderkey""")))
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    Q("q33_window_firstlast",
+      (s, dir) => {
+        val frame = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rank = Window.partitionBy("o_orderpriority").orderBy(col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 1000)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            first("o_orderkey").over(frame).as("first_key"),
+            last("o_orderkey").over(frame).as("last_key"),
+            ntile(4).over(rank).as("quartile"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+        first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+        last_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+        CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC) AS INTEGER) AS quartile
+        FROM orders WHERE o_orderkey <= 1000
+        ORDER BY o_orderpriority, o_orderkey""")))
 
   private val sortLimit = Seq(
     Q("q40_topk",
@@ -439,7 +483,19 @@ object Inventory {
             row_number() OVER (PARTITION BY o_orderpriority
               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
           FROM orders)
-        WHERE rn <= 2 ORDER BY o_orderpriority, rn""")))
+        WHERE rn <= 2 ORDER BY o_orderpriority, rn""")),
+
+    Q("q42_sort_nulls",
+      (s, dir) =>
+        // Explicit null placement: Spark's ASC default is NULLS FIRST,
+        // DuckDB's is NULLS LAST — both spelled out so semantics match.
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), expr("nullif(o_orderpriority, '1-URGENT')").as("prio"))
+          .orderBy(col("prio").asc_nulls_first, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio
+        FROM orders WHERE o_orderkey <= 2000
+        ORDER BY prio ASC NULLS FIRST, o_orderkey ASC""")))
 
   private val setOps = Seq(
     Q("q50_union_all",
@@ -598,7 +654,26 @@ object Inventory {
           .limit(20),
       Some("""SELECT token, count(*) AS n FROM (
           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20""")))
+        WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
+
+    Q("q66_pivot",
+      (s, dir) =>
+        // Pivot with an explicit value list (no extra distinct-values job;
+        // at scale an implicit pivot scans the data twice).
+        events(s, dir)
+          .withColumn("bucket", pmod(col("user_id"), lit(10)))
+          .groupBy("bucket")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L) // empty pivot cell is NULL in Spark, 0 in a FILTER count
+          .orderBy("bucket"),
+      Some("""SELECT user_id % 10 AS bucket,
+        count(*) FILTER (event_type = 'click') AS click,
+        count(*) FILTER (event_type = 'error') AS error,
+        count(*) FILTER (event_type = 'purchase') AS purchase,
+        count(*) FILTER (event_type = 'signup') AS signup,
+        count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY bucket""")))
 
   private val subqueries = Seq(
     Q("q70_scalar_subquery",
@@ -867,7 +942,18 @@ object Inventory {
             sum(col("n_frames").cast("long")).as("total_frames"),
             sum(col("duration_ms")).as("total_duration_ms"))
           .orderBy("modality"),
-      None)) // FakeCodec is engine-internal — ScalaTest pins determinism
+      None), // FakeCodec is engine-internal — ScalaTest pins determinism
+
+    Q("q101_corpus_pipeline",
+      (s, dir) =>
+        // The composite training-corpus clean: annotate → quality/lang/
+        // length gates → exact fingerprint dedup → MinHash near-dup
+        // removal. The flagship "would this run at 100 TB" shape: two
+        // shuffles + the LSH candidate join, everything else map-only.
+        graft.operators.CorpusPipeline.clean(t(s, dir, "documents"))
+          .select("doc_id", "lang_pred", "n_tokens", "quality")
+          .orderBy("doc_id"),
+      None)) // langId + MinHash are engine-internal — rows-only check
 
   val all: Seq[Q] =
     projectionFilter ++ joins ++ aggregations ++ windows ++ sortLimit ++
@@ -878,5 +964,5 @@ object Inventory {
     "q01_pricing_summary", "q03_between", "q11_join_multi5", "q12_join_left_hist",
     "q21_count_distinct", "q30_window_rank", "q40_topk", "q64_json",
     "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q95_text_stats",
-    "q99_sessionize")
+    "q99_sessionize", "q101_corpus_pipeline")
 }

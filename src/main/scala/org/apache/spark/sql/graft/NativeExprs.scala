@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{MinHash, ShingleHash}
@@ -92,6 +92,38 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** All six text-annotation columns in one tokenization pass
+  * (graft.functions.TextProfile.profile) — replaces six independent
+  * interpreted expression trees that each re-tokenize the document.
+  * Field-by-field value-identical to TextAnalysis.annotateHof.
+  */
+case class TextProfileExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = TextProfileExpr.schema
+  override def prettyName: String = "text_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.TextProfile.profile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextProfile.profile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextProfileExpr =
+    copy(child = newChild)
+}
+
+object TextProfileExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false),
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+}
+
 object NativeExprs {
   /** Column-level entry for MinHashSignatureExpr. */
   def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
@@ -105,4 +137,8 @@ object NativeExprs {
   /** Column-level entry for SimHashExpr. */
   def simHash(text: Column): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(text)))
+
+  /** Column-level entry for TextProfileExpr. */
+  def textProfile(text: Column): Column =
+    ExpressionUtils.column(TextProfileExpr(ExpressionUtils.expression(text)))
 }

@@ -75,4 +75,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(want.forall(ann.columns.contains))
     assert(ann.count() == 10)
   }
+
+  test("native TextProfileExpr annotate is value-identical to the HOF formulation") {
+    val edge = Seq(
+      "", "   ", "one", "the quick brown fox and the lazy dog",
+      "el que de la con los una por", "这 是 中文 文本 了",
+      "x\ty  z!!! (parens) [brackets] 1234 mixed-case CASE",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z").toDF("text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    for (frame <- Seq(edge.withColumn("doc_id", monotonically_increasing_id()), corpus)) {
+      val nat = TextAnalysis.annotate(frame)
+      val hof = TextAnalysis.annotateHof(frame)
+      val cols = Seq("n_tokens", "n_subwords", "stopword_ratio", "quality", "lang_pred", "fingerprint")
+      assert(nat.exceptAll(hof).count() == 0 && hof.exceptAll(nat).count() == 0,
+        s"mismatch on columns $cols")
+    }
+  }
 }
