@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the shuffle-heavy shapes a 100 TB run hits:
+  * key-skew joins and repeated co-located joins.
+  *
+  * AQE (on by default in GraftSession) already splits skewed SHUFFLE
+  * partitions at runtime; explicit salting remains the tool when one
+  * build-side key is so hot that even a split partition overwhelms a
+  * task, or when AQE is unavailable (e.g. inside a cached subtree).
+  */
+object ScaleOps {
+
+  /** Skew-resistant inner equi-join: salt the skewed (large, hot-keyed)
+    * side with a random factor in [0, buckets), and explode the other
+    * side once per bucket, so a hot key's rows spread over `buckets`
+    * shuffle partitions instead of one.
+    *
+    * Cost model: the replicated side grows ×buckets — use when
+    * |replicated| × buckets ≪ |skewed partition relief|. Salt is applied
+    * to the SHUFFLE KEY only; output columns are untouched.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      key: String,
+      buckets: Int = 8): DataFrame = {
+    require(buckets > 1, "buckets must be > 1")
+    // rand() is per-row nondeterministic by design: distribution, not values,
+    // matters for the salt. Seeded for reproducible tests.
+    val salted = skewed.withColumn("__salt", (rand(42) * buckets).cast("int"))
+    val replicated = other.withColumn(
+      "__salt",
+      explode(array((0 until buckets).map(lit).toIndexedSeq: _*)))
+    salted
+      .join(replicated, salted(key) === replicated(key) && salted("__salt") === replicated("__salt"))
+      .drop(replicated(key))
+      .drop("__salt")
+  }
+
+  /** Write both sides bucketed by the join key so subsequent joins are
+    * exchange-free (bucketed scan → sort-merge join with no shuffle).
+    * Spark's bucketing requires `saveAsTable` (bucket metadata lives in
+    * the catalog); tables land in the session warehouse.
+    *
+    * At 100 TB this is the "pay the shuffle once" pattern: fact tables
+    * bucketed on their most-joined key amortize every later join.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int = 32,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Join two pre-bucketed tables on their bucket key. With equal bucket
+    * counts the planner elides both exchanges (asserted in the spec).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a long tail
+    val skewed = (1 to 2000).map(i => (if (i % 10 != 0) 1L else i.toLong, s"row$i"))
+      .toDF("k", "payload")
+    val dim = (1L to 200L).map(k => (k, s"dim$k")).toDF("k", "attr")
+
+    val plain = skewed.join(dim, "k")
+    val salted = ScaleOps.saltedJoin(skewed, dim, "k", buckets = 8)
+
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("saltedJoin spreads a hot key over multiple shuffle partitions") {
+    import spark.implicits._
+    val skewed = (1 to 1000).map(i => (1L, s"row$i")).toDF("k", "payload")
+    val salts = skewed.withColumn("__salt", (rand(42) * 8).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts > 4, s"expected hot key spread over >4 salt buckets, got $salts")
+  }
+
+  test("bucketedJoin plans with no shuffle exchange") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey", "l_orderkey")
+
+    ScaleOps.writeBucketed(li, "li_b", "l_orderkey", buckets = 8)
+    ScaleOps.writeBucketed(ord, "ord_b", "l_orderkey", buckets = 8)
+    // disable auto-broadcast: at test scale the planner broadcasts the
+    // small side instead of using buckets; at 100 TB both sides are big
+    // and the bucketed sort-merge path is what runs
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleOps.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("ShuffleExchange"), s"expected shuffle-free plan:\n$physical")
+      assert(physical.contains("SortMergeJoin"), s"expected sort-merge join:\n$physical")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}
