@@ -113,24 +113,32 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (id, band_hash) pairs; band hash = xxhash64 of the band's slice
+    // (id, band_hash) pairs — ids ONLY: the banded self-join must not
+    // carry the shingle arrays (that would shuffle |corpus|×bands×|sh|
+    // bytes; ids shuffle |corpus|×bands×16 bytes). Band hash = xxhash64
+    // of the band's signature slice.
     val banded = withSig.select(
       col("id"),
-      col("sh"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat(b.cast("string"), lit(":"),
             array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))).as("bh"))
 
-    // candidate pairs: self-join on band hash, dedup pair ids
-    val a = banded.select(col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a
+    // candidate pairs: id-only self-join on band hash, dedup pair ids,
+    // THEN attach each side's shingles from the (persisted) signature
+    // frame — two joins against |candidates| rows, not |corpus|×bands.
+    val a = banded.select(col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("bh"), col("id").as("id_b"))
+    val pairIds = a
       .join(b, Seq("bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val shingles = withSig.select(col("id"), col("sh"))
+    val candidates = pairIds
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
 
     // exact Jaccard verification on the shingle sets (arrays already distinct)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -256,11 +264,19 @@ object Dedup {
       col(idCol).as("id"),
       col(vecCol).as("v"),
       VectorFunctions.hyperplaneSignature(col(vecCol), planes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("sig"))
+    // id-only bucket self-join (embedding vectors must not ride the
+    // bucket shuffle — they are re-attached per candidate pair below)
+    val a = withSig.select(col("sig"), col("id").as("id_a"))
+    val b = withSig.select(col("sig"), col("id").as("id_b"))
+    val pairIds = a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val vecs = withSig.select(col("id"), col("v"))
+    pairIds
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
