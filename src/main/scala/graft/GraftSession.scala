@@ -25,6 +25,10 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // native expressions on the SQL surface (shingle_hashes, simhash,
+      // minhash_signature, text_profile) — the config "query language" is
+      // raw SQL, so extension operators must be callable from it
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       // Reference parity: PySpark 3.3 ran with ANSI mode OFF (its default);
       // Spark 4 flipped the default on. OFF restores the reference's
       // implicit-cast/overflow-wraparound semantics (hash mixing in

@@ -36,4 +36,17 @@ object Sinks {
       case "parquet" => csv(df, path); "csv"
       case other     => throw UnsupportedFormatException(other)
     }
+
+  /** Hive-style partitioned parquet layout (`path/col=value/...`) —
+    * the 100 TB lake layout: a filter on the partition column prunes
+    * whole directories at planning time (zero I/O for pruned values;
+    * asserted in SinksSpec). Partition columns should be low-cardinality
+    * (a date, a language, a source) or the file count explodes.
+    */
+  def parquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .option("compression", "snappy")
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -51,10 +51,10 @@ object Similarity {
     bruteForceTopK(df.filter(col(idCol) =!= queryId), idCol, vecCol, q, k)
   }
 
-  /** Deterministic centroid selection: the `c` vectors with the smallest
-    * ids (cheap, reproducible; swap in ML k-means offline for quality).
-    * Returns (cell_id, centroid) rows collected to the driver — C is small
-    * (≤ thousands), this is broadcast state, not data.
+  /** Deterministic centroid seed: the `c` vectors with the smallest
+    * ids (cheap, reproducible). Returns (cell_id, centroid) rows collected
+    * to the driver — C is small (≤ thousands), this is broadcast state,
+    * not data.
     */
   def centroids(df: DataFrame, idCol: String, vecCol: String, c: Int): Array[(Int, Array[Double])] =
     df.orderBy(col(idCol).asc)
@@ -63,6 +63,39 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toArray }
+
+  /** Lloyd-refined centroids: seed with [[centroids]], then `iters`
+    * distributed k-means steps — assign each vector to its nearest cell
+    * (map-only, centroids broadcast as literals), recompute each cell's
+    * mean via posexplode + groupBy(cell, dim) (one shuffle of N×dim
+    * scalar rows per iteration), collect the C×dim means. Empty cells
+    * keep their previous centroid. At 100 TB run this on a sample — the
+    * quantizer needs distributional, not exhaustive, coverage.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      c: Int,
+      iters: Int = 3): Array[(Int, Array[Double])] = {
+    var cents = centroids(df, idCol, vecCol, c)
+    for (_ <- 0 until iters) {
+      val means = ivfIndex(df, idCol, vecCol, cents)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val dim = rows.length
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          cell -> v
+        }
+      cents = cents.map { case (cell, prev) => cell -> means.getOrElse(cell, prev) }
+    }
+    cents
+  }
 
   /** Cell assignment: argmin over centroid distances (squared L2).
     * Distances are computed ONCE into an array column, then the argmin is

@@ -839,7 +839,7 @@ object Inventory {
     Q("q91_sim_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val cents = Similarity.centroids(e, "vec_id", "embedding", 16)
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, iters = 2)
         val q = e.filter(col("vec_id") === 1).select("embedding").head()
           .getSeq[Float](0).toArray
         Similarity.ivfTopK(

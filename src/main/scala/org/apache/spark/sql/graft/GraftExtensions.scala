@@ -1,0 +1,77 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions hook exposing the engine's native expressions to
+  * the SQL surface — the reference's "query language" is an arbitrary SQL
+  * string from config (`config/data_lake_config.json:4` →
+  * `scripts/...pyspark.py:113`), so extension operators belong in SQL too:
+  *
+  *   SELECT doc_id FROM docs WHERE simhash(text) = simhash('probe')
+  *   SELECT minhash_signature(shingle_hashes(text, 3), 128, 42) FROM docs
+  *   SELECT text_profile(text).lang_pred FROM docs
+  *
+  * Wire-up: `.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")`
+  * (GraftSession does this by default).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be a long literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def register(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      builder: FunctionBuilder): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "shingle_hashes",
+      "shingle_hashes(text, w) - distinct w-word-shingle xxhash64 array", {
+        case Seq(text, w) => ShingleHashesExpr(text, intArg(w, "w"))
+        case Seq(text)    => ShingleHashesExpr(text, 3)
+        case args => throw new IllegalArgumentException(
+          s"shingle_hashes expects (text[, w]), got ${args.length} args")
+      })
+
+    register(ext, "minhash_signature",
+      "minhash_signature(shingles, k, seed) - k-permutation MinHash signature", {
+        case Seq(sh, k, seed) => MinHashSignatureExpr(sh, intArg(k, "k"), longArg(seed, "seed"))
+        case Seq(sh, k)       => MinHashSignatureExpr(sh, intArg(k, "k"), 42L)
+        case Seq(sh)          => MinHashSignatureExpr(sh, 128, 42L)
+        case args => throw new IllegalArgumentException(
+          s"minhash_signature expects (shingles[, k[, seed]]), got ${args.length} args")
+      })
+
+    register(ext, "simhash",
+      "simhash(text) - 64-bit SimHash fingerprint", {
+        case Seq(text) => SimHashExpr(text)
+        case args => throw new IllegalArgumentException(
+          s"simhash expects (text), got ${args.length} args")
+      })
+
+    register(ext, "text_profile",
+      "text_profile(text) - struct(n_tokens, n_subwords, stopword_ratio, quality, lang_pred, fingerprint)", {
+        case Seq(text) => TextProfileExpr(text)
+        case args => throw new IllegalArgumentException(
+          s"text_profile expects (text), got ${args.length} args")
+      })
+  }
+}

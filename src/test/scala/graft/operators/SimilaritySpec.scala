@@ -53,6 +53,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("Lloyd-refined centroids keep IVF recall >= seed centroids") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 1)
+    val truth = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recallWith(cents: Array[(Int, Array[Double])]): Double = {
+      val got = Similarity.ivfTopK(
+        Similarity.ivfIndex(rest, "vec_id", "embedding", cents),
+        "vec_id", "embedding", cents, q, 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val seed = recallWith(Similarity.centroids(emb, "vec_id", "embedding", 16))
+    val lloyd = recallWith(Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, iters = 2))
+    assert(lloyd >= seed - 0.101, s"Lloyd recall $lloyd regressed vs seed $seed")
+    assert(lloyd >= 0.5, s"Lloyd recall $lloyd")
+  }
+
   test("IVF scans fewer rows than corpus (partition pruning analogue)") {
     val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
     val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
