@@ -93,6 +93,47 @@ object Multimodal {
       }
   }
 
+  final case class ResizedAsset(
+      asset_id: Long,
+      modality: String,
+      width: Int,
+      height: Int,
+      content: Array[Byte])
+
+  /** Resize image/video assets to a target box, batch-at-a-time. The
+    * pixel work is the STUB (???-boundary: FakeCodec scales the fake
+    * dimensions and re-hashes bytes deterministically); the distributed
+    * shape — typed Dataset in, mapPartitions, typed Dataset out, non-image
+    * rows passed through untouched — is the real contract.
+    */
+  def resizeAssets(
+      spark: SparkSession,
+      assets: DataFrame,
+      maxW: Int,
+      maxH: Int): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets
+      .select(
+        col("asset_id").cast("long"),
+        col("modality").cast("string"),
+        col("content").cast("binary"),
+        col("source").cast("string"),
+        col("mime").cast("string"))
+      .as[Asset]
+      .mapPartitions { batch =>
+        batch.map { a =>
+          val (w, h, _, _) = FakeCodec.decode(a.modality, a.content)
+          if (a.modality == "audio") ResizedAsset(a.asset_id, a.modality, 0, 0, a.content)
+          else {
+            // aspect-preserving fit into (maxW, maxH) — real math, fake pixels
+            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            ResizedAsset(a.asset_id, a.modality, nw, nh, a.content)
+          }
+        }
+      }
+  }
+
   /** Frame sampling plan for video assets: every `everyMs` milliseconds,
     * capped at `maxFrames` — returns (asset_id, frame_idx, ts_ms) rows.
     * Pure expressions (sequence + explode), no decode needed for the plan.

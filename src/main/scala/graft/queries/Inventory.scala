@@ -246,7 +246,41 @@ object Inventory {
       Some("""SELECT s_nationkey, count(*) AS n_pairs
         FROM supplier JOIN customer
           ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
-        GROUP BY s_nationkey ORDER BY s_nationkey""")))
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    Q("q17_join_asof",
+      (s, dir) => {
+        // As-of join: each click gets the most recent at-or-before view's
+        // value per user (union-window implementation — one shuffle,
+        // |L|+|R| rows; DuckDB checks with its native ASOF JOIN). Views
+        // are pre-deduped to one per (user, second) so tie semantics
+        // cannot differ between engines.
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts_sec")
+        val vw = Window.partitionBy("user_id", "ts_sec").orderBy(col("event_id").desc)
+        val views = ev.filter(col("event_type") === "view")
+          .withColumn("__rn", row_number().over(vw)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("ts_sec").as("vts"),
+            col("event_id").as("vid"), col("value").as("vvalue"))
+        graft.operators.AsofJoin
+          .asof(clicks, views, Seq("user_id"), "ts_sec", "vts", "vid", Seq("vvalue"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type, value,
+                 epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        clicks AS (
+          SELECT user_id, event_id, ts_sec FROM e WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts_sec AS vts, event_id AS vid, value AS vvalue FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts_sec
+              ORDER BY event_id DESC) AS rn
+            FROM e WHERE event_type = 'view') WHERE rn = 1)
+        SELECT c.user_id, c.event_id, c.ts_sec, v.vvalue AS asof_vvalue
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts_sec >= v.vts
+        ORDER BY c.user_id, c.event_id""")))
 
   private val aggregations = Seq(
     Q("q20_agg_stats",

@@ -44,4 +44,22 @@ class MultimodalSpec extends SparkSpec {
     val planIds = plan.select("asset_id").distinct().collect().map(_.getLong(0)).toSet
     assert(planIds.subsetOf(videoIds))
   }
+
+  test("resizeAssets fits visual assets into the box, passes audio through") {
+    val resized = Multimodal.resizeAssets(spark, assets, maxW = 128, maxH = 128)
+      .collect()
+    val visual = resized.filter(r => r.modality != "audio")
+    assert(visual.nonEmpty)
+    assert(visual.forall(r => r.width <= 128 && r.height <= 128 && r.width >= 1))
+    // aspect ratio preserved within integer rounding
+    val decoded = Multimodal.decodeAssets(spark, assets).collect()
+      .map(d => d.asset_id -> d).toMap
+    visual.foreach { r =>
+      val d = decoded(r.asset_id)
+      val expectScale = math.min(1.0, math.min(128.0 / d.width, 128.0 / d.height))
+      assert(r.width == math.max(1, (d.width * expectScale).toInt))
+      assert(r.height == math.max(1, (d.height * expectScale).toInt))
+    }
+    assert(resized.filter(_.modality == "audio").forall(r => r.width == 0 && r.height == 0))
+  }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+
+  test("asof attaches the latest right row at-or-before each left row") {
+    import spark.implicits._
+    val trades = Seq( // (sym, ts, qty)
+      ("A", 10L, 1), ("A", 20L, 2), ("A", 35L, 3), ("B", 5L, 4))
+      .toDF("sym", "ts", "qty")
+    val quotes = Seq( // (sym, ts, qid, px)
+      ("A", 8L, 100L, 1.0), ("A", 20L, 101L, 2.0), ("A", 30L, 102L, 3.0),
+      ("B", 9L, 103L, 9.9))
+      .toDF("sym", "qts", "qid", "px")
+
+    val out = AsofJoin.asof(trades, quotes, Seq("sym"), "ts", "qts", "qid", Seq("px"))
+      .orderBy("sym", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Any]("asof_px")))
+
+    assert(out.toSeq == Seq(
+      ("A", 10L, 1.0), // quote@8
+      ("A", 20L, 2.0), // quote AT 20 is visible
+      ("A", 35L, 3.0), // quote@30
+      ("B", 5L, null))) // no quote at-or-before 5
+  }
+
+  test("multiple right rows at one timestamp resolve to the highest id") {
+    import spark.implicits._
+    val left = Seq(("A", 10L)).toDF("sym", "ts")
+    val right = Seq(("A", 10L, 1L, 1.0), ("A", 10L, 2L, 2.0)).toDF("sym", "qts", "qid", "px")
+    val out = AsofJoin.asof(left, right, Seq("sym"), "ts", "qts", "qid", Seq("px"))
+      .head().getAs[Double]("asof_px")
+    assert(out == 2.0)
+  }
+
+  test("matches DuckDB-style asof semantics on the events table") {
+    // each 'click' gets the most recent prior-or-equal 'view' value per user
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts_sec")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_sec").as("vts"),
+        col("event_id").as("vid"), col("value").as("vvalue"))
+
+    val out = AsofJoin.asof(clicks, views, Seq("user_id"), "ts_sec", "vts", "vid", Seq("vvalue"))
+    assert(out.count() == clicks.count()) // exactly one output row per left row
+    // spot-check one user against a brute-force max-ts lookup
+    val u = clicks.select("user_id").head().getLong(0)
+    val c = clicks.filter(col("user_id") === u).orderBy(desc("ts_sec")).head()
+    val expected = views
+      .filter(col("user_id") === u && col("vts") <= c.getLong(2))
+      .orderBy(desc("vts"), desc("vid")).select("vvalue")
+      .collect().headOption.map(_.getDouble(0))
+    val got = Option(out.filter(col("user_id") === u && col("event_id") === c.getLong(1))
+      .head().getAs[java.lang.Double]("asof_vvalue")).map(_.doubleValue)
+    assert(got == expected)
+  }
+}
