@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *     → exact dedup on the order-sensitive fingerprint (one hash agg)
   *     → MinHash-LSH near-dup removal (signature → band join → verify)
   *
-  * Scale shape: two shuffles total (fingerprint agg; LSH band join) plus
-  * the verification join on candidates. Everything else is embarrassingly
-  * parallel projection/filter. No driver-side data movement.
+  * Scale shape (measured; see SCALE.md): annotation and gating are
+  * map-only; the shuffles are the fingerprint window, the LSH band join
+  * and candidate re-attach joins, and the final anti-join — each carries
+  * ids/keys only, never document payloads. No driver-side data movement.
   */
 object CorpusPipeline {
 

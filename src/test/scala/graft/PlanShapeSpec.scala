@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.queries.Inventory
+
+/** Physical-plan shape assertions — the optimizer properties the 100 TB
+  * story depends on, pinned so a refactor cannot silently regress them:
+  * filter pushdown into the parquet scan, column pruning, broadcast of
+  * dimension sides, top-k via TakeOrderedAndProject (no global sort),
+  * and single-shuffle window queries.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    Inventory.all.find(_.name == name).get.run(spark, sf)
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def leaves(df: DataFrame): Seq[SparkPlan] =
+    df.queryExecution.executedPlan.collectLeaves().toSeq
+
+  test("q03: BETWEEN range predicate is pushed into the parquet scan") {
+    val scans = leaves(run("q03_between")).map(_.toString)
+    assert(scans.exists(s =>
+      s.contains("PushedFilters") && s.contains("GreaterThanOrEqual(l_shipdate")),
+      s"range filter not pushed:\n${scans.mkString("\n")}")
+  }
+
+  test("q02: scan reads only the projected columns (column pruning)") {
+    val scan = leaves(run("q02_proj_filter")).head.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>")
+      || (!scan.contains("l_comment") && scan.contains("l_orderkey")),
+      s"scan not pruned:\n$scan")
+  }
+
+  test("q11: all four dimension joins broadcast (no shuffle join)") {
+    val plan = planString(run("q11_join_multi5"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts == 4, s"expected 4 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("q40: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planString(run("q40_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+  }
+
+  test("q99: sessionize shuffles once on user_id before both window passes") {
+    val plan = planString(run("q99_sessionize"))
+    // one partitioning exchange for the windows + (possibly) the final
+    // presentation sort — never one exchange per window function
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("entry: flagship filter is pushed down and scan is pruned") {
+    val df = SparkEntry.entry(spark)
+    val scan = leaves(df).head.toString
+    assert(scan.contains("PushedFilters") && scan.toLowerCase.contains("l_shipdate"),
+      s"flagship pushdown missing:\n$scan")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline of q01") {
+    // AQE only materializes codegen spans in the FINAL plan — execute
+    // first (4-row result), then inspect the same QueryExecution
+    val df = run("q01_pricing_summary")
+    df.collect()
+    val plan = planString(df)
+    assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+    // codegen'd operators print as "*(n) Op" in the final plan
+    assert(plan.contains("*("), s"no codegen spans:\n$plan")
+  }
+}
