@@ -393,7 +393,35 @@ object Inventory {
         quantile_cont(l_quantity, 0.50) AS p50,
         quantile_cont(l_quantity, 0.75) AS p75,
         CAST(max(l_quantity) AS DOUBLE) AS max_qty
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q28_collect_list",
+      (s, dir) =>
+        // Array aggregation; collect_list order is partition-dependent,
+        // so determinism comes from sort_array. Surfaced as a joined
+        // string: the driver's hash compare cannot digest array cells.
+        t(s, dir, "nation")
+          .groupBy("n_regionkey")
+          .agg(
+            array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey,
+        array_to_string(list_sort(list(n_name)), ',') AS nations, count(*) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    Q("q29_approx_quantile",
+      (s, dir) =>
+        // Sketch-based quantiles (KLL/GK-style): per-engine internals
+        // differ, so the check is rows-only; the spec-level guarantee is
+        // the epsilon bound vs q27's exact percentiles.
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("p"))
+          .select(col("l_returnflag"),
+            element_at(col("p"), 1).as("p50"), element_at(col("p"), 2).as("p99"))
+          .orderBy("l_returnflag"),
+      None))
 
   private val windows = Seq(
     Q("q30_window_rank",
@@ -568,7 +596,25 @@ object Inventory {
           .except(t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey")))
           .orderBy("orderkey"),
       Some("""SELECT o_orderkey AS orderkey FROM orders
-        EXCEPT SELECT l_orderkey FROM lineitem ORDER BY orderkey""")))
+        EXCEPT SELECT l_orderkey FROM lineitem ORDER BY orderkey""")),
+
+    Q("q54_setops_all",
+      (s, dir) => {
+        // bag semantics: INTERSECT ALL multiplicity = min(n_left, n_right)
+        // per orderkey — here min(total lines, lines with linenumber <= 2),
+        // which varies per order, unlike the DISTINCT variants
+        val li = t(s, dir, "lineitem")
+        val a = li.select(col("l_orderkey").as("orderkey"))
+        val b = li.filter(col("l_linenumber") <= 2).select(col("l_orderkey").as("orderkey"))
+        a.intersectAll(b)
+          .groupBy("orderkey").agg(count(lit(1)).as("multiplicity"))
+          .orderBy(desc("multiplicity"), col("orderkey")).limit(20)
+      },
+      Some("""SELECT orderkey, count(*) AS multiplicity FROM (
+          SELECT l_orderkey AS orderkey FROM lineitem
+          INTERSECT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2)
+        GROUP BY orderkey ORDER BY multiplicity DESC, orderkey LIMIT 20""")))
 
   private val scalars = Seq(
     Q("q60_string_funcs",
