@@ -38,6 +38,32 @@ object MinHash {
       (as, bs)
     })
 
+  /** LSH band hashes of a signature: band b (of `bands`, r = k/bands
+    * rows each) hashes its slice sig[b·r .. b·r+r) via XXH64 over the
+    * raw longs with the band index as seed (so equal slices in
+    * different bands bucket separately). Buckets are equal iff the band
+    * slices are equal (modulo 64-bit collisions) — the same contract as
+    * hashing a string rendering of the slice, without building strings.
+    */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val k = sig.numElements()
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong // seed by band index
+      var j = b * r
+      while (j < (b + 1) * r) {
+        h = XXH64.hashLong(sig.getLong(j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-minimum signature of the shingle-hash array; null for empty input
     * (a doc with fewer than w tokens has no shingles, hence no signature).
     */
@@ -69,6 +95,12 @@ object MinHash {
 object MinHashSignatureExpr {
   def apply(shingles: Column, k: Int, seed: Long): Column =
     org.apache.spark.sql.graft.NativeExprs.minhashSignature(shingles, k, seed)
+}
+
+/** Column-level façade for the native band-hash expression. */
+object BandHashesExpr {
+  def apply(sig: Column, bands: Int): Column =
+    org.apache.spark.sql.graft.NativeExprs.bandHashes(sig, bands)
 }
 
 /** Primitive kernel for text → distinct w-shingle xxhash64 array, shared

@@ -102,7 +102,6 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val r = k / bands
     // Native codegen'd signature kernel (MinHashSignatureExpr) — value-
     // identical to minHashSignature() but one tight primitive loop.
     // Persisted because BOTH sides of the candidate self-join scan it:
@@ -115,15 +114,11 @@ object Dedup {
 
     // (id, band_hash) pairs — ids ONLY: the banded self-join must not
     // carry the shingle arrays (that would shuffle |corpus|×bands×|sh|
-    // bytes; ids shuffle |corpus|×bands×16 bytes). Band hash = xxhash64
-    // of the band's signature slice.
+    // bytes; ids shuffle |corpus|×bands×16 bytes). Band hashes come from
+    // the native kernel (no per-band string rendering).
     val banded = withSig.select(
       col("id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat(b.cast("string"), lit(":"),
-            array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))).as("bh"))
+      explode(graft.functions.BandHashesExpr(col("sig"), bands)).as("bh"))
 
     // candidate pairs: id-only self-join on band hash, dedup pair ids,
     // THEN attach each side's shingles from the (persisted) signature

@@ -82,6 +82,44 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail.toIndexedSeq: _*)
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream. The static side is re-planned per micro-batch (picks up
+    * dim-table updates) and broadcast when small — no streaming state at
+    * all, so this is the cheapest join shape; prefer it whenever one
+    * side is bounded.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), joinType)
+
+  /** Stream-stream inner join within a bounded event-time gap: each left
+    * row matches right rows of the same key whose timestamp is within
+    * [leftTs - gap, leftTs]. BOTH sides are watermarked — that bounds
+    * the buffered state on each side to the gap+watermark horizon, which
+    * is what makes an unbounded×unbounded join feasible.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      gap: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(
+      r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $gap") &&
+        r(rightTs) <= l(leftTs),
+      "inner")
+      .drop(r(key))
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: running per-user event
     * count and value sum, re-emitted on every update (update mode).
     * Demonstrates the arbitrary-state API for operators the built-in

@@ -70,6 +70,27 @@ case class ShingleHashesExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** LSH band hashes of a MinHash signature (graft.functions.MinHash
+  * .bandHashes) — replaces per-band string rendering + xxhash64 with a
+  * direct hash over the signature longs.
+  */
+case class BandHashesExpr(child: Expression, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash.bandHashes(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.bandHashes($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash fingerprint of a text column in one pass
   * (graft.functions.SimHash.fingerprint) — replaces 64 per-bit
   * interpreted filter/size higher-order passes over the token hash
@@ -141,4 +162,8 @@ object NativeExprs {
   /** Column-level entry for TextProfileExpr. */
   def textProfile(text: Column): Column =
     ExpressionUtils.column(TextProfileExpr(ExpressionUtils.expression(text)))
+
+  /** Column-level entry for BandHashesExpr. */
+  def bandHashes(sig: Column, bands: Int): Column =
+    ExpressionUtils.column(BandHashesExpr(ExpressionUtils.expression(sig), bands))
 }

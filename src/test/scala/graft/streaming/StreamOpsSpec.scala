@@ -76,6 +76,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich: stream-static broadcast join attaches dim attributes, keeps unmatched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val stream = in.toDF.toDF("user_id", "ts")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+
+    val q = StreamOps.enrich(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (3L, ts(1)))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").select("user_id", "tier")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+      assert(out.toSeq == Seq((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin: stream-stream join matches within the event-time gap only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF.toDF("user_id", "cts"),
+      views.toDF.toDF("user_id", "vts"),
+      "user_id", "cts", "vts", gap = "5 minutes")
+
+    val q = joined.writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      views.addData((1L, ts(0)), (1L, ts(20)), (2L, ts(1)))
+      clicks.addData((1L, ts(3))) // matches view@0 (within 5 min), not view@20
+      q.processAllAvailable()
+      val out = spark.table("ij_out").select("user_id", "cts", "vts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(out.toSeq == Seq((1L, ts(3), ts(0))))
+    } finally q.stop()
+  }
+
   test("runningUserStats: custom keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
