@@ -90,6 +90,15 @@ object Dedup {
     * @param bands     LSH bands (rows-per-band = k/bands); more bands →
     *                  higher recall, more candidates
     * @param threshold exact-Jaccard verification threshold on shingle sets
+    * @param maxBucket candidate-bucket size cap: band buckets larger than
+    *                  this are dropped from candidate generation. This
+    *                  bounds the join's quadratic term (≤ bands·Σcap² per
+    *                  bucket) against hot-shingle skew — a shingle shared
+    *                  by x% of a 100 TB corpus would otherwise create
+    *                  (x·N)² candidates. Genuine near-dup GROUPS larger
+    *                  than the cap still pair through their other
+    *                  (unsaturated) bands; only pathological hot buckets
+    *                  saturate all 32.
     * @return (id_a, id_b, jaccard) with id_a < id_b, verified
     */
   def minHashNearDups(
@@ -100,7 +109,8 @@ object Dedup {
       bands: Int = 32,
       w: Int = 3,
       threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 1024): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     // Native codegen'd signature kernel (MinHashSignatureExpr) — value-
     // identical to minHashSignature() but one tight primitive loop.
@@ -116,9 +126,16 @@ object Dedup {
     // carry the shingle arrays (that would shuffle |corpus|×bands×|sh|
     // bytes; ids shuffle |corpus|×bands×16 bytes). Band hashes come from
     // the native kernel (no per-band string rendering).
-    val banded = withSig.select(
+    val rawBanded = withSig.select(
       col("id"),
       explode(graft.functions.BandHashesExpr(col("sig"), bands)).as("bh"))
+    // hot-bucket guard: the count window shares the self-join's
+    // hash-partitioning on bh, so it adds no extra exchange
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("bh")
+    val banded = rawBanded
+      .withColumn("__bn", count(lit(1)).over(bucketW))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
 
     // candidate pairs: id-only self-join on band hash, dedup pair ids,
     // THEN attach each side's shingles from the (persisted) signature

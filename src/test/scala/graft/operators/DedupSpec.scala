@@ -105,6 +105,16 @@ class DedupSpec extends SparkSpec {
     assert(again.count() <= pairs)
   }
 
+  test("maxBucket cap drops saturated hot buckets, default keeps real dups") {
+    import spark.implicits._
+    // 50 identical docs: every band bucket has all 50 ids
+    val hot = (1L to 50L).map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val capped = Dedup.minHashNearDups(hot, "id", "text", maxBucket = 10)
+    assert(capped.count() == 0) // all buckets saturated past the cap
+    val uncapped = Dedup.minHashNearDups(hot, "id", "text")
+    assert(uncapped.count() == 50L * 49 / 2) // every pair found, jaccard 1.0
+  }
+
   test("simhash: identical docs distance 0; near-dups small distance") {
     import spark.implicits._
     val df = Seq(
