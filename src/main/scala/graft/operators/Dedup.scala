@@ -217,7 +217,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
     val chunks = maxDist + 1
     val chunkBits = 64 / chunks
     val withFp = df.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
@@ -228,10 +229,14 @@ object Dedup {
         shiftright(col("fp"), c * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
     }
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("chunk")
     val banded = withFp.select(
       col("id"),
       col("fp"),
       explode(array(chunkCols.toIndexedSeq: _*)).as("chunk"))
+      .withColumn("__bn", count(lit(1)).over(bucketW))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
 
     val a = banded.select(col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
@@ -270,7 +275,8 @@ object Dedup {
       dim: Int,
       threshold: Double = 0.95,
       nPlanes: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 4096): DataFrame = {
     val planes = VectorFunctions.randomPlanes(dim, nPlanes, seed)
     val withSig = df.select(
       col(idCol).as("id"),
@@ -279,9 +285,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // id-only bucket self-join (embedding vectors must not ride the
-    // bucket shuffle — they are re-attached per candidate pair below)
-    val a = withSig.select(col("sig"), col("id").as("id_a"))
-    val b = withSig.select(col("sig"), col("id").as("id_b"))
+    // bucket shuffle — they are re-attached per candidate pair below).
+    // Hot-bucket cap bounds the quadratic term, as in minHashNearDups;
+    // the default is higher because a single hyperplane bucket IS the
+    // whole candidate set here (no multi-band recovery path).
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    val bucketed = withSig
+      .withColumn("__bn", count(lit(1)).over(bucketW))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val a = bucketed.select(col("sig"), col("id").as("id_a"))
+    val b = bucketed.select(col("sig"), col("id").as("id_b"))
     val pairIds = a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
