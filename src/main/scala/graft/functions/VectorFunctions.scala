@@ -23,15 +23,25 @@ object VectorFunctions {
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine(a, b) = a·b / (‖a‖‖b‖); 0.0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine(a, b) = a·b / (‖a‖‖b‖); 0.0 when either norm is 0.
+    * Native fused kernel (CosineSimExpr); bit-identical to [[cosineHof]].
+    */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosine(a, b)
+
+  /** Reference HOF formulation of [[cosine]] — the semantic spec. */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = l2Norm(a) * l2Norm(b)
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
-  /** Squared euclidean distance Σ (aᵢ−bᵢ)². */
-  def l2Sq(a: Column, b: Column): Column =
+  /** Squared euclidean distance Σ (aᵢ−bᵢ)².
+    * Native fused kernel (L2SqExpr); bit-identical to [[l2SqHof]].
+    */
+  def l2Sq(a: Column, b: Column): Column = VectorExprs.l2Sq(a, b)
+
+  /** Reference HOF formulation of [[l2Sq]] — the semantic spec. */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val diff = x.cast("double") - y.cast("double")
@@ -52,11 +62,16 @@ object VectorFunctions {
   /** Random-hyperplane signature (sign bits packed into a long) for cosine
     * LSH. `planes` are fixed per engine instance (seeded) so signatures are
     * deterministic and computable independently on every executor —
-    * broadcast-free because the planes are literal columns.
+    * broadcast-free because the plane matrix rides inside the expression.
     *
-    * bit i = 1 iff  v · planeᵢ ≥ 0.
+    * bit i = 1 iff  v · planeᵢ ≥ 0. Native fused kernel
+    * (HyperplaneSigExpr); bit-identical to [[hyperplaneSignatureHof]].
     */
-  def hyperplaneSignature(v: Column, planes: Seq[Array[Double]]): Column = {
+  def hyperplaneSignature(v: Column, planes: Seq[Array[Double]]): Column =
+    VectorExprs.hyperplaneSignature(v, planes)
+
+  /** Reference HOF formulation of [[hyperplaneSignature]] — the spec. */
+  def hyperplaneSignatureHof(v: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.size <= 63, "1..63 hyperplanes")
     planes.zipWithIndex
       .map { case (p, i) =>

@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{MinHash, ShingleHash}
@@ -145,6 +146,102 @@ object TextProfileExpr {
     StructField("fingerprint", LongType, nullable = false)))
 }
 
+/** Common type handling for binary vector expressions over
+  * array<float|double> children with double output.
+  */
+trait VectorBinaryExpr extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+}
+
+/** Cosine similarity of two vectors in one fused pass
+  * (graft.functions.VectorKernels.cosine) — replaces three
+  * aggregate(zip_with(...)) interpreted folds per row pair.
+  * Bit-identical to VectorFunctions.cosineHof.
+  */
+case class CosineSimExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VectorKernels.cosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArray(left), isFloatArray(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosine($a, $b, ${isFloatArray(left)}, ${isFloatArray(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+/** Squared L2 distance, same fused-kernel treatment. */
+case class L2SqExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VectorKernels.l2Sq(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArray(left), isFloatArray(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.l2Sq($a, $b, ${isFloatArray(left)}, ${isFloatArray(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH signature: nPlanes dot products + sign bits in
+  * one kernel call; the plane matrix rides inside the expression (a
+  * per-task constant, registered once in the codegen context), not as a
+  * literal array column tree.
+  */
+case class HyperplaneSigExpr(child: Expression, planes: Array[Double], count: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  private def isFloatArray: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.VectorKernels.hyperplaneSig(
+      v.asInstanceOf[ArrayData], planes, count, isFloatArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.hyperplaneSig($v, $planesRef, $count, $isFloatArray)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+}
+
 object NativeExprs {
   /** Column-level entry for MinHashSignatureExpr. */
   def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
@@ -166,4 +263,23 @@ object NativeExprs {
   /** Column-level entry for BandHashesExpr. */
   def bandHashes(sig: Column, bands: Int): Column =
     ExpressionUtils.column(BandHashesExpr(ExpressionUtils.expression(sig), bands))
+
+  /** Column-level entry for CosineSimExpr. */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level entry for L2SqExpr. */
+  def l2Sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      L2SqExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level entry for HyperplaneSigExpr (planes flattened row-major). */
+  def hyperplaneSig(v: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 63, "1..63 hyperplanes")
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim), "planes must share a dimension")
+    ExpressionUtils.column(
+      HyperplaneSigExpr(ExpressionUtils.expression(v), planes.flatten.toArray, planes.size))
+  }
 }
