@@ -266,7 +266,10 @@ object Dedup {
     * Vectors whose signatures agree on all `nPlanes` bits land in one
     * bucket; near-identical vectors almost surely collide for small plane
     * counts. Recall/cost tradeoff via nPlanes (fewer planes → bigger
-    * buckets → higher recall).
+    * buckets → higher recall). SIZE nPlanes ≈ log₂(N / target_bucket):
+    * bucket count 2^nPlanes must grow with the corpus or candidates
+    * explode quadratically — measured in SCALE.md (100k vectors:
+    * 8 planes = 35 s, 16 planes = 2.3 s).
     */
   def embeddingNearDups(
       df: DataFrame,

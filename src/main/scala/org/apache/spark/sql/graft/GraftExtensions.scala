@@ -73,5 +73,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"text_profile expects (text), got ${args.length} args")
       })
+
+    register(ext, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float/double vectors", {
+        case Seq(a, b) => CosineSimExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"cosine_sim expects (a, b), got ${args.length} args")
+      })
+
+    register(ext, "l2_sq",
+      "l2_sq(a, b) - squared euclidean distance of two float/double vectors", {
+        case Seq(a, b) => L2SqExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"l2_sq expects (a, b), got ${args.length} args")
+      })
   }
 }

@@ -42,6 +42,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 8)
   }
 
+  test("cosine_sim and l2_sq are SQL-callable on array columns") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("ext_vecs")
+    val rows = spark.sql(
+      "SELECT round(cosine_sim(a, b), 6) AS c, round(l2_sq(a, b), 6) AS d FROM ext_vecs ORDER BY c")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((0.0, 2.0), (1.0, 0.0)))
+  }
+
   test("defaulted arguments work (shingle_hashes(text), minhash_signature(sh))") {
     val df = Seq("one two three four").toDF("text")
     df.createOrReplaceTempView("ext_docs4")
