@@ -516,6 +516,23 @@ object Inventory {
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
         CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC) AS INTEGER) AS quartile
         FROM orders WHERE o_orderkey <= 1000
+        ORDER BY o_orderpriority, o_orderkey""")),
+
+    Q("q34_percent_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").asc)
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 800)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+        round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC), 6) AS pr,
+        round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC), 6) AS cd
+        FROM orders WHERE o_orderkey <= 800
         ORDER BY o_orderpriority, o_orderkey""")))
 
   private val sortLimit = Seq(
@@ -735,6 +752,22 @@ object Inventory {
       Some("""SELECT token, count(*) AS n FROM (
           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
+
+    Q("q67_posexplode",
+      (s, dir) =>
+        // lateral expansion with position (Spark posexplode ≙ DuckDB
+        // unnest WITH ORDINALITY, 1-based there → align to 0-based)
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .filter(col("pos") < 5)
+          .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(i AS INTEGER) AS pos, parts[i + 1] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS parts
+              FROM documents WHERE doc_id < 50),
+             generate_series(0, 4) AS t(i)
+        WHERE i < len(parts)
+        ORDER BY doc_id, pos""")),
 
     Q("q66_pivot",
       (s, dir) =>
