@@ -1075,7 +1075,7 @@ object Inventory {
   /** Headline queries for Bench.scala — one per major operator family. */
   val benchNames: Seq[String] = Seq(
     "q01_pricing_summary", "q03_between", "q11_join_multi5", "q12_join_left_hist",
-    "q21_count_distinct", "q30_window_rank", "q40_topk", "q64_json",
+    "q17_join_asof", "q21_count_distinct", "q30_window_rank", "q40_topk", "q64_json",
     "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q95_text_stats",
     "q99_sessionize", "q101_corpus_pipeline")
 }
