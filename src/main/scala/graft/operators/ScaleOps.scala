@@ -64,4 +64,19 @@ object ScaleOps {
     */
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Exact per-key distinct count as a two-level aggregate:
+    * dedupe (key, value) pairs first, then count per key. Equivalent to
+    * `countDistinct`, but the first level partially aggregates map-side
+    * on (key, value) — so a hot key's duplicates collapse BEFORE the
+    * shuffle, where the single-level expand-based plan ships every
+    * occurrence of the hot key to one reducer. The standard rewrite for
+    * skewed count(DISTINCT). Plain sums/counts don't need this: their
+    * built-in partial aggregation already collapses map-side.
+    */
+  def distinctCountTwoPhase(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.select(col(key), col(valueCol))
+      .distinct()
+      .groupBy(key)
+      .agg(count(lit(1)).as(s"distinct_$valueCol"))
 }

@@ -155,6 +155,17 @@ object Similarity {
       .limit(k)
   }
 
+  /** Plane count sized to the corpus: 2^nPlanes buckets must grow with N
+    * or candidate pairs explode quadratically (measured in SCALE.md:
+    * 100k vectors at 8 planes = 35 s, at 16 planes = 2.3 s). Returns
+    * ceil(log₂(n / targetBucket)) clamped to [4, 30].
+    */
+  def nPlanesFor(n: Long, targetBucket: Int = 256): Int = {
+    require(n > 0 && targetBucket > 0)
+    val raw = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(30, math.max(4, raw))
+  }
+
   /** LSH-bucketed ANN: hyperplane signature buckets; query scans only its
     * own bucket (+ optionally multi-probe neighbors at 1-bit hamming).
     */

@@ -29,6 +29,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salts > 4, s"expected hot key spread over >4 salt buckets, got $salts")
   }
 
+  test("distinctCountTwoPhase equals countDistinct, incl. a hot key") {
+    import spark.implicits._
+    val df = ((1 to 1000).map(i => (1L, i % 17)) ++ // hot key, 17 distinct values
+      (1 to 50).map(i => (2L, i)))                  // tail key, 50 distinct
+      .toDF("k", "v")
+    val twoPhase = ScaleOps.distinctCountTwoPhase(df, "k", "v")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val plain = df.groupBy("k").agg(countDistinct("v").as("d"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(twoPhase.toSeq == plain.toSeq)
+    assert(twoPhase.toSeq == Seq((1L, 17L), (2L, 50L)))
+  }
+
+  test("nPlanesFor applies the log2 sizing rule with clamps") {
+    assert(Similarity.nPlanesFor(100000, 256) == 9)
+    assert(Similarity.nPlanesFor(100, 256) == 4)    // clamp low
+    assert(Similarity.nPlanesFor(Long.MaxValue) == 30) // clamp high
+  }
+
   test("bucketedJoin plans with no shuffle exchange") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

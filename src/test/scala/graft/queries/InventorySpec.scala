@@ -33,6 +33,20 @@ class InventorySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile (q29) lands within 5% of exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val rows = li.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("oracle SQL never references current_date/now (nondeterministic)") {
     Inventory.all.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (n, sql) =>
       val lower = sql.toLowerCase
