@@ -148,6 +148,27 @@ object Multimodal {
       .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("int"))
       .select("asset_id", "frame_idx", "ts_ms")
 
+  /** Segment plan for audio assets: overlapping analysis windows of
+    * `windowMs` every `hopMs`, capped — (asset_id, seg_idx, start_ms,
+    * end_ms) rows. Pure expressions, audio only; the codec-side cut is
+    * the stub boundary, the plan is real.
+    */
+  def segmentPlan(
+      decoded: DataFrame,
+      windowMs: Long = 2000L,
+      hopMs: Long = 1000L,
+      maxSegments: Int = 64): DataFrame =
+    decoded
+      .filter(col("modality") === "audio" && col("duration_ms") > 0)
+      .withColumn(
+        "start_ms",
+        explode(slice(
+          sequence(lit(0L), greatest(col("duration_ms") - windowMs, lit(0L)), lit(hopMs)),
+          1, maxSegments)))
+      .withColumn("seg_idx", (col("start_ms") / hopMs).cast("int"))
+      .withColumn("end_ms", least(col("start_ms") + windowMs, col("duration_ms")))
+      .select("asset_id", "seg_idx", "start_ms", "end_ms")
+
   /** Deterministic fake assets derived from any table — lets tests and
     * benches exercise the binary plumbing without real media. Bytes are the
     * UTF-8 of a seed string; modality round-robins.

@@ -79,4 +79,17 @@ object ScaleOps {
       .distinct()
       .groupBy(key)
       .agg(count(lit(1)).as(s"distinct_$valueCol"))
+
+  /** Deterministic hash sample: keep rows whose key hashes into
+    * [lo, hi) of den buckets. Unlike `sample()`, the selection is a
+    * pure function of the key — stable across runs, engines, and
+    * re-partitioning; disjoint ranges give disjoint splits (the
+    * train/validation/test contract for corpus building); and the same
+    * row set survives incremental reruns on a grown corpus.
+    */
+  def hashSample(df: DataFrame, keyCol: String, lo: Int, hi: Int, den: Int = 1000): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= den, s"need 0 <= lo < hi <= den, got [$lo,$hi)/$den")
+    val bucket = pmod(xxhash64(col(keyCol)), lit(den))
+    df.filter(bucket >= lo && bucket < hi)
+  }
 }

@@ -125,6 +125,28 @@ object Similarity {
       cents: Array[(Int, Array[Double])]): DataFrame =
     df.withColumn("cell", cellOf(col(vecCol), cents))
 
+  /** Persist an IVF index partitioned by cell: the on-disk layout that
+    * makes probes PLANNING-TIME partition prunes — a query touches only
+    * its nprobe cell directories, the rest of the corpus is never read
+    * (asserted via PartitionFilters in the spec).
+    */
+  def writeIvfIndex(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Query a persisted IVF index: same semantics as [[ivfTopK]], reading
+    * only the probed cells' files.
+    */
+  def readIvfTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])],
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 4): DataFrame =
+    ivfTopK(spark.read.parquet(path), idCol, vecCol, cents, query, k, nprobe)
+
   /** IVF query: score only vectors in the `nprobe` cells nearest to the
     * query ⇒ scans ~nprobe/C of the corpus. Exact cosine within probed
     * cells.

@@ -45,6 +45,25 @@ class MultimodalSpec extends SparkSpec {
     assert(planIds.subsetOf(videoIds))
   }
 
+  test("segmentPlan: overlapping audio windows, capped, audio only") {
+    val decoded = Multimodal.decodeAssets(spark, assets).toDF
+    val plan = Multimodal.segmentPlan(decoded, windowMs = 2000, hopMs = 1000, maxSegments = 8)
+    val rows = plan.collect()
+    assert(rows.nonEmpty)
+    // hop spacing and window bounds hold
+    rows.groupBy(_.getLong(0)).foreach { case (_, segs) =>
+      val sorted = segs.sortBy(_.getInt(1))
+      assert(sorted.length <= 8)
+      sorted.foreach { s =>
+        assert(s.getLong(2) % 1000 == 0 && s.getLong(3) - s.getLong(2) <= 2000)
+      }
+    }
+    // audio only
+    val audioIds = decoded.filter(col("modality") === "audio")
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(audioIds))
+  }
+
   test("resizeAssets fits visual assets into the box, passes audio through") {
     val resized = Multimodal.resizeAssets(spark, assets, maxW = 128, maxH = 128)
       .collect()

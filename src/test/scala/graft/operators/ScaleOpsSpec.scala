@@ -42,6 +42,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(twoPhase.toSeq == Seq((1L, 17L), (2L, 50L)))
   }
 
+  test("hashSample is deterministic, disjoint across ranges, and roughly proportional") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a1 = ScaleOps.hashSample(docs, "doc_id", 0, 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    val a2 = ScaleOps.hashSample(docs, "doc_id", 0, 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = ScaleOps.hashSample(docs, "doc_id", 100, 200).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a1 == a2)                      // deterministic
+    assert(a1.intersect(b).isEmpty)       // disjoint splits
+    val n = docs.count().toDouble
+    assert(math.abs(a1.size / n - 0.1) < 0.05, s"${a1.size / n} not ~10%")
+  }
+
   test("nPlanesFor applies the log2 sizing rule with clamps") {
     assert(Similarity.nPlanesFor(100000, 256) == 9)
     assert(Similarity.nPlanesFor(100, 256) == 4)    // clamp low

@@ -71,6 +71,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lloyd >= 0.5, s"Lloyd recall $lloyd")
   }
 
+  test("persisted IVF index prunes partitions and matches in-memory results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+    val rest = emb.filter(col("vec_id") =!= 1)
+    Similarity.writeIvfIndex(Similarity.ivfIndex(rest, "vec_id", "embedding", cents), dir)
+
+    val fromDisk = Similarity.readIvfTopK(spark, dir, "vec_id", "embedding", cents, q, 10)
+    val scan = fromDisk.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"cell probe not pruned at planning time:\n$scan")
+
+    val inMem = Similarity.ivfTopK(
+      Similarity.ivfIndex(rest, "vec_id", "embedding", cents),
+      "vec_id", "embedding", cents, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fromDisk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == inMem.toSeq)
+  }
+
   test("IVF scans fewer rows than corpus (partition pruning analogue)") {
     val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
     val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
