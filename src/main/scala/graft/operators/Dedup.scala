@@ -81,6 +81,25 @@ object Dedup {
       .otherwise(array(mins.toIndexedSeq: _*))
   }
 
+  /** Shingle hashes with document frequency ≥ minDf — the "stop
+    * shingles" of a corpus (boilerplate headers, license blocks,
+    * common short phrases). One distributed agg; the result is
+    * driver-bounded by maxCollect (hottest first), suitable for
+    * broadcasting back as a literal filter.
+    */
+  def hotShingles(
+      df: DataFrame,
+      textCol: String,
+      w: Int = 3,
+      minDf: Long = 1000L,
+      maxCollect: Int = 10000): Array[Long] =
+    df.select(explode(shingleHashes(col(textCol), w)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(desc("df"), col("sh"))
+      .limit(maxCollect)
+      .collect().map(_.getLong(0))
+
   /** Near-duplicate PAIRS via MinHash LSH.
     *
     * @param df        input
@@ -99,6 +118,14 @@ object Dedup {
     *                  than the cap still pair through their other
     *                  (unsaturated) bands; only pathological hot buckets
     *                  saturate all 32.
+    * @param excludeShingles corpus-wide "stop shingles" (from
+    *                  [[hotShingles]]) removed from every document before
+    *                  signatures — attacks hot-shingle skew at the cause
+    *                  where maxBucket treats the symptom. Jaccard is then
+    *                  computed over the REDUCED sets (boilerplate no
+    *                  longer counts as similarity — usually the wanted
+    *                  semantics for training-data dedup). Docs left with
+    *                  zero shingles drop out of near-dup detection.
     * @return (id_a, id_b, jaccard) with id_a < id_b, verified
     */
   def minHashNearDups(
@@ -110,14 +137,19 @@ object Dedup {
       w: Int = 3,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1024,
+      excludeShingles: Array[Long] = Array.empty): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     // Native codegen'd signature kernel (MinHashSignatureExpr) — value-
     // identical to minHashSignature() but one tight primitive loop.
     // Persisted because BOTH sides of the candidate self-join scan it:
     // without the persist the 128-permutation signature is computed twice.
+    val rawSh = shingleHashes(col(textCol), w)
+    val sh =
+      if (excludeShingles.isEmpty) rawSh
+      else array_except(rawSh, array(excludeShingles.map(lit).toIndexedSeq: _*))
     val withSig = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("sh"))
+      .select(col(idCol).as("id"), sh.as("sh"))
       .withColumn("sig", graft.functions.MinHashSignatureExpr(col("sh"), k, seed))
       .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -115,6 +115,27 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 50L * 49 / 2) // every pair found, jaccard 1.0
   }
 
+  test("hotShingles finds corpus-wide boilerplate; exclusion keeps true pairs") {
+    import spark.implicits._
+    val boiler = "alpha beta gamma"
+    val docs = ((1 to 18).map(i =>
+      (i.toLong, s"$boiler unique$i word$i token$i extra$i more$i stuff$i")) ++ Seq(
+      (100L, s"$boiler shared tail of this near duplicate document pair here"),
+      (101L, s"$boiler shared tail of this near duplicate document pair here")))
+      .toDF("id", "text")
+
+    val hot = Dedup.hotShingles(docs, "text", w = 3, minDf = 15)
+    assert(hot.nonEmpty) // the all-boilerplate shingle appears in all 20 docs
+
+    val plain = Dedup.minHashNearDups(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minHashNearDups(docs, "id", "text", excludeShingles = hot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.contains((100L, 101L)))
+    assert(capped.contains((100L, 101L))) // true pair survives boilerplate removal
+    assert(!capped.exists { case (a, b) => a <= 18 && b <= 18 }) // no boilerplate-only pairs
+  }
+
   test("simhash: identical docs distance 0; near-dups small distance") {
     import spark.implicits._
     val df = Seq(
