@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusPipeline, TextAnalysis}
+
+/** Streaming twin of graft.operators.CorpusPipeline: continuous
+  * ingestion of documents with the same annotation, quality/language/
+  * length gates, and EXACT dedup — expressed over an unbounded stream.
+  *
+  * Dedup semantics differ from batch by necessity and by design:
+  *  - exact dedup keys on the content fingerprint via
+  *    `dropDuplicatesWithinWatermark` — state is bounded by the
+  *    watermark horizon, so a duplicate arriving a year later is NOT
+  *    caught here (unbounded-state exact dedup cannot stream);
+  *  - MinHash NEAR-dup removal stays a batch concern: it is a growing
+  *    self-join, so production systems run it as periodic compaction
+  *    over the accumulated output (CorpusPipeline.clean on the sink
+  *    directory), not in the hot path.
+  *
+  * Everything before the dedup is map-only (TextProfileExpr), so the
+  * stream scales exactly like the batch annotate stage.
+  */
+object StreamingCorpus {
+
+  /** @param docs      unbounded frame with (idCol, textCol, tsCol)
+    * @param tsCol     event-time column driving the watermark
+    * @param watermark dedup horizon (state retention bound)
+    */
+  def clean(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame =
+    TextAnalysis.annotate(docs, textCol)
+      .filter(
+        col("n_tokens") >= cfg.minTokens &&
+          col("quality") >= cfg.minQuality &&
+          col("lang_pred").isin(cfg.langs: _*))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+}
