@@ -753,6 +753,39 @@ object Inventory {
           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
 
+    Q("q68_regex",
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_partkey") <= 500)
+          .select(
+            col("p_partkey"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+            col("p_name").rlike("^[a-m]").cast("int").as("starts_a_to_m"),
+            size(split(col("p_name"), "[aeiou]+")).as("vowel_runs_plus1"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        CAST(regexp_matches(p_name, '^[a-m]') AS INTEGER) AS starts_a_to_m,
+        CAST(len(string_split_regex(p_name, '[aeiou]+')) AS INTEGER) AS vowel_runs_plus1
+        FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""")),
+
+    Q("q69_string_manip",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .select(
+            col("n_nationkey"),
+            lpad(col("n_name"), 12, ".").as("padded"),
+            reverse(col("n_name")).as("rev"),
+            translate(col("n_name"), "AEIOU", "aeiou").as("lowered_vowels"),
+            repeat(substring(col("n_name"), 1, 2), 3).as("rep2x3"))
+          .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+        lpad(n_name, 12, '.') AS padded,
+        reverse(n_name) AS rev,
+        translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+        repeat(substring(n_name, 1, 2), 3) AS rep2x3
+        FROM nation ORDER BY n_nationkey""")),
+
     Q("q67_posexplode",
       (s, dir) =>
         // lateral expansion with position (Spark posexplode ≙ DuckDB
