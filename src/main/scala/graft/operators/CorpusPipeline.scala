@@ -23,7 +23,11 @@ object CorpusPipeline {
       minTokens: Int = 10,
       minQuality: Double = 0.3,
       langs: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
-      nearDupThreshold: Double = 0.8)
+      nearDupThreshold: Double = 0.8,
+      // when set, shingles in >= this many docs are treated as corpus
+      // boilerplate and excluded from near-dup similarity (one extra
+      // aggregate; see Dedup.hotShingles)
+      stopShingleMinDf: Option[Long] = None)
 
   /** Returns the cleaned corpus: survivors of all gates + both dedup
     * stages, with the annotation columns retained for downstream
@@ -41,6 +45,10 @@ object CorpusPipeline {
     // annotate+window chain runs twice per materialization.
     val exactDeduped = Dedup.exactKeepMin(gated, Seq("fingerprint"), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.minHashDedup(exactDeduped, idCol, textCol, threshold = cfg.nearDupThreshold)
+    val stopShingles = cfg.stopShingleMinDf
+      .map(minDf => Dedup.hotShingles(exactDeduped, textCol, minDf = minDf))
+      .getOrElse(Array.empty[Long])
+    Dedup.minHashDedup(exactDeduped, idCol, textCol,
+      threshold = cfg.nearDupThreshold, excludeShingles = stopShingles)
   }
 }

@@ -206,8 +206,12 @@ object Dedup {
       k: Int = 128,
       bands: Int = 32,
       w: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val dupPairs = minHashNearDups(df, idCol, textCol, k, bands, w, threshold)
+      threshold: Double = 0.8,
+      maxBucket: Int = 1024,
+      excludeShingles: Array[Long] = Array.empty): DataFrame = {
+    val dupPairs = minHashNearDups(
+      df, idCol, textCol, k, bands, w, threshold,
+      maxBucket = maxBucket, excludeShingles = excludeShingles)
     val losers = dupPairs.select(col("id_b").as("__loser")).distinct()
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
