@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 /** Distributed as-of join — for each left row, attach the single most
   * recent right row with `rightTs <= leftTs` within the same key (the
   * time-series "latest value as of" operator; Spark has no built-in).
+  * EXTENSION beyond the reference (which is batch ETL only, no joins in
+  * its 237 LoC) — declared per the arbitrary-SQL surface contract,
+  * oracle-checked against DuckDB's native ASOF JOIN (q17).
   *
   * Implementation is the union-window pattern, NOT a range join:
   * tag and union both inputs, sort each key's timeline once, and carry

@@ -4,7 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus cleaning pipeline — the composite operator a
-  * 100 TB LLM-data run would execute, built entirely from the engine's
+  * 100 TB LLM-data run would execute (north-star EXTENSION; the
+  * reference's own pipeline is the ETL chain in graft.Pipeline, cf.
+  * `scripts/...pyspark.py:82-138`), built entirely from the engine's
   * distributed pieces:
   *
   *   annotate (token/quality/language, map-only)

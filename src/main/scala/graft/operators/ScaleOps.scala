@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities for the shuffle-heavy shapes a 100 TB run hits:
-  * key-skew joins and repeated co-located joins.
+  * key-skew joins and repeated co-located joins. North-star EXTENSION —
+  * the reference's only scale knob is `spark.sql.shuffle.partitions=200`
+  * (`scripts/...pyspark.py:37`); these are the techniques that knob
+  * cannot express.
   *
   * AQE (on by default in GraftSession) already splits skewed SHUFFLE
   * partitions at runtime; explicit salting remains the tool when one
