@@ -956,6 +956,22 @@ object Inventory {
           .orderBy("id_a", "id_b"),
       None), // approximate recall — rows-only; ScalaTest checks vs q84
 
+    Q("q86_levenshtein",
+      (s, dir) => {
+        // fuzzy string matching: supplier names within small edit distance
+        // of a probe prefix — the record-linkage primitive
+        val su = t(s, dir, "supplier")
+        su.select(
+            col("s_suppkey"),
+            levenshtein(substring(col("s_name"), 1, 12), lit("Supplier#000")).as("dist"))
+          .filter(col("dist") <= 2)
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey,
+        CAST(levenshtein(substring(s_name, 1, 12), 'Supplier#000') AS INTEGER) AS dist
+        FROM supplier WHERE levenshtein(substring(s_name, 1, 12), 'Supplier#000') <= 2
+        ORDER BY s_suppkey""")),
+
     Q("q90_sim_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
