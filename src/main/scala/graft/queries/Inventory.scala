@@ -564,6 +564,16 @@ object Inventory {
           FROM orders)
         WHERE rn <= 2 ORDER BY o_orderpriority, rn""")),
 
+    Q("q43_pagination",
+      (s, dir) => {
+        // keyset-stable pagination: ORDER BY unique key, LIMIT + OFFSET
+        viewed(s, dir, "orders")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_orderkey LIMIT 50 OFFSET 200""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 50 OFFSET 200""")),
+
     Q("q42_sort_nulls",
       (s, dir) =>
         // Explicit null placement: Spark's ASC default is NULLS FIRST,
@@ -679,6 +689,19 @@ object Inventory {
         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
           AS days_since_95
         FROM orders ORDER BY o_orderkey""")),
+
+    Q("q61b_date_trunc",
+      (s, dir) =>
+        // calendar rollup: month bucketing of a DATE column (tz-free)
+        t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum("o_totalprice").as("total"))
+          .orderBy("month"),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY month""")),
 
     Q("q62_math_funcs",
       (s, dir) =>
