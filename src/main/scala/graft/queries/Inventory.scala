@@ -536,6 +536,25 @@ object Inventory {
         ORDER BY o_orderpriority, o_orderkey""")))
 
   private val sortLimit = Seq(
+    Q("q35_window_range",
+      (s, dir) => {
+        // VALUE-based frame (RANGE), not row-based: peers within 1000.0
+        // of the current price count toward the sum
+        viewed(s, dir, "orders")
+        s.sql("""SELECT o_orderkey, o_orderpriority,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+            PARTITION BY o_orderpriority ORDER BY o_totalprice
+            RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+          FROM orders WHERE o_orderkey <= 1000
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+          PARTITION BY o_orderpriority ORDER BY o_totalprice
+          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+        FROM orders WHERE o_orderkey <= 1000
+        ORDER BY o_orderkey""")),
+
     Q("q40_topk",
       (s, dir) =>
         t(s, dir, "lineitem")
@@ -750,6 +769,28 @@ object Inventory {
         CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
         CAST(o_orderkey AS VARCHAR) AS key_str
         FROM orders ORDER BY o_orderkey""")),
+
+    Q("q63b_map_lookup",
+      (s, dir) =>
+        // map construction + element_at lookup (flat output); the weight
+        // table is a literal map — the Spark-side map type surface
+        events(s, dir)
+          .withColumn("weight", coalesce(
+            element_at(
+              map(lit("click"), lit(1.0), lit("view"), lit(0.5),
+                lit("purchase"), lit(5.0), lit("signup"), lit(3.0)),
+              col("event_type")),
+            lit(0.0)))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("cast(sum(cast(weight as decimal(18,1))) as double)").as("weighted"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(CASE event_type WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+          WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0 ELSE 0.0 END
+          AS DECIMAL(18,1))) AS DOUBLE) AS weighted
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     Q("q64_json",
       (s, dir) =>
