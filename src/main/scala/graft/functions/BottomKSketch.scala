@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bottom-k (KMV) sketch as a typed `Aggregator` — the k smallest
+  * xxhash64 values of a group's inputs. One small mergeable state per
+  * group gives two operators at once:
+  *
+  *  - a DETERMINISTIC distinct sample of the group (hash-ordered, so
+  *    independent of row order, partitioning, and merge order — unlike
+  *    reservoir sampling);
+  *  - a distinct-cardinality estimate: with R = (k-th smallest hash as
+  *    a fraction of the hash space), n̂ ≈ (k−1)/R.
+  *
+  * Completes the custom-code palette alongside the native expressions:
+  * Aggregator[IN, BUF, OUT] with partial aggregation and merge handled
+  * by Spark; registered for DataFrames via `functions.udaf`.
+  * EXTENSION (no reference counterpart — the reference has no UDAFs,
+  * SURVEY.md §2 "UDF/UDAF/UDTF: none").
+  */
+class BottomKSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Array[Long] = Array.empty
+
+  /** Inputs are hashed here (xxhash64 of the long, seed 42 — same family
+    * as the engine's other sketches) so callers pass raw values.
+    */
+  override def reduce(buf: Array[Long], value: Long): Array[Long] = {
+    val h = MinHash.hashLong(value)
+    insert(buf, h)
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  private def insert(buf: Array[Long], h: Long): Array[Long] = {
+    // unsigned order; buf is kept sorted ascending (unsigned), ≤ k long
+    if (buf.length >= k && java.lang.Long.compareUnsigned(h, buf.last) >= 0) buf
+    else if (java.util.Arrays.stream(buf).anyMatch(_ == h)) buf
+    else {
+      val grown = (buf :+ h).sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0)
+      if (grown.length > k) grown.dropRight(grown.length - k) else grown
+    }
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] = BottomKSketch.longArrayEncoder
+  override def outputEncoder: Encoder[Array[Long]] = BottomKSketch.longArrayEncoder
+}
+
+object BottomKSketch {
+
+  private[functions] val longArrayEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  private val HashSpace = 1.8446744073709552e19 // 2^64
+
+  /** Column aggregate: bottom-k sketch of a LONG column. */
+  def sketch(col: Column, k: Int): Column = udaf(new BottomKSketch(k)).apply(col)
+
+  /** KMV estimate of the distinct count from a finished sketch.
+    * Exact when the sketch is not full (fewer than k distincts seen).
+    */
+  def estimateDistinct(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else {
+      // k-th smallest hash as a fraction of the unsigned 64-bit space
+      val kth = sketch.last
+      val unsigned = if (kth >= 0) kth.toDouble else kth.toDouble + HashSpace
+      val r = unsigned / HashSpace
+      if (r <= 0.0) Double.PositiveInfinity else (k - 1).toDouble / r
+    }
+}

@@ -18,6 +18,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 object MinHash {
   val P: Long = 2305843009213693951L // 2^61 − 1, Mersenne prime
 
+  /** xxhash64 of a single long, seed 42 (the builtin's default) — the
+    * scalar hash shared by the engine's sketches.
+    */
+  def hashLong(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
 
