@@ -27,6 +27,44 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
 
+  /** Rows whose `bucketCol` bucket holds more than `cap` rows are dropped.
+    *
+    * Implemented as aggregate + left-anti join rather than a count window:
+    * partial (map-side) aggregation collapses a hot bucket to one count per
+    * task before the shuffle, whereas `count().over(Window.partitionBy(b))`
+    * must buffer the entire hot bucket inside a single task before it can
+    * drop it — the exact failure mode the cap exists to prevent. The
+    * over-cap list has at most |rows|/cap entries, so AQE plans the
+    * anti-join as a broadcast at any realistic cap.
+    */
+  private def dropHotBuckets(df: DataFrame, bucketCol: String, cap: Int): DataFrame = {
+    val over = df.groupBy(bucketCol).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > cap)
+      .select(bucketCol)
+    df.join(over, Seq(bucketCol), "left_anti")
+  }
+
+  /** Materializes the (bounded, candidate-sized) `result` into executor-
+    * local blocks via `localCheckpoint`, truncating its lineage so the
+    * corpus-sized signature caches in `cached` can be released immediately.
+    * Without this, repeated operator calls in a long-lived session
+    * accumulate MEMORY_AND_DISK caches until eviction pressure degrades
+    * the cluster (Dataset caches are held by the CacheManager and never
+    * GC-collected; localCheckpoint blocks are RDD-level and reference-
+    * tracked, so they are cleaned once the result is unreferenced).
+    *
+    * Trade-off: localCheckpoint blocks are not recomputable after executor
+    * loss. Callers composing the lazy plan into a larger job (or asserting
+    * on plan shape) pass eager=false and manage the caches themselves.
+    */
+  private def releaseAfter(result: DataFrame, cached: Seq[DataFrame], eager: Boolean): DataFrame =
+    if (!eager) result
+    else {
+      val out = result.localCheckpoint(true)
+      cached.foreach(_.unpersist(false))
+      out
+    }
+
   /** Deterministic exact dedup: keep the row with the smallest `keep`
     * value per key (dropDuplicates keeps an arbitrary first row — fine for
     * semantics, bad for reproducible tests/oracles).
@@ -138,7 +176,8 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L,
       maxBucket: Int = 1024,
-      excludeShingles: Array[Long] = Array.empty): DataFrame = {
+      excludeShingles: Array[Long] = Array.empty,
+      eagerRelease: Boolean = true): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     // Native codegen'd signature kernel (MinHashSignatureExpr) — value-
     // identical to minHashSignature() but one tight primitive loop.
@@ -161,13 +200,9 @@ object Dedup {
     val rawBanded = withSig.select(
       col("id"),
       explode(graft.functions.BandHashesExpr(col("sig"), bands)).as("bh"))
-    // hot-bucket guard: the count window shares the self-join's
-    // hash-partitioning on bh, so it adds no extra exchange
-    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("bh")
-    val banded = rawBanded
-      .withColumn("__bn", count(lit(1)).over(bucketW))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // hot-bucket guard: map-side partial aggregation collapses even a
+    // pathological hot bucket before the shuffle (see dropHotBuckets)
+    val banded = dropHotBuckets(rawBanded, "bh", maxBucket)
 
     // candidate pairs: id-only self-join on band hash, dedup pair ids,
     // THEN attach each side's shingles from the (persisted) signature
@@ -187,10 +222,11 @@ object Dedup {
     // exact Jaccard verification on the shingle sets (arrays already distinct)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    candidates
+    val verified = candidates
       .withColumn("jaccard", round(when(union === 0, 1.0).otherwise(inter / union), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    releaseAfter(verified, Seq(withSig), eagerRelease)
   }
 
   /** Dedup (not just pairs): keep one representative per near-dup cluster —

@@ -800,7 +800,8 @@ object Inventory {
             sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
             count(lit(1)).as("n"))
           .orderBy("event_type"),
-      Some("""SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      Some("""SELECT event_type,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -974,7 +975,7 @@ object Inventory {
       Some("""WITH sh AS (
           SELECT doc_id, list_distinct(
             [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents))
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
@@ -1096,8 +1097,8 @@ object Inventory {
             expr("cast(cast(sum(n_chars) as double) / count(*) as double)").as("avg_chars"))
           .orderBy("lang"),
       Some("""SELECT lang, count(*) AS n_docs,
-        sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
-        sum(n_chars) AS total_chars,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
         CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DOUBLE) AS avg_chars
         FROM documents GROUP BY lang ORDER BY lang""")),
 
