@@ -42,6 +42,8 @@ object AsofJoin {
       rightId: String,
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(valueCols.forall(v => !keyCols.contains(v)),
+      s"valueCols ${valueCols.mkString(",")} must be disjoint from keyCols")
 
     val taggedLeft = valueCols.foldLeft(
       left.withColumn("__ts", col(leftTs))
@@ -49,15 +51,26 @@ object AsofJoin {
         .withColumn("__rid", lit(null).cast("long"))) {
       (df, v) => df.withColumn(s"__v_$v", lit(null))
     }
-    val taggedRight = leftCols.filterNot(c => keyCols.contains(c)).foldLeft(
-      right.withColumn("__ts", col(rightTs))
+    // Extract the right value columns into their __v_* aliases BEFORE
+    // null-padding the left-only column names: a valueCol that shares its
+    // name with a left non-key column (both sides carrying `value`, say)
+    // must not be clobbered by the padding.
+    val taggedRight = {
+      val extracted = right
+        .withColumn("__ts", col(rightTs))
         .withColumn("__side", lit(0))
-        .withColumn("__rid", col(rightId).cast("long"))) {
-      (df, c) => df.withColumn(c, lit(null))
-    }.select(
-      (keyCols.map(col) ++ leftCols.filterNot(keyCols.contains).map(col) ++
-        Seq(col("__ts"), col("__side"), col("__rid")) ++
-        valueCols.map(v => col(v).as(s"__v_$v"))).toIndexedSeq: _*)
+        .withColumn("__rid", col(rightId).cast("long"))
+        .select(
+          (keyCols.map(col) ++
+            Seq(col("__ts"), col("__side"), col("__rid")) ++
+            valueCols.map(v => col(v).as(s"__v_$v"))).toIndexedSeq: _*)
+      leftCols.filterNot(keyCols.contains).foldLeft(extracted) {
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }.select(
+        (keyCols.map(col) ++ leftCols.filterNot(keyCols.contains).map(col) ++
+          Seq(col("__ts"), col("__side"), col("__rid")) ++
+          valueCols.map(v => col(s"__v_$v"))).toIndexedSeq: _*)
+    }
 
     val unioned = taggedLeft
       .select(taggedRight.columns.map(col).toIndexedSeq: _*)

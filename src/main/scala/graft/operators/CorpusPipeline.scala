@@ -34,6 +34,16 @@ object CorpusPipeline {
   /** Returns the cleaned corpus: survivors of all gates + both dedup
     * stages, with the annotation columns retained for downstream
     * sampling/mixing decisions.
+    *
+    * The whole pipeline composes into ONE lazy AQE-planned job: nothing
+    * is materialized at call time, and no frame is pinned in the
+    * CacheManager — intermediate sharing uses lazy `localCheckpoint`
+    * blocks, which the ContextCleaner frees once the result is
+    * unreferenced (a long-lived session can call clean() in a loop
+    * without accumulating caches). localCheckpoint blocks are not
+    * recomputable after executor loss; on clusters with dynamic
+    * allocation, set a checkpoint dir and swap in reliable
+    * `Dataset.checkpoint` at this boundary.
     */
   def clean(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       cfg: Config = Config()): DataFrame = {
@@ -42,11 +52,11 @@ object CorpusPipeline {
       col("n_tokens") >= cfg.minTokens &&
         col("quality") >= cfg.minQuality &&
         col("lang_pred").isin(cfg.langs: _*))
-    // Persisted: the near-dup stage scans this frame twice (signature
-    // branch + the keep side of the anti-join); without the persist the
-    // annotate+window chain runs twice per materialization.
+    // Lazily block-shared: the near-dup stage scans this frame twice
+    // (signature branch + the keep side of the anti-join); without the
+    // sharing the annotate+window chain runs twice per materialization.
     val exactDeduped = Dedup.exactKeepMin(gated, Seq("fingerprint"), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val stopShingles = cfg.stopShingleMinDf
       .map(minDf => Dedup.hotShingles(exactDeduped, textCol, minDf = minDf))
       .getOrElse(Array.empty[Long])

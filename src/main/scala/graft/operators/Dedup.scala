@@ -36,6 +36,11 @@ object Dedup {
     * drop it — the exact failure mode the cap exists to prevent. The
     * over-cap list has at most |rows|/cap entries, so AQE plans the
     * anti-join as a broadcast at any realistic cap.
+    *
+    * Precondition: `bucketCol` must be non-null. NULL bucket keys never
+    * match the anti-join key, so an over-cap NULL bucket would be silently
+    * KEPT (the window formulation counted NULLs as one partition). All
+    * in-repo callers bucket on non-null hash/band columns.
     */
   private def dropHotBuckets(df: DataFrame, bucketCol: String, cap: Int): DataFrame = {
     val over = df.groupBy(bucketCol).agg(count(lit(1)).as("__bn"))
@@ -44,26 +49,25 @@ object Dedup {
     df.join(over, Seq(bucketCol), "left_anti")
   }
 
-  /** Materializes the (bounded, candidate-sized) `result` into executor-
-    * local blocks via `localCheckpoint`, truncating its lineage so the
-    * corpus-sized signature caches in `cached` can be released immediately.
-    * Without this, repeated operator calls in a long-lived session
-    * accumulate MEMORY_AND_DISK caches until eviction pressure degrades
-    * the cluster (Dataset caches are held by the CacheManager and never
-    * GC-collected; localCheckpoint blocks are RDD-level and reference-
-    * tracked, so they are cleaned once the result is unreferenced).
+  /** Marks `df` for lazy materialization into executor-local blocks
+    * (`localCheckpoint(eager = false)`): nothing runs at call time, the
+    * blocks are written by whichever job first touches the frame, every
+    * later scan (including other branches of the SAME job) reads the
+    * blocks instead of recomputing, and — unlike `persist` — the blocks
+    * are RDD-level and reference-tracked, so the ContextCleaner frees
+    * them once the result is unreferenced. No CacheManager entry is ever
+    * created, so a long-lived session cannot accumulate pinned caches no
+    * matter how many operator calls it makes (the round-1 leak), and the
+    * composition stays one lazy AQE-planned job (the round-2 regression
+    * came from an EAGER checkpoint mid-pipeline forcing a separate job).
     *
-    * Trade-off: localCheckpoint blocks are not recomputable after executor
-    * loss. Callers composing the lazy plan into a larger job (or asserting
-    * on plan shape) pass eager=false and manage the caches themselves.
+    * Trade-off: like all localCheckpoint blocks these are not recomputable
+    * after executor loss — on a cluster with dynamic allocation /
+    * aggressive decommissioning, prefer `spark.sparkContext
+    * .setCheckpointDir` + `Dataset.checkpoint` at the call site.
     */
-  private def releaseAfter(result: DataFrame, cached: Seq[DataFrame], eager: Boolean): DataFrame =
-    if (!eager) result
-    else {
-      val out = result.localCheckpoint(true)
-      cached.foreach(_.unpersist(false))
-      out
-    }
+  private def shareLazily(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
 
   /** Deterministic exact dedup: keep the row with the smallest `keep`
     * value per key (dropDuplicates keeps an arbitrary first row — fine for
@@ -164,6 +168,17 @@ object Dedup {
     *                  longer counts as similarity — usually the wanted
     *                  semantics for training-data dedup). Docs left with
     *                  zero shingles drop out of near-dup detection.
+    * @param eagerRelease when true, runs the LSH job NOW and returns the
+    *                  (bounded, candidate-sized) pair list materialized via
+    *                  `localCheckpoint(true)`. Default false: the returned
+    *                  plan is lazy and composes into the caller's job
+    *                  (intermediate signature blocks are shared via lazy
+    *                  localCheckpoint either way and are GC-released, never
+    *                  CacheManager-pinned). Caveat: localCheckpoint blocks
+    *                  are not recomputable after executor loss — under
+    *                  dynamic allocation / decommissioning, wrap the call
+    *                  site with a reliable `Dataset.checkpoint` instead of
+    *                  passing eagerRelease=true.
     * @return (id_a, id_b, jaccard) with id_a < id_b, verified
     */
   def minHashNearDups(
@@ -177,21 +192,21 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Int = 1024,
       excludeShingles: Array[Long] = Array.empty,
-      eagerRelease: Boolean = true): DataFrame = {
+      eagerRelease: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     // Native codegen'd signature kernel (MinHashSignatureExpr) — value-
     // identical to minHashSignature() but one tight primitive loop.
-    // Persisted because BOTH sides of the candidate self-join scan it:
-    // without the persist the 128-permutation signature is computed twice.
+    // Shared lazily because BOTH sides of the candidate self-join and the
+    // shingle re-attach scan it: without block sharing the 128-permutation
+    // signature would be computed four times.
     val rawSh = shingleHashes(col(textCol), w)
     val sh =
       if (excludeShingles.isEmpty) rawSh
       else array_except(rawSh, array(excludeShingles.map(lit).toIndexedSeq: _*))
-    val withSig = df
+    val withSig = shareLazily(df
       .select(col(idCol).as("id"), sh.as("sh"))
       .withColumn("sig", graft.functions.MinHashSignatureExpr(col("sh"), k, seed))
-      .filter(col("sig").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("sig").isNotNull))
 
     // (id, band_hash) pairs — ids ONLY: the banded self-join must not
     // carry the shingle arrays (that would shuffle |corpus|×bands×|sh|
@@ -226,7 +241,7 @@ object Dedup {
       .withColumn("jaccard", round(when(union === 0, 1.0).otherwise(inter / union), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    releaseAfter(verified, Seq(withSig), eagerRelease)
+    if (eagerRelease) verified.localCheckpoint(true) else verified
   }
 
   /** Dedup (not just pairs): keep one representative per near-dup cluster —
@@ -234,6 +249,13 @@ object Dedup {
     * doc that has a near-dup with a smaller id" (one LSH pass; exact
     * transitive closure needs iterative connected components, overkill for
     * a dedup filter and this greedy rule is the industry-standard choice).
+    *
+    * Fully lazy: composes into the caller's job as one AQE-planned plan
+    * (the loser list is a distinct aggregate AQE broadcasts at runtime).
+    * `df` is scanned by two branches (signatures + the keep side of the
+    * anti-join); callers whose `df` is an expensive derived frame should
+    * pass it through `localCheckpoint(eager = false)` first so both
+    * branches share one materialization (see CorpusPipeline.clean).
     */
   def minHashDedup(
       df: DataFrame,
@@ -301,14 +323,14 @@ object Dedup {
         shiftright(col("fp"), c * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
     }
-    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("chunk")
-    val banded = withFp.select(
-      col("id"),
-      col("fp"),
-      explode(array(chunkCols.toIndexedSeq: _*)).as("chunk"))
-      .withColumn("__bn", count(lit(1)).over(bucketW))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // hot-bucket guard: aggregate + anti-join (map-side partial agg), not
+    // a count window that buffers the hot bucket in one task
+    val banded = dropHotBuckets(
+      withFp.select(
+        col("id"),
+        col("fp"),
+        explode(array(chunkCols.toIndexedSeq: _*)).as("chunk")),
+      "chunk", maxBucket)
 
     val a = banded.select(col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
@@ -335,10 +357,14 @@ object Dedup {
 
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates via
     * random-hyperplane LSH buckets (exact cosine verified on candidates).
-    * Vectors whose signatures agree on all `nPlanes` bits land in one
-    * bucket; near-identical vectors almost surely collide for small plane
-    * counts. Recall/cost tradeoff via nPlanes (fewer planes → bigger
-    * buckets → higher recall). SIZE nPlanes ≈ log₂(N / target_bucket):
+    * Vectors whose signatures agree on all `nPlanes` bits of ANY of the
+    * `nTables` independently-seeded tables land in a shared bucket — the
+    * same AND-of-bits / OR-of-tables structure as MinHash banding. For a
+    * pair at angle θ the per-table collision probability is
+    * (1 − θ/π)^nPlanes and the miss probability is
+    * (1 − (1 − θ/π)^nPlanes)^nTables, so recall is tuned by nTables
+    * WITHOUT growing the per-table buckets (which is what bounds the
+    * quadratic candidate term). SIZE nPlanes ≈ log₂(N / target_bucket):
     * bucket count 2^nPlanes must grow with the corpus or candidates
     * explode quadratically — measured in SCALE.md (100k vectors:
     * 8 planes = 35 s, 16 planes = 2.3 s).
@@ -350,30 +376,38 @@ object Dedup {
       dim: Int,
       threshold: Double = 0.95,
       nPlanes: Int = 8,
+      nTables: Int = 1,
       seed: Long = 42L,
       maxBucket: Int = 4096): DataFrame = {
-    val planes = VectorFunctions.randomPlanes(dim, nPlanes, seed)
-    val withSig = df.select(
+    require(nTables >= 1, s"nTables=$nTables must be >= 1")
+    // one signature per table, each from its own seeded plane set; the
+    // table index is prefixed so buckets never collide across tables
+    val sigCols = (0 until nTables).map { t =>
+      val planes = VectorFunctions.randomPlanes(dim, nPlanes, seed + t)
+      concat(
+        lit(s"$t:"),
+        VectorFunctions.hyperplaneSignature(col(vecCol), planes).cast("string"))
+    }
+    val withSig = shareLazily(df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
-      VectorFunctions.hyperplaneSignature(col(vecCol), planes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      array(sigCols.toIndexedSeq: _*).as("sigs")))
 
     // id-only bucket self-join (embedding vectors must not ride the
     // bucket shuffle — they are re-attached per candidate pair below).
-    // Hot-bucket cap bounds the quadratic term, as in minHashNearDups;
-    // the default is higher because a single hyperplane bucket IS the
-    // whole candidate set here (no multi-band recovery path).
-    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("sig")
-    val bucketed = withSig
-      .withColumn("__bn", count(lit(1)).over(bucketW))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // Hot-bucket cap bounds the quadratic term via aggregate + anti-join
+    // (map-side partial agg, never buffers the hot bucket in one task);
+    // the default is higher than minhash's because dense clusters are the
+    // expected signal here.
+    val bucketed = dropHotBuckets(
+      withSig.select(col("id"), explode(col("sigs")).as("sig")),
+      "sig", maxBucket)
     val a = bucketed.select(col("sig"), col("id").as("id_a"))
     val b = bucketed.select(col("sig"), col("id").as("id_b"))
     val pairIds = a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
     val vecs = withSig.select(col("id"), col("v"))
     pairIds
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))

@@ -946,13 +946,35 @@ object Inventory {
           t(s, dir, "documents"), "doc_id", "text",
           k = 128, bands = 32, w = 3, threshold = 0.5)
           .orderBy("id_a", "id_b"),
-      None), // probabilistic recall by design — rows-only; ScalaTest
-             // checks recall against the exhaustive q83 on small data
+      // The pair list is probabilistic in general, but each VERIFIED pair
+      // carries its exact trigram-set Jaccard — and at this corpus every
+      // true pair has jaccard >= 0.9, where the 32-band × 4-row banding
+      // misses with probability (1 − 0.9⁴)³² ≈ 1e-15. The exhaustive
+      // DuckDB recompute therefore matches the LSH output row-for-row
+      // (deterministic: signatures are seeded). DedupSpec separately pins
+      // recall on adversarial low-jaccard fixtures.
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+        ORDER BY id_a, id_b""")),
 
     Q("q82_dedup_simhash",
       (s, dir) =>
         Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
           .orderBy("id_a", "id_b"),
+      // rows-only by necessity, not by approximation: the pigeonhole
+      // banding is EXACT (recall 1 for hamming <= maxDist), but the
+      // fingerprint is built from Spark's xxhash64, which DuckDB cannot
+      // reproduce — no engine-independent oracle exists. DedupSpec pins
+      // the semantics on constructed fixtures instead.
       None),
 
     Q("q83_ngram_jaccard",
@@ -1015,11 +1037,32 @@ object Inventory {
 
     Q("q85_embedding_neardup_lsh",
       (s, dir) =>
+        // Sized by the documented rule: nPlanes = log2(N/bucket) ≈ 2 at
+        // 500 vectors; nTables drives recall independently of bucket
+        // size — at cos 0.45 (θ/π ≈ 0.352) a table collides with
+        // p = 0.648² ≈ 0.42, so 48 OR-tables miss a true pair w.p.
+        // (1 − 0.42)⁴⁸ ≈ 4e-11: the LSH output equals the exhaustive
+        // q84 pair list deterministically (seeded planes). The
+        // threshold is backed off to 0.4495 and re-applied on the
+        // 4-dp rounding so the gate matches q84's rounded filter.
         Dedup.embeddingNearDups(
           t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.45, nPlanes = 4)
+          dim = 64, threshold = 0.4495, nPlanes = 2, nTables = 48)
+          .withColumn("cos", round(col("cos"), 4))
+          .filter(col("cos") >= 0.45)
           .orderBy("id_a", "id_b"),
-      None), // approximate recall — rows-only; ScalaTest checks vs q84
+      // same exhaustive double-accumulated cosine oracle as q84
+      Some("""WITH c AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(
+              list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM c WHERE cos >= 0.45 ORDER BY id_a, id_b""")),
 
     Q("q86_levenshtein",
       (s, dir) => {
@@ -1189,7 +1232,8 @@ object Inventory {
   /** Headline queries for Bench.scala — one per major operator family. */
   val benchNames: Seq[String] = Seq(
     "q01_pricing_summary", "q03_between", "q11_join_multi5", "q12_join_left_hist",
-    "q17_join_asof", "q21_count_distinct", "q30_window_rank", "q40_topk", "q64_json",
+    "q17_join_asof", "q21_count_distinct", "q30_window_rank", "q35_window_range",
+    "q40_topk", "q64_json", "q66_pivot",
     "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q95_text_stats",
     "q99_sessionize", "q101_corpus_pipeline")
 }

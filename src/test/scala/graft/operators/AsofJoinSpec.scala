@@ -36,6 +36,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == 2.0)
   }
 
+  test("shared non-key column name on both sides is not shadowed") {
+    import spark.implicits._
+    // both sides carry a non-key column literally named `value` — the
+    // round-1/2 bug null-padded the right's `value` before extraction,
+    // silently yielding all-null asof_value
+    val left = Seq(("A", 10L, 111.0), ("A", 30L, 222.0)).toDF("sym", "ts", "value")
+    val right = Seq(("A", 5L, 1L, 7.5), ("A", 25L, 2L, 8.5)).toDF("sym", "rts", "rid", "value")
+
+    val out = AsofJoin.asof(left, right, Seq("sym"), "ts", "rts", "rid", Seq("value"))
+      .orderBy("ts")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getAs[Double]("asof_value")))
+    assert(out.toSeq == Seq(
+      (10L, 111.0, 7.5),   // left's own value intact, right@5 attached
+      (30L, 222.0, 8.5)))  // right@25 attached
+  }
+
   test("matches DuckDB-style asof semantics on the events table") {
     // each 'click' gets the most recent prior-or-equal 'view' value per user
     val ev = spark.read.parquet(s"$sf/events.parquet")

@@ -29,4 +29,14 @@ class CorpusPipelineSpec extends SparkSpec {
       "n_tokens", "n_subwords", "stopword_ratio", "quality", "lang_pred", "fingerprint"))
     assert(again.count() == cleaned.count())
   }
+
+  test("clean() pins nothing in the CacheManager (leak-free composition)") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val out = CorpusPipeline.clean(docs)
+    out.count() // materialize fully
+    assert(cm.isEmpty,
+      "corpus pipeline must not leave CacheManager entries behind " +
+        "(intermediates are shared via GC-tracked localCheckpoint blocks)")
+  }
 }

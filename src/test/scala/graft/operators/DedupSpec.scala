@@ -168,8 +168,31 @@ class DedupSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val found = Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
       threshold = 0.45, nPlanes = 4)
-    import graft.functions.VectorFunctions
     val bad = found.filter(col("cos") < 0.45).count()
     assert(bad == 0)
+  }
+
+  test("embedding near-dup LSH: OR-tables reach recall 1 vs exhaustive") {
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.45)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // per-table collision at cos 0.45 is ~0.42 (2 planes); 48 OR-tables
+    // miss a true pair w.p. (1 − 0.42)^48 ≈ 4e-11 — recall is 1 in any
+    // run that doesn't win the lottery twice
+    val found = Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.45, nPlanes = 2, nTables = 48)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "fixture should contain near-dup embeddings")
+    assert(found.subsetOf(truth)) // precision 1.0 (verified cosine)
+    assert(found == truth, s"missed ${(truth -- found).mkString(",")}")
   }
 }

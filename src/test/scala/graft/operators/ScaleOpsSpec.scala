@@ -75,7 +75,10 @@ class ScaleOpsSpec extends SparkSpec {
     try {
       val joined = ScaleOps.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
       val physical = joined.queryExecution.executedPlan.toString
-      assert(!physical.contains("ShuffleExchange"), s"expected shuffle-free plan:\n$physical")
+      // Spark prints shuffles as "Exchange hashpartitioning(...)" — the
+      // round-1/2 "ShuffleExchange" spelling could never match (vacuous)
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free plan:\n$physical")
       assert(physical.contains("SortMergeJoin"), s"expected sort-merge join:\n$physical")
       assert(joined.count() > 0)
     } finally {
