@@ -22,14 +22,16 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Two timed iterations per query, report the min — one run is noisy
+    // Three timed iterations per query, report the min — one run is noisy
     // (GC pauses, first-touch page faults) and the min is the best
-    // estimate of the engine's cost. Cache cleared per iteration so
-    // queries with internal persists (q81/q101) stay COLD: the cache
-    // manager would otherwise dedupe on the logical plan and hand the
-    // second run the first run's materialized signatures.
+    // estimate of the engine's cost; min-of-2 left ±70% swings between
+    // rounds on sub-second queries (q64 r2→r3), min-of-3 separates noise
+    // from real regressions. Cache cleared per iteration so queries with
+    // internal persists (q81/q101) stay COLD: the cache manager would
+    // otherwise dedupe on the logical plan and hand a later run the
+    // first run's materialized signatures.
     val results = headline.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -41,8 +41,40 @@ final case class PipelineResult(
   */
 final class Pipeline(spark: SparkSession, notifier: Notifier = LogNotifier) {
 
-  def run(config: LakeConfig, inputPath: String, outputPath: String): PipelineResult =
+  /** Scratch-cleanup prologue — the reference's `unsaved_folder()`
+    * (`lambda_code/lambda_handler.py:6-15`): before every run, delete
+    * everything under the scratch prefix (the reference's `Unsaved/`
+    * S3 prefix, paginated delete_objects). Re-expressed over the Hadoop
+    * FileSystem API so the same code clears a local dir, HDFS path, or
+    * s3a:// prefix; the FS client does its own batching/paging. Matches
+    * the reference's error contract: best-effort — failures are logged,
+    * never fail the run.
+    */
+  def cleanScratch(scratchDir: String): Unit =
     try {
+      val path = new org.apache.hadoop.fs.Path(scratchDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) {
+        val it = fs.listStatus(path)
+        it.foreach(st => fs.delete(st.getPath, true))
+        System.err.println(s"[scratch] cleared ${it.length} entries under $scratchDir")
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[scratch] error deleting folder : ${e.getMessage}")
+    }
+
+  /** @param scratchDir when set, cleared (best-effort) before the read —
+    *                   the A23 prologue; None preserves the bare
+    *                   read-first behavior.
+    */
+  def run(
+      config: LakeConfig,
+      inputPath: String,
+      outputPath: String,
+      scratchDir: Option[String] = None): PipelineResult =
+    try {
+      scratchDir.foreach(cleanScratch)
       val raw = Sources.read(spark, config.fileType, inputPath)
       val profile = Validator.profile(raw)
       val cleaned = Cleaner.clean(raw)

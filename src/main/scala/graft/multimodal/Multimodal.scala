@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,11 +14,15 @@ import org.apache.spark.sql.types._
   * mapInPandas — one JVM iterator per partition, no per-row UDF overhead,
   * arbitrary native/library calls inside).
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * environment): `FakeCodec` derives deterministic pseudo-metadata and
-  * pseudo-features from the bytes, so the Spark-side plumbing — schema,
+  * The IMAGE path is REAL: PNG/JPEG bytes are decoded with
+  * `javax.imageio` (on the JDK, zero extra dependencies), dimensions and
+  * features come from actual pixels, and resize re-encodes actual
+  * pixels. The AUDIO/VIDEO codec work remains STUBBED (no ffmpeg-class
+  * libraries in this environment): `FakeCodec` derives deterministic
+  * pseudo-metadata from the bytes, so the Spark-side plumbing — schema,
   * partitioning, batch iteration shape, output schema — is real and
-  * tested, and the codec body is the only thing to swap for production.
+  * tested, and the audio/video codec body is the only thing to swap for
+  * production.
   */
 object Multimodal {
 
@@ -43,9 +51,96 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Float])
 
-  /** STUB codec — deterministic fake standing in for a real decoder
-    * (??? boundary). Production: replace body with e.g. javax.imageio /
-    * ffmpeg bindings; signature and batch shape stay identical.
+  /** Real image codec over `javax.imageio` — decode, deterministic
+    * synth, feature-extract, resize. All pure functions of the bytes:
+    * safe inside executors, deterministic across runs.
+    */
+  object ImageCodec {
+
+    /** Decode image bytes to a BufferedImage; None when the bytes are
+      * not a decodable image (corrupt samples must not kill a 100 TB
+      * job — callers surface them as n_frames = 0 rows instead).
+      */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.length == 0) None
+      else
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Deterministic synthetic PNG: dimensions and pixels are a pure
+      * function of the seed (splitmix-style mixing per pixel), so
+      * fixtures and benches get REAL decodable images without bundling
+      * binary test data.
+      */
+    def makePng(seed: Long): Array[Byte] = {
+      val w = 8 + math.abs(seed % 16).toInt
+      val h = 8 + math.abs((seed >> 4) % 12).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var z = seed + x * 0x9e3779b97f4a7c15L + y * 0xc2b2ae3d27d4eb4fL
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          img.setRGB(x, y, ((z >>> 33) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** Real feature extraction from pixels: dim-bucket grayscale
+      * histogram, L1-normalized — a genuine (if simple) visual
+      * signature; swap for a model embedding in production.
+      */
+    def grayHistogram(img: BufferedImage, dim: Int): Array[Float] = {
+      val counts = new Array[Float](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val gray = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          counts(math.min(dim - 1, gray * dim / 256)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toFloat * img.getHeight
+      counts.map(_ / n)
+    }
+
+    /** Aspect-preserving fit of real pixels into (maxW, maxH), PNG
+      * re-encode. None when the input is not decodable.
+      */
+    def resize(bytes: Array[Byte], maxW: Int, maxH: Int): Option[(Array[Byte], Int, Int)] =
+      decode(bytes).map { img =>
+        val scale = math.min(1.0, math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+        val nw = math.max(1, (img.getWidth * scale).toInt)
+        val nh = math.max(1, (img.getHeight * scale).toInt)
+        if (nw == img.getWidth && nh == img.getHeight) (bytes, nw, nh)
+        else {
+          val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try g.drawImage(img.getScaledInstance(nw, nh, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+          finally g.dispose()
+          (encodePng(dst), nw, nh)
+        }
+      }
+  }
+
+  /** STUB codec for AUDIO/VIDEO — deterministic fake standing in for a
+    * real decoder (??? boundary). Production: replace body with e.g.
+    * ffmpeg bindings; signature and batch shape stay identical. (The
+    * image modality no longer routes here — see [[ImageCodec]].)
     */
   object FakeCodec {
     def decode(modality: String, bytes: Array[Byte]): (Int, Int, Long, Int) = {
@@ -72,6 +167,11 @@ object Multimodal {
   /** Decode + feature-extract a binary asset frame, one partition batch at
     * a time. Input must have columns (asset_id, modality, content, source,
     * mime); output is flat typed metadata + feature vector.
+    *
+    * Image rows: REAL decode (javax.imageio) — width/height/features from
+    * actual pixels; undecodable image bytes yield a (0,0,0,0) row
+    * (n_frames = 0 marks the corrupt sample; at 100 TB you filter these,
+    * never throw). Audio/video rows: FakeCodec stub.
     */
   def decodeAssets(spark: SparkSession, assets: DataFrame, featureDim: Int = 16): Dataset[DecodedAsset] = {
     import spark.implicits._
@@ -86,9 +186,20 @@ object Multimodal {
       .mapPartitions { batch =>
         // per-partition: init codec state once, stream the batch through
         batch.map { a =>
-          val (w, h, dur, frames) = FakeCodec.decode(a.modality, a.content)
-          DecodedAsset(a.asset_id, a.modality, w, h, dur, frames,
-            FakeCodec.features(a.content, featureDim))
+          a.modality match {
+            case "image" =>
+              ImageCodec.decode(a.content) match {
+                case Some(img) =>
+                  DecodedAsset(a.asset_id, a.modality, img.getWidth, img.getHeight, 0L, 1,
+                    ImageCodec.grayHistogram(img, featureDim))
+                case None =>
+                  DecodedAsset(a.asset_id, a.modality, 0, 0, 0L, 0, new Array[Float](featureDim))
+              }
+            case m =>
+              val (w, h, dur, frames) = FakeCodec.decode(m, a.content)
+              DecodedAsset(a.asset_id, m, w, h, dur, frames,
+                FakeCodec.features(a.content, featureDim))
+          }
         }
       }
   }
@@ -100,11 +211,11 @@ object Multimodal {
       height: Int,
       content: Array[Byte])
 
-  /** Resize image/video assets to a target box, batch-at-a-time. The
-    * pixel work is the STUB (???-boundary: FakeCodec scales the fake
-    * dimensions and re-hashes bytes deterministically); the distributed
-    * shape — typed Dataset in, mapPartitions, typed Dataset out, non-image
-    * rows passed through untouched — is the real contract.
+  /** Resize image/video assets to a target box, batch-at-a-time.
+    * Decodable images are REALLY resized (scaled pixels, PNG re-encode);
+    * video (and undecodable image bytes) keep the STUB path — fake
+    * dimensions scaled by the same aspect-fit math, bytes passed through.
+    * Audio rows pass through untouched.
     */
   def resizeAssets(
       spark: SparkSession,
@@ -122,13 +233,17 @@ object Multimodal {
       .as[Asset]
       .mapPartitions { batch =>
         batch.map { a =>
-          val (w, h, _, _) = FakeCodec.decode(a.modality, a.content)
-          if (a.modality == "audio") ResizedAsset(a.asset_id, a.modality, 0, 0, a.content)
-          else {
-            // aspect-preserving fit into (maxW, maxH) — real math, fake pixels
-            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-            ResizedAsset(a.asset_id, a.modality, nw, nh, a.content)
+          a.modality match {
+            case "audio" => ResizedAsset(a.asset_id, a.modality, 0, 0, a.content)
+            case "image" if ImageCodec.decode(a.content).isDefined =>
+              val (bytes, nw, nh) = ImageCodec.resize(a.content, maxW, maxH).get
+              ResizedAsset(a.asset_id, a.modality, nw, nh, bytes)
+            case m =>
+              val (w, h, _, _) = FakeCodec.decode(m, a.content)
+              // aspect-preserving fit into (maxW, maxH) — real math, fake pixels
+              val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+              val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+              ResizedAsset(a.asset_id, m, nw, nh, a.content)
           }
         }
       }
@@ -170,16 +285,28 @@ object Multimodal {
       .select("asset_id", "seg_idx", "start_ms", "end_ms")
 
   /** Deterministic fake assets derived from any table — lets tests and
-    * benches exercise the binary plumbing without real media. Bytes are the
-    * UTF-8 of a seed string; modality round-robins.
+    * benches exercise the binary plumbing without bundling media files.
+    * Image rows carry REAL (synthesized, seeded-by-id) PNG bytes so the
+    * javax.imageio decode path runs on actual pixels; audio/video rows
+    * carry the UTF-8 of the text (opaque bytes for the stub codec).
+    * Modality round-robins on id.
     */
-  def syntheticAssets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).cast("long").as("asset_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
-      encode(col(textCol), "UTF-8").as("content"),
-      lit("synthetic").as("source"),
-      lit("application/octet-stream").as("mime"))
+  def syntheticAssets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("txt"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, txt) =>
+          val modality = Seq("image", "audio", "video")((id % 3).toInt)
+          val (content, mime) = modality match {
+            case "image" => (ImageCodec.makePng(id), "image/png")
+            case _ =>
+              (Option(txt).getOrElse("").getBytes("UTF-8"), "application/octet-stream")
+          }
+          Asset(id, modality, content, "synthetic", mime)
+        }
+      }
+      .toDF()
+  }
 }

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * right rows sort before left rows (a right row AT the left timestamp
   * is visible to it), multiple right rows at one ts resolve to the last
   * by `rightId` for determinism.
+  *
+  * SLIM SHUFFLE: only (key, ts, side, rid, lid, values) rides the
+  * union-window exchange and its per-key sort — left payload columns are
+  * re-attached AFTER the window by an equi-join on a stamped per-row id
+  * (the same id-only pattern as Dedup's band join). On a wide left table
+  * this keeps the window sort buffers narrow and never null-pads right
+  * rows out to the left schema; the payload crosses the wire once, in
+  * the re-attach join, with no sort behind it. Asserted in AsofJoinSpec:
+  * the key-partitioned exchange's schema contains no left payload column.
   */
 object AsofJoin {
 
@@ -45,36 +54,36 @@ object AsofJoin {
     require(valueCols.forall(v => !keyCols.contains(v)),
       s"valueCols ${valueCols.mkString(",")} must be disjoint from keyCols")
 
-    val taggedLeft = valueCols.foldLeft(
-      left.withColumn("__ts", col(leftTs))
-        .withColumn("__side", lit(1))
-        .withColumn("__rid", lit(null).cast("long"))) {
-      (df, v) => df.withColumn(s"__v_$v", lit(null))
-    }
-    // Extract the right value columns into their __v_* aliases BEFORE
-    // null-padding the left-only column names: a valueCol that shares its
-    // name with a left non-key column (both sides carrying `value`, say)
-    // must not be clobbered by the padding.
-    val taggedRight = {
-      val extracted = right
-        .withColumn("__ts", col(rightTs))
-        .withColumn("__side", lit(0))
-        .withColumn("__rid", col(rightId).cast("long"))
-        .select(
-          (keyCols.map(col) ++
-            Seq(col("__ts"), col("__side"), col("__rid")) ++
-            valueCols.map(v => col(v).as(s"__v_$v"))).toIndexedSeq: _*)
-      leftCols.filterNot(keyCols.contains).foldLeft(extracted) {
-        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }.select(
-        (keyCols.map(col) ++ leftCols.filterNot(keyCols.contains).map(col) ++
-          Seq(col("__ts"), col("__side"), col("__rid")) ++
-          valueCols.map(v => col(s"__v_$v"))).toIndexedSeq: _*)
-    }
+    // Stamp a per-row id and share the stamped frame as lazy
+    // executor-local blocks: monotonically_increasing_id is only stable
+    // within one materialization, and BOTH branches below (the slim
+    // window input and the payload re-attach) must see identical ids —
+    // block sharing guarantees they read the same materialized rows.
+    val stamped = left
+      .withColumn("__lid", monotonically_increasing_id())
+      .localCheckpoint(eager = false)
 
-    val unioned = taggedLeft
-      .select(taggedRight.columns.map(col).toIndexedSeq: _*)
-      .union(taggedRight)
+    // Identical column order on both union branches:
+    //   keys…, __ts, __side, __rid, __lid, __v_<value>…
+    // Right rows carry null __lid; left rows carry null __rid and
+    // null-typed values (the window fills them from prior right rows).
+    val slimLeft = stamped.select(
+      (keyCols.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast("long").as("__rid"),
+        col("__lid")) ++
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")))
+        .toIndexedSeq: _*)
+    val slimRight = right.select(
+      (keyCols.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        col(rightId).cast("long").as("__rid"),
+        lit(null).cast("long").as("__lid")) ++
+        valueCols.map(v => col(v).as(s"__v_$v")))
+        .toIndexedSeq: _*)
+    val unioned = slimLeft.union(slimRight)
 
     // right rows (__side=0) sort before left rows at the same ts; the
     // carried value is the latest non-null right value seen so far
@@ -87,9 +96,17 @@ object AsofJoin {
       df.withColumn(s"__asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
     }
 
-    carried
+    val asofVals = carried
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) ++
+      .select((col("__lid") +:
         valueCols.map(v => col(s"__asof_$v").as(s"asof_$v"))).toIndexedSeq: _*)
+
+    // Payload re-attach: every left row appears exactly once on each side
+    // of this inner join (__lid is unique), so left multiplicity is
+    // preserved exactly.
+    stamped
+      .join(asofVals, Seq("__lid"))
+      .select((leftCols.map(col) ++
+        valueCols.map(v => col(s"asof_$v"))).toIndexedSeq: _*)
   }
 }

@@ -35,12 +35,15 @@ object CorpusPipeline {
     * stages, with the annotation columns retained for downstream
     * sampling/mixing decisions.
     *
-    * The whole pipeline composes into ONE lazy AQE-planned job: nothing
-    * is materialized at call time, and no frame is pinned in the
-    * CacheManager — intermediate sharing uses lazy `localCheckpoint`
-    * blocks, which the ContextCleaner frees once the result is
-    * unreferenced (a long-lived session can call clean() in a loop
-    * without accumulating caches). localCheckpoint blocks are not
+    * No result-stage job and no CacheManager pin at call time:
+    * intermediate sharing uses lazy `localCheckpoint` blocks, which the
+    * ContextCleaner frees once the result is unreferenced (a long-lived
+    * session can call clean() in a loop without accumulating caches).
+    * Under AQE (GraftSession's default) planning the checkpoint RDD may
+    * materialize UPSTREAM shuffle stages — the annotate/gate/window
+    * exchanges — as real jobs when clean() is called, and downstream
+    * operators see a frozen LogicalRDD leaf at that boundary rather
+    * than the full logical subtree. localCheckpoint blocks are not
     * recomputable after executor loss; on clusters with dynamic
     * allocation, set a checkpoint dir and swap in reliable
     * `Dataset.checkpoint` at this boundary.

@@ -49,17 +49,21 @@ object Dedup {
     df.join(over, Seq(bucketCol), "left_anti")
   }
 
-  /** Marks `df` for lazy materialization into executor-local blocks
-    * (`localCheckpoint(eager = false)`): nothing runs at call time, the
-    * blocks are written by whichever job first touches the frame, every
-    * later scan (including other branches of the SAME job) reads the
-    * blocks instead of recomputing, and — unlike `persist` — the blocks
-    * are RDD-level and reference-tracked, so the ContextCleaner frees
-    * them once the result is unreferenced. No CacheManager entry is ever
-    * created, so a long-lived session cannot accumulate pinned caches no
-    * matter how many operator calls it makes (the round-1 leak), and the
-    * composition stays one lazy AQE-planned job (the round-2 regression
-    * came from an EAGER checkpoint mid-pipeline forcing a separate job).
+  /** Marks `df` for materialization into executor-local blocks
+    * (`localCheckpoint(eager = false)`): no result-stage job and no
+    * CacheManager pin at call time — though under AQE (on by default in
+    * GraftSession) planning the checkpoint RDD may materialize UPSTREAM
+    * shuffle stages as real jobs when the method is called, and the
+    * downstream plan sees a frozen LogicalRDD leaf rather than the
+    * original logical subtree. The blocks are written once, every later
+    * scan (including other branches of the same job) reads them instead
+    * of recomputing, and — unlike `persist` — they are RDD-level and
+    * reference-tracked, so the ContextCleaner frees them once the result
+    * is unreferenced. No CacheManager entry is ever created, so a
+    * long-lived session cannot accumulate pinned caches no matter how
+    * many operator calls it makes (the round-1 leak); and unlike an
+    * EAGER checkpoint there is no forced result-stage job at call time
+    * (the round-2 regression).
     *
     * Trade-off: like all localCheckpoint blocks these are not recomputable
     * after executor loss — on a cluster with dynamic allocation /
@@ -174,25 +178,36 @@ object Dedup {
     *                  plan is lazy and composes into the caller's job
     *                  (intermediate signature blocks are shared via lazy
     *                  localCheckpoint either way and are GC-released, never
-    *                  CacheManager-pinned). Caveat: localCheckpoint blocks
-    *                  are not recomputable after executor loss — under
-    *                  dynamic allocation / decommissioning, wrap the call
-    *                  site with a reliable `Dataset.checkpoint` instead of
-    *                  passing eagerRelease=true.
+    *                  CacheManager-pinned). COMPAT NOTE: the default
+    *                  flipped from true to false in round 3 — external
+    *                  callers that materialize the returned pair list in
+    *                  SEVERAL separate actions now re-run the band join
+    *                  and verification joins per action (only the
+    *                  signature blocks are shared); pass eagerRelease=true
+    *                  or checkpoint the result yourself for that pattern.
+    *                  Caveat: localCheckpoint blocks are not recomputable
+    *                  after executor loss — under dynamic allocation /
+    *                  decommissioning, wrap the call site with a reliable
+    *                  `Dataset.checkpoint` instead of passing
+    *                  eagerRelease=true.
     * @return (id_a, id_b, jaccard) with id_a < id_b, verified
     */
-  def minHashNearDups(
+  /** Candidate-generation stage of [[minHashNearDups]], exposed so the
+    * candidate-count bound — THE quantity the hot-bucket cap and
+    * stop-shingle exclusion exist to control — is directly testable.
+    * Returns (signatures frame `(id, sh, sig)` shared lazily,
+    * candidate pair ids `(id_a, id_b)` pre-verification).
+    */
+  private[graft] def minHashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 128,
-      bands: Int = 32,
-      w: Int = 3,
-      threshold: Double = 0.8,
-      seed: Long = 42L,
-      maxBucket: Int = 1024,
-      excludeShingles: Array[Long] = Array.empty,
-      eagerRelease: Boolean = false): DataFrame = {
+      k: Int,
+      bands: Int,
+      w: Int,
+      seed: Long,
+      maxBucket: Int,
+      excludeShingles: Array[Long]): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     // Native codegen'd signature kernel (MinHashSignatureExpr) — value-
     // identical to minHashSignature() but one tight primitive loop.
@@ -229,6 +244,23 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    (withSig, pairIds)
+  }
+
+  def minHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucket: Int = 1024,
+      excludeShingles: Array[Long] = Array.empty,
+      eagerRelease: Boolean = false): DataFrame = {
+    val (withSig, pairIds) = minHashCandidates(
+      df, idCol, textCol, k, bands, w, seed, maxBucket, excludeShingles)
     val shingles = withSig.select(col("id"), col("sh"))
     val candidates = pairIds
       .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -368,6 +400,12 @@ object Dedup {
     * bucket count 2^nPlanes must grow with the corpus or candidates
     * explode quadratically — measured in SCALE.md (100k vectors:
     * 8 planes = 35 s, 16 planes = 2.3 s).
+    *
+    * `roundScale` is the decimal rounding applied ONCE to the raw cosine
+    * in the output — callers matching an external oracle's rounding pass
+    * it here instead of re-rounding the returned column, because
+    * round(round(x, 6), 4) != round(x, 4) in a narrow window around
+    * *.xxxx4999995 boundaries.
     */
   def embeddingNearDups(
       df: DataFrame,
@@ -378,7 +416,8 @@ object Dedup {
       nPlanes: Int = 8,
       nTables: Int = 1,
       seed: Long = 42L,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096,
+      roundScale: Int = 6): DataFrame = {
     require(nTables >= 1, s"nTables=$nTables must be >= 1")
     // one signature per table, each from its own seeded plane set; the
     // table index is prefixed so buckets never collide across tables
@@ -414,6 +453,6 @@ object Dedup {
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), round(col("cos"), roundScale).as("cos"))
   }
 }

@@ -95,4 +95,25 @@ object ScaleOps {
     val bucket = pmod(xxhash64(col(keyCol)), lit(den))
     df.filter(bucket >= lo && bucket < hi)
   }
+
+  /** Fail-fast guard for VERIFICATION-ONLY exhaustive operators.
+    *
+    * All-pairs self-joins (exact n-gram Jaccard q83, exact pairwise
+    * cosine q84) are O(N²) in shuffle and compute — correct and
+    * oracle-checkable at small N, a scale-killer on a real corpus. This
+    * counts the input (one cheap job) and refuses to proceed past
+    * `maxRows`, pointing the caller at the bucketed scale paths
+    * (MinHash LSH / hyperplane LSH) whose outputs are oracle-equal.
+    * To run an exhaustive pass on a slice of a big table anyway, cut it
+    * first with [[hashSample]].
+    */
+  def boundedExhaustive(df: DataFrame, what: String, maxRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$what is an exhaustive all-pairs (O(N²)) operator intended for " +
+        s"verification at small N; got $n rows > $maxRows. Use the bucketed " +
+        s"scale path instead (Dedup.minHashNearDups / Dedup.embeddingNearDups) " +
+        s"or pre-cut with ScaleOps.hashSample.")
+    df
+  }
 }

@@ -21,17 +21,24 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Exact top-k by cosine against a literal query vector. */
+  /** Exact top-k by cosine against a literal query vector.
+    *
+    * `scale` is the decimal rounding applied ONCE to the raw cosine before
+    * ordering — callers that need to match an external oracle's rounding
+    * pass it here rather than re-rounding the output (round(round(x,6),4)
+    * != round(x,4) near *.xxxx49999… boundaries).
+    */
   def bruteForceTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       query: Array[Float],
-      k: Int): DataFrame = {
+      k: Int,
+      scale: Int = 6): DataFrame = {
     val qCol = array(query.map(lit).toIndexedSeq: _*)
     df.select(
         col(idCol),
-        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cos"))
+        round(VectorFunctions.cosine(col(vecCol), qCol), scale).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -144,12 +151,17 @@ object Similarity {
       cents: Array[(Int, Array[Double])],
       query: Array[Float],
       k: Int,
-      nprobe: Int = 4): DataFrame =
-    ivfTopK(spark.read.parquet(path), idCol, vecCol, cents, query, k, nprobe)
+      nprobe: Int = 4,
+      scale: Int = 6): DataFrame =
+    ivfTopK(spark.read.parquet(path), idCol, vecCol, cents, query, k, nprobe, scale)
 
   /** IVF query: score only vectors in the `nprobe` cells nearest to the
     * query ⇒ scans ~nprobe/C of the corpus. Exact cosine within probed
-    * cells.
+    * cells. With `nprobe = C` (all cells probed) the result is EXACT by
+    * construction — equal to [[bruteForceTopK]] — while still exercising
+    * the full IVF machinery; that degenerate setting is how the declared
+    * q91 attaches an exact oracle without weakening the approximate
+    * defaults.
     */
   def ivfTopK(
       indexed: DataFrame,
@@ -158,7 +170,8 @@ object Similarity {
       cents: Array[(Int, Array[Double])],
       query: Array[Float],
       k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      scale: Int = 6): DataFrame = {
     val probeCells = cents
       .map { case (cid, cvec) =>
         val d = cvec.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
@@ -172,7 +185,7 @@ object Similarity {
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
       .select(
         col(idCol),
-        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cos"))
+        round(VectorFunctions.cosine(col(vecCol), qCol), scale).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -188,8 +201,28 @@ object Similarity {
     math.min(30, math.max(4, raw))
   }
 
-  /** LSH-bucketed ANN: hyperplane signature buckets; query scans only its
-    * own bucket (+ optionally multi-probe neighbors at 1-bit hamming).
+  /** All signatures within hamming distance ≤ radius of `sig` over
+    * `nPlanes` bits (multi-probe bucket set). Count is Σ C(nPlanes, d) for
+    * d ≤ radius — small for the radii that make sense (≤ 3).
+    */
+  private[operators] def probesWithin(sig: Long, nPlanes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= nPlanes, s"radius=$radius out of [0, $nPlanes]")
+    def masks(bits: List[Int], d: Int): Seq[Long] =
+      if (d == 0) Seq(0L)
+      else bits match {
+        case Nil => Seq.empty
+        case b :: rest => masks(rest, d) ++ masks(rest, d - 1).map(_ | (1L << b))
+      }
+    (0 to radius).flatMap(d => masks((0 until nPlanes).toList, d).map(sig ^ _)).distinct
+  }
+
+  /** LSH-bucketed ANN: hyperplane signature buckets; query scans only
+    * buckets within `probeRadius` bit-flips of its own signature
+    * (radius 0 = its bucket only; radius 1 = the classic 1-bit
+    * multi-probe; radius = nPlanes degenerates to a full scan). Probed
+    * fraction ≈ Σ_{d≤r} C(nPlanes,d) / 2^nPlanes — radius is the
+    * recall/scan-fraction dial, planes are seeded so the bucket
+    * assignment (and hence the result) is deterministic per corpus.
     */
   def lshTopK(
       df: DataFrame,
@@ -199,22 +232,21 @@ object Similarity {
       query: Array[Float],
       k: Int,
       nPlanes: Int = 6,
-      multiProbe: Boolean = true,
-      seed: Long = 42L): DataFrame = {
+      probeRadius: Int = 1,
+      seed: Long = 42L,
+      scale: Int = 6): DataFrame = {
     val planes = VectorFunctions.randomPlanes(dim, nPlanes, seed)
     val qSig = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (x, y) => x * y }.sum
       if (d >= 0) 1L << i else 0L
     }.sum
-    val probes: Seq[Long] =
-      if (multiProbe) qSig +: (0 until nPlanes).map(i => qSig ^ (1L << i))
-      else Seq(qSig)
+    val probes = probesWithin(qSig, nPlanes, probeRadius)
     val qCol = array(query.map(lit).toIndexedSeq: _*)
     df.withColumn("sig", VectorFunctions.hyperplaneSignature(col(vecCol), planes))
       .filter(col("sig").isin(probes: _*))
       .select(
         col(idCol),
-        round(VectorFunctions.cosine(col(vecCol), qCol), 6).as("cos"))
+        round(VectorFunctions.cosine(col(vecCol), qCol), scale).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }

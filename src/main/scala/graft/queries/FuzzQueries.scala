@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic differential SQL fuzzer — the systematic defense against
+  * the cast/widening/ordering divergence class that hand-written queries
+  * catch one at a time.
+  *
+  * A seeded generator produces 100 query cases over `orders`/`lineitem`
+  * spanning (projection, predicate, group-by, having, order+limit). Each
+  * case is rendered TWICE from one AST:
+  *
+  *  1. a SQL string in a deliberately dialect-neutral subset (runs
+  *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
+  *     AND/OR, modulo, DATE literals, positional GROUP BY, HAVING,
+  *     ORDER BY + LIMIT with a unique-key tiebreak);
+  *  2. an independent DataFrame-API program built from
+  *     `org.apache.spark.sql.functions` Column constructors — it never
+  *     touches the SQL parser, so SQL-vs-DSL disagreement localizes a
+  *     fault to one of the two front ends.
+  *
+  * Every case collapses to ONE summary row with a fixed cross-engine-safe
+  * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
+  * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
+  * (order-independent, bit-identical in both engines — the house rule
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 100
+  * summaries are UNION ALL'd into three declared bundles (by family)
+  * whose DuckDB oracle is the SAME generated SQL — so the driver's
+  * correctness gate hash-compares all 100 against DuckDB, while
+  * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
+  *
+  * Everything derives from a fixed seed: the generated set is identical
+  * across runs, so a failure is reproducible by case id.
+  */
+object FuzzQueries {
+
+  val seed = 20260812L
+  val nScan = 40
+  val nGroup = 40
+  val nTop = 20
+
+  /** One generated case: dialect-neutral SQL producing a single summary
+    * row, plus an independent DataFrame-API program with identical
+    * semantics (input: the case's table, pre-loaded).
+    */
+  final case class FuzzCase(
+      id: String,
+      table: String,
+      sql: String,
+      dsl: DataFrame => DataFrame)
+
+  /** SQL fragment + independent Column constructor kept in lockstep. */
+  private final case class Frag(sql: String, mk: () => Column)
+
+  private def dateLit(rng: scala.util.Random): (String, java.sql.Date) = {
+    val y = 1995 + rng.nextInt(7)
+    val m = 1 + rng.nextInt(12)
+    val d = 1 + rng.nextInt(28)
+    (f"$y%04d-$m%02d-$d%02d", java.sql.Date.valueOf(f"$y%04d-$m%02d-$d%02d"))
+  }
+
+  // ------------------------------------------------------ predicate atoms
+
+  private def numAtom(c: String, lo: Int, hi: Int, rng: scala.util.Random): Frag = {
+    val v = lo + rng.nextInt(hi - lo)
+    rng.nextInt(3) match {
+      case 0 => Frag(s"$c < $v", () => col(c) < v)
+      case 1 => Frag(s"$c >= $v", () => col(c) >= v)
+      case _ =>
+        val w = v + 1 + rng.nextInt(hi - lo)
+        Frag(s"$c BETWEEN $v AND $w", () => col(c) >= v && col(c) <= w)
+    }
+  }
+
+  private def strAtom(c: String, values: Seq[String], rng: scala.util.Random): Frag =
+    if (rng.nextBoolean() || values.size < 3) {
+      val v = values(rng.nextInt(values.size))
+      Frag(s"$c = '$v'", () => col(c) === v)
+    } else {
+      val picked = rng.shuffle(values).take(2).sorted
+      Frag(s"$c IN (${picked.map(v => s"'$v'").mkString(", ")})",
+        () => col(c).isin(picked: _*))
+    }
+
+  private def likeAtom(c: String, patterns: Seq[String], rng: scala.util.Random): Frag = {
+    val p = patterns(rng.nextInt(patterns.size))
+    Frag(s"$c LIKE '$p'", () => col(c).like(p))
+  }
+
+  private def dateAtom(c: String, rng: scala.util.Random): Frag = {
+    val (s, d) = dateLit(rng)
+    if (rng.nextBoolean())
+      Frag(s"CAST($c AS DATE) < DATE '$s'", () => col(c).cast("date") < lit(d))
+    else
+      Frag(s"CAST($c AS DATE) >= DATE '$s'", () => col(c).cast("date") >= lit(d))
+  }
+
+  private def modAtom(c: String, rng: scala.util.Random): Frag = {
+    val m = 2 + rng.nextInt(9)
+    val r = rng.nextInt(m)
+    Frag(s"$c % $m = $r", () => col(c) % m === r)
+  }
+
+  private def discountAtom(rng: scala.util.Random): Frag = {
+    val d = rng.nextInt(10) / 100.0 // 0.00 .. 0.09, exactly representable-ish 2dp
+    Frag(f"l_discount >= $d%.2f", () => col("l_discount") >= d)
+  }
+
+  private def atom(table: String, rng: scala.util.Random): Frag = table match {
+    case "orders" =>
+      rng.nextInt(6) match {
+        case 0 => numAtom("o_totalprice", 5000, 450000, rng)
+        case 1 => strAtom("o_orderstatus", Seq("O", "F", "P"), rng)
+        case 2 => likeAtom("o_orderpriority",
+          Seq("%URGENT", "%HIGH", "%LOW", "%MEDIUM", "%SPECIFIED", "1%"), rng)
+        case 3 => dateAtom("o_orderdate", rng)
+        case 4 => modAtom("o_custkey", rng)
+        case _ => numAtom("o_orderkey", 100, 14000, rng)
+      }
+    case _ =>
+      rng.nextInt(7) match {
+        case 0 => numAtom("l_quantity", 5, 45, rng)
+        case 1 => discountAtom(rng)
+        case 2 => strAtom("l_returnflag", Seq("A", "N", "R"), rng)
+        case 3 => strAtom("l_linestatus", Seq("O", "F"), rng)
+        case 4 => dateAtom("l_shipdate", rng)
+        case 5 => modAtom("l_partkey", rng)
+        case _ => numAtom("l_extendedprice", 2000, 100000, rng)
+      }
+  }
+
+  private def predicate(table: String, rng: scala.util.Random): Frag = {
+    val n = 1 + rng.nextInt(3)
+    val atoms = Seq.fill(n)(atom(table, rng))
+    atoms.reduce { (a, b) =>
+      if (rng.nextBoolean())
+        Frag(s"(${a.sql} AND ${b.sql})", () => a.mk() && b.mk())
+      else
+        Frag(s"(${a.sql} OR ${b.sql})", () => a.mk() || b.mk())
+    }
+  }
+
+  // ------------------------------------------------- aggregates and keys
+
+  /** (column, decimal scale) pools — scales match the hand-written
+    * queries' precedent (q01), where the double→decimal conversion is
+    * pinned to agree across engines.
+    */
+  private def aggCol(table: String, rng: scala.util.Random): (String, Int) = table match {
+    case "orders" => ("o_totalprice", 2)
+    case _ => Seq(("l_quantity", 2), ("l_extendedprice", 2), ("l_discount", 4), ("l_tax", 4))(rng.nextInt(4))
+  }
+
+  private def aggFrag(table: String, rng: scala.util.Random): Frag = {
+    val (c, sc) = aggCol(table, rng)
+    Frag(s"CAST(sum(CAST($c AS DECIMAL(28,$sc))) AS DOUBLE)",
+      () => sum(col(c).cast(DecimalType(28, sc))).cast("double"))
+  }
+
+  private def auxFrag(table: String, rng: scala.util.Random): Frag = table match {
+    case "orders" =>
+      rng.nextInt(3) match {
+        case 0 => Frag("count(DISTINCT o_custkey)", () => countDistinct(col("o_custkey")))
+        case 1 => Frag("CAST(min(o_orderkey) AS BIGINT)", () => min(col("o_orderkey")).cast("long"))
+        case _ => Frag("CAST(max(o_custkey) AS BIGINT)", () => max(col("o_custkey")).cast("long"))
+      }
+    case _ =>
+      rng.nextInt(3) match {
+        case 0 => Frag("count(DISTINCT l_suppkey)", () => countDistinct(col("l_suppkey")))
+        case 1 => Frag("CAST(min(l_orderkey) AS BIGINT)", () => min(col("l_orderkey")).cast("long"))
+        case _ => Frag("CAST(max(l_partkey) AS BIGINT)", () => max(col("l_partkey")).cast("long"))
+      }
+  }
+
+  private def groupFrag(table: String, rng: scala.util.Random): Frag = table match {
+    case "orders" =>
+      rng.nextInt(4) match {
+        case 0 => Frag("o_orderstatus", () => col("o_orderstatus"))
+        case 1 => Frag("o_orderpriority", () => col("o_orderpriority"))
+        case 2 => Frag("year(CAST(o_orderdate AS DATE))", () => year(col("o_orderdate").cast("date")))
+        case _ => Frag("o_custkey % 10", () => col("o_custkey") % 10)
+      }
+    case _ =>
+      rng.nextInt(4) match {
+        case 0 => Frag("l_returnflag", () => col("l_returnflag"))
+        case 1 => Frag("l_linestatus", () => col("l_linestatus"))
+        case 2 => Frag("year(CAST(l_shipdate AS DATE))", () => year(col("l_shipdate").cast("date")))
+        case _ => Frag("l_suppkey % 10", () => col("l_suppkey") % 10)
+      }
+  }
+
+  /** Sort column + unique-key tiebreak: the tiebreak makes ORDER BY +
+    * LIMIT a deterministic row SET, so the summary is engine-independent
+    * even when the sort column has ties.
+    */
+  private def sortFrag(table: String, rng: scala.util.Random): (Frag, Seq[String]) = table match {
+    case "orders" =>
+      val s = Seq("o_totalprice", "o_orderdate", "o_custkey")(rng.nextInt(3))
+      (Frag(s, () => col(s)), Seq("o_orderkey"))
+    case _ =>
+      val s = Seq("l_extendedprice", "l_shipdate", "l_quantity")(rng.nextInt(3))
+      (Frag(s, () => col(s)), Seq("l_orderkey", "l_linenumber"))
+  }
+
+  // ------------------------------------------------------------ families
+
+  /** Family A — filtered scan, whole-table aggregate summary. */
+  private def scanCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val agg = aggFrag(table, rng)
+    val aux = auxFrag(table, rng)
+    FuzzCase(id, table,
+      s"""SELECT '$id' AS fq, count(*) AS n_rows, ${agg.sql} AS agg, ${aux.sql} AS aux
+         FROM $table WHERE ${pred.sql}""",
+      df => df.filter(pred.mk())
+        .agg(count(lit(1)).as("n_rows"), agg.mk().as("agg"), aux.mk().as("aux"))
+        .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+  }
+
+  /** Family B — group-by (1–2 keys, positional), optional HAVING,
+    * summarized over the groups.
+    */
+  private def groupCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val nG = 1 + rng.nextInt(2)
+    val gs = Seq.fill(nG)(groupFrag(table, rng))
+    val (c, sc) = aggCol(table, rng)
+    val having = if (rng.nextInt(3) == 0) Some(1 + rng.nextInt(5)) else None
+    val gList = gs.zipWithIndex.map { case (g, i) => s"${g.sql} AS g$i" }.mkString(", ")
+    val ordinals = (1 to nG).mkString(", ")
+    val havingSql = having.map(h => s" HAVING count(*) > $h").getOrElse("")
+    FuzzCase(id, table,
+      s"""SELECT '$id' AS fq, count(*) AS n_rows, CAST(sum(s) AS DOUBLE) AS agg,
+           CAST(sum(cnt) AS BIGINT) AS aux
+         FROM (
+           SELECT $gList, count(*) AS cnt, sum(CAST($c AS DECIMAL(28,$sc))) AS s
+           FROM $table WHERE ${pred.sql} GROUP BY $ordinals$havingSql
+         ) __g""",
+      df => {
+        val grouped = df.filter(pred.mk())
+          .groupBy(gs.map(_.mk()).toIndexedSeq: _*)
+          .agg(count(lit(1)).as("cnt"), sum(col(c).cast(DecimalType(28, sc))).as("s"))
+        val gated = having.map(h => grouped.filter(col("cnt") > h)).getOrElse(grouped)
+        gated.agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("s")).cast("double").as("agg"),
+            sum(col("cnt")).cast("long").as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+      })
+  }
+
+  /** Family C — ORDER BY + LIMIT with unique tiebreak, summarized. */
+  private def topCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val (sort, keys) = sortFrag(table, rng)
+    val desc_ = rng.nextBoolean()
+    val limit = 10 + rng.nextInt(500)
+    val (c, sc) = aggCol(table, rng)
+    val dirSql = if (desc_) "DESC" else "ASC"
+    val tiebreakSql = keys.map(k => s"$k ASC").mkString(", ")
+    FuzzCase(id, table,
+      s"""SELECT '$id' AS fq, count(*) AS n_rows,
+           CAST(sum(CAST($c AS DECIMAL(28,$sc))) AS DOUBLE) AS agg,
+           CAST(min(${keys.head}) AS BIGINT) AS aux
+         FROM (
+           SELECT * FROM $table WHERE ${pred.sql}
+           ORDER BY ${sort.sql} $dirSql, $tiebreakSql LIMIT $limit
+         ) __t""",
+      df => {
+        val sortCol = if (desc_) sort.mk().desc else sort.mk().asc
+        df.filter(pred.mk())
+          .orderBy((sortCol +: keys.map(col(_).asc)).toIndexedSeq: _*)
+          .limit(limit)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col(c).cast(DecimalType(28, sc))).cast("double").as("agg"),
+            min(col(keys.head)).cast("long").as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+      })
+  }
+
+  // --------------------------------------------------------- public API
+
+  /** The full generated set — a pure function of [[seed]]. */
+  lazy val cases: Seq[FuzzCase] = {
+    val rng = new scala.util.Random(seed)
+    val scans = (0 until nScan).map(i => scanCase(f"fzA$i%03d", rng))
+    val groups = (0 until nGroup).map(i => groupCase(f"fzB$i%03d", rng))
+    val tops = (0 until nTop).map(i => topCase(f"fzC$i%03d", rng))
+    scans ++ groups ++ tops
+  }
+
+  /** Declared bundles, one per family: each is a UNION ALL of its cases'
+    * summary rows, totally ordered by case id. The same text serves as
+    * the Spark query AND the DuckDB oracle (dialect-neutral subset).
+    */
+  lazy val bundles: Seq[(String, Seq[FuzzCase])] = Seq(
+    "q120_fuzz_scan" -> cases.filter(_.id.startsWith("fzA")),
+    "q121_fuzz_groupagg" -> cases.filter(_.id.startsWith("fzB")),
+    "q122_fuzz_toplimit" -> cases.filter(_.id.startsWith("fzC")))
+
+  def bundleSql(cs: Seq[FuzzCase]): String =
+    cs.map(c => s"(${c.sql})").mkString(
+      "SELECT * FROM (\n", "\nUNION ALL\n", "\n) __all ORDER BY fq")
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, ScaleOps, Sessionize, Similarity, TextAnalysis}
 
 /** One declared operator: name, Spark implementation, optional DuckDB
   * oracle SQL over the same parquet tables. Column names MUST match
@@ -979,11 +979,15 @@ object Inventory {
 
     Q("q83_ngram_jaccard",
       (s, dir) => {
-        // Exhaustive word-trigram Jaccard over doc pairs. Hashed shingle
-        // sets: Jaccard over hashes equals Jaccard over the trigrams
-        // themselves (both engines hash injectively w.h.p.), so DuckDB's
-        // different hash function still yields identical set SIZES.
-        val d = t(s, dir, "documents")
+        // VERIFICATION-ONLY exhaustive baseline: all-pairs word-trigram
+        // Jaccard, O(N²) — guarded to fail fast past 100k rows (the
+        // bucketed scale path with the same oracle is q81). Hashed
+        // shingle sets: Jaccard over hashes equals Jaccard over the
+        // trigrams themselves (both engines hash injectively w.h.p.),
+        // so DuckDB's different hash function still yields identical
+        // set SIZES.
+        val d = ScaleOps.boundedExhaustive(
+          t(s, dir, "documents"), "q83_ngram_jaccard")
         val a = d.select(col("doc_id").as("id_a"), Dedup.shingleHashes(col("text"), 3).as("sh_a"))
         val b = d.select(col("doc_id").as("id_b"), Dedup.shingleHashes(col("text"), 3).as("sh_b"))
         val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -1009,9 +1013,11 @@ object Inventory {
 
     Q("q84_embedding_neardup",
       (s, dir) => {
-        // Exact pairwise cosine near-dups (oracle-checkable baseline; the
-        // LSH-bucketed scale path is q85).
-        val e = t(s, dir, "embeddings")
+        // VERIFICATION-ONLY exhaustive baseline: exact all-pairs cosine,
+        // O(N²) — guarded to fail fast past 100k rows (the LSH-bucketed
+        // scale path with the same oracle is q85).
+        val e = ScaleOps.boundedExhaustive(
+          t(s, dir, "embeddings"), "q84_embedding_neardup")
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
         a.join(b, col("id_a") < col("id_b"))
@@ -1044,11 +1050,14 @@ object Inventory {
         // (1 − 0.42)⁴⁸ ≈ 4e-11: the LSH output equals the exhaustive
         // q84 pair list deterministically (seeded planes). The
         // threshold is backed off to 0.4495 and re-applied on the
-        // 4-dp rounding so the gate matches q84's rounded filter.
+        // 4-dp rounding so the gate matches q84's rounded filter. The
+        // operator rounds the RAW cosine once to 4 dp (roundScale) —
+        // re-rounding a 6-dp output here would diverge from the oracle's
+        // single round(cos, 4) near *.xxxx4999995 boundaries.
         Dedup.embeddingNearDups(
           t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.4495, nPlanes = 2, nTables = 48)
-          .withColumn("cos", round(col("cos"), 4))
+          dim = 64, threshold = 0.4495, nPlanes = 2, nTables = 48,
+          roundScale = 4)
           .filter(col("cos") >= 0.45)
           .orderBy("id_a", "id_b"),
       // same exhaustive double-accumulated cosine oracle as q84
@@ -1108,26 +1117,68 @@ object Inventory {
 
     Q("q91_sim_ivf",
       (s, dir) => {
+        // Deterministic-exact parameterization: nprobe = C = 16 probes
+        // EVERY cell, so the IVF result equals the exact top-k by
+        // construction (any corpus) while the full machinery — k-means
+        // centroid build, cell assignment, probe ranking — still runs.
+        // scale=4 rounds the raw cosine ONCE to match the oracle.
+        // SimilaritySpec separately pins recall of the approximate
+        // nprobe=4 default vs brute force.
         val e = t(s, dir, "embeddings")
         val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, iters = 2)
         val q = e.filter(col("vec_id") === 1).select("embedding").head()
           .getSeq[Float](0).toArray
         Similarity.ivfTopK(
           Similarity.ivfIndex(e.filter(col("vec_id") =!= 1), "vec_id", "embedding", cents),
-          "vec_id", "embedding", cents, q, k = 10, nprobe = 4)
+          "vec_id", "embedding", cents, q, k = 10, nprobe = 16, scale = 4)
       },
-      None), // approximate — ScalaTest checks recall vs q90
+      // exact top-k oracle — same as q90 (nprobe=C makes IVF exact)
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        c AS (
+          SELECT b.vec_id,
+            round(
+              list_sum(list_transform(list_zip(b.embedding, q.qe),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qe,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+          FROM embeddings b, q WHERE b.vec_id <> 1)
+        SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     Q("q92_sim_lsh",
       (s, dir) => {
+        // Deterministic-recall-1 parameterization: planes are seeded
+        // (bucket assignment is a pure function of the data), and
+        // nPlanes=4 with probeRadius=3 probes 15/16 buckets — every
+        // bucket except the ANTIPODAL one (vectors whose sign pattern
+        // disagrees with the query on all four planes, i.e. the
+        // least-cosine-aligned region). Recall is therefore 1 at any
+        // corpus where no true top-10 vector is fully sign-opposite to
+        // the query — pinned at sf0.001 AND sf0.01 by SimilaritySpec
+        // ("declared q91/q92 parameterizations are exact"), which makes
+        // q90's exact oracle attachable. The approximate radius-1
+        // default keeps its recall spec.
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 1).select("embedding").head()
           .getSeq[Float](0).toArray
         Similarity.lshTopK(
           e.filter(col("vec_id") =!= 1), "vec_id", "embedding",
-          dim = 64, query = q, k = 10, nPlanes = 6)
+          dim = 64, query = q, k = 10, nPlanes = 4, probeRadius = 3, scale = 4)
       },
-      None),
+      // exact top-k oracle — same as q90 (parameters sized for recall 1)
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        c AS (
+          SELECT b.vec_id,
+            round(
+              list_sum(list_transform(list_zip(b.embedding, q.qe),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qe,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+          FROM embeddings b, q WHERE b.vec_id <> 1)
+        SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     Q("q95_text_stats",
       (s, dir) =>
@@ -1225,9 +1276,25 @@ object Inventory {
           .orderBy("doc_id"),
       None)) // langId + MinHash are engine-internal — rows-only check
 
+  /** Differential fuzz bundles (FuzzQueries): 100 generated cases over
+    * orders/lineitem, one declared query per family. The Spark side runs
+    * the generated dialect-neutral SQL; the oracle is the SAME text run
+    * by DuckDB — so the driver hash-compares every generated case.
+    * FuzzSpec additionally cross-checks each case against an independent
+    * DataFrame-API program inside `sbt test`.
+    */
+  private val fuzz: Seq[Q] = FuzzQueries.bundles.map { case (name, cs) =>
+    Q(name,
+      (s, dir) => {
+        viewed(s, dir, "orders", "lineitem")
+        s.sql(FuzzQueries.bundleSql(cs))
+      },
+      Some(FuzzQueries.bundleSql(cs)))
+  }
+
   val all: Seq[Q] =
     projectionFilter ++ joins ++ aggregations ++ windows ++ sortLimit ++
-      setOps ++ scalars ++ subqueries ++ extensions
+      setOps ++ scalars ++ subqueries ++ extensions ++ fuzz
 
   /** Headline queries for Bench.scala — one per major operator family. */
   val benchNames: Seq[String] = Seq(

@@ -87,5 +87,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"l2_sq expects (a, b), got ${args.length} args")
       })
+
+    // The KMV bottom-k sketch is a typed Aggregator, not a row Expression:
+    // SQL exposure goes through ScalaAggregator (the same bridge
+    // `udf.register(name, udaf(...))` uses), whose partial-merge contract
+    // gives map-side combine for free in GROUP BY plans.
+    register(ext, "bottom_k",
+      "bottom_k(col, k) - KMV sketch: the k smallest xxhash64 values of a LONG column " +
+        "(deterministic distinct sample + distinct-count estimator)", {
+        case Seq(child, kExpr) =>
+          val k = intArg(kExpr, "k")
+          val uda = org.apache.spark.sql.functions.udaf(new graft.functions.BottomKSketch(k))
+            .asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[Long, Array[Long], Array[Long]]]
+          org.apache.spark.sql.execution.aggregate.ScalaAggregator(uda, Seq(child))
+            .toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"bottom_k expects (col, k), got ${args.length} args")
+      })
   }
 }

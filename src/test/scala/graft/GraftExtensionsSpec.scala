@@ -60,4 +60,44 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getInt(0)
     assert(n == 128)
   }
+
+  test("bottom_k is SQL-callable and matches the Column API") {
+    import graft.functions.BottomKSketch
+    val df = (1L to 200L).toDF("v")
+    df.createOrReplaceTempView("ext_bk")
+    val viaSql = spark.sql("SELECT bottom_k(v, 16) AS s FROM ext_bk").head().getSeq[Long](0)
+    val viaCol = df.agg(BottomKSketch.sketch(col("v"), 16).as("s")).head().getSeq[Long](0)
+    assert(viaSql == viaCol)
+    assert(viaSql.length == 16)
+  }
+
+  test("bottom_k property: partitioning/order-invariant, merge-correct in GROUP BY") {
+    import graft.functions.BottomKSketch
+    // property sweep over group sizes spanning the exact (<k) and
+    // estimating (>k) regimes, each value duplicated to pin distinctness
+    val rows = for {
+      g <- 1 to 10
+      v <- 1 to g * 37
+      _ <- 1 to 2 // duplicates must not affect the sketch
+    } yield (g, v.toLong * 1001 + g)
+    val df = rows.toDF("g", "v")
+    df.createOrReplaceTempView("ext_bk_groups")
+    df.repartition(17, col("v")).createOrReplaceTempView("ext_bk_shuffled")
+
+    val a = spark.sql(
+      "SELECT g, bottom_k(v, 32) AS s FROM ext_bk_groups GROUP BY g ORDER BY g")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1))
+    val b = spark.sql(
+      "SELECT g, bottom_k(v, 32) AS s FROM ext_bk_shuffled GROUP BY g ORDER BY g")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1))
+    assert(a.toSeq == b.toSeq, "sketch must not depend on partitioning or merge order")
+
+    a.foreach { case (g, sketch) =>
+      val trueDistinct = g * 37
+      val est = BottomKSketch.estimateDistinct(sketch.toArray, 32)
+      if (trueDistinct < 32) assert(est == trueDistinct.toDouble, s"exact below k (g=$g)")
+      else assert(math.abs(est - trueDistinct) / trueDistinct < 0.45,
+        s"estimate $est vs $trueDistinct at g=$g")
+    }
+  }
 }

@@ -93,6 +93,29 @@ class PipelineSpec extends SparkSpec {
     assert(!over30.collect().exists(_.getAs[String]("User Id") == "u3"))
   }
 
+  test("scratch-cleanup prologue clears pre-existing scratch files (A23)") {
+    val scratch = Files.createTempDirectory("pipeline_scratch")
+    Files.writeString(scratch.resolve("stale1.tmp"), "old")
+    Files.createDirectory(scratch.resolve("sub"))
+    Files.writeString(scratch.resolve("sub").resolve("stale2.tmp"), "old")
+    assert(Files.list(scratch).count() == 2)
+
+    val cfg = LakeConfig("csv", "people_scratch", "SELECT * FROM people_scratch")
+    val out = Files.createTempDirectory("pipeline_out3").resolve("result").toString
+    new Pipeline(spark).run(cfg, csvPath, out, scratchDir = Some(scratch.toString))
+
+    assert(Files.list(scratch).count() == 0, "scratch dir should be emptied before the run")
+    assert(Sources.parquet(spark, out).count() == 5, "run itself unaffected")
+  }
+
+  test("scratch cleanup is best-effort: bogus path does not fail the run") {
+    val cfg = LakeConfig("csv", "people_scratch2", "SELECT * FROM people_scratch2")
+    val out = Files.createTempDirectory("pipeline_out4").resolve("result").toString
+    val res = new Pipeline(spark).run(
+      cfg, csvPath, out, scratchDir = Some("badscheme://nope/x"))
+    assert(res.outputFormat == "parquet")
+  }
+
   test("notifier receives failure on bad format") {
     var got: Option[String] = None
     val notifier = new Notifier {

@@ -52,6 +52,41 @@ class AsofJoinSpec extends SparkSpec {
       (30L, 222.0, 8.5)))  // right@25 attached
   }
 
+  test("key-partitioned window exchange excludes left payload columns (slim shuffle)") {
+    import spark.implicits._
+    // left carries two wide payload columns that must NOT ride the
+    // union-window shuffle — they re-attach by __lid after the window
+    val left = Seq(("A", 10L, "payload-wide-1", 111.0), ("A", 30L, "payload-wide-2", 222.0))
+      .toDF("sym", "ts", "blob", "score")
+    val right = Seq(("A", 5L, 1L, 7.5), ("A", 25L, 2L, 8.5)).toDF("sym", "rts", "rid", "px")
+
+    val out = AsofJoin.asof(left, right, Seq("sym"), "ts", "rts", "rid", Seq("px"))
+
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = out.queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val keyExchanges = root.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("sym") => e
+    }
+    assert(keyExchanges.nonEmpty, s"expected a key-partitioned exchange:\n$root")
+    keyExchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("blob") && !names.contains("score"),
+        s"left payload rode the window shuffle: $names")
+    }
+
+    // semantics unchanged by the restructure
+    val rows = out.orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3), r.getAs[Double]("asof_px")))
+    assert(rows.toSeq == Seq(
+      (10L, "payload-wide-1", 111.0, 7.5),
+      (30L, "payload-wide-2", 222.0, 8.5)))
+  }
+
   test("matches DuckDB-style asof semantics on the events table") {
     // each 'click' gets the most recent prior-or-equal 'view' value per user
     val ev = spark.read.parquet(s"$sf/events.parquet")

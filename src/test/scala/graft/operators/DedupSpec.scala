@@ -95,6 +95,80 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (found ${found.size}/${truth.size})")
   }
 
+  test("q81 oracle soundness: banding catches EVERY exhaustive pair at both corpora") {
+    // q81 attaches an EXACT-match oracle to a probabilistic operator.
+    // Sound iff the seeded banding's recall is exactly 1 at the corpora
+    // the driver verifies — asserted directly here (found == truth, a
+    // deterministic fact given fixed seeds). Additionally fail loudly on
+    // fixture drift into the [0.5, 0.8) jaccard band, where a 32×4
+    // banding miss has non-negligible probability per seed (~1.3e-2 at
+    // j=0.6, ~13% at j=0.5) — a future miss would otherwise surface as
+    // a confusing oracle hash-mismatch far from the cause. (The corpus
+    // today has pairs only at j >= 0.88, where the miss prob is ~1e-14.)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val a = d.select(col("doc_id").as("id_a"), Dedup.shingleHashes(col("text"), 3).as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), Dedup.shingleHashes(col("text"), 3).as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+      val exhaustive = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jac", when(union === 0, 1.0).otherwise(inter / union))
+        .filter(col("jac") >= 0.5)
+      val truth = exhaustive.select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val lowBand = exhaustive.filter(col("jac") < 0.8)
+        .select("id_a", "id_b", "jac").collect()
+      assert(lowBand.isEmpty,
+        s"fixture drift at $dir: pairs in [0.5, 0.8) make q81's exact oracle " +
+          s"seed-fragile: ${lowBand.mkString(", ")}")
+
+      val found = Dedup.minHashNearDups(
+        d, "doc_id", "text", k = 128, bands = 32, w = 3, threshold = 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found == truth,
+        s"q81 != oracle at $dir: missed ${(truth -- found).mkString(",")} " +
+          s"extra ${(found -- truth).mkString(",")}")
+    }
+  }
+
+  test("Zipf-skew fixture: hot shingle in 30% of docs, candidate count stays bounded") {
+    import spark.implicits._
+    // 90 of 300 docs are mostly the same boilerplate (one hot shingle set)
+    // with short unique tails; 210 docs are fully unique. Unguarded, the
+    // boilerplate group alone generates ~90·89/2 = 4005 candidates — the
+    // quadratic hot-bucket term. Both guards must bound it.
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val skewed = ((1 to 90).map(i => (i.toLong, s"$boiler tail$i end$i")) ++
+      (91 to 300).map(i =>
+        (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i")))
+      .toDF("id", "text")
+
+    def candidates(maxBucket: Int, exclude: Array[Long]): Long =
+      Dedup.minHashCandidates(skewed, "id", "text",
+        k = 128, bands = 32, w = 3, seed = 42L,
+        maxBucket = maxBucket, excludeShingles = exclude)._2.count()
+
+    val unguarded = candidates(maxBucket = 1024, exclude = Array.empty)
+    assert(unguarded >= 3000L, s"fixture should exhibit the quadratic term, got $unguarded")
+
+    // guard 1: hot-bucket cap — saturated boilerplate buckets (~90 ids)
+    // are dropped at cap 20; bands where the unique tails perturb the
+    // signature leave small sub-cap buckets, so a bounded remainder
+    // survives — the point is the quadratic term is gone (>10× down)
+    val capped = candidates(maxBucket = 20, exclude = Array.empty)
+    assert(capped <= unguarded / 10,
+      s"cap should collapse the quadratic term: $capped vs unguarded $unguarded")
+
+    // guard 2: stop-shingle exclusion — removes the cause; docs reduce to
+    // their unique tails, so candidates collapse without any cap
+    val hot = Dedup.hotShingles(skewed, "text", w = 3, minDf = 80)
+    assert(hot.nonEmpty, "boilerplate shingles should exceed minDf")
+    val excluded = candidates(maxBucket = 1024, exclude = hot)
+    assert(excluded <= 50L,
+      s"stop-shingle exclusion should collapse the quadratic term, got $excluded")
+  }
+
   test("minHashDedup removes one side of each dup pair") {
     val deduped = Dedup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5).count()

@@ -87,4 +87,17 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("boundedExhaustive passes small inputs through, fails fast past maxRows") {
+    import spark.implicits._
+    val small = (1 to 20).map(_.toLong).toDF("id")
+    assert(ScaleOps.boundedExhaustive(small, "test-op").count() == 20)
+
+    val ex = intercept[IllegalArgumentException] {
+      ScaleOps.boundedExhaustive(small, "test-op", maxRows = 10)
+    }
+    assert(ex.getMessage.contains("all-pairs"))
+    assert(ex.getMessage.contains("minHashNearDups"),
+      "error must point at the bucketed scale path")
+  }
 }

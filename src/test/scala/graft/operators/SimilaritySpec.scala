@@ -113,6 +113,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall $recall") // 1/64 of corpus scanned
   }
 
+  test("declared q91/q92 parameterizations are exact vs brute force at both sf corpora") {
+    // q91/q92 attach the exact top-k DuckDB oracle; this pins the property
+    // that makes the attachment sound: nprobe=C IVF is exact by
+    // construction, and the seeded nPlanes=4/probeRadius=3 LSH (all
+    // buckets except the antipodal one) recovers the full exact top-10
+    // at BOTH corpora the driver verifies against.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+      val rest = e.filter(col("vec_id") =!= 1)
+      val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10, scale = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, iters = 2)
+      val ivf = Similarity.ivfTopK(
+        Similarity.ivfIndex(rest, "vec_id", "embedding", cents),
+        "vec_id", "embedding", cents, q, 10, nprobe = 16, scale = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ivf == exact, s"q91 nprobe=C parameterization not exact at $dir")
+      val lsh = Similarity.lshTopK(rest, "vec_id", "embedding", 64, q, 10,
+        nPlanes = 4, probeRadius = 3, scale = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(lsh == exact, s"q92 radius-3 parameterization not exact at $dir")
+    }
+  }
+
+  test("multi-probe bucket enumeration covers exactly hamming <= radius") {
+    val probes = Similarity.probesWithin(sig = 0xbL, nPlanes = 5, radius = 2)
+    val expected = (0 until 32).map(_.toLong)
+      .filter(m => java.lang.Long.bitCount(m ^ 0xbL) <= 2)
+    assert(probes.toSet == expected.toSet)
+    assert(probes.size == probes.distinct.size)
+    assert(Similarity.probesWithin(7L, 3, 3).toSet == (0 until 8).map(_.toLong).toSet)
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     val planes = VectorFunctions.randomPlanes(64, 8)
     val sigs1 = emb.select(VectorFunctions.hyperplaneSignature(col("embedding"), planes))

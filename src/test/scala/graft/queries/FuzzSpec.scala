@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** In-CI half of the differential fuzzer: every generated case's
+  * dialect-neutral SQL (what the driver also runs on DuckDB) must agree
+  * with its independently-constructed DataFrame-API program. A mismatch
+  * localizes a fault to one of the two front ends — or to the generator,
+  * which is exactly the class of bug that would otherwise surface as an
+  * opaque oracle hash-mismatch in the driver's gate.
+  */
+class FuzzSpec extends SparkSpec {
+
+  private lazy val tables: Map[String, org.apache.spark.sql.DataFrame] = {
+    val m = Map(
+      "orders" -> spark.read.parquet(s"$sf/orders.parquet"),
+      "lineitem" -> spark.read.parquet(s"$sf/lineitem.parquet"))
+    m.foreach { case (n, df) =>
+      df.createOrReplaceTempView(n)
+      df.cache().count() // tiny at sf0.001; 200 fuzz jobs re-scan them
+    }
+    m
+  }
+
+  private def normalize(r: Row): (String, Long, Option[Double], Option[Long]) = (
+    r.getString(0),
+    r.getLong(1),
+    Option(r.get(2)).map(_.asInstanceOf[Double]),
+    Option(r.get(3)).map(_.asInstanceOf[Long]))
+
+  test("generation is a pure function of the seed") {
+    assert(FuzzQueries.cases.size == FuzzQueries.nScan + FuzzQueries.nGroup + FuzzQueries.nTop)
+    assert(FuzzQueries.cases.map(_.id).distinct.size == FuzzQueries.cases.size)
+    // lazy val caches, so regenerate through the private path: sql text
+    // equality across two JVM-wide accesses plus a spot re-render
+    val again = FuzzQueries.bundles.map { case (n, cs) => n -> FuzzQueries.bundleSql(cs) }
+    assert(again == FuzzQueries.bundles.map { case (n, cs) => n -> FuzzQueries.bundleSql(cs) })
+  }
+
+  test("all 100 cases: SQL and DataFrame-API programs agree row-for-row") {
+    tables // register + cache the views before any spark.sql below
+    val failures = FuzzQueries.cases.flatMap { c =>
+      val viaSql = normalize(spark.sql(c.sql).head())
+      val viaDsl = normalize(c.dsl(tables(c.table)).head())
+      if (viaSql == viaDsl) None
+      else Some(s"${c.id}: sql=$viaSql dsl=$viaDsl\n  ${c.sql}")
+    }
+    assert(failures.isEmpty, s"${failures.size} divergent cases:\n${failures.mkString("\n")}")
+  }
+
+  test("bundles cover every case exactly once and execute end-to-end") {
+    tables
+    val bundled = FuzzQueries.bundles.flatMap(_._2.map(_.id))
+    assert(bundled.sorted == FuzzQueries.cases.map(_.id).sorted)
+    FuzzQueries.bundles.foreach { case (name, cs) =>
+      val out = spark.sql(FuzzQueries.bundleSql(cs)).collect()
+      assert(out.length == cs.size, s"$name row count")
+      assert(out.map(_.getString(0)).toSeq == cs.map(_.id).sorted, s"$name ordered by fq")
+    }
+  }
+}
