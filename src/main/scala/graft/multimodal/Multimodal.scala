@@ -137,10 +137,85 @@ object Multimodal {
       }
   }
 
-  /** STUB codec for AUDIO/VIDEO — deterministic fake standing in for a
-    * real decoder (??? boundary). Production: replace body with e.g.
-    * ffmpeg bindings; signature and batch shape stay identical. (The
-    * image modality no longer routes here — see [[ImageCodec]].)
+  /** Real audio codec over `javax.sound.sampled` (on the JDK, zero
+    * extra dependencies): WAV/AIFF/AU decode — duration, sample rate,
+    * channels, and amplitude features from actual samples. Compressed
+    * formats (mp3/ogg) have no JDK codec and fall back to the stub.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Decode audio bytes: (duration_ms, sample_rate, channels), or None
+      * when the bytes are not a JDK-decodable audio container.
+      */
+    def decode(bytes: Array[Byte]): Option[(Long, Int, Int)] =
+      if (bytes == null || bytes.length == 0) None
+      else
+        try {
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            if (frames <= 0 || fmt.getFrameRate <= 0) None
+            else Some((
+              (frames * 1000.0 / fmt.getFrameRate).toLong,
+              fmt.getSampleRate.toInt,
+              fmt.getChannels))
+          } finally in.close()
+        } catch { case _: Exception => None }
+
+    /** Deterministic synthetic WAV: 8 kHz 8-bit unsigned mono PCM sine,
+      * duration and frequency a pure function of the seed — real
+      * decodable audio for fixtures without bundling binary test data.
+      */
+    def makeWav(seed: Long): Array[Byte] = {
+      val rate = 8000
+      val frames = 1600 + math.abs(seed % 14401).toInt // 0.2 .. 2.0 s
+      val freq = 200.0 + math.abs((seed >> 3) % 800)
+      val data = new Array[Byte](frames)
+      var i = 0
+      while (i < frames) {
+        data(i) = (128 + 100 * math.sin(2 * math.Pi * freq * i / rate)).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate.toFloat, 8, 1, false, false)
+      val out = new ByteArrayOutputStream()
+      val stream = new AudioInputStream(new ByteArrayInputStream(data), fmt, frames.toLong)
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Real feature extraction from samples: dim-bucket amplitude
+      * histogram over the decoded 8-bit stream, L1-normalized. Swap for
+      * a spectral embedding in production.
+      */
+    def amplitudeHistogram(bytes: Array[Byte], dim: Int): Array[Float] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val counts = new Array[Float](dim)
+          var total = 0L
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) {
+              counts(((buf(i) & 0xff) * dim) / 256) += 1f
+              i += 1
+            }
+            total += n
+            n = in.read(buf)
+          }
+          if (total == 0) counts else counts.map(_ / total)
+        } finally in.close()
+      } catch { case _: Exception => new Array[Float](dim) }
+  }
+
+  /** STUB codec for VIDEO (and non-JDK-decodable audio) — deterministic
+    * fake standing in for a real decoder (??? boundary). Production:
+    * replace body with e.g. ffmpeg bindings; signature and batch shape
+    * stay identical. (Image routes to [[ImageCodec]], WAV-class audio to
+    * [[AudioCodec]].)
     */
   object FakeCodec {
     def decode(modality: String, bytes: Array[Byte]): (Int, Int, Long, Int) = {
@@ -171,7 +246,10 @@ object Multimodal {
     * Image rows: REAL decode (javax.imageio) — width/height/features from
     * actual pixels; undecodable image bytes yield a (0,0,0,0) row
     * (n_frames = 0 marks the corrupt sample; at 100 TB you filter these,
-    * never throw). Audio/video rows: FakeCodec stub.
+    * never throw). Audio rows: REAL decode for JDK-supported containers
+    * (WAV/AIFF/AU via javax.sound.sampled) — duration and amplitude
+    * features from actual samples; other audio bytes fall back to the
+    * FakeCodec stub. Video rows: FakeCodec stub.
     */
   def decodeAssets(spark: SparkSession, assets: DataFrame, featureDim: Int = 16): Dataset[DecodedAsset] = {
     import spark.implicits._
@@ -194,6 +272,16 @@ object Multimodal {
                     ImageCodec.grayHistogram(img, featureDim))
                 case None =>
                   DecodedAsset(a.asset_id, a.modality, 0, 0, 0L, 0, new Array[Float](featureDim))
+              }
+            case "audio" =>
+              AudioCodec.decode(a.content) match {
+                case Some((durMs, _, _)) =>
+                  DecodedAsset(a.asset_id, a.modality, 0, 0, durMs, 0,
+                    AudioCodec.amplitudeHistogram(a.content, featureDim))
+                case None => // not a JDK container — stub path
+                  val (w, h, dur, frames) = FakeCodec.decode(a.modality, a.content)
+                  DecodedAsset(a.asset_id, a.modality, w, h, dur, frames,
+                    FakeCodec.features(a.content, featureDim))
               }
             case m =>
               val (w, h, dur, frames) = FakeCodec.decode(m, a.content)
@@ -286,10 +374,11 @@ object Multimodal {
 
   /** Deterministic fake assets derived from any table — lets tests and
     * benches exercise the binary plumbing without bundling media files.
-    * Image rows carry REAL (synthesized, seeded-by-id) PNG bytes so the
-    * javax.imageio decode path runs on actual pixels; audio/video rows
-    * carry the UTF-8 of the text (opaque bytes for the stub codec).
-    * Modality round-robins on id.
+    * Image rows carry REAL (synthesized, seeded-by-id) PNG bytes and
+    * audio rows REAL WAV bytes, so the javax.imageio / javax.sound
+    * decode paths run on actual pixels/samples; video rows carry the
+    * UTF-8 of the text (opaque bytes for the stub codec). Modality
+    * round-robins on id.
     */
   def syntheticAssets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -301,6 +390,7 @@ object Multimodal {
           val modality = Seq("image", "audio", "video")((id % 3).toInt)
           val (content, mime) = modality match {
             case "image" => (ImageCodec.makePng(id), "image/png")
+            case "audio" => (AudioCodec.makeWav(id), "audio/wav")
             case _ =>
               (Option(txt).getOrElse("").getBytes("UTF-8"), "application/octet-stream")
           }

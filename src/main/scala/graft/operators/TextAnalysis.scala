@@ -118,6 +118,86 @@ object TextAnalysis {
       st => st.getField("acc"))
   }
 
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before text leaves the lake. Four conservative patterns (emails,
+    * SSN-shaped ids, US-style phone numbers, IPv4 addresses) replaced
+    * with typed placeholders. Deliberately restricted to the regex
+    * subset Java regex and RE2 agree on (no lookaround, no backrefs) so
+    * the operator is DuckDB-oracle-checkable (q102) and portable to
+    * RE2-based engines. Map-only; regexp_replace is codegen'd.
+    *
+    * Order matters: SSN before phone (a 3-2-4 digit group must become
+    * <SSN>, not half a phone), email before IPv4 (domains with numeric
+    * labels stay inside <EMAIL>).
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(
+      text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "\\d{3}-\\d{2}-\\d{4}", "<SSN>")
+    val phone = regexp_replace(ssn, "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>")
+    regexp_replace(phone, "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>")
+  }
+
+  /** Overlapping token-window chunking — long documents cut into
+    * training-sized pieces. One chunk starts every `size - overlap`
+    * tokens; a chunk's window is `size` tokens (the final chunk may be
+    * shorter); starts past `n - overlap` are suppressed (they would be
+    * wholly contained in the previous chunk), except start 1 so every
+    * non-empty doc yields ≥ 1 chunk. Pure expressions: sequence +
+    * explode + slice — the explode is the only row amplification and it
+    * is exactly the output size; no shuffle.
+    *
+    * Output: (idCol, chunk_idx, chunk_tokens, chunk) rows.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got $size/$overlap")
+    val step = size - overlap
+    val toks = tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    df.withColumn("__toks", toks)
+      .withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("__start",
+        explode(sequence(lit(1), greatest(col("__n") - overlap, lit(1)), lit(step))))
+      .select(
+        col(idCol),
+        ((col("__start") - 1) / step).cast("bigint").as("chunk_idx"),
+        least(lit(size), col("__n") - col("__start") + 1).cast("int").as("chunk_tokens"),
+        array_join(slice(col("__toks"), col("__start"), lit(size)), " ").as("chunk"))
+  }
+
+  /** Repetition ratio — the C4/Gopher-style boilerplate signal: the
+    * fraction of word n-grams that are repeats of an earlier n-gram
+    * (1 − distinct/total). 0 for docs shorter than n tokens. Unlike
+    * [[graft.operators.Dedup.shingleHashes]] this keeps duplicates — the
+    * whole point is counting them.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = tokens(lower(text))
+    val total = org.apache.spark.sql.functions.size(toks) - (n - 1)
+    val grams = transform(
+      sequence(lit(1), greatest(total, lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    when(total <= 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - org.apache.spark.sql.functions.size(array_distinct(grams)).cast("double")
+          / total.cast("double"), 6))
+  }
+
+  /** Cross-engine content fingerprint: md5 of the normalized
+    * (lowercased, trimmed) text. Complements the engine-internal rolling
+    * [[fingerprint]]: md5 is standard, so exact-dup grouping on it is
+    * DuckDB-oracle-checkable end to end (q105) and stable across
+    * engines, languages, and Spark versions — the right key for a
+    * persisted cross-system dedup ledger.
+    */
+  def md5Fingerprint(text: Column): Column = md5(lower(trim(text)).cast("binary"))
+
   /** Annotate a documents frame with all analysis columns. One native
     * single-tokenization kernel (TextProfileExpr); field-by-field
     * value-identical to [[annotateHof]], which the spec pins.

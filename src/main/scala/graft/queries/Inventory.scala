@@ -1274,7 +1274,90 @@ object Inventory {
         graft.operators.CorpusPipeline.clean(t(s, dir, "documents"))
           .select("doc_id", "lang_pred", "n_tokens", "quality")
           .orderBy("doc_id"),
-      None)) // langId + MinHash are engine-internal — rows-only check
+      None), // langId + MinHash are engine-internal — rows-only check
+
+    Q("q102_pii_redact",
+      (s, dir) => {
+        // PII scrub with a deterministic PII payload injected per doc (the
+        // corpus itself is synthetic and PII-free): all four pattern
+        // classes — email, SSN, phone, IPv4 — must come back redacted,
+        // verified byte-for-byte against DuckDB's RE2 regexp_replace (the
+        // operator's regex subset is deliberately Java/RE2-portable).
+        val pii = concat(
+          substring(col("text"), 1, 40),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex-mail.org or (415) 555-0137 ssn 123-45-6789 host 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.redactPii(pii).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+            || '@ex-mail.org or (415) 555-0137 ssn 123-45-6789 host 10.0.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.7',
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+          '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+          '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS clean
+        FROM documents ORDER BY doc_id""")),
+
+    Q("q103_chunking",
+      (s, dir) =>
+        // overlapping token-window chunking (40-token windows, 10-token
+        // overlap → a chunk every 30); explode is the output itself, no
+        // shuffle beyond the presentation sort
+        TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+          size = 40, overlap = 10)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE length(trim(text)) > 0),
+        st AS (
+          SELECT doc_id, w,
+            unnest(generate_series(1, greatest(len(w) - 10, 1), 30)) AS s
+          FROM toks)
+        SELECT doc_id,
+          CAST((s - 1) // 30 AS BIGINT) AS chunk_idx,
+          CAST(least(40, len(w) - s + 1) AS INTEGER) AS chunk_tokens,
+          array_to_string(w[s:s + 39], ' ') AS chunk
+        FROM st ORDER BY doc_id, chunk_idx""")),
+
+    Q("q104_repetition",
+      (s, dir) =>
+        // C4/Gopher-style repetition signal: fraction of word trigrams
+        // that repeat an earlier trigram; map-only quality gate input
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
+          .orderBy("doc_id"),
+      Some("""WITH g AS (
+          SELECT doc_id,
+            [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))] AS grams
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents))
+        SELECT doc_id,
+          CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+          END AS rep_ratio
+        FROM g ORDER BY doc_id""")),
+
+    Q("q105_fingerprint_md5",
+      (s, dir) =>
+        // cross-engine exact-dup ledger: md5 of normalized text is
+        // reproducible in ANY engine (unlike the xxhash64 rolling
+        // fingerprint q98, which is Spark-internal) — this is the
+        // fingerprint to persist when multiple systems must agree
+        t(s, dir, "documents")
+          .groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "fp_md5", "n_copies")
+          .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fp_md5,
+          count(*) AS n_copies
+        FROM documents GROUP BY 2 ORDER BY doc_id""")))
 
   /** Differential fuzz bundles (FuzzQueries): 100 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs

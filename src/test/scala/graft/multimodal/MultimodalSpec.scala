@@ -66,6 +66,38 @@ class MultimodalSpec extends SparkSpec {
     assert(back.get.getWidth == 50 && back.get.getHeight == 30)
   }
 
+  test("audio path decodes a real WAV's duration and samples (javax.sound)") {
+    import spark.implicits._
+    // 8000 frames at 8 kHz = exactly 1000 ms
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val samples = Array.tabulate[Byte](8000)(i => (128 + (i % 64)).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, 8000L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+
+    val asset = Seq((9L, "audio", out.toByteArray, "test", "audio/wav"))
+      .toDF("asset_id", "modality", "content", "source", "mime")
+    val d = Multimodal.decodeAssets(spark, asset).collect().head
+    assert(d.duration_ms == 1000L && d.width == 0 && d.n_frames == 0)
+    // amplitude histogram comes from real samples and is L1-normalized
+    assert(math.abs(d.feature.sum - 1.0f) < 1e-5)
+    // samples were constructed in [128, 192) → upper-half buckets only
+    assert(d.feature.take(8).forall(_ == 0f), "lower amplitude buckets must be empty")
+  }
+
+  test("synthetic WAV generation is deterministic and really decodable") {
+    val a = Multimodal.AudioCodec.makeWav(77L)
+    assert(a.toSeq == Multimodal.AudioCodec.makeWav(77L).toSeq)
+    val meta = Multimodal.AudioCodec.decode(a)
+    assert(meta.isDefined)
+    val (durMs, rate, ch) = meta.get
+    assert(rate == 8000 && ch == 1 && durMs >= 200 && durMs <= 2000)
+    // non-WAV bytes fall back to None (stub path), never throw
+    assert(Multimodal.AudioCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
   test("synthetic PNG generation is deterministic and really decodable") {
     val a = Multimodal.ImageCodec.makePng(123L)
     val b = Multimodal.ImageCodec.makePng(123L)

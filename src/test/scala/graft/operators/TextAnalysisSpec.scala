@@ -91,4 +91,65 @@ class TextAnalysisSpec extends SparkSpec {
         s"mismatch on columns $cols")
     }
   }
+
+  test("redactPii replaces all four PII classes, leaves clean text alone") {
+    val df = Seq(
+      "mail me at jane.doe+x@corp-site.co.uk today",
+      "ssn is 123-45-6789 ok",
+      "call (415) 555-0137 or 415-555-0137 or 415.555.0137",
+      "server at 192.168.001.42 port 80",
+      "no pii here, just words and 42 numbers like 3.14").toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "ssn is <SSN> ok")
+    assert(out(2) == "call <PHONE> or <PHONE> or <PHONE>")
+    assert(out(3) == "server at <IP> port 80")
+    assert(out(4) == "no pii here, just words and 42 numbers like 3.14")
+  }
+
+  test("chunk: window/overlap starts, tail coverage, short and empty docs") {
+    val doc100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc100), (2L, "a b c d e"), (3L, ""), (4L, "   ")).toDF("id", "text")
+    val rows = TextAnalysis.chunk(df, "id", "text", size = 40, overlap = 10)
+      .orderBy("id", "chunk_idx").collect()
+
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    // starts 1, 31, 61 (start 91 suppressed: wholly inside chunk@61's window)
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_.getInt(2)).toSeq == Seq(40, 40, 40))
+    assert(d1.head.getString(3).startsWith("t1 t2 ") && d1.last.getString(3).endsWith(" t100"))
+    // every token is covered by some chunk
+    val covered = d1.flatMap(_.getString(3).split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"t$i").toSet)
+
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getInt(2) == 5 && d2.head.getString(3) == "a b c d e")
+    assert(!rows.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L), "empty docs yield no chunks")
+  }
+
+  test("repetitionRatio counts repeated trigrams; 0 for unique or short text") {
+    val df = Seq(
+      "a b c a b c a b c",                    // 7 trigrams, 3 distinct → 1 - 3/7
+      "one two three four five six",          // all distinct → 0
+      "too short",                            // < 3 tokens → 0
+      "").toDF("text")
+    val r = df.select(TextAnalysis.repetitionRatio(col("text"), 3)).collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - (1.0 - 3.0 / 7.0)) < 1e-6)
+    assert(r(1) == 0.0 && r(2) == 0.0 && r(3) == 0.0)
+  }
+
+  test("md5Fingerprint matches MessageDigest on normalized text") {
+    val fp = Seq("  The QUICK brown fox  ").toDF("text")
+      .select(TextAnalysis.md5Fingerprint(col("text"))).head.getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("the quick brown fox".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp == md)
+    // normalization: case/outer-whitespace insensitive, inner-sensitive
+    val same = Seq(("THE QUICK BROWN FOX", "the quick brown fox  "))
+      .toDF("a", "b")
+      .select((TextAnalysis.md5Fingerprint(col("a")) === TextAnalysis.md5Fingerprint(col("b"))).as("eq"))
+      .head.getBoolean(0)
+    assert(same)
+  }
 }
