@@ -190,6 +190,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-row probe-cell list: the `nprobe` centroid cells nearest to the
+    * row's vector, as an array column. Distances are zipped with cell
+    * ids into structs and sorted (dist first ⇒ lexicographic struct sort
+    * ranks by distance, ties to the lowest cell — deterministic), then
+    * the cell ids of the first nprobe are kept.
+    */
+  private def probeCellsCol(
+      vec: Column,
+      cents: Array[(Int, Array[Double])],
+      nprobe: Int): Column = {
+    val entries = cents.sortBy(_._1).map { case (cid, cvec) =>
+      struct(
+        VectorFunctions.l2Sq(vec, array(cvec.map(lit).toIndexedSeq: _*)).as("d"),
+        lit(cid).as("cell"))
+    }
+    transform(
+      slice(sort_array(array(entries.toIndexedSeq: _*)), 1, nprobe),
+      e => e.getField("cell"))
+  }
+
+  /** Batch k-NN JOIN: for EVERY query row, the k nearest corpus rows by
+    * cosine — the all-queries generalization of [[ivfTopK]] (which
+    * serves one literal query vector per job; a training pipeline
+    * labeling millions of examples needs the join form).
+    *
+    * Shape: corpus is cell-assigned once (map-only, centroids broadcast
+    * as literals); each query explodes to its `nprobe` nearest cells;
+    * one equi-join on `cell` pairs each query with only ~nprobe/C of the
+    * corpus; a per-query window keeps the top k. Corpus vectors must
+    * ride the cell join (the cosine needs them) — at 100 TB persist the
+    * corpus with `writeIvfIndex` so the join reads only probed cell
+    * partitions, and size C so |cell| fits an executor.
+    *
+    * With `nprobe = C` the result is exact for every query (the q93
+    * oracle parameterization). Output: (queryId, corpusId, cos, rank)
+    * with rank 1..k by rounded cosine desc, corpusId asc.
+    */
+  def knnJoin(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[(Int, Array[Double])],
+      nprobe: Int = 4,
+      scale: Int = 6): DataFrame = {
+    require(queryId != corpusId,
+      s"queryId and corpusId must differ (alias one side), both are '$queryId'")
+    val indexedCorpus = ivfIndex(corpus, corpusId, vecCol, cents)
+      .select(col(corpusId), col(vecCol).as("__cv"), col("cell"))
+    val probed = queries
+      .select(col(queryId), col(vecCol).as("__qv"))
+      .withColumn("cell", explode(probeCellsCol(col("__qv"), cents, nprobe)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryId)
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    probed
+      .join(indexedCorpus, Seq("cell"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("__qv"), col("__cv")), scale))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+  }
+
   /** Plane count sized to the corpus: 2^nPlanes buckets must grow with N
     * or candidate pairs explode quadratically (measured in SCALE.md:
     * 100k vectors at 8 planes = 35 s, at 16 planes = 2.3 s). Returns

@@ -40,16 +40,17 @@ object FuzzQueries {
   val nScan = 40
   val nGroup = 40
   val nTop = 20
+  val nJoin = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
-    * semantics (input: the case's table, pre-loaded).
+    * semantics (input: the pre-loaded tables by name).
     */
   final case class FuzzCase(
       id: String,
       table: String,
       sql: String,
-      dsl: DataFrame => DataFrame)
+      dsl: Map[String, DataFrame] => DataFrame)
 
   /** SQL fragment + independent Column constructor kept in lockstep. */
   private final case class Frag(sql: String, mk: () => Column)
@@ -215,7 +216,7 @@ object FuzzQueries {
     FuzzCase(id, table,
       s"""SELECT '$id' AS fq, count(*) AS n_rows, ${agg.sql} AS agg, ${aux.sql} AS aux
          FROM $table WHERE ${pred.sql}""",
-      df => df.filter(pred.mk())
+      ts => ts(table).filter(pred.mk())
         .agg(count(lit(1)).as("n_rows"), agg.mk().as("agg"), aux.mk().as("aux"))
         .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
   }
@@ -240,8 +241,8 @@ object FuzzQueries {
            SELECT $gList, count(*) AS cnt, sum(CAST($c AS DECIMAL(28,$sc))) AS s
            FROM $table WHERE ${pred.sql} GROUP BY $ordinals$havingSql
          ) __g""",
-      df => {
-        val grouped = df.filter(pred.mk())
+      ts => {
+        val grouped = ts(table).filter(pred.mk())
           .groupBy(gs.map(_.mk()).toIndexedSeq: _*)
           .agg(count(lit(1)).as("cnt"), sum(col(c).cast(DecimalType(28, sc))).as("s"))
         val gated = having.map(h => grouped.filter(col("cnt") > h)).getOrElse(grouped)
@@ -271,9 +272,9 @@ object FuzzQueries {
            SELECT * FROM $table WHERE ${pred.sql}
            ORDER BY ${sort.sql} $dirSql, $tiebreakSql LIMIT $limit
          ) __t""",
-      df => {
+      ts => {
         val sortCol = if (desc_) sort.mk().desc else sort.mk().asc
-        df.filter(pred.mk())
+        ts(table).filter(pred.mk())
           .orderBy((sortCol +: keys.map(col(_).asc)).toIndexedSeq: _*)
           .limit(limit)
           .agg(
@@ -284,6 +285,55 @@ object FuzzQueries {
       })
   }
 
+  /** Family D — two-table joins on the lineitem→orders FK: half INNER
+    * with a mixed-table WHERE, half LEFT OUTER with an extra predicate
+    * in the ON clause (the classic divergence area: a right-side filter
+    * in ON preserves unmatched left rows, in WHERE it silently turns the
+    * join inner — both engines must agree on the distinction). Aggregates
+    * run over right-side columns, so null-skipping semantics of
+    * sum/count(DISTINCT) over unmatched rows are exercised too.
+    */
+  private def joinCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val (c, sc) = aggCol("lineitem", rng)
+    val aggSql = s"CAST(sum(CAST($c AS DECIMAL(28,$sc))) AS DOUBLE)"
+    val aggMk = () => sum(col(c).cast(DecimalType(28, sc))).cast("double")
+    val aux = auxFrag(if (rng.nextBoolean()) "orders" else "lineitem", rng)
+    if (rng.nextBoolean()) {
+      // INNER: predicate mixes atoms from both sides
+      val po = atom("orders", rng)
+      val pl = atom("lineitem", rng)
+      val pred = if (rng.nextBoolean())
+        Frag(s"(${po.sql} AND ${pl.sql})", () => po.mk() && pl.mk())
+      else
+        Frag(s"(${po.sql} OR ${pl.sql})", () => po.mk() || pl.mk())
+      FuzzCase(id, "lineitem",
+        s"""SELECT '$id' AS fq, count(*) AS n_rows, $aggSql AS agg, ${aux.sql} AS aux
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE ${pred.sql}""",
+        ts => ts("lineitem")
+          .join(ts("orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(pred.mk())
+          .agg(count(lit(1)).as("n_rows"), aggMk().as("agg"), aux.mk().as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    } else {
+      // LEFT: lineitem-side atom in ON (keeps unmatched orders rows),
+      // orders-side atom in WHERE
+      val onAtom = atom("lineitem", rng)
+      val whereAtom = atom("orders", rng)
+      FuzzCase(id, "orders",
+        s"""SELECT '$id' AS fq, count(*) AS n_rows, $aggSql AS agg, ${aux.sql} AS aux
+           FROM orders LEFT JOIN lineitem
+             ON l_orderkey = o_orderkey AND ${onAtom.sql}
+           WHERE ${whereAtom.sql}""",
+        ts => ts("orders")
+          .join(ts("lineitem"),
+            col("l_orderkey") === col("o_orderkey") && onAtom.mk(), "left")
+          .filter(whereAtom.mk())
+          .agg(count(lit(1)).as("n_rows"), aggMk().as("agg"), aux.mk().as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    }
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -292,7 +342,8 @@ object FuzzQueries {
     val scans = (0 until nScan).map(i => scanCase(f"fzA$i%03d", rng))
     val groups = (0 until nGroup).map(i => groupCase(f"fzB$i%03d", rng))
     val tops = (0 until nTop).map(i => topCase(f"fzC$i%03d", rng))
-    scans ++ groups ++ tops
+    val joins = (0 until nJoin).map(i => joinCase(f"fzD$i%03d", rng))
+    scans ++ groups ++ tops ++ joins
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -302,7 +353,8 @@ object FuzzQueries {
   lazy val bundles: Seq[(String, Seq[FuzzCase])] = Seq(
     "q120_fuzz_scan" -> cases.filter(_.id.startsWith("fzA")),
     "q121_fuzz_groupagg" -> cases.filter(_.id.startsWith("fzB")),
-    "q122_fuzz_toplimit" -> cases.filter(_.id.startsWith("fzC")))
+    "q122_fuzz_toplimit" -> cases.filter(_.id.startsWith("fzC")),
+    "q123_fuzz_join" -> cases.filter(_.id.startsWith("fzD")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(

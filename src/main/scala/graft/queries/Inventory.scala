@@ -1180,6 +1180,40 @@ object Inventory {
           FROM embeddings b, q WHERE b.vec_id <> 1)
         SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    Q("q93_knn_join",
+      (s, dir) => {
+        // Batch k-NN join: every query row gets its top-5 corpus
+        // neighbors in ONE job (vs q90/q91's one-query-per-job shape).
+        // nprobe = C = 16 probes every cell ⇒ exact by construction,
+        // so the exhaustive DuckDB window oracle attaches; the
+        // approximate nprobe default is recall-tested in SimilaritySpec.
+        val e = t(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") % 100 === 1)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val corpus = e.filter(col("vec_id") % 100 =!= 1)
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, iters = 2)
+        Similarity.knnJoin(corpus, queries, "vec_id", "qid", "embedding",
+          k = 5, cents = cents, nprobe = 16, scale = 4)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 1),
+        c AS (
+          SELECT q.qid, b.vec_id,
+            round(
+              list_sum(list_transform(list_zip(b.embedding, q.qv),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+          FROM embeddings b, q WHERE b.vec_id % 100 <> 1),
+        r AS (
+          SELECT qid, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+          FROM c)
+        SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""")),
+
     Q("q95_text_stats",
       (s, dir) =>
         t(s, dir, "documents")

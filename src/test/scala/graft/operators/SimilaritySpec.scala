@@ -138,6 +138,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnJoin with nprobe=C matches per-query brute force; nprobe=4 has recall") {
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, iters = 2)
+    val qids = Seq(1L, 7L, 23L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = emb.filter(!col("vec_id").isin(qids: _*))
+
+    val exact = Similarity.knnJoin(corpus, queries, "vec_id", "qid", "embedding",
+      k = 5, cents = cents, nprobe = 16, scale = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+
+    // every query gets exactly its brute-force top-5, rank-aligned
+    qids.foreach { q =>
+      val qv = emb.filter(col("vec_id") === q).select("embedding").head.getSeq[Float](0).toArray
+      val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qv, 5, scale = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = exact(q).sortBy(_._4).map(r => (r._2, r._3))
+      assert(got.toSeq == truth.toSeq, s"query $q")
+    }
+
+    // approximate probing still recovers most neighbors
+    val approx = Similarity.knnJoin(corpus, queries, "vec_id", "qid", "embedding",
+      k = 5, cents = cents, nprobe = 4, scale = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.values.flatten.map(r => (r._1, r._2)).toSet
+    val recall = approx.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"knnJoin nprobe=4 recall $recall")
+  }
+
   test("multi-probe bucket enumeration covers exactly hamming <= radius") {
     val probes = Similarity.probesWithin(sig = 0xbL, nPlanes = 5, radius = 2)
     val expected = (0 until 32).map(_.toLong)

@@ -31,7 +31,8 @@ class FuzzSpec extends SparkSpec {
     Option(r.get(3)).map(_.asInstanceOf[Long]))
 
   test("generation is a pure function of the seed") {
-    assert(FuzzQueries.cases.size == FuzzQueries.nScan + FuzzQueries.nGroup + FuzzQueries.nTop)
+    assert(FuzzQueries.cases.size ==
+      FuzzQueries.nScan + FuzzQueries.nGroup + FuzzQueries.nTop + FuzzQueries.nJoin)
     assert(FuzzQueries.cases.map(_.id).distinct.size == FuzzQueries.cases.size)
     // lazy val caches, so regenerate through the private path: sql text
     // equality across two JVM-wide accesses plus a spot re-render
@@ -39,11 +40,11 @@ class FuzzSpec extends SparkSpec {
     assert(again == FuzzQueries.bundles.map { case (n, cs) => n -> FuzzQueries.bundleSql(cs) })
   }
 
-  test("all 100 cases: SQL and DataFrame-API programs agree row-for-row") {
+  test("all 120 cases: SQL and DataFrame-API programs agree row-for-row") {
     tables // register + cache the views before any spark.sql below
     val failures = FuzzQueries.cases.flatMap { c =>
       val viaSql = normalize(spark.sql(c.sql).head())
-      val viaDsl = normalize(c.dsl(tables(c.table)).head())
+      val viaDsl = normalize(c.dsl(tables).head())
       if (viaSql == viaDsl) None
       else Some(s"${c.id}: sql=$viaSql dsl=$viaDsl\n  ${c.sql}")
     }
