@@ -104,5 +104,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"bottom_k expects (col, k), got ${args.length} args")
       })
+
+    // Column-composition operators exposed to SQL through the
+    // Column↔Expression bridge: the SQL surface gets exactly the same
+    // expression tree the Scala API builds (regexp chains, HOF chunking
+    // math), so there is one semantics to test, not two. The node
+    // converter (not ExpressionUtils.expression) is required: the latter
+    // defers conversion inside a ColumnNodeExpression wrapper, which the
+    // analyzer never unwraps when returned from a function builder.
+    import org.apache.spark.sql.classic.ExpressionUtils.column
+    def expression(c: org.apache.spark.sql.Column): Expression =
+      org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+    register(ext, "redact_pii",
+      "redact_pii(text) - emails/SSNs/phones/IPv4 replaced with typed placeholders", {
+        case Seq(text) =>
+          expression(graft.operators.TextAnalysis.redactPii(column(text)))
+        case args => throw new IllegalArgumentException(
+          s"redact_pii expects (text), got ${args.length} args")
+      })
+
+    register(ext, "repetition_ratio",
+      "repetition_ratio(text, n) - fraction of word n-grams repeating an earlier n-gram", {
+        case Seq(text, n) =>
+          expression(graft.operators.TextAnalysis.repetitionRatio(column(text), intArg(n, "n")))
+        case Seq(text) =>
+          expression(graft.operators.TextAnalysis.repetitionRatio(column(text)))
+        case args => throw new IllegalArgumentException(
+          s"repetition_ratio expects (text[, n]), got ${args.length} args")
+      })
+
+    register(ext, "md5_fingerprint",
+      "md5_fingerprint(text) - md5 of the normalized text (cross-engine dedup ledger key)", {
+        case Seq(text) =>
+          expression(graft.operators.TextAnalysis.md5Fingerprint(column(text)))
+        case args => throw new IllegalArgumentException(
+          s"md5_fingerprint expects (text), got ${args.length} args")
+      })
   }
 }

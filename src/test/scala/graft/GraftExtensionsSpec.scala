@@ -61,6 +61,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(n == 128)
   }
 
+  test("redact_pii / repetition_ratio / md5_fingerprint are SQL-callable") {
+    val df = Seq(
+      ("a", "email me at x@y.io from 10.0.0.1"),
+      ("b", "go go go go go go")).toDF("id", "text")
+    df.createOrReplaceTempView("ext_pii")
+    val rows = spark.sql(
+      """SELECT id, redact_pii(text) AS clean,
+                repetition_ratio(text, 2) AS rep,
+                md5_fingerprint(text) AS fp
+         FROM ext_pii ORDER BY id""").collect()
+    assert(rows(0).getString(1) == "email me at <EMAIL> from <IP>")
+    assert(rows(1).getDouble(2) == 0.8) // 5 bigrams, 1 distinct → 1 - 1/5
+    // SQL output equals the Column API's
+    val viaCol = df.orderBy("id")
+      .select(graft.operators.TextAnalysis.md5Fingerprint(col("text")))
+      .collect().map(_.getString(0))
+    assert(rows.map(_.getString(3)).toSeq == viaCol.toSeq)
+  }
+
   test("bottom_k is SQL-callable and matches the Column API") {
     import graft.functions.BottomKSketch
     val df = (1L to 200L).toDF("v")

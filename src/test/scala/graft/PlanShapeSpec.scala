@@ -64,6 +64,29 @@ class PlanShapeSpec extends SparkSpec {
       s"flagship pushdown missing:\n$scan")
   }
 
+  test("q93: knn join pairs via the cell equi-join, never a nested loop") {
+    val plan = planString(run("q93_knn_join"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn join degenerated to an all-pairs join:\n$plan")
+  }
+
+  test("q102/q104: text scrub and repetition gates are map-only before the sort") {
+    for (name <- Seq("q102_pii_redact", "q104_repetition")) {
+      val plan = planString(run(name))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 0,
+        s"$name should be map-only up to the presentation range sort:\n$plan")
+    }
+  }
+
+  test("q103: chunking's only row amplification is the explode itself") {
+    val plan = planString(run("q103_chunking"))
+    assert(plan.contains("Generate explode"), s"no explode in plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 0,
+      s"chunking should not shuffle before the presentation sort:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
