@@ -147,14 +147,19 @@ object TextAnalysis {
     * explode + slice — the explode is the only row amplification and it
     * is exactly the output size; no shuffle.
     *
-    * Output: (idCol, chunk_idx, chunk_tokens, chunk) rows.
+    * Output: (idCol, chunk_idx, chunk_tokens, chunk [, carry…]) rows —
+    * `carry` columns replicate onto every chunk of their document
+    * (quality/language gates ride along to downstream mixing), keeping
+    * the operator a single stateless projection + explode: streaming-
+    * safe with no join and no state store.
     */
   def chunk(
       df: DataFrame,
       idCol: String,
       textCol: String,
       size: Int = 512,
-      overlap: Int = 64): DataFrame = {
+      overlap: Int = 64,
+      carry: Seq[String] = Nil): DataFrame = {
     require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got $size/$overlap")
     val step = size - overlap
     val toks = tokens(col(textCol))
@@ -164,11 +169,12 @@ object TextAnalysis {
       .filter(col("__n") > 0)
       .withColumn("__start",
         explode(sequence(lit(1), greatest(col("__n") - overlap, lit(1)), lit(step))))
-      .select(
+      .select((Seq(
         col(idCol),
         ((col("__start") - 1) / step).cast("bigint").as("chunk_idx"),
         least(lit(size), col("__n") - col("__start") + 1).cast("int").as("chunk_tokens"),
-        array_join(slice(col("__toks"), col("__start"), lit(size)), " ").as("chunk"))
+        array_join(slice(col("__toks"), col("__start"), lit(size)), " ").as("chunk")) ++
+        carry.map(col)).toIndexedSeq: _*)
   }
 
   /** Repetition ratio — the C4/Gopher-style boilerplate signal: the

@@ -42,4 +42,24 @@ object StreamingCorpus {
           col("lang_pred").isin(cfg.langs: _*))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming scrub-and-chunk: PII redaction then token-window
+    * chunking, continuously. Both stages are STATELESS (regexp chains
+    * and a per-row explode — no watermark, no state store), so this
+    * composes after [[clean]] or runs standalone at input rate; the
+    * explode multiplies rows exactly like the batch operator, and
+    * repetition/gate columns survive onto every chunk row for
+    * downstream mixing decisions.
+    */
+  def scrubAndChunk(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkSize: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    val scrubbed = docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      .withColumn("rep_ratio", TextAnalysis.repetitionRatio(col(textCol)))
+    TextAnalysis.chunk(scrubbed, idCol, textCol, chunkSize, overlap,
+      carry = Seq("rep_ratio"))
+  }
 }

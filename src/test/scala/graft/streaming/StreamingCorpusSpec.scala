@@ -35,6 +35,35 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrubAndChunk streams statelessly: redaction + chunking + carried ratio") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val longDoc = (1 to 70).map(i => s"tok$i").mkString(" ") + " write to a1@b.io now"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCorpus.scrubAndChunk(
+      in.toDF.toDF("doc_id", "text"), chunkSize = 30, overlap = 5)
+      .writeStream.format("memory").queryName("sc_chunks").outputMode("append").start()
+    try {
+      in.addData((10L, longDoc), (11L, "go go go go go go"))
+      q.processAllAvailable()
+      val rows = spark.table("sc_chunks").collect()
+      // doc 10: 74 tokens, starts 1, 26, 51 → 3 chunks; doc 11: 1 chunk
+      assert(rows.count(_.getLong(0) == 10L) == 3)
+      assert(rows.count(_.getLong(0) == 11L) == 1)
+      // the PII survived into no chunk
+      assert(!rows.exists(_.getAs[String]("chunk").contains("a1@b.io")))
+      assert(rows.filter(_.getLong(0) == 10L).map(_.getAs[String]("chunk"))
+        .exists(_.contains("<EMAIL>")))
+      // repetition ratio carried onto every chunk, computed post-scrub
+      assert(rows.filter(_.getLong(0) == 11L).forall(_.getAs[Double]("rep_ratio") > 0.5))
+      // streaming output equals the batch operator on the same data
+      val batch = StreamingCorpus.scrubAndChunk(
+        Seq((10L, longDoc), (11L, "go go go go go go")).toDF("doc_id", "text"),
+        chunkSize = 30, overlap = 5).collect()
+      assert(rows.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("file-source pipeline survives checkpointed restart without duplicating output") {
     val srcDir = Files.createTempDirectory("sc_src").toString
     val outDir = Files.createTempDirectory("sc_out").toString
