@@ -1256,7 +1256,34 @@ object Inventory {
         t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
           .orderBy("doc_id"),
-      None), // heuristic internal to the engine — ScalaTest covers it
+      // The heuristic is pure engine-independent string math (stopword
+      // hits per profile + CJK chars for zh, argmax with ties to the
+      // first language in code order, 'und' iff all scores are 0) — so
+      // DuckDB can replicate it exactly. Profiles inlined from
+      // TextAnalysis.langProfiles; the CASE order de<en<es<fr<zh is the
+      // tie-break order.
+      Some("""WITH s AS (
+          SELECT doc_id, lang,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS de,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['the','and','of','to','is','that','you','with'], t))) AS en,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['el','la','de','que','los','una','por','con'], t))) AS es,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['le','les','des','est','dans','une','pour','que'], t))) AS fr,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['的','是','了','在','我','有','他','这'], t)))
+              + len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+          FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+               WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+               WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+               WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+               WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+               ELSE 'zh' END AS lang_pred
+        FROM s ORDER BY doc_id""")),
 
     Q("q98_fingerprint",
       (s, dir) =>
