@@ -181,9 +181,18 @@ object TextAnalysis {
     * fraction of word n-grams that are repeats of an earlier n-gram
     * (1 − distinct/total). 0 for docs shorter than n tokens. Unlike
     * [[graft.operators.Dedup.shingleHashes]] this keeps duplicates — the
-    * whole point is counting them.
+    * whole point is counting them. Native single-pass kernel
+    * (RepetitionRatioExpr); value-identical to [[repetitionRatioHof]],
+    * which the spec pins.
     */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    graft.functions.RepetitionRatioExpr(text, n)
+
+  /** Reference formulation of [[repetitionRatio]] with built-in
+    * higher-order functions only — kept as the semantic spec for the
+    * native kernel.
+    */
+  def repetitionRatioHof(text: Column, n: Int = 3): Column = {
     val toks = tokens(lower(text))
     val total = org.apache.spark.sql.functions.size(toks) - (n - 1)
     val grams = transform(

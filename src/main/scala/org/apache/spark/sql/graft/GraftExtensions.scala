@@ -125,10 +125,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     register(ext, "repetition_ratio",
       "repetition_ratio(text, n) - fraction of word n-grams repeating an earlier n-gram", {
-        case Seq(text, n) =>
-          expression(graft.operators.TextAnalysis.repetitionRatio(column(text), intArg(n, "n")))
-        case Seq(text) =>
-          expression(graft.operators.TextAnalysis.repetitionRatio(column(text)))
+        case Seq(text, n) => RepetitionRatioExpr(text, intArg(n, "n"))
+        case Seq(text)    => RepetitionRatioExpr(text, 3)
         case args => throw new IllegalArgumentException(
           s"repetition_ratio expects (text[, n]), got ${args.length} args")
       })

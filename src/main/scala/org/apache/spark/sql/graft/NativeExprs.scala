@@ -242,7 +242,34 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Double], count: In
     copy(child = newChild)
 }
 
+/** Repetition ratio (1 − distinct/total word n-grams) in one pass
+  * (graft.functions.RepetitionRatio.ratio) — replaces an interpreted
+  * transform(sequence…)→array_join→array_distinct chain that allocates a
+  * string per gram window. Value-identical to
+  * TextAnalysis.repetitionRatioHof.
+  */
+case class RepetitionRatioExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "repetition_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.RepetitionRatio.ratio(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionRatio.ratio($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionRatioExpr =
+    copy(child = newChild)
+}
+
 object NativeExprs {
+  /** Column-level entry for RepetitionRatioExpr. */
+  def repetitionRatio(text: Column, n: Int): Column =
+    ExpressionUtils.column(RepetitionRatioExpr(ExpressionUtils.expression(text), n))
+
   /** Column-level entry for MinHashSignatureExpr. */
   def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
     ExpressionUtils.column(

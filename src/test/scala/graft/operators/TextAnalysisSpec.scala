@@ -138,6 +138,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1) == 0.0 && r(2) == 0.0 && r(3) == 0.0)
   }
 
+  test("native RepetitionRatioExpr is value-identical to the HOF formulation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val edge = Seq("", "   ", "a", "a b", "a b a b a b", "x y z x y z x",
+      "ONE one OnE one one one").toDF("text")
+    for (frame <- Seq(docs, edge); n <- Seq(2, 3, 5)) {
+      val both = frame.select(
+        TextAnalysis.repetitionRatioHof(col("text"), n).as("hof"),
+        TextAnalysis.repetitionRatio(col("text"), n).as("native"))
+      assert(both.filter(col("hof") =!= col("native")).count() == 0,
+        s"native/HOF divergence at n=$n")
+    }
+  }
+
   test("md5Fingerprint matches MessageDigest on normalized text") {
     val fp = Seq("  The QUICK brown fox  ").toDF("text")
       .select(TextAnalysis.md5Fingerprint(col("text"))).head.getString(0)
