@@ -41,6 +41,7 @@ object FuzzQueries {
   val nGroup = 40
   val nTop = 20
   val nJoin = 20
+  val nWin = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -334,6 +335,50 @@ object FuzzQueries {
     }
   }
 
+  /** Family E — window functions: row_number with a unique tiebreak
+    * (deterministic row identity) and rank without one (deterministic
+    * BY VALUE even under ties — both engines must group equal sort keys
+    * identically), summarized as a conditional top-5-per-partition
+    * decimal sum plus the rank total.
+    */
+  private def windowCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val part = groupFrag(table, rng)
+    val (sort, keys) = sortFrag(table, rng)
+    val desc_ = rng.nextBoolean()
+    val (c, sc) = aggCol(table, rng)
+    val dirSql = if (desc_) "DESC" else "ASC"
+    val tiebreakSql = keys.map(k => s"$k ASC").mkString(", ")
+    FuzzCase(id, table,
+      s"""SELECT '$id' AS fq, count(*) AS n_rows,
+           CAST(sum(CASE WHEN rn <= 5 THEN CAST($c AS DECIMAL(28,$sc)) END) AS DOUBLE) AS agg,
+           CAST(sum(rk) AS BIGINT) AS aux
+         FROM (
+           SELECT $c,
+             row_number() OVER (PARTITION BY ${part.sql} ORDER BY ${sort.sql} $dirSql, $tiebreakSql) AS rn,
+             rank() OVER (PARTITION BY ${part.sql} ORDER BY ${sort.sql} $dirSql) AS rk
+           FROM $table WHERE ${pred.sql}
+         ) __w""",
+      ts => {
+        import org.apache.spark.sql.expressions.Window
+        val sortCol = if (desc_) sort.mk().desc else sort.mk().asc
+        val wRn = Window.partitionBy(part.mk())
+          .orderBy((sortCol +: keys.map(col(_).asc)).toIndexedSeq: _*)
+        val wRk = Window.partitionBy(part.mk()).orderBy(sortCol)
+        ts(table).filter(pred.mk())
+          .select(
+            col(c),
+            row_number().over(wRn).as("rn"),
+            rank().over(wRk).as("rk"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("rn") <= 5, col(c).cast(DecimalType(28, sc)))).cast("double").as("agg"),
+            sum(col("rk")).cast("long").as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+      })
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -343,7 +388,8 @@ object FuzzQueries {
     val groups = (0 until nGroup).map(i => groupCase(f"fzB$i%03d", rng))
     val tops = (0 until nTop).map(i => topCase(f"fzC$i%03d", rng))
     val joins = (0 until nJoin).map(i => joinCase(f"fzD$i%03d", rng))
-    scans ++ groups ++ tops ++ joins
+    val wins = (0 until nWin).map(i => windowCase(f"fzE$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -354,7 +400,8 @@ object FuzzQueries {
     "q120_fuzz_scan" -> cases.filter(_.id.startsWith("fzA")),
     "q121_fuzz_groupagg" -> cases.filter(_.id.startsWith("fzB")),
     "q122_fuzz_toplimit" -> cases.filter(_.id.startsWith("fzC")),
-    "q123_fuzz_join" -> cases.filter(_.id.startsWith("fzD")))
+    "q123_fuzz_join" -> cases.filter(_.id.startsWith("fzD")),
+    "q124_fuzz_window" -> cases.filter(_.id.startsWith("fzE")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(
