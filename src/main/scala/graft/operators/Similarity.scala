@@ -226,6 +226,15 @@ object Similarity {
     * With `nprobe = C` the result is exact for every query (the q93
     * oracle parameterization). Output: (queryId, corpusId, cos, rank)
     * with rank 1..k by rounded cosine desc, corpusId asc.
+    *
+    * The per-query top-k is a bounded [[graft.functions.TopKByScore]]
+    * AGGREGATE, not a window: partial aggregation collapses candidates
+    * to ≤ k per query per map task BEFORE the qid shuffle, where a
+    * `row_number().over(Window)` ships and buffers every candidate at
+    * the reducer — the difference between shuffling k×tasks rows and
+    * shuffling the whole candidate set at 100 TB. A window twin
+    * ([[knnJoinWindowed]]) is kept as the semantic spec; both are
+    * pinned equal in SimilaritySpec.
     */
   def knnJoin(
       corpus: DataFrame,
@@ -239,20 +248,63 @@ object Similarity {
       scale: Int = 6): DataFrame = {
     require(queryId != corpusId,
       s"queryId and corpusId must differ (alias one side), both are '$queryId'")
+    scoredCandidates(corpus, queries, corpusId, queryId, vecCol, cents, nprobe, scale)
+      .groupBy(queryId)
+      .agg(graft.functions.TopKByScore.topK(col(corpusId), col("cos"), k).as("__top"))
+      .select(col(queryId), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(
+        col(queryId),
+        col("__s.id").as(corpusId),
+        col("__s.score").as("cos"),
+        (col("__pos") + 1).cast("bigint").as("rank"))
+  }
+
+  /** Window-ranked formulation of [[knnJoin]] — kept as the semantic
+    * reference (row_number over the full candidate set); prefer
+    * [[knnJoin]] at scale.
+    */
+  def knnJoinWindowed(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[(Int, Array[Double])],
+      nprobe: Int = 4,
+      scale: Int = 6): DataFrame = {
+    require(queryId != corpusId,
+      s"queryId and corpusId must differ (alias one side), both are '$queryId'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryId)
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    scoredCandidates(corpus, queries, corpusId, queryId, vecCol, cents, nprobe, scale)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+  }
+
+  /** Shared candidate stage of the knn joins: corpus cell assignment,
+    * query multi-cell probing, cell equi-join, rounded cosine.
+    */
+  private def scoredCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])],
+      nprobe: Int,
+      scale: Int): DataFrame = {
     val indexedCorpus = ivfIndex(corpus, corpusId, vecCol, cents)
       .select(col(corpusId), col(vecCol).as("__cv"), col("cell"))
     val probed = queries
       .select(col(queryId), col(vecCol).as("__qv"))
       .withColumn("cell", explode(probeCellsCol(col("__qv"), cents, nprobe)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(queryId)
-      .orderBy(col("cos").desc, col(corpusId).asc)
     probed
       .join(indexedCorpus, Seq("cell"))
       .withColumn("cos", round(VectorFunctions.cosine(col("__qv"), col("__cv")), scale))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("cos"), col("rank"))
+      .select(col(queryId), col(corpusId), col("cos"))
   }
 
   /** Plane count sized to the corpus: 2^nPlanes buckets must grow with N

@@ -168,6 +168,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"knnJoin nprobe=4 recall $recall")
   }
 
+  test("knnJoin aggregate formulation equals the window twin; no Window in its plan") {
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+
+    val agg = Similarity.knnJoin(corpus, queries, "vec_id", "qid", "embedding",
+      k = 7, cents = cents, nprobe = 16, scale = 4)
+    val win = Similarity.knnJoinWindowed(corpus, queries, "vec_id", "qid", "embedding",
+      k = 7, cents = cents, nprobe = 16, scale = 4)
+    val a = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = win.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a == w, s"agg-vs-window divergence: ${(a diff w) ++ (w diff a)}")
+
+    // the scale property: candidates collapse in a partial ObjectHashAggregate,
+    // and no Window operator buffers the candidate set
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object-hash aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"window should not appear in the aggregate path:\n$plan")
+    assert(plan.contains("partial_topkbyscore") || plan.toLowerCase.contains("partial"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
   test("multi-probe bucket enumeration covers exactly hamming <= radius") {
     val probes = Similarity.probesWithin(sig = 0xbL, nPlanes = 5, radius = 2)
     val expected = (0 until 32).map(_.toLong)
