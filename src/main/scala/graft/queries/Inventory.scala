@@ -1445,6 +1445,6 @@ object Inventory {
     "q01_pricing_summary", "q03_between", "q11_join_multi5", "q12_join_left_hist",
     "q17_join_asof", "q21_count_distinct", "q30_window_rank", "q35_window_range",
     "q40_topk", "q64_json", "q66_pivot",
-    "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q95_text_stats",
-    "q99_sessionize", "q101_corpus_pipeline")
+    "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q93_knn_join",
+    "q95_text_stats", "q99_sessionize", "q101_corpus_pipeline", "q103_chunking")
 }
