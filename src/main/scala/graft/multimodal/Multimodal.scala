@@ -243,13 +243,16 @@ object Multimodal {
     * a time. Input must have columns (asset_id, modality, content, source,
     * mime); output is flat typed metadata + feature vector.
     *
-    * Image rows: REAL decode (javax.imageio) — width/height/features from
-    * actual pixels; undecodable image bytes yield a (0,0,0,0) row
-    * (n_frames = 0 marks the corrupt sample; at 100 TB you filter these,
-    * never throw). Audio rows: REAL decode for JDK-supported containers
-    * (WAV/AIFF/AU via javax.sound.sampled) — duration and amplitude
-    * features from actual samples; other audio bytes fall back to the
-    * FakeCodec stub. Video rows: FakeCodec stub.
+    * Image rows: REAL decode (javax.imageio) — width/height/features
+    * from actual pixels; undecodable image bytes yield an all-zero row.
+    * The corrupt-sample marker is `modality = 'image' AND width = 0`
+    * (IMAGE rows only — audio rows legitimately have width 0 and
+    * n_frames 0); at 100 TB you filter these, never throw. Audio rows:
+    * REAL decode for JDK-supported containers (WAV/AIFF/AU via
+    * javax.sound.sampled) — duration and amplitude features from actual
+    * samples; other audio bytes fall back to the FakeCodec stub (the
+    * honest pretend-decode for codecs the JDK lacks — NOT marked
+    * corrupt). Video rows: FakeCodec stub.
     */
   def decodeAssets(spark: SparkSession, assets: DataFrame, featureDim: Int = 16): Dataset[DecodedAsset] = {
     import spark.implicits._
@@ -323,15 +326,18 @@ object Multimodal {
         batch.map { a =>
           a.modality match {
             case "audio" => ResizedAsset(a.asset_id, a.modality, 0, 0, a.content)
-            case "image" if ImageCodec.decode(a.content).isDefined =>
-              val (bytes, nw, nh) = ImageCodec.resize(a.content, maxW, maxH).get
-              ResizedAsset(a.asset_id, a.modality, nw, nh, bytes)
             case m =>
-              val (w, h, _, _) = FakeCodec.decode(m, a.content)
-              // aspect-preserving fit into (maxW, maxH) — real math, fake pixels
-              val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-              val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-              ResizedAsset(a.asset_id, m, nw, nh, a.content)
+              val real = if (m == "image") ImageCodec.resize(a.content, maxW, maxH) else None
+              real match {
+                case Some((bytes, nw, nh)) => // one decode, real pixels
+                  ResizedAsset(a.asset_id, m, nw, nh, bytes)
+                case None => // video, or undecodable image bytes: stub path
+                  val (w, h, _, _) = FakeCodec.decode(m, a.content)
+                  // aspect-preserving fit into (maxW, maxH) — real math, fake pixels
+                  val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+                  val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+                  ResizedAsset(a.asset_id, m, nw, nh, a.content)
+              }
           }
         }
       }
@@ -383,11 +389,15 @@ object Multimodal {
   def syntheticAssets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null ids cannot round-trip the non-nullable Long encoder — drop
+    // them (a synthetic-fixture generator, not a data path); floorMod
+    // keeps negative ids in [0, 3)
     df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("txt"))
+      .filter(col("id").isNotNull)
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, txt) =>
-          val modality = Seq("image", "audio", "video")((id % 3).toInt)
+          val modality = Seq("image", "audio", "video")(java.lang.Math.floorMod(id, 3L).toInt)
           val (content, mime) = modality match {
             case "image" => (ImageCodec.makePng(id), "image/png")
             case "audio" => (AudioCodec.makeWav(id), "audio/wav")

@@ -146,52 +146,6 @@ object Dedup {
       .limit(maxCollect)
       .collect().map(_.getLong(0))
 
-  /** Near-duplicate PAIRS via MinHash LSH.
-    *
-    * @param df        input
-    * @param idCol     unique id column
-    * @param textCol   text column
-    * @param k         signature length
-    * @param bands     LSH bands (rows-per-band = k/bands); more bands →
-    *                  higher recall, more candidates
-    * @param threshold exact-Jaccard verification threshold on shingle sets
-    * @param maxBucket candidate-bucket size cap: band buckets larger than
-    *                  this are dropped from candidate generation. This
-    *                  bounds the join's quadratic term (≤ bands·Σcap² per
-    *                  bucket) against hot-shingle skew — a shingle shared
-    *                  by x% of a 100 TB corpus would otherwise create
-    *                  (x·N)² candidates. Genuine near-dup GROUPS larger
-    *                  than the cap still pair through their other
-    *                  (unsaturated) bands; only pathological hot buckets
-    *                  saturate all 32.
-    * @param excludeShingles corpus-wide "stop shingles" (from
-    *                  [[hotShingles]]) removed from every document before
-    *                  signatures — attacks hot-shingle skew at the cause
-    *                  where maxBucket treats the symptom. Jaccard is then
-    *                  computed over the REDUCED sets (boilerplate no
-    *                  longer counts as similarity — usually the wanted
-    *                  semantics for training-data dedup). Docs left with
-    *                  zero shingles drop out of near-dup detection.
-    * @param eagerRelease when true, runs the LSH job NOW and returns the
-    *                  (bounded, candidate-sized) pair list materialized via
-    *                  `localCheckpoint(true)`. Default false: the returned
-    *                  plan is lazy and composes into the caller's job
-    *                  (intermediate signature blocks are shared via lazy
-    *                  localCheckpoint either way and are GC-released, never
-    *                  CacheManager-pinned). COMPAT NOTE: the default
-    *                  flipped from true to false in round 3 — external
-    *                  callers that materialize the returned pair list in
-    *                  SEVERAL separate actions now re-run the band join
-    *                  and verification joins per action (only the
-    *                  signature blocks are shared); pass eagerRelease=true
-    *                  or checkpoint the result yourself for that pattern.
-    *                  Caveat: localCheckpoint blocks are not recomputable
-    *                  after executor loss — under dynamic allocation /
-    *                  decommissioning, wrap the call site with a reliable
-    *                  `Dataset.checkpoint` instead of passing
-    *                  eagerRelease=true.
-    * @return (id_a, id_b, jaccard) with id_a < id_b, verified
-    */
   /** Candidate-generation stage of [[minHashNearDups]], exposed so the
     * candidate-count bound — THE quantity the hot-bucket cap and
     * stop-shingle exclusion exist to control — is directly testable.
@@ -247,6 +201,52 @@ object Dedup {
     (withSig, pairIds)
   }
 
+  /** Near-duplicate PAIRS via MinHash LSH.
+    *
+    * @param df        input
+    * @param idCol     unique id column
+    * @param textCol   text column
+    * @param k         signature length
+    * @param bands     LSH bands (rows-per-band = k/bands); more bands →
+    *                  higher recall, more candidates
+    * @param threshold exact-Jaccard verification threshold on shingle sets
+    * @param maxBucket candidate-bucket size cap: band buckets larger than
+    *                  this are dropped from candidate generation. This
+    *                  bounds the join's quadratic term (≤ bands·Σcap² per
+    *                  bucket) against hot-shingle skew — a shingle shared
+    *                  by x% of a 100 TB corpus would otherwise create
+    *                  (x·N)² candidates. Genuine near-dup GROUPS larger
+    *                  than the cap still pair through their other
+    *                  (unsaturated) bands; only pathological hot buckets
+    *                  saturate all 32.
+    * @param excludeShingles corpus-wide "stop shingles" (from
+    *                  [[hotShingles]]) removed from every document before
+    *                  signatures — attacks hot-shingle skew at the cause
+    *                  where maxBucket treats the symptom. Jaccard is then
+    *                  computed over the REDUCED sets (boilerplate no
+    *                  longer counts as similarity — usually the wanted
+    *                  semantics for training-data dedup). Docs left with
+    *                  zero shingles drop out of near-dup detection.
+    * @param eagerRelease when true, runs the LSH job NOW and returns the
+    *                  (bounded, candidate-sized) pair list materialized via
+    *                  `localCheckpoint(true)`. Default false: the returned
+    *                  plan is lazy and composes into the caller's job
+    *                  (intermediate signature blocks are shared via lazy
+    *                  localCheckpoint either way and are GC-released, never
+    *                  CacheManager-pinned). COMPAT NOTE: the default
+    *                  flipped from true to false in round 3 — external
+    *                  callers that materialize the returned pair list in
+    *                  SEVERAL separate actions now re-run the band join
+    *                  and verification joins per action (only the
+    *                  signature blocks are shared); pass eagerRelease=true
+    *                  or checkpoint the result yourself for that pattern.
+    *                  Caveat: localCheckpoint blocks are not recomputable
+    *                  after executor loss — under dynamic allocation /
+    *                  decommissioning, wrap the call site with a reliable
+    *                  `Dataset.checkpoint` instead of passing
+    *                  eagerRelease=true.
+    * @return (id_a, id_b, jaccard) with id_a < id_b, verified
+    */
   def minHashNearDups(
       df: DataFrame,
       idCol: String,

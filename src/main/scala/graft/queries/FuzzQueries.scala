@@ -8,9 +8,10 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 100 query cases over `orders`/`lineitem`
-  * spanning (projection, predicate, group-by, having, order+limit). Each
-  * case is rendered TWICE from one AST:
+  * A seeded generator produces 140 query cases over `orders`/`lineitem`
+  * spanning (projection, predicate, group-by, having, order+limit,
+  * inner/left joins, window functions). Each case is rendered TWICE from
+  * one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
   *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
@@ -25,10 +26,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 100
-  * summaries are UNION ALL'd into three declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 140
+  * summaries are UNION ALL'd into five declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 100 against DuckDB, while
+  * correctness gate hash-compares all 140 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -106,8 +107,11 @@ object FuzzQueries {
   }
 
   private def discountAtom(rng: scala.util.Random): Frag = {
-    val d = rng.nextInt(10) / 100.0 // 0.00 .. 0.09, exactly representable-ish 2dp
-    Frag(f"l_discount >= $d%.2f", () => col("l_discount") >= d)
+    val cents = rng.nextInt(10) // 0.00 .. 0.09 in 2dp steps
+    val d = cents / 100.0
+    // render the literal locale-independently: f"%.2f" would emit a
+    // decimal COMMA (invalid SQL) on comma-decimal default locales
+    Frag(s"l_discount >= 0.0$cents", () => col("l_discount") >= d)
   }
 
   private def atom(table: String, rng: scala.util.Random): Frag = table match {

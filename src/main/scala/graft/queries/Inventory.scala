@@ -1277,7 +1277,9 @@ object Inventory {
               + len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
           FROM documents)
         SELECT doc_id, lang,
-          CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+          -- coalesce guard: NULL text yields NULL scores, which must map
+          -- to 'und' (as Spark does), not fall through CASE to 'zh'
+          CASE WHEN coalesce(greatest(de, en, es, fr, zh), 0) = 0 THEN 'und'
                WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
                WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
                WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
@@ -1420,7 +1422,7 @@ object Inventory {
           count(*) AS n_copies
         FROM documents GROUP BY 2 ORDER BY doc_id""")))
 
-  /** Differential fuzz bundles (FuzzQueries): 100 generated cases over
+  /** Differential fuzz bundles (FuzzQueries): 140 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs
     * the generated dialect-neutral SQL; the oracle is the SAME text run
     * by DuckDB — so the driver hash-compares every generated case.
