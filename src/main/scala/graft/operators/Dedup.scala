@@ -306,6 +306,41 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Benchmark DECONTAMINATION: drop every corpus document that shares
+    * at least `minShared` distinct w-word shingles with ANY document of
+    * an evaluation set — the standard guard against test-set leakage
+    * into training data (long shingles, w ≈ 8–13, so only verbatim
+    * overlapping runs count, not topical similarity).
+    *
+    * Scale shape: the eval side collapses to its DISTINCT shingle hashes
+    * (benchmarks are small — thousands of docs — so this is a
+    * broadcast-sized frame AQE broadcast-joins); the corpus side
+    * explodes to (id, shingle) pairs ONLY — no payload rides the join —
+    * and the contaminated-id list comes back as a left-anti join on id.
+    * Corpus text is scanned once, shuffles carry ids and 8-byte hashes.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val evalSh = evalDocs
+      .select(explode(shingleHashes(col(textCol), w)).as("sh"))
+      .distinct()
+    val corpusSh = corpus
+      .select(col(idCol).as("__cid"), explode(shingleHashes(col(textCol), w)).as("sh"))
+    val contaminated = corpusSh
+      .join(evalSh, Seq("sh"))
+      .groupBy("__cid")
+      .agg(countDistinct(col("sh")).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select("__cid")
+    corpus.join(contaminated, corpus(idCol) === col("__cid"), "left_anti")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign

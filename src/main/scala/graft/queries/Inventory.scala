@@ -1214,6 +1214,31 @@ object Inventory {
           FROM c)
         SELECT qid, vec_id, cos, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    Q("q106_decontaminate",
+      (s, dir) => {
+        // Benchmark decontamination: docs sharing any distinct 8-word
+        // shingle with the held-out eval slice (doc_id % 50 = 0) are
+        // dropped. Hashed-shingle intersection SIZES are engine-agnostic
+        // (q81/q83 precedent), so the exact survivor set oracle-checks.
+        val d = t(s, dir, "documents")
+        val evalSet = d.filter(col("doc_id") % 50 === 0)
+        val corpus = d.filter(col("doc_id") % 50 =!= 0)
+        Dedup.decontaminate(corpus, evalSet, "doc_id", "text", w = 8, minShared = 1)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, lang, list_distinct(
+            [hash(array_to_string(w[i:i+7], ' ')) for i in range(1, greatest(len(w) - 6, 1))]) AS sh
+          FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        ev AS (
+          SELECT flatten(list(sh)) AS all_sh FROM sh WHERE doc_id % 50 = 0)
+        SELECT s.doc_id, s.lang
+        FROM sh s, ev
+        WHERE s.doc_id % 50 <> 0 AND len(list_intersect(s.sh, ev.all_sh)) = 0
+        ORDER BY s.doc_id""")),
+
     Q("q95_text_stats",
       (s, dir) =>
         t(s, dir, "documents")

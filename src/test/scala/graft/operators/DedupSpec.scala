@@ -210,6 +210,28 @@ class DedupSpec extends SparkSpec {
     assert(!capped.exists { case (a, b) => a <= 18 && b <= 18 }) // no boilerplate-only pairs
   }
 
+  test("decontaminate drops docs sharing a long shingle with the eval set") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // one 8-gram
+    val corpus = Seq(
+      (1L, s"prefix words then $run and a tail"), // verbatim eval run → dropped
+      (2L, "completely unrelated content with different words entirely here now"),
+      (3L, "alpha beta gamma different continuation breaks the eight gram run"))
+      .toDF("id", "text")
+    val evalSet = Seq((100L, s"the benchmark question contains $run exactly"))
+      .toDF("id", "text")
+
+    val kept = Dedup.decontaminate(corpus, evalSet, "id", "text", w = 8, minShared = 1)
+      .select("id").collect().map(_.getLong(0)).sorted
+    // doc 3 shares only a 3-word prefix — below the 8-gram bar — and stays
+    assert(kept.toSeq == Seq(2L, 3L))
+
+    // minShared above the overlap count keeps everything
+    val lax = Dedup.decontaminate(corpus, evalSet, "id", "text", w = 8, minShared = 5)
+      .count()
+    assert(lax == 3)
+  }
+
   test("simhash: identical docs distance 0; near-dups small distance") {
     import spark.implicits._
     val df = Seq(
