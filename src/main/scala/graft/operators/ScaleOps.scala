@@ -96,6 +96,36 @@ object ScaleOps {
     df.filter(bucket >= lo && bucket < hi)
   }
 
+  /** Stratified deterministic sampling — the corpus-MIXING primitive:
+    * each stratum (language, source, quality band…) keeps its own
+    * fraction of rows, selected by the same keyed hash as
+    * [[hashSample]]. Properties that matter for training-data work, all
+    * spec-pinned:
+    *  - pure function of (key, stratum rate): stable across runs,
+    *    partitioning, and engines running the same hash;
+    *  - NESTED: raising a stratum's rate only ADDS rows (bucket <
+    *    r₁·den ⊆ bucket < r₂·den for r₁ ≤ r₂) — re-weighting a mix
+    *    never churns the retained set, so ablations share data;
+    *  - map-only: one filter, no shuffle.
+    *
+    * Strata absent from `rates` keep `defaultRate`.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      den: Int = 1000000): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val bucket = pmod(xxhash64(col(keyCol)), lit(den))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate * den)
+  }
+
   /** Fail-fast guard for VERIFICATION-ONLY exhaustive operators.
     *
     * All-pairs self-joins (exact n-gram Jaccard q83, exact pairwise

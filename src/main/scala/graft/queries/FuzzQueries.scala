@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 140 query cases over `orders`/`lineitem`
+  * A seeded generator produces 160 query cases over `orders`/`lineitem`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions). Each case is rendered TWICE from
   * one AST:
@@ -26,10 +26,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 140
-  * summaries are UNION ALL'd into five declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 160
+  * summaries are UNION ALL'd into six declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 140 against DuckDB, while
+  * correctness gate hash-compares all 160 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -43,6 +43,7 @@ object FuzzQueries {
   val nTop = 20
   val nJoin = 20
   val nWin = 20
+  val nScalar = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -383,6 +384,62 @@ object FuzzQueries {
       })
   }
 
+  /** Family F — scalar functions (the q60-family surface, fuzzed):
+    * string transforms (upper/lower/substr/concat/length) and date
+    * parts (year/month/day), summarized as count(DISTINCT expr) plus a
+    * length/value sum. Exercises per-function semantic agreement
+    * (1-based substr, char-counting length, date-part integer widths)
+    * rather than plan shapes.
+    */
+  private def scalarCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val strCol = if (table == "orders") "o_orderpriority" else "l_returnflag"
+    val str2Col = if (table == "orders") "o_orderstatus" else "l_linestatus"
+    val dateCol = if (table == "orders") "o_orderdate" else "l_shipdate"
+    if (rng.nextBoolean()) {
+      // string kind
+      val k = 1 + rng.nextInt(6)
+      val (eSql, eMk): (String, () => Column) = rng.nextInt(4) match {
+        case 0 => (s"upper($strCol)", () => upper(col(strCol)))
+        case 1 => (s"substr($strCol, 1, $k)", () => substring(col(strCol), 1, k))
+        case 2 => (s"concat($strCol, '_', $str2Col)",
+          () => concat(col(strCol), lit("_"), col(str2Col)))
+        case _ => (s"lower(concat($str2Col, $strCol))",
+          () => lower(concat(col(str2Col), col(strCol))))
+      }
+      FuzzCase(id, table,
+        s"""SELECT '$id' AS fq, count(*) AS n_rows,
+             CAST(sum(length($eSql)) AS DOUBLE) AS agg,
+             count(DISTINCT $eSql) AS aux
+           FROM $table WHERE ${pred.sql}""",
+        ts => ts(table).filter(pred.mk())
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(length(eMk())).cast("double").as("agg"),
+            countDistinct(eMk()).as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    } else {
+      // date-part kind
+      val (eSql, eMk): (String, () => Column) = rng.nextInt(3) match {
+        case 0 => (s"year(CAST($dateCol AS DATE))", () => year(col(dateCol).cast("date")))
+        case 1 => (s"month(CAST($dateCol AS DATE))", () => month(col(dateCol).cast("date")))
+        case _ => (s"day(CAST($dateCol AS DATE))", () => dayofmonth(col(dateCol).cast("date")))
+      }
+      FuzzCase(id, table,
+        s"""SELECT '$id' AS fq, count(*) AS n_rows,
+             CAST(sum($eSql) AS DOUBLE) AS agg,
+             count(DISTINCT $eSql) AS aux
+           FROM $table WHERE ${pred.sql}""",
+        ts => ts(table).filter(pred.mk())
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(eMk()).cast("double").as("agg"),
+            countDistinct(eMk()).as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    }
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -393,7 +450,8 @@ object FuzzQueries {
     val tops = (0 until nTop).map(i => topCase(f"fzC$i%03d", rng))
     val joins = (0 until nJoin).map(i => joinCase(f"fzD$i%03d", rng))
     val wins = (0 until nWin).map(i => windowCase(f"fzE$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins
+    val scalars = (0 until nScalar).map(i => scalarCase(f"fzF$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -405,7 +463,8 @@ object FuzzQueries {
     "q121_fuzz_groupagg" -> cases.filter(_.id.startsWith("fzB")),
     "q122_fuzz_toplimit" -> cases.filter(_.id.startsWith("fzC")),
     "q123_fuzz_join" -> cases.filter(_.id.startsWith("fzD")),
-    "q124_fuzz_window" -> cases.filter(_.id.startsWith("fzE")))
+    "q124_fuzz_window" -> cases.filter(_.id.startsWith("fzE")),
+    "q125_fuzz_scalar" -> cases.filter(_.id.startsWith("fzF")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(

@@ -88,6 +88,36 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedHashSample: per-stratum proportions, determinism, nesting") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val rates = Map("en" -> 0.8, "es" -> 0.3, "zh" -> 0.0)
+    val sampled = ScaleOps.stratifiedHashSample(docs, "doc_id", "lang", rates, defaultRate = 0.5)
+
+    // determinism: two materializations identical
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+
+    // per-stratum proportions near their rates (500-doc corpus → loose band)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampledPerLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, total) <- perLang if total >= 30) {
+      val rate = rates.getOrElse(lang, 0.5)
+      val got = sampledPerLang.getOrElse(lang, 0L).toDouble / total
+      assert(math.abs(got - rate) < 0.2, s"$lang: got $got want ~$rate of $total")
+    }
+    assert(!sampledPerLang.contains("zh") || sampledPerLang("zh") == 0L)
+
+    // nesting: raising every rate only ADDS rows
+    val bigger = ScaleOps.stratifiedHashSample(
+      docs, "doc_id", "lang", rates.map { case (k, r) => k -> math.min(1.0, r + 0.2) },
+      defaultRate = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(bigger), "retained set must be nested under higher rates")
+  }
+
   test("boundedExhaustive passes small inputs through, fails fast past maxRows") {
     import spark.implicits._
     val small = (1 to 20).map(_.toLong).toDF("id")
