@@ -66,4 +66,42 @@ object CorpusPipeline {
     Dedup.minHashDedup(exactDeduped, idCol, textCol,
       threshold = cfg.nearDupThreshold, excludeShingles = stopShingles)
   }
+
+  /** The FULL preparation pipeline — [[clean]] plus the remaining stages
+    * a corpus passes on its way to a training run:
+    *
+    *   clean (annotate → gates → exact + near-dup dedup)
+    *     → repetition gate (C4/Gopher boilerplate signal, map-only)
+    *     → benchmark decontamination (when an eval set is supplied)
+    *     → PII scrub (map-only regexp chain)
+    *     → token-window chunking (when chunk dims are supplied;
+    *       quality/language gate columns ride onto every chunk)
+    *
+    * Everything added over clean() is map-only except decontamination's
+    * id-and-hash joins — the composite keeps clean()'s scale shape.
+    * Without `chunk`, returns gated whole documents (annotation columns
+    * retained); with it, returns chunk rows ready for tokenization.
+    */
+  def prepare(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      cfg: Config = Config(),
+      maxRepetition: Double = 0.9,
+      evalDocs: Option[DataFrame] = None,
+      chunk: Option[(Int, Int)] = None): DataFrame = {
+    val cleaned = clean(docs, idCol, textCol, cfg)
+      .filter(TextAnalysis.repetitionRatio(col(textCol)) <= maxRepetition)
+    val decontaminated = evalDocs
+      .map(e => Dedup.decontaminate(cleaned, e, idCol, textCol))
+      .getOrElse(cleaned)
+    val scrubbed = decontaminated
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    chunk match {
+      case Some((size, overlap)) =>
+        TextAnalysis.chunk(scrubbed, idCol, textCol, size, overlap,
+          carry = Seq("lang_pred", "quality"))
+      case None => scrubbed
+    }
+  }
 }

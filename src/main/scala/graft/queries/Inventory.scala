@@ -1239,6 +1239,23 @@ object Inventory {
         WHERE s.doc_id % 50 <> 0 AND len(list_intersect(s.sh, ev.all_sh)) = 0
         ORDER BY s.doc_id""")),
 
+    Q("q107_corpus_prepare",
+      (s, dir) => {
+        // The FULL preparation composite: clean → repetition gate →
+        // decontaminate vs the eval slice → PII scrub → 128/16-token
+        // chunking with gate columns carried. rows-only (langId + MinHash
+        // are engine-internal); stage semantics are individually
+        // oracle-checked (q97, q102-q106) and the composition is pinned
+        // in CorpusPipelineSpec.
+        val d = t(s, dir, "documents")
+        val evalSet = d.filter(col("doc_id") % 50 === 0)
+        graft.operators.CorpusPipeline.prepare(
+          d.filter(col("doc_id") % 50 =!= 0),
+          evalDocs = Some(evalSet), chunk = Some((128, 16)))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      None),
+
     Q("q95_text_stats",
       (s, dir) =>
         t(s, dir, "documents")

@@ -30,6 +30,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(again.count() == cleaned.count())
   }
 
+  test("prepare composes repetition gate, decontamination, scrub, chunking") {
+    import spark.implicits._
+    val evalSet = docs.orderBy("doc_id").limit(3)
+      .select(col("doc_id") + 1000000, col("text")).toDF("doc_id", "text")
+
+    val chunks = CorpusPipeline.prepare(
+      docs, evalDocs = Some(evalSet), chunk = Some((40, 10)))
+    val rows = chunks.collect()
+    assert(rows.nonEmpty)
+    // carry columns ride onto every chunk
+    assert(chunks.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "chunk_tokens", "chunk", "lang_pred", "quality"))
+    // decontamination: the eval docs' sources (verbatim text) are gone
+    val evalIds = docs.orderBy("doc_id").limit(3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!rows.exists(r => evalIds.contains(r.getLong(0))),
+      "docs verbatim-overlapping the eval set must be decontaminated away")
+
+    // whole-doc mode: no chunk columns, repetition gate enforced
+    val whole = CorpusPipeline.prepare(docs, maxRepetition = 0.5)
+    val maxRep = whole
+      .select(TextAnalysis.repetitionRatio(col("text")).as("r"))
+      .agg(max("r")).head.getDouble(0)
+    assert(maxRep <= 0.5)
+    // PII scrub ran (idempotent on clean corpus text, so just well-formed)
+    assert(whole.columns.contains("quality"))
+  }
+
   test("clean() pins nothing in the CacheManager (leak-free composition)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()
