@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 160 query cases over `orders`/`lineitem`
+  * A seeded generator produces 180 query cases over `orders`/`lineitem`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions). Each case is rendered TWICE from
   * one AST:
@@ -26,10 +26,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 160
-  * summaries are UNION ALL'd into six declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 180
+  * summaries are UNION ALL'd into seven declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 160 against DuckDB, while
+  * correctness gate hash-compares all 180 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -44,6 +44,7 @@ object FuzzQueries {
   val nJoin = 20
   val nWin = 20
   val nScalar = 20
+  val nSetop = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -440,6 +441,69 @@ object FuzzQueries {
     }
   }
 
+  /** Family G — set operations and correlated EXISTS. Set ops run two
+    * predicates over one table's key column through UNION [ALL] /
+    * INTERSECT / EXCEPT (default-DISTINCT semantics must agree);
+    * EXISTS/NOT EXISTS correlate orders against a pre-filtered lineitem
+    * (the DSL twin renders them as semi/anti joins — a genuinely
+    * different plan for the same semantics).
+    */
+  private def setopCase(id: String, rng: scala.util.Random): FuzzCase =
+    if (rng.nextBoolean()) {
+      val table = if (rng.nextBoolean()) "orders" else "lineitem"
+      val key = if (table == "orders") "o_orderkey" else "l_partkey"
+      val p1 = predicate(table, rng)
+      val p2 = predicate(table, rng)
+      val op = Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")(rng.nextInt(4))
+      FuzzCase(id, table,
+        s"""SELECT '$id' AS fq, count(*) AS n_rows,
+             CAST(sum(k) AS DOUBLE) AS agg, count(DISTINCT k) AS aux
+           FROM (
+             (SELECT $key AS k FROM $table WHERE ${p1.sql})
+             $op
+             (SELECT $key AS k FROM $table WHERE ${p2.sql})
+           ) __s""",
+        ts => {
+          val a = ts(table).filter(p1.mk()).select(col(key).as("k"))
+          val b = ts(table).filter(p2.mk()).select(col(key).as("k"))
+          val combined = op match {
+            case "UNION"     => a.union(b).distinct()
+            case "UNION ALL" => a.union(b)
+            case "INTERSECT" => a.intersect(b)
+            case _           => a.except(b)
+          }
+          combined.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("k")).cast("double").as("agg"),
+              countDistinct(col("k")).as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+        })
+    } else {
+      val oPred = atom("orders", rng)
+      val lAtom = atom("lineitem", rng)
+      val negated = rng.nextBoolean()
+      val exSql = if (negated) "NOT EXISTS" else "EXISTS"
+      FuzzCase(id, "orders",
+        s"""SELECT '$id' AS fq, count(*) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS agg,
+             count(DISTINCT o_custkey) AS aux
+           FROM orders o
+           WHERE ${oPred.sql} AND $exSql (
+             SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND ${lAtom.sql})""",
+        ts => {
+          val right = ts("lineitem").filter(lAtom.mk())
+          ts("orders").filter(oPred.mk())
+            .join(right, col("o_orderkey") === col("l_orderkey"),
+              if (negated) "left_anti" else "left_semi")
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("o_totalprice").cast(DecimalType(28, 2))).cast("double").as("agg"),
+              countDistinct(col("o_custkey")).as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+        })
+    }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -451,7 +515,8 @@ object FuzzQueries {
     val joins = (0 until nJoin).map(i => joinCase(f"fzD$i%03d", rng))
     val wins = (0 until nWin).map(i => windowCase(f"fzE$i%03d", rng))
     val scalars = (0 until nScalar).map(i => scalarCase(f"fzF$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars
+    val setops = (0 until nSetop).map(i => setopCase(f"fzG$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -464,7 +529,8 @@ object FuzzQueries {
     "q122_fuzz_toplimit" -> cases.filter(_.id.startsWith("fzC")),
     "q123_fuzz_join" -> cases.filter(_.id.startsWith("fzD")),
     "q124_fuzz_window" -> cases.filter(_.id.startsWith("fzE")),
-    "q125_fuzz_scalar" -> cases.filter(_.id.startsWith("fzF")))
+    "q125_fuzz_scalar" -> cases.filter(_.id.startsWith("fzF")),
+    "q126_fuzz_setop_exists" -> cases.filter(_.id.startsWith("fzG")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(

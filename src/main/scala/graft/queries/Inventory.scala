@@ -1464,7 +1464,7 @@ object Inventory {
           count(*) AS n_copies
         FROM documents GROUP BY 2 ORDER BY doc_id""")))
 
-  /** Differential fuzz bundles (FuzzQueries): 160 generated cases over
+  /** Differential fuzz bundles (FuzzQueries): 180 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs
     * the generated dialect-neutral SQL; the oracle is the SAME text run
     * by DuckDB — so the driver hash-compares every generated case.
