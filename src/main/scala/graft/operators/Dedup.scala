@@ -341,6 +341,81 @@ object Dedup {
     corpus.join(contaminated, corpus(idCol) === col("__cid"), "left_anti")
   }
 
+  /** EXACT near-dup clustering: connected components of the pair graph
+    * via iterative min-label propagation — each node's label becomes the
+    * minimum label among itself and its neighbors until a fixpoint.
+    * Returns (id, cluster) where cluster = the component's minimum id.
+    *
+    * Scale shape: the input is the near-dup PAIR list (bounded by
+    * collision rate — far smaller than the corpus), and each iteration
+    * is one distributed join + min-agg over the edge list; convergence
+    * takes O(component diameter) iterations, and near-dup components
+    * are shallow (most are stars around a template). Labels re-share
+    * via lazy localCheckpoint per iteration so lineage doesn't grow
+    * unboundedly; the one driver-side value per iteration is the
+    * changed-label COUNT (a scalar, not data). `maxIter` bounds
+    * pathological chains; the loop stops early at the fixpoint.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .localCheckpoint(eager = false)
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id")))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = false)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaNeighbor = sym
+        .join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(viaNeighbor, labels("id") === viaNeighbor("nid"), "left")
+        .select(
+          labels("id"),
+          labels("label"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("next"))
+        .localCheckpoint(eager = false)
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+        .localCheckpoint(eager = false)
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Exact-transitive-closure variant of [[minHashDedup]]: one
+    * representative (the minimum id) survives per CONNECTED COMPONENT of
+    * the near-dup graph. Differs from the greedy rule when a doc with no
+    * smaller direct partner is still transitively linked to a smaller
+    * id — e.g. pairs (1,3),(2,3): greedy keeps {1,2}, this keeps {1}.
+    * Costs the iterative clustering over the pair list; use when mixing
+    * decisions need true cluster identities, greedy when a cheap
+    * one-pass filter suffices.
+    */
+  def minHashDedupExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1024,
+      excludeShingles: Array[Long] = Array.empty): DataFrame = {
+    val pairs = minHashNearDups(
+      df, idCol, textCol, k, bands, w, threshold,
+      maxBucket = maxBucket, excludeShingles = excludeShingles)
+    val losers = nearDupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens: bit j of the fingerprint is the sign

@@ -210,6 +210,55 @@ class DedupSpec extends SparkSpec {
     assert(!capped.exists { case (a, b) => a <= 18 && b <= 18 }) // no boilerplate-only pairs
   }
 
+  test("nearDupClusters: exact components on chain, star, and split graphs") {
+    import spark.implicits._
+    // chain 1-2-3-4, star 10-{11,12,13}, separate pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // stable under row order / direction-of-edge permutations
+    val shuffled = Seq((21L, 20L), (4L, 3L), (13L, 10L), (3L, 2L), (12L, 10L),
+      (2L, 1L), (11L, 10L)).map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val again = Dedup.nearDupClusters(shuffled)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("minHashDedupExact keeps one representative per component (vs greedy)") {
+    import spark.implicits._
+    // 1 and 2 are both near-dups of 3, but not of each other: the greedy
+    // rule keeps {1, 2}; exact transitive closure keeps only {1}
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base + " alpha beta gamma"),
+      (2L, base + " delta epsilon zeta"),
+      (3L, base + " alpha beta zeta"),
+      (9L, "completely unrelated document with its own distinct words here"))
+      .toDF("id", "text")
+    val pairs = Dedup.minHashNearDups(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"fixture should link 1-3 and 2-3, got $pairs")
+
+    val exact = Dedup.minHashDedupExact(docs, "id", "text", threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    if (pairs.contains((1L, 2L))) assert(exact == Set(1L, 9L))
+    else {
+      assert(exact == Set(1L, 9L), s"one representative per component, got $exact")
+      val greedy = Dedup.minHashDedup(docs, "id", "text", threshold = 0.5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(greedy == Set(1L, 2L, 9L), s"greedy keeps both 1 and 2, got $greedy")
+    }
+  }
+
   test("decontaminate drops docs sharing a long shingle with the eval set") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta" // one 8-gram
