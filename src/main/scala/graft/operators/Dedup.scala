@@ -516,6 +516,11 @@ object Dedup {
     * it here instead of re-rounding the returned column, because
     * round(round(x, 6), 4) != round(x, 4) in a narrow window around
     * *.xxxx4999995 boundaries.
+    *
+    * `corpusSizeHint`, when set, OVERRIDES nPlanes with the documented
+    * sizing rule [[Similarity.nPlanesFor]] (≈ log₂(N / target bucket))
+    * — pass the (approximate) corpus row count and the bucket count
+    * scales with it instead of being hand-tuned.
     */
   def embeddingNearDups(
       df: DataFrame,
@@ -527,12 +532,14 @@ object Dedup {
       nTables: Int = 1,
       seed: Long = 42L,
       maxBucket: Int = 4096,
-      roundScale: Int = 6): DataFrame = {
+      roundScale: Int = 6,
+      corpusSizeHint: Option[Long] = None): DataFrame = {
     require(nTables >= 1, s"nTables=$nTables must be >= 1")
+    val planesPerTable = corpusSizeHint.map(Similarity.nPlanesFor(_)).getOrElse(nPlanes)
     // one signature per table, each from its own seeded plane set; the
     // table index is prefixed so buckets never collide across tables
     val sigCols = (0 until nTables).map { t =>
-      val planes = VectorFunctions.randomPlanes(dim, nPlanes, seed + t)
+      val planes = VectorFunctions.randomPlanes(dim, planesPerTable, seed + t)
       concat(
         lit(s"$t:"),
         VectorFunctions.hyperplaneSignature(col(vecCol), planes).cast("string"))

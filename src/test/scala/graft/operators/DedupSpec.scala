@@ -317,6 +317,19 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("corpusSizeHint auto-sizes the plane count via the nPlanesFor rule") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val auto = Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.45, nPlanes = 99 /* ignored */, nTables = 48,
+      corpusSizeHint = Some(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.45, nPlanes = Similarity.nPlanesFor(n), nTables = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit)
+  }
+
   test("embedding near-dup LSH: OR-tables reach recall 1 vs exhaustive") {
     import graft.functions.VectorFunctions
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
