@@ -70,17 +70,24 @@ object CorpusPipeline {
   /** The FULL preparation pipeline — [[clean]] plus the remaining stages
     * a corpus passes on its way to a training run:
     *
-    *   clean (annotate → gates → exact + near-dup dedup)
-    *     → repetition gate (C4/Gopher boilerplate signal, map-only)
+    *   PII scrub (map-only regexp chain — FIRST, so every downstream
+    *       annotation, fingerprint, and dedup decision sees the text
+    *       that will actually ship; two docs differing only in PII
+    *       dedupe together)
+    *     → repetition gate (map-only — BEFORE dedup, so gating a
+    *       cluster's would-be representative cannot discard a cluster
+    *       whose other members pass the gate)
+    *     → clean (annotate → gates → exact + near-dup dedup)
     *     → benchmark decontamination (when an eval set is supplied)
-    *     → PII scrub (map-only regexp chain)
     *     → token-window chunking (when chunk dims are supplied;
     *       quality/language gate columns ride onto every chunk)
     *
     * Everything added over clean() is map-only except decontamination's
     * id-and-hash joins — the composite keeps clean()'s scale shape.
-    * Without `chunk`, returns gated whole documents (annotation columns
-    * retained); with it, returns chunk rows ready for tokenization.
+    * Without `chunk`, returns gated whole documents with annotation
+    * columns retained — consistent with the returned text, since
+    * annotation happens post-scrub. With it, returns chunk rows ready
+    * for tokenization.
     */
   def prepare(
       docs: DataFrame,
@@ -90,18 +97,17 @@ object CorpusPipeline {
       maxRepetition: Double = 0.9,
       evalDocs: Option[DataFrame] = None,
       chunk: Option[(Int, Int)] = None): DataFrame = {
-    val cleaned = clean(docs, idCol, textCol, cfg)
+    val scrubbed = docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .filter(TextAnalysis.repetitionRatio(col(textCol)) <= maxRepetition)
+    val cleaned = clean(scrubbed, idCol, textCol, cfg)
     val decontaminated = evalDocs
       .map(e => Dedup.decontaminate(cleaned, e, idCol, textCol))
       .getOrElse(cleaned)
-    val scrubbed = decontaminated
-      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
     chunk match {
       case Some((size, overlap)) =>
-        TextAnalysis.chunk(scrubbed, idCol, textCol, size, overlap,
+        TextAnalysis.chunk(decontaminated, idCol, textCol, size, overlap,
           carry = Seq("lang_pred", "quality"))
-      case None => scrubbed
+      case None => decontaminated
     }
   }
 }

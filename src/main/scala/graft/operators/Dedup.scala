@@ -332,12 +332,19 @@ object Dedup {
       .distinct()
     val corpusSh = corpus
       .select(col(idCol).as("__cid"), explode(shingleHashes(col(textCol), w)).as("sh"))
-    val contaminated = corpusSh
-      .join(evalSh, Seq("sh"))
-      .groupBy("__cid")
-      .agg(countDistinct(col("sh")).as("__shared"))
-      .filter(col("__shared") >= minShared)
-      .select("__cid")
+    // minShared = 1 (the default): ANY shared shingle contaminates, so a
+    // distinct of the join's ids suffices — no countDistinct aggregate on
+    // the hot path. The counting aggregate only runs for stricter bars.
+    val contaminated =
+      if (minShared == 1)
+        corpusSh.join(evalSh, Seq("sh")).select("__cid").distinct()
+      else
+        corpusSh
+          .join(evalSh, Seq("sh"))
+          .groupBy("__cid")
+          .agg(countDistinct(col("sh")).as("__shared"))
+          .filter(col("__shared") >= minShared)
+          .select("__cid")
     corpus.join(contaminated, corpus(idCol) === col("__cid"), "left_anti")
   }
 
@@ -353,8 +360,10 @@ object Dedup {
     * are shallow (most are stars around a template). Labels re-share
     * via lazy localCheckpoint per iteration so lineage doesn't grow
     * unboundedly; the one driver-side value per iteration is the
-    * changed-label COUNT (a scalar, not data). `maxIter` bounds
-    * pathological chains; the loop stops early at the fixpoint.
+    * changed-label COUNT (a scalar, not data). The loop stops at the
+    * fixpoint; if `maxIter` is hit first the labels would be silently
+    * WRONG (local minima only), so the method THROWS instead — raise
+    * maxIter for pathological chain-shaped components.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
@@ -381,10 +390,15 @@ object Dedup {
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("next"))
         .localCheckpoint(eager = false)
       changed = updated.filter(col("next") < col("label")).count()
+      // `updated` is already block-shared; the projection reads its blocks
       labels = updated.select(col("id"), col("next").as("label"))
-        .localCheckpoint(eager = false)
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — the pair graph has a component " +
+          s"of diameter > $maxIter; pass a larger maxIter")
     labels.select(col("id"), col("label").as("cluster"))
   }
 
@@ -406,11 +420,12 @@ object Dedup {
       w: Int = 3,
       threshold: Double = 0.8,
       maxBucket: Int = 1024,
-      excludeShingles: Array[Long] = Array.empty): DataFrame = {
+      excludeShingles: Array[Long] = Array.empty,
+      maxIter: Int = 25): DataFrame = {
     val pairs = minHashNearDups(
       df, idCol, textCol, k, bands, w, threshold,
       maxBucket = maxBucket, excludeShingles = excludeShingles)
-    val losers = nearDupClusters(pairs)
+    val losers = nearDupClusters(pairs, maxIter)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("__loser"))
     df.join(losers, df(idCol) === col("__loser"), "left_anti")

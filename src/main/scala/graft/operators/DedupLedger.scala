@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * is small, shuffles on the hash key at scale — the join key IS a
   * uniform hash, so no skew by construction); the append is one
   * partitioned write of the batch's accepted keys.
+  *
+  * CONCURRENCY CONTRACT: ingests must be serialized by the caller —
+  * one writer at a time (the usual scheduler-ordered ingest). Plain
+  * parquet appends are not transactional: two concurrent ingests that
+  * share content could each pass filterNew before the other's append
+  * lands and both accept the duplicate. Multi-writer deployments need
+  * a transactional table format (or an external lock) at this
+  * boundary; readers of a committed ledger are always safe.
   */
 object DedupLedger {
 

@@ -119,11 +119,17 @@ object ScaleOps {
       den: Int = 1000000): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "rates must be in [0, 1]")
+    // integer per-`den` thresholds, resolved on the DRIVER: comparing the
+    // integer bucket against a floating product (rate * den) would make
+    // boundary buckets depend on double rounding (0.1 * 1e6 =
+    // 100000.00000000001) — exactly the cross-engine instability the
+    // keyed hash exists to avoid
     val bucket = pmod(xxhash64(col(keyCol)), lit(den))
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (acc, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(acc)
+    def threshold(r: Double): Long = math.round(r * den)
+    val cut = rates.toSeq.sortBy(_._1).foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (s, r)) => when(col(strataCol) === s, lit(threshold(r))).otherwise(acc)
     }
-    df.filter(bucket < rate * den)
+    df.filter(bucket < cut)
   }
 
   /** Fail-fast guard for VERIFICATION-ONLY exhaustive operators.

@@ -232,6 +232,20 @@ class DedupSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("nearDupClusters refuses to return non-converged labels") {
+    import spark.implicits._
+    // a 6-hop chain cannot converge in 2 iterations — must throw, never
+    // silently return local-minimum labels
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+    // and converges fine with the default bound
+    val ok = Dedup.nearDupClusters(chain).collect().map(r => r.getLong(1)).distinct
+    assert(ok.toSeq == Seq(1L))
+  }
+
   test("minHashDedupExact keeps one representative per component (vs greedy)") {
     import spark.implicits._
     // 1 and 2 are both near-dups of 3, but not of each other: the greedy
