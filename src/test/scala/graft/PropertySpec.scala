@@ -102,4 +102,58 @@ class PropertySpec extends SparkSpec {
       c2.exceptAll(cleaned).count() == 0 && cleaned.exceptAll(c2).count() == 0
     })
   }
+
+  test("chunk invariants hold across (nTokens, size, overlap) space") {
+    import spark.implicits._
+    val configs = for {
+      (n, i) <- Seq(0, 1, 2, 5, 7, 19, 20, 21, 37, 60).zipWithIndex
+      (size, overlap) <- Seq((5, 0), (5, 2), (8, 7), (20, 5), (3, 1))
+    } yield (n, size, overlap, i)
+    configs.foreach { case (n, size, overlap, _) =>
+      val doc = (1 to n).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, doc)).toDF("id", "text")
+      val chunks = graft.operators.TextAnalysis.chunk(df, "id", "text", size, overlap)
+        .orderBy("chunk_idx").collect()
+      val ctx = s"n=$n size=$size overlap=$overlap"
+      if (n == 0) assert(chunks.isEmpty, s"$ctx: empty doc yields no chunks")
+      else {
+        assert(chunks.nonEmpty, s"$ctx: non-empty doc yields >= 1 chunk")
+        // indices are 0..k-1 dense
+        assert(chunks.map(_.getLong(1)).toSeq == chunks.indices.map(_.toLong), ctx)
+        // every chunk respects the window, and token counts match content
+        chunks.foreach { c =>
+          val toks = c.getString(3).split(" ")
+          assert(toks.length == c.getInt(2) && toks.length <= size, ctx)
+        }
+        // COVERAGE: the chunks' tokens union to exactly the document
+        val covered = chunks.flatMap(_.getString(3).split(" ")).toSet
+        assert(covered == (1 to n).map(i => s"w$i").toSet, s"$ctx: coverage hole")
+        // consecutive chunks overlap by exactly `overlap` tokens (except
+        // a possibly-short final window)
+        chunks.sliding(2).foreach {
+          case Array(a, b) =>
+            val at = a.getString(3).split(" ")
+            val bt = b.getString(3).split(" ")
+            if (at.length == size)
+              assert(bt.startsWith(at.takeRight(overlap)), s"$ctx: overlap mismatch")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("repetitionRatio is bounded in [0, 1] and monotone in duplication") {
+    import spark.implicits._
+    val docs = Seq(
+      (1 to 30).map(i => s"u$i").mkString(" "),       // all distinct
+      Seq.fill(10)("a b c").mkString(" "),            // heavy repetition
+      "a b c " + (1 to 20).map(i => s"u$i").mkString(" "),
+      "", "x", "x x", "x x x x x x x x").toDF("text")
+    val rs = docs.select(graft.operators.TextAnalysis.repetitionRatio(col("text"), 3))
+      .collect().map(_.getDouble(0))
+    assert(rs.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rs(0) == 0.0, "distinct tokens → ratio 0")
+    assert(rs(1) > 0.8, s"heavy repetition → high ratio, got ${rs(1)}")
+    assert(rs(1) > rs(2), "more duplication → higher ratio")
+  }
 }
