@@ -1,6 +1,8 @@
 package graft
 
-import graft.queries.Inventory
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Inventory, Q}
 
 /** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":…,"queries":{…}}.
@@ -9,11 +11,37 @@ import graft.queries.Inventory
   * every output row — unlike count(), which lets Spark prune the plan).
   */
 object Bench {
+
+  /** GRAFT_BENCH_DOUBLE=1 adds plain-double-sum twins of the
+    * decimal-exact headline aggregates, quantifying the price paid for
+    * cross-engine bit-identity (the inventory sums in DECIMAL(28,s) so
+    * DuckDB hash-matches; a production pipeline that doesn't need an
+    * oracle would sum doubles). Reported as q01x_double_sums next to
+    * q01_pricing_summary; the delta is the oracle-exactness tax.
+    */
+  private val doubleVariants: Seq[Q] = Seq(
+    Q("q01x_double_sums",
+      (s, dir) =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_base_price"),
+            sum(expr("l_extendedprice*(1-l_discount)")).as("sum_disc_price"),
+            sum(expr("l_extendedprice*(1-l_discount)*(1+l_tax)")).as("sum_charge"),
+            avg("l_quantity").as("avg_qty"),
+            avg("l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      None))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
 
-    val headline = Inventory.all.filter(q => Inventory.benchNames.contains(q.name))
+    val headline = Inventory.all.filter(q => Inventory.benchNames.contains(q.name)) ++
+      (if (sys.env.get("GRAFT_BENCH_DOUBLE").contains("1")) doubleVariants else Nil)
 
     // Untimed warm-up at the smallest sf: loads Parquet/codegen/exchange
     // classes and JIT-compiles the hot paths so per-query timings measure

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -429,6 +430,38 @@ object Dedup {
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("__loser"))
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Pick one surviving document per near-dup cluster by an explicit
+    * POLICY (keep the highest `rankCol`, ties to the smallest id) instead
+    * of [[minHashDedupExact]]'s fixed min-id rule — production pipelines
+    * keep the longest / highest-quality member, not an arbitrary one.
+    *
+    * Output: (cluster, survivor_id, n_members) — one row per cluster;
+    * every cluster has ≥ 2 members by construction (ids enter via pairs).
+    *
+    * Scale: `pairs` (and hence the cluster frame) covers only near-dup
+    * MEMBERS — a small fraction of the corpus — so the rank join and the
+    * per-cluster window both run on the reduced set; nothing touches the
+    * full corpus beyond the id/rank projection of `docs`.
+    */
+  def nearDupSurvivors(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      rankCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val clusters = nearDupClusters(pairs, maxIter)
+    val ranked = clusters.join(
+      docs.select(col(idCol).cast("long").as("id"), col(rankCol).as("__rank")),
+      "id")
+    val pick = Window.partitionBy("cluster").orderBy(col("__rank").desc, col("id"))
+    ranked
+      .withColumn("__rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("id").as("survivor_id"),
+        col("n_members").cast("long").as("n_members"))
   }
 
   // --------------------------------------------------------------- simhash

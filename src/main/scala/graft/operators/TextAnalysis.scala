@@ -213,6 +213,50 @@ object TextAnalysis {
     */
   def md5Fingerprint(text: Column): Column = md5(lower(trim(text)).cast("binary"))
 
+  /** Corpus-wide line-level dedup (the CCNet pass): split each document
+    * on `sep`, keep only the FIRST occurrence of every distinct
+    * non-blank line across the whole corpus (first = smallest
+    * (`idCol`, position)), and reassemble each document from its
+    * surviving lines in original order. Documents whose every line was
+    * already seen disappear from the output. Blank/whitespace-only lines
+    * are dropped up front (standard normalization).
+    *
+    * Output: (idCol, clean_text, kept_lines).
+    *
+    * Scale: two shuffles — one keyed by the line text (the keep-first
+    * window; Spark hash-partitions the string key, so identical lines
+    * co-locate and each partition holds line-count/shuffle-partitions
+    * lines), one by `idCol` (reassembly agg, map-side partial). Line
+    * text crosses the wire once per stage — same order as the input
+    * itself, no amplification. At 100 TB key the window by
+    * `xxhash64(line)` instead to shuffle 8-byte keys (collision risk
+    * ~n²/2⁶⁴ falsely-dropped lines); the exact-string key here keeps the
+    * operator engine-reproducible (DuckDB oracle q110).
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+    val keepFirst = Window.partitionBy("line").orderBy(col(idCol), col("pos"))
+    lines
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          sep).as("clean_text"),
+        count(lit(1)).cast("long").as("kept_lines"))
+  }
+
   /** Annotate a documents frame with all analysis columns. One native
     * single-tokenization kernel (TextProfileExpr); field-by-field
     * value-identical to [[annotateHof]], which the spec pins.

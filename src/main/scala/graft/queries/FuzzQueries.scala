@@ -209,7 +209,13 @@ object FuzzQueries {
       (Frag(s, () => col(s)), Seq("o_orderkey"))
     case _ =>
       val s = Seq("l_extendedprice", "l_shipdate", "l_quantity")(rng.nextInt(3))
-      (Frag(s, () => col(s)), Seq("l_orderkey", "l_linenumber"))
+      // NOTE: in the driver-generated data (l_orderkey, l_linenumber) is
+      // NOT unique (unlike real TPC-H) — an equal-sort-value duplicate
+      // key at a LIMIT boundary once made the selected row SET differ
+      // between engines (fzC013 at sf0.001). The 4-column key below is
+      // verified unique at every shipped SF, making ORDER BY total.
+      (Frag(s, () => col(s)),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
   }
 
   // ------------------------------------------------------------ families

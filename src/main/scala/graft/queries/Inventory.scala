@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, ScaleOps, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis}
 
 /** One declared operator: name, Spark implementation, optional DuckDB
   * oracle SQL over the same parquet tables. Column names MUST match
@@ -533,6 +533,29 @@ object Inventory {
         round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC), 6) AS pr,
         round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC), 6) AS cd
         FROM orders WHERE o_orderkey <= 800
+        ORDER BY o_orderpriority, o_orderkey""")),
+
+    Q("q37_ntile",
+      (s, dir) => {
+        // ntile bucketing + nth_value with the default running frame;
+        // the order key is made unique (price, key) so RANGE == ROWS and
+        // both engines agree deterministically
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 800)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      // Spark's ntile is INT, DuckDB's BIGINT — cast on the oracle side
+      Some("""SELECT o_orderpriority, o_orderkey,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        nth_value(o_orderkey, 2) OVER w AS second_key
+        FROM orders WHERE o_orderkey <= 800
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
         ORDER BY o_orderpriority, o_orderkey""")))
 
   private val sortLimit = Seq(
@@ -884,7 +907,51 @@ object Inventory {
         count(*) FILTER (event_type = 'purchase') AS purchase,
         count(*) FILTER (event_type = 'signup') AS signup,
         count(*) FILTER (event_type = 'view') AS view
-        FROM events GROUP BY 1 ORDER BY bucket""")))
+        FROM events GROUP BY 1 ORDER BY bucket""")),
+
+    Q("q73_hof_arrays",
+      (s, dir) =>
+        // higher-order array functions over the embedding column:
+        // aggregate (fold), filter, array_max — all codegen-adjacent
+        // builtins, no UDFs. Double accumulation in declaration order on
+        // both engines (same idiom as q84's oracle).
+        t(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            round(VectorFunctions.dot(col("embedding"), col("embedding")), 4)
+              .as("sumsq"),
+            size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+            round(expr("cast(array_max(embedding) as double)"), 4).as("max_val"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+        round(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sumsq,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val
+        FROM embeddings ORDER BY vec_id""")),
+
+    Q("q74_unpivot",
+      (s, dir) =>
+        // wide-to-long: Spark's native unpivot (melt); the oracle is the
+        // engine-neutral UNION ALL formulation of the same reshape
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).cast("double").as("n_orders"),
+            dsum("o_totalprice").as("total_price"))
+          .unpivot(
+            Array(col("o_orderpriority")),
+            Array(col("n_orders"), col("total_price")),
+            "metric", "value")
+          .orderBy("o_orderpriority", "metric"),
+      Some("""WITH a AS (
+          SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n_orders,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+        UNION ALL
+        SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM a
+        ORDER BY o_orderpriority, metric""")))
 
   private val subqueries = Seq(
     Q("q70_scalar_subquery",
@@ -1462,7 +1529,103 @@ object Inventory {
           .orderBy("doc_id"),
       Some("""SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS fp_md5,
           count(*) AS n_copies
-        FROM documents GROUP BY 2 ORDER BY doc_id""")))
+        FROM documents GROUP BY 2 ORDER BY doc_id""")),
+
+    Q("q108_neardup_survivors",
+      (s, dir) => {
+        // policy-based survivor selection over near-dup CLUSTERS: keep
+        // the longest member (ties to smallest id). Pairs via the same
+        // deterministic LSH parameterization as q81 (banding miss prob
+        // ≈ 1e-15 at this corpus's jaccard ≥ 0.9 pairs); clustering is
+        // min-label propagation; the oracle recomputes the transitive
+        // closure with a recursive CTE over the exhaustive pair list.
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minHashNearDups(
+          docs, "doc_id", "text", k = 128, bands = 32, w = 3, threshold = 0.5)
+        Dedup.nearDupSurvivors(pairs, docs, "doc_id", "n_chars")
+          .orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+        e AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        r(id, lab) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b),
+        lab AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster FROM r GROUP BY id),
+        ranked AS (
+          SELECT l.cluster, l.id,
+            row_number() OVER (PARTITION BY l.cluster
+              ORDER BY d.n_chars DESC, l.id) AS rn,
+            count(*) OVER (PARTITION BY l.cluster) AS n_members
+          FROM lab l JOIN documents d ON d.doc_id = l.id)
+        SELECT cluster, CAST(id AS BIGINT) AS survivor_id,
+          CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1 ORDER BY cluster""")),
+
+    Q("q109_pack_sequences",
+      (s, dir) =>
+        // concat-and-chunk sequence packing (128-token sequences,
+        // sharded by language): the pretraining data layout step. The
+        // only shuffle is the per-shard cumulative-sum window.
+        Packing.packConcat(
+          t(s, dir, "documents"), "doc_id", "text",
+          seqLen = 128, shardCol = "lang")
+          .orderBy("lang", "seq_idx", "doc_id"),
+      Some("""WITH d AS (
+          SELECT lang, doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+          FROM documents WHERE length(trim(text)) > 0),
+        c AS (
+          SELECT lang, doc_id, n,
+            CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+          FROM d),
+        x AS (
+          SELECT lang, doc_id, e - n AS s, e,
+            unnest(generate_series((e - n) // 128, (e - 1) // 128)) AS k
+          FROM c)
+        SELECT lang, CAST(k AS BIGINT) AS seq_idx, doc_id,
+          CAST(greatest(s, k * 128) - k * 128 AS INTEGER) AS tok_from,
+          CAST(least(e, (k + 1) * 128) - k * 128 AS INTEGER) AS tok_to
+        FROM x ORDER BY lang, seq_idx, doc_id""")),
+
+    Q("q110_line_dedup",
+      (s, dir) => {
+        // corpus-wide line-level dedup (the CCNet pass) over multi-line
+        // docs constructed from order fields — priority / status /
+        // comment-prefix lines recur across orders, so later copies drop
+        val docs = t(s, dir, "orders").select(
+          col("o_orderkey").as("doc_id"),
+          concat_ws("\n", col("o_orderpriority"), col("o_orderstatus"),
+            concat(lit("C"), col("o_custkey").cast("string"))).as("text"))
+        TextAnalysis.dedupLines(docs, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT o_orderkey AS doc_id,
+            concat_ws(chr(10), o_orderpriority, o_orderstatus,
+              'C' || CAST(o_custkey AS VARCHAR)) AS text
+          FROM orders),
+        sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+        ex AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS p, ls FROM sp),
+        ln AS (SELECT doc_id, p, ls[p] AS line FROM ex WHERE trim(ls[p]) <> ''),
+        keep AS (
+          SELECT doc_id, p, line,
+            row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS rn
+          FROM ln)
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+          CAST(count(*) AS BIGINT) AS kept_lines
+        FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")))
 
   /** Differential fuzz bundles (FuzzQueries): 180 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs
@@ -1490,5 +1653,6 @@ object Inventory {
     "q17_join_asof", "q21_count_distinct", "q30_window_rank", "q35_window_range",
     "q40_topk", "q64_json", "q66_pivot",
     "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q93_knn_join",
-    "q95_text_stats", "q99_sessionize", "q101_corpus_pipeline", "q103_chunking")
+    "q95_text_stats", "q99_sessionize", "q101_corpus_pipeline", "q103_chunking",
+    "q109_pack_sequences", "q110_line_dedup")
 }

@@ -367,4 +367,17 @@ class DedupSpec extends SparkSpec {
     assert(found.subsetOf(truth)) // precision 1.0 (verified cosine)
     assert(found == truth, s"missed ${(truth -- found).mkString(",")}")
   }
+
+  test("nearDupSurvivors keeps the highest-rank member per cluster, ties to min id") {
+    import spark.implicits._
+    // components: {1,2,3} via (1,2),(2,3) — transitive; {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 10), (2L, 50), (3L, 50), (7L, 5), (8L, 9), (9L, 999))
+      .toDF("doc_id", "n_chars") // doc 9 is in no pair → no cluster row
+    val out = Dedup.nearDupSurvivors(pairs, docs, "doc_id", "n_chars")
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cluster 1: rank-50 tie between 2 and 3 → min id 2; cluster 7: 8 (9 > 5)
+    assert(out == Seq((1L, 2L, 3L), (7L, 8L, 2L)))
+  }
 }

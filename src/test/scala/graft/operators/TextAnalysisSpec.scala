@@ -166,4 +166,32 @@ class TextAnalysisSpec extends SparkSpec {
       .head.getBoolean(0)
     assert(same)
   }
+
+  test("dedupLines keeps the corpus-first copy of every line, reassembled in order") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),                 // beta already in doc 1
+      (3L, "delta\nalpha\n\n  \nepsilon")) // blanks dropped, rest seen
+      .toDF("id", "text")
+    val out = TextAnalysis.dedupLines(docs, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "alpha\nbeta\ngamma", 3L),
+      (2L, "delta", 1L),
+      (3L, "epsilon", 1L)))
+  }
+
+  test("dedupLines drops documents whose every line was already seen") {
+    val docs = Seq((1L, "x\ny"), (2L, "y\nx"), (3L, "x")).toDF("id", "text")
+    val out = TextAnalysis.dedupLines(docs, "id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getString(1) == "x\ny")
+  }
+
+  test("dedupLines removes within-document repeats too, keeping the first") {
+    val out = TextAnalysis.dedupLines(
+      Seq((1L, "a\nb\na\na\nc")).toDF("id", "text"), "id", "text").head()
+    assert(out.getString(1) == "a\nb\nc" && out.getLong(2) == 3L)
+  }
 }
