@@ -1625,7 +1625,58 @@ object Inventory {
           FROM ln)
         SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
           CAST(count(*) AS BIGINT) AS kept_lines
-        FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")))
+        FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("q75_distinct_two_phase",
+      (s, dir) =>
+        // skew-safe count(DISTINCT) rewrite: dedupe (key, value) first
+        // (partially aggregated map-side), then count per key — hot-key
+        // duplicates collapse BEFORE the shuffle. Oracle proves it
+        // equals the single-level countDistinct semantics.
+        ScaleOps.distinctCountTwoPhase(
+          t(s, dir, "lineitem"), "l_returnflag", "l_partkey")
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_l_partkey
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q76_salted_join",
+      (s, dir) => {
+        // salt-the-skew join: shuffle key is (okey, salt) so a hot
+        // order's rows spread over 8 partitions; output columns are
+        // untouched, so the PLAIN join is the exact oracle — salting is
+        // semantics-preserving by construction.
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+        val od = t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        ScaleOps.saltedJoin(li, od, "okey", buckets = 8)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            dsum("l_extendedprice").as("total_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_rows,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q("q77_stratified_sample",
+      (s, dir) =>
+        // corpus-mixing primitive: per-language keep rates, selected by
+        // a pure keyed hash (stable, nested, map-only). rows-only by
+        // necessity: the bucket hash is Spark's xxhash64, which DuckDB
+        // cannot reproduce (same class as q82/q98); determinism, nesting
+        // and rate accuracy are pinned in ScaleOpsSpec.
+        ScaleOps.stratifiedHashSample(
+          t(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.8, "es" -> 0.5, "fr" -> 0.25),
+          defaultRate = 0.1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang"),
+      None))
 
   /** Differential fuzz bundles (FuzzQueries): 180 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs

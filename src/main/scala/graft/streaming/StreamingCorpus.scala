@@ -62,4 +62,32 @@ object StreamingCorpus {
     TextAnalysis.chunk(scrubbed, idCol, textCol, chunkSize, overlap,
       carry = Seq("rep_ratio"))
   }
+
+  /** Streaming twin of [[graft.operators.TextAnalysis.dedupLines]]:
+    * corpus-wide keep-first LINE dedup over an unbounded stream. Emits
+    * the surviving lines as (idCol, pos, line, tsCol) rows.
+    *
+    * Necessary semantic shifts vs batch (same reasoning as [[clean]]):
+    * "first" means first ARRIVAL inside the watermark horizon, not
+    * globally smallest (id, pos) — a duplicate arriving after state
+    * expiry is re-emitted; and documents are NOT reassembled here (a
+    * per-doc gather would pin every open document in the state store) —
+    * reassembly is the sink-side compaction `dedupLines` already
+    * handles. State is one entry per distinct line inside the horizon,
+    * the same bound `dropDuplicatesWithinWatermark` gives exact dedup.
+    */
+  def dedupLinesStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      sep: String = "\n",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .select(col(idCol), col(tsCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("line")
 }

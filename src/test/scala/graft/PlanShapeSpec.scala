@@ -87,6 +87,27 @@ class PlanShapeSpec extends SparkSpec {
       s"chunking should not shuffle before the presentation sort:\n$plan")
   }
 
+  test("q109: packing's only shuffle is the per-shard window") {
+    val plan = planString(run("q109_pack_sequences"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"packConcat should shuffle once (shard window), got $exchanges:\n$plan")
+    // the window carries (shard, id, n) only — no document text
+    assert(!plan.contains("text#") ||
+      !"Window .*text#".r.findFirstIn(plan).isDefined,
+      s"window shuffles the text payload:\n$plan")
+  }
+
+  test("q110: line dedup shuffles twice (keep-first window, reassembly agg)") {
+    val plan = planString(run("q110_line_dedup"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"dedupLines should shuffle exactly twice, got $exchanges:\n$plan")
+    // reassembly partial-aggregates map-side before the id shuffle
+    assert(plan.contains("partial_"),
+      s"no map-side partial aggregation in reassembly:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

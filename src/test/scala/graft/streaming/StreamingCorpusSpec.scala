@@ -35,6 +35,25 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupLinesStream keeps the first arrival of each line, drops repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingCorpus.dedupLinesStream(in.toDF.toDF("doc_id", "text", "ts"))
+      .select("doc_id", "pos", "line")
+      .writeStream.format("memory").queryName("ldl_out").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "alpha\nbeta", ts(0)),
+        (2L, "beta\ngamma\n  \nalpha", ts(1)), // beta/alpha repeats, blank dropped
+        (3L, "gamma", ts(2)))                  // fully duplicate doc → nothing
+      q.processAllAvailable()
+      val rows = spark.table("ldl_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(rows == Set((1L, 0, "alpha"), (1L, 1, "beta"), (2L, 1, "gamma")))
+    } finally q.stop()
+  }
+
   test("scrubAndChunk streams statelessly: redaction + chunking + carried ratio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
