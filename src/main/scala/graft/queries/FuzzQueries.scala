@@ -8,10 +8,10 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 180 query cases over `orders`/`lineitem`
+  * A seeded generator produces 200 query cases over `orders`/`lineitem`
   * spanning (projection, predicate, group-by, having, order+limit,
-  * inner/left joins, window functions). Each case is rendered TWICE from
-  * one AST:
+  * inner/left joins, window functions, rollup/cube/grouping-sets). Each
+  * case is rendered TWICE from one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
   *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
@@ -26,10 +26,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 180
-  * summaries are UNION ALL'd into seven declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 200
+  * summaries are UNION ALL'd into eight declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 180 against DuckDB, while
+  * correctness gate hash-compares all 200 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -45,6 +45,7 @@ object FuzzQueries {
   val nWin = 20
   val nScalar = 20
   val nSetop = 20
+  val nRollup = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -447,6 +448,81 @@ object FuzzQueries {
     }
   }
 
+  /** Family H — ROLLUP / CUBE / GROUPING SETS with GROUPING() markers:
+    * the multi-granularity aggregate surface where engines diverge on
+    * subtotal-row NULL semantics and grouping-flag assignment. The
+    * summary weights each result group's count by (1 + 2·GROUPING(g0)
+    * + GROUPING(g1)), so a subtotal row attributed to the wrong
+    * granularity changes `aux` even when the group count matches.
+    *
+    * The DSL twin deliberately does NOT use Spark's rollup()/cube():
+    * it expands the construct into a UNION of plain groupBys (one per
+    * grouping set, with literal grouping flags) — an independent
+    * formulation of the semantics, so a Spark rollup planner bug and a
+    * DuckDB subtotal bug are both catchable.
+    *
+    * DIVERGENCE FOUND (and normalized away): over an EMPTY input,
+    * DuckDB follows the SQL standard and still emits the grand-total
+    * grouping-set row (count 0, GROUPING flags 1) — Spark SQL emits no
+    * rows at all. Every generated case therefore appends
+    * `HAVING count(*) > 0`: a no-op for real groups (cardinality ≥ 1
+    * by construction), but it drops the standard's empty-input row so
+    * both engines agree on every predicate the generator can produce.
+    */
+  private def rollupCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val (k0, k1) = {
+      val ks = if (table == "orders") Seq("o_orderpriority", "o_orderstatus")
+               else Seq("l_returnflag", "l_linestatus")
+      if (rng.nextBoolean()) (ks.head, ks.last) else (ks.last, ks.head)
+    }
+    val (c, sc) = aggCol(table, rng)
+    val construct = rng.nextInt(3)
+    val constructSql = construct match {
+      case 0 => s"ROLLUP ($k0, $k1)"
+      case 1 => s"CUBE ($k0, $k1)"
+      case _ => s"GROUPING SETS (($k0), ($k1), ())"
+    }
+    // the grouping sets each construct expands to, as (keys, gx, gy)
+    val sets: Seq[(Seq[String], Int, Int)] = construct match {
+      case 0 => Seq((Seq(k0, k1), 0, 0), (Seq(k0), 0, 1), (Nil, 1, 1))
+      case 1 => Seq((Seq(k0, k1), 0, 0), (Seq(k0), 0, 1), (Seq(k1), 1, 0), (Nil, 1, 1))
+      case _ => Seq((Seq(k0), 0, 1), (Seq(k1), 1, 0), (Nil, 1, 1))
+    }
+    FuzzCase(id, table,
+      s"""SELECT '$id' AS fq, count(*) AS n_rows,
+           CAST(sum(s) AS DOUBLE) AS agg,
+           CAST(sum(cnt * (1 + 2 * gx + gy)) AS BIGINT) AS aux
+         FROM (
+           SELECT count(*) AS cnt, sum(CAST($c AS DECIMAL(28,$sc))) AS s,
+             GROUPING($k0) AS gx, GROUPING($k1) AS gy
+           FROM $table WHERE ${pred.sql} GROUP BY $constructSql
+           HAVING count(*) > 0
+         ) __r""",
+      ts => {
+        val base = ts(table).filter(pred.mk())
+        val perSet = sets.map { case (keys, gx, gy) =>
+          val g = if (keys.isEmpty)
+            base.agg(count(lit(1)).as("cnt"),
+              sum(col(c).cast(DecimalType(28, sc))).as("s"))
+          else
+            base.groupBy(keys.map(col).toIndexedSeq: _*)
+              .agg(count(lit(1)).as("cnt"),
+                sum(col(c).cast(DecimalType(28, sc))).as("s"))
+          g.select(col("cnt"), col("s"), lit(gx).as("gx"), lit(gy).as("gy"))
+        }
+        perSet.reduce(_.unionByName(_))
+          .filter(col("cnt") > 0) // the HAVING twin: drop the empty-input grand-total row
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("s")).cast("double").as("agg"),
+            sum(col("cnt") * (lit(1) + lit(2) * col("gx") + col("gy")))
+              .cast("long").as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+      })
+  }
+
   /** Family G — set operations and correlated EXISTS. Set ops run two
     * predicates over one table's key column through UNION [ALL] /
     * INTERSECT / EXCEPT (default-DISTINCT semantics must agree);
@@ -522,7 +598,8 @@ object FuzzQueries {
     val wins = (0 until nWin).map(i => windowCase(f"fzE$i%03d", rng))
     val scalars = (0 until nScalar).map(i => scalarCase(f"fzF$i%03d", rng))
     val setops = (0 until nSetop).map(i => setopCase(f"fzG$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops
+    val rollups = (0 until nRollup).map(i => rollupCase(f"fzH$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -536,7 +613,8 @@ object FuzzQueries {
     "q123_fuzz_join" -> cases.filter(_.id.startsWith("fzD")),
     "q124_fuzz_window" -> cases.filter(_.id.startsWith("fzE")),
     "q125_fuzz_scalar" -> cases.filter(_.id.startsWith("fzF")),
-    "q126_fuzz_setop_exists" -> cases.filter(_.id.startsWith("fzG")))
+    "q126_fuzz_setop_exists" -> cases.filter(_.id.startsWith("fzG")),
+    "q127_fuzz_rollup" -> cases.filter(_.id.startsWith("fzH")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(
