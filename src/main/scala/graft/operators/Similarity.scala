@@ -307,6 +307,100 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cos"))
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Train per-subspace PQ codebooks: the vector is split into `m`
+    * contiguous subspaces of dim/m dims; each subspace gets its own
+    * `ksub`-centroid quantizer (Lloyd-refined via [[kmeansCentroids]] on
+    * the sliced column). Returns codebooks(s)(j) = centroid j of
+    * subspace s.
+    *
+    * At 100 TB: train on a sample (the quantizer needs distributional
+    * coverage, not every row) — m × iters small k-means jobs, driver
+    * state m × ksub × dim/m doubles = one full-dim codebook, broadcast
+    * everywhere it's used.
+    */
+  def pqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as("__sub"))
+      kmeansCentroids(sub, idCol, "__sub", ksub, iters).sortBy(_._1).map(_._2)
+    }.toArray
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the index of the nearest
+    * codebook centroid (same once-computed array_position argmin as
+    * [[cellOf]], ties to the lowest index). Adds `codes` (array<int>,
+    * one entry per subspace).
+    *
+    * THIS is the 100 TB memory story: m codes (m bytes at ksub ≤ 256)
+    * replace dim × 4 bytes per vector — 64-dim float32 = 256 B → 8 B at
+    * m = 8, a 32× compression of the scan set; the full-precision
+    * vectors stay in cold storage for optional re-ranking. Map-only.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val codes = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val dists = array(cb.map(c =>
+        VectorFunctions.l2Sq(sub, array(c.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }.toIndexedSeq: _*)
+    df.withColumn("codes", codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
+    * query's per-subspace distances to every codebook centroid are
+    * precomputed into an m × ksub lookup table ON THE DRIVER (bounded
+    * parameter state, like the IVF centroids) and inlined as a literal;
+    * each corpus row's approximate squared-L2 distance is then m table
+    * lookups — no float vector is read at query time, only the codes.
+    * Map-only scan + TakeOrderedAndProject, like [[bruteForceTopK]] but
+    * over 8-byte codes instead of 256-byte vectors.
+    *
+    * Approximate by construction (distances are to centroids, not the
+    * original vectors) — recall and the exact-on-quantized-corpus
+    * property are pinned in SimilaritySpec; compose with [[ivfIndex]]
+    * cells to also cut the scanned fraction.
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      idCol: String,
+      query: Array[Float],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      codesCol: String = "codes",
+      scale: Int = 6): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val lut: Array[Array[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      val qs = query.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)
+      cb.map(c => c.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val lutCol = array(lut.map(row =>
+      array(row.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val dist = aggregate(
+      sequence(lit(0), lit(codebooks.length - 1)),
+      lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(lutCol, s + 1), element_at(col(codesCol), s + 1) + 1))
+    encoded
+      .select(col(idCol), round(dist, scale).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Plane count sized to the corpus: 2^nPlanes buckets must grow with N
     * or candidate pairs explode quadratically (measured in SCALE.md:
     * 100k vectors at 8 planes = 35 s, at 16 planes = 2.3 s). Returns

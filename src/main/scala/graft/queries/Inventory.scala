@@ -1323,6 +1323,27 @@ object Inventory {
       },
       None),
 
+    Q("q94_sim_pq",
+      (s, dir) => {
+        // product-quantized ANN: 64-dim float vectors → 16 byte-sized
+        // codes (16× scan compression); query-time distance is 16 LUT
+        // lookups per row (asymmetric distance), no vector reads.
+        // rows-only by necessity: PQ distances are to TRAINED centroids
+        // — approximate by construction with no exact parameterization
+        // at real corpora (exactness would need ksub ≥ distinct
+        // subvectors). The quantized-corpus exactness property, recall
+        // vs exact L2, and determinism are pinned in SimilaritySpec.
+        val e = t(s, dir, "embeddings")
+        val cb = Similarity.pqCodebooks(
+          e, "vec_id", "embedding", dim = 64, m = 16, ksub = 16, iters = 2)
+        val query = e.orderBy("vec_id").select("embedding")
+          .head().getSeq[Float](0).toArray
+        Similarity.pqTopK(
+          Similarity.pqEncode(e, "vec_id", "embedding", cb),
+          "vec_id", query, cb, k = 10)
+      },
+      None),
+
     Q("q95_text_stats",
       (s, dir) =>
         t(s, dir, "documents")
