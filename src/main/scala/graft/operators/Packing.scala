@@ -31,6 +31,13 @@ object Packing {
     * so sum(tok_to − tok_from) over a closed sequence = seqLen exactly.
     * Empty/whitespace-only/null docs contribute nothing.
     *
+    * PRECONDITION: `idCol` must be unique within each shard — it defines
+    * the concatenation order, and a duplicate would make "this doc's
+    * position in the stream" ill-defined. The cumulative sum uses an
+    * explicit ROWS frame (the default RANGE frame would treat duplicate
+    * ids as peers and assign both docs the same overlapping span,
+    * silently corrupting the layout).
+    *
     * Scale: the only shuffle is the per-shard window (cumulative token
     * sum), which partitions by `shardCol` — parallelism equals shard
     * cardinality, so at 100 TB pass a high-cardinality deterministic
@@ -49,6 +56,7 @@ object Packing {
       shardCol: String): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(
         col(shardCol), col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))

@@ -1556,10 +1556,15 @@ object Inventory {
       (s, dir) => {
         // policy-based survivor selection over near-dup CLUSTERS: keep
         // the longest member (ties to smallest id). Pairs via the same
-        // deterministic LSH parameterization as q81 (banding miss prob
-        // ≈ 1e-15 at this corpus's jaccard ≥ 0.9 pairs); clustering is
-        // min-label propagation; the oracle recomputes the transitive
-        // closure with a recursive CTE over the exhaustive pair list.
+        // deterministic LSH parameterization as q81. The shipped
+        // fixtures' minimum QUALIFYING pair jaccard is 0.8 (sf0.1;
+        // 0.889 at sf0.001), where 32×4 banding misses w.p.
+        // (1 − 0.8⁴)³² ≈ 5e-8 — and DedupSpec's oracle-soundness test
+        // re-measures every exhaustive pair at both corpora, so fixture
+        // drift toward the risky 0.5–0.6 band fails loudly there, not
+        // as an opaque hash mismatch here. Clustering is min-label
+        // propagation; the oracle recomputes the transitive closure
+        // with a recursive CTE over the exhaustive pair list.
         val docs = t(s, dir, "documents")
         val pairs = Dedup.minHashNearDups(
           docs, "doc_id", "text", k = 128, bands = 32, w = 3, threshold = 0.5)
@@ -1699,7 +1704,7 @@ object Inventory {
           .orderBy("lang"),
       None))
 
-  /** Differential fuzz bundles (FuzzQueries): 180 generated cases over
+  /** Differential fuzz bundles (FuzzQueries): 200 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs
     * the generated dialect-neutral SQL; the oracle is the SAME text run
     * by DuckDB — so the driver hash-compares every generated case.

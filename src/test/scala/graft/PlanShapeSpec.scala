@@ -92,10 +92,25 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1,
       s"packConcat should shuffle once (shard window), got $exchanges:\n$plan")
-    // the window carries (shard, id, n) only — no document text
-    assert(!plan.contains("text#") ||
-      !"Window .*text#".r.findFirstIn(plan).isDefined,
-      s"window shuffles the text payload:\n$plan")
+    // the exchange's input schema carries (shard, id, n) only — the text
+    // column is consumed by the token-count projection BELOW the shuffle
+    // and never crosses the wire (checked on the real nodes: the printed
+    // Project line mentions text# as an expression INPUT, so strings
+    // can't distinguish)
+    val root = run("q109_pack_sequences").queryExecution.executedPlan
+    val unwrapped = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, s"no ShuffleExchangeExec found:\n$unwrapped")
+    shuffles.foreach { e =>
+      assert(e.child.output.forall(_.name != "text"),
+        s"exchange input carries the text payload: ${e.child.output.mkString(", ")}")
+    }
   }
 
   test("q110: line dedup shuffles twice (keep-first window, reassembly agg)") {

@@ -43,10 +43,14 @@ class StreamingCorpusSpec extends SparkSpec {
       .select("doc_id", "pos", "line")
       .writeStream.format("memory").queryName("ldl_out").outputMode("append").start()
     try {
-      in.addData(
-        (1L, "alpha\nbeta", ts(0)),
-        (2L, "beta\ngamma\n  \nalpha", ts(1)), // beta/alpha repeats, blank dropped
-        (3L, "gamma", ts(2)))                  // fully duplicate doc → nothing
+      // separate micro-batches pin arrival order: WITHIN one batch the
+      // winner among equal lines is not specified by
+      // dropDuplicatesWithinWatermark (state-store iteration order)
+      in.addData((1L, "alpha\nbeta", ts(0)))
+      q.processAllAvailable()
+      in.addData((2L, "beta\ngamma\n  \nalpha", ts(1))) // beta/alpha repeat, blank dropped
+      q.processAllAvailable()
+      in.addData((3L, "gamma", ts(2))) // fully duplicate doc → nothing
       q.processAllAvailable()
       val rows = spark.table("ldl_out").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
