@@ -401,6 +401,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ: the canonical billion-vector index — IVF cells cut the
+    * SCANNED FRACTION (~nprobe/C of rows), PQ codes cut the BYTES PER
+    * ROW (m bytes instead of dim×4) — compounding to a scan of
+    * ~(nprobe/C)·(m/4dim) of the raw corpus. Encode once with
+    * [[ivfIndex]] + [[pqEncode]] (persist `partitionBy("cell")` so
+    * probes prune partitions), then serve queries from codes alone.
+    *
+    * Same recall characteristics as its parts: cell probing misses
+    * across-boundary neighbors (dial `nprobe`), ADC ranks by
+    * centroid distance (widen `k` and re-rank from full vectors when
+    * exactness matters).
+    */
+  def ivfPqTopK(
+      encoded: DataFrame,
+      idCol: String,
+      query: Array[Float],
+      cents: Array[(Int, Array[Double])],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int = 4,
+      codesCol: String = "codes",
+      scale: Int = 6): DataFrame = {
+    val probeCells = cents
+      .map { case (cid, cvec) =>
+        (cid, cvec.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      .sortBy(_._2)
+      .take(nprobe)
+      .map(_._1)
+    pqTopK(encoded.filter(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      idCol, query, codebooks, k, codesCol, scale)
+  }
+
   /** Plane count sized to the corpus: 2^nPlanes buckets must grow with N
     * or candidate pairs explode quadratically (measured in SCALE.md:
     * 100k vectors at 8 planes = 35 s, at 16 planes = 2.3 s). Returns

@@ -257,6 +257,25 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.pqTopK(encoded, "vec_id", query, cb, k = 30)
       .collect().map(_.getLong(0)).toSet
     assert(again == adc)
+
+    // IVF-PQ: with nprobe = C (all cells probed) the composition equals
+    // plain ADC over the full corpus; with nprobe < C it scans less and
+    // returns a subset-ranked result from the probed cells only
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 1)
+    val ivfEncoded = Similarity.ivfIndex(encoded, "vec_id", "embedding", cents)
+    val full = Similarity.ivfPqTopK(
+      ivfEncoded, "vec_id", query, cents, cb, k = 30, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val plain = Similarity.pqTopK(encoded, "vec_id", query, cb, k = 30)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == plain, "nprobe=C IVF-PQ must equal full-corpus ADC")
+    val probed = Similarity.ivfPqTopK(
+      ivfEncoded, "vec_id", query, cents, cb, k = 30, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed.subsetOf(
+      ivfEncoded.filter(col("cell").isin(
+        Seq.range(0, 8): _*)).select("vec_id").collect().map(_.getLong(0)).toSet))
+    assert((probed & adc).nonEmpty, "probed ADC should overlap full ADC top-30")
     encoded.unpersist()
   }
 }
