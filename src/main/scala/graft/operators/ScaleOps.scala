@@ -132,6 +132,52 @@ object ScaleOps {
     df.filter(bucket < cut)
   }
 
+  /** Per-stratum keep-rates that hit a TOKEN budget: the corpus-mixing
+    * planner. One aggregate measures available tokens per stratum
+    * (driver state = one row per stratum — bounded parameters, not
+    * data); rate = min(1, target / available). Strata without a target
+    * get rate 0 (excluded from the mix).
+    */
+  def tokenBudgetRates(
+      df: DataFrame,
+      strataCol: String,
+      tokenCol: String,
+      targets: Map[String, Long]): Map[String, Double] = {
+    val avail = df
+      .groupBy(strataCol)
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .toMap
+    targets.map { case (s, tgt) =>
+      require(tgt >= 0, s"negative token target for stratum '$s'")
+      val a = avail.getOrElse(s, 0L)
+      s -> (if (a <= 0L) 0.0 else math.min(1.0, tgt.toDouble / a))
+    }
+  }
+
+  /** Deterministic corpus mixing to per-stratum token budgets:
+    * [[tokenBudgetRates]] composed with [[stratifiedHashSample]].
+    * Achieved tokens per stratum ≈ target (hash sampling selects a
+    * rate-sized fraction of DOCUMENTS; per-document token variance makes
+    * the hit stochastic around the budget — exact-budget packing is a
+    * different operator, [[graft.operators.Packing.packConcat]] applied
+    * after this gate). Selection inherits the sampler's properties:
+    * pure function of (key, rates), nested under rate increases,
+    * map-only after the one planning aggregate.
+    */
+  def mixToTokenBudget(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      tokenCol: String,
+      targets: Map[String, Long],
+      den: Int = 1000000): DataFrame =
+    stratifiedHashSample(
+      df, keyCol, strataCol,
+      tokenBudgetRates(df, strataCol, tokenCol, targets),
+      defaultRate = 0.0, den = den)
+
   /** Fail-fast guard for VERIFICATION-ONLY exhaustive operators.
     *
     * All-pairs self-joins (exact n-gram Jaccard q83, exact pairwise

@@ -118,6 +118,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ids1.subsetOf(bigger), "retained set must be nested under higher rates")
   }
 
+  test("mixToTokenBudget approaches per-stratum token targets; untargeted strata drop") {
+    import spark.implicits._
+    // 300 docs per lang, ~20 tokens each → ~6000 tokens available per lang
+    val docs = (0 until 900).map { i =>
+      val lang = Seq("en", "es", "fr")(i % 3)
+      (i.toLong, lang, 15 + (i * 13) % 11) // 15..25 tokens
+    }.toDF("doc_id", "lang", "n_tokens")
+    val targets = Map("en" -> 3000L, "es" -> 12000L) // es wants more than exists
+    val rates = ScaleOps.tokenBudgetRates(docs, "lang", "n_tokens", targets)
+    assert(rates("es") == 1.0, "target above availability caps at keep-everything")
+    assert(rates("en") > 0.3 && rates("en") < 0.7, s"en rate ${rates("en")}")
+
+    val mixed = ScaleOps.mixToTokenBudget(docs, "doc_id", "lang", "n_tokens", targets)
+    val got = mixed.groupBy("lang").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("fr"), "untargeted stratum must be excluded")
+    val esTotal = docs.filter($"lang" === "es")
+      .agg(sum($"n_tokens".cast("long"))).head.getLong(0)
+    assert(got("es") == esTotal, "rate-1 stratum keeps everything")
+    assert(math.abs(got("en") - 3000L) < 900L,
+      s"en achieved ${got("en")} vs target 3000 (sampling tolerance)")
+    // determinism
+    val again = ScaleOps.mixToTokenBudget(docs, "doc_id", "lang", "n_tokens", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("boundedExhaustive passes small inputs through, fails fast past maxRows") {
     import spark.implicits._
     val small = (1 to 20).map(_.toLong).toDF("id")
