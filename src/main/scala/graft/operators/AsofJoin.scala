@@ -40,7 +40,15 @@ object AsofJoin {
     * @param rightTs   right timestamp column
     * @param rightId   right tie-break column (unique within key+ts)
     * @param valueCols right columns to attach (null when no right row is
-    *                  at-or-before the left row)
+    *                  at-or-before — "backward" — or at-or-after —
+    *                  "forward" — the left row)
+    * @param direction "backward" (default: latest right with
+    *                  rightTs <= leftTs) or "forward" (earliest right
+    *                  with rightTs >= leftTs). Forward is the same
+    *                  union-window walked in DESCENDING timestamp order —
+    *                  "last right seen so far" then means "lowest ts
+    *                  at-or-after" — so cost and shuffle shape are
+    *                  identical to backward.
     */
   def asof(
       left: DataFrame,
@@ -49,8 +57,11 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       rightId: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     require(valueCols.forall(v => !keyCols.contains(v)),
       s"valueCols ${valueCols.mkString(",")} must be disjoint from keyCols")
 
@@ -87,9 +98,12 @@ object AsofJoin {
 
     // right rows (__side=0) sort before left rows at the same ts; the
     // carried value is the latest non-null right value seen so far
+    // (walking ts ascending for backward, descending for forward)
+    val tsOrd =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window
       .partitionBy(keyCols.map(col).toIndexedSeq: _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__rid").asc_nulls_last)
+      .orderBy(tsOrd, col("__side").asc, col("__rid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = valueCols.foldLeft(unioned) { (df, v) =>

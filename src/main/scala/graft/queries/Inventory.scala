@@ -280,6 +280,39 @@ object Inventory {
         SELECT c.user_id, c.event_id, c.ts_sec, v.vvalue AS asof_vvalue
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts_sec >= v.vts
+        ORDER BY c.user_id, c.event_id""")),
+
+    Q("q17b_join_asof_fwd",
+      (s, dir) => {
+        // FORWARD as-of: each click gets the EARLIEST at-or-after view —
+        // same union-window machinery as q17 walked in descending ts
+        // order; DuckDB checks with ASOF ... ON c.ts_sec <= v.vts
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts_sec")
+        val vw = Window.partitionBy("user_id", "ts_sec").orderBy(col("event_id").desc)
+        val views = ev.filter(col("event_type") === "view")
+          .withColumn("__rn", row_number().over(vw)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("ts_sec").as("vts"),
+            col("event_id").as("vid"), col("value").as("vvalue"))
+        graft.operators.AsofJoin
+          .asof(clicks, views, Seq("user_id"), "ts_sec", "vts", "vid",
+            Seq("vvalue"), direction = "forward")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type, value,
+                 epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        clicks AS (
+          SELECT user_id, event_id, ts_sec FROM e WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts_sec AS vts, event_id AS vid, value AS vvalue FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts_sec
+              ORDER BY event_id DESC) AS rn
+            FROM e WHERE event_type = 'view') WHERE rn = 1)
+        SELECT c.user_id, c.event_id, c.ts_sec, v.vvalue AS asof_vvalue
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts_sec <= v.vts
         ORDER BY c.user_id, c.event_id""")))
 
   private val aggregations = Seq(

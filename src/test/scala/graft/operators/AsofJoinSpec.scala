@@ -110,4 +110,23 @@ class AsofJoinSpec extends SparkSpec {
       .head().getAs[java.lang.Double]("asof_vvalue")).map(_.doubleValue)
     assert(got == expected)
   }
+
+  test("forward direction attaches the earliest at-or-after right row") {
+    import spark.implicits._
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 20L), (2L, 1L))
+      .toDF("k", "ts")
+    val right = Seq((1L, 7L, 70.0), (1L, 10L, 100.0), (1L, 15L, 150.0))
+      .toDF("k", "rts", "v").withColumn("rid", col("rts"))
+      .select("k", "rts", "rid", "v")
+    val out = AsofJoin.asof(left, right, Seq("k"), "ts", "rts", "rid",
+        Seq("v"), direction = "forward")
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // DuckDB `ASOF ... ON l.ts <= r.rts` on this exact fixture:
+    // 5→70 (earliest ≥5), 10→100 (equal ts included), 20→None, key 2→None
+    assert(out.toSeq == Seq(
+      (1L, 5L, Some(70.0)), (1L, 10L, Some(100.0)), (1L, 20L, None),
+      (2L, 1L, None)))
+  }
 }
