@@ -401,6 +401,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** PQ with exact re-ranking: ADC selects a `window`-sized candidate
+    * set from codes alone (cheap, compressed scan), then the candidates'
+    * FULL vectors are fetched by id and re-scored with exact squared L2
+    * — the standard two-stage serving shape (compressed recall stage,
+    * exact precision stage). Output ordering is exact over the captured
+    * candidates; recall is the ADC window's (dial `window` up for more).
+    * The full-vector join touches only `window` rows — at 100 TB that is
+    * the point: the 4-byte/dim corpus is read for a few dozen ids, not
+    * scanned.
+    */
+  def pqTopKRerank(
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      window: Int = 50,
+      codesCol: String = "codes",
+      scale: Int = 6): DataFrame = {
+    require(window >= k, s"window=$window must be >= k=$k")
+    val candidates = pqTopK(encoded, idCol, query, codebooks, window, codesCol, scale)
+      .select(idCol)
+    val qCol = array(query.map(lit).toIndexedSeq: _*)
+    encoded
+      .join(candidates, Seq(idCol), "left_semi")
+      .select(
+        col(idCol),
+        round(VectorFunctions.l2Sq(col(vecCol), qCol), scale).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-PQ: the canonical billion-vector index — IVF cells cut the
     * SCANNED FRACTION (~nprobe/C of rows), PQ codes cut the BYTES PER
     * ROW (m bytes instead of dim×4) — compounding to a scan of

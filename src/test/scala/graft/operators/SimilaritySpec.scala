@@ -276,6 +276,22 @@ class SimilaritySpec extends SparkSpec {
       ivfEncoded.filter(col("cell").isin(
         Seq.range(0, 8): _*)).select("vec_id").collect().map(_.getLong(0)).toSet))
     assert((probed & adc).nonEmpty, "probed ADC should overlap full ADC top-30")
+
+    // exact re-rank: with the window covering the whole corpus the
+    // two-stage result IS the exact L2 top-k; at window 30 it returns
+    // the exact-ordered captured candidates (ordering exactness)
+    val n = emb.count().toInt
+    val fullWindow = Similarity.pqTopKRerank(
+      encoded, "vec_id", "embedding", query, cb, k = 10, window = n)
+      .collect().map(_.getLong(0)).toSet
+    assert(fullWindow == exact, "full-window rerank must equal exact top-k")
+    val reranked = Similarity.pqTopKRerank(
+      encoded, "vec_id", "embedding", query, cb, k = 10, window = 30)
+      .collect().map(_.getLong(0)).toSet
+    // every true-top-10 member the ADC window captured has a smaller
+    // exact distance than any non-member, so re-ranking MUST keep it
+    assert((exact & adc).subsetOf(reranked),
+      "rerank must keep the ADC window's captured truth")
     encoded.unpersist()
   }
 }
