@@ -198,4 +198,84 @@ object ScaleOps {
         s"or pre-cut with ScaleOps.hashSample.")
     df
   }
+
+  /** Scale path for a keyed point-in-interval range join
+    * (`p.key = i.key AND i.lo <= p.pt AND p.pt <= i.hi`, closed
+    * interval). Spark plans the naive predicate as a join on the equi
+    * part with the range as a post-filter — correct, but every (key)
+    * match pair flows through the join before filtering; with no equi
+    * key at all it degenerates to BroadcastNestedLoopJoin, O(|P|·|I|).
+    *
+    * Banding turns the range into an EQUI key: bin the point's domain
+    * into `binWidth`-wide buckets, replicate each interval to every
+    * bucket it overlaps (`sequence(floor(lo/w), floor(hi/w))`), map each
+    * point to its single bucket, equi-join on (key…, bin), then refine
+    * with the exact predicate. Shuffle is hash(key, bin) — a plain
+    * exchange that AQE can split — and each point meets only intervals
+    * overlapping its bucket.
+    *
+    * Sizing rule: replication factor = avg(hi−lo)/binWidth + 1, so set
+    * `binWidth` ≈ the median interval length (×1 replication ≈ 2 copies
+    * worst case). Too small → interval blow-up; too large → the bin
+    * stops pruning and the post-filter does the work again.
+    */
+  def binnedIntervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      ptCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", floor(col(ptCol) / binWidth))
+    val i = intervals.withColumn(
+      "__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(i, keys :+ "__bin", "inner")
+      .filter(col(loCol) <= col(ptCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
+  /** Bloom-prefiltered LEFT SEMI join: build a Bloom filter over the dim
+    * keys (distributed `treeAggregate` build, small fixed-size bitmap on
+    * the driver), broadcast it, drop fact rows that cannot match BEFORE
+    * the shuffle, then run the exact semi join on the survivors.
+    *
+    * Bloom filters have false POSITIVES only, so the pruned fact is a
+    * superset of the true matches and the final semi join makes the
+    * result exact — the filter only cuts shuffle volume. At 100 TB this
+    * is the difference between shuffling the whole fact table and
+    * shuffling ~selectivity·|fact|.
+    *
+    * Spark's own runtime bloom (`spark.sql.optimizer.runtime.bloomFilter
+    * .enabled`) injects the same shape automatically, but only when its
+    * size/selectivity heuristics fire and the dim side has a creation
+    * filter; this operator is the explicit form for when you KNOW the
+    * dim is selective. The membership probe is a Scala UDF by necessity
+    * — Spark's `might_contain` expression is internal-only — and is a
+    * map-side predicate on the scan, never inside the shuffle.
+    *
+    * Keys are compared through a canonical string cast on BOTH sides,
+    * so any key type works and build/probe hashing agree.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = dim
+      .select(col(dimKey).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+    fact
+      .filter(might(col(factKey).cast("string")))
+      .join(dim, col(factKey) === dim(dimKey), "left_semi")
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD Type-2) construction from a change
+  * log, plus point-in-time snapshot lookup. North-star EXTENSION — the
+  * reference stops at "overwrite the curated table"
+  * (`scripts/aws-hackathon-glue-data-lake-querying-pyspark.py:131-140`);
+  * a lakehouse serving training pipelines needs the history-preserving
+  * form so any past state of the dimension is reproducible (e.g. "which
+  * documents were tagged safe at the time of the March snapshot").
+  *
+  * Scale: ONE shuffle on the dimension key (the window partition key),
+  * one sort, zero joins. Both window passes (the change-compaction lag
+  * and the validity lead) and the intervening filter run over the same
+  * partitioning+ordering, so Catalyst plans a single Exchange and a
+  * single Sort — pinned in TemporalSpec. Skew is bounded by per-key
+  * version counts, never corpus size.
+  */
+object Temporal {
+
+  /** Build an SCD Type-2 dimension from a change log.
+    *
+    * Input: one row per observed state, identified by `keyCols`,
+    * ordered within a key by `tsCol` (caller pre-dedups to one row per
+    * (key, ts) — ties would make the compaction nondeterministic).
+    *
+    * Steps, all window-algebra on the same (key, ts) shuffle:
+    *   1. compact no-op rows: drop a row when EVERY tracked attribute is
+    *      null-safely equal (`<=>`) to its predecessor's value;
+    *   2. validity interval: `valid_from` = own ts, `valid_to` = next
+    *      surviving row's ts (null = open-ended), half-open [from, to);
+    *   3. `is_current` = 1 for the open-ended row of each key.
+    */
+  def scd2(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "need key and attribute columns")
+    val byKey = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
+    val isFirst = lag(col(tsCol), 1).over(byKey).isNull
+    val anyAttrChanged: Column = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(byKey)))
+      .reduce(_ || _)
+    changes
+      .withColumn("__keep", isFirst || anyAttrChanged)
+      .filter(col("__keep"))
+      .drop("__keep")
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+  }
+
+  /** The dimension as of an instant: rows whose half-open validity
+    * interval contains `ts`. A plain filter — partition- and
+    * pushdown-friendly (on a dimension stored partitioned by
+    * `is_current` or bucketed by key, this prunes at planning time).
+    */
+  def asOfSnapshot(dim: DataFrame, ts: Column): DataFrame =
+    dim.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || ts < col("valid_to")))
+}

@@ -65,3 +65,70 @@ object Cleaner {
     df.na.fill(present).na.drop().dropDuplicates()
   }
 }
+
+/** Distribution-based outlier treatment for numeric feature columns.
+  * North-star EXTENSION: training-data pipelines clip heavy-tailed
+  * features (price, duration, token counts) before statistics and
+  * mixing decisions so a handful of corrupt rows cannot dominate.
+  */
+object Outliers {
+
+  import org.apache.spark.sql.functions.{broadcast, expr, greatest, least}
+
+  /** Per-group winsorization: clip `valueCol` into the
+    * [percentile(loP), percentile(hiP)] band of its own group.
+    *
+    * Bounds use DISCRETE percentiles (`percentile_disc`, SQL-standard
+    * smallest-value-with-cume_dist≥p), so every bound is an actual data
+    * value — no interpolation arithmetic, hence bit-identical across
+    * engines and exactly reproducible.
+    *
+    * Scale: one aggregate over the grouping key (bounds), broadcast back
+    * (|groups| rows — tiny), then a map-only clip. Exact per-group
+    * percentiles hold a value→count map per group in the aggregate
+    * buffer — fine up to ~10⁷ distinct values per group; past that use
+    * [[winsorizeApprox]], whose sketch is fixed-size and mergeable.
+    *
+    * Output: input columns plus `<valueCol>_w` (the clipped value).
+    */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      loP: Double = 0.05,
+      hiP: Double = 0.95): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP <= hiP, "need 0 <= loP <= hiP <= 1")
+    val bounds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        expr(s"percentile_disc($loP) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
+        expr(s"percentile_disc($hiP) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_w", least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** [[winsorize]] with `approx_percentile` bounds: the sketch is
+    * fixed-size and partially aggregated map-side, so this is the shape
+    * for groups with unbounded distinct values. Bounds are approximate
+    * (rank error ≤ 1/accuracy); clipping semantics are otherwise
+    * identical.
+    */
+  def winsorizeApprox(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      loP: Double = 0.05,
+      hiP: Double = 0.95,
+      accuracy: Int = 10000): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP <= hiP, "need 0 <= loP <= hiP <= 1")
+    val bounds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        expr(s"approx_percentile($valueCol, $loP, $accuracy)").as("__lo"),
+        expr(s"approx_percentile($valueCol, $hiP, $accuracy)").as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_w", least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+}

@@ -1735,7 +1735,143 @@ object Inventory {
           .groupBy("lang")
           .agg(count(lit(1)).as("n_kept"))
           .orderBy("lang"),
-      None))
+      None),
+
+    Q("q111_scd2",
+      (s, dir) => {
+        // SCD Type-2 dimension build from the event change log: per-user
+        // event_type history as half-open validity intervals, no-op
+        // changes compacted. One shuffle on user_id, zero joins; DuckDB
+        // replays the same window algebra. Events are pre-deduped to one
+        // per (user, second) — scd2's tie-free precondition (as in q17).
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id", "ts_sec").orderBy(col("event_id").desc)
+        val one = ev.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select("user_id", "ts_sec", "event_type")
+        graft.operators.Temporal.scd2(one, Seq("user_id"), "ts_sec", Seq("event_type"))
+          .select(col("user_id"), col("event_type"), col("valid_from"),
+            col("valid_to"), col("is_current"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        one AS (
+          SELECT user_id, ts_sec, event_type FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts_sec
+              ORDER BY event_id DESC) AS rn FROM e) WHERE rn = 1),
+        chg AS (
+          SELECT *,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec) AS prev,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts_sec) AS rn
+          FROM one),
+        keep AS (
+          SELECT user_id, ts_sec, event_type FROM chg
+          WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        SELECT user_id, event_type, ts_sec AS valid_from,
+          lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) AS valid_to,
+          CAST(CASE WHEN lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+            IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        FROM keep ORDER BY user_id, valid_from""")),
+
+    Q("q112_binned_range",
+      (s, dir) => {
+        // binned range join (the scale path for point-in-interval):
+        // gap-1800 sessions over ALL events joined to the purchase
+        // events falling inside them, banded into 1800 s bins so the
+        // join is a plain equi shuffle on (user_id, bin) — no
+        // BroadcastNestedLoopJoin. The oracle runs the naive inequality
+        // join: banding is semantics-preserving by construction.
+        val ev = events(s, dir)
+        val sessions = Sessionize.sessions(ev, "ts_sec", "event_id",
+          gapSeconds = 1800L)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts_sec", "value")
+        ScaleOps.binnedIntervalJoin(
+            purchases, sessions, Seq("user_id"),
+            "ts_sec", "start_sec", "end_sec", binWidth = 1800L)
+          .groupBy(col("user_id"), col("session_idx").cast("long").as("session_idx"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            dsum("value").as("purchase_value"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type, value,
+                 epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        m AS (
+          SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        sess AS (
+          SELECT user_id,
+            CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx, ts_sec
+          FROM m),
+        bounds AS (
+          SELECT user_id, session_idx, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+          FROM sess GROUP BY user_id, session_idx),
+        p AS (SELECT user_id, event_id, ts_sec, value FROM e WHERE event_type = 'purchase')
+        SELECT b.user_id, b.session_idx, count(*) AS n_purchases,
+          CAST(sum(CAST(p.value AS DECIMAL(28,2))) AS DOUBLE) AS purchase_value
+        FROM p JOIN bounds b
+          ON p.user_id = b.user_id AND p.ts_sec >= b.start_sec AND p.ts_sec <= b.end_sec
+        GROUP BY b.user_id, b.session_idx ORDER BY b.user_id, b.session_idx""")),
+
+    Q("q113_bloom_semi",
+      (s, dir) => {
+        // Bloom-prefiltered semi join: BUILDING-segment customers'
+        // orders. The bloom probe prunes the fact scan before the
+        // shuffle; false positives are removed by the exact semi join,
+        // so the plain EXISTS is the oracle.
+        val dim = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        ScaleOps.bloomSemiJoin(
+            t(s, dir, "orders"), dim, "o_custkey", "c_custkey",
+            expectedItems = 200000L, fpp = 0.01)
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum("o_totalprice").as("total_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+          WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    Q("q114_winsorize",
+      (s, dir) => {
+        // per-group winsorization of order totals at the discrete
+        // [p05, p95] band: bounds are actual data values
+        // (percentile_disc, SQL-standard), so the clip is bit-identical
+        // in both engines — no interpolation arithmetic anywhere.
+        graft.quality.Outliers.winsorize(
+            t(s, dir, "orders"), "o_totalprice", Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum("o_totalprice_w").as("clipped_total"),
+            min(col("o_totalprice_w")).as("clip_lo"),
+            max(col("o_totalprice_w")).as("clip_hi"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH b AS (
+          SELECT o_orderpriority,
+            percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+            percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+          FROM orders GROUP BY o_orderpriority),
+        w AS (
+          SELECT o.o_orderpriority,
+            least(greatest(o.o_totalprice, b.lo), b.hi) AS v
+          FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority)
+        SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS clipped_total,
+          min(v) AS clip_lo, max(v) AS clip_hi
+        FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  )
 
   /** Differential fuzz bundles (FuzzQueries): 200 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs

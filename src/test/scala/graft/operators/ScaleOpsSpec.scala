@@ -157,4 +157,63 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("minHashNearDups"),
       "error must point at the bucketed scale path")
   }
+
+  test("binnedIntervalJoin equals the naive predicate join on corpus data") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val sessions = Sessionize.sessions(ev, "ts_sec", "event_id", gapSeconds = 1800L)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select("user_id", "event_id", "ts_sec")
+
+    val binned = ScaleOps.binnedIntervalJoin(
+        purchases, sessions, Seq("user_id"), "ts_sec", "start_sec", "end_sec", 1800L)
+      .select("event_id", "session_idx")
+    val naive = purchases.as("p").join(sessions.as("s"),
+        $"p.user_id" === $"s.user_id" &&
+          $"s.start_sec" <= $"p.ts_sec" && $"p.ts_sec" <= $"s.end_sec")
+      .select($"p.event_id", $"s.session_idx")
+
+    val b = binned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == n, s"binned=${b.size} naive=${n.size}")
+    assert(b.nonEmpty, "fixture must produce at least one in-session purchase")
+  }
+
+  test("binnedIntervalJoin plans an equi shuffle join, not a nested loop") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (1L, 42L)).toDF("k", "pt")
+    val ivs = Seq((1L, 0L, 10L), (1L, 40L, 50L)).toDF("k", "lo", "hi")
+    val plan = ScaleOps.binnedIntervalJoin(pts, ivs, Seq("k"), "pt", "lo", "hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banding must produce an equi join, plan:\n$plan")
+    // an interval spanning several bins is replicated to each
+    val wide = ScaleOps.binnedIntervalJoin(
+      Seq((1L, 25L)).toDF("k", "pt"),
+      Seq((1L, 0L, 100L)).toDF("k", "lo", "hi"), Seq("k"), "pt", "lo", "hi", 10L)
+    assert(wide.count() == 1, "point must match a multi-bin interval exactly once")
+  }
+
+  test("bloomSemiJoin equals the exact semi join (false positives removed)") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING")
+    val viaBloom = ScaleOps.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey", 10000L)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val exact = orders.join(dim, $"o_custkey" === $"c_custkey", "left_semi")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("bloomSemiJoin handles null fact keys (dropped, as semi join would)") {
+    import spark.implicits._
+    val fact = Seq(Some(1L), Some(2L), None).toDF("fk")
+    val dim = Seq(1L, 3L).toDF("dk")
+    val got = ScaleOps.bloomSemiJoin(fact, dim, "fk", "dk", 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val log = Seq(
+    // user 1: gold → gold (no-op, dropped) → silver → gold
+    (1L, 10L, "gold", "US"),
+    (1L, 20L, "gold", "US"),
+    (1L, 30L, "silver", "US"),
+    (1L, 40L, "gold", "US"),
+    // user 2: single observation
+    (2L, 15L, "bronze", "DE"),
+    // user 3: country flips while tier stays — still a change
+    (3L, 5L, "gold", "US"),
+    (3L, 6L, "gold", "FR"))
+    .toDF("user_id", "ts", "tier", "country")
+
+  test("scd2 compacts no-op rows and builds half-open validity intervals") {
+    val dim = Temporal.scd2(log, Seq("user_id"), "ts", Seq("tier", "country"))
+      .orderBy("user_id", "valid_from")
+      .select("user_id", "valid_from", "valid_to", "tier", "is_current")
+      .as[(Long, Long, Option[Long], String, Int)].collect()
+    assert(dim.toSeq == Seq(
+      (1L, 10L, Some(30L), "gold", 0),
+      (1L, 30L, Some(40L), "silver", 0),
+      (1L, 40L, None, "gold", 1),
+      (2L, 15L, None, "bronze", 1),
+      (3L, 5L, Some(6L), "gold", 0),
+      (3L, 6L, None, "gold", 1)))
+  }
+
+  test("scd2 treats null attribute values null-safely") {
+    // null → null is NOT a change; null → value and value → null are
+    val nl = Seq(
+      (1L, 1L, Option.empty[String]),
+      (1L, 2L, Option.empty[String]),
+      (1L, 3L, Some("a")),
+      (1L, 4L, Option.empty[String]))
+      .toDF("k", "ts", "attr")
+    val dim = Temporal.scd2(nl, Seq("k"), "ts", Seq("attr"))
+      .orderBy("valid_from").select("valid_from", "attr")
+      .as[(Long, Option[String])].collect()
+    assert(dim.toSeq == Seq((1L, None), (3L, Some("a")), (4L, None)))
+  }
+
+  test("asOfSnapshot returns exactly the rows valid at the instant") {
+    val dim = Temporal.scd2(log, Seq("user_id"), "ts", Seq("tier", "country"))
+    val at35 = Temporal.asOfSnapshot(dim, lit(35L))
+      .orderBy("user_id").select("user_id", "tier")
+      .as[(Long, String)].collect()
+    // t=35: user1 in silver [30,40), user2 bronze [15,∞), user3 gold [6,∞)
+    assert(at35.toSeq == Seq((1L, "silver"), (2L, "bronze"), (3L, "gold")))
+    // before any observation of user 1
+    assert(Temporal.asOfSnapshot(dim, lit(4L)).count() == 0)
+  }
+
+  test("plan has a single exchange and a single sort (window reuse)") {
+    val dim = Temporal.scd2(log, Seq("user_id"), "ts", Seq("tier"))
+    val plan = dim.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one shuffle, plan:\n$plan")
+    assert(sorts == 1, s"expected one sort, plan:\n$plan")
+  }
+
+  test("corpus events: every user has exactly one current row and contiguous intervals") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+    // pre-dedup to one row per (user, second) — scd2's precondition
+    val one = ev.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "ts_sec").orderBy(col("event_id").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val dim = Temporal.scd2(one, Seq("user_id"), "ts_sec", Seq("event_type")).cache()
+    try {
+      val users = ev.select("user_id").distinct().count()
+      assert(dim.filter(col("is_current") === 1).count() == users)
+      // each interval's valid_to equals the next interval's valid_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("valid_from")
+      val gaps = dim
+        .withColumn("__next_from", lead(col("valid_from"), 1).over(w))
+        .filter(col("__next_from").isNotNull && col("valid_to") =!= col("__next_from"))
+      assert(gaps.count() == 0)
+    } finally dim.unpersist()
+  }
+}

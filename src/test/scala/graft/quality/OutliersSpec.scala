@@ -1,0 +1,58 @@
+package graft.quality
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OutliersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("winsorize clips to discrete per-group percentile bounds") {
+    // group a: values 1..10 — percentile_disc(0.05)=1 (cume 0.1 ≥ 0.05),
+    // percentile_disc(0.95)=10 (first value with cume_dist ≥ 0.95)
+    // group b: 100, 200, ..., 1000 plus an outlier 1e9
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i * 100.0)) :+ ("b", 1e9))
+      .toDF("g", "v")
+    val w = Outliers.winsorize(df, "v", Seq("g"), 0.05, 0.90)
+    val a = w.filter($"g" === "a").agg(min("v_w"), max("v_w")).head()
+    // a: n=10, p05 → first value cume_dist ≥ .05 is 1; p90 → 9
+    assert(a.getDouble(0) == 1.0 && a.getDouble(1) == 9.0)
+    val b = w.filter($"g" === "b").agg(max("v_w")).head()
+    // b: n=11, p90 → ceil(.9*11)=10th value = 1000 — outlier clipped
+    assert(b.getDouble(0) == 1000.0)
+    // row count unchanged; original column untouched
+    assert(w.count() == df.count())
+    assert(w.filter($"g" === "b").agg(max("v")).head().getDouble(0) == 1e9)
+  }
+
+  test("winsorize bounds are actual data values (discrete, no interpolation)") {
+    val vals = Seq(1.13, 2.77, 3.01, 4.99, 5.55, 6.02, 7.31, 8.88)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val w = Outliers.winsorize(df, "v", Seq("g"), 0.3, 0.7)
+    val clipped = w.select("v_w").collect().map(_.getDouble(0)).toSet
+    assert(clipped.subsetOf(vals.toSet), s"bounds must be members of the data: $clipped")
+  }
+
+  test("winsorizeApprox bounds are near the exact ones on corpus data") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val exact = Outliers.winsorize(orders, "o_totalprice", Seq("o_orderpriority"))
+      .groupBy("o_orderpriority").agg(max("o_totalprice_w").as("hi"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = Outliers.winsorizeApprox(orders, "o_totalprice", Seq("o_orderpriority"))
+      .groupBy("o_orderpriority").agg(max("o_totalprice_w").as("hi"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (g, hi) =>
+      assert(math.abs(approx(g) - hi) / hi < 0.1,
+        s"group $g: approx ${approx(g)} vs exact $hi")
+    }
+  }
+
+  test("winsorize broadcast-joins the bounds (no extra shuffle for the clip)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val plan = Outliers.winsorize(orders, "o_totalprice", Seq("o_orderpriority"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bounds must broadcast, plan:\n$plan")
+  }
+}
