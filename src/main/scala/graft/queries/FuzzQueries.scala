@@ -8,10 +8,10 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 200 query cases over `orders`/`lineitem`
+  * A seeded generator produces 220 query cases over `orders`/`lineitem`
   * spanning (projection, predicate, group-by, having, order+limit,
-  * inner/left joins, window functions, rollup/cube/grouping-sets). Each
-  * case is rendered TWICE from one AST:
+  * inner/left joins, window functions, rollup/cube/grouping-sets,
+  * date/interval arithmetic). Each case is rendered TWICE from one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
   *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
@@ -26,10 +26,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 200
-  * summaries are UNION ALL'd into eight declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 220
+  * summaries are UNION ALL'd into nine declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 200 against DuckDB, while
+  * correctness gate hash-compares all 220 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -46,6 +46,7 @@ object FuzzQueries {
   val nScalar = 20
   val nSetop = 20
   val nRollup = 20
+  val nDate = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -586,6 +587,81 @@ object FuzzQueries {
         })
     }
 
+  /** Family I — date/interval arithmetic: truncation (year/quarter/
+    * month/ISO week), interval addition (day offsets; month offsets with
+    * end-of-month clamping), last_day, and EXTRACT parts incl. ISO WEEK
+    * and DOY. The classic silent-divergence surface (week start, clamp
+    * rules, part numbering) — every primitive used here was probed equal
+    * on both engines, incl. ISO week at a year boundary (1996-12-30 →
+    * week 1) and leap-clamping (1996-01-31 + 1 month → 02-29).
+    *
+    * Date-valued results are summarized through a yyyymmdd integer
+    * encoding built from EXTRACTs (dates never cross the hash boundary
+    * as raw values), numeric parts summed directly; both flow through
+    * the house BIGINT→DOUBLE rule.
+    */
+  private def dateCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val dc = if (table == "orders") "o_orderdate" else "l_shipdate"
+    val dSql = s"CAST($dc AS DATE)"
+    val dMk = () => col(dc).cast("date")
+
+    def encodeSql(e: String) =
+      s"CAST(EXTRACT(YEAR FROM $e) * 10000 + EXTRACT(MONTH FROM $e) * 100 + EXTRACT(DAY FROM $e) AS BIGINT)"
+    def encodeMk(e: Column) =
+      (year(e) * 10000 + month(e) * 100 + dayofmonth(e)).cast("long")
+
+    if (rng.nextBoolean()) {
+      // date-valued expression
+      val (eSql, eMk): (String, () => Column) = rng.nextInt(4) match {
+        case 0 =>
+          val u = Seq("year", "quarter", "month", "week")(rng.nextInt(4))
+          (s"CAST(date_trunc('$u', $dSql) AS DATE)", () => trunc(dMk(), u))
+        case 1 =>
+          val n = 1 + rng.nextInt(30)
+          (s"CAST($dSql + INTERVAL $n DAY AS DATE)", () => date_add(dMk(), n))
+        case 2 =>
+          val n = 1 + rng.nextInt(11)
+          (s"CAST($dSql + INTERVAL $n MONTH AS DATE)", () => add_months(dMk(), n))
+        case _ =>
+          (s"last_day($dSql)", () => last_day(dMk()))
+      }
+      FuzzCase(id, table,
+        s"""SELECT '$id' AS fq, count(*) AS n_rows,
+             CAST(sum(${encodeSql(eSql)}) AS DOUBLE) AS agg,
+             count(DISTINCT $eSql) AS aux
+           FROM $table WHERE ${pred.sql}""",
+        ts => ts(table).filter(pred.mk())
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(encodeMk(eMk())).cast("double").as("agg"),
+            countDistinct(eMk()).as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    } else {
+      // numeric date-part expression
+      val (u, mk): (String, () => Column) = Seq[(String, () => Column)](
+        ("YEAR", () => year(dMk())),
+        ("MONTH", () => month(dMk())),
+        ("DAY", () => dayofmonth(dMk())),
+        ("QUARTER", () => quarter(dMk())),
+        ("WEEK", () => weekofyear(dMk())),
+        ("DOY", () => dayofyear(dMk())))(rng.nextInt(6))
+      val eSql = s"CAST(EXTRACT($u FROM $dSql) AS BIGINT)"
+      FuzzCase(id, table,
+        s"""SELECT '$id' AS fq, count(*) AS n_rows,
+             CAST(sum($eSql) AS DOUBLE) AS agg,
+             count(DISTINCT $eSql) AS aux
+           FROM $table WHERE ${pred.sql}""",
+        ts => ts(table).filter(pred.mk())
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(mk().cast("long")).cast("double").as("agg"),
+            countDistinct(mk().cast("long")).as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    }
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -599,7 +675,8 @@ object FuzzQueries {
     val scalars = (0 until nScalar).map(i => scalarCase(f"fzF$i%03d", rng))
     val setops = (0 until nSetop).map(i => setopCase(f"fzG$i%03d", rng))
     val rollups = (0 until nRollup).map(i => rollupCase(f"fzH$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups
+    val dates = (0 until nDate).map(i => dateCase(f"fzI$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -614,7 +691,8 @@ object FuzzQueries {
     "q124_fuzz_window" -> cases.filter(_.id.startsWith("fzE")),
     "q125_fuzz_scalar" -> cases.filter(_.id.startsWith("fzF")),
     "q126_fuzz_setop_exists" -> cases.filter(_.id.startsWith("fzG")),
-    "q127_fuzz_rollup" -> cases.filter(_.id.startsWith("fzH")))
+    "q127_fuzz_rollup" -> cases.filter(_.id.startsWith("fzH")),
+    "q128_fuzz_datetime" -> cases.filter(_.id.startsWith("fzI")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(

@@ -1873,7 +1873,7 @@ object Inventory {
         FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
-  /** Differential fuzz bundles (FuzzQueries): 200 generated cases over
+  /** Differential fuzz bundles (FuzzQueries): 220 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs
     * the generated dialect-neutral SQL; the oracle is the SAME text run
     * by DuckDB — so the driver hash-compares every generated case.
