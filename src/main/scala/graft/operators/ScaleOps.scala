@@ -278,4 +278,31 @@ object ScaleOps {
       .filter(might(col(factKey).cast("string")))
       .join(dim, col(factKey) === dim(dimKey), "left_semi")
   }
+
+  /** Leakage-proof train/val/test split: every row of a GROUP (domain,
+    * near-dup cluster, author, …) lands in the same split, so near-
+    * identical documents can never straddle the train/eval boundary —
+    * the standard contamination guard a random row-level split violates.
+    *
+    * Assignment hashes the group key with md5 and compares the first 8
+    * hex chars against cumulative-fraction boundaries (fixed-width
+    * lowercase hex compares lexicographically = numerically). md5 — not
+    * xxhash64 — on purpose: any engine can reproduce the assignment,
+    * so a split is auditable outside Spark. Map-only: no shuffle, no
+    * state, stable under re-runs and appends.
+    */
+  def splitByGroup(
+      df: DataFrame,
+      groupCol: String,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = substring(md5(col(groupCol).cast("string")), 1, 8)
+    val bounds = splits.init.scanLeft(0.0) { case (cum, (_, f)) => cum + f }.tail
+      .map(c => f"${(c * 4294967295d).toLong}%08x")
+    val assign = splits.init.zip(bounds).foldRight(lit(splits.last._1)) {
+      case (((name, _), b), rest) => when(h < lit(b), name).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
 }

@@ -285,4 +285,71 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** (doc, term) pairs under the cross-engine tokenizer convention
+    * (single-space split, empties dropped, lowercased) — the shared
+    * front end of [[tfidf]] and [[invertedIndex]].
+    */
+  private def termPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-document top-k TF-IDF terms — the classic retrieval/feature
+    * weighting, smooth-idf variant: `tf · (ln((N+1)/(df+1)) + 1)`.
+    *
+    * Scale shape: tokenize map-only → tf groupBy (doc, term) → df
+    * groupBy term (both partially aggregated map-side) → tf⋈df on term
+    * (id+count width only) → per-doc window for top-k. N is one
+    * driver-side count — a scalar, not data movement. Hot terms (high
+    * df) concentrate a term-partition but carry only counts; the
+    * payload-free shuffle is the point.
+    *
+    * Output: (idCol, term, score DOUBLE rounded to 4dp) — flat, ordered
+    * within a doc by score desc then term.
+    */
+  def tfidf(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = termPairs(df, idCol, textCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy(idCol).orderBy(desc("score"), col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * (log((lit(n) + 1.0) / (col("dfreq") + 1.0)) + 1.0), 4))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col(idCol), col("term"), col("score"))
+  }
+
+  /** Inverted index over mid-frequency terms: term → document-frequency
+    * + full posting list (sorted doc ids, comma-joined for a flat
+    * schema). Terms outside [minDf, maxDf] are dropped BEFORE any
+    * posting list is materialized — the df pre-pass means a stopword's
+    * millions of postings are never collected (the classic hot-term
+    * memory failure in index builds).
+    */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minDf: Long = 2L,
+      maxDf: Long = 50L): DataFrame = {
+    val pairs = termPairs(df, idCol, textCol)
+      .select(col("term"), col(idCol)).distinct()
+    val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= minDf && col("dfreq") <= maxDf)
+    pairs.join(dfreq, "term")
+      .groupBy("term", "dfreq")
+      .agg(array_join(
+        transform(array_sort(collect_list(col(idCol))), x => x.cast("string")),
+        ",").as("postings"))
+      .select(col("term"), col("dfreq"), col("postings"))
+  }
 }

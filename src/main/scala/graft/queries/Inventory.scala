@@ -1870,7 +1870,80 @@ object Inventory {
         SELECT o_orderpriority, count(*) AS n_orders,
           CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS clipped_total,
           min(v) AS clip_lo, max(v) AS clip_hi
-        FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q("q115_tfidf",
+      (s, dir) => {
+        // per-document top-3 TF-IDF terms over a 200-doc slice (smooth
+        // idf); the oracle replays the identical tf/df/ln arithmetic —
+        // doubles agree because both engines compute the same
+        // IEEE-754 expression from the same integer tf/df/N.
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        TextAnalysis.tfidf(docs, "doc_id", "text", topK = 3)
+          .orderBy(col("doc_id"), desc("score"), col("term"))
+      },
+      Some("""WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+        tok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM d),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE term <> '' GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM d),
+        s AS (
+          SELECT tf.doc_id, tf.term,
+            round(tf.tf * (ln((n.n + 1.0) / (dfreq.dfreq + 1.0)) + 1.0), 4) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+        SELECT doc_id, term, score FROM r WHERE rk <= 3
+        ORDER BY doc_id, score DESC, term""")),
+
+    Q("q116_inverted_index",
+      (s, dir) =>
+        // mid-frequency inverted index: term → df + sorted posting
+        // list; hot terms are cut by the df pre-pass BEFORE any posting
+        // list is collected. Postings cross the hash boundary as a
+        // comma-joined string (flat schema rule).
+        TextAnalysis.invertedIndex(
+            t(s, dir, "documents"), "doc_id", "text", minDf = 2L, maxDf = 400L)
+          .orderBy("term"),
+      Some("""WITH pairs AS (
+          SELECT DISTINCT term, doc_id FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents) WHERE term <> ''),
+        df AS (
+          SELECT term, count(*) AS dfreq FROM pairs GROUP BY term
+          HAVING count(*) BETWEEN 2 AND 400)
+        SELECT p.term, df.dfreq,
+          string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
+        FROM pairs p JOIN df ON p.term = df.term
+        GROUP BY p.term, df.dfreq ORDER BY p.term""")),
+
+    Q("q117_split_leakproof",
+      (s, dir) =>
+        // domain-level train/val/test split (75/12.5/12.5): every doc of
+        // a source lands in one split — the contamination guard. md5
+        // bucketing, so DuckDB reproduces the exact assignment.
+        ScaleOps.splitByGroup(
+            t(s, dir, "documents"), "source",
+            Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+          .groupBy("split")
+          .agg(
+            countDistinct(col("source")).as("n_sources"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("split"),
+      Some("""WITH a AS (
+          SELECT *, CASE
+            WHEN substr(md5(source), 1, 8) < 'bfffffff' THEN 'train'
+            WHEN substr(md5(source), 1, 8) < 'dfffffff' THEN 'val'
+            ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM a GROUP BY split ORDER BY split"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 220 generated cases over

@@ -216,4 +216,35 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L))
   }
+
+  test("splitByGroup: no group straddles splits; assignment is total and deterministic") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val split = ScaleOps.splitByGroup(docs, "source")
+    // leakage guard: each source maps to exactly one split
+    val perGroup = split.groupBy("source")
+      .agg(countDistinct($"split").as("n")).filter($"n" > 1)
+    assert(perGroup.count() == 0)
+    // total: every row assigned, only declared labels
+    assert(split.filter($"split".isNull).count() == 0)
+    val labels = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+    // deterministic across evaluations
+    val a = split.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = ScaleOps.splitByGroup(docs, "source").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("splitByGroup fractions roughly hold over many distinct groups") {
+    import spark.implicits._
+    val groups = (1 to 2000).map(i => (i.toLong, s"g$i")).toDF("id", "g")
+    val counts = ScaleOps.splitByGroup(groups, "g", Seq("a" -> 0.5, "b" -> 0.5))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 1000L) < 150, s"got $counts")
+    val ex = intercept[IllegalArgumentException] {
+      ScaleOps.splitByGroup(groups, "g", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    assert(ex.getMessage.contains("sum to 1"))
+  }
 }

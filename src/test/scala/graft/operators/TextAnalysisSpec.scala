@@ -194,4 +194,42 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "a\nb\na\na\nc")).toDF("id", "text"), "id", "text").head()
     assert(out.getString(1) == "a\nb\nc" && out.getLong(2) == 3L)
   }
+
+  test("tfidf ranks a document's distinctive term above the corpus-wide one") {
+    // "common" appears in all 3 docs; each doc has a unique term with the
+    // same tf — the unique term must outscore the common one
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma gamma")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidf(docs, "doc_id", "text", topK = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(top == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // smooth-idf value check: tf=2, N=3, df=1 → 2·(ln(4/2)+1)
+    val s = TextAnalysis.tfidf(docs, "doc_id", "text", topK = 1)
+      .filter($"doc_id" === 1L).head().getDouble(2)
+    assert(math.abs(s - 2.0 * (math.log(2.0) + 1.0)) < 5e-5)
+  }
+
+  test("tfidf emits at most topK terms per doc, ties broken by term") {
+    val docs = Seq((1L, "b a c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", topK = 2)
+      .orderBy("term").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("a", "b"), "equal scores must break ties alphabetically")
+  }
+
+  test("invertedIndex: df band filter, sorted postings, hot term excluded") {
+    val docs = Seq(
+      (3L, "hot mid rare"),
+      (1L, "hot mid"),
+      (2L, "hot mid mid")).toDF("doc_id", "text")
+    // df: hot=3, mid=3, rare=1 → band [2,2] excludes everything
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text", minDf = 2L, maxDf = 2L)
+      .collect()
+    assert(idx.isEmpty)
+    val idx2 = TextAnalysis.invertedIndex(docs, "doc_id", "text", minDf = 2L, maxDf = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(idx2.toSeq == Seq(("hot", 3L, "1,2,3"), ("mid", 3L, "1,2,3")),
+      "postings must be doc-id sorted and duplicate tokens collapsed")
+  }
 }
