@@ -49,6 +49,11 @@ object AsofJoin {
     *                  "last right seen so far" then means "lowest ts
     *                  at-or-after" — so cost and shuffle shape are
     *                  identical to backward.
+    * @param tolerance max allowed |leftTs − matchedRightTs| (same unit
+    *                  as the — numeric — ts columns); a match further
+    *                  away nulls the attached values instead. Carried as
+    *                  one extra slim column (the matched right ts) plus
+    *                  a map-side post-filter — shuffle shape unchanged.
     */
   def asof(
       left: DataFrame,
@@ -58,12 +63,17 @@ object AsofJoin {
       rightTs: String,
       rightId: String,
       valueCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
     require(valueCols.forall(v => !keyCols.contains(v)),
       s"valueCols ${valueCols.mkString(",")} must be disjoint from keyCols")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    require(tolerance.isEmpty ||
+      right.schema(rightTs).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "tolerance requires numeric timestamp columns (e.g. epoch seconds)")
 
     // Stamp a per-row id and share the stamped frame as lazy
     // executor-local blocks: monotonically_increasing_id is only stable
@@ -78,13 +88,20 @@ object AsofJoin {
     //   keys…, __ts, __side, __rid, __lid, __v_<value>…
     // Right rows carry null __lid; left rows carry null __rid and
     // null-typed values (the window fills them from prior right rows).
+    // Under a tolerance, the matched right ts rides along as one more
+    // carried column ("__rts") so the post-filter can measure the gap.
+    val carrySpecs: Seq[(String, org.apache.spark.sql.Column)] =
+      valueCols.map(v => (v, col(v))) ++
+        (if (tolerance.isDefined) Seq(("__rts", col(rightTs))) else Nil)
+    def carryType(name: String) =
+      if (name == "__rts") right.schema(rightTs).dataType else right.schema(name).dataType
     val slimLeft = stamped.select(
       (keyCols.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(1).as("__side"),
         lit(null).cast("long").as("__rid"),
         col("__lid")) ++
-        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")))
+        carrySpecs.map { case (v, _) => lit(null).cast(carryType(v)).as(s"__v_$v") })
         .toIndexedSeq: _*)
     val slimRight = right.select(
       (keyCols.map(col) ++ Seq(
@@ -92,7 +109,7 @@ object AsofJoin {
         lit(0).as("__side"),
         col(rightId).cast("long").as("__rid"),
         lit(null).cast("long").as("__lid")) ++
-        valueCols.map(v => col(v).as(s"__v_$v")))
+        carrySpecs.map { case (v, e) => e.as(s"__v_$v") })
         .toIndexedSeq: _*)
     val unioned = slimLeft.union(slimRight)
 
@@ -106,14 +123,22 @@ object AsofJoin {
       .orderBy(tsOrd, col("__side").asc, col("__rid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = valueCols.foldLeft(unioned) { (df, v) =>
+    val carried = carrySpecs.map(_._1).foldLeft(unioned) { (df, v) =>
       df.withColumn(s"__asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
     }
 
+    // tolerance gate: null the values when the matched right row is
+    // further than `tolerance` from the left ts (map-side, post-window)
+    val withinTol = tolerance match {
+      case Some(tol) => abs(col("__ts") - col("__asof___rts")) <= tol
+      case None => lit(true)
+    }
     val asofVals = carried
       .filter(col("__side") === 1)
       .select((col("__lid") +:
-        valueCols.map(v => col(s"__asof_$v").as(s"asof_$v"))).toIndexedSeq: _*)
+        valueCols.map(v =>
+          when(withinTol, col(s"__asof_$v")).otherwise(lit(null)).as(s"asof_$v")))
+        .toIndexedSeq: _*)
 
     // Payload re-attach: every left row appears exactly once on each side
     // of this inner join (__lid is unique), so left multiplicity is

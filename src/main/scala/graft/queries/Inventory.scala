@@ -313,6 +313,41 @@ object Inventory {
         SELECT c.user_id, c.event_id, c.ts_sec, v.vvalue AS asof_vvalue
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts_sec <= v.vts
+        ORDER BY c.user_id, c.event_id""")),
+
+    Q("q17c_join_asof_tol",
+      (s, dir) => {
+        // TOLERANCE as-of: q17's backward join, but a match older than
+        // one hour is nulled — the practical "latest quote, if fresh"
+        // semantics. Carried as one extra slim column + a map-side
+        // gate; DuckDB checks with ASOF JOIN + CASE on the gap.
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts_sec")
+        val vw = Window.partitionBy("user_id", "ts_sec").orderBy(col("event_id").desc)
+        val views = ev.filter(col("event_type") === "view")
+          .withColumn("__rn", row_number().over(vw)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("ts_sec").as("vts"),
+            col("event_id").as("vid"), col("value").as("vvalue"))
+        graft.operators.AsofJoin
+          .asof(clicks, views, Seq("user_id"), "ts_sec", "vts", "vid",
+            Seq("vvalue"), tolerance = Some(3600L))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type, value,
+                 epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        clicks AS (
+          SELECT user_id, event_id, ts_sec FROM e WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts_sec AS vts, event_id AS vid, value AS vvalue FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts_sec
+              ORDER BY event_id DESC) AS rn
+            FROM e WHERE event_type = 'view') WHERE rn = 1)
+        SELECT c.user_id, c.event_id, c.ts_sec,
+          CASE WHEN c.ts_sec - v.vts <= 3600 THEN v.vvalue ELSE NULL END AS asof_vvalue
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts_sec >= v.vts
         ORDER BY c.user_id, c.event_id""")))
 
   private val aggregations = Seq(
@@ -1943,7 +1978,23 @@ object Inventory {
           FROM documents)
         SELECT split, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
           CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM a GROUP BY split ORDER BY split"""))
+        FROM a GROUP BY split ORDER BY split""")),
+
+    Q("q118_hll_rollup",
+      (s, dir) => {
+        // mergeable-sketch distinct counting: per-(type, day) HLL
+        // sketches rolled up to per-type by sketch UNION — the
+        // pre-aggregation shape that answers rollups without re-scanning
+        // raw data. rows-only by necessity: the estimate comes from
+        // Spark's DataSketches HLL, which DuckDB cannot bit-reproduce;
+        // accuracy vs exact (<5%) and merge associativity are pinned in
+        // ScaleOpsSpec.
+        val ev = events(s, dir).withColumn("day", expr("ts_sec div 86400"))
+        val parts = ScaleOps.hllRollup(ev, Seq("event_type", "day"), "user_id")
+        ScaleOps.hllMergeEstimate(parts, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      None)
   )
 
   /** Differential fuzz bundles (FuzzQueries): 220 generated cases over

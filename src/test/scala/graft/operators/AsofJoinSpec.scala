@@ -129,4 +129,38 @@ class AsofJoinSpec extends SparkSpec {
       (1L, 5L, Some(70.0)), (1L, 10L, Some(100.0)), (1L, 20L, None),
       (2L, 1L, None)))
   }
+
+  test("tolerance nulls matches further than the bound, keeps fresh ones") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 100L), (1L, 103L)).toDF("k", "ts")
+    val right = Seq((1L, 8L, 80.0), (1L, 99L, 990.0))
+      .toDF("k", "rts", "v").withColumn("rid", col("rts"))
+    val out = AsofJoin.asof(left, right, Seq("k"), "ts", "rts", "rid",
+        Seq("v"), tolerance = Some(4L))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // 10: match rts=8, gap 2 ≤ 4 → kept; 100: rts=99, gap 1 → kept;
+    // 103: rts=99, gap 4 ≤ 4 → kept (boundary inclusive)
+    assert(out.toSeq == Seq((10L, Some(80.0)), (100L, Some(990.0)), (103L, Some(990.0))))
+
+    val strict = AsofJoin.asof(left, right, Seq("k"), "ts", "rts", "rid",
+        Seq("v"), tolerance = Some(1L))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // only the gap-1 match at ts=100 survives
+    assert(strict.toSeq == Seq((10L, None), (100L, Some(990.0)), (103L, None)))
+  }
+
+  test("tolerance requires numeric timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("k", "ts")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1.0))
+      .toDF("k", "rts", "v").withColumn("rid", lit(1L))
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, right, Seq("k"), "ts", "rts", "rid",
+        Seq("v"), tolerance = Some(5L))
+    }
+    assert(ex.getMessage.contains("numeric"))
+  }
 }

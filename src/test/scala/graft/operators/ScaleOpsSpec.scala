@@ -236,6 +236,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hll sketch rollup: merged estimate tracks exact distinct counts") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("day", expr("(ts div 1000000000) div 86400"))
+    // fine-grained sketches per (type, day), rolled up to type
+    val parts = ScaleOps.hllRollup(ev, Seq("event_type", "day"), "user_id")
+    val est = ScaleOps.hllMergeEstimate(parts, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.05,
+        s"$k: est ${est(k)} vs exact $n")
+    }
+    // merge path ≈ single-pass sketch (associativity of the union)
+    val single = ScaleOps.hllRollup(ev, Seq("event_type"), "user_id")
+    val singleEst = single.select(col("event_type"),
+        expr("hll_sketch_estimate(hll)").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.keySet.foreach { k =>
+      assert(math.abs(est(k) - singleEst(k)).toDouble / math.max(singleEst(k), 1L) < 0.02,
+        s"$k: merged ${est(k)} vs single-pass ${singleEst(k)}")
+    }
+  }
+
   test("splitByGroup fractions roughly hold over many distinct groups") {
     import spark.implicits._
     val groups = (1 to 2000).map(i => (i.toLong, s"g$i")).toDF("id", "g")
