@@ -12,6 +12,17 @@ case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 /** Running per-user aggregate emitted by [[StreamOps.runningUserStats]]. */
 case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
+/** Keyed attribute observation for the streaming SCD feed. */
+case class AttrEvent(user_id: Long, ts: Long, attr: String)
+
+/** Open-version state held per key by [[StreamOps.scdClosedIntervals]]. */
+case class ScdOpen(attr: String, since: Long)
+
+/** A finished dimension version: [valid_from, valid_to) — the streaming
+  * complement of `graft.operators.Temporal.scd2`'s closed rows.
+  */
+case class ClosedVersion(user_id: Long, attr: String, valid_from: Long, valid_to: Long)
+
 /** Structured Streaming twins of the batch operators — a clearly-marked
   * EXTENSION: the reference is daily batch only (no streaming imports
   * anywhere; schedule at `airflow_dag_code/data_lake_query_pyspark.py:16`),
@@ -139,6 +150,47 @@ object StreamOps {
           val next = UserStats(uid, n, tot)
           state.update(next)
           next
+      }
+  }
+
+  /** Streaming twin of `Temporal.scd2`: maintain each key's OPEN
+    * dimension version in keyed state and emit a version the moment a
+    * differing attribute value CLOSES it (`valid_to` = the successor's
+    * ts, half-open, exactly the batch operator's interval semantics).
+    * No-op observations (same attr) are compacted away, as in batch.
+    *
+    * Ordering contract: per-key event-time order within and across
+    * batches (Kafka key-partitioned topics give this; otherwise sort
+    * upstream). A row older than the open version's start is DROPPED —
+    * a late out-of-order observation cannot retroactively rewrite
+    * already-emitted history, which keeps the operator deterministic.
+    * State is one small record per key — bounded by keyspace, not
+    * stream length; the open version per key is queryable from the
+    * state store, closed history accumulates in the sink.
+    */
+  def scdClosedIntervals(events: Dataset[AttrEvent]): Dataset[ClosedVersion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[ScdOpen]) =>
+          val out = Seq.newBuilder[ClosedVersion]
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => (e.ts, e.attr)).foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(ScdOpen(e.attr, e.ts))
+              case Some(s) if e.ts < s.since => () // late arrival: drop
+              case Some(s) if s.attr != e.attr =>
+                out += ClosedVersion(uid, s.attr, s.since, e.ts)
+                cur = Some(ScdOpen(e.attr, e.ts))
+              case _ => () // no-op change: compact
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
       }
   }
 }

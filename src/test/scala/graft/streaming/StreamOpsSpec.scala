@@ -133,4 +133,39 @@ class StreamOpsSpec extends SparkSpec {
       assert(latest.toSeq == Seq((1L, 3L, 10.0), (2L, 1L, 1.0)))
     } finally q.stop()
   }
+
+  test("scdClosedIntervals matches the batch scd2's closed rows across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[AttrEvent]
+    val q = StreamOps.scdClosedIntervals(in.toDS())
+      .writeStream.format("memory").queryName("scd_out").outputMode("update").start()
+    try {
+      // batch 1: gold → gold (no-op) → silver closes gold
+      in.addData(AttrEvent(1L, 10L, "gold"), AttrEvent(1L, 20L, "gold"),
+        AttrEvent(1L, 30L, "silver"))
+      q.processAllAvailable()
+      // batch 2: state carries the open silver version; gold closes it.
+      // A late row (ts=5) must NOT rewrite history. user 2 stays open.
+      in.addData(AttrEvent(1L, 40L, "gold"), AttrEvent(1L, 5L, "bronze"),
+        AttrEvent(2L, 15L, "bronze"))
+      q.processAllAvailable()
+      val streamed = spark.table("scd_out")
+        .select("user_id", "attr", "valid_from", "valid_to")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == Set(
+        (1L, "gold", 10L, 30L),
+        (1L, "silver", 30L, 40L)))
+
+      // batch operator on the same (in-order) event log: closed rows equal
+      val log = Seq((1L, 10L, "gold"), (1L, 20L, "gold"), (1L, 30L, "silver"),
+        (1L, 40L, "gold"), (2L, 15L, "bronze")).toDF("user_id", "ts", "attr")
+      val batchClosed = graft.operators.Temporal
+        .scd2(log, Seq("user_id"), "ts", Seq("attr"))
+        .filter(col("is_current") === 0)
+        .select("user_id", "attr", "valid_from", "valid_to")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batchClosed)
+    } finally q.stop()
+  }
 }
