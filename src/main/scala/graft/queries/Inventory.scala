@@ -1810,6 +1810,47 @@ object Inventory {
             IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
         FROM keep ORDER BY user_id, valid_from""")),
 
+    Q("q111b_scd2_snapshot",
+      (s, dir) => {
+        // point-in-time lookup over the q111 dimension: the state of
+        // every user's event_type as of a fixed mid-corpus instant —
+        // the "reproduce the March snapshot" query SCD2 exists for.
+        // A plain interval filter; per-type counts keep the output flat.
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id", "ts_sec").orderBy(col("event_id").desc)
+        val one = ev.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select("user_id", "ts_sec", "event_type")
+        val dim = graft.operators.Temporal.scd2(one, Seq("user_id"), "ts_sec", Seq("event_type"))
+        graft.operators.Temporal.asOfSnapshot(dim, lit(1705361944L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        one AS (
+          SELECT user_id, ts_sec, event_type FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts_sec
+              ORDER BY event_id DESC) AS rn FROM e) WHERE rn = 1),
+        chg AS (
+          SELECT *,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec) AS prev,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts_sec) AS rn
+          FROM one),
+        keep AS (
+          SELECT user_id, ts_sec, event_type FROM chg
+          WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        dim AS (
+          SELECT user_id, event_type, ts_sec AS valid_from,
+            lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) AS valid_to
+          FROM keep)
+        SELECT event_type, count(*) AS n_users FROM dim
+        WHERE valid_from <= 1705361944
+          AND (valid_to IS NULL OR 1705361944 < valid_to)
+        GROUP BY event_type ORDER BY event_type""")),
+
     Q("q112_binned_range",
       (s, dir) => {
         // binned range join (the scale path for point-in-interval):
@@ -2024,5 +2065,6 @@ object Inventory {
     "q40_topk", "q64_json", "q66_pivot",
     "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q93_knn_join",
     "q95_text_stats", "q99_sessionize", "q101_corpus_pipeline", "q103_chunking",
-    "q109_pack_sequences", "q110_line_dedup")
+    "q109_pack_sequences", "q110_line_dedup",
+    "q111_scd2", "q112_binned_range", "q115_tfidf")
 }
