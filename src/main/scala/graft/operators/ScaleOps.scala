@@ -331,4 +331,30 @@ object ScaleOps {
   def hllMergeEstimate(parts: DataFrame, keyCols: Seq[String]): DataFrame =
     parts.groupBy(keyCols.map(col): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(hll))").as("distinct_est"))
+
+  /** EXACTLY-k-per-group deterministic sample (eval-subset selection,
+    * per-stratum spot checks): rank rows within each group by the md5 of
+    * their id and keep the first k. A hash order — not `rand()` — so the
+    * pick is reproducible run-to-run, stable under partitioning, and
+    * auditable from any engine (md5, like [[splitByGroup]]); unlike
+    * rate-based sampling ([[stratifiedHashSample]]) the output size per
+    * group is exact (min(k, |group|)).
+    *
+    * One shuffle on the group key; the per-group sort is bounded by
+    * group size. For huge groups pre-cut with [[hashSample]] first so
+    * the window sorts a sample, not the full group.
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -2035,7 +2035,20 @@ object Inventory {
         ScaleOps.hllMergeEstimate(parts, Seq("event_type"))
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    Q("q119_sample_k_per_group",
+      (s, dir) =>
+        // exactly-3-docs-per-language deterministic sample: md5-ranked
+        // within each stratum, so DuckDB reproduces the exact pick.
+        ScaleOps.sampleKPerGroup(t(s, dir, "documents"), "lang", "doc_id", 3)
+          .select("lang", "doc_id", "n_chars")
+          .orderBy("lang", "doc_id"),
+      Some("""SELECT lang, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars, row_number() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) WHERE rk <= 3
+        ORDER BY lang, doc_id"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 220 generated cases over

@@ -123,6 +123,23 @@ class PlanShapeSpec extends SparkSpec {
       s"no map-side partial aggregation in reassembly:\n$plan")
   }
 
+  test("q115: tfidf shuffles carry ids and counts, never document text") {
+    val root = run("q115_tfidf").queryExecution.executedPlan
+    val unwrapped = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"no ShuffleExchangeExec found:\n$unwrapped")
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"tfidf exchange carries the text payload: ${e.child.output.mkString(", ")}")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

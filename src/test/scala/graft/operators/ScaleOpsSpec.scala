@@ -262,6 +262,22 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleKPerGroup: exact size per group, deterministic, stable under repartition") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sizes = ScaleOps.sampleKPerGroup(docs, "lang", "doc_id", 3)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (g, n) => assert(sizes(g) == math.min(3L, n)) }
+    // same pick regardless of physical layout
+    val a = ScaleOps.sampleKPerGroup(docs, "lang", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = ScaleOps.sampleKPerGroup(docs.repartition(7), "lang", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("splitByGroup fractions roughly hold over many distinct groups") {
     import spark.implicits._
     val groups = (1 to 2000).map(i => (i.toLong, s"g$i")).toDF("id", "g")
