@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * is visible to it), multiple right rows at one ts resolve to the last
   * by `rightId` for determinism.
   *
-  * SLIM SHUFFLE: only (key, ts, side, rid, lid, values) rides the
-  * union-window exchange and its per-key sort — left payload columns are
+  * SLIM SHUFFLE: only (key, ts, side, rid, lid, packed values+ts) rides
+  * the union-window exchange and its per-key sort — left payload columns are
   * re-attached AFTER the window by an equi-join on a stamped per-row id
   * (the same id-only pattern as Dedup's band join). On a wide left table
   * this keeps the window sort buffers narrow and never null-pads right
@@ -85,31 +85,35 @@ object AsofJoin {
       .localCheckpoint(eager = false)
 
     // Identical column order on both union branches:
-    //   keys…, __ts, __side, __rid, __lid, __v_<value>…
-    // Right rows carry null __lid; left rows carry null __rid and
-    // null-typed values (the window fills them from prior right rows).
-    // Under a tolerance, the matched right ts rides along as one more
-    // carried column ("__rts") so the post-filter can measure the gap.
-    val carrySpecs: Seq[(String, org.apache.spark.sql.Column)] =
-      valueCols.map(v => (v, col(v))) ++
-        (if (tolerance.isDefined) Seq(("__rts", col(rightTs))) else Nil)
-    def carryType(name: String) =
-      if (name == "__rts") right.schema(rightTs).dataType else right.schema(name).dataType
+    //   keys…, __ts, __side, __rid, __lid, __pack
+    // Right rows carry null __lid; left rows carry a null __rid and a
+    // null __pack. __pack is ONE struct of (values…, matched right ts):
+    // packing makes the right row atomic under the ignoreNulls walk —
+    // a right row whose VALUE field is null still registers as "the
+    // match" (null value attached, as DuckDB ASOF does), instead of the
+    // walk skipping past it to an older row's value; it also keeps the
+    // matched ts and its values from ever coming from different rows
+    // (the tolerance gate depends on that alignment).
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val packType = StructType(
+      valueCols.map(v => StructField(v, right.schema(v).dataType)) :+
+        StructField("__rts", right.schema(rightTs).dataType))
     val slimLeft = stamped.select(
       (keyCols.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(1).as("__side"),
         lit(null).cast("long").as("__rid"),
-        col("__lid")) ++
-        carrySpecs.map { case (v, _) => lit(null).cast(carryType(v)).as(s"__v_$v") })
+        col("__lid"),
+        lit(null).cast(packType).as("__pack")))
         .toIndexedSeq: _*)
     val slimRight = right.select(
       (keyCols.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
         col(rightId).cast("long").as("__rid"),
-        lit(null).cast("long").as("__lid")) ++
-        carrySpecs.map { case (v, e) => e.as(s"__v_$v") })
+        lit(null).cast("long").as("__lid"),
+        struct((valueCols.map(col) :+ col(rightTs).as("__rts")).toIndexedSeq: _*)
+          .as("__pack")))
         .toIndexedSeq: _*)
     val unioned = slimLeft.union(slimRight)
 
@@ -123,21 +127,20 @@ object AsofJoin {
       .orderBy(tsOrd, col("__side").asc, col("__rid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = carrySpecs.map(_._1).foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"__asof_$v", last(col(s"__v_$v"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__asof", last(col("__pack"), ignoreNulls = true).over(w))
 
     // tolerance gate: null the values when the matched right row is
     // further than `tolerance` from the left ts (map-side, post-window)
     val withinTol = tolerance match {
-      case Some(tol) => abs(col("__ts") - col("__asof___rts")) <= tol
+      case Some(tol) => abs(col("__ts") - col("__asof.__rts")) <= tol
       case None => lit(true)
     }
     val asofVals = carried
       .filter(col("__side") === 1)
       .select((col("__lid") +:
         valueCols.map(v =>
-          when(withinTol, col(s"__asof_$v")).otherwise(lit(null)).as(s"asof_$v")))
+          when(withinTol, col(s"__asof.$v")).otherwise(lit(null)).as(s"asof_$v")))
         .toIndexedSeq: _*)
 
     // Payload re-attach: every left row appears exactly once on each side

@@ -274,9 +274,9 @@ object ScaleOps {
       .stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: String) => k != null && bc.value.mightContainString(k))
-    fact
-      .filter(might(col(factKey).cast("string")))
-      .join(dim, col(factKey) === dim(dimKey), "left_semi")
+    val pruned = fact.filter(might(col(factKey).cast("string")))
+    // side-qualified references: factKey and dimKey may share a name
+    pruned.join(dim, pruned(factKey) === dim(dimKey), "left_semi")
   }
 
   /** Leakage-proof train/val/test split: every row of a GROUP (domain,
@@ -303,7 +303,10 @@ object ScaleOps {
     val assign = splits.init.zip(bounds).foldRight(lit(splits.last._1)) {
       case (((name, _), b), rest) => when(h < lit(b), name).otherwise(rest)
     }
-    df.withColumn("split", assign)
+    // a NULL group key gets a NULL split, never a silent bucket: lumping
+    // unknown-group rows into one split would bias the very boundary
+    // this operator guards — the caller decides what null groups mean
+    df.withColumn("split", when(col(groupCol).isNull, lit(null)).otherwise(assign))
   }
 
   /** Per-group mergeable cardinality sketches (Apache DataSketches HLL,
@@ -322,7 +325,7 @@ object ScaleOps {
       valueCol: String,
       lgK: Int = 12): DataFrame =
     df.groupBy(keyCols.map(col): _*)
-      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("hll"))
+      .agg(expr(s"hll_sketch_agg(`$valueCol`, $lgK)").as("hll"))
 
   /** Roll sketches built by [[hllRollup]] up to a coarser key set and
     * surface the distinct-count estimate. Input rows carry an `hll`

@@ -41,7 +41,10 @@ object Temporal {
       attrCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty, "need key and attribute columns")
     val byKey = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
-    val isFirst = lag(col(tsCol), 1).over(byKey).isNull
+    // row_number, not lag(ts).isNull: a null ts value would make its
+    // SUCCESSOR look like the first row and survive compaction (and this
+    // matches the oracle's rn = 1 formulation)
+    val isFirst = row_number().over(byKey) === 1
     val anyAttrChanged: Column = attrCols
       .map(a => !(col(a) <=> lag(col(a), 1).over(byKey)))
       .reduce(_ || _)

@@ -101,8 +101,8 @@ object Outliers {
     val bounds = df
       .groupBy(groupCols.map(col): _*)
       .agg(
-        expr(s"percentile_disc($loP) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
-        expr(s"percentile_disc($hiP) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
+        expr(s"percentile_disc($loP) WITHIN GROUP (ORDER BY `$valueCol`)").as("__lo"),
+        expr(s"percentile_disc($hiP) WITHIN GROUP (ORDER BY `$valueCol`)").as("__hi"))
     df.join(broadcast(bounds), groupCols)
       .withColumn(s"${valueCol}_w", least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
@@ -125,8 +125,8 @@ object Outliers {
     val bounds = df
       .groupBy(groupCols.map(col): _*)
       .agg(
-        expr(s"approx_percentile($valueCol, $loP, $accuracy)").as("__lo"),
-        expr(s"approx_percentile($valueCol, $hiP, $accuracy)").as("__hi"))
+        expr(s"approx_percentile(`$valueCol`, $loP, $accuracy)").as("__lo"),
+        expr(s"approx_percentile(`$valueCol`, $hiP, $accuracy)").as("__hi"))
     df.join(broadcast(bounds), groupCols)
       .withColumn(s"${valueCol}_w", least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")

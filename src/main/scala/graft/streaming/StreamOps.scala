@@ -182,7 +182,11 @@ object StreamOps {
             cur match {
               case None =>
                 cur = Some(ScdOpen(e.attr, e.ts))
-              case Some(s) if e.ts < s.since => () // late arrival: drop
+              // late arrival OR duplicate-second observation: drop —
+              // first observation per (key, ts) wins (mirrors the batch
+              // operator's one-row-per-(key, ts) precondition) and no
+              // zero-length [t, t) version can be emitted
+              case Some(s) if e.ts <= s.since => ()
               case Some(s) if s.attr != e.attr =>
                 out += ClosedVersion(uid, s.attr, s.since, e.ts)
                 cur = Some(ScdOpen(e.attr, e.ts))

@@ -151,6 +151,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(strict.toSeq == Seq((10L, None), (100L, Some(990.0)), (103L, None)))
   }
 
+  test("a nearest right row with a null value IS the match (no skip to older rows)") {
+    import spark.implicits._
+    // DuckDB ASOF semantics: the match is the nearest at-or-before ROW;
+    // if its value is null, null is attached — the walk must not skip
+    // past it to an older row's non-null value.
+    val left = Seq((1L, 102L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Some(7.0)), (1L, 100L, Option.empty[Double]))
+      .toDF("k", "rts", "v").withColumn("rid", col("rts"))
+    val plain = AsofJoin.asof(left, right, Seq("k"), "ts", "rts", "rid", Seq("v"))
+      .head()
+    assert(plain.isNullAt(plain.fieldIndex("asof_v")),
+      "null-valued nearest row must attach null, not an older value")
+    // ...and the tolerance gate measures the gap to that SAME row
+    val tol = AsofJoin.asof(left, right, Seq("k"), "ts", "rts", "rid",
+        Seq("v"), tolerance = Some(5L)).head()
+    assert(tol.isNullAt(tol.fieldIndex("asof_v")))
+  }
+
   test("tolerance requires numeric timestamps") {
     import spark.implicits._
     val left = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))

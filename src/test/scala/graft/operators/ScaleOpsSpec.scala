@@ -289,4 +289,14 @@ class ScaleOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("sum to 1"))
   }
+
+  test("splitByGroup: a null group key gets a null split, not a silent bucket") {
+    import spark.implicits._
+    val rows = Seq((1L, Some("g1")), (2L, None), (3L, Some("g2")))
+      .toDF("id", "g")
+    val out = ScaleOps.splitByGroup(rows, "g")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("split"))).toMap
+    assert(out(2L).isEmpty, "null group must not be assigned to any split")
+    assert(out(1L).nonEmpty && out(3L).nonEmpty)
+  }
 }

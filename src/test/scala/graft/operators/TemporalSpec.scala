@@ -49,6 +49,16 @@ class TemporalSpec extends SparkSpec {
     assert(dim.toSeq == Seq((1L, None), (3L, Some("a")), (4L, None)))
   }
 
+  test("a null timestamp does not break first-row detection for its successor") {
+    // nulls sort first; the row AFTER the null-ts row must still be
+    // compacted when it is a no-op (row_number-based detection)
+    val nl = Seq(
+      (1L, Option.empty[Long], "a"),
+      (1L, Some(5L), "a"))
+      .toDF("k", "ts", "attr")
+    assert(Temporal.scd2(nl, Seq("k"), "ts", Seq("attr")).count() == 1)
+  }
+
   test("asOfSnapshot returns exactly the rows valid at the instant") {
     val dim = Temporal.scd2(log, Seq("user_id"), "ts", Seq("tier", "country"))
     val at35 = Temporal.asOfSnapshot(dim, lit(35L))

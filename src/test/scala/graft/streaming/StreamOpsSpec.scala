@@ -146,9 +146,11 @@ class StreamOpsSpec extends SparkSpec {
         AttrEvent(1L, 30L, "silver"))
       q.processAllAvailable()
       // batch 2: state carries the open silver version; gold closes it.
-      // A late row (ts=5) must NOT rewrite history. user 2 stays open.
-      in.addData(AttrEvent(1L, 40L, "gold"), AttrEvent(1L, 5L, "bronze"),
-        AttrEvent(2L, 15L, "bronze"))
+      // A late row (ts=5) must NOT rewrite history; a duplicate-second
+      // observation (ts=40, differing attr) must NOT emit a zero-length
+      // [40, 40) version. user 2 stays open.
+      in.addData(AttrEvent(1L, 40L, "gold"), AttrEvent(1L, 40L, "platinum"),
+        AttrEvent(1L, 5L, "bronze"), AttrEvent(2L, 15L, "bronze"))
       q.processAllAvailable()
       val streamed = spark.table("scd_out")
         .select("user_id", "attr", "valid_from", "valid_to")
