@@ -8,10 +8,10 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 220 query cases over `orders`/`lineitem`
+  * A seeded generator produces 240 query cases over `orders`/`lineitem`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions, rollup/cube/grouping-sets,
-  * date/interval arithmetic). Each case is rendered TWICE from one AST:
+  * date/interval arithmetic, NULL semantics). Each case is rendered TWICE from one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
   *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
@@ -26,10 +26,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 220
-  * summaries are UNION ALL'd into nine declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 240
+  * summaries are UNION ALL'd into ten declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 220 against DuckDB, while
+  * correctness gate hash-compares all 240 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -47,6 +47,7 @@ object FuzzQueries {
   val nSetop = 20
   val nRollup = 20
   val nDate = 20
+  val nNull = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -662,6 +663,84 @@ object FuzzQueries {
     }
   }
 
+  /** Family J — NULL semantics: the corpus tables are null-free, so
+    * nulls are SYNTHESIZED identically in both engines with
+    * NULLIF(col, value), then pushed through the constructs whose
+    * null-handling diverges silently when engines disagree: aggregate
+    * null-skipping (sum/avg/count over a nullable expression),
+    * count(*) vs count(expr), COALESCE fallbacks, IS [NOT] DISTINCT
+    * FROM comparisons (null-safe equality), CASE over nullable inputs,
+    * and null-producing arithmetic. Summary flows through the house
+    * BIGINT/DECIMAL→DOUBLE rules.
+    */
+  private def nullCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val (sc, scVals) = if (table == "orders") ("o_orderstatus", Seq("O", "F", "P"))
+                       else ("l_returnflag", Seq("A", "N", "R"))
+    val (sc2, sc2Vals) = if (table == "orders") ("o_orderpriority", Seq("1-URGENT", "2-HIGH"))
+                         else ("l_linestatus", Seq("O", "F"))
+    val (nc, ncDiv) = if (table == "orders") ("o_custkey", 3 + rng.nextInt(5))
+                      else ("l_suppkey", 3 + rng.nextInt(5))
+    val v1 = scVals(rng.nextInt(scVals.size))
+    val v2 = sc2Vals(rng.nextInt(sc2Vals.size))
+    // nullable string: null where the column equals v1
+    val nstrSql = s"NULLIF($sc, '$v1')"
+    val nstrMk = () => nullif(col(sc), lit(v1))
+    // nullable number: null where nc % div = 0
+    val nnumSql = s"NULLIF($nc % $ncDiv, 0)"
+    val nnumMk = () => nullif(col(nc) % ncDiv, lit(0))
+    rng.nextInt(3) match {
+      case 0 =>
+        // aggregate null-skipping: count(expr) skips, count(*) doesn't;
+        // sum over nullable; count distinct of nullable
+        FuzzCase(id, table,
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum($nnumSql) AS DOUBLE) AS agg,
+               count($nstrSql) AS aux
+             FROM $table WHERE ${pred.sql}""",
+          ts => ts(table).filter(pred.mk())
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(nnumMk()).cast("double").as("agg"),
+              count(nstrMk()).as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+      case 1 =>
+        // COALESCE fallback + null-safe distinct-from comparison
+        FuzzCase(id, table,
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(length(COALESCE($nstrSql, '$v2'))) AS DOUBLE) AS agg,
+               CAST(sum(CASE WHEN $nstrSql IS DISTINCT FROM NULLIF($sc2, '$v2')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS aux
+             FROM $table WHERE ${pred.sql}""",
+          ts => ts(table).filter(pred.mk())
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(length(coalesce(nstrMk(), lit(v2)))).cast("double").as("agg"),
+              sum(when(!(nstrMk() <=> nullif(col(sc2), lit(v2))), 1).otherwise(0))
+                .cast("long").as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+      case _ =>
+        // group by a nullable key: the null group must aggregate
+        // identically (one group, not dropped) in both engines
+        FuzzCase(id, table,
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(cnt) AS DOUBLE) AS agg, count(g) AS aux
+             FROM (
+               SELECT $nstrSql AS g, count(*) AS cnt
+               FROM $table WHERE ${pred.sql} GROUP BY 1
+             ) __n""",
+          ts => ts(table).filter(pred.mk())
+            .groupBy(nstrMk().as("g"))
+            .agg(count(lit(1)).as("cnt"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("cnt")).cast("double").as("agg"),
+              count(col("g")).as("aux")) // count(g) skips the null group
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    }
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -676,7 +755,8 @@ object FuzzQueries {
     val setops = (0 until nSetop).map(i => setopCase(f"fzG$i%03d", rng))
     val rollups = (0 until nRollup).map(i => rollupCase(f"fzH$i%03d", rng))
     val dates = (0 until nDate).map(i => dateCase(f"fzI$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates
+    val nulls = (0 until nNull).map(i => nullCase(f"fzJ$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -692,7 +772,8 @@ object FuzzQueries {
     "q125_fuzz_scalar" -> cases.filter(_.id.startsWith("fzF")),
     "q126_fuzz_setop_exists" -> cases.filter(_.id.startsWith("fzG")),
     "q127_fuzz_rollup" -> cases.filter(_.id.startsWith("fzH")),
-    "q128_fuzz_datetime" -> cases.filter(_.id.startsWith("fzI")))
+    "q128_fuzz_datetime" -> cases.filter(_.id.startsWith("fzI")),
+    "q129_fuzz_null_semantics" -> cases.filter(_.id.startsWith("fzJ")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(
