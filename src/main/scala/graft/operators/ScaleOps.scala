@@ -360,4 +360,55 @@ object ScaleOps {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Z-order (Morton-curve) layout for multi-dimensional file skipping:
+    * cluster rows so that EVERY listed column's per-file min/max range
+    * is narrow — a single-column sort gives one perfectly-clustered
+    * column and leaves the others spanning the full domain in every
+    * file, so predicates on them prune nothing.
+    *
+    * Each column is normalized to 2^bits equi-width buckets between its
+    * global min and max (one small agg, driver-held bounds — the same
+    * bounded-parameter rule as the IVF centroids), the bucket bits are
+    * interleaved into one Morton key, and rows are range-partitioned +
+    * sorted by it. Equi-width buckets keep the map phase shuffle-free
+    * at the cost of skew sensitivity — for heavy-tailed columns,
+    * winsorize ([[graft.quality.Outliers]]) or pre-bucket by rank first.
+    *
+    * Write the result partitioned as-is: parquet min/max row-group
+    * stats (or any format's zone maps) then prune multi-dimensionally.
+    * Layout only — row content is untouched (spec-pinned, plus the
+    * measured both-dims-narrow clustering property).
+    */
+  def zOrderBy(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      numPartitions: Int = 0): DataFrame = {
+    require(cols.size >= 2, "z-ordering needs at least two columns")
+    require(bits >= 1 && bits * cols.size <= 60, "bits * cols must fit a long")
+    val n = 1 << bits
+    val boundExprs =
+      cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()
+    val z = cols.zipWithIndex.map { case (c, ci) =>
+      val lo = bounds.getDouble(ci * 2)
+      val hi = bounds.getDouble(ci * 2 + 1)
+      val span = if (hi > lo) hi - lo else 1.0
+      // equi-width bucket in [0, n)
+      val bucket = least(
+        greatest(floor((col(c).cast("double") - lit(lo)) / lit(span) * n), lit(0)),
+        lit(n - 1)).cast("long")
+      // spread this column's bits to positions ci, ci+k, ci+2k, …
+      (0 until bits).map { b =>
+        shiftleft(shiftright(bucket, b).bitwiseAND(1), b * cols.size + ci)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.withColumn("__z", z)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }

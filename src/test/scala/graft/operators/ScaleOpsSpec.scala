@@ -290,6 +290,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("sum to 1"))
   }
 
+  test("zOrderBy narrows per-partition ranges on BOTH dimensions") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+    // per-partition normalized spread of a column under a layout
+    def spreads(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val full = orders.agg(max(col(c)).cast("double") - min(col(c)).cast("double"))
+        .head().getDouble(0)
+      val per = df.withColumn("__p", spark_partition_id())
+        .groupBy("__p")
+        .agg(((max(col(c)).cast("double") - min(col(c)).cast("double")) / full).as("s"))
+        .agg(avg("s")).head().getDouble(0)
+      per
+    }
+
+    val zed = ScaleOps.zOrderBy(orders, Seq("o_custkey", "o_totalprice"),
+      bits = 8, numPartitions = 16)
+    val oneDim = orders.repartitionByRange(16, $"o_custkey")
+
+    // single-dim layout: custkey clustered, totalprice spans ~everything
+    assert(spreads(oneDim, "o_totalprice") > 0.8)
+    // z-order: both dimensions materially narrowed
+    val zCust = spreads(zed, "o_custkey")
+    val zPrice = spreads(zed, "o_totalprice")
+    assert(zCust < 0.6 && zPrice < 0.6,
+      s"z-order spreads: custkey=$zCust totalprice=$zPrice")
+    // layout only: exact same rows
+    assert(zed.count() == orders.count())
+    assert(zed.agg(sum($"o_orderkey")).head().getLong(0) ==
+      orders.agg(sum($"o_orderkey")).head().getLong(0))
+  }
+
   test("splitByGroup: a null group key gets a null split, not a silent bucket") {
     import spark.implicits._
     val rows = Seq((1L, Some("g1")), (2L, None), (3L, Some("g2")))
