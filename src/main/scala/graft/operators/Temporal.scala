@@ -65,4 +65,39 @@ object Temporal {
   def asOfSnapshot(dim: DataFrame, ts: Column): DataFrame =
     dim.filter(col("valid_from") <= ts &&
       (col("valid_to").isNull || ts < col("valid_to")))
+
+  /** Incremental SCD2 merge — the lakehouse MERGE pattern as a pure
+    * batch transform: fold a NEW batch of changes into an existing
+    * [[scd2]] dimension without replaying history. Closed versions pass
+    * through untouched (their history is immutable); each key's OPEN
+    * row is converted back to a change record and re-run through
+    * [[scd2]] together with the new batch, which closes it when the
+    * batch's first differing observation arrives and compacts no-ops
+    * against it.
+    *
+    * Equivalence contract (spec-pinned): given every new change at or
+    * after the open rows' `valid_from`,
+    * `scd2Merge(scd2(log1), log2) == scd2(log1 ++ log2)` whenever log1's
+    * open-version attrs match — i.e. incremental and full-replay builds
+    * agree. Cost: one shuffle over |open rows| + |batch| (the closed
+    * majority of a years-old dimension never moves), so daily merges
+    * touch O(keyspace + day), not O(history).
+    */
+  def scd2Merge(
+      dim: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val closed = dim.filter(col("is_current") === 0)
+    val openAsChanges = dim.filter(col("is_current") === 1)
+      .select((keyCols.map(col) ++ Seq(col("valid_from").as(tsCol)) ++
+        attrCols.map(col)).toIndexedSeq: _*)
+    val rebuilt = scd2(
+      openAsChanges.unionByName(
+        changes.select((keyCols.map(col) ++ Seq(col(tsCol)) ++
+          attrCols.map(col)).toIndexedSeq: _*)),
+      keyCols, tsCol, attrCols)
+    closed.unionByName(rebuilt)
+  }
 }

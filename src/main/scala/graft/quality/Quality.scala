@@ -73,7 +73,7 @@ object Cleaner {
   */
 object Outliers {
 
-  import org.apache.spark.sql.functions.{broadcast, expr, greatest, least}
+  import org.apache.spark.sql.functions.{abs, broadcast, expr, greatest, least, when}
 
   /** Per-group winsorization: clip `valueCol` into the
     * [percentile(loP), percentile(hiP)] band of its own group.
@@ -130,5 +130,34 @@ object Outliers {
     df.join(broadcast(bounds), groupCols)
       .withColumn(s"${valueCol}_w", least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
+  }
+
+  /** Per-group robust scaling: `(x − median) / MAD` — the
+    * outlier-resistant z-score (mean/stddev move with the very outliers
+    * they're meant to flag; median/MAD don't). Both statistics use
+    * DISCRETE medians (actual data values / actual absolute deviations),
+    * so the whole computation is reproducible bit-for-bit across
+    * engines from the same rows.
+    *
+    * Two bounded aggregates over the grouping key (median, then MAD of
+    * the residuals), each broadcast back; the scaling itself is
+    * map-only. Output adds `<valueCol>_rz` (null when MAD = 0 — a
+    * degenerate constant-majority group has no meaningful scale).
+    */
+  def robustScale(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY `$valueCol`)").as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+      .withColumn("__absdev", abs(col(valueCol) - col("__med")))
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __absdev)").as("__mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn(s"${valueCol}_rz",
+        when(col("__mad") === 0.0, lit(null))
+          .otherwise((col(valueCol) - col("__med")) / col("__mad")))
+      .drop("__med", "__absdev", "__mad")
   }
 }

@@ -2037,6 +2037,43 @@ object Inventory {
       },
       None),
 
+    Q("q130_robust_scale",
+      (s, dir) => {
+        // median/MAD robust z-score per priority band: discrete medians
+        // make every statistic an actual data value, so DuckDB replays
+        // the identical arithmetic; |rz| > 2 flags the outlier tail.
+        graft.quality.Outliers.robustScale(
+            t(s, dir, "orders"), "o_totalprice", Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(abs(col("o_totalprice_rz")) > 2, 1).otherwise(0))
+              .cast("long").as("n_outliers"),
+            round(min(col("o_totalprice_rz")), 4).as("min_rz"),
+            round(max(col("o_totalprice_rz")), 4).as("max_rz"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH med AS (
+          SELECT o_orderpriority,
+            percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS m
+          FROM orders GROUP BY 1),
+        d AS (
+          SELECT o.o_orderpriority, o.o_totalprice - med.m AS dev,
+            abs(o.o_totalprice - med.m) AS adev
+          FROM orders o JOIN med USING (o_orderpriority)),
+        mad AS (
+          SELECT o_orderpriority,
+            percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS md
+          FROM d GROUP BY 1),
+        z AS (
+          SELECT d.o_orderpriority,
+            CASE WHEN mad.md = 0 THEN NULL ELSE d.dev / mad.md END AS rz
+          FROM d JOIN mad USING (o_orderpriority))
+        SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CASE WHEN abs(rz) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          round(min(rz), 4) AS min_rz, round(max(rz), 4) AS max_rz
+        FROM z GROUP BY 1 ORDER BY 1""")),
+
     Q("q119_sample_k_per_group",
       (s, dir) =>
         // exactly-3-docs-per-language deterministic sample: md5-ranked

@@ -70,6 +70,29 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.asOfSnapshot(dim, lit(4L)).count() == 0)
   }
 
+  test("scd2Merge: incremental build equals full replay") {
+    val log1 = log // the fixture change log, all ts <= 40
+    val log2 = Seq(
+      (1L, 50L, "gold", "US"),   // no-op vs open gold → compacted
+      (1L, 60L, "platinum", "US"), // closes gold
+      (2L, 55L, "silver", "DE"), // closes bronze
+      (4L, 45L, "gold", "JP"))   // brand-new key
+      .toDF("user_id", "ts", "tier", "country")
+    val keys = Seq("user_id"); val attrs = Seq("tier", "country")
+
+    val incremental = Temporal.scd2Merge(
+      Temporal.scd2(log1, keys, "ts", attrs), log2, keys, "ts", attrs)
+    val replay = Temporal.scd2(log1.unionByName(log2), keys, "ts", attrs)
+
+    val cols = Seq("user_id", "valid_from", "valid_to", "tier", "country", "is_current")
+    val a = incremental.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val b = replay.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(a == b, s"incremental:\n${a.mkString("\n")}\nreplay:\n${b.mkString("\n")}")
+    // sanity: user 1 gained a platinum open row, gold closed at 60
+    assert(incremental.filter(col("user_id") === 1L && col("is_current") === 1)
+      .head().getAs[String]("tier") == "platinum")
+  }
+
   test("plan has a single exchange and a single sort (window reuse)") {
     val dim = Temporal.scd2(log, Seq("user_id"), "ts", Seq("tier"))
     val plan = dim.queryExecution.executedPlan.toString

@@ -49,6 +49,25 @@ class OutliersSpec extends SparkSpec {
     }
   }
 
+  test("robustScale: hand-checked median/MAD, outlier insensitivity, zero-MAD null") {
+    // group a: 1..7 → med=4, |dev|={3,2,1,0,1,2,3} → MAD=2; x=7 → rz=1.5
+    val a = (1 to 7).map(i => ("a", i.toDouble))
+    // group b: constant-majority → MAD=0 → null scores
+    val b = Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0))
+    val df = (a ++ b).toDF("g", "v")
+    val out = Outliers.robustScale(df, "v", Seq("g"))
+    val a7 = out.filter($"g" === "a" && $"v" === 7.0).head().getAs[Double]("v_rz")
+    assert(a7 == 1.5)
+    assert(out.filter($"g" === "b").collect().forall(_.isNullAt(2)))
+
+    // robustness: a wild outlier barely moves the other rows' scores
+    // (mean/stddev scaling would shrink them toward 0)
+    val spiked = (a :+ ("a", 1e9)).toDF("g", "v")
+    val spk = Outliers.robustScale(spiked, "v", Seq("g"))
+      .filter($"v" === 7.0).head().getAs[Double]("v_rz")
+    assert(math.abs(spk - 1.5) <= 0.5, s"robust score moved to $spk")
+  }
+
   test("winsorize broadcast-joins the bounds (no extra shuffle for the clip)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val plan = Outliers.winsorize(orders, "o_totalprice", Seq("o_orderpriority"))
