@@ -2074,6 +2074,32 @@ object Inventory {
           round(min(rz), 4) AS min_rz, round(max(rz), 4) AS max_rz
         FROM z GROUP BY 1 ORDER BY 1""")),
 
+    Q("q131_sliding_window",
+      (s, dir) =>
+        // batch event-time windows: 30-min windows sliding every 15 min
+        // (each event lands in 2 windows). Cross-checks Spark's window()
+        // epoch alignment against DuckDB's independent arithmetic
+        // (generate_series of window starts) — the same semantics the
+        // streaming twins rely on.
+        events(s, dir)
+          .groupBy(
+            window(timestamp_seconds(col("ts_sec")), "30 minutes", "15 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            unix_timestamp(col("window.start")).as("wstart"),
+            col("event_type"), col("n"))
+          .orderBy("wstart", "event_type"),
+      Some("""WITH e AS (
+          SELECT event_type, epoch_ns(ts) // 1000000000 AS t FROM events),
+        w AS (
+          SELECT event_type,
+            unnest(generate_series(((t - 1800) // 900 + 1) * 900,
+                                   (t // 900) * 900, 900)) AS wstart
+          FROM e)
+        SELECT wstart, event_type, count(*) AS n
+        FROM w GROUP BY wstart, event_type ORDER BY wstart, event_type""")),
+
     Q("q119_sample_k_per_group",
       (s, dir) =>
         // exactly-3-docs-per-language deterministic sample: md5-ranked
