@@ -328,6 +328,31 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("score"))
   }
 
+  /** Corpus n-gram count table — the language-model data statistic
+    * (vocabulary building, contamination fingerprints, Zipf audits).
+    * Word n-grams under the cross-engine tokenizer convention; grams
+    * below `minCount` are dropped AFTER the count (one partially-
+    * aggregated groupBy — the map-side combine is what keeps a 100 TB
+    * gram table's shuffle proportional to distinct grams per partition,
+    * not token count).
+    */
+  def ngramCounts(
+      df: DataFrame,
+      textCol: String = "text",
+      n: Int = 2,
+      minCount: Long = 2L): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+    // 1-based slice starts; a doc shorter than n tokens yields no grams
+    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - n + 1))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(starts, i => array_join(slice(toks, i, lit(n)), " "))
+    df.select(explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
   /** Inverted index over mid-frequency terms: term → document-frequency
     * + full posting list (sorted doc ids, comma-joined for a flat
     * schema). Terms outside [minDf, maxDf] are dropped BEFORE any

@@ -2100,6 +2100,26 @@ object Inventory {
         SELECT wstart, event_type, count(*) AS n
         FROM w GROUP BY wstart, event_type ORDER BY wstart, event_type""")),
 
+    Q("q132_ngram_counts",
+      (s, dir) =>
+        // corpus bigram count table (top 50 by frequency): the LM-data
+        // statistic behind vocabulary builds and Zipf audits; DuckDB
+        // rebuilds the grams from the same filtered token lists.
+        TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", n = 2, minCount = 2L)
+          .orderBy(desc("n_occurrences"), col("gram"))
+          .limit(50),
+      Some("""WITH tk AS (
+          SELECT list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') AS ls
+          FROM documents),
+        pos AS (
+          SELECT ls, unnest(generate_series(1, len(ls) - 1)) AS p
+          FROM tk WHERE len(ls) >= 2),
+        g AS (SELECT array_to_string(ls[p:p+1], ' ') AS gram FROM pos)
+        SELECT gram, count(*) AS n_occurrences FROM g
+        GROUP BY gram HAVING count(*) >= 2
+        ORDER BY n_occurrences DESC, gram LIMIT 50""")),
+
     Q("q119_sample_k_per_group",
       (s, dir) =>
         // exactly-3-docs-per-language deterministic sample: md5-ranked

@@ -218,6 +218,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("a", "b"), "equal scores must break ties alphabetically")
   }
 
+  test("ngramCounts: bigrams counted corpus-wide, short docs skipped, minCount gates") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "cat"), // shorter than n → no grams
+      (4L, "  the   cat  ")) // empty tokens filtered before gram assembly
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCounts(docs, "text", n = 2, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "the cat" in docs 1, 2, 4 → 3; all other bigrams are singletons
+    assert(out == Map("the cat" -> 3L))
+    val all = TextAnalysis.ngramCounts(docs, "text", n = 2, minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("the cat" -> 3L, "cat sat" -> 1L, "cat ran" -> 1L))
+  }
+
   test("invertedIndex: df band filter, sorted postings, hot term excluded") {
     val docs = Seq(
       (3L, "hot mid rare"),
