@@ -96,18 +96,28 @@ object CorpusPipeline {
       cfg: Config = Config(),
       maxRepetition: Double = 0.9,
       evalDocs: Option[DataFrame] = None,
-      chunk: Option[(Int, Int)] = None): DataFrame = {
+      chunk: Option[(Int, Int)] = None,
+      splitBy: Option[(String, Seq[(String, Double)])] = None): DataFrame = {
     val scrubbed = docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .filter(TextAnalysis.repetitionRatio(col(textCol)) <= maxRepetition)
     val cleaned = clean(scrubbed, idCol, textCol, cfg)
     val decontaminated = evalDocs
       .map(e => Dedup.decontaminate(cleaned, e, idCol, textCol))
       .getOrElse(cleaned)
-    chunk match {
+    val chunked = chunk match {
       case Some((size, overlap)) =>
+        // the split group column must ride through chunking, or the
+        // final stage would have nothing to hash
         TextAnalysis.chunk(decontaminated, idCol, textCol, size, overlap,
-          carry = Seq("lang_pred", "quality"))
+          carry = (Seq("lang_pred", "quality") ++ splitBy.map(_._1)).distinct)
       case None => decontaminated
+    }
+    // final stage so CHUNKS of one group can't straddle the boundary
+    // either: the leakage guard applies to everything derived from a
+    // group, not just whole documents
+    splitBy match {
+      case Some((groupCol, splits)) => ScaleOps.splitByGroup(chunked, groupCol, splits)
+      case None => chunked
     }
   }
 }

@@ -58,6 +58,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(whole.columns.contains("quality"))
   }
 
+  test("prepare with splitBy: chunks inherit the group's split, no straddling") {
+    val chunks = CorpusPipeline.prepare(docs, chunk = Some((64, 8)),
+      splitBy = Some(("source", Seq("train" -> 0.5, "test" -> 0.5))))
+    assert(chunks.columns.contains("split") && chunks.columns.contains("source"))
+    // every chunk of a source carries one split — the leakage guard
+    // extends through chunking
+    val straddle = chunks.groupBy("source")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1)
+    assert(straddle.count() == 0)
+  }
+
   test("clean() pins nothing in the CacheManager (leak-free composition)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()
