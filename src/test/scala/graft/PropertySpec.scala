@@ -156,4 +156,44 @@ class PropertySpec extends SparkSpec {
     assert(rs(1) > 0.8, s"heavy repetition → high ratio, got ${rs(1)}")
     assert(rs(1) > rs(2), "more duplication → higher ratio")
   }
+
+  test("winsorize invariants hold across random value sets and percentile bands") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(40)
+      val vals = Seq.fill(n)(math.round(rnd.nextDouble() * 1e6) / 100.0)
+      val (lo, hi) = { val a = rnd.nextDouble() * 0.4; (a, 1.0 - rnd.nextDouble() * 0.4) }
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val w = graft.quality.Outliers.winsorize(df, "v", Seq("g"), lo, hi)
+        .select("v", "v_w").collect()
+      val ctx = s"trial=$trial n=$n lo=$lo hi=$hi"
+      assert(w.length == n, ctx)
+      val clipped = w.map(_.getDouble(1))
+      // bounds are data members; clipped values stay inside them and
+      // inside the original value set ∪ bounds
+      assert(clipped.forall(vals.toSet.contains), s"$ctx: non-member output")
+      assert(clipped.max <= vals.sorted.apply(
+        math.min(n - 1, math.ceil(hi * n).toInt)) || clipped.max <= vals.max, ctx)
+      // order statistics: clipping never changes rank order
+      val pairs = w.map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+      assert(pairs.map(_._2).sameElements(pairs.map(_._2).sorted), s"$ctx: rank flip")
+    }
+  }
+
+  test("ngram count total equals sum over docs of max(tokens - n + 1, 0)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 30).map { i =>
+      val n = rnd.nextInt(6)
+      (i.toLong, (1 to n).map(k => s"t${rnd.nextInt(5)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val total = graft.operators.TextAnalysis.ngramCounts(docs, "text", n = 2, minCount = 1L)
+      .agg(sum("n_occurrences")).head().getLong(0)
+    val expected = docs.collect().map { r =>
+      val t = r.getString(1).split(" ").filter(_.nonEmpty).length
+      math.max(t - 1, 0)
+    }.sum
+    assert(total == expected)
+  }
 }
