@@ -268,15 +268,20 @@ object ScaleOps {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bf = dim
+    val keys = dim
       .select(col(dimKey).cast("string").as("__k"))
       .filter(col("__k").isNotNull)
-      .stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
-    val pruned = fact.filter(might(col(factKey).cast("string")))
-    // side-qualified references: factKey and dimKey may share a name
-    pruned.join(dim, pruned(factKey) === dim(dimKey), "left_semi")
+    // empty build side: no fact row can match — and Spark's
+    // stat.bloomFilter NPEs on a zero-row input (null agg buffer)
+    if (keys.isEmpty) fact.limit(0)
+    else {
+      val bf = keys.stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
+      val bc = fact.sparkSession.sparkContext.broadcast(bf)
+      val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+      val pruned = fact.filter(might(col(factKey).cast("string")))
+      // side-qualified references: factKey and dimKey may share a name
+      pruned.join(dim, pruned(factKey) === dim(dimKey), "left_semi")
+    }
   }
 
   /** Leakage-proof train/val/test split: every row of a GROUP (domain,
@@ -391,6 +396,8 @@ object ScaleOps {
     val boundExprs =
       cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()
+    // zero rows (or an all-null column) has no bounds and needs no layout
+    if (bounds.isNullAt(0)) return df
     val z = cols.zipWithIndex.map { case (c, ci) =>
       val lo = bounds.getDouble(ci * 2)
       val hi = bounds.getDouble(ci * 2 + 1)

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Empty-input hardening: at cluster scale, empty partitions and
+  * empty filtered subsets are routine — every operator must degrade to
+  * an empty (correctly-schemed) result, never throw. Runs each operator
+  * family on zero-row frames with production schemas.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+
+  private def emptyEvents: DataFrame =
+    Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
+
+  test("text operators: tfidf, invertedIndex, ngramCounts, dedupLines") {
+    assert(TextAnalysis.tfidf(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.invertedIndex(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.ngramCounts(emptyDocs, "text").count() == 0)
+    assert(TextAnalysis.dedupLines(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("temporal: scd2, snapshot, merge") {
+    val dim = Temporal.scd2(
+      Seq.empty[(Long, Long, String)].toDF("k", "ts", "attr"),
+      Seq("k"), "ts", Seq("attr"))
+    assert(dim.count() == 0)
+    assert(Temporal.asOfSnapshot(dim, lit(5L)).count() == 0)
+    val merged = Temporal.scd2Merge(dim,
+      Seq.empty[(Long, Long, String)].toDF("k", "ts", "attr"),
+      Seq("k"), "ts", Seq("attr"))
+    assert(merged.count() == 0)
+  }
+
+  test("sessionize and binned interval join") {
+    assert(Sessionize.sessions(emptyEvents, "ts_sec", "event_id").count() == 0)
+    val sessions = Sessionize.sessions(emptyEvents, "ts_sec", "event_id")
+    assert(ScaleOps.binnedIntervalJoin(
+      emptyEvents, sessions, Seq("user_id"), "ts_sec", "start_sec", "end_sec", 600L)
+      .count() == 0)
+  }
+
+  test("scale ops: split, sample, bloom, salted, zorder, hll") {
+    assert(ScaleOps.splitByGroup(emptyDocs, "source").count() == 0)
+    assert(ScaleOps.sampleKPerGroup(emptyDocs, "source", "doc_id", 3).count() == 0)
+    val dim = Seq.empty[Long].toDF("dk")
+    assert(ScaleOps.bloomSemiJoin(emptyDocs, dim, "doc_id", "dk", 10L).count() == 0)
+    assert(ScaleOps.saltedJoin(emptyDocs,
+      Seq.empty[(Long, String)].toDF("doc_id", "x"), "doc_id").count() == 0)
+    assert(ScaleOps.zOrderBy(
+      Seq.empty[(Long, Double)].toDF("a", "b"), Seq("a", "b")).count() == 0)
+    val parts = ScaleOps.hllRollup(emptyEvents, Seq("event_type"), "user_id")
+    assert(ScaleOps.hllMergeEstimate(parts, Seq("event_type")).count() == 0)
+  }
+
+  test("quality: winsorize and robustScale") {
+    val e = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(graft.quality.Outliers.winsorize(e, "v", Seq("g")).count() == 0)
+    assert(graft.quality.Outliers.robustScale(e, "v", Seq("g")).count() == 0)
+  }
+
+  test("dedup: exact, minhash near-dups") {
+    assert(Dedup.exact(emptyDocs, Seq("text")).count() == 0)
+    assert(Dedup.minHashNearDups(emptyDocs, "doc_id", "text").count() == 0)
+  }
+}
