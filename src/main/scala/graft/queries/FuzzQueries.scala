@@ -8,10 +8,11 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 240 query cases over `orders`/`lineitem`
+  * A seeded generator produces 260 query cases over `orders`/`lineitem`/`documents`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions, rollup/cube/grouping-sets,
-  * date/interval arithmetic, NULL semantics). Each case is rendered TWICE from one AST:
+  * date/interval arithmetic, NULL semantics, string functions over
+  * prose). Each case is rendered TWICE from one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
   *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
@@ -26,10 +27,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 240
-  * summaries are UNION ALL'd into ten declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 260
+  * summaries are UNION ALL'd into eleven declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 240 against DuckDB, while
+  * correctness gate hash-compares all 260 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -48,6 +49,7 @@ object FuzzQueries {
   val nRollup = 20
   val nDate = 20
   val nNull = 20
+  val nStr = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -741,6 +743,100 @@ object FuzzQueries {
     }
   }
 
+  /** Family K — string functions over the DOCUMENTS table (real prose,
+    * not categorical codes): substr/left/right windows, replace, lpad/
+    * rpad, translate, reverse, split_part, instr positions, contains,
+    * and levenshtein (on a bounded prefix — it is O(n·m)). Every
+    * primitive probed value-identical on both engines first (incl.
+    * translate's drop-unmapped-chars rule, split_part out-of-range →
+    * empty string, lpad truncation, instr miss → 0).
+    */
+  private def docAtom(rng: scala.util.Random): Frag =
+    rng.nextInt(4) match {
+      case 0 => strAtom("lang", Seq("en", "es", "fr", "de", "zh"), rng)
+      case 1 => strAtom("source", (0 until 20).map(i => s"src$i"), rng)
+      case 2 => numAtom("n_chars", 10, 3000, rng)
+      case _ => modAtom("doc_id", rng)
+    }
+
+  private def strCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val atoms = Seq.fill(1 + rng.nextInt(2))(docAtom(rng))
+    val pred = atoms.reduce { (a, b) =>
+      if (rng.nextBoolean())
+        Frag(s"(${a.sql} AND ${b.sql})", () => a.mk() && b.mk())
+      else
+        Frag(s"(${a.sql} OR ${b.sql})", () => a.mk() || b.mk())
+    }
+    val k = 5 + rng.nextInt(40)
+    val j = 1 + rng.nextInt(5)
+    rng.nextInt(3) match {
+      case 0 =>
+        // string-transform kind
+        val (eSql, eMk): (String, () => Column) = rng.nextInt(6) match {
+          case 0 => (s"replace(substr(text, 1, $k), 'e', 'xy')",
+            () => regexp_replace(substring(col("text"), 1, k), "e", "xy"))
+          case 1 => (s"left(text, $k)", () => substring(col("text"), 1, k))
+          case 2 => (s"lpad(substr(text, 1, $j), $k, '*')",
+            () => lpad(substring(col("text"), 1, j), k, "*"))
+          case 3 => (s"translate(substr(text, 1, $k), 'aeiou', '123')",
+            () => translate(substring(col("text"), 1, k), "aeiou", "123"))
+          case 4 => (s"reverse(substr(text, 1, $k))",
+            () => reverse(substring(col("text"), 1, k)))
+          case _ => (s"split_part(text, ' ', $j)",
+            () => split_part(col("text"), lit(" "), lit(j)))
+        }
+        FuzzCase(id, "documents",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(length($eSql)) AS DOUBLE) AS agg,
+               count(DISTINCT $eSql) AS aux
+             FROM documents WHERE ${pred.sql}""",
+          ts => ts("documents").filter(pred.mk())
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(length(eMk())).cast("double").as("agg"),
+              countDistinct(eMk()).as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+      case 1 =>
+        // numeric kind: positions and edit distances
+        val (eSql, eMk): (String, () => Column) = rng.nextInt(3) match {
+          case 0 =>
+            val needle = Seq("the", "an", "of", "ion", "ing")(rng.nextInt(5))
+            (s"instr(text, '$needle')", () => instr(col("text"), needle))
+          case 1 =>
+            (s"levenshtein(substr(text, 1, 15), 'the quick brown')",
+              () => levenshtein(substring(col("text"), 1, 15), lit("the quick brown")))
+          case _ =>
+            (s"length(split_part(text, ' ', $j))",
+              () => length(split_part(col("text"), lit(" "), lit(j))))
+        }
+        FuzzCase(id, "documents",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum($eSql) AS DOUBLE) AS agg,
+               count(DISTINCT $eSql) AS aux
+             FROM documents WHERE ${pred.sql}""",
+          ts => ts("documents").filter(pred.mk())
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(eMk()).cast("double").as("agg"),
+              countDistinct(eMk()).as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+      case _ =>
+        // membership kind
+        val needle = Seq("the", "data", "and", "model", "xyzzy")(rng.nextInt(5))
+        FuzzCase(id, "documents",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(CAST(contains(text, '$needle') AS INT)) AS DOUBLE) AS agg,
+               count(DISTINCT substr(text, 1, $k)) AS aux
+             FROM documents WHERE ${pred.sql}""",
+          ts => ts("documents").filter(pred.mk())
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("text").contains(needle).cast("int")).cast("double").as("agg"),
+              countDistinct(substring(col("text"), 1, k)).as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    }
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -756,7 +852,8 @@ object FuzzQueries {
     val rollups = (0 until nRollup).map(i => rollupCase(f"fzH$i%03d", rng))
     val dates = (0 until nDate).map(i => dateCase(f"fzI$i%03d", rng))
     val nulls = (0 until nNull).map(i => nullCase(f"fzJ$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls
+    val strs = (0 until nStr).map(i => strCase(f"fzK$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -773,7 +870,8 @@ object FuzzQueries {
     "q126_fuzz_setop_exists" -> cases.filter(_.id.startsWith("fzG")),
     "q127_fuzz_rollup" -> cases.filter(_.id.startsWith("fzH")),
     "q128_fuzz_datetime" -> cases.filter(_.id.startsWith("fzI")),
-    "q129_fuzz_null_semantics" -> cases.filter(_.id.startsWith("fzJ")))
+    "q129_fuzz_null_semantics" -> cases.filter(_.id.startsWith("fzJ")),
+    "q133_fuzz_string_text" -> cases.filter(_.id.startsWith("fzK")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(

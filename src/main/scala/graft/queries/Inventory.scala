@@ -2134,7 +2134,7 @@ object Inventory {
         ORDER BY lang, doc_id"""))
   )
 
-  /** Differential fuzz bundles (FuzzQueries): 240 generated cases over
+  /** Differential fuzz bundles (FuzzQueries): 260 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs
     * the generated dialect-neutral SQL; the oracle is the SAME text run
     * by DuckDB — so the driver hash-compares every generated case.
@@ -2144,7 +2144,7 @@ object Inventory {
   private val fuzz: Seq[Q] = FuzzQueries.bundles.map { case (name, cs) =>
     Q(name,
       (s, dir) => {
-        viewed(s, dir, "orders", "lineitem")
+        viewed(s, dir, "orders", "lineitem", "documents")
         s.sql(FuzzQueries.bundleSql(cs))
       },
       Some(FuzzQueries.bundleSql(cs)))

@@ -16,7 +16,8 @@ class FuzzSpec extends SparkSpec {
   private lazy val tables: Map[String, org.apache.spark.sql.DataFrame] = {
     val m = Map(
       "orders" -> spark.read.parquet(s"$sf/orders.parquet"),
-      "lineitem" -> spark.read.parquet(s"$sf/lineitem.parquet"))
+      "lineitem" -> spark.read.parquet(s"$sf/lineitem.parquet"),
+      "documents" -> spark.read.parquet(s"$sf/documents.parquet"))
     m.foreach { case (n, df) =>
       df.createOrReplaceTempView(n)
       df.cache().count() // tiny at sf0.001; 200 fuzz jobs re-scan them
@@ -34,7 +35,7 @@ class FuzzSpec extends SparkSpec {
     assert(FuzzQueries.cases.size ==
       FuzzQueries.nScan + FuzzQueries.nGroup + FuzzQueries.nTop +
         FuzzQueries.nJoin + FuzzQueries.nWin + FuzzQueries.nScalar + FuzzQueries.nSetop +
-        FuzzQueries.nRollup + FuzzQueries.nDate + FuzzQueries.nNull)
+        FuzzQueries.nRollup + FuzzQueries.nDate + FuzzQueries.nNull + FuzzQueries.nStr)
     assert(FuzzQueries.cases.map(_.id).distinct.size == FuzzQueries.cases.size)
     // lazy val caches, so regenerate through the private path: sql text
     // equality across two JVM-wide accesses plus a spot re-render
@@ -42,7 +43,7 @@ class FuzzSpec extends SparkSpec {
     assert(again == FuzzQueries.bundles.map { case (n, cs) => n -> FuzzQueries.bundleSql(cs) })
   }
 
-  test("all 240 cases: SQL and DataFrame-API programs agree row-for-row") {
+  test("all 260 cases: SQL and DataFrame-API programs agree row-for-row") {
     tables // register + cache the views before any spark.sql below
     val failures = FuzzQueries.cases.flatMap { c =>
       val viaSql = normalize(spark.sql(c.sql).head())
