@@ -147,6 +147,86 @@ object Dedup {
       .limit(maxCollect)
       .collect().map(_.getLong(0))
 
+  /** Reusable signature store for INCREMENTAL near-dup dedup:
+    * `(id, sh, sig)` for every document, computed by the same native
+    * kernels as [[minHashNearDups]]. Persist this (parquet) once per
+    * corpus; daily batches then dedup against it WITHOUT re-reading or
+    * re-shingling historical text — the 100 TB ingestion pattern where
+    * history is touched only through its (small) signature columns.
+    * Parameters must match between store build and incremental use
+    * (same k/w/seed/excludeShingles, or signatures don't align).
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      w: Int = 3,
+      seed: Long = 42L,
+      excludeShingles: Array[Long] = Array.empty): DataFrame = {
+    val rawSh = shingleHashes(col(textCol), w)
+    val sh =
+      if (excludeShingles.isEmpty) rawSh
+      else array_except(rawSh, array(excludeShingles.map(lit).toIndexedSeq: _*))
+    df.select(col(idCol).as("id"), sh.as("sh"))
+      .withColumn("sig", graft.functions.MinHashSignatureExpr(col("sh"), k, seed))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** Incremental near-dup pairs: a NEW batch against an existing
+    * [[minHashSignatures]] store (plus within the batch itself).
+    * Emits (id_a, id_b, jaccard) where AT LEAST ONE side is new —
+    * history×history pairs are already known and never recomputed.
+    * Ids must be unique across batch and store (the DedupLedger
+    * convention).
+    *
+    * Scale shape: identical to [[minHashNearDups]]'s id-only band join
+    * — the store contributes (id, band-hash) rows, its text is never
+    * read; the hot-bucket cap applies to the COMBINED bucket population
+    * so a boilerplate bucket spanning history and batch is still
+    * bounded.
+    */
+  def minHashNearDupsIncremental(
+      newDocs: DataFrame,
+      historySigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucket: Int = 1024,
+      excludeShingles: Array[Long] = Array.empty): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val newSigs = shareLazily(
+      minHashSignatures(newDocs, idCol, textCol, k, w, seed, excludeShingles))
+    val tagged = newSigs.withColumn("__new", lit(1))
+      .unionByName(historySigs.select(col("id"), col("sh"), col("sig"))
+        .withColumn("__new", lit(0)))
+    val banded = dropHotBuckets(
+      tagged.select(col("id"), col("__new"),
+        explode(graft.functions.BandHashesExpr(col("sig"), bands)).as("bh")),
+      "bh", maxBucket)
+    val a = banded.select(col("bh"), col("id").as("id_a"), col("__new").as("__new_a"))
+    val b = banded.select(col("bh"), col("id").as("id_b"), col("__new").as("__new_b"))
+    val pairIds = a.join(b, Seq("bh"))
+      .filter(col("id_a") < col("id_b") &&
+        (col("__new_a") === 1 || col("__new_b") === 1))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val shingles = tagged.select(col("id"), col("sh"))
+    val candidates = pairIds
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    candidates
+      .withColumn("jaccard", round(when(union === 0, 1.0).otherwise(inter / union), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Candidate-generation stage of [[minHashNearDups]], exposed so the
     * candidate-count bound — THE quantity the hot-bucket cap and
     * stop-shingle exclusion exist to control — is directly testable.

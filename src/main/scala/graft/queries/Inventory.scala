@@ -1101,6 +1101,36 @@ object Inventory {
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
         ORDER BY id_a, id_b""")),
 
+    Q("q134_neardup_incremental",
+      (s, dir) => {
+        // INCREMENTAL near-dup: odd-id docs as the "daily batch" against
+        // a signature store built from even-id "history" — emits pairs
+        // touching the batch, never history-internal ones. Same recall
+        // argument as q81 (all true pairs ≥ 0.9 jaccard here), so the
+        // exhaustive DuckDB recompute filtered by the same side rule
+        // matches row-for-row.
+        val d = t(s, dir, "documents")
+        val store = Dedup.minHashSignatures(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        Dedup.minHashNearDupsIncremental(
+            d.filter(col("doc_id") % 2 === 1), store, "doc_id", "text",
+            k = 128, bands = 32, w = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+        ORDER BY id_a, id_b""")),
+
     Q("q82_dedup_simhash",
       (s, dir) =>
         Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)

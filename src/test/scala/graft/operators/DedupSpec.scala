@@ -368,6 +368,28 @@ class DedupSpec extends SparkSpec {
     assert(found == truth, s"missed ${(truth -- found).mkString(",")}")
   }
 
+  test("incremental near-dup equals the full pass minus history-internal pairs") {
+    import spark.implicits._
+    // split the corpus into "history" (even ids) and a "new batch" (odd)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val store = Dedup.minHashSignatures(history, "doc_id", "text")
+
+    val incr = Dedup.minHashNearDupsIncremental(batch, store, "doc_id", "text")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minHashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filterNot { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+
+    assert(full.nonEmpty, "fixture should contain near-dups")
+    assert(incr == expected,
+      s"missing=${(expected -- incr).mkString(",")} extra=${(incr -- expected).mkString(",")}")
+    // and no history-internal pair leaks through
+    assert(incr.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+  }
+
   test("nearDupSurvivors keeps the highest-rank member per cluster, ties to min id") {
     import spark.implicits._
     // components: {1,2,3} via (1,2),(2,3) — transitive; {7,8}
