@@ -396,8 +396,9 @@ object ScaleOps {
     val boundExprs =
       cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()
-    // zero rows (or an all-null column) has no bounds and needs no layout
-    if (bounds.isNullAt(0)) return df
+    // zero rows, or ANY all-null column, leaves some bound undefined —
+    // no discriminating layout exists, return the frame unchanged
+    if ((0 until cols.size * 2).exists(bounds.isNullAt)) return df
     val z = cols.zipWithIndex.map { case (c, ci) =>
       val lo = bounds.getDouble(ci * 2)
       val hi = bounds.getDouble(ci * 2 + 1)

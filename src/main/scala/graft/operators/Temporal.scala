@@ -98,6 +98,11 @@ object Temporal {
         changes.select((keyCols.map(col) ++ Seq(col(tsCol)) ++
           attrCols.map(col)).toIndexedSeq: _*)),
       keyCols, tsCol, attrCols)
-    closed.unionByName(rebuilt)
+    // project closed rows down to the canonical merge schema: a dim
+    // built from a log with extra passthrough columns still merges —
+    // the output carries keys + ts + attrs + validity only
+    closed
+      .select(rebuilt.columns.map(col).toIndexedSeq: _*)
+      .unionByName(rebuilt)
   }
 }

@@ -342,7 +342,9 @@ object TextAnalysis {
       n: Int = 2,
       minCount: Long = 2L): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+    // the repo's tokenizer convention (tokens()): trim + \s+ split, so
+    // tabs/newlines separate words exactly as in shingleHashes/chunk
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= lit(""))
     // 1-based slice starts; a doc shorter than n tokens yields no grams
     val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - n + 1))
       .otherwise(array().cast("array<int>"))

@@ -148,13 +148,25 @@ object Outliers {
       df: DataFrame,
       valueCol: String,
       groupCols: Seq[String]): DataFrame = {
+    // null-safe (<=>) broadcast attach: groupBy puts null-keyed rows in
+    // their own group, so an equi-join would silently DROP them — the
+    // null group scales against its own median/MAD instead
+    def attach(base: DataFrame, agg: DataFrame, valCol: String): DataFrame = {
+      val renamed = agg.select(
+        (groupCols.map(c => col(c).as(s"__g_$c")) :+ col(valCol)).toIndexedSeq: _*)
+      val cond = groupCols.map(c => base(c) <=> renamed(s"__g_$c")).reduce(_ && _)
+      base.join(broadcast(renamed), cond).drop(groupCols.map(c => s"__g_$c"): _*)
+    }
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY `$valueCol`)").as("__med"))
-    val withMed = df.join(broadcast(med), groupCols)
+    // shared blocks: the MAD aggregate and the final join both consume
+    // this diamond — without sharing the base scan + med join run twice
+    val withMed = attach(df, med, "__med")
       .withColumn("__absdev", abs(col(valueCol) - col("__med")))
+      .localCheckpoint(false)
     val mad = withMed.groupBy(groupCols.map(col): _*)
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __absdev)").as("__mad"))
-    withMed.join(broadcast(mad), groupCols)
+    attach(withMed, mad, "__mad")
       .withColumn(s"${valueCol}_rz",
         when(col("__mad") === 0.0, lit(null))
           .otherwise((col(valueCol) - col("__med")) / col("__mad")))

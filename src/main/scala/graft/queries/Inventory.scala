@@ -2139,7 +2139,7 @@ object Inventory {
           .orderBy(desc("n_occurrences"), col("gram"))
           .limit(50),
       Some("""WITH tk AS (
-          SELECT list_filter(string_split(lower(text), ' '),
+          SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
                              x -> x <> '') AS ls
           FROM documents),
         pos AS (

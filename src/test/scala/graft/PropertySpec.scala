@@ -170,11 +170,14 @@ class PropertySpec extends SparkSpec {
       val ctx = s"trial=$trial n=$n lo=$lo hi=$hi"
       assert(w.length == n, ctx)
       val clipped = w.map(_.getDouble(1))
-      // bounds are data members; clipped values stay inside them and
-      // inside the original value set ∪ bounds
+      // bounds are data members; clipped values stay inside the exact
+      // discrete-percentile band (percentile_disc index = ceil(p·n)−1)
       assert(clipped.forall(vals.toSet.contains), s"$ctx: non-member output")
-      assert(clipped.max <= vals.sorted.apply(
-        math.min(n - 1, math.ceil(hi * n).toInt)) || clipped.max <= vals.max, ctx)
+      val sortedVals = vals.sorted
+      val hiBound = sortedVals(math.min(n - 1, math.max(0, math.ceil(hi * n).toInt - 1)))
+      val loBound = sortedVals(math.min(n - 1, math.max(0, math.ceil(lo * n).toInt - 1)))
+      assert(clipped.max <= hiBound, s"$ctx: max ${clipped.max} > p$hi bound $hiBound")
+      assert(clipped.min >= loBound, s"$ctx: min ${clipped.min} < p$lo bound $loBound")
       // order statistics: clipping never changes rank order
       val pairs = w.map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
       assert(pairs.map(_._2).sameElements(pairs.map(_._2).sorted), s"$ctx: rank flip")

@@ -322,6 +322,14 @@ class ScaleOpsSpec extends SparkSpec {
       orders.agg(sum($"o_orderkey")).head().getLong(0))
   }
 
+  test("zOrderBy degrades to identity when any column has no bounds") {
+    import spark.implicits._
+    val mixed = Seq((1L, Option.empty[Double]), (2L, None), (3L, None))
+      .toDF("a", "b")
+    // column b is all-null → no discriminating layout; rows unchanged
+    assert(ScaleOps.zOrderBy(mixed, Seq("a", "b")).count() == 3)
+  }
+
   test("splitByGroup: a null group key gets a null split, not a silent bucket") {
     import spark.implicits._
     val rows = Seq((1L, Some("g1")), (2L, None), (3L, Some("g2")))

@@ -93,6 +93,18 @@ class TemporalSpec extends SparkSpec {
       .head().getAs[String]("tier") == "platinum")
   }
 
+  test("scd2Merge accepts a dim built from a log with passthrough columns") {
+    val logExtra = log.withColumn("note", concat(col("tier"), lit("!")))
+    val dim = Temporal.scd2(logExtra, Seq("user_id"), "ts", Seq("tier", "country"))
+    val merged = Temporal.scd2Merge(dim,
+      Seq((1L, 99L, "bronze", "US")).toDF("user_id", "ts", "tier", "country"),
+      Seq("user_id"), "ts", Seq("tier", "country"))
+    // canonical merge schema; the new change closed user 1's open row
+    assert(!merged.columns.contains("note"))
+    assert(merged.filter(col("user_id") === 1L && col("is_current") === 1)
+      .head().getAs[String]("tier") == "bronze")
+  }
+
   test("plan has a single exchange and a single sort (window reuse)") {
     val dim = Temporal.scd2(log, Seq("user_id"), "ts", Seq("tier"))
     val plan = dim.queryExecution.executedPlan.toString

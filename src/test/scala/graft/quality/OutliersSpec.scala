@@ -68,6 +68,18 @@ class OutliersSpec extends SparkSpec {
     assert(math.abs(spk - 1.5) <= 0.5, s"robust score moved to $spk")
   }
 
+  test("robustScale keeps null-group rows, scaled within the null group") {
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 30.0))
+      .toDF("g", "v")
+    val out = Outliers.robustScale(df, "v", Seq("g"))
+    assert(out.count() == 6, "null-group rows must not be dropped")
+    // null group: med=20, MAD=10 → v=30 scores 1.0
+    val z = out.filter($"g".isNull && $"v" === 30.0).head().getAs[Double]("v_rz")
+    assert(z == 1.0)
+  }
+
   test("winsorize broadcast-joins the bounds (no extra shuffle for the clip)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val plan = Outliers.winsorize(orders, "o_totalprice", Seq("o_orderpriority"))

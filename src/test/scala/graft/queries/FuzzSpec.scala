@@ -20,7 +20,7 @@ class FuzzSpec extends SparkSpec {
       "documents" -> spark.read.parquet(s"$sf/documents.parquet"))
     m.foreach { case (n, df) =>
       df.createOrReplaceTempView(n)
-      df.cache().count() // tiny at sf0.001; 200 fuzz jobs re-scan them
+      df.cache().count() // tiny at sf0.001; 260 fuzz jobs re-scan them
     }
     m
   }
