@@ -132,6 +132,42 @@ object Outliers {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group equal-frequency discretization: bin `valueCol` into
+    * `nBins` quantile buckets of its own group (bin b spans
+    * (percentile_disc((b−1)/B), percentile_disc(b/B)]). Discrete
+    * boundaries are actual data values, so bin assignment is exact and
+    * engine-reproducible; ties share a bin (equal values can never
+    * straddle a boundary — the property rank-based ntile does NOT
+    * give). One bounded aggregate (B−1 boundaries per group),
+    * broadcast back, then a map-only comparison fold.
+    *
+    * Output: input columns plus `<valueCol>_bin` (1-based INT).
+    */
+  def quantileBin(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val boundaryExprs = (1 until nBins).map { b =>
+      val p = b.toDouble / nBins
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$valueCol`)").as(s"__q$b")
+    }
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(boundaryExprs.head, boundaryExprs.tail: _*)
+    val renamed = bounds.select(
+      (groupCols.map(c => col(c).as(s"__g_$c")) ++
+        (1 until nBins).map(b => col(s"__q$b"))).toIndexedSeq: _*)
+    val cond = groupCols.map(c => df(c) <=> renamed(s"__g_$c")).reduce(_ && _)
+    val bin = (1 until nBins)
+      .map(b => when(col(valueCol) > col(s"__q$b"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    df.join(broadcast(renamed), cond)
+      .drop(groupCols.map(c => s"__g_$c"): _*)
+      .withColumn(s"${valueCol}_bin", bin.cast("int"))
+      .drop((1 until nBins).map(b => s"__q$b"): _*)
+  }
+
   /** Per-group robust scaling: `(x − median) / MAD` — the
     * outlier-resistant z-score (mean/stddev move with the very outliers
     * they're meant to flag; median/MAD don't). Both statistics use

@@ -2104,6 +2104,34 @@ object Inventory {
           round(min(rz), 4) AS min_rz, round(max(rz), 4) AS max_rz
         FROM z GROUP BY 1 ORDER BY 1""")),
 
+    Q("q135_quantile_bin",
+      (s, dir) =>
+        // equal-frequency quartile binning of order totals per priority:
+        // discrete boundaries are data values, so DuckDB reproduces the
+        // exact bin of every row; per-bin counts and sums cross-check.
+        graft.quality.Outliers.quantileBin(
+            t(s, dir, "orders"), "o_totalprice", Seq("o_orderpriority"), nBins = 4)
+          .groupBy(col("o_orderpriority"), col("o_totalprice_bin").as("bin"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum("o_totalprice").as("bin_total"))
+          .orderBy("o_orderpriority", "bin"),
+      Some("""WITH b AS (
+          SELECT o_orderpriority,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+            percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS q2,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+          FROM orders GROUP BY o_orderpriority),
+        a AS (
+          SELECT o.o_orderpriority, o.o_totalprice,
+            CAST(1 + (CASE WHEN o.o_totalprice > b.q1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN o.o_totalprice > b.q2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN o.o_totalprice > b.q3 THEN 1 ELSE 0 END) AS INT) AS bin
+          FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority)
+        SELECT o_orderpriority, bin, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS bin_total
+        FROM a GROUP BY o_orderpriority, bin ORDER BY o_orderpriority, bin""")),
+
     Q("q131_sliding_window",
       (s, dir) =>
         // batch event-time windows: 30-min windows sliding every 15 min

@@ -80,6 +80,23 @@ class OutliersSpec extends SparkSpec {
     assert(z == 1.0)
   }
 
+  test("quantileBin: equal-frequency bins, ties share a bin, null groups kept") {
+    // 1..8 in one group → quartiles at 2, 4, 6: bins {1,2}{3,4}{5,6}{7,8}
+    val df = (1 to 8).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val bins = Outliers.quantileBin(df, "v", Seq("g"), nBins = 4)
+      .collect().map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(bins == Map(1.0 -> 1, 2.0 -> 1, 3.0 -> 2, 4.0 -> 2,
+      5.0 -> 3, 6.0 -> 3, 7.0 -> 4, 8.0 -> 4))
+    // ties never straddle: constant data lands in ONE bin
+    val const = Seq.fill(9)(("c", 5.0)).toDF("g", "v")
+    val cb = Outliers.quantileBin(const, "v", Seq("g"), nBins = 3)
+      .select("v_bin").distinct().collect().map(_.getInt(0))
+    assert(cb.length == 1)
+    // null group rows survive
+    val withNull = df.unionByName(Seq((null: String, 9.0)).toDF("g", "v"))
+    assert(Outliers.quantileBin(withNull, "v", Seq("g"), 4).count() == 9)
+  }
+
   test("winsorize broadcast-joins the bounds (no extra shuffle for the clip)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val plan = Outliers.winsorize(orders, "o_totalprice", Seq("o_orderpriority"))
