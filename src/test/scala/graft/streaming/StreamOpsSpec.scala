@@ -115,6 +115,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers: sketch counts match exact distinct at small cardinality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF.toDF("ts", "user_id", "event_type")
+    val q = StreamOps.windowedDistinctUsers(events, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wdu_out").outputMode("append").start()
+    try {
+      // window [00:00,00:10): users 1,2,1 → 2 distinct; [00:10,00:20): 3
+      in.addData((ts(1), 1L, "click"), (ts(2), 2L, "click"), (ts(3), 1L, "click"),
+        (ts(12), 3L, "click"))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 9L, "click"))
+      q.processAllAvailable()
+      val out = spark.table("wdu_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .orderBy("w_start")
+        .collect().map(r => r.getLong(2))
+      // HLL is exact at tiny cardinality
+      assert(out.toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
   test("runningUserStats: custom keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
