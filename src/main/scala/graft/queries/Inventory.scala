@@ -1057,7 +1057,75 @@ object Inventory {
       },
       Some("""SELECT p_brand, count(*) AS n_parts FROM part
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity = 50)
-        GROUP BY p_brand ORDER BY p_brand""")))
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Classic TPC-H-shaped composites (Q3/Q5/Q10 adapted to the driver
+    // schema): the canonical multi-join + filtered-aggregate + top-k SQL
+    // shapes, run as the same dialect-neutral text on both engines.
+    Q("q136_tpch_q3_shipping",
+      (s, dir) => {
+        viewed(s, dir, "customer", "orders", "lineitem")
+        s.sql(tpchQ3Sql)
+      },
+      Some(tpchQ3Sql)),
+
+    Q("q137_tpch_q5_local_volume",
+      (s, dir) => {
+        viewed(s, dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+        s.sql(tpchQ5Sql)
+      },
+      Some(tpchQ5Sql)),
+
+    Q("q138_tpch_q10_returns",
+      (s, dir) => {
+        viewed(s, dir, "customer", "orders", "lineitem", "nation")
+        s.sql(tpchQ10Sql)
+      },
+      Some(tpchQ10Sql)))
+
+  /** TPC-H Q3 (shipping priority), adapted: revenue of BUILDING-segment
+    * orders placed before a date with lineitems shipped after it.
+    */
+  private def tpchQ3Sql: String = """SELECT l_orderkey,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** TPC-H Q5 (local supplier volume), adapted: revenue where customer
+    * and supplier share a nation, one order year, rolled up by nation.
+    */
+  private def tpchQ5Sql: String = """SELECT n_name,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) = 1996
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** TPC-H Q10 (returned items), adapted: top customers by revenue lost
+    * to returns in one quarter.
+    */
+  private def tpchQ10Sql: String = """SELECT c_custkey, c_name, n_name,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
   // ================================================================ §2.C
 
