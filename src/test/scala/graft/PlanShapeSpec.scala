@@ -140,6 +140,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q137: six-table TPC-H Q5 shape joins without a cartesian product") {
+    val plan = planString(run("q137_tpch_q5_local_volume"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q137 must stay equi-join only:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 3,
+      s"dimension sides (supplier/nation/region at least) should broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
