@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists the engine itself produces (near-dup
+  * pairs, co-occurrence joins). North-star EXTENSION: corpus curation
+  * uses centrality to pick cluster representatives and to spot
+  * boilerplate hubs (a page near-duplicated by thousands of others is a
+  * template, not content).
+  *
+  * Iteration model: the DRIVER loops over a bounded, data-independent
+  * iteration count; each step is one distributed join+aggregate. Rank
+  * lineage is truncated per step with GC-tracked `localCheckpoint`
+  * blocks (never CacheManager pins), so plans stay constant-size
+  * instead of doubling per iteration — the standard shape for iterative
+  * DataFrame algorithms (connected components in Dedup.nearDupClusters
+  * uses the same pattern).
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank over an UNDIRECTED edge list
+    * `(id_a, id_b)` (each edge walked both ways). Returns
+    * `(id, rank)` rounded to 6 dp.
+    *
+    * Cross-engine determinism: per-edge contributions (`rank/deg`,
+    * an IEEE division both engines compute bit-identically) are summed
+    * through DECIMAL(38,20) — order-independent — then cast back, so
+    * every iteration's ranks are exactly reproducible from the same
+    * edges; an external engine replaying the same unrolled arithmetic
+    * matches hash-for-hash (q139's DuckDB oracle does).
+    *
+    * Isolated vertices don't exist in an edge list; dangling nodes
+    * (out-degree 0) can't either — undirected edges give every node
+    * ≥ 1 neighbor — so no dangling-mass correction is needed.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations must be in [1, 50]")
+    val directed = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    val nodes = directed.select(col("src").as("id")).distinct()
+      .localCheckpoint(false)
+    val outDeg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.count() // bounded driver scalar (|V|), not data movement
+    if (n == 0) return nodes.withColumn("rank", lit(0.0))
+
+    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = directed
+        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"),
+          (col("rank") / col("deg")).cast("decimal(38,20)").as("c"))
+        .groupBy("id")
+        .agg(sum(col("c")).as("in")) // exact decimal sum: order-independent
+      rank = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("in").cast("double"), lit(0.0))).as("rank"))
+        .localCheckpoint(false) // truncate lineage; constant-size plan per step
+    }
+    rank.select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** Degree centrality of an undirected edge list: neighbors per node —
+    * the cheap hub detector (one shuffle).
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+}

@@ -1083,6 +1083,47 @@ object Inventory {
       },
       Some(tpchQ10Sql)))
 
+  /** Unrolled PageRank oracle over the q81-exact near-dup pair set.
+    * Arithmetic replicates GraphOps.pageRank expression-for-expression:
+    * `(CAST(1 AS DOUBLE) - 0.85)` reproduces Scala's `1 - damping`
+    * double (NOT the literal 0.15 — they differ by one ulp), and
+    * contributions sum through DECIMAL(38,20) exactly as Spark's.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base = """WITH sh AS (
+        SELECT doc_id, list_distinct(
+          [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+      directed AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM directed),
+      deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+    val its = (1 to iters).map { i =>
+      s""",
+      r$i AS (
+        SELECT nodes.id,
+          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+            + CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes LEFT JOIN (
+          SELECT d.dst AS id,
+            sum(CAST(r${i - 1}.rank / deg.deg AS DECIMAL(38,20))) AS s
+          FROM directed d
+            JOIN r${i - 1} ON d.src = r${i - 1}.id
+            JOIN deg ON d.src = deg.src
+          GROUP BY d.dst) c ON nodes.id = c.id)"""
+    }.mkString
+    base + its + s"\n      SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id"
+  }
+
   /** TPC-H Q3 (shipping priority), adapted: revenue of BUILDING-segment
     * orders placed before a date with lineitems shipped after it.
     */
@@ -1198,6 +1239,21 @@ object Inventory {
           AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
         ORDER BY id_a, id_b""")),
+
+    Q("q139_pagerank_neardup",
+      (s, dir) => {
+        // PageRank over the near-dup graph (template/boilerplate hubs
+        // rank high). Every stage is engine-reproducible: the edge list
+        // is the q81-exact pair set, per-edge contributions are IEEE
+        // divisions summed through DECIMAL(38,20) (order-independent),
+        // and the oracle unrolls the identical three iterations.
+        val pairs = Dedup.minHashNearDups(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, w = 3, threshold = 0.5)
+        graft.operators.GraphOps.pageRank(pairs, iterations = 3)
+          .orderBy("id")
+      },
+      Some(pageRankOracleSql(3))),
 
     Q("q82_dedup_simhash",
       (s, dir) =>
