@@ -75,4 +75,23 @@ object GraphOps {
     edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+
+  /** Triangle count of an undirected simple edge list (`id_a < id_b`,
+    * no duplicates — the near-dup pair contract). Near-dup graphs are
+    * triangle-rich (similarity is quasi-transitive), so triangle density
+    * separates genuine duplicate clusters from chance collisions.
+    *
+    * The classic ordered two-join: each triangle a<b<c is counted
+    * exactly once as (a,b)⋈(b,c) closed by (a,c). Both joins are equi
+    * shuffles on node ids; the ordering bounds per-node join fan-out by
+    * forward-degree — the standard trick that keeps the worst case at
+    * O(E^{3/2}) instead of Σdeg².
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e2 = edges.select(col("id_a").as("b"), col("id_b").as("c"))
+    val e3 = edges.select(col("id_a").as("a"), col("id_b").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

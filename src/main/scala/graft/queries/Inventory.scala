@@ -1255,6 +1255,31 @@ object Inventory {
       },
       Some(pageRankOracleSql(3))),
 
+    Q("q140_triangles_neardup",
+      (s, dir) => {
+        // triangle census of the near-dup graph: how transitive the
+        // duplicate structure is (chance LSH collisions close almost no
+        // triangles; real duplicate clusters close nearly all).
+        val pairs = Dedup.minHashNearDups(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, w = 3, threshold = 0.5)
+        graft.operators.GraphOps.triangleCount(pairs)
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5)
+        SELECT count(*) AS n_triangles
+        FROM pairs p1
+          JOIN pairs p2 ON p1.id_b = p2.id_a
+          JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b""")),
+
     Q("q82_dedup_simhash",
       (s, dir) =>
         Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)

@@ -54,6 +54,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(d == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("triangleCount: counts each closed triple once") {
+    // K4 on {1..4}: C(4,3) = 4 triangles
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("id_a", "id_b")
+    assert(GraphOps.triangleCount(k4).head().getLong(0) == 4L)
+    // path graph: none
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(GraphOps.triangleCount(path).head().getLong(0) == 0L)
+    // one triangle plus a dangling edge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("id_a", "id_b")
+    assert(GraphOps.triangleCount(tri).head().getLong(0) == 1L)
+  }
+
   test("empty edge list yields an empty ranking") {
     val e = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.pageRank(e).count() == 0)
