@@ -88,9 +88,13 @@ object GraphOps {
     * O(E^{3/2}) instead of Σdeg².
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e1 = edges.select(col("id_a").as("a"), col("id_b").as("b"))
-    val e2 = edges.select(col("id_a").as("b"), col("id_b").as("c"))
-    val e3 = edges.select(col("id_a").as("a"), col("id_b").as("c"))
+    // three structural scans of the edge list — share one
+    // materialization so an expensive upstream (e.g. the LSH pair
+    // pipeline) runs once, not three times
+    val e = edges.localCheckpoint(false)
+    val e1 = e.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e2 = e.select(col("id_a").as("b"), col("id_b").as("c"))
+    val e3 = e.select(col("id_a").as("a"), col("id_b").as("c"))
     e1.join(e2, "b").join(e3, Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
   }

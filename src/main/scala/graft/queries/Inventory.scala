@@ -2369,5 +2369,6 @@ object Inventory {
     "q80_dedup_exact", "q81_dedup_minhash", "q90_sim_topk", "q93_knn_join",
     "q95_text_stats", "q99_sessionize", "q101_corpus_pipeline", "q103_chunking",
     "q109_pack_sequences", "q110_line_dedup",
-    "q111_scd2", "q112_binned_range", "q115_tfidf")
+    "q111_scd2", "q112_binned_range", "q115_tfidf",
+    "q131_sliding_window", "q137_tpch_q5_local_volume")
 }
