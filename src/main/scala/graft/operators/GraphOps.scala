@@ -98,4 +98,28 @@ object GraphOps {
     e1.join(e2, "b").join(e3, Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-node triangle participation + local clustering coefficient
+    * `2t / (d(d−1))` (null for degree < 2). The cluster-cohesion
+    * signal: a near-dup component whose members all interlink is one
+    * template family; a hub with low clustering is a boilerplate page
+    * collided with unrelated docs.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(false)
+    val e1 = e.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e2 = e.select(col("id_a").as("b"), col("id_b").as("c"))
+    val e3 = e.select(col("id_a").as("a"), col("id_b").as("c"))
+    val perNode = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    degrees(e)
+      .join(perNode, Seq("id"), "left")
+      .select(
+        col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(null)).otherwise(
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 4)).as("clustering"))
+  }
 }

@@ -1280,6 +1280,47 @@ object Inventory {
           JOIN pairs p2 ON p1.id_b = p2.id_a
           JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b""")),
 
+    Q("q141_clustering_neardup",
+      (s, dir) => {
+        // per-node clustering coefficients of the near-dup graph:
+        // cohesive template families score 1, boilerplate hubs collided
+        // with unrelated docs score low.
+        val pairs = Dedup.minHashNearDups(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, w = 3, threshold = 0.5)
+        graft.operators.GraphOps.localClustering(pairs)
+          .orderBy("id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+        tri AS (
+          SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+          FROM pairs p1
+            JOIN pairs p2 ON p1.id_b = p2.id_a
+            JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+        tn AS (
+          SELECT id, count(*) AS t FROM (
+            SELECT a AS id FROM tri UNION ALL
+            SELECT b AS id FROM tri UNION ALL
+            SELECT c AS id FROM tri) GROUP BY id),
+        deg AS (
+          SELECT id, count(*) AS degree FROM (
+            SELECT id_a AS id FROM pairs UNION ALL
+            SELECT id_b AS id FROM pairs) GROUP BY id)
+        SELECT deg.id, deg.degree, coalesce(tn.t, 0) AS n_triangles,
+          CASE WHEN deg.degree < 2 THEN NULL
+               ELSE round(CAST(2.0 AS DOUBLE) * coalesce(tn.t, 0)
+                 / (deg.degree * (deg.degree - 1)), 4) END AS clustering
+        FROM deg LEFT JOIN tn ON deg.id = tn.id ORDER BY deg.id""")),
+
     Q("q82_dedup_simhash",
       (s, dir) =>
         Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)

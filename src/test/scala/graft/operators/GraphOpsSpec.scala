@@ -67,6 +67,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.triangleCount(tri).head().getLong(0) == 1L)
   }
 
+  test("localClustering: triangle node scores 1, chain node 0, leaf null") {
+    // triangle {1,2,3} + chain 3—4—5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val c = GraphOps.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(c(1L) == ((2L, 1L, Some(1.0))), s"got ${c(1L)}")
+    // node 3: degree 3, one triangle → 2·1/(3·2) = 0.3333
+    assert(c(3L) == ((3L, 1L, Some(0.3333))))
+    assert(c(4L) == ((2L, 0L, Some(0.0))))
+    assert(c(5L)._3.isEmpty, "degree-1 node has no defined coefficient")
+  }
+
   test("empty edge list yields an empty ranking") {
     val e = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.pageRank(e).count() == 0)
