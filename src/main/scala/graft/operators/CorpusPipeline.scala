@@ -107,9 +107,11 @@ object CorpusPipeline {
     val chunked = chunk match {
       case Some((size, overlap)) =>
         // the split group column must ride through chunking, or the
-        // final stage would have nothing to hash
+        // final stage would have nothing to hash; chunk already emits
+        // idCol, so splitting BY document must not carry it twice
         TextAnalysis.chunk(decontaminated, idCol, textCol, size, overlap,
-          carry = (Seq("lang_pred", "quality") ++ splitBy.map(_._1)).distinct)
+          carry = (Seq("lang_pred", "quality") ++ splitBy.map(_._1))
+            .distinct.filterNot(_ == idCol))
       case None => decontaminated
     }
     // final stage so CHUNKS of one group can't straddle the boundary

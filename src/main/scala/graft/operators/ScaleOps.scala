@@ -143,7 +143,14 @@ object ScaleOps {
       strataCol: String,
       tokenCol: String,
       targets: Map[String, Long]): Map[String, Double] = {
+    // Null strata are excluded from planning by contract: a null key
+    // stringified to "null" would collide with a stratum literally named
+    // "null", and stratifiedHashSample's `col === "null"` could never
+    // select actual-null rows anyway — so a null-keyed budget would be
+    // silently unusable. Callers mixing unlabeled rows should bucket
+    // them under an explicit label first (e.g. coalesce(strata,'other')).
     val avail = df
+      .filter(col(strataCol).isNotNull)
       .groupBy(strataCol)
       .agg(sum(col(tokenCol).cast("long")).as("__t"))
       .collect()

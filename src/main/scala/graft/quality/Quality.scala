@@ -75,6 +75,23 @@ object Outliers {
 
   import org.apache.spark.sql.functions.{abs, broadcast, expr, greatest, least, when}
 
+  /** Null-safe (`<=>`) broadcast attach of a per-group bounds frame.
+    * `groupBy` puts null-keyed rows in their own group, but a plain
+    * equi-join would silently DROP them on the way back — the same
+    * pitfall documented at [[robustScale]]. Renaming the group columns
+    * on the bounds side keeps the join unambiguous.
+    */
+  private def attachBounds(
+      base: DataFrame,
+      bounds: DataFrame,
+      groupCols: Seq[String],
+      valCols: Seq[String]): DataFrame = {
+    val renamed = bounds.select(
+      (groupCols.map(c => col(c).as(s"__g_$c")) ++ valCols.map(col)).toIndexedSeq: _*)
+    val cond = groupCols.map(c => base(c) <=> renamed(s"__g_$c")).reduce(_ && _)
+    base.join(broadcast(renamed), cond).drop(groupCols.map(c => s"__g_$c"): _*)
+  }
+
   /** Per-group winsorization: clip `valueCol` into the
     * [percentile(loP), percentile(hiP)] band of its own group.
     *
@@ -103,7 +120,7 @@ object Outliers {
       .agg(
         expr(s"percentile_disc($loP) WITHIN GROUP (ORDER BY `$valueCol`)").as("__lo"),
         expr(s"percentile_disc($hiP) WITHIN GROUP (ORDER BY `$valueCol`)").as("__hi"))
-    df.join(broadcast(bounds), groupCols)
+    attachBounds(df, bounds, groupCols, Seq("__lo", "__hi"))
       .withColumn(s"${valueCol}_w", least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
@@ -127,7 +144,7 @@ object Outliers {
       .agg(
         expr(s"approx_percentile(`$valueCol`, $loP, $accuracy)").as("__lo"),
         expr(s"approx_percentile(`$valueCol`, $hiP, $accuracy)").as("__hi"))
-    df.join(broadcast(bounds), groupCols)
+    attachBounds(df, bounds, groupCols, Seq("__lo", "__hi"))
       .withColumn(s"${valueCol}_w", least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
@@ -155,15 +172,10 @@ object Outliers {
     }
     val bounds = df.groupBy(groupCols.map(col): _*)
       .agg(boundaryExprs.head, boundaryExprs.tail: _*)
-    val renamed = bounds.select(
-      (groupCols.map(c => col(c).as(s"__g_$c")) ++
-        (1 until nBins).map(b => col(s"__q$b"))).toIndexedSeq: _*)
-    val cond = groupCols.map(c => df(c) <=> renamed(s"__g_$c")).reduce(_ && _)
     val bin = (1 until nBins)
       .map(b => when(col(valueCol) > col(s"__q$b"), 1).otherwise(0))
       .reduce(_ + _) + 1
-    df.join(broadcast(renamed), cond)
-      .drop(groupCols.map(c => s"__g_$c"): _*)
+    attachBounds(df, bounds, groupCols, (1 until nBins).map(b => s"__q$b"))
       .withColumn(s"${valueCol}_bin", bin.cast("int"))
       .drop((1 until nBins).map(b => s"__q$b"): _*)
   }
@@ -184,15 +196,10 @@ object Outliers {
       df: DataFrame,
       valueCol: String,
       groupCols: Seq[String]): DataFrame = {
-    // null-safe (<=>) broadcast attach: groupBy puts null-keyed rows in
-    // their own group, so an equi-join would silently DROP them — the
-    // null group scales against its own median/MAD instead
-    def attach(base: DataFrame, agg: DataFrame, valCol: String): DataFrame = {
-      val renamed = agg.select(
-        (groupCols.map(c => col(c).as(s"__g_$c")) :+ col(valCol)).toIndexedSeq: _*)
-      val cond = groupCols.map(c => base(c) <=> renamed(s"__g_$c")).reduce(_ && _)
-      base.join(broadcast(renamed), cond).drop(groupCols.map(c => s"__g_$c"): _*)
-    }
+    // null-keyed rows scale against their own group's median/MAD — the
+    // null-safe attach is what keeps them (see attachBounds)
+    def attach(base: DataFrame, agg: DataFrame, valCol: String): DataFrame =
+      attachBounds(base, agg, groupCols, Seq(valCol))
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY `$valueCol`)").as("__med"))
     // shared blocks: the MAD aggregate and the final join both consume

@@ -70,6 +70,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(straddle.count() == 0)
   }
 
+  test("prepare with splitBy on the id column itself (split by document) works") {
+    // idCol is chunk's own output; carrying it again used to make the
+    // split stage hit an ambiguous-column AnalysisException
+    val chunks = CorpusPipeline.prepare(docs, chunk = Some((64, 8)),
+      splitBy = Some(("doc_id", Seq("train" -> 0.8, "test" -> 0.2))))
+    assert(chunks.columns.count(_ == "doc_id") == 1, "doc_id must appear once")
+    assert(chunks.columns.contains("split"))
+    val straddle = chunks.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1)
+    assert(straddle.count() == 0, "all chunks of a document share one split")
+  }
+
   test("clean() pins nothing in the CacheManager (leak-free composition)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()

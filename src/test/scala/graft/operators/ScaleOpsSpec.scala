@@ -145,6 +145,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(again == mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("tokenBudgetRates excludes null strata (no 'null'-string collision)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("en"), 100), (2L, Some("en"), 100),
+      (3L, None, 500), (4L, None, 500), // unlabeled rows
+      (5L, Some("null"), 40) // a stratum literally NAMED "null"
+    ).toDF("doc_id", "lang", "n_tokens")
+    val rates = ScaleOps.tokenBudgetRates(docs, "lang", "n_tokens",
+      Map("en" -> 100L, "null" -> 20L))
+    assert(rates("en") == 0.5)
+    // the "null"-named stratum plans against ITS tokens (40), not the
+    // unlabeled rows' 1000 — the collision the null filter prevents
+    assert(rates("null") == 0.5, s"got ${rates("null")}")
+  }
+
   test("boundedExhaustive passes small inputs through, fails fast past maxRows") {
     import spark.implicits._
     val small = (1 to 20).map(_.toLong).toDF("id")

@@ -35,6 +35,22 @@ class OutliersSpec extends SparkSpec {
     assert(clipped.subsetOf(vals.toSet), s"bounds must be members of the data: $clipped")
   }
 
+  test("winsorize and winsorizeApprox keep null-group rows, clipped within the null group") {
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 30.0), (None, 1e9))
+      .toDF("g", "v")
+    for (w <- Seq(
+        Outliers.winsorize(df, "v", Seq("g"), 0.05, 0.75),
+        Outliers.winsorizeApprox(df, "v", Seq("g"), 0.05, 0.75))) {
+      assert(w.count() == 7, "null-group rows must not be dropped")
+      // null group n=4: p75 → first value with cume_dist ≥ .75 is 30 —
+      // the 1e9 outlier clips to it, WITHIN the null group's own bounds
+      val hi = w.filter($"g".isNull).agg(max("v_w")).head().getDouble(0)
+      assert(hi == 30.0, s"null group must clip to its own bound, got $hi")
+    }
+  }
+
   test("winsorizeApprox bounds are near the exact ones on corpus data") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val exact = Outliers.winsorize(orders, "o_totalprice", Seq("o_orderpriority"))
