@@ -132,6 +132,45 @@ object ScaleOps {
     df.filter(bucket < cut)
   }
 
+  /** Engine-auditable threshold for an md5 hex-prefix bucket: the first
+    * 8 hex chars of md5 compare lexicographically = numerically (fixed
+    * width, lowercase), so `prefix < mdHexThreshold(r)` keeps a
+    * `r`-sized fraction of keys. Rate 1.0 maps to a 9-char sentinel —
+    * every 8-char prefix sorts strictly below it (prefix rule), so
+    * "keep all" really keeps all, including prefix `ffffffff`.
+    * Same boundary formula as [[splitByGroup]].
+    */
+  private[graft] def mdHexThreshold(r: Double): String =
+    if (r >= 1.0) "fffffffff" else f"${math.round(r * 4294967295d)}%08x"
+
+  /** [[stratifiedHashSample]] on md5 hex-prefix buckets instead of
+    * xxhash64: ~2× the hash cost, but ANY engine can replay the exact
+    * per-row assignment (`substr(md5(cast(key as varchar)), 1, 8)` vs a
+    * per-stratum hex constant) — so a sampled corpus is auditable
+    * outside Spark, row for row, the property [[splitByGroup]] already
+    * uses for split assignment. Keeps the sampler's contract: pure
+    * function of (key, rates), NESTED under rate increases (same
+    * bucket, higher cut ⊇ lower cut), map-only. Prefer the xxhash64
+    * variant when cross-engine auditability isn't needed.
+    */
+  def stratifiedHashSampleMd5(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val h = substring(md5(col(keyCol).cast("string")), 1, 8)
+    // driver-resolved hex constants, for the same reason the xxhash64
+    // variant resolves integer thresholds: boundaries must not depend
+    // on how an engine rounds rate*2^32 at runtime
+    val cut = rates.toSeq.sortBy(_._1).foldLeft(lit(mdHexThreshold(defaultRate))) {
+      case (acc, (s, r)) => when(col(strataCol) === s, lit(mdHexThreshold(r))).otherwise(acc)
+    }
+    df.filter(h < cut)
+  }
+
   /** Per-stratum keep-rates that hit a TOKEN budget: the corpus-mixing
     * planner. One aggregate measures available tokens per stratum
     * (driver state = one row per stratum — bounded parameters, not

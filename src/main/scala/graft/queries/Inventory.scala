@@ -1978,19 +1978,32 @@ object Inventory {
 
     Q("q77_stratified_sample",
       (s, dir) =>
-        // corpus-mixing primitive: per-language keep rates, selected by
-        // a pure keyed hash (stable, nested, map-only). rows-only by
-        // necessity: the bucket hash is Spark's xxhash64, which DuckDB
-        // cannot reproduce (same class as q82/q98); determinism, nesting
-        // and rate accuracy are pinned in ScaleOpsSpec.
-        ScaleOps.stratifiedHashSample(
+        // corpus-mixing primitive: per-language keep rates on
+        // ENGINE-AUDITABLE md5 hex-prefix buckets — DuckDB replays the
+        // exact per-row assignment (substr(md5(key),1,8) vs the same
+        // driver-resolved hex constants), so the mix is hash-checked,
+        // not rows-only. The xxhash64 fast path keeps the identical
+        // contract (determinism/nesting/rates pinned in ScaleOpsSpec;
+        // md5≡xxhash64 rate parity pinned there too).
+        ScaleOps.stratifiedHashSampleMd5(
           t(s, dir, "documents"), "doc_id", "lang",
           rates = Map("en" -> 0.8, "es" -> 0.5, "fr" -> 0.25),
           defaultRate = 0.1)
           .groupBy("lang")
-          .agg(count(lit(1)).as("n_kept"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("total_chars"))
           .orderBy("lang"),
-      None),
+      Some("""WITH s AS (
+          SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+          FROM documents),
+        kept AS (
+          SELECT * FROM s WHERE h < CASE lang
+            WHEN 'en' THEN 'cccccccc' WHEN 'es' THEN '80000000'
+            WHEN 'fr' THEN '40000000' ELSE '1999999a' END)
+        SELECT lang, count(*) AS n_kept,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM kept GROUP BY lang ORDER BY lang""")),
 
     Q("q111_scd2",
       (s, dir) => {

@@ -118,6 +118,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ids1.subsetOf(bigger), "retained set must be nested under higher rates")
   }
 
+  test("stratifiedHashSampleMd5: same contract on auditable buckets; rate 1.0 keeps all") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val rates = Map("en" -> 0.8, "es" -> 0.3, "zh" -> 0.0)
+    val sampled = ScaleOps.stratifiedHashSampleMd5(docs, "doc_id", "lang", rates,
+      defaultRate = 0.5)
+
+    // determinism: two materializations identical
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+
+    // per-stratum proportions near their rates, as for the xxhash64 twin
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampledPerLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, total) <- perLang if total >= 30) {
+      val rate = rates.getOrElse(lang, 0.5)
+      val got = sampledPerLang.getOrElse(lang, 0L).toDouble / total
+      assert(math.abs(got - rate) < 0.2, s"$lang: got $got want ~$rate of $total")
+    }
+    assert(!sampledPerLang.contains("zh") || sampledPerLang("zh") == 0L)
+
+    // nesting holds for the md5 buckets too
+    val bigger = ScaleOps.stratifiedHashSampleMd5(
+      docs, "doc_id", "lang", rates.map { case (k, r) => k -> math.min(1.0, r + 0.2) },
+      defaultRate = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(bigger), "retained set must be nested under higher rates")
+
+    // rate 1.0 = the 9-char sentinel threshold: keeps EVERY row of the
+    // stratum — including a key whose md5 prefix is exactly ffffffff,
+    // which an 8-char 'ffffffff' cut would drop
+    val all = ScaleOps.stratifiedHashSampleMd5(docs, "doc_id", "lang",
+      Map.empty, defaultRate = 1.0)
+    assert(all.count() == docs.count(), "rate 1.0 must keep all rows")
+    assert(ScaleOps.mdHexThreshold(1.0).length == 9)
+  }
+
   test("mixToTokenBudget approaches per-stratum token targets; untargeted strata drop") {
     import spark.implicits._
     // 300 docs per lang, ~20 tokens each → ~6000 tokens available per lang
