@@ -224,6 +224,65 @@ object ScaleOps {
       tokenBudgetRates(df, strataCol, tokenCol, targets),
       defaultRate = 0.0, den = den)
 
+  /** Weighted (token-proportional) sampling to a per-stratum budget:
+    * A-ES keyed-hash priorities (Efraimidis–Spirakis, Inf. Proc. Lett.
+    * 97(5), 2006) with a cumulative cutoff instead of a fixed k.
+    *
+    * Each row draws a deterministic uniform u from its key
+    * (md5 hex prefix → (0,1)), gets priority u^(1/w) with w = its
+    * weight (token/char count), and each stratum keeps its
+    * highest-priority rows until their summed weight reaches the
+    * stratum's target. Properties:
+    *  - token-PROPORTIONAL: heavy documents are proportionally more
+    *    likely to rank high — the A-ES priority makes inclusion
+    *    probability ∝ weight, the standard refinement over
+    *    document-rate mixing ([[mixToTokenBudget]]);
+    *  - TIGHT attainment: the cutoff is exact by construction —
+    *    achieved tokens overshoot the target by at most one document
+    *    (the one that crosses the line), vs. document-rate sampling
+    *    whose error grows with per-document token variance;
+    *  - deterministic and ENGINE-AUDITABLE: u is md5-derived, so the
+    *    selection replays anywhere (same property as
+    *    [[stratifiedHashSampleMd5]]).
+    *
+    * Cost: ONE shuffle — the per-stratum ranking window. Strata are
+    * few (languages, sources), so each window partition holds a whole
+    * stratum; at 100 TB pre-gate with [[stratifiedHashSampleMd5]] at
+    * ~2×target/available rate first (both stages replay), which bounds
+    * the window input while leaving the cutoff exact.
+    * Strata without a target are dropped (as in [[tokenBudgetRates]];
+    * null strata fall in that class by the same contract).
+    */
+  def weightedTokenSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      tokenCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    require(targets.values.forall(_ >= 0), "token targets must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    // u in (0,1): 32-bit md5 prefix, +0.5 so u is never exactly 0
+    // (pow(0, 1/w) would collapse all zero-hash rows into one priority)
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val w = greatest(col(tokenCol).cast("double"), lit(1.0))
+    val tgt = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (s, t)) => when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    val byPriority = Window.partitionBy(strataCol)
+      .orderBy(col("__aes").desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__aes", pow(u, lit(1.0) / w))
+      .withColumn("__tgt", tgt)
+      .filter(col("__tgt").isNotNull)
+      // tokens ABOVE this row in priority order: keep while they are
+      // still under target — the crossing document is kept, so the
+      // attainment error is bounded by one document's weight
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(byPriority))
+      .filter(coalesce(col("__cum"), lit(0L)) < col("__tgt"))
+      .drop("__aes", "__tgt", "__cum")
+  }
+
   /** Fail-fast guard for VERIFICATION-ONLY exhaustive operators.
     *
     * All-pairs self-joins (exact n-gram Jaccard q83, exact pairwise

@@ -2005,6 +2005,37 @@ object Inventory {
           CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM kept GROUP BY lang ORDER BY lang""")),
 
+    Q("q142_weighted_token_sample",
+      (s, dir) =>
+        // token-PROPORTIONAL corpus mixing (A-ES priorities, cumulative
+        // cutoff): per-language char budgets hit within one document.
+        // Fully replayable: u is md5-derived, the priority pow(u, 1/w)
+        // and the window cutoff are the same arithmetic in DuckDB.
+        ScaleOps.weightedTokenSample(
+          t(s, dir, "documents"), "doc_id", "lang", "n_chars",
+          targets = Map("en" -> 60000L, "es" -> 25000L))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang"),
+      Some("""WITH s AS (
+          SELECT *,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hv,
+            CASE lang WHEN 'en' THEN 60000 WHEN 'es' THEN 25000 END AS tgt
+          FROM documents WHERE lang IN ('en', 'es')),
+        r AS (
+          SELECT *, pow((hv + 0.5) / 4294967296.0,
+            1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS aes
+          FROM s),
+        c AS (
+          SELECT *, coalesce(sum(n_chars) OVER (PARTITION BY lang
+            ORDER BY aes DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM r)
+        SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM c WHERE cum < tgt GROUP BY lang ORDER BY lang""")),
+
     Q("q111_scd2",
       (s, dir) => {
         // SCD Type-2 dimension build from the event change log: per-user

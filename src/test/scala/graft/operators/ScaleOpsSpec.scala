@@ -184,6 +184,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(again == mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedTokenSample: tight budget attainment under token skew, proportional inclusion") {
+    import spark.implicits._
+    // SKEWED weights: 10 giant docs (5000 tokens) among 290 small ones
+    // (10 tokens) per lang — the shape where document-rate mixing's
+    // attainment error blows up (one giant in/out swings ±5000)
+    val docs = (0 until 600).map { i =>
+      val lang = Seq("en", "es")(i % 2)
+      val tokens = if (i < 20) 5000 else 10
+      (i.toLong, lang, tokens)
+    }.toDF("doc_id", "lang", "n_tokens")
+    val targets = Map("en" -> 20000L)
+
+    val kept = ScaleOps.weightedTokenSample(docs, "doc_id", "lang", "n_tokens", targets)
+    val rows = kept.collect()
+    assert(rows.forall(_.getString(1) == "en"), "untargeted stratum must drop")
+
+    // tight attainment: achieved >= target (stratum not exhausted) and
+    // overshoot bounded by ONE document's weight — by construction
+    val achieved = rows.map(_.getInt(2).toLong).sum
+    val maxKept = rows.map(_.getInt(2).toLong).max
+    assert(achieved >= 20000L, s"undershoot: $achieved")
+    assert(achieved - 20000L < maxKept, s"overshoot $achieved beyond one document")
+
+    // vs document-rate mixing on the same skewed fixture: A-ES must be
+    // strictly tighter (doc-rate error here is necessarily >= one giant
+    // doc unless sampling got exactly lucky)
+    val docRate = ScaleOps.mixToTokenBudget(docs, "doc_id", "lang", "n_tokens", targets)
+      .agg(sum($"n_tokens".cast("long"))).head.getLong(0)
+    assert(math.abs(achieved - 20000L) <= math.abs(docRate - 20000L),
+      s"A-ES |${achieved - 20000L}| must not exceed doc-rate |${docRate - 20000L}|")
+
+    // token-proportional: giants (0.17% of docs, 63% of tokens) must be
+    // overrepresented among kept tokens vs their document share
+    val giants = rows.count(_.getLong(0) < 20L)
+    assert(giants >= 2, s"expected multiple giant docs in a token-proportional draw, got $giants")
+
+    // determinism: pure function of (key, weights, targets)
+    val again = ScaleOps.weightedTokenSample(docs, "doc_id", "lang", "n_tokens", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+  }
+
   test("tokenBudgetRates excludes null strata (no 'null'-string collision)") {
     import spark.implicits._
     val docs = Seq(
