@@ -82,6 +82,10 @@ final class Pipeline(spark: SparkSession, notifier: Notifier = LogNotifier) {
       QueryRunner.register(cleaned, config.tableName)
 
       // Dead branch, reference `:108-109`: plan built, never executed.
+      // The reference builds it UNCONDITIONALLY and would fail analysis on a
+      // dataset lacking the `Date of Birth` column; we guard so the engine is
+      // strictly MORE permissive (the branch is dead either way — its result
+      // is discarded). Deliberate divergence, pinned in PipelineSpec.
       if (cleaned.columns.exists(_.equalsIgnoreCase("Date of Birth"))) {
         val _ = Derive.adultsOver(Derive.age(cleaned))
       }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NativeExprs
 
 /** Scale utilities for the shuffle-heavy shapes a 100 TB run hits:
   * key-skew joins and repeated co-located joins. North-star EXTENSION —
@@ -372,7 +373,8 @@ object ScaleOps {
       factKey: String,
       dimKey: String,
       expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      nativeProbe: Boolean = true): DataFrame = {
     val keys = dim
       .select(col(dimKey).cast("string").as("__k"))
       .filter(col("__k").isNotNull)
@@ -382,8 +384,17 @@ object ScaleOps {
     else {
       val bf = keys.stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
       val bc = fact.sparkSession.sparkContext.broadcast(bf)
-      val might = udf((k: String) => k != null && bc.value.mightContainString(k))
-      val pruned = fact.filter(might(col(factKey).cast("string")))
+      // Probe inside whole-stage codegen via the native expression; the
+      // UDF twin stays as the parity reference (ScaleOpsSpec pins that
+      // both prune to the same row set — null keys drop either way:
+      // the UDF returns false, the expression propagates null).
+      val probe =
+        if (nativeProbe) NativeExprs.bloomMightContain(col(factKey).cast("string"), bc)
+        else {
+          val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+          might(col(factKey).cast("string"))
+        }
+      val pruned = fact.filter(probe)
       // side-qualified references: factKey and dimKey may share a name
       pruned.join(dim, pruned(factKey) === dim(dimKey), "left_semi")
     }

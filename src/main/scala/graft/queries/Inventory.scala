@@ -2455,5 +2455,10 @@ object Inventory {
     "q95_text_stats", "q99_sessionize", "q101_corpus_pipeline", "q103_chunking",
     "q109_pack_sequences", "q110_line_dedup",
     "q111_scd2", "q112_binned_range", "q115_tfidf",
-    "q131_sliding_window", "q137_tpch_q5_local_volume")
+    "q121_fuzz_groupagg",
+    "q131_sliding_window",
+    "q134_neardup_incremental",
+    "q136_tpch_q3_shipping", "q137_tpch_q5_local_volume", "q138_tpch_q10_returns",
+    "q139_pagerank_neardup", "q140_triangles_neardup", "q141_clustering_neardup",
+    "q142_weighted_token_sample")
 }

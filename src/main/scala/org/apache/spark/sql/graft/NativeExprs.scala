@@ -1,13 +1,15 @@
 package org.apache.spark.sql.graft
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.{MinHash, ShingleHash}
 
@@ -265,6 +267,39 @@ case class RepetitionRatioExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Broadcast bloom-filter membership probe as a codegen'd predicate —
+  * keeps ScaleOps.bloomSemiJoin's fact-side pre-filter inside whole-stage
+  * codegen instead of crossing the codegen/JVM-object boundary through a
+  * per-row Scala UDF. The filter ships via its torrent Broadcast handle
+  * (the codegen reference), unwrapped ONCE per generated-class instance
+  * into a mutable-state field — not re-fetched per row, and never
+  * serialized into the plan itself. Probes mightContainBinary over the
+  * UTF8String's UTF-8 bytes, byte-identical to the build side's
+  * putString (both delegate to the same UTF-8 byte encoding), so the
+  * probe decision matches the UDF twin exactly.
+  */
+case class BloomMightContainExpr(child: Expression, bfBc: Broadcast[BloomFilter])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(input: Any): Any =
+    bfBc.value.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfClass = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bfBc, classOf[Broadcast[_]].getName)
+    val bfVar = ctx.addMutableState(bfClass, "graftBloom",
+      v => s"$v = ($bfClass) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$bfVar.mightContainBinary($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
 object NativeExprs {
   /** Column-level entry for RepetitionRatioExpr. */
   def repetitionRatio(text: Column, n: Int): Column =
@@ -309,4 +344,8 @@ object NativeExprs {
     ExpressionUtils.column(
       HyperplaneSigExpr(ExpressionUtils.expression(v), planes.flatten.toArray, planes.size))
   }
+
+  /** Column-level entry for BloomMightContainExpr. */
+  def bloomMightContain(key: Column, bf: Broadcast[BloomFilter]): Column =
+    ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(key), bf))
 }

@@ -148,6 +148,19 @@ class PlanShapeSpec extends SparkSpec {
       s"dimension sides (supplier/nation/region at least) should broadcast:\n$plan")
   }
 
+  test("q113: bloom probe runs inside whole-stage codegen (no UDF boundary)") {
+    val df = run("q113_bloom_semi")
+    df.collect()
+    val plan = planString(df)
+    val probeLine = plan.linesIterator.find(_.contains("bloom_might_contain"))
+    assert(probeLine.isDefined, s"native bloom probe missing from plan:\n$plan")
+    // codegen'd operators print with the "*(n)" stage marker; a fallback
+    // (or a lingering UDF) would drop it from the Filter line
+    assert(probeLine.get.contains("*("),
+      s"bloom probe fell out of whole-stage codegen:\n${probeLine.get}")
+    assert(!plan.contains("UDF"), s"UDF present in bloom plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -304,6 +304,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("bloomSemiJoin: native codegen probe prunes identically to the UDF twin") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .filter($"c_mktsegment" === "MACHINERY")
+    def keys(nativeProbe: Boolean): Set[Long] =
+      ScaleOps.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey", 10000L,
+        nativeProbe = nativeProbe)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val native = keys(nativeProbe = true)
+    assert(native == keys(nativeProbe = false))
+    assert(native.nonEmpty)
+  }
+
   test("bloomSemiJoin handles null fact keys (dropped, as semi join would)") {
     import spark.implicits._
     val fact = Seq(Some(1L), Some(2L), None).toDF("fk")
