@@ -8,11 +8,11 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 260 query cases over `orders`/`lineitem`/`documents`
+  * A seeded generator produces 280 query cases over `orders`/`lineitem`/`documents`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions, rollup/cube/grouping-sets,
   * date/interval arithmetic, NULL semantics, string functions over
-  * prose). Each case is rendered TWICE from one AST:
+  * prose, decimal arithmetic + correlated scalar subqueries). Each case is rendered TWICE from one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
   *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
@@ -27,10 +27,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 260
-  * summaries are UNION ALL'd into eleven declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 280
+  * summaries are UNION ALL'd into twelve declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 260 against DuckDB, while
+  * correctness gate hash-compares all 280 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -50,6 +50,7 @@ object FuzzQueries {
   val nDate = 20
   val nNull = 20
   val nStr = 20
+  val nDecCorr = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -837,6 +838,184 @@ object FuzzQueries {
     }
   }
 
+  /** Family L — the two dialect corners the other families don't sweep.
+    *
+    * Even ids: fixed-point DECIMAL arithmetic at controlled precision —
+    * a two-factor product whose inferred type lands exactly on Spark's
+    * 38-digit cap (still lossless), a three-factor product exact at
+    * scale 6, a power-of-ten scale shift, and round()/floor()/ceiling()
+    * on exact decimals — each narrowed via round-then-cast, because a
+    * bare narrowing CAST is NOT dialect-neutral: Spark rounds HALF_UP
+    * where DuckDB truncates. Every mathematical value stays
+    * exactly representable at every step (no engine-dependent overflow:
+    * Spark NULLs on decimal overflow where DuckDB raises) and all
+    * operands are positive, where Spark's HALF_UP and DuckDB's
+    * half-away-from-zero rounding agree.
+    *
+    * Odd ids: correlated scalar subqueries in the SELECT list over the
+    * lineitem→orders FK — count-over-empty-group (= 0, the classic
+    * COUNT-bug decorrelation corner), sum-over-empty (= NULL, pinned
+    * via COALESCE), correlated MIN, and a CASE gate over the correlated
+    * count. The DSL twin decorrelates BY HAND (filtered aggregate +
+    * left join + COALESCE), so a Spark decorrelation-rewrite fault
+    * localizes against both DuckDB and the manual plan.
+    */
+  private def decimalCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val pred = predicate("lineitem", rng)
+    val k = rng.nextInt(4)
+    val (eSql, eMk): (String, () => Column) = rng.nextInt(5) match {
+      case 0 =>
+        // (18,2) × (19,2) infers DECIMAL(38,4) in Spark — exactly the
+        // precision cap, with no loss — then narrows via an EXPLICIT
+        // round(): DuckDB's decimal→decimal narrowing cast TRUNCATES
+        // (2.679 → 2.67) where Spark's rounds HALF_UP, so the only
+        // dialect-neutral narrowing is round-then-cast — the rule this
+        // family exists to pin (a bare narrowing CAST hash-mismatched
+        // six of ten decimal cases on first contact)
+        (s"CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), $k) AS DECIMAL(28,$k))",
+          () => round(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))), k)
+            .cast(DecimalType(28, k)))
+      case 1 =>
+        // three-factor product, exact at scale 6 in both engines ((9,2)
+        // factors keep DuckDB's p1+p2 width rule under ITS 38 cap too)
+        (s"CAST(round(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2))) * (CAST(1 AS DECIMAL(9,2)) + CAST(l_tax AS DECIMAL(9,2))), $k) AS DECIMAL(28,$k))",
+          () => round(col("l_extendedprice").cast(DecimalType(9, 2)) *
+            (lit(1).cast(DecimalType(9, 2)) - col("l_discount").cast(DecimalType(9, 2))) *
+            (lit(1).cast(DecimalType(9, 2)) + col("l_tax").cast(DecimalType(9, 2))), k)
+            .cast(DecimalType(28, k)))
+      case 2 =>
+        // division by 1000 as an exact scale-shift product (scale 5),
+        // rounded only at the narrowing cast
+        (s"CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.001 AS DECIMAL(6,3)), $k) AS DECIMAL(28,$k))",
+          () => round(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            lit(new java.math.BigDecimal("0.001")).cast(DecimalType(6, 3)), k)
+            .cast(DecimalType(28, k)))
+      case 3 =>
+        // round() on an exact decimal: value-identical across engines
+        // even where result TYPES differ (both re-cast before summing)
+        (s"CAST(round(CAST(l_tax AS DECIMAL(18,4)), $k) AS DECIMAL(28,$k))",
+          () => round(col("l_tax").cast(DecimalType(18, 4)), k).cast(DecimalType(28, k)))
+      case _ =>
+        val (f, fMk): (String, Column => Column) =
+          if (rng.nextBoolean()) ("floor", floor) else ("ceiling", ceil)
+        (s"CAST($f(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,0))",
+          () => fMk(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(28, 0)))
+    }
+    FuzzCase(id, "lineitem",
+      s"""SELECT '$id' AS fq, count(*) AS n_rows,
+           CAST(sum($eSql) AS DOUBLE) AS agg,
+           count(DISTINCT $eSql) AS aux
+         FROM lineitem WHERE ${pred.sql}""",
+      ts => ts("lineitem").filter(pred.mk())
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(eMk()).cast("double").as("agg"),
+          countDistinct(eMk()).as("aux"))
+        .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+  }
+
+  private def correlCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val outer = predicate("orders", rng)
+    val inner = predicate("lineitem", rng)
+    def summarize(sub: DataFrame, aggC: Column, auxC: Column): DataFrame =
+      sub.agg(count(lit(1)).as("n_rows"), aggC.as("agg"), auxC.as("aux"))
+        .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+    rng.nextInt(4) match {
+      case 0 =>
+        // correlated count: empty group must yield 0, not NULL
+        FuzzCase(id, "orders",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(c) AS DOUBLE) AS agg, CAST(max(c) AS BIGINT) AS aux
+             FROM (
+               SELECT (SELECT count(*) FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND ${inner.sql}) AS c
+               FROM orders o WHERE ${outer.sql}
+             ) __s""",
+          ts => {
+            val cnt = ts("lineitem").filter(inner.mk())
+              .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__c"))
+            val o = ts("orders").filter(outer.mk())
+            val c = coalesce(col("__c"), lit(0L))
+            summarize(
+              o.join(cnt, o("o_orderkey") === cnt("l_orderkey"), "left"),
+              sum(c).cast("double"), max(c).cast("long"))
+          })
+      case 1 =>
+        // correlated sum: empty group yields NULL, pinned via COALESCE;
+        // aux counts the empty groups (quantity ≥ 1, so a real zero sum
+        // cannot alias the sentinel)
+        FuzzCase(id, "orders",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(s) AS DOUBLE) AS agg,
+               CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS aux
+             FROM (
+               SELECT COALESCE((SELECT sum(CAST(l.l_quantity AS DECIMAL(28,2)))
+                                FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey AND ${inner.sql}), 0) AS s
+               FROM orders o WHERE ${outer.sql}
+             ) __s""",
+          ts => {
+            val sums = ts("lineitem").filter(inner.mk())
+              .groupBy(col("l_orderkey"))
+              .agg(sum(col("l_quantity").cast(DecimalType(28, 2))).as("__s"))
+            val o = ts("orders").filter(outer.mk())
+            val s = coalesce(col("__s"), lit(0))
+            summarize(
+              o.join(sums, o("o_orderkey") === sums("l_orderkey"), "left"),
+              sum(s).cast("double"),
+              sum(when(s === 0, 1).otherwise(0)).cast("long"))
+          })
+      case 2 =>
+        // correlated MIN: NULL on empty skipped by the outer sum; aux
+        // counts matched orders
+        FuzzCase(id, "orders",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(CAST(m AS DECIMAL(28,2))) AS DOUBLE) AS agg,
+               count(m) AS aux
+             FROM (
+               SELECT (SELECT min(l.l_extendedprice) FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND ${inner.sql}) AS m
+               FROM orders o WHERE ${outer.sql}
+             ) __s""",
+          ts => {
+            val mins = ts("lineitem").filter(inner.mk())
+              .groupBy(col("l_orderkey")).agg(min(col("l_extendedprice")).as("__m"))
+            val o = ts("orders").filter(outer.mk())
+            summarize(
+              o.join(mins, o("o_orderkey") === mins("l_orderkey"), "left"),
+              sum(col("__m").cast(DecimalType(28, 2))).cast("double"),
+              count(col("__m")))
+          })
+      case _ =>
+        // CASE gate over the correlated count in the SELECT list
+        val j = 1 + rng.nextInt(5)
+        FuzzCase(id, "orders",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(g) AS DOUBLE) AS agg,
+               CAST(max(CASE WHEN g = 1 THEN o_custkey ELSE -1 END) AS BIGINT) AS aux
+             FROM (
+               SELECT o_custkey,
+                 CASE WHEN (SELECT count(*) FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey AND ${inner.sql}) > $j
+                      THEN 1 ELSE 0 END AS g
+               FROM orders o WHERE ${outer.sql}
+             ) __s""",
+          ts => {
+            val cnt = ts("lineitem").filter(inner.mk())
+              .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__c"))
+            val o = ts("orders").filter(outer.mk())
+            val g = when(coalesce(col("__c"), lit(0L)) > j, 1).otherwise(0)
+            summarize(
+              o.join(cnt, o("o_orderkey") === cnt("l_orderkey"), "left")
+                .select(o("o_custkey"), g.as("g")),
+              sum(col("g")).cast("double"),
+              max(when(col("g") === 1, col("o_custkey")).otherwise(-1)).cast("long"))
+          })
+    }
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -853,7 +1032,9 @@ object FuzzQueries {
     val dates = (0 until nDate).map(i => dateCase(f"fzI$i%03d", rng))
     val nulls = (0 until nNull).map(i => nullCase(f"fzJ$i%03d", rng))
     val strs = (0 until nStr).map(i => strCase(f"fzK$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs
+    val deccorrs = (0 until nDecCorr).map(i =>
+      if (i % 2 == 0) decimalCase(f"fzL$i%03d", rng) else correlCase(f"fzL$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -871,7 +1052,8 @@ object FuzzQueries {
     "q127_fuzz_rollup" -> cases.filter(_.id.startsWith("fzH")),
     "q128_fuzz_datetime" -> cases.filter(_.id.startsWith("fzI")),
     "q129_fuzz_null_semantics" -> cases.filter(_.id.startsWith("fzJ")),
-    "q133_fuzz_string_text" -> cases.filter(_.id.startsWith("fzK")))
+    "q133_fuzz_string_text" -> cases.filter(_.id.startsWith("fzK")),
+    "q143_fuzz_decimal_correlated" -> cases.filter(_.id.startsWith("fzL")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(

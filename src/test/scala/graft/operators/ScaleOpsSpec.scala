@@ -29,6 +29,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salts > 4, s"expected hot key spread over >4 salt buckets, got $salts")
   }
 
+  test("AQE splits the hot-key partition of a shuffle join (skew=true in final plan)") {
+    // Decision rule (also in ScaleOps' scaladoc): AQE's runtime skew-join
+    // split is the FIRST line of defense — it activates whenever a
+    // shuffle-join partition exceeds max(threshold, factor × median) and
+    // needs no query rewrite. Fall back to saltedJoin only when (a) one
+    // key is so hot that even a split partition overwhelms a task's
+    // build side, or (b) AQE cannot re-plan (cached subtree, non-SMJ
+    // shape). This pins evidence that (a)'s default actually engages on
+    // a ≥80%-hot key, with thresholds scaled to fixture size the way
+    // production would scale them to executor memory.
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      val skewed = spark.range(200000)
+        .select(when($"id" % 100 < 85, lit(0L)).otherwise($"id" % 1000).as("k"), $"id".as("v"))
+      val dim = spark.range(1000).select($"id".as("k2"), ($"id" * 2).as("w"))
+      val joined = skewed.join(dim, $"k" === $"k2")
+      assert(joined.count() == 200000L)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew join did not activate:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("distinctCountTwoPhase equals countDistinct, incl. a hot key") {
     import spark.implicits._
     val df = ((1 to 1000).map(i => (1L, i % 17)) ++ // hot key, 17 distinct values
