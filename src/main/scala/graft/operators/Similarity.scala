@@ -155,6 +155,87 @@ object Similarity {
       scale: Int = 6): DataFrame =
     ivfTopK(spark.read.parquet(path), idCol, vecCol, cents, query, k, nprobe, scale)
 
+  /** Drift report from [[appendIvfIndex]]: the signal for when the
+    * frozen quantizer has degraded enough that the index should be
+    * rebuilt with fresh centroids.
+    *
+    * `maxRelativeShift` is, over cells that received ≥ `minCell` new
+    * vectors, the largest L2 displacement of the BATCH's cell mean from
+    * the frozen centroid, normalized by that centroid's distance to its
+    * nearest neighboring centroid. A batch drawn from the indexed
+    * distribution keeps it near 0 (sampling noise); ≥ 0.5 means new
+    * vectors in that cell center closer to the Voronoi boundary than to
+    * their assigned centroid — assignments are going unstable, retrain.
+    */
+  final case class IvfDrift(
+      nAppended: Long,
+      meanQuantErr: Double,
+      maxRelativeShift: Double,
+      retrain: Boolean)
+
+  /** Append a batch to a persisted cell-partitioned IVF index WITHOUT
+    * rewriting it: the batch is assigned against the EXISTING (frozen)
+    * centroids and written in append mode, so only the touched cell
+    * directories gain files — O(batch) work, the historical corpus is
+    * never read or rewritten, and planning-time cell pruning keeps
+    * working because the partition layout is unchanged. With the same
+    * quantizer, append-then-read is row-identical to a full rebuild
+    * over the union (pinned in SimilaritySpec).
+    *
+    * The price of freezing the quantizer is drift: the returned
+    * [[IvfDrift]] measures it from the batch alone (one aggregate over
+    * the batch — no corpus scan) so a daily-append pipeline can gate a
+    * rebuild on `retrain` instead of rebuilding on a timer.
+    */
+  def appendIvfIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])],
+      path: String,
+      minCell: Long = 8L,
+      shiftThreshold: Double = 0.5): IvfDrift = {
+    val indexed = ivfIndex(batch, idCol, vecCol, cents)
+    indexed.write.mode("append").partitionBy("cell").parquet(path)
+
+    val byCent = cents.toMap
+    val dim = cents.head._2.length
+    // one pass: per-cell count, mean vector (via per-dim sums), and
+    // summed quantization error against the assigned centroid
+    val centCol = map(cents.sortBy(_._1).flatMap { case (cell, v) =>
+      Seq(lit(cell), array(v.map(lit).toIndexedSeq: _*))
+    }.toIndexedSeq: _*)
+    val stats = indexed
+      .select(col("cell"),
+        VectorFunctions.l2Sq(col(vecCol), element_at(centCol, col("cell"))).as("qerr"),
+        col(vecCol).as("v"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("qerr")).as("qe"),
+        array((0 until dim).map(i => avg(element_at(col("v"), i + 1))): _*).as("mean"))
+      .collect()
+
+    val nAppended = stats.map(_.getLong(1)).sum
+    val meanQuantErr =
+      if (nAppended == 0) 0.0 else stats.map(_.getDouble(2)).sum / nAppended
+    // nearest-neighbor distance per centroid: driver-side, C is small
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // C=1 has no Voronoi boundary to destabilize — shift normalizes to 0
+    val nnDist = cents.map { case (cell, v) =>
+      val others = cents.collect { case (c2, v2) if c2 != cell => l2(v, v2) }
+      cell -> (if (others.isEmpty) Double.PositiveInfinity else others.min)
+    }.toMap
+    val maxShift = stats.iterator
+      .filter(_.getLong(1) >= minCell)
+      .map { r =>
+        val cell = r.getInt(0)
+        val mean = r.getSeq[Double](3).toArray
+        l2(mean, byCent(cell)) / math.max(nnDist(cell), 1e-12)
+      }
+      .foldLeft(0.0)(math.max)
+    IvfDrift(nAppended, meanQuantErr, maxShift, maxShift >= shiftThreshold)
+  }
+
   /** IVF query: score only vectors in the `nprobe` cells nearest to the
     * query ⇒ scans ~nprobe/C of the corpus. Exact cosine within probed
     * cells. With `nprobe = C` (all cells probed) the result is EXACT by

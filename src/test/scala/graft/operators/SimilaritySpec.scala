@@ -90,6 +90,51 @@ class SimilaritySpec extends SparkSpec {
     assert(fromDisk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == inMem.toSeq)
   }
 
+  test("appendIvfIndex: appended index is row-identical to a full rebuild; drift gates retrain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+    // split the corpus: first half is the initial index, second half the batch
+    val initial = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfIndex(Similarity.ivfIndex(initial, "vec_id", "embedding", cents), dir)
+
+    val drift = Similarity.appendIvfIndex(batch, "vec_id", "embedding", cents, dir)
+    assert(drift.nAppended == batch.count())
+    // in-distribution batch (same synthetic corpus): no retrain signal
+    assert(!drift.retrain, s"unexpected retrain at shift ${drift.maxRelativeShift}")
+    assert(drift.meanQuantErr > 0)
+
+    // parity: appended index ≡ rebuilding over the union with the SAME
+    // frozen quantizer — identical (id, cell) assignment, and a probe
+    // against the appended index still partition-prunes and returns the
+    // rebuilt index's exact top-k
+    val appended = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    val rebuilt = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(appended == rebuilt)
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+    val fromDisk = Similarity.readIvfTopK(spark, dir, "vec_id", "embedding", cents, q, 10)
+    val scan = fromDisk.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+    val viaRebuild = Similarity.ivfTopK(
+      Similarity.ivfIndex(emb, "vec_id", "embedding", cents),
+      "vec_id", "embedding", cents, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fromDisk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaRebuild.toSeq)
+
+    // an out-of-distribution batch (constant offset past the cell
+    // spacing) must raise the retrain flag
+    val shifted = batch.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(10.0f)))
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_app2").toString
+    Similarity.writeIvfIndex(Similarity.ivfIndex(initial, "vec_id", "embedding", cents), dir2)
+    val drift2 = Similarity.appendIvfIndex(shifted, "vec_id", "embedding", cents, dir2)
+    assert(drift2.retrain, s"shifted batch should signal retrain, got ${drift2.maxRelativeShift}")
+    assert(drift2.maxRelativeShift > drift.maxRelativeShift)
+  }
+
   test("IVF scans fewer rows than corpus (partition pruning analogue)") {
     val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
     val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
