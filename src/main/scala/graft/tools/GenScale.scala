@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Deterministic scale-factor amplifier: derives an sf×FACTOR fixture
+  * from an existing one by FACTOR-way re-keyed union amplification, so
+  * the scaling audit (SCALE.md) can execute the headline bench one order
+  * of magnitude above the largest driver-provisioned fixture instead of
+  * arguing from plan shapes alone.
+  *
+  * Design rules:
+  *  - every key column shifts by `copy × stride` with ONE stride per key
+  *    DOMAIN (orderkey, custkey, partkey, suppkey, doc/vec/user/event id),
+  *    so FK integrity holds across tables — copy i's lineitem rows join
+  *    copy i's orders/part/supplier exactly as the originals did;
+  *  - region/nation are NOT amplified (TPC-H semantics: fixed dims);
+  *  - document text is word-mutated per copy (≈⅓ of words get a
+  *    copy-suffixed token, chosen by xxhash64(word, position, copy)) so
+  *    cross-copy pairs fall far below every near-dup threshold while
+  *    WITHIN-copy near-dup pairs keep their relationship (near-identical
+  *    originals mutate near-identically) — a plain text copy would turn
+  *    each document into a 10-clone LSH cluster and quadratically inflate
+  *    bucket verification, which is an artifact, not scale;
+  *  - embeddings get hash-derived per-dimension noise (±0.1) for the same
+  *    reason;
+  *  - everything derives from xxhash64 — re-running the tool reproduces
+  *    the fixture bit-for-bit.
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [factor=10]
+  */
+object GenScale {
+
+  // one stride per key domain, each ≥ 100× the sf0.1 key range
+  private val OK = 100000000L // orderkey / event_id
+  private val CK = 10000000L  // custkey
+  private val PK = 10000000L  // partkey
+  private val SK = 1000000L   // suppkey
+  private val DK = 1000000L   // doc_id
+  private val VK = 1000000L   // vec_id
+  private val UK = 10000000L  // user_id
+
+  private def shift(c: String, stride: Long, i: Int): Column =
+    col(c) + lit(stride * i)
+
+  /** ≈⅓ of words replaced by a copy-suffixed token; copy 0 untouched. */
+  private def mutateText(textCol: Column, i: Int): Column =
+    if (i == 0) textCol
+    else array_join(
+      transform(split(textCol, " "), (w, p) =>
+        when(pmod(xxhash64(w, p, lit(i)), lit(3)) === 0,
+          concat(w, lit("_" + i))).otherwise(w)),
+      " ")
+
+  /** Hash-derived per-dimension noise in (−0.1, 0.1); copy 0 untouched. */
+  private def perturbVec(vecCol: Column, idCol: Column, i: Int): Column =
+    if (i == 0) vecCol
+    else transform(vecCol, (x, j) =>
+      (x + (pmod(xxhash64(idCol, j, lit(i)), lit(2000)) - 1000)
+        .cast("float") / lit(10000.0f)).cast("float"))
+
+  private def copies(df: DataFrame, factor: Int)(tx: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(i => tx(df, i)).reduce(_ unionAll _)
+
+  def amplify(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // fixed dims: single copy
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    write(copies(read("customer"), factor)((d, i) =>
+      d.withColumn("c_custkey", shift("c_custkey", CK, i))), "customer")
+
+    write(copies(read("supplier"), factor)((d, i) =>
+      d.withColumn("s_suppkey", shift("s_suppkey", SK, i))), "supplier")
+
+    write(copies(read("part"), factor)((d, i) =>
+      d.withColumn("p_partkey", shift("p_partkey", PK, i))), "part")
+
+    write(copies(read("orders"), factor)((d, i) =>
+      d.withColumn("o_orderkey", shift("o_orderkey", OK, i))
+        .withColumn("o_custkey", shift("o_custkey", CK, i))), "orders")
+
+    write(copies(read("lineitem"), factor)((d, i) =>
+      d.withColumn("l_orderkey", shift("l_orderkey", OK, i))
+        .withColumn("l_partkey", shift("l_partkey", PK, i))
+        .withColumn("l_suppkey", shift("l_suppkey", SK, i))), "lineitem")
+
+    write(copies(read("events"), factor)((d, i) =>
+      d.withColumn("event_id", shift("event_id", OK, i))
+        .withColumn("user_id", shift("user_id", UK, i))), "events")
+
+    write(copies(read("documents"), factor)((d, i) =>
+      d.withColumn("doc_id", shift("doc_id", DK, i))
+        .withColumn("text", mutateText(col("text"), i))
+        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+
+    write(copies(read("embeddings"), factor)((d, i) =>
+      d.withColumn("vec_id", shift("vec_id", VK, i))
+        .withColumn("embedding", perturbVec(col("embedding"), col("vec_id"), i))),
+      "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: GenScale <srcDir> <dstDir> [factor=10]")
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.get("graft-genscale")
+    amplify(spark, args(0), args(1), factor)
+    val rows = Seq("lineitem", "orders", "documents", "embeddings", "events")
+      .map(t => s"$t=${spark.read.parquet(s"${args(1)}/$t.parquet").count()}")
+    println(s"[genscale] wrote factor=$factor fixture at ${args(1)}: ${rows.mkString(", ")}")
+    spark.stop()
+  }
+}

@@ -17,7 +17,9 @@ object SparkSpec {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
-  val sf: String = "/root/testdata/sf0.001"
+  // override with GRAFT_TEST_SF to re-run plan audits against a larger
+  // fixture (e.g. the GenScale-derived sf1) — see SCALE.md's sf1 audit
+  val sf: String = sys.env.getOrElse("GRAFT_TEST_SF", "/root/testdata/sf0.001")
 }
 
 abstract class SparkSpec extends AnyFunSuite {
