@@ -28,6 +28,70 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
 
+  /** EXACT SUBSTRING dedup at w-token tile granularity: remove every
+    * w-token tile whose exact text occurred earlier in the corpus
+    * (global (doc, tile) order), keeping first occurrences and each
+    * document's sub-tile tail. The tractable tiling restriction of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): repeated spans ≥ 2w
+    * tokens are guaranteed to lose at least one full tile regardless of
+    * alignment; north-star EXTENSION, no reference citation.
+    *
+    * Scale design — text NEVER crosses a shuffle:
+    *  1. map-only: explode tile hashes as (md5, doc, tile_no) — md5 so
+    *     any engine can replay the assignment (house auditability rule);
+    *  2. one aggregation on the hash finds each tile text's first
+    *     occurrence (min over the composite doc*100000+tile_no — exact
+    *     while tiles/doc < 100000, enforced);
+    *  3. join back on the hash emits only (doc, dropped tile_nos) —
+    *     both shuffles carry 32-hex + two ints per tile;
+    *  4. the drop-list (non-empty only for docs that lost a tile) joins
+    *     the original table on id and the text is rebuilt MAP-SIDE by an
+    *     indexed higher-order filter over the token array.
+    *
+    * Returns (idCol, n_tiles, n_dup_tiles, text_dedup).
+    */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 20): DataFrame = {
+    require(w >= 2, "tile width must be >= 2 tokens")
+    val toks = split(col(textCol), " ")
+    val nTiles = floor(size(toks) / w).cast("int")
+
+    val tiled = docs
+      .select(col(idCol).as("__id"), toks.as("__t"), nTiles.as("__n"))
+      .where(col("__n") >= 1)
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("tile_no"))
+      .select(col("__id"), col("tile_no"),
+        md5(array_join(slice(col("__t"), col("tile_no") * w + 1, lit(w)), " ")).as("h"))
+
+    val key = col("__id") * 100000L + col("tile_no")
+    val firsts = tiled
+      .groupBy("h")
+      .agg(min(key).as("__first"), count(lit(1)).as("__c"))
+
+    val dropped = tiled
+      .join(firsts, Seq("h"))
+      .where(col("__c") > 1 && key =!= col("__first"))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("tile_no")).as("__drop"),
+        count(lit(1)).as("n_dup_tiles"))
+
+    docs
+      .join(dropped, docs(idCol) === dropped("__id"), "left")
+      .select(
+        col(idCol),
+        nTiles.cast("long").as("n_tiles"),
+        coalesce(col("n_dup_tiles"), lit(0L)).as("n_dup_tiles"),
+        when(col("__drop").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(toks, (x, i) => !array_contains(col("__drop"), (i / w).cast("int"))),
+            " ")).as("text_dedup"))
+  }
+
   /** Rows whose `bucketCol` bucket holds more than `cap` rows are dropped.
     *
     * Implemented as aggregate + left-anti join rather than a count window:

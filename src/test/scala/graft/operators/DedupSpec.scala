@@ -16,6 +16,44 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 1L), ("b", 2L)))
   }
 
+  test("substringDedup removes later tile occurrences, keeps firsts and tails") {
+    import spark.implicits._
+    // w=4 tiles; "p1..p8" is an 8-token span shared by docs 1 and 2 —
+    // ALIGNED in both (starts at a tile boundary), so doc 2 loses both
+    // tiles; doc 3 carries the same span shifted by one token
+    // (misaligned) plus a 3-token tail
+    val shared = (1 to 8).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " a b c d"),                 // tiles: [p1-p4][p5-p8][a b c d]
+      (2L, shared + " e f g h"),                 // first two tiles duplicate doc 1's
+      (3L, "z " + shared + " t1 t2")             // misaligned copy + sub-tile tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", w = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    assert(out(0) == ((1L, 3L, 0L, shared + " a b c d")), s"doc1: ${out(0)}")
+    assert(out(1) == ((2L, 3L, 2L, "e f g h")), s"doc2 must lose the aligned span: ${out(1)}")
+    // misalignment hides the tiles ([z p1 p2 p3], [p4 p5 p6 p7] are new
+    // strings) — the tiling restriction, and why spans >= 2w are the
+    // guarantee boundary; the sub-tile tail is always preserved
+    assert(out(2) == ((3L, 2L, 0L, "z " + shared + " t1 t2")), s"doc3: ${out(2)}")
+
+    // within-doc repetition also dedups: 3 identical tiles keep only the first
+    val rep = Seq((9L, ((1 to 4).map(i => s"r$i").mkString(" ") + " ") * 3 + "tail"))
+      .toDF("doc_id", "text")
+    val r9 = Dedup.substringDedup(rep, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(r9 == ((3L, 2L, "r1 r2 r3 r4 tail")), s"within-doc: $r9")
+
+    // idempotence: running again on the deduped text drops nothing new
+    val again = Dedup.substringDedup(
+      Dedup.substringDedup(df, "doc_id", "text", w = 4)
+        .select(col("doc_id"), col("text_dedup").as("text")),
+      "doc_id", "text", w = 4)
+    assert(again.agg(sum("n_dup_tiles")).head.getLong(0) == 0L)
+  }
+
   test("shingleHashes: distinct w-shingles, empty below w tokens") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "a b c a b c").toDF("text")
