@@ -379,4 +379,61 @@ object TextAnalysis {
         ",").as("postings"))
       .select(col("term"), col("dfreq"), col("postings"))
   }
+
+  /** BM25 ranked retrieval for one query term set (Robertson/Okapi,
+    * the lexical-retrieval standard):
+    * `Σ_t ln(1 + (N−df+0.5)/(df+0.5)) · tf·(k1+1)/(tf + k1·(1−b+b·len/avgLen))`.
+    *
+    * Scale shape: the term stream is pruned to the query's terms BEFORE
+    * any shuffle (map-only isin filter — the corpus-sized token
+    * explosion never leaves its stage), then one (doc, term) tf
+    * aggregate, a term-keyed df aggregate over only |query| keys
+    * (broadcast back), and a per-doc sum + TakeOrdered top-k. Corpus
+    * size and average length are one scalar aggregate. Shuffles carry
+    * (id, term, two ints) — never text.
+    *
+    * Determinism/auditability: each per-term contribution is rounded to
+    * 6dp and summed EXACTLY as DECIMAL(18,6) — cross-term addition
+    * order can't perturb the score — then the final score rounds to
+    * 4dp; ordering ties break on the id. Matches the q115 tfidf oracle
+    * conventions, so any engine can replay the ranking.
+    *
+    * Output: (idCol, score DOUBLE, n_terms_matched) top-k.
+    */
+  def bm25(
+      df: DataFrame,
+      query: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val qTerms = query.map(_.toLowerCase)
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+
+    val stats = df.agg(count(lit(1)).as("n"), avg(size(toks)).as("avg_len")).head()
+    val n = stats.getLong(0)
+    val avgLen = stats.getDouble(1)
+
+    val tf = df
+      .select(col(idCol), size(toks).as("len"), explode(toks).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+
+    val contrib =
+      log(lit(1.0) + (lit(n.toDouble) - col("dfreq") + 0.5) / (col("dfreq") + 0.5)) *
+        (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / avgLen))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("c6", round(contrib, 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("c6")).cast("double"), 4).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
 }

@@ -2036,6 +2036,46 @@ object Inventory {
         SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM c WHERE cum < tgt GROUP BY lang ORDER BY lang""")),
 
+    Q("q145_bm25",
+      (s, dir) =>
+        // Okapi BM25 top-10 for a three-term query: per-term
+        // contributions rounded at 6dp and summed as exact
+        // DECIMAL(18,6) (addition order can't perturb the score), final
+        // 4dp round, id tiebreak — the oracle replays the identical
+        // tf/df/len/avg_len arithmetic
+        TextAnalysis.bm25(
+          t(s, dir, "documents"), Seq("join", "vector", "stream"),
+          "doc_id", "text", topK = 10),
+      Some("""WITH base AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+          FROM documents),
+        lens AS (SELECT doc_id, len(ts) AS len FROM base),
+        stats AS (SELECT count(*) AS n, avg(len) AS avg_len FROM lens),
+        tp AS (SELECT doc_id, unnest(ts) AS term FROM base),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tp
+          WHERE term IN ('join', 'vector', 'stream') GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+            -- decimal literals are CAST to DOUBLE so every operation is
+            -- the same IEEE-754 double op Spark executes (DuckDB would
+            -- otherwise route tf*2.2 through exact DECIMAL arithmetic,
+            -- an ulp off the double product)
+            CAST(round(
+              ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5)) *
+                (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+                (tf.tf + CAST(1.2 AS DOUBLE) *
+                  (0.25 + CAST(0.75 AS DOUBLE) * l.len / s.avg_len)),
+              6) AS DECIMAL(18,6)) AS c6
+          FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+          CROSS JOIN stats s)
+        SELECT doc_id, round(CAST(sum(c6) AS DOUBLE), 4) AS score,
+          count(*) AS n_terms_matched
+        FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10""")),
+
     Q("q144_substring_dedup",
       (s, dir) =>
         // exact substring dedup at 12-token tile granularity (tiling
@@ -2515,5 +2555,5 @@ object Inventory {
     "q136_tpch_q3_shipping", "q137_tpch_q5_local_volume", "q138_tpch_q10_returns",
     "q139_pagerank_neardup", "q140_triangles_neardup", "q141_clustering_neardup",
     "q142_weighted_token_sample",
-    "q144_substring_dedup")
+    "q144_substring_dedup", "q145_bm25")
 }

@@ -218,6 +218,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("a", "b"), "equal scores must break ties alphabetically")
   }
 
+  test("bm25: term frequency saturates, doc length normalizes, idf weights rarity") {
+    val docs = Seq(
+      (1L, "join join join join pad pad pad pad"),   // heavy tf, longer
+      (2L, "join pad"),                              // tf=1, short
+      (3L, "vector pad pad pad pad pad pad pad"),    // rare term
+      (4L, "pad pad pad pad pad pad pad pad"),       // no match
+      (5L, "join pad pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("join", "vector"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val ranked = out.map(_._1).toSeq
+    // doc 4 matches nothing and must be absent
+    assert(!ranked.contains(4L) && out.length == 4)
+    // "vector" (df=1) outweighs "join" (df=3) for single-occurrence docs
+    val score = out.map(r => r._1 -> r._2).toMap
+    assert(score(3L) > score(5L), s"rarity must win: $score")
+    // tf saturation: 4 occurrences score higher than 1 but far below 4x
+    assert(score(1L) > score(5L) && score(1L) < 4.0 * score(5L), s"$score")
+    // shorter doc with the same tf ranks higher (length normalization)
+    assert(score(2L) > score(5L), s"length norm: $score")
+    // n_terms_matched
+    assert(out.find(_._1 == 3L).get._3 == 1L)
+    // determinism
+    val again = TextAnalysis.bm25(docs, Seq("join", "vector"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("ngramCounts: bigrams counted corpus-wide, short docs skipped, minCount gates") {
     val docs = Seq(
       (1L, "the cat sat"),
