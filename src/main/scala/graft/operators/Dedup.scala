@@ -57,29 +57,49 @@ object Dedup {
       textCol: String,
       w: Int = 20): DataFrame = {
     require(w >= 2, "tile width must be >= 2 tokens")
+    val tiled = tileStream(docs, idCol, textCol, w)
+    val key = col("__id") * 100000L + col("tile_no")
+    val firsts = tiled
+      .groupBy("h")
+      .agg(min(key).as("__first"), count(lit(1)).as("__c"))
+    val droppedTiles = tiled
+      .join(firsts, Seq("h"))
+      .where(col("__c") > 1 && key =!= col("__first"))
+    rebuild(docs, droppedTiles, idCol, textCol, w)
+  }
+
+  /** (doc, tile_no, md5) stream — the map-only tiling stage shared by
+    * the batch and incremental substring dedup paths.
+    */
+  private def tileStream(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val nTiles = floor(size(toks) / w).cast("int")
-
-    val tiled = docs
+    docs
       .select(col(idCol).as("__id"), toks.as("__t"), nTiles.as("__n"))
       .where(col("__n") >= 1)
       .select(col("__id"), col("__t"),
         explode(sequence(lit(0), col("__n") - 1)).as("tile_no"))
       .select(col("__id"), col("tile_no"),
         md5(array_join(slice(col("__t"), col("tile_no") * w + 1, lit(w)), " ")).as("h"))
+  }
 
-    val key = col("__id") * 100000L + col("tile_no")
-    val firsts = tiled
-      .groupBy("h")
-      .agg(min(key).as("__first"), count(lit(1)).as("__c"))
-
-    val dropped = tiled
-      .join(firsts, Seq("h"))
-      .where(col("__c") > 1 && key =!= col("__first"))
+  /** Map-side text reconstruction from a (__id, tile_no) dropped-tile
+    * stream: collapse to per-doc drop-lists (id-width shuffle), join the
+    * source table, and cut dropped tiles with an indexed higher-order
+    * filter over the token array.
+    */
+  private def rebuild(
+      docs: DataFrame,
+      droppedTiles: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTiles = floor(size(toks) / w).cast("int")
+    val dropped = droppedTiles
       .groupBy(col("__id"))
       .agg(collect_set(col("tile_no")).as("__drop"),
         count(lit(1)).as("n_dup_tiles"))
-
     docs
       .join(dropped, docs(idCol) === dropped("__id"), "left")
       .select(
@@ -90,6 +110,47 @@ object Dedup {
           array_join(
             filter(toks, (x, i) => !array_contains(col("__drop"), (i / w).cast("int"))),
             " ")).as("text_dedup"))
+  }
+
+  /** Persistable tile-hash store for INCREMENTAL substring dedup: one
+    * row per distinct tile text ever seen. Merge-associative — unioning
+    * two stores (or a store with a fresh [[tileStream]]) and re-taking
+    * min(first_key) gives the same store as building from the combined
+    * corpus (pinned in DedupSpec).
+    */
+  def tileHashStore(docs: DataFrame, idCol: String, textCol: String, w: Int = 20): DataFrame =
+    tileStream(docs, idCol, textCol, w)
+      .groupBy("h")
+      .agg(min(col("__id") * 100000L + col("tile_no")).as("first_key"))
+
+  /** Incremental substring dedup of a NEW batch against a persisted
+    * [[tileHashStore]]: a batch tile is cut if its exact text exists in
+    * the store (history is always earlier) or occurred earlier within
+    * the batch itself. History TEXT is never re-read — the batch joins
+    * 32-hex hashes only — and history documents are never re-emitted:
+    * the O(day), not O(corpus), daily-pipeline shape, mirroring
+    * [[minHashNearDupsIncremental]]. With every history id below every
+    * batch id this equals running [[substringDedup]] over the combined
+    * corpus and keeping the batch's rows (the q146 oracle replays that
+    * equivalence exhaustively).
+    */
+  def substringDedupIncremental(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 20): DataFrame = {
+    require(w >= 2, "tile width must be >= 2 tokens")
+    val tiled = tileStream(batch, idCol, textCol, w)
+    val key = col("__id") * 100000L + col("tile_no")
+    val firsts = tiled
+      .groupBy("h")
+      .agg(min(key).as("__first"), count(lit(1)).as("__c"))
+    val droppedTiles = tiled
+      .join(firsts, Seq("h"))
+      .join(store.select(col("h"), lit(1).as("__hist")), Seq("h"), "left")
+      .where(col("__hist").isNotNull || (col("__c") > 1 && key =!= col("__first")))
+    rebuild(batch, droppedTiles, idCol, textCol, w)
   }
 
   /** Rows whose `bucketCol` bucket holds more than `cap` rows are dropped.

@@ -2036,6 +2036,61 @@ object Inventory {
         SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM c WHERE cum < tgt GROUP BY lang ORDER BY lang""")),
 
+    Q("q146_substring_dedup_incremental",
+      (s, dir) =>
+        // daily-batch shape: docs >= 250 dedup against the tile-hash
+        // store of docs < 250 — history text is never re-read. The
+        // oracle recomputes the FULL corpus dedup and keeps the batch's
+        // rows; equivalence holds because history ids precede batch ids
+        Dedup.substringDedupIncremental(
+          t(s, dir, "documents").filter(col("doc_id") >= 250),
+          Dedup.tileHashStore(
+            t(s, dir, "documents").filter(col("doc_id") < 250),
+            "doc_id", "text", w = 12),
+          "doc_id", "text", w = 12)
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+          SELECT doc_id, text, string_split(text, ' ') AS t,
+            CAST(floor(len(string_split(text, ' ')) / 12.0) AS INT) AS n
+          FROM documents),
+        ex AS (
+          SELECT doc_id, unnest(generate_series(0, n - 1)) AS tile_no, t
+          FROM base WHERE n >= 1),
+        tl AS (
+          SELECT doc_id, tile_no,
+            md5(array_to_string(t[tile_no*12+1 : tile_no*12+12], ' ')) AS h
+          FROM ex),
+        firsts AS (
+          SELECT h, min(doc_id*100000 + tile_no) AS first_key, count(*) AS c
+          FROM tl GROUP BY h),
+        dropped AS (
+          SELECT tl.doc_id, tl.tile_no
+          FROM tl JOIN firsts USING (h)
+          WHERE c > 1 AND doc_id*100000 + tile_no <> first_key),
+        tok AS (
+          SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+          FROM base),
+        tokt AS (
+          SELECT doc_id, p, t[p] AS w, CAST(floor((p-1) / 12.0) AS INT) AS tile
+          FROM tok),
+        kept AS (
+          SELECT k.doc_id, k.p, k.w
+          FROM tokt k LEFT JOIN dropped d
+            ON d.doc_id = k.doc_id AND d.tile_no = k.tile
+          WHERE d.doc_id IS NULL),
+        rebuilt AS (
+          SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS txt
+          FROM kept GROUP BY doc_id),
+        dc AS (SELECT doc_id, count(*) AS ndrop FROM dropped GROUP BY doc_id)
+        SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tiles,
+          CAST(coalesce(dc.ndrop, 0) AS BIGINT) AS n_dup_tiles,
+          CASE WHEN dc.ndrop IS NULL THEN b.text ELSE coalesce(r.txt, '') END AS text_dedup
+        FROM base b
+        LEFT JOIN dc ON dc.doc_id = b.doc_id
+        LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+        WHERE b.doc_id >= 250
+        ORDER BY b.doc_id""")),
+
     Q("q145_bm25",
       (s, dir) =>
         // Okapi BM25 top-10 for a three-term query: per-term

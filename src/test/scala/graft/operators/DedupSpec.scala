@@ -54,6 +54,32 @@ class DedupSpec extends SparkSpec {
     assert(again.agg(sum("n_dup_tiles")).head.getLong(0) == 0L)
   }
 
+  test("substringDedupIncremental equals full recompute on the batch; store merges associatively") {
+    import spark.implicits._
+    val history = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    val store = Dedup.tileHashStore(history, "doc_id", "text", w = 12)
+
+    val incremental = Dedup.substringDedupIncremental(batch, store, "doc_id", "text", w = 12)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val full = Dedup.substringDedup(docs, "doc_id", "text", w = 12)
+      .filter(col("doc_id") >= 250)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(incremental.toSeq == full.toSeq)
+    assert(incremental.nonEmpty)
+
+    // merging the store with the batch's tiles ≡ building from the union
+    val merged = store
+      .unionAll(Dedup.tileHashStore(batch, "doc_id", "text", w = 12))
+      .groupBy("h").agg(min("first_key").as("first_key"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fromUnion = Dedup.tileHashStore(docs, "doc_id", "text", w = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == fromUnion)
+  }
+
   test("shingleHashes: distinct w-shingles, empty below w tokens") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "a b c a b c").toDF("text")
