@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class UnsupportedFormatException(format: String)
     extends IllegalArgumentException(
-      s"Unsupported file format: '$format' (expected 'csv' or 'parquet')")
+      s"Unsupported file format: '$format' (expected one of 'csv', 'json', 'orc', 'parquet')")
 
 /** Source readers — reference `scripts/...pyspark.py:59-71`.
   *
@@ -33,10 +33,27 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Format dispatch — reference `:59,:67,:72-77`. */
+  /** JSON-lines source (EXTENSION beyond the reference's csv/parquet
+    * dispatch): schema inferred from the data, the JSON convention —
+    * unlike CSV there is no Glue all-string precedent to reproduce.
+    */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** ORC source (EXTENSION): types from the file footer, like parquet;
+    * same pushdown/pruning behavior through the vectorized reader.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Format dispatch — reference `:59,:67,:72-77`; json/orc are
+    * extension formats behind the same typed-failure contract.
+    */
   def read(spark: SparkSession, format: String, path: String): DataFrame =
     format.toLowerCase match {
       case "csv"     => csv(spark, path)
+      case "json"    => json(spark, path)
+      case "orc"     => orc(spark, path)
       case "parquet" => parquet(spark, path)
       case other     => throw UnsupportedFormatException(other)
     }

@@ -90,4 +90,38 @@ object StreamingCorpus {
       .filter(length(trim(col("line"))) > 0)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("line")
+
+  /** Streaming twin of [[graft.operators.Dedup.substringDedup]] at the
+    * tile stage: corpus-wide keep-first dedup of w-token tiles over an
+    * unbounded stream. Emits surviving tiles as (idCol, tile_no, h,
+    * tsCol) rows — the stream-side feed for a persisted
+    * [[graft.operators.Dedup.tileHashStore]].
+    *
+    * Same semantic shifts as [[dedupLinesStream]], for the same
+    * reasons: "first" is first ARRIVAL within the watermark horizon
+    * (state = one entry per distinct tile hash in the horizon), and
+    * documents are not rebuilt in the hot path — text reconstruction
+    * stays the batch-side `substringDedupIncremental` compaction over
+    * the accumulated store. Tiling itself is map-only, identical
+    * arithmetic to the batch operator (md5 over the same slice/join).
+    */
+  def dedupTilesStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      w: Int = 20,
+      watermark: String = "1 hour"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTiles = floor(size(toks) / w).cast("int")
+    docs
+      .select(col(idCol), col(tsCol), toks.as("__t"), nTiles.as("__n"))
+      .where(col("__n") >= 1)
+      .select(col(idCol), col(tsCol), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("tile_no"))
+      .select(col(idCol), col(tsCol), col("tile_no"),
+        md5(array_join(slice(col("__t"), col("tile_no") * w + 1, lit(w)), " ")).as("h"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
+  }
 }

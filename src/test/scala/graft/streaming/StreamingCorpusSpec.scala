@@ -58,6 +58,35 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupTilesStream keeps first-arrival tiles; hashes match the batch store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w4 = 4
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // two aligned tiles
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingCorpus.dedupTilesStream(
+      in.toDF.toDF("doc_id", "text", "ts"), w = w4)
+      .select("doc_id", "tile_no", "h")
+      .writeStream.format("memory").queryName("tds_out").outputMode("append").start()
+    try {
+      in.addData((1L, shared + " a b c d", ts(0)))
+      q.processAllAvailable()
+      in.addData((2L, shared + " e f g h", ts(1))) // first two tiles repeat doc 1's
+      q.processAllAvailable()
+      val rows = spark.table("tds_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      // doc 1 contributes all 3 tiles; doc 2 only its novel third tile
+      assert(rows.map(t => (t._1, t._2)).toSet ==
+        Set((1L, 0), (1L, 1), (1L, 2), (2L, 2)))
+      // tile hashes are the batch operator's md5s — the stream can feed
+      // a persisted tileHashStore directly
+      val batchHashes = graft.operators.Dedup.tileHashStore(
+        Seq((1L, shared + " a b c d")).toDF("doc_id", "text"), "doc_id", "text", w = w4)
+        .collect().map(_.getString(0)).toSet
+      assert(rows.filter(_._1 == 1L).map(_._3).toSet == batchHashes)
+    } finally q.stop()
+  }
+
   test("scrubAndChunk streams statelessly: redaction + chunking + carried ratio") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
