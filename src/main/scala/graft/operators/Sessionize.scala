@@ -53,4 +53,51 @@ object Sessionize {
         max(col(tsSecCol)).as("end_sec"),
         count(lit(1)).as("n_events"),
         expr("cast(sum(cast(value as decimal(18,2))) as double)").as("total_value"))
+
+  /** Ordered funnel analysis: how many users reach each stage of an
+    * ordered event-type sequence, where stage k counts only if it
+    * happens STRICTLY AFTER the user's earliest completion of stage
+    * k−1 (and, with `horizonSeconds`, within that horizon of the
+    * user's stage-1 time — the "converted within N days" business
+    * question).
+    *
+    * Shape: stage 1 is one groupBy(user) min; each later stage is a
+    * filtered scan joined to the survivors (every join and aggregate
+    * keys on user_id, so all |stages| shuffles hash the SAME key and
+    * co-partition; survivor sets only shrink). No windows, no
+    * event-list buffering per user — per-stage state is one timestamp.
+    *
+    * Output: (stage_no, stage, n_users), one row per stage.
+    */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      tsSecCol: String = "ts_sec",
+      typeCol: String = "event_type",
+      horizonSeconds: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "stages must be non-empty and distinct")
+    var cur = events.filter(col(typeCol) === stages.head)
+      .groupBy(col("user_id"))
+      .agg(min(col(tsSecCol)).as("t0"))
+      .withColumn("tprev", col("t0"))
+    var out = cur.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage_no"), lit(stages.head).as("stage"), col("n_users"))
+
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      val horizonOk = horizonSeconds
+        .map(h => col(tsSecCol) <= col("t0") + h)
+        .getOrElse(lit(true))
+      cur = events.filter(col(typeCol) === stage)
+        .join(cur.select(col("user_id"), col("t0"), col("tprev")), Seq("user_id"))
+        .where(col(tsSecCol) > col("tprev") && horizonOk)
+        .groupBy(col("user_id"))
+        .agg(min(col(tsSecCol)).as("t"), max(col("t0")).as("t0"))
+        .select(col("user_id"), col("t0"), col("t").as("tprev"))
+      out = out.unionAll(
+        cur.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage_no"), lit(stage).as("stage"), col("n_users")))
+    }
+    out.orderBy("stage_no")
+  }
 }

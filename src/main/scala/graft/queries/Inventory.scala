@@ -1733,6 +1733,38 @@ object Inventory {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
 
+    Q("q147_funnel",
+      (s, dir) =>
+        // ordered view→click→purchase funnel with a 7-day conversion
+        // horizon from each user's first view; every stage keys on
+        // user_id so the shuffles co-partition
+        Sessionize.funnel(
+          events(s, dir), Seq("view", "click", "purchase"),
+          horizonSeconds = Some(604800L)),
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        s1 AS (
+          SELECT user_id, min(ts_sec) AS t0 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts_sec) AS t, max(s1.t0) AS t0
+          FROM e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts_sec > s1.t0
+            AND e.ts_sec <= s1.t0 + 604800
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts_sec) AS t
+          FROM e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts_sec > s2.t
+            AND e.ts_sec <= s2.t0 + 604800
+          GROUP BY e.user_id)
+        SELECT 1 AS stage_no, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        ORDER BY stage_no""")),
+
     Q("q100_multimodal",
       (s, dir) =>
         Multimodal.decodeAssets(

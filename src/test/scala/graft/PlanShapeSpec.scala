@@ -148,6 +148,28 @@ class PlanShapeSpec extends SparkSpec {
       s"dimension sides (supplier/nation/region at least) should broadcast:\n$plan")
   }
 
+  test("q144: substring dedup shuffles carry hashes and ids, never text or tokens") {
+    val root = run("q144_substring_dedup").queryExecution.executedPlan
+    val unwrapped = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // hash exchanges only: the final presentation orderBy necessarily
+    // range-shuffles the OUTPUT rows (which include the rebuilt text) —
+    // the claim is about the operator's INTERNAL shuffles
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(exchanges.nonEmpty, s"no hash ShuffleExchangeExec found:\n$unwrapped")
+    exchanges.foreach { e =>
+      val names = e.child.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("__t") && !names.contains("text_dedup"),
+        s"substring-dedup exchange carries a payload column: ${names.mkString(", ")}")
+    }
+  }
+
   test("q113: bloom probe runs inside whole-stage codegen (no UDF boundary)") {
     val df = run("q113_bloom_semi")
     df.collect()

@@ -32,6 +32,35 @@ class SessionizeSpec extends SparkSpec {
     assert(s2.getAs[Long]("user_id") == 2L && s2.getAs[Long]("n_events") == 1L)
   }
 
+  test("funnel: ordering is strict, horizon bounds conversion, counts shrink monotonically") {
+    // user 1: view(10) → click(20) → purchase(30): full funnel
+    // user 2: click(5) BEFORE view(10) → click never counts (strict order)
+    // user 3: view(0) → click(10) → purchase at 999999 (outside horizon)
+    // user 4: purchase only → not even stage 1
+    val df = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 0L), (3L, "click", 10L), (3L, "purchase", 999999L),
+      (4L, "purchase", 1L))
+      .toDF("user_id", "event_type", "ts_sec")
+    val out = Sessionize.funnel(df, Seq("view", "click", "purchase"),
+        horizonSeconds = Some(1000L))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+
+    // same-timestamp stage-2 event does NOT count (strictly after)
+    val tie = Seq((1L, "view", 10L), (1L, "click", 10L))
+      .toDF("user_id", "event_type", "ts_sec")
+    val tieOut = Sessionize.funnel(tie, Seq("view", "click"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(tieOut.toSeq == Seq((1, 1L), (2, 0L)))
+
+    // without a horizon, user 3's late purchase converts
+    val noH = Sessionize.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(2))
+    assert(noH.toSeq == Seq(3L, 2L, 2L))
+  }
+
   test("gap exactly equal to timeout does NOT split") {
     val df = Seq((1L, 1L, 0L, 1.0), (2L, 1L, 1800L, 1.0))
       .toDF("event_id", "user_id", "ts_sec", "value")
