@@ -213,3 +213,72 @@ object SimHashExpr {
   def apply(text: Column): Column =
     org.apache.spark.sql.graft.NativeExprs.simHash(text)
 }
+
+/** Primitive kernel for the md5-keyed SimHash fingerprint, shared by
+  * org.apache.spark.sql.graft.SimHashMd5Expr.
+  *
+  * Same majority-vote structure as [[SimHash]], but the per-token hash is
+  * the first 64 bits of md5 instead of xxhash64 — md5 is reproducible in
+  * ANY engine (DuckDB, Trino, Postgres all ship it), so the fingerprint
+  * carries a cross-engine oracle, which the xxhash64 variant cannot
+  * (xxhash64's seed/finalization is Spark-internal). The price is a
+  * cryptographic hash per token (~3× the cycles of XXH64) — callers who
+  * never leave Spark should prefer [[SimHash]].
+  *
+  * Output is the fingerprint as TWO 32-bit halves `[fp_hi, fp_lo]`
+  * (non-negative longs): `fp_hi` votes over bits of the first 4 md5
+  * bytes (hex chars 1-8, big-endian), `fp_lo` over the next 4 (hex chars
+  * 9-16). Keeping each half under 2³² sidesteps signed-overflow dialect
+  * differences in `1 << 63` that a single 64-bit value would hit.
+  * Value-identical to the HOF formulation in Dedup.simHashMd5Hof, whose
+  * per-token hash is `conv(substring(md5(tok), 1|9, 8), 16, 10)`.
+  */
+object SimHashMd5 {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val SplitPattern = UTF8String.fromString("\\s+")
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def fingerprint(text: UTF8String): ArrayData = {
+    val trimmed = text.toLowerCase.trim()
+    if (trimmed.numBytes() == 0) return new GenericArrayData(Array(0L, 0L))
+    val toks = trimmed.split(SplitPattern, -1)
+    val n = toks.length
+    val counts = new Array[Int](64) // 0..31 = hi bits, 32..63 = lo bits
+    val digest = md.get()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val d = digest.digest(toks(i).getBytes)
+      val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((hi >>> j) & 1L).toInt
+        counts(32 + j) += ((lo >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var fpHi = 0L
+    var fpLo = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) * 2 >= n) fpHi |= (1L << j)
+      if (counts(32 + j) * 2 >= n) fpLo |= (1L << j)
+      j += 1
+    }
+    new GenericArrayData(Array(fpHi, fpLo))
+  }
+}
+
+/** Column-level façade for the native md5 SimHash expression. */
+object SimHashMd5Expr {
+  def apply(text: Column): Column =
+    org.apache.spark.sql.graft.NativeExprs.simHashMd5(text)
+}

@@ -737,6 +737,88 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** md5-keyed SimHash fingerprint as `[fp_hi, fp_lo]` 32-bit halves —
+    * the cross-engine-auditable sibling of [[simHash]]: md5 is
+    * reproducible in any engine, so the fingerprint (and the near-dup
+    * pairs derived from it) carries a DuckDB oracle, which xxhash64
+    * cannot. Native one-pass kernel (SimHashMd5Expr); value-identical to
+    * [[simHashMd5Hof]], which the spec pins.
+    */
+  def simHashMd5(text: Column): Column =
+    graft.functions.SimHashMd5Expr(text)
+
+  /** Reference formulation of [[simHashMd5]] with built-in functions only
+    * (64 per-bit passes over `conv(substring(md5(tok),…),16,10)` hashes) —
+    * kept as the semantic spec; the same arithmetic is what the DuckDB
+    * oracle replays.
+    */
+  def simHashMd5Hof(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    def half(start: Int): Column =
+      transform(toks, t => conv(substring(md5(t), start, 8), 16, 10).cast("long"))
+    def vote(hashes: Column): Column = {
+      val total = size(hashes)
+      (0 until 32).map { j =>
+        val set = size(filter(hashes, h => (shiftright(h, j) % 2) =!= 0))
+        when(set * 2 >= total && total > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(vote(half(1)), vote(half(9)))
+  }
+
+  /** SimHash near-dup pairs over the md5-keyed fingerprint — same
+    * pigeonhole banding as [[simHashNearDups]] (split 64 bits into
+    * maxDist+1 chunks; any pair within maxDist agrees exactly on ≥1
+    * chunk), but every step is replayable in an external engine, so the
+    * result is oracle-checkable end to end (q148). Exact given no
+    * hot-bucket drop: set `maxBucket` above the corpus row count when
+    * auditing.
+    */
+  def simHashMd5NearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    val chunks = maxDist + 1
+    val chunkBits = 64 / chunks
+    val withFp = df.select(col(idCol).as("id"), simHashMd5(col(textCol)).as("fp"))
+      .select(
+        col("id"),
+        element_at(col("fp"), 1).as("fp_hi"),
+        element_at(col("fp"), 2).as("fp_lo"))
+    // both halves are < 2^32, so hi<<32 | lo reassembles the 64-bit
+    // pattern losslessly (sign bit only matters past bit 63 of hi)
+    val full = shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo"))
+
+    val chunkCols = (0 until chunks).map { c =>
+      concat(
+        lit(s"$c:"),
+        shiftrightunsigned(full, c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
+    }
+    val banded = dropHotBuckets(
+      withFp.select(
+        col("id"),
+        col("fp_hi"),
+        col("fp_lo"),
+        explode(array(chunkCols.toIndexedSeq: _*)).as("chunk")),
+      "chunk", maxBucket)
+
+    val a = banded.select(col("chunk"), col("id").as("id_a"),
+      col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"))
+    val b = banded.select(col("chunk"), col("id").as("id_b"),
+      col("fp_hi").as("hi_b"), col("fp_lo").as("lo_b"))
+    a.join(b, Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   // ------------------------------------------------------- n-gram jaccard
 
   /** Word n-gram Jaccard similarity of two text columns (set semantics). */

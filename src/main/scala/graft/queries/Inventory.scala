@@ -1329,8 +1329,52 @@ object Inventory {
       // banding is EXACT (recall 1 for hamming <= maxDist), but the
       // fingerprint is built from Spark's xxhash64, which DuckDB cannot
       // reproduce — no engine-independent oracle exists. DedupSpec pins
-      // the semantics on constructed fixtures instead.
+      // the semantics on constructed fixtures instead. q148 is the
+      // md5-keyed sibling of this operator WITH a full DuckDB oracle.
       None),
+
+    Q("q148_simhash_md5",
+      (s, dir) =>
+        // the cross-engine-auditable SimHash: per-token hash = first
+        // 64 bits of md5 (replayable in any engine), fingerprint kept as
+        // two 32-bit halves to dodge 1<<63 signed-overflow dialect
+        // differences. Spark side finds pairs via pigeonhole banding
+        // (the scale path); the oracle recomputes fingerprints from
+        // scratch and joins exhaustively — identical results because
+        // banding recall is exactly 1 for hamming <= maxDist and
+        // maxBucket exceeds the verify corpus size.
+        Dedup.simHashMd5NearDups(
+          t(s, dir, "documents"), "doc_id", "text", maxDist = 3, maxBucket = 100000)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0),
+        h AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+            CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+          FROM tok),
+        votes AS (
+          SELECT doc_id, j,
+            CASE WHEN 2 * sum((hi >> j) & 1) >= count(*)
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS hb,
+            CASE WHEN 2 * sum((lo >> j) & 1) >= count(*)
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS lb
+          FROM h CROSS JOIN generate_series(0, 31) t(j)
+          GROUP BY doc_id, j),
+        fp AS (
+          SELECT doc_id, sum(hb) AS fp_hi, sum(lb) AS fp_lo
+          FROM votes GROUP BY doc_id),
+        allfp AS (
+          SELECT d.doc_id, coalesce(f.fp_hi, 0) AS fp_hi, coalesce(f.fp_lo, 0) AS fp_lo
+          FROM documents d LEFT JOIN fp f USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+             + bit_count(xor(a.fp_lo, b.fp_lo)) AS INTEGER) AS dist
+        FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+            + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+        ORDER BY id_a, id_b""")),
 
     Q("q83_ngram_jaccard",
       (s, dir) => {

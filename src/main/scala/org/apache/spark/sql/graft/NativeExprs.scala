@@ -116,6 +116,29 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** md5-keyed SimHash fingerprint as `[fp_hi, fp_lo]` 32-bit halves in one
+  * pass (graft.functions.SimHashMd5.fingerprint) — the cross-engine-
+  * auditable sibling of SimHashExpr (md5 is reproducible in any engine;
+  * xxhash64 is Spark-internal). Value-identical to
+  * graft.operators.Dedup.simHashMd5Hof.
+  */
+case class SimHashMd5Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.SimHashMd5.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5.fingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+}
+
 /** All six text-annotation columns in one tokenization pass
   * (graft.functions.TextProfile.profile) — replaces six independent
   * interpreted expression trees that each re-tokenize the document.
@@ -317,6 +340,10 @@ object NativeExprs {
   /** Column-level entry for SimHashExpr. */
   def simHash(text: Column): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(text)))
+
+  /** Column-level entry for SimHashMd5Expr. */
+  def simHashMd5(text: Column): Column =
+    ExpressionUtils.column(SimHashMd5Expr(ExpressionUtils.expression(text)))
 
   /** Column-level entry for TextProfileExpr. */
   def textProfile(text: Column): Column =

@@ -111,6 +111,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native SimHashMd5Expr is value-identical to the HOF formulation") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two three", "x\ty  z", "Ünïcode tök").toDF("text")
+    for (frame <- Seq(docs, edge)) {
+      val both = frame.select(
+        Dedup.simHashMd5Hof(col("text")).as("hof"),
+        Dedup.simHashMd5(col("text")).as("native"))
+      assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    }
+  }
+
+  test("simHashMd5NearDups matches the exhaustive all-pairs result") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely different words entirely unrelated content here"),
+      (5L, ""))
+      .toDF("id", "text")
+    val banded = Dedup.simHashMd5NearDups(df, "id", "text", maxDist = 3, maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    // exhaustive baseline from the fingerprints themselves
+    val fps = df.select(col("id"),
+      Dedup.simHashMd5(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      java.lang.Long.bitCount(a(0) ^ b(0)) + java.lang.Long.bitCount(a(1) ^ b(1))
+    val ids = fps.keys.toSeq.sorted
+    val exhaustive = for {
+      a <- ids; b <- ids if a < b
+      d = ham(fps(a), fps(b)) if d <= 3
+    } yield (a, b, d)
+
+    assert(banded.toSeq == exhaustive)
+    assert(exhaustive.contains((1L, 2L, 0)), "exact dup must pair at distance 0")
+  }
+
   test("native MinHashSignatureExpr is value-identical to the HOF formulation") {
     import graft.functions.MinHashSignatureExpr
     val sh = Dedup.shingleHashes(col("text"), 3)
