@@ -1,0 +1,262 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One data file of a table snapshot, with its zone-map stats. */
+final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+
+/** An immutable table version: the full file list (not a delta). */
+final case class Snapshot(version: Int, files: Seq[FileEntry])
+
+/** Versioned lake table: snapshot isolation, time travel, file-level
+  * zone-map skipping, copy-on-write MERGE, compaction and vacuum over
+  * plain parquet — the modern extension of the reference's lake
+  * construction loop (read → clean → write parquet → re-crawl catalog,
+  * `scripts/...pyspark.py:104-132`), where every write clobbered the
+  * single `output/result.parquet` and history was gone.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_log/v00001.json      one JSON-lines manifest per version,
+  *                                each line one FileEntry — a FULL
+  *                                snapshot, so readers resolve any
+  *                                version from exactly one file
+  *   <root>/data/v00001/part-*    parquet written by the commit that
+  *                                created that version (never mutated)
+  * }}}
+  *
+  * Scale design:
+  *   - The manifest is metadata: O(live files), read on the driver. At
+  *     100 TB with ~1 GB files that is ~10⁵ lines of JSON — megabytes.
+  *   - MERGE is copy-on-write with file pruning: only files whose
+  *     [minKey, maxKey] zone contains an update key are rewritten; the
+  *     untouched majority is carried by reference. Cost is
+  *     O(affected files + update batch), not O(table).
+  *   - `readRange` prunes files by zone map BEFORE Spark lists them —
+  *     the same trick as parquet row-group skipping, one level up. The
+  *     residual per-row filter is still pushed to the scan.
+  *   - Commits are atomic via hard-link publish (create-if-absent): two
+  *     racing writers produce ONE winner and one clean
+  *     ConcurrentModificationException — optimistic concurrency,
+  *     single-winner, no torn manifest. (On an object store this
+  *     primitive would come from a conditional PUT or a catalog
+  *     service; the protocol is unchanged.)
+  *   - Stats are collected by scanning ONLY the files the commit just
+  *     wrote (grouped by `input_file_name`), never the whole table.
+  *
+  * The key column must be numeric (cast to long for zone stats) — the
+  * usual shape for an upsert key. Multi-column or string keys would
+  * store min/max as canonical strings; not needed here.
+  */
+final class VersionedTable private (
+    val root: String,
+    val keyCol: String) {
+
+  private val mapper = new ObjectMapper()
+  private def logDir: Path = Paths.get(root, "_log")
+  private def dataDir(v: Int): String = s"$root/data/v${"%05d".format(v)}"
+  private def manifestPath(v: Int): Path = logDir.resolve(f"v$v%05d.json")
+
+  // ------------------------------------------------------------ manifest
+
+  /** Latest committed version, 0 if the table is empty of commits. */
+  def currentVersion(): Int = {
+    if (!Files.isDirectory(logDir)) return 0
+    Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{5}\\.json") => s.substring(1, 6).toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** The file list of a committed version. */
+  def snapshot(version: Int): Snapshot = {
+    require(version >= 1, s"version $version: versions start at 1")
+    val p = manifestPath(version)
+    require(Files.exists(p), s"version $version does not exist under $root")
+    val files = Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val n = mapper.readTree(line)
+      FileEntry(n.get("path").asText(), n.get("rows").asLong(),
+        n.get("minKey").asLong(), n.get("maxKey").asLong())
+    }.toSeq
+    Snapshot(version, files)
+  }
+
+  /** Atomic commit: render the manifest to a temp file, publish it with
+    * a hard link (fails atomically if the version was taken), clean up.
+    * Package-private so the spec can drive the two-writers-one-version
+    * race against the primitive itself.
+    */
+  private[lake] def commit(version: Int, files: Seq[FileEntry]): Snapshot = {
+    Files.createDirectories(logDir)
+    val tmp = Files.createTempFile(logDir, s"v$version-", ".tmp")
+    val body = files.map { f =>
+      val o = mapper.createObjectNode()
+      o.put("path", f.path); o.put("rows", f.rows)
+      o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
+      o.toString
+    }.mkString("", "\n", "\n")
+    Files.writeString(tmp, body, StandardOpenOption.TRUNCATE_EXISTING)
+    try Files.createLink(manifestPath(version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"version $version was committed by another writer")
+    } finally Files.deleteIfExists(tmp)
+    Snapshot(version, files)
+  }
+
+  /** Write `df` under the next version's data dir and collect per-file
+    * zone stats by scanning ONLY the new files.
+    */
+  private def writeFiles(df: DataFrame, version: Int): Seq[FileEntry] = {
+    val dir = dataDir(version)
+    df.write.mode("errorifexists").parquet(dir)
+    val spark = df.sparkSession
+    val listed = spark.read.parquet(dir)
+    listed
+      .groupBy(input_file_name().as("path"))
+      .agg(
+        count(lit(1)).as("rows"),
+        min(col(keyCol).cast("long")).as("minKey"),
+        max(col(keyCol).cast("long")).as("maxKey"))
+      .collect() // bounded: one row per file just written
+      .filter(_.getLong(1) > 0) // an all-empty write leaves a schema-only file
+      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_.path)
+  }
+
+  // ------------------------------------------------------------- writes
+
+  /** Append-commit: previous snapshot's files plus the new ones. */
+  def append(df: DataFrame): Snapshot = {
+    val prev = currentVersion()
+    val carried = if (prev == 0) Seq.empty else snapshot(prev).files
+    val next = prev + 1
+    commit(next, carried ++ writeFiles(df, next))
+  }
+
+  /** Overwrite-commit: the new files replace everything (prior versions
+    * stay readable until vacuumed).
+    */
+  def overwrite(df: DataFrame): Snapshot = {
+    val next = currentVersion() + 1
+    commit(next, writeFiles(df, next))
+  }
+
+  /** Copy-on-write MERGE (upsert, latest-wins by whole row): rows of
+    * `updates` replace current rows with the same key; unmatched update
+    * keys are inserted.
+    *
+    * File pruning: only data files whose [minKey, maxKey] zone contains
+    * at least one update key are rewritten — the untouched files are
+    * carried into the new snapshot by reference. The distinct update
+    * keys are collected to the driver for the prune decision (bounded
+    * by the update batch, which in the daily-upsert shape is orders of
+    * magnitude smaller than the table; a batch too large to collect is
+    * a full rewrite anyway — call `overwrite`).
+    */
+  def merge(updates: DataFrame): Snapshot = {
+    val spark = updates.sparkSession
+    val prev = currentVersion()
+    require(prev >= 1, "merge into an empty table — use append")
+    val cur = snapshot(prev).files
+
+    val updKeys = updates.select(col(keyCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(updKeys.nonEmpty, "empty update batch")
+
+    def overlaps(f: FileEntry): Boolean = {
+      // any update key within the file's zone? binary search the sorted
+      // batch for the first key >= minKey
+      var lo = 0; var hi = updKeys.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (updKeys(mid) < f.minKey) lo = mid + 1 else hi = mid
+      }
+      lo < updKeys.length && updKeys(lo) <= f.maxKey
+    }
+
+    val (touched, untouched) = cur.partition(overlaps)
+    val next = prev + 1
+    val survivors =
+      if (touched.isEmpty) updates
+      else {
+        val old = spark.read.parquet(touched.map(_.path): _*)
+        old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      }
+    commit(next, untouched ++ writeFiles(survivors, next))
+  }
+
+  /** Compaction-commit: rewrite the CURRENT snapshot as `targetFiles`
+    * files (small-file mitigation after many appends/merges). Data is
+    * unchanged — only the file layout.
+    */
+  def compact(spark: SparkSession, targetFiles: Int): Snapshot = {
+    val next = currentVersion() + 1
+    commit(next, writeFiles(read(spark).repartition(targetFiles), next))
+  }
+
+  // -------------------------------------------------------------- reads
+
+  /** Snapshot read: the latest version, or `asOf` for time travel. */
+  def read(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion())
+    val snap = snapshot(v)
+    if (snap.files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(snap.files.map(_.path): _*)
+  }
+
+  /** Zone-map-pruned range read: files whose [minKey, maxKey] zone is
+    * disjoint from [lo, hi] are never handed to Spark at all; the
+    * residual row filter still pushes down into the surviving scans.
+    */
+  def readRange(spark: SparkSession, lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion())
+    val live = snapshot(v).files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    if (live.isEmpty)
+      read(spark, asOf).filter(lit(false)) // schema-preserving empty
+    else
+      spark.read.parquet(live.map(_.path): _*)
+        .filter(col(keyCol).cast("long").between(lo, hi))
+  }
+
+  /** Files referenced by the version (for plan/pruning assertions). */
+  def liveFiles(asOf: Option[Int] = None): Seq[String] =
+    snapshot(asOf.getOrElse(currentVersion())).files.map(_.path)
+
+  // ------------------------------------------------------------- vacuum
+
+  /** Delete data files referenced by NO version newer than
+    * (current − retainVersions), and the manifests of the dropped
+    * versions. Time travel to dropped versions is gone; the retained
+    * window stays fully readable. Returns the deleted file count.
+    */
+  def vacuum(retainVersions: Int = 1): Int = {
+    val cur = currentVersion()
+    val keepFrom = math.max(1, cur - retainVersions + 1)
+    val keep = (keepFrom to cur).flatMap(v => snapshot(v).files.map(_.path)).toSet
+    var deleted = 0
+    (1 until keepFrom).foreach { v =>
+      snapshot(v).files.foreach { f =>
+        if (!keep(f.path)) {
+          val p = Paths.get(new java.net.URI(f.path).getPath)
+          if (Files.deleteIfExists(p)) deleted += 1
+        }
+      }
+      Files.deleteIfExists(manifestPath(v))
+    }
+    deleted
+  }
+}
+
+object VersionedTable {
+  /** Open (or lazily create on first commit) a table rooted at `root`. */
+  def apply(root: String, keyCol: String): VersionedTable =
+    new VersionedTable(root, keyCol)
+}

@@ -2112,6 +2112,60 @@ object Inventory {
         SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM c WHERE cum < tgt GROUP BY lang ORDER BY lang""")),
 
+    Q("q149_lake_merge",
+      (s, dir) => {
+        // lakehouse MERGE over the versioned table (graft.lake): base =
+        // orders keys %3=0 appended as a 4-file range-partitioned
+        // snapshot (so the merge's zone-map file pruning actually
+        // engages), updates = keys %5=0 (some replace, some insert),
+        // result = the post-merge snapshot. The oracle replays the
+        // latest-wins upsert in plain SQL; *2 on a double is exact, so
+        // values are bit-identical cross-engine.
+        val root = java.nio.file.Files.createTempDirectory("graft-q149").toString
+        val tbl = graft.lake.VersionedTable(root, "o_orderkey")
+        val orders = t(s, dir, "orders")
+        tbl.append(orders.filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(4, col("o_orderkey")))
+        tbl.merge(orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus")))
+        tbl.read(s).orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 3 = 0),
+        upd AS (
+          SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+            'U' AS o_orderstatus
+          FROM orders WHERE o_orderkey % 5 = 0)
+        SELECT * FROM (
+          SELECT * FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+          UNION ALL SELECT * FROM upd)
+        ORDER BY o_orderkey""")),
+
+    Q("q150_lake_time_travel",
+      (s, dir) => {
+        // time travel: after the same MERGE as q149, version 1 must
+        // still read back as the untouched base snapshot — copy-on-write
+        // means the merge created files, never mutated them
+        val root = java.nio.file.Files.createTempDirectory("graft-q150").toString
+        val tbl = graft.lake.VersionedTable(root, "o_orderkey")
+        val orders = t(s, dir, "orders")
+        tbl.append(orders.filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(4, col("o_orderkey")))
+        tbl.merge(orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus")))
+        tbl.read(s, asOf = Some(1)).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""")),
+
     Q("q146_substring_dedup_incremental",
       (s, dir) =>
         // daily-batch shape: docs >= 250 dedup against the tile-hash

@@ -1,0 +1,119 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): VersionedTable = {
+    val root = Files.createTempDirectory("graft-lake-spec").toString
+    VersionedTable(root, "k")
+  }
+
+  private def rows(n: Range, tag: String) =
+    n.map(i => (i.toLong, tag, i * 10.0)).toDF("k", "tag", "v")
+
+  test("append creates versions; each snapshot is immutable and replayable") {
+    val t = freshTable()
+    t.append(rows(1 to 100, "a").repartition(2))
+    t.append(rows(101 to 150, "b").repartition(2))
+    assert(t.currentVersion() == 2)
+    assert(t.read(spark, asOf = Some(1)).count() == 100)
+    assert(t.read(spark).count() == 150)
+    // version 1 unchanged by the later commit
+    assert(t.read(spark, asOf = Some(1)).agg(max("k")).as[Long].head() == 100L)
+  }
+
+  test("merge upserts: matched keys replaced, unmatched inserted; old version intact") {
+    val t = freshTable()
+    t.append(rows(1 to 100, "base"))
+    val updates = (90 to 110).map(i => (i.toLong, "upd", -1.0)).toDF("k", "tag", "v")
+    t.merge(updates)
+
+    val cur = t.read(spark)
+    assert(cur.count() == 110) // 100 base − 11 replaced + 21 upserts ⇒ 89 + 21
+    assert(cur.filter($"tag" === "upd").count() == 21)
+    assert(cur.filter($"k" === 95 && $"tag" === "base").count() == 0)
+    // time travel still sees pre-merge state
+    assert(t.read(spark, asOf = Some(1)).filter($"tag" === "upd").count() == 0)
+  }
+
+  test("merge rewrites only files whose zone overlaps an update key") {
+    val t = freshTable()
+    // two disjoint key zones in separate files via repartitionByRange
+    t.append(rows(1 to 100, "lo").repartitionByRange(2, $"k"))
+    val before = t.liveFiles().toSet
+    assert(before.size >= 2)
+
+    val loMax = t.snapshot(1).files.map(_.maxKey).min // end of the low zone
+    val updates = Seq((1L, "upd", 0.0)).toDF("k", "tag", "v")
+    t.merge(updates)
+
+    val after = t.liveFiles().toSet
+    val carried = before.intersect(after)
+    // the file(s) whose zone excludes key 1 are carried by reference
+    assert(carried.nonEmpty, s"no file carried: zones up to $loMax should be untouched")
+    assert(t.read(spark).count() == 100)
+  }
+
+  test("readRange prunes non-overlapping files before Spark lists them") {
+    val t = freshTable()
+    t.append(rows(1 to 1000, "a").repartitionByRange(4, $"k"))
+    val all = t.liveFiles()
+    assert(all.size == 4)
+
+    val pruned = t.readRange(spark, 990, 995)
+    // the scan's input files are a strict subset of the snapshot
+    val scanned = pruned.inputFiles.toSet
+    assert(scanned.size < all.size, s"expected pruning, scanned ${scanned.size}/${all.size}")
+    assert(pruned.count() == 6)
+
+    // fully-disjoint range: empty result, schema preserved
+    val none = t.readRange(spark, 5000, 6000)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "tag", "v"))
+  }
+
+  test("compact rewrites layout, not data; vacuum drops only unreferenced files") {
+    val t = freshTable()
+    t.append(rows(1 to 50, "a").repartition(4))
+    t.append(rows(51 to 60, "b").repartition(3))
+    val beforeData = t.read(spark).orderBy("k").collect().toSeq
+    t.compact(spark, targetFiles = 1)
+    assert(t.liveFiles().size == 1)
+    assert(t.read(spark).orderBy("k").collect().toSeq == beforeData)
+
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted >= 7) // v1's 4 + v2's 3 data files are unreferenced
+    // latest still fully readable; dropped version is gone
+    assert(t.read(spark).count() == 60)
+    intercept[IllegalArgumentException](t.snapshot(1))
+  }
+
+  test("racing commits: exactly one winner, loser fails cleanly") {
+    val t = freshTable()
+    t.append(rows(1 to 10, "a"))
+    // both writers resolved version 2; the first publish wins the link
+    val racingManifest = java.nio.file.Paths.get(t.root, "_log", "v00002.json")
+    Files.writeString(racingManifest, "")
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit(2, Seq.empty)
+    }
+    // the losing commit left no manifest damage: v2 is still the racer's
+    assert(Files.readString(racingManifest).isEmpty)
+    // and the loser's retry against a fresh read succeeds as version 3
+    // (the racer's v2 was an empty overwrite, so v3 = its files + the new 10)
+    t.append(rows(11 to 20, "b"))
+    assert(t.currentVersion() == 3 && t.read(spark).count() == 10)
+  }
+
+  test("empty update batch and merge-into-empty are rejected loudly") {
+    val t = freshTable()
+    intercept[IllegalArgumentException](t.merge(rows(1 to 5, "u")))
+    t.append(rows(1 to 5, "a"))
+    intercept[IllegalArgumentException](t.merge(rows(1 to 0, "u")))
+  }
+}
