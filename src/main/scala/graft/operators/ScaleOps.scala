@@ -535,4 +535,46 @@ object ScaleOps {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** EXACT heavy hitters (items with frequency > phi·n) without a full
+    * `GROUP BY item` over the vocabulary — the two-pass sketch-then-
+    * verify plan:
+    *
+    *   1. ONE map-side pass computes n and a Misra-Gries sketch with
+    *      k = ceil(1/phi) counters (so the sketch's miss bound n/(k+1)
+    *      is below the phi·n threshold — no heavy hitter can be absent,
+    *      for any merge order). Driver state: one ≤k-entry map.
+    *   2. A second pass exact-counts ONLY the ≤k candidates
+    *      (broadcast-friendly `isin` prune reaches the scan as a
+    *      pushed filter) and keeps those strictly above phi·n.
+    *
+    * The result is exactly the true heavy-hitter set — deterministic
+    * even though sketch contents vary with task scheduling — while the
+    * shuffle carries at most k distinct keys instead of the full
+    * vocabulary (billions of tokens at 100 TB).
+    *
+    * `sketchK` can raise the counter budget above ceil(1/phi) to shrink
+    * the candidate set's false-positive tail (cost: sketch state).
+    */
+  def heavyHitters(
+      df: DataFrame,
+      itemCol: String,
+      phi: Double,
+      sketchK: Int = 0): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val k = math.max(sketchK, math.ceil(1.0 / phi).toInt)
+    val head = df.agg(
+      count(col(itemCol)).as("n"),
+      graft.functions.MisraGries.sketch(col(itemCol), k).as("sk")).head()
+    val n = head.getLong(0)
+    val candidates = head.getMap[String, Long](1).keys.toSeq // bounded: ≤ k
+    if (n == 0 || candidates.isEmpty) {
+      return df.select(col(itemCol).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("cnt")).filter(lit(false))
+    }
+    df.filter(col(itemCol).isin(candidates: _*))
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(phi) * lit(n.toDouble))
+  }
 }

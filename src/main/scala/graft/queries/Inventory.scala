@@ -2166,6 +2166,28 @@ object Inventory {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""")),
 
+    Q("q151_heavy_tokens",
+      (s, dir) =>
+        // EXACT heavy hitters over the token stream WITHOUT a full
+        // vocabulary GROUP BY: a Misra-Gries candidate pass (map-side
+        // only, <=k counters, one driver row) followed by an exact
+        // count of the <=k candidates. The result is the true heavy
+        // set — deterministic for any merge order — so the plain
+        // GROUP BY ... HAVING oracle applies even though the sketch
+        // itself is scheduling-dependent.
+        ScaleOps.heavyHitters(
+          t(s, dir, "documents")
+            .select(explode(TextAnalysis.tokens(lower(col("text")))).as("item")),
+          "item", phi = 0.005)
+          .orderBy("item"),
+      Some("""WITH tok AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+          FROM documents WHERE length(trim(text)) > 0),
+        n AS (SELECT count(*) AS n FROM tok)
+        SELECT item, count(*) AS cnt
+        FROM tok, n GROUP BY item, n.n HAVING count(*) > 0.005 * n.n
+        ORDER BY item""")),
+
     Q("q146_substring_dedup_incremental",
       (s, dir) =>
         // daily-batch shape: docs >= 250 dedup against the tile-hash

@@ -67,6 +67,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"simhash expects (text), got ${args.length} args")
       })
 
+    register(ext, "simhash_md5",
+      "simhash_md5(text) - cross-engine SimHash fingerprint as [fp_hi, fp_lo] 32-bit halves", {
+        case Seq(text) => SimHashMd5Expr(text)
+        case args => throw new IllegalArgumentException(
+          s"simhash_md5 expects (text), got ${args.length} args")
+      })
+
+    register(ext, "frequent_items",
+      "frequent_items(col, k) - Misra-Gries heavy-hitter sketch of a STRING column " +
+        "as map<item, weight> (no false negatives above n/(k+1))", {
+        case Seq(child, kExpr) =>
+          val k = intArg(kExpr, "k")
+          val uda = org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(k))
+            .asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[String, Map[String, Long], Map[String, Long]]]
+          org.apache.spark.sql.execution.aggregate.ScalaAggregator(uda, Seq(child))
+            .toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"frequent_items expects (col, k), got ${args.length} args")
+      })
+
     register(ext, "text_profile",
       "text_profile(text) - struct(n_tokens, n_subwords, stopword_ratio, quality, lang_pred, fingerprint)", {
         case Seq(text) => TextProfileExpr(text)

@@ -80,6 +80,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows.map(_.getString(3)).toSeq == viaCol.toSeq)
   }
 
+  test("simhash_md5 is SQL-callable and matches the Column API") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("id", "text")
+    df.createOrReplaceTempView("ext_shm")
+    val viaSql = spark.sql(
+      "SELECT simhash_md5(text) AS fp FROM ext_shm ORDER BY id")
+      .collect().map(_.getSeq[Long](0))
+    val viaCol = df.orderBy("id")
+      .select(graft.operators.Dedup.simHashMd5(col("text")))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql(1) == Seq(0L, 0L)) // empty text → zero fingerprint
+  }
+
+  test("frequent_items is SQL-callable; sketch keeps the hot item with a sane weight") {
+    val df = (Seq.fill(500)("hot") ++ (1 to 400).map(i => s"t$i")).toDF("item")
+    df.createOrReplaceTempView("ext_fi")
+    val sk = spark.sql("SELECT frequent_items(item, 20) AS m FROM ext_fi")
+      .head().getMap[String, Long](0)
+    assert(sk.contains("hot"), "hot item must survive the sketch")
+    assert(sk("hot") <= 500, "Misra-Gries never overestimates")
+    assert(sk.size <= 20)
+  }
+
   test("bottom_k is SQL-callable and matches the Column API") {
     import graft.functions.BottomKSketch
     val df = (1L to 200L).toDF("v")

@@ -474,6 +474,61 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ScaleOps.zOrderBy(mixed, Seq("a", "b")).count() == 3)
   }
 
+  test("heavyHitters equals brute-force GROUP BY on a skewed stream, any partitioning") {
+    import spark.implicits._
+    // Zipf-ish: item i appears ~3000/i times; plus a long tail of onces
+    val stream =
+      (1 to 40).flatMap(i => Seq.fill(3000 / i)(s"hot$i")) ++
+        (1 to 5000).map(i => s"tail$i")
+    val phi = 0.01
+
+    def brute(df: org.apache.spark.sql.DataFrame) = {
+      val n = df.count().toDouble
+      df.groupBy($"item").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > phi * n)
+        .orderBy("item").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val expected = brute(stream.toDF("item"))
+    assert(expected.nonEmpty && expected.size < 40)
+
+    // result must be EXACT and independent of partitioning/merge order,
+    // even though the sketch contents are not
+    for (parts <- Seq(1, 7, 32)) {
+      val df = stream.toDF("item").repartition(parts)
+      val got = ScaleOps.heavyHitters(df, "item", phi)
+        .orderBy("item").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("MisraGries sketch: no false negatives above n/(k+1); estimates never exceed truth") {
+    import spark.implicits._
+    val stream = (1 to 20).flatMap(i => Seq.fill(500 / i)(s"h$i")) ++
+      (1 to 2000).map(i => s"t$i")
+    val n = stream.size
+    val k = 50
+    val truth = stream.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    val sketch = stream.toDF("item").repartition(13)
+      .agg(graft.functions.MisraGries.sketch($"item", k))
+      .head().getMap[String, Long](0)
+
+    truth.foreach { case (item, c) =>
+      if (c > n.toDouble / (k + 1))
+        assert(sketch.contains(item), s"heavy item $item (count $c) missing")
+    }
+    sketch.foreach { case (item, est) =>
+      assert(est <= truth(item), s"$item overestimated: $est > ${truth(item)}")
+      assert(est >= truth(item) - n.toDouble / (k + 1) - 1, s"$item bound broken")
+    }
+  }
+
+  test("heavyHitters on an empty frame returns an empty, well-typed result") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("item")
+    val out = ScaleOps.heavyHitters(empty, "item", phi = 0.1)
+    assert(out.columns.toSeq == Seq("item", "cnt") && out.count() == 0)
+  }
+
   test("splitByGroup: a null group key gets a null split, not a silent bucket") {
     import spark.implicits._
     val rows = Seq((1L, Some("g1")), (2L, None), (3L, Some("g2")))
