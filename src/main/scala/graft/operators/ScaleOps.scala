@@ -544,9 +544,11 @@ object ScaleOps {
     *      k = ceil(1/phi) counters (so the sketch's miss bound n/(k+1)
     *      is below the phi·n threshold — no heavy hitter can be absent,
     *      for any merge order). Driver state: one ≤k-entry map.
-    *   2. A second pass exact-counts ONLY the ≤k candidates
-    *      (broadcast-friendly `isin` prune reaches the scan as a
-    *      pushed filter) and keeps those strictly above phi·n.
+    *   2. A second pass exact-counts ONLY the ≤k candidates (the `isin`
+    *      prune runs where the item column is born — post-explode for
+    *      tokenized input — so the shuffle, not the scan, is what
+    *      shrinks: ≤k distinct keys instead of the vocabulary) and
+    *      keeps those strictly above phi·n.
     *
     * The result is exactly the true heavy-hitter set — deterministic
     * even though sketch contents vary with task scheduling — while the

@@ -2762,5 +2762,6 @@ object Inventory {
     "q136_tpch_q3_shipping", "q137_tpch_q5_local_volume", "q138_tpch_q10_returns",
     "q139_pagerank_neardup", "q140_triangles_neardup", "q141_clustering_neardup",
     "q142_weighted_token_sample",
-    "q144_substring_dedup", "q145_bm25")
+    "q144_substring_dedup", "q145_bm25",
+    "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens")
 }
