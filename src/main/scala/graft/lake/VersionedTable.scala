@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
 /** One data file of a table snapshot, with its zone-map stats. */
 final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
 
-/** An immutable table version: the full file list (not a delta). */
-final case class Snapshot(version: Int, files: Seq[FileEntry])
+/** An immutable table version: the full file list (not a delta), plus
+  * the latest committed transaction id per writer application — the
+  * idempotence state for exactly-once streaming upserts. Both are
+  * SNAPSHOT state (carried forward whole into every commit), so any
+  * version is resolved from exactly one manifest and vacuum cannot
+  * amputate a writer's progress marker.
+  */
+final case class Snapshot(
+    version: Int,
+    files: Seq[FileEntry],
+    txns: Map[String, Long] = Map.empty)
 
 /** Versioned lake table: snapshot isolation, time travel, file-level
   * zone-map skipping, copy-on-write MERGE, compaction and vacuum over
@@ -73,17 +82,27 @@ final class VersionedTable private (
       .foldLeft(0)(math.max)
   }
 
-  /** The file list of a committed version. */
+  /** The file list and txn state of a committed version. Manifest lines
+    * are discriminated by field: `path` → a FileEntry, `txns` → the
+    * writer-progress map.
+    */
   def snapshot(version: Int): Snapshot = {
     require(version >= 1, s"version $version: versions start at 1")
     val p = manifestPath(version)
     require(Files.exists(p), s"version $version does not exist under $root")
-    val files = Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+    var txns = Map.empty[String, Long]
+    val files = Seq.newBuilder[FileEntry]
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
       val n = mapper.readTree(line)
-      FileEntry(n.get("path").asText(), n.get("rows").asLong(),
-        n.get("minKey").asLong(), n.get("maxKey").asLong())
-    }.toSeq
-    Snapshot(version, files)
+      if (n.has("path"))
+        files += FileEntry(n.get("path").asText(), n.get("rows").asLong(),
+          n.get("minKey").asLong(), n.get("maxKey").asLong())
+      else if (n.has("txns")) {
+        val t = n.get("txns")
+        t.fieldNames().asScala.foreach(app => txns += app -> t.get(app).asLong())
+      }
+    }
+    Snapshot(version, files.result(), txns)
   }
 
   /** Atomic commit: render the manifest to a temp file, publish it with
@@ -91,15 +110,26 @@ final class VersionedTable private (
     * Package-private so the spec can drive the two-writers-one-version
     * race against the primitive itself.
     */
-  private[lake] def commit(version: Int, files: Seq[FileEntry]): Snapshot = {
+  private[lake] def commit(
+      version: Int,
+      files: Seq[FileEntry],
+      txns: Map[String, Long] = Map.empty): Snapshot = {
     Files.createDirectories(logDir)
     val tmp = Files.createTempFile(logDir, s"v$version-", ".tmp")
-    val body = files.map { f =>
+    val txnLine =
+      if (txns.isEmpty) Seq.empty
+      else {
+        val o = mapper.createObjectNode()
+        val t = o.putObject("txns")
+        txns.toSeq.sortBy(_._1).foreach { case (app, id) => t.put(app, id) }
+        Seq(o.toString)
+      }
+    val body = (txnLine ++ files.map { f =>
       val o = mapper.createObjectNode()
       o.put("path", f.path); o.put("rows", f.rows)
       o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
       o.toString
-    }.mkString("", "\n", "\n")
+    }).mkString("", "\n", "\n")
     Files.writeString(tmp, body, StandardOpenOption.TRUNCATE_EXISTING)
     try Files.createLink(manifestPath(version), tmp)
     catch {
@@ -107,7 +137,7 @@ final class VersionedTable private (
         throw new java.util.ConcurrentModificationException(
           s"version $version was committed by another writer")
     } finally Files.deleteIfExists(tmp)
-    Snapshot(version, files)
+    Snapshot(version, files, txns)
   }
 
   /** Write `df` under the next version's data dir and collect per-file
@@ -133,19 +163,24 @@ final class VersionedTable private (
   // ------------------------------------------------------------- writes
 
   /** Append-commit: previous snapshot's files plus the new ones. */
-  def append(df: DataFrame): Snapshot = {
+  def append(df: DataFrame): Snapshot = appendTxn(df, None)
+
+  private def appendTxn(df: DataFrame, txn: Option[(String, Long)]): Snapshot = {
     val prev = currentVersion()
-    val carried = if (prev == 0) Seq.empty else snapshot(prev).files
+    val base = if (prev == 0) Snapshot(0, Seq.empty) else snapshot(prev)
     val next = prev + 1
-    commit(next, carried ++ writeFiles(df, next))
+    commit(next, base.files ++ writeFiles(df, next), base.txns ++ txn)
   }
 
   /** Overwrite-commit: the new files replace everything (prior versions
-    * stay readable until vacuumed).
+    * stay readable until vacuumed). Writer txn markers survive — they
+    * track writer progress, not data.
     */
   def overwrite(df: DataFrame): Snapshot = {
-    val next = currentVersion() + 1
-    commit(next, writeFiles(df, next))
+    val prev = currentVersion()
+    val txns = if (prev == 0) Map.empty[String, Long] else snapshot(prev).txns
+    val next = prev + 1
+    commit(next, writeFiles(df, next), txns)
   }
 
   /** Copy-on-write MERGE (upsert, latest-wins by whole row): rows of
@@ -160,11 +195,14 @@ final class VersionedTable private (
     * magnitude smaller than the table; a batch too large to collect is
     * a full rewrite anyway — call `overwrite`).
     */
-  def merge(updates: DataFrame): Snapshot = {
+  def merge(updates: DataFrame): Snapshot = mergeTxn(updates, None)
+
+  private def mergeTxn(updates: DataFrame, txn: Option[(String, Long)]): Snapshot = {
     val spark = updates.sparkSession
     val prev = currentVersion()
     require(prev >= 1, "merge into an empty table — use append")
-    val cur = snapshot(prev).files
+    val base = snapshot(prev)
+    val cur = base.files
 
     val updKeys = updates.select(col(keyCol).cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -190,7 +228,7 @@ final class VersionedTable private (
         old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
           .unionByName(updates)
       }
-    commit(next, untouched ++ writeFiles(survivors, next))
+    commit(next, untouched ++ writeFiles(survivors, next), base.txns ++ txn)
   }
 
   /** Compaction-commit: rewrite the CURRENT snapshot as `targetFiles`
@@ -198,8 +236,48 @@ final class VersionedTable private (
     * unchanged — only the file layout.
     */
   def compact(spark: SparkSession, targetFiles: Int): Snapshot = {
-    val next = currentVersion() + 1
-    commit(next, writeFiles(read(spark).repartition(targetFiles), next))
+    val prev = currentVersion()
+    val txns = if (prev == 0) Map.empty[String, Long] else snapshot(prev).txns
+    val next = prev + 1
+    commit(next, writeFiles(read(spark).repartition(targetFiles), next), txns)
+  }
+
+  // ------------------------------------------------- idempotent upsert
+
+  /** Latest committed transaction id for a writer application, from the
+    * CURRENT manifest only (txn state is snapshot state, carried
+    * forward by every commit).
+    */
+  def lastTxn(appId: String): Option[Long] = {
+    val v = currentVersion()
+    if (v == 0) None else snapshot(v).txns.get(appId)
+  }
+
+  /** Idempotent upsert: apply `updates` as a MERGE (or the first append
+    * into an empty table) EXACTLY ONCE per (appId, batchId). A replayed
+    * batch — the at-least-once delivery of Structured Streaming's
+    * foreachBatch after a checkpoint recovery — is detected by the txn
+    * marker and skipped without a commit, making the table an
+    * exactly-once streaming sink (the transactional-writer pattern:
+    * progress marker and data change in the SAME atomic commit).
+    *
+    * Returns the resulting (or unchanged) snapshot.
+    */
+  def upsertIfNew(updates: DataFrame, appId: String, batchId: Long): Snapshot = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    lastTxn(appId) match {
+      case Some(last) if last >= batchId =>
+        snapshot(currentVersion()) // replay — already applied, no commit
+      case _ if updates.isEmpty =>
+        // an empty batch applied zero times IS exactly once; skipping
+        // the commit keeps the log free of no-op versions
+        val v = currentVersion()
+        if (v == 0) Snapshot(0, Seq.empty) else snapshot(v)
+      case _ =>
+        val txn = Some(appId -> batchId)
+        if (currentVersion() == 0) appendTxn(updates, txn)
+        else mergeTxn(updates, txn)
+    }
   }
 
   // -------------------------------------------------------------- reads
