@@ -1514,6 +1514,39 @@ object Inventory {
           FROM embeddings b, q WHERE b.vec_id <> 1)
         SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    Q("q152_kmeans_assign",
+      (s, dir) => {
+        // document/embedding clustering exposed as a first-class
+        // operator: nearest-centroid assignment of EVERY vector under
+        // the deterministic seed centroids (the 8 smallest-id vectors).
+        // This is the oracle-able slice of k-means — assignment is pure
+        // replayable arithmetic (float→double exact, index-order sums,
+        // first-match tie-break), whereas a Lloyd mean-update has no
+        // order-independent FP summation for a cross-engine hash. The
+        // refinement loop itself is exercised by q91 (kmeansCentroids)
+        // and SimilaritySpec.
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.centroids(e, "vec_id", "embedding", c = 8)
+        Similarity.ivfIndex(e, "vec_id", "embedding", cents)
+          .select("vec_id", "cell")
+          .orderBy("vec_id")
+      },
+      Some("""WITH cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+            embedding AS ce
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        d AS (
+          SELECT b.vec_id, c.cell,
+            list_sum(list_transform(list_zip(b.embedding, c.ce),
+              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+          FROM embeddings b, cents c),
+        a AS (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d)
+        SELECT vec_id, cell FROM a WHERE rn = 1 ORDER BY vec_id""")),
+
     Q("q91_sim_ivf",
       (s, dir) => {
         // Deterministic-exact parameterization: nprobe = C = 16 probes
