@@ -170,6 +170,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q148: simhash banding shuffles carry ids and fingerprints, never text") {
+    val root = run("q148_simhash_md5").queryExecution.executedPlan
+    val unwrapped = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, s"no ShuffleExchangeExec found:\n$unwrapped")
+    shuffles.foreach { e =>
+      assert(e.child.output.forall(_.name != "text"),
+        s"exchange input carries the text payload: ${e.child.output.mkString(", ")}")
+    }
+  }
+
+  test("q151: heavy-hitter verify pass filters to sketch candidates before the shuffle") {
+    val plan = planString(run("q151_heavy_tokens"))
+    // the exact pass's aggregation keys on <=k candidate items: the IN
+    // prune must sit BELOW the agg exchange (printed after it, deeper in
+    // the tree) so the shuffle carries only candidate keys, not the
+    // vocabulary
+    // OptimizeIn rewrites the literal isin to INSET past the threshold
+    val inIdx = math.max(plan.indexOf(" INSET "), plan.indexOf(" IN "))
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(inIdx >= 0, s"candidate IN prune missing from the exact pass:\n$plan")
+    assert(exIdx >= 0 && inIdx > exIdx,
+      s"IN prune must sit below the agg exchange:\n$plan")
+    // partial aggregation keeps the per-partition shuffle input at <=k rows
+    assert(plan.contains("partial_count"),
+      s"no map-side partial aggregation in the exact pass:\n$plan")
+  }
+
   test("q113: bloom probe runs inside whole-stage codegen (no UDF boundary)") {
     val df = run("q113_bloom_semi")
     df.collect()
