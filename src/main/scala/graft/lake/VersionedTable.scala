@@ -20,7 +20,8 @@ final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
 final case class Snapshot(
     version: Int,
     files: Seq[FileEntry],
-    txns: Map[String, Long] = Map.empty)
+    txns: Map[String, Long] = Map.empty,
+    schemaDdl: Option[String] = None)
 
 /** Versioned lake table: snapshot isolation, time travel, file-level
   * zone-map skipping, copy-on-write MERGE, compaction and vacuum over
@@ -91,18 +92,22 @@ final class VersionedTable private (
     val p = manifestPath(version)
     require(Files.exists(p), s"version $version does not exist under $root")
     var txns = Map.empty[String, Long]
+    var schemaDdl = Option.empty[String]
     val files = Seq.newBuilder[FileEntry]
     Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
       val n = mapper.readTree(line)
       if (n.has("path"))
         files += FileEntry(n.get("path").asText(), n.get("rows").asLong(),
           n.get("minKey").asLong(), n.get("maxKey").asLong())
-      else if (n.has("txns")) {
-        val t = n.get("txns")
-        t.fieldNames().asScala.foreach(app => txns += app -> t.get(app).asLong())
+      else {
+        if (n.has("txns")) {
+          val t = n.get("txns")
+          t.fieldNames().asScala.foreach(app => txns += app -> t.get(app).asLong())
+        }
+        if (n.has("schemaDdl")) schemaDdl = Some(n.get("schemaDdl").asText())
       }
     }
-    Snapshot(version, files.result(), txns)
+    Snapshot(version, files.result(), txns, schemaDdl)
   }
 
   /** Atomic commit: render the manifest to a temp file, publish it with
@@ -113,18 +118,22 @@ final class VersionedTable private (
   private[lake] def commit(
       version: Int,
       files: Seq[FileEntry],
-      txns: Map[String, Long] = Map.empty): Snapshot = {
+      txns: Map[String, Long] = Map.empty,
+      schemaDdl: Option[String] = None): Snapshot = {
     Files.createDirectories(logDir)
     val tmp = Files.createTempFile(logDir, s"v$version-", ".tmp")
-    val txnLine =
-      if (txns.isEmpty) Seq.empty
+    val metaLine =
+      if (txns.isEmpty && schemaDdl.isEmpty) Seq.empty
       else {
         val o = mapper.createObjectNode()
-        val t = o.putObject("txns")
-        txns.toSeq.sortBy(_._1).foreach { case (app, id) => t.put(app, id) }
+        if (txns.nonEmpty) {
+          val t = o.putObject("txns")
+          txns.toSeq.sortBy(_._1).foreach { case (app, id) => t.put(app, id) }
+        }
+        schemaDdl.foreach(s => o.put("schemaDdl", s))
         Seq(o.toString)
       }
-    val body = (txnLine ++ files.map { f =>
+    val body = (metaLine ++ files.map { f =>
       val o = mapper.createObjectNode()
       o.put("path", f.path); o.put("rows", f.rows)
       o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
@@ -137,7 +146,34 @@ final class VersionedTable private (
         throw new java.util.ConcurrentModificationException(
           s"version $version was committed by another writer")
     } finally Files.deleteIfExists(tmp)
-    Snapshot(version, files, txns)
+    Snapshot(version, files, txns, schemaDdl)
+  }
+
+  /** Additive schema evolution: existing fields keep their position and
+    * type (a type CHANGE is rejected loudly); fields new in `incoming`
+    * append at the end. Old data files simply lack the new columns —
+    * reads fill them with null via the manifest schema, no file is
+    * rewritten.
+    */
+  private def evolveSchema(
+      prev: Option[String],
+      incoming: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types.StructType
+    prev match {
+      case None => incoming.toDDL
+      case Some(ddl) =>
+        val base = StructType.fromDDL(ddl)
+        val byName = incoming.fields.map(f => f.name -> f).toMap
+        base.fields.foreach { f =>
+          byName.get(f.name).foreach { inc =>
+            require(inc.dataType == f.dataType,
+              s"schema evolution cannot change column '${f.name}' from " +
+                s"${f.dataType.sql} to ${inc.dataType.sql}")
+          }
+        }
+        val known = base.fieldNames.toSet
+        StructType(base.fields ++ incoming.fields.filterNot(f => known(f.name))).toDDL
+    }
   }
 
   /** Write `df` under the next version's data dir and collect per-file
@@ -169,18 +205,21 @@ final class VersionedTable private (
     val prev = currentVersion()
     val base = if (prev == 0) Snapshot(0, Seq.empty) else snapshot(prev)
     val next = prev + 1
-    commit(next, base.files ++ writeFiles(df, next), base.txns ++ txn)
+    val schema = evolveSchema(base.schemaDdl, df.schema)
+    commit(next, base.files ++ writeFiles(df, next), base.txns ++ txn, Some(schema))
   }
 
   /** Overwrite-commit: the new files replace everything (prior versions
     * stay readable until vacuumed). Writer txn markers survive — they
-    * track writer progress, not data.
+    * track writer progress, not data. The schema RESETS to the new
+    * frame's (overwrite replaces the table; evolution rules apply to
+    * append/merge).
     */
   def overwrite(df: DataFrame): Snapshot = {
     val prev = currentVersion()
     val txns = if (prev == 0) Map.empty[String, Long] else snapshot(prev).txns
     val next = prev + 1
-    commit(next, writeFiles(df, next), txns)
+    commit(next, writeFiles(df, next), txns, Some(df.schema.toDDL))
   }
 
   /** Copy-on-write MERGE (upsert, latest-wins by whole row): rows of
@@ -221,14 +260,20 @@ final class VersionedTable private (
 
     val (touched, untouched) = cur.partition(overlaps)
     val next = prev + 1
+    val schema = evolveSchema(base.schemaDdl, updates.schema)
     val survivors =
       if (touched.isEmpty) updates
       else {
-        val old = spark.read.parquet(touched.map(_.path): _*)
+        // touched files are read under the EVOLVED schema (columns the
+        // old files lack come back null), and evolved updates likewise
+        // fill columns they lack — additive evolution without rewrites
+        val old = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+          .parquet(touched.map(_.path): _*)
         old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true)
       }
-    commit(next, untouched ++ writeFiles(survivors, next), base.txns ++ txn)
+    commit(next, untouched ++ writeFiles(survivors, next), base.txns ++ txn, Some(schema))
   }
 
   /** Compaction-commit: rewrite the CURRENT snapshot as `targetFiles`
@@ -237,9 +282,19 @@ final class VersionedTable private (
     */
   def compact(spark: SparkSession, targetFiles: Int): Snapshot = {
     val prev = currentVersion()
-    val txns = if (prev == 0) Map.empty[String, Long] else snapshot(prev).txns
+    val base = if (prev == 0) Snapshot(0, Seq.empty) else snapshot(prev)
     val next = prev + 1
-    commit(next, writeFiles(read(spark).repartition(targetFiles), next), txns)
+    commit(next, writeFiles(read(spark).repartition(targetFiles), next),
+      base.txns, base.schemaDdl)
+  }
+
+  /** Metadata-only row count: the sum of per-file row stats in the
+    * manifest — answers `count(*)` without scanning a byte of data
+    * (the zone-map trick applied to the most common query there is).
+    */
+  def tableCount(asOf: Option[Int] = None): Long = {
+    val v = asOf.getOrElse(currentVersion())
+    if (v == 0) 0L else snapshot(v).files.map(_.rows).sum
   }
 
   // ------------------------------------------------- idempotent upsert
@@ -287,8 +342,21 @@ final class VersionedTable private (
     val v = asOf.getOrElse(currentVersion())
     val snap = snapshot(v)
     if (snap.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(snap.files.map(_.path): _*)
+    else readFiles(spark, snap, snap.files)
   }
+
+  /** Reads under the MANIFEST schema when present: files predating an
+    * additive evolution return null for columns they lack, and no
+    * footer-merging pass (`mergeSchema`) is ever needed — the manifest
+    * is the single source of schema truth, resolved on the driver.
+    */
+  private def readFiles(spark: SparkSession, snap: Snapshot, files: Seq[FileEntry]): DataFrame =
+    snap.schemaDdl match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(files.map(_.path): _*)
+      case None => spark.read.parquet(files.map(_.path): _*)
+    }
 
   /** Zone-map-pruned range read: files whose [minKey, maxKey] zone is
     * disjoint from [lo, hi] are never handed to Spark at all; the
@@ -296,11 +364,12 @@ final class VersionedTable private (
     */
   def readRange(spark: SparkSession, lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion())
-    val live = snapshot(v).files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    val snap = snapshot(v)
+    val live = snap.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     if (live.isEmpty)
       read(spark, asOf).filter(lit(false)) // schema-preserving empty
     else
-      spark.read.parquet(live.map(_.path): _*)
+      readFiles(spark, snap, live)
         .filter(col(keyCol).cast("long").between(lo, hi))
   }
 

@@ -93,6 +93,46 @@ class LakeSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.snapshot(1))
   }
 
+  test("additive schema evolution: old files read back with nulls, no rewrite") {
+    val t = freshTable()
+    t.append(rows(1 to 10, "a")) // (k, tag, v)
+    val v1Files = t.liveFiles().toSet
+
+    val widened = (11 to 15).map(i => (i.toLong, "b", i * 10.0, s"extra$i"))
+      .toDF("k", "tag", "v", "note")
+    t.append(widened)
+    // evolution did not rewrite version-1 data files
+    assert(v1Files.subsetOf(t.liveFiles().toSet))
+
+    val cur = t.read(spark)
+    assert(cur.columns.toSeq == Seq("k", "tag", "v", "note"))
+    assert(cur.filter($"k" <= 10 && $"note".isNull).count() == 10)
+    assert(cur.filter($"k" > 10 && $"note".isNotNull).count() == 5)
+    // time travel predates the evolution: no `note` column at v1
+    assert(t.read(spark, asOf = Some(1)).columns.toSeq == Seq("k", "tag", "v"))
+
+    // merge with evolved updates keeps working (old files gain nulls)
+    t.merge(Seq((1L, "upd", 0.0, "n1")).toDF("k", "tag", "v", "note"))
+    val merged = t.read(spark)
+    assert(merged.filter($"k" === 1 && $"note" === "n1").count() == 1)
+    assert(merged.count() == 15)
+
+    // a type change is rejected loudly
+    intercept[IllegalArgumentException] {
+      t.append(Seq((99, "x", 1.0)).toDF("k", "tag", "v")) // k int, table k bigint
+    }
+  }
+
+  test("tableCount answers count(*) from manifest stats alone") {
+    val t = freshTable()
+    t.append(rows(1 to 123, "a").repartition(3))
+    t.merge(rows(120 to 130, "b"))
+    assert(t.tableCount() == t.read(spark).count())
+    assert(t.tableCount(asOf = Some(1)) == 123)
+    assert(VersionedTable(
+      Files.createTempDirectory("graft-lake-empty").toString, "k").tableCount() == 0L)
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
