@@ -288,6 +288,24 @@ final class VersionedTable private (
       base.txns, base.schemaDdl)
   }
 
+  /** Layout-maintenance compaction: rewrite the current snapshot RANGE-
+    * partitioned on the key, so file zones come out (nearly) disjoint
+    * again. Appends and merges interleave key ranges over time — zones
+    * widen, overlap, and `readRange`/`merge` pruning decays toward
+    * scanning everything; this commit restores it (the Delta/Iceberg
+    * "optimize + cluster" move). Plain [[compact]] fixes file COUNT;
+    * this fixes pruning POWER.
+    */
+  def compactByRange(spark: SparkSession, targetFiles: Int): Snapshot = {
+    val prev = currentVersion()
+    val base = if (prev == 0) Snapshot(0, Seq.empty) else snapshot(prev)
+    val next = prev + 1
+    val clustered = read(spark)
+      .repartitionByRange(targetFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+    commit(next, writeFiles(clustered, next), base.txns, base.schemaDdl)
+  }
+
   /** Metadata-only row count: the sum of per-file row stats in the
     * manifest — answers `count(*)` without scanning a byte of data
     * (the zone-map trick applied to the most common query there is).

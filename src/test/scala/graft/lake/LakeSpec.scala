@@ -133,6 +133,26 @@ class LakeSpec extends SparkSpec {
       Files.createTempDirectory("graft-lake-empty").toString, "k").tableCount() == 0L)
   }
 
+  test("compactByRange restores pruning power after interleaved appends") {
+    val t = freshTable()
+    // interleaved key ranges: every file's zone spans ~the whole keyspace
+    t.append((1 to 1000 by 4).map(i => (i.toLong, "a", 0.0)).toDF("k", "tag", "v"))
+    t.append((2 to 1000 by 4).map(i => (i.toLong, "b", 0.0)).toDF("k", "tag", "v"))
+    t.append((3 to 1000 by 4).map(i => (i.toLong, "c", 0.0)).toDF("k", "tag", "v"))
+    t.append((4 to 1000 by 4).map(i => (i.toLong, "d", 0.0)).toDF("k", "tag", "v"))
+    val smearedScan = t.readRange(spark, 10, 40).inputFiles.length
+    assert(smearedScan >= 4, "interleaved zones should defeat pruning")
+
+    val data = t.read(spark).orderBy("k").collect().toSeq
+    t.compactByRange(spark, targetFiles = 4)
+    assert(t.read(spark).orderBy("k").collect().toSeq == data) // layout only
+
+    val clusteredScan = t.readRange(spark, 10, 40).inputFiles.length
+    assert(clusteredScan == 1,
+      s"disjoint zones should prune to one file, scanned $clusteredScan")
+    assert(t.readRange(spark, 10, 40).count() == 31)
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
