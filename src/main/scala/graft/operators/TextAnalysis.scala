@@ -436,4 +436,73 @@ object TextAnalysis {
       .orderBy(desc("score"), col(idCol))
       .limit(topK)
   }
+
+  // ------------------------------------------- char-ngram LM perplexity
+
+  /** Character n-grams of the normalized (lower+trim) text; empty array
+    * below n chars. Shared by the model builder and the scorer so both
+    * sides of the estimate segment identically.
+    */
+  def charGrams(text: Column, n: Int): Column = {
+    val norm = lower(trim(text))
+    val cnt = length(norm) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), greatest(cnt, lit(1))), i => norm.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Unigram-of-char-n-grams language model: gram → corpus count. The
+    * vocabulary is BOUNDED (char n-grams, not word n-grams), so the
+    * model stays broadcast-sized at any corpus scale — the property
+    * that makes LM scoring a map-side operation at 100 TB.
+    */
+  def charNgramModel(df: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
+    df.select(explode(charGrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** CCNet-style LM quality signal (Wenzek et al. 2020, the perplexity
+    * filter): mean log-probability of a document's char n-grams under
+    * `model`. Low avg_logp ≈ high perplexity ≈ out-of-distribution text
+    * (gibberish, boilerplate soup, wrong language for the model).
+    *
+    * Cross-engine determinism: per-gram ln(cnt/total) is one double op
+    * on identical inputs, rounded at 6dp and summed as exact
+    * DECIMAL(18,6) — addition order cannot perturb the score (the
+    * q115/q145 discipline) — then one double division by the gram
+    * count and a 4dp presentation round.
+    *
+    * Grams absent from the model score as 0.5 occurrences (add-half
+    * smoothing) so scoring NEW text against a reference model is total;
+    * scoring the model's own corpus never hits that branch. Docs
+    * shorter than n chars produce no grams and drop out.
+    */
+  def ngramLogProbScore(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val total = model.agg(sum("cnt")).head().getLong(0)
+    require(total > 0, "empty model")
+    docs.select(col(idCol), explode(charGrams(col(textCol), n)).as("gram"))
+      .join(broadcast(model), Seq("gram"), "left")
+      .withColumn("lp",
+        round(log(coalesce(col("cnt").cast("double"), lit(0.5)) / lit(total.toDouble)), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+  }
+
+  /** Self-perplexity: score each document under the model estimated
+    * from the corpus itself — the outlier/boilerplate screen that needs
+    * no external reference corpus.
+    */
+  def selfPerplexity(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataFrame =
+    ngramLogProbScore(df, charNgramModel(df, textCol, n), idCol, textCol, n)
 }

@@ -2221,6 +2221,33 @@ object Inventory {
         FROM tok, n GROUP BY item, n.n HAVING count(*) > 0.005 * n.n
         ORDER BY item""")),
 
+    Q("q153_ngram_perplexity",
+      (s, dir) =>
+        // CCNet-style LM quality signal: mean log-prob of each doc's
+        // char trigrams under the corpus's own unigram-of-trigrams
+        // model. ln parity per value (q145 precedent) + 6dp round +
+        // DECIMAL(18,6) exact sums make the score engine-independent;
+        // the char-ngram vocabulary is bounded, so the model broadcasts
+        // at any corpus scale and scoring stays map-side.
+        TextAnalysis.selfPerplexity(t(s, dir, "documents"))
+          .orderBy("doc_id"),
+      Some("""WITH norm AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        g AS (
+          SELECT doc_id,
+            unnest([substr(t, i, 3) for i in range(1, greatest(len(t) - 1, 1))]) AS gram
+          FROM norm WHERE len(t) >= 3),
+        model AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+        tot AS (SELECT sum(cnt) AS total FROM model),
+        lp AS (
+          SELECT doc_id,
+            CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+          FROM g JOIN model USING (gram) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_grams,
+          round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+        FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("q146_substring_dedup_incremental",
       (s, dir) =>
         // daily-batch shape: docs >= 250 dedup against the tile-hash

@@ -261,6 +261,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all == Map("the cat" -> 3L, "cat sat" -> 1L, "cat ran" -> 1L))
   }
 
+  test("selfPerplexity: gibberish scores below natural text; short docs drop") {
+    val natural = "the quick brown fox jumps over the lazy dog and then " * 3
+    val docs = Seq(
+      (1L, natural),
+      (2L, natural + " with a small tail of extra words"),
+      (3L, "xq zvk wjq pfzt bbqx vnmz kkjw qqpz xxyw zzqv jjkx wwqz"), // OOD
+      (4L, "ab")) // < 3 chars of grams → no rows
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.selfPerplexity(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(4L), "sub-n doc must drop out")
+    assert(out(3L) < out(1L) && out(3L) < out(2L),
+      s"gibberish must score lower (higher perplexity): $out")
+  }
+
+  test("ngramLogProbScore: unseen grams take the smoothed branch, scoring stays total") {
+    val model = TextAnalysis.charNgramModel(
+      Seq((1L, "aaaa bbbb cccc")).toDF("doc_id", "text"))
+    val out = TextAnalysis.ngramLogProbScore(
+      Seq((9L, "zzzz yyyy")).toDF("doc_id", "text"), model)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 7L) // 9 chars → 7 grams
+    // all grams unseen → every one scored at ln(0.5/total), none dropped
+    val total = 12L // "aaaa bbbb cccc" normalized has 14 chars → 12 grams
+    val expected = math.log(0.5 / total)
+    assert(math.abs(out.head.getDouble(2) - expected) < 1e-3)
+  }
+
   test("invertedIndex: df band filter, sorted postings, hot term excluded") {
     val docs = Seq(
       (3L, "hot mid rare"),
