@@ -100,4 +100,46 @@ object Sessionize {
     }
     out.orderBy("stage_no")
   }
+
+  /** Cohort retention matrix: users are cohorted by the period of their
+    * FIRST event; retention at offset k = users of the cohort active
+    * k periods later / cohort size.
+    *
+    * Shape: first-event agg keyed on user_id, activity join keyed on
+    * user_id (co-partitioned — one hash family for both shuffles, and
+    * the same key sessionize/funnel use, so a pre-bucketed events table
+    * serves all three exchange-free), then the distinct-activity and
+    * matrix aggs on (cohort, offset) — cohort-period cardinality, tiny.
+    * Per-user state is one long (first period); no event buffering.
+    *
+    * Retention is an exact integer ratio cast through one double
+    * division — engine-independent.
+    *
+    * Output: (cohort_period, period_offset, n_active, cohort_size,
+    * retention), offset 0 rows carry retention 1.0 by construction.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      tsSecCol: String = "ts_sec",
+      periodSeconds: Long = 604800L): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val e = events.select(
+      col("user_id"),
+      // integer `div`, not `/` (Spark's / on longs is double division)
+      expr(s"cast($tsSecCol as long) div $periodSeconds").as("wk"))
+    val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    e.join(first, Seq("user_id"))
+      .select(col("cohort"), (col("wk") - col("cohort")).as("period_offset"), col("user_id"))
+      .distinct()
+      .groupBy("cohort", "period_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(
+        col("cohort").as("cohort_period"),
+        col("period_offset"),
+        col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+  }
 }

@@ -482,8 +482,15 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3): DataFrame = {
-    val total = model.agg(sum("cnt")).head().getLong(0)
-    require(total > 0, "empty model")
+    val totalRow = model.agg(sum("cnt")).head()
+    // empty model (no docs ≥ n chars): nothing is scorable — return the
+    // output shape with no rows rather than NPE on the null total
+    if (totalRow.isNullAt(0))
+      return docs.select(col(idCol))
+        .withColumn("n_grams", lit(0L))
+        .withColumn("avg_logp", lit(0.0))
+        .filter(lit(false))
+    val total = totalRow.getLong(0)
     docs.select(col(idCol), explode(charGrams(col(textCol), n)).as("gram"))
       .join(broadcast(model), Seq("gram"), "left")
       .withColumn("lp",

@@ -1810,6 +1810,31 @@ object Inventory {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
 
+    Q("q154_cohort_retention",
+      (s, dir) =>
+        // weekly cohort retention over events: cohort = week of first
+        // activity; every per-user step keys on user_id (co-partitioned
+        // with sessionize/funnel); retention is an exact integer ratio
+        // through one double division
+        Sessionize.cohortRetention(events(s, dir))
+          .orderBy("cohort_period", "period_offset"),
+      Some("""WITH e AS (
+          SELECT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS wk
+          FROM events),
+        first AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+        sizes AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort),
+        act AS (
+          SELECT DISTINCT f.cohort, e.wk - f.cohort AS period_offset, e.user_id
+          FROM e JOIN first f USING (user_id)),
+        r AS (
+          SELECT cohort, period_offset, count(*) AS n_active
+          FROM act GROUP BY cohort, period_offset)
+        SELECT r.cohort AS cohort_period, r.period_offset, r.n_active,
+          s.cohort_size,
+          round(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        FROM r JOIN sizes s USING (cohort)
+        ORDER BY cohort_period, period_offset""")),
+
     Q("q147_funnel",
       (s, dir) =>
         // ordered view→click→purchase funnel with a 7-day conversion

@@ -67,6 +67,29 @@ class SessionizeSpec extends SparkSpec {
     assert(Sessionize.sessions(df, "ts_sec", "event_id", 1800L).count() == 1)
   }
 
+  test("cohortRetention: known matrix on a constructed fixture, offset 0 is 1.0") {
+    import spark.implicits._
+    val wk = 604800L
+    // cohort week 0: users 1,2,3 (u1 active wks 0,1,2; u2 wks 0,1; u3 wk 0
+    // twice — distinct per week). cohort week 1: user 4 (wks 1,3).
+    val events = Seq(
+      (1L, 0L), (1L, wk + 5), (1L, 2 * wk + 5),
+      (2L, 10L), (2L, wk + 10),
+      (3L, 20L), (3L, 30L),
+      (4L, wk + 1), (4L, 3 * wk + 1))
+      .toDF("user_id", "ts_sec")
+    val m = Sessionize.cohortRetention(events)
+      .orderBy("cohort_period", "period_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(m.toSeq == Seq(
+      (0L, 0L, 3L, 3L, 1.0),   // all three cohort-0 users active in week 0
+      (0L, 1L, 2L, 3L, 0.666667), // u1, u2 return in week 1
+      (0L, 2L, 1L, 3L, 0.333333), // only u1 in week 2
+      (1L, 0L, 1L, 1L, 1.0),
+      (1L, 2L, 1L, 1L, 1.0)))  // u4 returns two weeks after its cohort
+  }
+
   test("corpus events sessionize without nulls and cover all users") {
     val events = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("ts_sec", expr("ts div 1000000000"))

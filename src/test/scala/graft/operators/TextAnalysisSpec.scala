@@ -289,6 +289,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - expected) < 1e-3)
   }
 
+  test("selfPerplexity on an unscoreable corpus returns an empty, typed frame") {
+    val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text") // all < n chars
+    val out = TextAnalysis.selfPerplexity(docs)
+    assert(out.columns.toSeq == Seq("doc_id", "n_grams", "avg_logp") && out.count() == 0)
+  }
+
   test("invertedIndex: df band filter, sorted postings, hot term excluded") {
     val docs = Seq(
       (3L, "hot mid rare"),
