@@ -512,4 +512,24 @@ object TextAnalysis {
       textCol: String = "text",
       n: Int = 3): DataFrame =
     ngramLogProbScore(df, charNgramModel(df, textCol, n), idCol, textCol, n)
+
+  /** Per-row LM scorer with the model BROADCAST into a native
+    * expression — value-identical to [[ngramLogProbScore]]'s avg_logp
+    * (parity spec-pinned) but map-only and shuffle-free, so it gates
+    * unbounded streams with no watermark or state
+    * (StreamingCorpus.lmGate) and scores batch frames without the
+    * explode+join. Collects the model to the driver once: char-ngram
+    * vocabularies are bounded, so this is broadcast state by
+    * construction, not data.
+    */
+  def lmScorer(model: DataFrame, n: Int = 3): Column => Column = {
+    val spark = model.sparkSession
+    val rows = model.select(col("gram"), col("cnt").cast("long")).collect()
+    val total = rows.iterator.map(_.getLong(1)).sum
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.LmScore.microModel(
+        rows.iterator.map(r => r.getString(0) -> r.getLong(1)), total))
+    val default = graft.functions.LmScore.defaultMicro(total)
+    text => org.apache.spark.sql.graft.NativeExprs.lmScore(text, bc, n, default)
+  }
 }

@@ -2848,5 +2848,6 @@ object Inventory {
     "q139_pagerank_neardup", "q140_triangles_neardup", "q141_clustering_neardup",
     "q142_weighted_token_sample",
     "q144_substring_dedup", "q145_bm25",
-    "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens")
+    "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
+    "q153_ngram_perplexity", "q154_cohort_retention")
 }

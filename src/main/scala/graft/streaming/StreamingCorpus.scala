@@ -124,4 +124,25 @@ object StreamingCorpus {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("h")
   }
+
+  /** Streaming twin of the CCNet perplexity filter: score each arriving
+    * document's char n-grams against a broadcast REFERENCE model (built
+    * batch-side by TextAnalysis.charNgramModel over a trusted corpus)
+    * and keep documents at or above `minAvgLogp`. The scorer is a
+    * map-only native expression — no explode, no join, no aggregation
+    * state, no watermark — so the gate adds zero streaming state and
+    * composes with [[clean]] before the dedup. Unseen grams take the
+    * model's add-half smoothing, so scoring is total on novel text.
+    */
+  def lmGate(
+      docs: DataFrame,
+      model: DataFrame,
+      minAvgLogp: Double,
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val scorer = graft.operators.TextAnalysis.lmScorer(model, n)
+    docs
+      .withColumn("avg_logp", scorer(col(textCol)))
+      .filter(col("avg_logp").isNotNull && col("avg_logp") >= minAvgLogp)
+  }
 }

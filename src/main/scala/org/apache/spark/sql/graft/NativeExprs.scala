@@ -323,6 +323,43 @@ case class BloomMightContainExpr(child: Expression, bfBc: Broadcast[BloomFilter]
     copy(child = newChild)
 }
 
+/** Per-row char-ngram LM score with the model riding as a broadcast
+  * (graft.functions.LmScore.score) — the map-only, shuffle-free twin of
+  * TextAnalysis.ngramLogProbScore, which is what lets the perplexity
+  * gate run inside Structured Streaming with no watermark or state.
+  * Same broadcast-unwrap-once discipline as BloomMightContainExpr.
+  */
+case class LmScoreExpr(
+    child: Expression,
+    modelBc: Broadcast[java.util.HashMap[String, java.lang.Long]],
+    n: Int,
+    defaultMicro: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lm_score"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.LmScore.score(
+      input.asInstanceOf[UTF8String], modelBc.value, n, defaultMicro)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("lmModelBc", modelBc, classOf[Broadcast[_]].getName)
+    val mapVar = ctx.addMutableState("java.util.HashMap", "graftLmModel",
+      v => s"$v = (java.util.HashMap) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Double graftLmR = graft.functions.LmScore.score($c, $mapVar, $n, ${defaultMicro}L);
+         |if (graftLmR == null) { ${ev.isNull} = true; } else { ${ev.value} = graftLmR.doubleValue(); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmScoreExpr =
+    copy(child = newChild)
+}
+
 object NativeExprs {
   /** Column-level entry for RepetitionRatioExpr. */
   def repetitionRatio(text: Column, n: Int): Column =
@@ -375,4 +412,13 @@ object NativeExprs {
   /** Column-level entry for BloomMightContainExpr. */
   def bloomMightContain(key: Column, bf: Broadcast[BloomFilter]): Column =
     ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(key), bf))
+
+  /** Column-level entry for LmScoreExpr. */
+  def lmScore(
+      text: Column,
+      model: Broadcast[java.util.HashMap[String, java.lang.Long]],
+      n: Int,
+      defaultMicro: Long): Column =
+    ExpressionUtils.column(
+      LmScoreExpr(ExpressionUtils.expression(text), model, n, defaultMicro))
 }

@@ -71,4 +71,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.exact(emptyDocs, Seq("text")).count() == 0)
     assert(Dedup.minHashNearDups(emptyDocs, "doc_id", "text").count() == 0)
   }
+
+  test("round-5 additions: simhash-md5 pairs, cohort retention, perplexity") {
+    assert(Dedup.simHashMd5NearDups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Sessionize.cohortRetention(emptyEvents).count() == 0)
+    assert(TextAnalysis.selfPerplexity(emptyDocs).count() == 0)
+    assert(TextAnalysis.charNgramModel(emptyDocs).count() == 0)
+  }
 }

@@ -289,6 +289,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - expected) < 1e-3)
   }
 
+  test("broadcast lmScorer is value-identical to the explode+join batch scorer") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = TextAnalysis.charNgramModel(docs)
+    val batch = TextAnalysis.ngramLogProbScore(docs, model)
+      .select(col("doc_id"), col("avg_logp"))
+    val scorer = TextAnalysis.lmScorer(model)
+    val native = docs.select(col("doc_id"), scorer(col("text")).as("avg_logp"))
+      .filter(col("avg_logp").isNotNull)
+    assert(batch.count() > 0)
+    assert(batch.exceptAll(native).count() == 0 && native.exceptAll(batch).count() == 0)
+    // novel text (unseen grams) scores identically through both paths
+    val novel = Seq((1L, "zzqx wvkk pp"), (2L, "a")).toDF("doc_id", "text")
+    val b2 = TextAnalysis.ngramLogProbScore(novel, model).select("doc_id", "avg_logp")
+    val n2 = novel.select(col("doc_id"), scorer(col("text")).as("avg_logp"))
+      .filter(col("avg_logp").isNotNull)
+    assert(b2.exceptAll(n2).count() == 0 && n2.exceptAll(b2).count() == 0)
+  }
+
   test("selfPerplexity on an unscoreable corpus returns an empty, typed frame") {
     val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text") // all < n chars
     val out = TextAnalysis.selfPerplexity(docs)

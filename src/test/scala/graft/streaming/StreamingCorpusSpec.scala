@@ -116,6 +116,38 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lmGate: streaming perplexity filter equals the batch scorer, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference model from a trusted batch corpus
+    val reference = Seq((0L, goodText), (1L, goodText + " more of the same style"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.charNgramModel(reference)
+
+    val inDocs = Seq(
+      (10L, goodText + " still looks like the reference"),
+      (11L, "zzxqv wkjq ppfzt bbqx vnmz qqpz")) // OOD → gated out
+    // pick a threshold between the two batch scores
+    val scores = graft.operators.TextAnalysis.ngramLogProbScore(
+      inDocs.toDF("doc_id", "text"), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val threshold = (scores(10L) + scores(11L)) / 2
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCorpus.lmGate(in.toDF.toDF("doc_id", "text"), model, threshold)
+      .select("doc_id", "avg_logp")
+      .writeStream.format("memory").queryName("lm_out").outputMode("append").start()
+    try {
+      in.addData(inDocs: _*)
+      q.processAllAvailable()
+      val rows = spark.table("lm_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows.keySet == Set(10L), s"got $rows")
+      // the streamed score is the batch score, bit for bit
+      assert(rows(10L) == scores(10L))
+    } finally q.stop()
+  }
+
   test("file-source pipeline survives checkpointed restart without duplicating output") {
     val srcDir = Files.createTempDirectory("sc_src").toString
     val outDir = Files.createTempDirectory("sc_out").toString
