@@ -7,8 +7,17 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One data file of a table snapshot, with its zone-map stats. */
-final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+/** One data file of a table snapshot, with its zone-map stats: the key
+  * zone always, plus optional [lo, hi] zones for the table's declared
+  * numeric stats columns (cast to double — zone maps need ordering, not
+  * exactness).
+  */
+final case class FileEntry(
+    path: String,
+    rows: Long,
+    minKey: Long,
+    maxKey: Long,
+    colStats: Map[String, (Double, Double)] = Map.empty)
 
 /** An immutable table version: the full file list (not a delta), plus
   * the latest committed transaction id per writer application — the
@@ -65,7 +74,8 @@ final case class Snapshot(
   */
 final class VersionedTable private (
     val root: String,
-    val keyCol: String) {
+    val keyCol: String,
+    val statsCols: Seq[String]) {
 
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(root, "_log")
@@ -96,9 +106,18 @@ final class VersionedTable private (
     val files = Seq.newBuilder[FileEntry]
     Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
       val n = mapper.readTree(line)
-      if (n.has("path"))
+      if (n.has("path")) {
+        var stats = Map.empty[String, (Double, Double)]
+        if (n.has("stats")) {
+          val st = n.get("stats")
+          st.fieldNames().asScala.foreach { c =>
+            val arr = st.get(c)
+            stats += c -> (arr.get(0).asDouble(), arr.get(1).asDouble())
+          }
+        }
         files += FileEntry(n.get("path").asText(), n.get("rows").asLong(),
-          n.get("minKey").asLong(), n.get("maxKey").asLong())
+          n.get("minKey").asLong(), n.get("maxKey").asLong(), stats)
+      }
       else {
         if (n.has("txns")) {
           val t = n.get("txns")
@@ -137,6 +156,12 @@ final class VersionedTable private (
       val o = mapper.createObjectNode()
       o.put("path", f.path); o.put("rows", f.rows)
       o.put("minKey", f.minKey); o.put("maxKey", f.maxKey)
+      if (f.colStats.nonEmpty) {
+        val st = o.putObject("stats")
+        f.colStats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val arr = st.putArray(c); arr.add(lo); arr.add(hi)
+        }
+      }
       o.toString
     }).mkString("", "\n", "\n")
     Files.writeString(tmp, body, StandardOpenOption.TRUNCATE_EXISTING)
@@ -184,15 +209,28 @@ final class VersionedTable private (
     df.write.mode("errorifexists").parquet(dir)
     val spark = df.sparkSession
     val listed = spark.read.parquet(dir)
+    // stats columns the written frame actually has (schema evolution:
+    // a pre-evolution batch legitimately lacks late-added columns)
+    val present = statsCols.filter(listed.columns.contains)
+    val statAggs = present.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__lo_$c"), max(col(c).cast("double")).as(s"__hi_$c")))
+    val aggs = Seq(
+      count(lit(1)).as("rows"),
+      min(col(keyCol).cast("long")).as("minKey"),
+      max(col(keyCol).cast("long")).as("maxKey")) ++ statAggs
     listed
       .groupBy(input_file_name().as("path"))
-      .agg(
-        count(lit(1)).as("rows"),
-        min(col(keyCol).cast("long")).as("minKey"),
-        max(col(keyCol).cast("long")).as("maxKey"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per file just written
       .filter(_.getLong(1) > 0) // an all-empty write leaves a schema-only file
-      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map { r =>
+        val stats = present.zipWithIndex.flatMap { case (c, i) =>
+          val lo = 4 + i * 2
+          if (r.isNullAt(lo) || r.isNullAt(lo + 1)) None // all-null column in this file
+          else Some(c -> (r.getDouble(lo), r.getDouble(lo + 1)))
+        }.toMap
+        FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), stats)
+      }
       .toSeq.sortBy(_.path)
   }
 
@@ -391,6 +429,57 @@ final class VersionedTable private (
         .filter(col(keyCol).cast("long").between(lo, hi))
   }
 
+  /** Zone-map-pruned range read on a DECLARED stats column: files whose
+    * recorded [lo, hi] for `column` is disjoint from the range never
+    * reach Spark. Files with no stats for the column (pre-declaration
+    * commits, or all-null in that file) are conservatively scanned.
+    * The key column routes to [[readRange]]'s dedicated zone.
+    */
+  def readRangeOn(
+      spark: SparkSession,
+      column: String,
+      lo: Double,
+      hi: Double,
+      asOf: Option[Int] = None): DataFrame = {
+    if (column == keyCol)
+      return readRange(spark, math.ceil(lo).toLong, math.floor(hi).toLong, asOf)
+    val snap = snapshot(asOf.getOrElse(currentVersion()))
+    val live = snap.files.filter { f =>
+      f.colStats.get(column) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None => true // no zone recorded — must scan
+      }
+    }
+    if (live.isEmpty)
+      read(spark, asOf).filter(lit(false))
+    else
+      readFiles(spark, snap, live)
+        .filter(col(column).cast("double").between(lo, hi))
+  }
+
+  /** Multi-dimensional clustering compaction: rewrite the current
+    * snapshot in z-order over `cols` (graft.operators.ScaleOps.zOrderBy
+    * — bit-interleaved space-filling curve), so the per-file zones
+    * NARROW ON EVERY LISTED DIMENSION AT ONCE. Range clustering
+    * ([[compactByRange]]) makes one dimension's zones disjoint and
+    * leaves the others smeared; z-order trades a little of that
+    * single-dimension sharpness for usable zone maps on all of them —
+    * pair with `statsCols` so the narrowed zones are actually recorded
+    * and [[readRangeOn]] can prune.
+    */
+  def compactZOrder(
+      spark: SparkSession,
+      cols: Seq[String],
+      targetFiles: Int,
+      bits: Int = 8): Snapshot = {
+    val prev = currentVersion()
+    val base = if (prev == 0) Snapshot(0, Seq.empty) else snapshot(prev)
+    val next = prev + 1
+    val clustered = graft.operators.ScaleOps.zOrderBy(
+      read(spark), cols, bits, numPartitions = targetFiles)
+    commit(next, writeFiles(clustered, next), base.txns, base.schemaDdl)
+  }
+
   /** Files referenced by the version (for plan/pruning assertions). */
   def liveFiles(asOf: Option[Int] = None): Seq[String] =
     snapshot(asOf.getOrElse(currentVersion())).files.map(_.path)
@@ -421,7 +510,13 @@ final class VersionedTable private (
 }
 
 object VersionedTable {
-  /** Open (or lazily create on first commit) a table rooted at `root`. */
-  def apply(root: String, keyCol: String): VersionedTable =
-    new VersionedTable(root, keyCol)
+  /** Open (or lazily create on first commit) a table rooted at `root`.
+    * `statsCols` declares additional NUMERIC columns to zone-map per
+    * file (beyond the key, which is always mapped) — each costs two
+    * doubles per file in the manifest and buys file-level pruning via
+    * [[VersionedTable.readRangeOn]]; pair with [[VersionedTable.compactZOrder]]
+    * to make the zones tight on every declared dimension at once.
+    */
+  def apply(root: String, keyCol: String, statsCols: Seq[String] = Seq.empty): VersionedTable =
+    new VersionedTable(root, keyCol, statsCols)
 }

@@ -153,6 +153,43 @@ class LakeSpec extends SparkSpec {
     assert(t.readRange(spark, 10, 40).count() == 31)
   }
 
+  test("compactZOrder + declared stats: zone pruning works on BOTH dimensions") {
+    val root = Files.createTempDirectory("graft-lake-z").toString
+    val t = VersionedTable(root, "k", statsCols = Seq("v"))
+    // k and v deliberately anti-correlated so one-dimensional range
+    // clustering cannot serve both
+    val data = (1 to 4096).map(i => (i.toLong, "x", (4097 - i) * 1.0))
+      .toDF("k", "tag", "v")
+    t.append(data.repartition(8)) // random layout: zones span everything
+    val before = t.readRangeOn(spark, "v", 1.0, 256.0).inputFiles.length
+    assert(before == 8, "random layout must defeat value pruning")
+
+    t.compactZOrder(spark, Seq("k", "v"), targetFiles = 16)
+    assert(t.read(spark).count() == 4096)
+    val filesK = t.readRange(spark, 1, 256).inputFiles.length
+    val filesV = t.readRangeOn(spark, "v", 1.0, 256.0).inputFiles.length
+    assert(filesK < 16 && filesV < 16,
+      s"z-order must narrow both dimensions: k=$filesK v=$filesV of 16")
+    assert(t.readRangeOn(spark, "v", 1.0, 256.0).count() == 256)
+
+    // range clustering on k: perfect on k, smeared on v
+    t.compactByRange(spark, targetFiles = 16)
+    assert(t.readRange(spark, 1, 256).inputFiles.length == 1)
+    assert(t.readRangeOn(spark, "v", 1.0, 256.0).count() == 256)
+  }
+
+  test("stats columns absent from a batch (pre-evolution) scan conservatively") {
+    val root = Files.createTempDirectory("graft-lake-st").toString
+    val t = VersionedTable(root, "k", statsCols = Seq("w"))
+    t.append(rows(1 to 50, "a")) // (k, tag, v): no `w` column yet
+    t.append((51 to 60).map(i => (i.toLong, "b", 0.0, i * 1.0))
+      .toDF("k", "tag", "v", "w"))
+    // old files carry no `w` zone → conservatively scanned, not dropped
+    val out = t.readRangeOn(spark, "w", 55.0, 58.0)
+    assert(out.count() == 4)
+    assert(out.inputFiles.nonEmpty)
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
