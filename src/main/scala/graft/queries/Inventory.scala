@@ -2224,6 +2224,29 @@ object Inventory {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""")),
 
+    Q("q155_lake_zone_read",
+      (s, dir) => {
+        // multi-dimensional zone pruning: orders lands in a random
+        // 8-file layout (value zones span everything), a z-order
+        // compaction re-clusters on (key, price) at once, and the
+        // price-range read prunes whole files via the manifest's
+        // declared o_totalprice zones before Spark lists them. The
+        // oracle is the plain range filter — pruning must be invisible
+        // to results, and the boundary rows are where a zone bug shows.
+        val root = java.nio.file.Files.createTempDirectory("graft-q155").toString
+        val tbl = graft.lake.VersionedTable(root, "o_orderkey",
+          statsCols = Seq("o_totalprice"))
+        tbl.append(t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .repartition(8))
+        tbl.compactZOrder(s, Seq("o_orderkey", "o_totalprice"), targetFiles = 16)
+        tbl.readRangeOn(s, "o_totalprice", 50000.0, 150000.0)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
+        ORDER BY o_orderkey""")),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full
@@ -2849,5 +2872,5 @@ object Inventory {
     "q142_weighted_token_sample",
     "q144_substring_dedup", "q145_bm25",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
-    "q153_ngram_perplexity", "q154_cohort_retention")
+    "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read")
 }
