@@ -480,6 +480,32 @@ final class VersionedTable private (
     commit(next, writeFiles(clustered, next), base.txns, base.schemaDdl)
   }
 
+  /** Mix-refresh maintenance commit: overwrite the CURRENT snapshot
+    * with its token-budgeted weighted sample
+    * ([[graft.operators.ScaleOps.weightedTokenSample]] — A-ES keyed-hash
+    * priorities, exact cumulative cutoff per stratum). The training-mix
+    * shape: upserts land the raw feed via [[merge]]/[[upsertIfNew]],
+    * and each refresh re-ranks ALL live rows so the table converges
+    * back to budget — achieved tokens overshoot each stratum's target
+    * by at most one document.
+    *
+    * Priorities are a pure function of the key (md5-derived), so:
+    *  - refresh is IDEMPOTENT: re-running without new data keeps
+    *    exactly the same rows (the survivors were the top-priority set
+    *    already);
+    *  - a new batch displaces only rows it genuinely outranks.
+    * The mix is computed over LIVE rows only — a document dropped by an
+    * earlier refresh returns only if upserted again. The full pre-mix
+    * corpus stays readable by time travel until [[vacuum]].
+    */
+  def refreshMix(
+      spark: SparkSession,
+      strataCol: String,
+      tokenCol: String,
+      targets: Map[String, Long]): Snapshot =
+    overwrite(graft.operators.ScaleOps.weightedTokenSample(
+      read(spark), keyCol, strataCol, tokenCol, targets))
+
   /** Files referenced by the version (for plan/pruning assertions). */
   def liveFiles(asOf: Option[Int] = None): Seq[String] =
     snapshot(asOf.getOrElse(currentVersion())).files.map(_.path)

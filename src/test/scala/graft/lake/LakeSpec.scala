@@ -190,6 +190,48 @@ class LakeSpec extends SparkSpec {
     assert(out.inputFiles.nonEmpty)
   }
 
+  test("refreshMix: budgets attained, idempotent, re-attained across upserts") {
+    val root = Files.createTempDirectory("graft-lake-mix").toString
+    val t = VersionedTable(root, "k")
+    // two strata with token counts 10..~400; budgets well under supply
+    def feed(r: Range) = r.map { i =>
+      (i.toLong, if (i % 3 == 0) "fr" else "en", (i % 40 + 1) * 10L)
+    }.toDF("k", "lang", "toks")
+    t.append(feed(1 to 300))
+    val targets = Map("en" -> 4000L, "fr" -> 2500L)
+    t.refreshMix(spark, "lang", "toks", targets)
+
+    def attained(tbl: VersionedTable) = tbl.read(spark)
+      .groupBy("lang").agg(sum("toks").as("got"))
+      .as[(String, Long)].collect().toMap
+    val got1 = attained(t)
+    val maxDoc = 400L
+    targets.foreach { case (lang, tgt) =>
+      assert(got1(lang) >= tgt && got1(lang) < tgt + maxDoc,
+        s"$lang: got ${got1(lang)} for target $tgt (overshoot must be < one doc)")
+    }
+    // idempotent: a second refresh keeps exactly the same rows
+    val keys1 = t.read(spark).select("k").as[Long].collect().sorted.toSeq
+    t.refreshMix(spark, "lang", "toks", targets)
+    assert(t.read(spark).select("k").as[Long].collect().sorted.toSeq == keys1)
+
+    // upsert a fresh batch, refresh again: budgets re-attained, and the
+    // survivors are exactly the weighted sample of the live rows
+    t.merge(feed(301 to 450))
+    val live = t.read(spark)
+    val expect = graft.operators.ScaleOps
+      .weightedTokenSample(live, "k", "lang", "toks", targets)
+      .select("k").as[Long].collect().sorted.toSeq
+    t.refreshMix(spark, "lang", "toks", targets)
+    val got2 = attained(t)
+    targets.foreach { case (lang, tgt) =>
+      assert(got2(lang) >= tgt && got2(lang) < tgt + maxDoc)
+    }
+    assert(t.read(spark).select("k").as[Long].collect().sorted.toSeq == expect)
+    // the full pre-mix corpus is still one time-travel away
+    assert(t.tableCount(asOf = Some(1)) == 300)
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
