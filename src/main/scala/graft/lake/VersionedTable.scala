@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
 /** One data file of a table snapshot, with its zone-map stats: the key
   * zone always, plus optional [lo, hi] zones for the table's declared
   * numeric stats columns (cast to double — zone maps need ordering, not
-  * exactness).
+  * exactness), plus optional bloom bitsets (base64) for the declared
+  * bloom columns — the equality-predicate twin of the zone maps.
   */
 final case class FileEntry(
     path: String,
     rows: Long,
     minKey: Long,
     maxKey: Long,
-    colStats: Map[String, (Double, Double)] = Map.empty)
+    colStats: Map[String, (Double, Double)] = Map.empty,
+    blooms: Map[String, String] = Map.empty)
 
 /** An immutable table version: the full file list (not a delta), plus
   * the latest committed transaction id per writer application — the
@@ -75,7 +77,9 @@ final case class Snapshot(
 final class VersionedTable private (
     val root: String,
     val keyCol: String,
-    val statsCols: Seq[String]) {
+    val statsCols: Seq[String],
+    val bloomCols: Seq[String],
+    val bloomBits: Int) {
 
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(root, "_log")
@@ -115,8 +119,13 @@ final class VersionedTable private (
             stats += c -> (arr.get(0).asDouble(), arr.get(1).asDouble())
           }
         }
+        var blooms = Map.empty[String, String]
+        if (n.has("blooms")) {
+          val bl = n.get("blooms")
+          bl.fieldNames().asScala.foreach(c => blooms += c -> bl.get(c).asText())
+        }
         files += FileEntry(n.get("path").asText(), n.get("rows").asLong(),
-          n.get("minKey").asLong(), n.get("maxKey").asLong(), stats)
+          n.get("minKey").asLong(), n.get("maxKey").asLong(), stats, blooms)
       }
       else {
         if (n.has("txns")) {
@@ -161,6 +170,10 @@ final class VersionedTable private (
         f.colStats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
           val arr = st.putArray(c); arr.add(lo); arr.add(hi)
         }
+      }
+      if (f.blooms.nonEmpty) {
+        val bl = o.putObject("blooms")
+        f.blooms.toSeq.sortBy(_._1).foreach { case (c, b64) => bl.put(c, b64) }
       }
       o.toString
     }).mkString("", "\n", "\n")
@@ -209,15 +222,20 @@ final class VersionedTable private (
     df.write.mode("errorifexists").parquet(dir)
     val spark = df.sparkSession
     val listed = spark.read.parquet(dir)
-    // stats columns the written frame actually has (schema evolution:
-    // a pre-evolution batch legitimately lacks late-added columns)
+    // stats/bloom columns the written frame actually has (schema
+    // evolution: a pre-evolution batch legitimately lacks late-added
+    // columns)
     val present = statsCols.filter(listed.columns.contains)
+    val presentB = bloomCols.filter(listed.columns.contains)
     val statAggs = present.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__lo_$c"), max(col(c).cast("double")).as(s"__hi_$c")))
+    val bloomAggs = presentB.map(c =>
+      graft.functions.BloomSketch.sketch(col(c).cast("string"), bloomBits).as(s"__bf_$c"))
     val aggs = Seq(
       count(lit(1)).as("rows"),
       min(col(keyCol).cast("long")).as("minKey"),
-      max(col(keyCol).cast("long")).as("maxKey")) ++ statAggs
+      max(col(keyCol).cast("long")).as("maxKey")) ++ statAggs ++ bloomAggs
+    val bloomBase = 4 + present.size * 2
     listed
       .groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -229,7 +247,11 @@ final class VersionedTable private (
           if (r.isNullAt(lo) || r.isNullAt(lo + 1)) None // all-null column in this file
           else Some(c -> (r.getDouble(lo), r.getDouble(lo + 1)))
         }.toMap
-        FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), stats)
+        val blooms = presentB.zipWithIndex.map { case (c, j) =>
+          c -> graft.functions.BloomSketch.toBase64(
+            r.getSeq[Long](bloomBase + j).toArray)
+        }.toMap
+        FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), stats, blooms)
       }
       .toSeq.sortBy(_.path)
   }
@@ -457,6 +479,38 @@ final class VersionedTable private (
         .filter(col(column).cast("double").between(lo, hi))
   }
 
+  /** Bloom-pruned point read on a DECLARED bloom column: files whose
+    * bitset says the value is DEFINITELY absent never reach Spark —
+    * the equality complement of [[readRangeOn]]'s zone maps, and the
+    * one that works on a high-cardinality column in a RANDOM layout
+    * (zones only prune once data is clustered; a bloom prunes any
+    * file the value simply never landed in). Files without a bitset
+    * for the column (pre-declaration commits) are conservatively
+    * scanned. `value` is matched against the column's STRING form —
+    * the form the bitset was built on.
+    */
+  def readEquals(
+      spark: SparkSession,
+      column: String,
+      value: String,
+      asOf: Option[Int] = None): DataFrame = {
+    require(value != null, "a bloom cannot answer IS NULL — filter read() instead")
+    val snap = snapshot(asOf.getOrElse(currentVersion()))
+    val live = snap.files.filter { f =>
+      f.blooms.get(column) match {
+        case Some(b64) =>
+          graft.functions.BloomSketch.mightContain(
+            graft.functions.BloomSketch.fromBase64(b64), value)
+        case None => true // no bitset recorded — must scan
+      }
+    }
+    if (live.isEmpty)
+      read(spark, asOf).filter(lit(false))
+    else
+      readFiles(spark, snap, live)
+        .filter(col(column).cast("string") === value)
+  }
+
   /** Multi-dimensional clustering compaction: rewrite the current
     * snapshot in z-order over `cols` (graft.operators.ScaleOps.zOrderBy
     * — bit-interleaved space-filling curve), so the per-file zones
@@ -542,7 +596,17 @@ object VersionedTable {
     * doubles per file in the manifest and buys file-level pruning via
     * [[VersionedTable.readRangeOn]]; pair with [[VersionedTable.compactZOrder]]
     * to make the zones tight on every declared dimension at once.
+    * `bloomCols` declares columns to bloom-index per file for
+    * [[VersionedTable.readEquals]] point reads — each costs
+    * `bloomBits/8` bytes per file in the manifest (the default 2^16
+    * bits = 8 KiB holds ~6.5k distinct values per file at ~1% false
+    * positives; size bits ≈ 10× the expected per-file distinct count).
     */
-  def apply(root: String, keyCol: String, statsCols: Seq[String] = Seq.empty): VersionedTable =
-    new VersionedTable(root, keyCol, statsCols)
+  def apply(
+      root: String,
+      keyCol: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = 1 << 16): VersionedTable =
+    new VersionedTable(root, keyCol, statsCols, bloomCols, bloomBits)
 }

@@ -2247,6 +2247,25 @@ object Inventory {
         FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
         ORDER BY o_orderkey""")),
 
+    Q("q156_lake_bloom_read",
+      (s, dir) => {
+        // bloom file-skipping: customers land in a random 8-file layout
+        // with a per-file bloom on the (unique, high-cardinality)
+        // c_name; the point read probes the manifest bitsets and only
+        // scans files the name might be in. The oracle is the plain
+        // equality filter — a bloom that wrongly prunes (or a hash
+        // mismatch between build and probe) returns 0 rows and fails.
+        val root = java.nio.file.Files.createTempDirectory("graft-q156").toString
+        val tbl = graft.lake.VersionedTable(root, "c_custkey",
+          bloomCols = Seq("c_name"))
+        tbl.append(t(s, dir, "customer").repartition(8))
+        tbl.readEquals(s, "c_name", "Customer#000000042")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_name = 'Customer#000000042'
+        ORDER BY c_custkey""")),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full

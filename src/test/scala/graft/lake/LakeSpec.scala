@@ -190,6 +190,36 @@ class LakeSpec extends SparkSpec {
     assert(out.inputFiles.nonEmpty)
   }
 
+  test("bloom index: point reads skip files the value never landed in") {
+    val root = Files.createTempDirectory("graft-lake-bloom").toString
+    val t = VersionedTable(root, "k", bloomCols = Seq("tag"))
+    // 4096 rows over 1024 distinct tags in a random 8-file layout:
+    // each tag lands in at most 4 files, but every file's key/value
+    // zones span everything — only a bloom can prune equality here
+    t.append((1 to 4096).map(i => (i.toLong, s"u${i % 1024}", i * 1.0))
+      .toDF("k", "tag", "v").repartition(8))
+
+    val out = t.readEquals(spark, "tag", "u17")
+    assert(out.count() == 4)
+    assert(out.inputFiles.length <= 4,
+      s"bloom must prune the random layout: ${out.inputFiles.length} of 8 files")
+    // definitely-absent value: no file survives the probe
+    assert(t.readEquals(spark, "tag", "no-such-tag").count() == 0)
+    assert(t.readEquals(spark, "tag", "no-such-tag").inputFiles.isEmpty)
+
+    // files committed before the bloom declaration scan conservatively
+    val root2 = Files.createTempDirectory("graft-lake-bloom2").toString
+    VersionedTable(root2, "k").append(rows(1 to 50, "old"))
+    val t2 = VersionedTable(root2, "k", bloomCols = Seq("tag"))
+    t2.append(rows(51 to 60, "new"))
+    assert(t2.readEquals(spark, "tag", "old").count() == 50)
+    // bloomless v1 files must all stay in the scan set; the bloom'd v2
+    // file is pruned for an absent value
+    val preFiles = t2.liveFiles(asOf = Some(1)).length
+    assert(t2.readEquals(spark, "tag", "none").inputFiles.length == preFiles,
+      "exactly the bloomless pre-declaration files must be scanned")
+  }
+
   test("refreshMix: budgets attained, idempotent, re-attained across upserts") {
     val root = Files.createTempDirectory("graft-lake-mix").toString
     val t = VersionedTable(root, "k")
