@@ -560,6 +560,55 @@ final class VersionedTable private (
     overwrite(graft.operators.ScaleOps.weightedTokenSample(
       read(spark), keyCol, strataCol, tokenCol, targets))
 
+  /** Row-level change feed between two committed versions: what a
+    * reader of `fromV` must apply to arrive at `toV`, as one row per
+    * changed key with `_change_type` ∈ insert / update / delete
+    * (update and insert carry the NEW values, delete the old ones).
+    *
+    * Cost is O(changed data), not O(table): the manifests are diffed
+    * first (files are immutable, so a path present in both versions
+    * cannot differ in content and is skipped wholesale), and only the
+    * added/removed files are read. Rows carried verbatim into a
+    * rewritten file — the copy-on-write residue of MERGE, or a whole
+    * [[compact]]/[[compactByRange]]/[[compactZOrder]] — compare equal
+    * (null-safe, all columns) and drop out: a layout-only commit has
+    * an EMPTY feed. Both sides are read under the `toV` schema, so an
+    * additive evolution alone produces no phantom updates.
+    *
+    * Assumes the MERGE invariant (one row per key per version);
+    * duplicate keys within a version would multiply through the join.
+    */
+  def changes(spark: SparkSession, fromV: Int, toV: Int): DataFrame = {
+    require(fromV >= 1 && toV >= 1, "versions start at 1")
+    val from = snapshot(fromV)
+    val to = snapshot(toV)
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    val removed = from.files.filterNot(f => toPaths(f.path))
+    val added = to.files.filterNot(f => fromPaths(f.path))
+
+    val dataCols = readFiles(spark, to, to.files).columns.toSeq
+    def side(files: Seq[FileEntry], name: String): DataFrame = {
+      val df =
+        if (files.isEmpty) readFiles(spark, to, to.files).filter(lit(false))
+        else readFiles(spark, to, files) // toV schema: evolution-aligned
+      df.select(col(keyCol).cast("long").as("__k"),
+        struct(dataCols.map(col): _*).as(name))
+    }
+    side(removed, "__old")
+      .join(side(added, "__new"), Seq("__k"), "full_outer")
+      .filter(!(col("__old") <=> col("__new"))) // carried rows drop out
+      .select(
+        when(col("__new").isNull, lit("delete"))
+          .when(col("__old").isNull, lit("insert"))
+          .otherwise(lit("update")).as("_change_type") +:
+          // per-struct (not per-field) choice: an update that sets a
+          // field to null must surface the null, not the old value
+          dataCols.map(c =>
+            when(col("__new").isNull, col(s"__old.$c"))
+              .otherwise(col(s"__new.$c")).as(c)): _*)
+  }
+
   /** Files referenced by the version (for plan/pruning assertions). */
   def liveFiles(asOf: Option[Int] = None): Seq[String] =
     snapshot(asOf.getOrElse(currentVersion())).files.map(_.path)

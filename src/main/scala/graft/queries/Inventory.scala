@@ -2266,6 +2266,36 @@ object Inventory {
         FROM customer WHERE c_name = 'Customer#000000042'
         ORDER BY c_custkey""")),
 
+    Q("q157_lake_changes",
+      (s, dir) => {
+        // change data feed across the q149 merge: the v1→v2 diff must
+        // classify every upserted key as update (was in the base) or
+        // insert (was not), carry the NEW values, and silently drop the
+        // rows the copy-on-write rewrite carried verbatim. The oracle
+        // replays the classification in SQL — sound because an updated
+        // row can never equal its old row here (status flips to 'U',
+        // which never occurs in orders, and prices are positive so *2
+        // always changes them).
+        val root = java.nio.file.Files.createTempDirectory("graft-q157").toString
+        val tbl = graft.lake.VersionedTable(root, "o_orderkey")
+        val orders = t(s, dir, "orders")
+        tbl.append(orders.filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(4, col("o_orderkey")))
+        tbl.merge(orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus")))
+        tbl.changes(s, 1, 2).orderBy("o_orderkey")
+      },
+      Some("""SELECT
+          CASE WHEN o_orderkey % 3 = 0 THEN 'update' ELSE 'insert' END
+            AS "_change_type",
+          o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+          'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 5 = 0
+        ORDER BY o_orderkey""")),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full

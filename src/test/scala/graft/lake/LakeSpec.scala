@@ -262,6 +262,41 @@ class LakeSpec extends SparkSpec {
     assert(t.tableCount(asOf = Some(1)) == 300)
   }
 
+  test("changes: merge feeds inserts+updates, compaction feeds nothing, mix feeds deletes") {
+    val t = freshTable()
+    t.append(rows(1 to 100, "base"))
+    // update 90..100 with DIFFERENT values, insert 101..110; rows the
+    // rewrite carries verbatim must not appear in the feed
+    t.merge((90 to 110).map(i => (i.toLong, "upd", -1.0)).toDF("k", "tag", "v"))
+
+    val feed = t.changes(spark, 1, 2).cache()
+    assert(feed.filter($"_change_type" === "insert").select("k").as[Long]
+      .collect().sorted.toSeq == (101L to 110L))
+    assert(feed.filter($"_change_type" === "update").select("k").as[Long]
+      .collect().sorted.toSeq == (90L to 100L))
+    assert(feed.filter($"_change_type" === "delete").count() == 0)
+    // updates carry the NEW values
+    assert(feed.filter($"_change_type" === "update").select("v").as[Double]
+      .collect().forall(_ == -1.0))
+
+    // layout-only commit: empty feed even though every file changed
+    t.compactByRange(spark, targetFiles = 4)
+    assert(t.changes(spark, 2, 3).isEmpty)
+
+    // an update that nulls a field surfaces the null, not the old value
+    t.merge(Seq((5L, null.asInstanceOf[String], 5.0)).toDF("k", "tag", "v"))
+    val nulled = t.changes(spark, 3, 4).filter($"k" === 5)
+    assert(nulled.count() == 1)
+    assert(nulled.head().isNullAt(nulled.columns.indexOf("tag")))
+
+    // refreshMix drops rows → the feed reports them as deletes, with
+    // the OLD values readable
+    t.refreshMix(spark, "tag", "v", Map("base" -> 100L))
+    val mixFeed = t.changes(spark, 4, 5)
+    assert(mixFeed.filter($"_change_type" === "delete").count() > 0)
+    assert(mixFeed.filter($"_change_type" === "insert").count() == 0)
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
