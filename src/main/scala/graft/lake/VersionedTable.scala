@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One data file of a table snapshot, with its zone-map stats: the key
@@ -577,8 +577,19 @@ final class VersionedTable private (
     *
     * Assumes the MERGE invariant (one row per key per version);
     * duplicate keys within a version would multiply through the join.
+    *
+    * With `preImages = true`, each update emits TWO rows —
+    * `update_preimage` (old values) then `update_postimage` (new) —
+    * the shape downstream DELTA CONSUMERS need: an incremental
+    * aggregate ([[IncrementalAgg.maintain]]) must subtract the old row
+    * before adding the new one. Still one pass (the two images explode
+    * from one joined row).
     */
-  def changes(spark: SparkSession, fromV: Int, toV: Int): DataFrame = {
+  def changes(
+      spark: SparkSession,
+      fromV: Int,
+      toV: Int,
+      preImages: Boolean = false): DataFrame = {
     require(fromV >= 1 && toV >= 1, "versions start at 1")
     val from = snapshot(fromV)
     val to = snapshot(toV)
@@ -595,18 +606,22 @@ final class VersionedTable private (
       df.select(col(keyCol).cast("long").as("__k"),
         struct(dataCols.map(col): _*).as(name))
     }
+    def tagged(tag: String, row: Column): Column =
+      struct(lit(tag).as("_change_type"), row.as("__row"))
+    val updateImages =
+      if (preImages)
+        array(tagged("update_preimage", col("__old")),
+          tagged("update_postimage", col("__new")))
+      else array(tagged("update", col("__new")))
     side(removed, "__old")
       .join(side(added, "__new"), Seq("__k"), "full_outer")
       .filter(!(col("__old") <=> col("__new"))) // carried rows drop out
-      .select(
-        when(col("__new").isNull, lit("delete"))
-          .when(col("__old").isNull, lit("insert"))
-          .otherwise(lit("update")).as("_change_type") +:
-          // per-struct (not per-field) choice: an update that sets a
-          // field to null must surface the null, not the old value
-          dataCols.map(c =>
-            when(col("__new").isNull, col(s"__old.$c"))
-              .otherwise(col(s"__new.$c")).as(c)): _*)
+      .select(explode(
+        when(col("__new").isNull, array(tagged("delete", col("__old"))))
+          .when(col("__old").isNull, array(tagged("insert", col("__new"))))
+          .otherwise(updateImages)).as("__c"))
+      .select(col("__c._change_type").as("_change_type") +:
+        dataCols.map(c => col(s"__c.__row.$c").as(c)): _*)
   }
 
   /** Files referenced by the version (for plan/pruning assertions). */

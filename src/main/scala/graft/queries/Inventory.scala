@@ -2296,6 +2296,47 @@ object Inventory {
         FROM orders WHERE o_orderkey % 5 = 0
         ORDER BY o_orderkey""")),
 
+    Q("q158_lake_ivm",
+      (s, dir) => {
+        // incremental view maintenance: the by-status count/sum
+        // aggregate initialized at v1 and advanced ONLY by the v1→v2
+        // pre/post change feed must equal a full recompute of the
+        // post-merge table — which is what the oracle computes from
+        // scratch in SQL. Sums ride as decimals, so delta application
+        // is order-independent and the comparison is exact.
+        val root = java.nio.file.Files.createTempDirectory("graft-q158").toString
+        val tbl = graft.lake.VersionedTable(root, "o_orderkey")
+        val orders = t(s, dir, "orders")
+        tbl.append(orders.filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(4, col("o_orderkey")))
+        tbl.merge(orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus")))
+        val g = Seq("o_orderstatus"); val sc = Seq("o_totalprice")
+        val state = graft.lake.IncrementalAgg.init(tbl.read(s, asOf = Some(1)), g, sc)
+        graft.lake.IncrementalAgg
+          .maintain(state, tbl.changes(s, 1, 2, preImages = true), g, sc)
+          .select(col("o_orderstatus"), col("cnt"),
+            col("sum_o_totalprice").cast("double").as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 3 = 0),
+        upd AS (
+          SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+            'U' AS o_orderstatus
+          FROM orders WHERE o_orderkey % 5 = 0),
+        final AS (
+          SELECT * FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+          UNION ALL SELECT * FROM upd)
+        SELECT o_orderstatus, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full

@@ -297,6 +297,33 @@ class LakeSpec extends SparkSpec {
     assert(mixFeed.filter($"_change_type" === "insert").count() == 0)
   }
 
+  test("incremental aggregate: maintained state equals the recompute exactly") {
+    val t = freshTable()
+    t.append(rows(1 to 100, "a"))
+    val g = Seq("tag"); val s = Seq("v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"cnt", $"sum_v".cast("double"))
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    var state = IncrementalAgg.init(t.read(spark), g, s)
+
+    // merge: updates (some switching group) + inserts
+    t.merge((90 to 120).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", i * 3.0)).toDF("k", "tag", "v"))
+    state = IncrementalAgg.maintain(state, t.changes(spark, 1, 2, preImages = true), g, s)
+    assert(snap(state) == snap(IncrementalAgg.init(t.read(spark), g, s)))
+
+    // deletes (mix refresh drops rows) maintain through too
+    t.refreshMix(spark, "tag", "v", Map("a" -> 2000L, "b" -> 500L))
+    state = IncrementalAgg.maintain(state, t.changes(spark, 2, 3, preImages = true), g, s)
+    assert(snap(state) == snap(IncrementalAgg.init(t.read(spark), g, s)))
+
+    // a postimage-only feed cannot subtract update preimages — rejected
+    // loudly at execution, never a silently wrong aggregate
+    val thrown = intercept[Exception](
+      IncrementalAgg.maintain(state, t.changes(spark, 1, 2), g, s).collect())
+    assert(thrown.getMessage.contains("preImages"))
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
