@@ -79,7 +79,8 @@ final class VersionedTable private (
     val keyCol: String,
     val statsCols: Seq[String],
     val bloomCols: Seq[String],
-    val bloomBits: Int) {
+    val bloomBits: Int,
+    val checks: Seq[String]) {
 
   private val mapper = new ObjectMapper()
   private def logDir: Path = Paths.get(root, "_log")
@@ -231,16 +232,38 @@ final class VersionedTable private (
       Seq(min(col(c).cast("double")).as(s"__lo_$c"), max(col(c).cast("double")).as(s"__hi_$c")))
     val bloomAggs = presentB.map(c =>
       graft.functions.BloomSketch.sketch(col(c).cast("string"), bloomBits).as(s"__bf_$c"))
+    // CHECK constraints ride the same single stats pass: a violation
+    // count per declared check (SQL semantics — NULL passes, only
+    // check IS FALSE violates)
+    val checkAggs = checks.zipWithIndex.map { case (c, i) =>
+      sum(when(expr(c) <=> lit(false), 1L).otherwise(0L)).as(s"__ck_$i")
+    }
     val aggs = Seq(
       count(lit(1)).as("rows"),
       min(col(keyCol).cast("long")).as("minKey"),
-      max(col(keyCol).cast("long")).as("maxKey")) ++ statAggs ++ bloomAggs
+      max(col(keyCol).cast("long")).as("maxKey")) ++ statAggs ++ bloomAggs ++ checkAggs
     val bloomBase = 4 + present.size * 2
-    listed
+    val checkBase = bloomBase + presentB.size
+    val perFile = listed
       .groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per file just written
       .filter(_.getLong(1) > 0) // an all-empty write leaves a schema-only file
+    // enforce checks BEFORE the manifest exists: a violating batch
+    // leaves no committed version and no orphan data
+    val violated = checks.zipWithIndex
+      .map { case (c, i) => c -> perFile.map(_.getLong(checkBase + i)).sum }
+      .filter(_._2 > 0)
+    if (violated.nonEmpty) {
+      val d = Paths.get(dir)
+      if (Files.exists(d))
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      throw new IllegalArgumentException(
+        "CHECK constraint violation, commit aborted: " +
+          violated.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", "))
+    }
+    perFile
       .map { r =>
         val stats = present.zipWithIndex.flatMap { case (c, i) =>
           val lo = 4 + i * 2
@@ -665,12 +688,17 @@ object VersionedTable {
     * `bloomBits/8` bytes per file in the manifest (the default 2^16
     * bits = 8 KiB holds ~6.5k distinct values per file at ~1% false
     * positives; size bits ≈ 10× the expected per-file distinct count).
+    * `checks` are SQL boolean CHECK constraints enforced on every
+    * commit's written rows (NULL passes, as in SQL); a violating batch
+    * aborts BEFORE the manifest is published — no version, no orphan
+    * files. The counting rides the stats pass: zero extra jobs.
     */
   def apply(
       root: String,
       keyCol: String,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      bloomBits: Int = 1 << 16): VersionedTable =
-    new VersionedTable(root, keyCol, statsCols, bloomCols, bloomBits)
+      bloomBits: Int = 1 << 16,
+      checks: Seq[String] = Seq.empty): VersionedTable =
+    new VersionedTable(root, keyCol, statsCols, bloomCols, bloomBits, checks)
 }

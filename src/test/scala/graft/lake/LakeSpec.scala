@@ -324,6 +324,35 @@ class LakeSpec extends SparkSpec {
     assert(thrown.getMessage.contains("preImages"))
   }
 
+  test("CHECK constraints: violating commits abort with no version and no orphans") {
+    val root = Files.createTempDirectory("graft-lake-ck").toString
+    val t = VersionedTable(root, "k", checks = Seq("v >= 0", "length(tag) > 0"))
+    t.append(rows(1 to 50, "ok"))
+    assert(t.currentVersion() == 1)
+
+    // a violating append: loud failure naming the check, version
+    // unchanged, data dir cleaned up
+    val bad = Seq((51L, "x", -5.0), (52L, "x", 3.0)).toDF("k", "tag", "v")
+    val e = intercept[IllegalArgumentException](t.append(bad))
+    assert(e.getMessage.contains("v >= 0") && e.getMessage.contains("1 rows"))
+    assert(t.currentVersion() == 1)
+    assert(t.read(spark).count() == 50)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", "v00002")))
+
+    // a violating MERGE aborts the same way (survivor rewrite included)
+    val e2 = intercept[IllegalArgumentException](
+      t.merge(Seq((10L, "", 1.0)).toDF("k", "tag", "v")))
+    assert(e2.getMessage.contains("length(tag) > 0"))
+    assert(t.currentVersion() == 1)
+
+    // NULL passes (SQL CHECK semantics) — and a later valid commit
+    // proves the aborted attempts left no residue in the version chain
+    t.append(Seq((60L, "t", null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "tag", "v"))
+    assert(t.currentVersion() == 2)
+    assert(t.read(spark).count() == 51)
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
