@@ -48,4 +48,26 @@ object StreamingLake {
         table.upsertIfNew(batch.toDF(), appId, batchId): Unit
       }
       .start()
+
+  /** Exactly-once upsert PLUS an incrementally maintained materialized
+    * aggregate: after each micro-batch commit the
+    * [[graft.lake.MaterializedAgg]] advances by that batch's change
+    * feed only. Both halves are replay-safe on checkpoint recovery —
+    * the table by its (appId, batchId) txn marker, the aggregate by
+    * its table-version cursor — so a recovered stream never
+    * double-applies to either.
+    */
+  def upsertStreamMaintaining(
+      updates: DataFrame,
+      table: VersionedTable,
+      agg: graft.lake.MaterializedAgg,
+      appId: String,
+      checkpoint: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        table.upsertIfNew(batch.toDF(), appId, batchId)
+        agg.refresh(batch.sparkSession): Unit
+      }
+      .start()
 }

@@ -353,6 +353,32 @@ class LakeSpec extends SparkSpec {
     assert(t.read(spark).count() == 51)
   }
 
+  test("materialized aggregate: incremental refresh tracks the table exactly") {
+    val t = freshTable()
+    val aggRoot = Files.createTempDirectory("graft-lake-magg").toString
+    val m = new MaterializedAgg(t, aggRoot, Seq("tag"), Seq("v"))
+    def recompute() = IncrementalAgg.init(t.read(spark), Seq("tag"), Seq("v"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"cnt", $"sum_v".cast("double"))
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+
+    t.append(rows(1 to 100, "a"))
+    m.refresh(spark) // first refresh: full aggregate
+    assert(snap(m.read(spark)) == snap(recompute()))
+
+    t.merge((50 to 130).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", i * 2.0)).toDF("k", "tag", "v"))
+    t.append(rows(200 to 220, "c"))
+    m.refresh(spark) // catches up across BOTH commits in one feed
+    assert(snap(m.read(spark)) == snap(recompute()))
+    assert(m.currentVersion() == t.currentVersion())
+
+    // replayed refresh (crash recovery): cursor already current, no-op
+    val before = snap(m.read(spark))
+    m.refresh(spark)
+    assert(snap(m.read(spark)) == before)
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))

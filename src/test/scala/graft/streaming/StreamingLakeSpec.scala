@@ -67,6 +67,32 @@ class StreamingLakeSpec extends SparkSpec {
     assert(t.lastTxn("stream-a").exists(_ >= 1L))
   }
 
+  test("streamed upserts maintain the materialized aggregate batch by batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshTable()
+    val aggRoot = Files.createTempDirectory("slake-magg").toString
+    val m = new graft.lake.MaterializedAgg(t, aggRoot, Seq("g"), Seq("x"))
+    val ckpt = Files.createTempDirectory("slake-ckpt3").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = StreamingLake.upsertStreamMaintaining(
+      in.toDF.toDF("k", "g", "x"), t, m, "stream-m", ckpt)
+    try {
+      in.addData((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+      q.processAllAvailable()
+      in.addData((2L, "b", 99.0), (4L, "a", 1.0)) // move key 2 to group b
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"cnt", $"sum_x".cast("double"))
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(m.currentVersion() == t.currentVersion())
+    assert(snap(m.read(spark)) ==
+      snap(graft.lake.IncrementalAgg.init(t.read(spark), Seq("g"), Seq("x"))))
+    assert(snap(m.read(spark)) ==
+      Seq(("a", 2L, 11.0), ("b", 2L, 104.0)))
+  }
+
   test("checkpointed restart re-delivers the last batch; the table does not double-apply") {
     val srcDir = Files.createTempDirectory("slake-src").toString
     val ckpt = Files.createTempDirectory("slake-ckpt2").toString
