@@ -505,13 +505,35 @@ object TextAnalysis {
   /** Self-perplexity: score each document under the model estimated
     * from the corpus itself — the outlier/boilerplate screen that needs
     * no external reference corpus.
+    *
+    * Scoring runs on the BROADCAST native path ([[lmScorer]], parity
+    * spec-pinned bit-identical to [[ngramLogProbScore]]): the corpus
+    * pays the model build's explode+groupBy once, then each doc is
+    * scored map-side in one pass — no second explode, no join, no
+    * per-gram aggregation state. n_grams is computed arithmetically
+    * from the normalized length (= exactly the exploded gram count).
     */
   def selfPerplexity(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 3): DataFrame =
-    ngramLogProbScore(df, charNgramModel(df, textCol, n), idCol, textCol, n)
+      n: Int = 3): DataFrame = {
+    val model = charNgramModel(df, textCol, n)
+    // empty model (no docs ≥ n chars): nothing is scorable — the same
+    // empty shape ngramLogProbScore returns, not a require() blow-up
+    if (model.isEmpty)
+      return df.select(col(idCol))
+        .withColumn("n_grams", lit(0L))
+        .withColumn("avg_logp", lit(0.0))
+        .filter(lit(false))
+    val scorer = lmScorer(model, n)
+    val norm = lower(trim(col(textCol)))
+    df.select(
+        col(idCol),
+        (length(norm) - (n - 1)).cast("long").as("n_grams"),
+        scorer(col(textCol)).as("avg_logp"))
+      .filter(col("n_grams") >= 1)
+  }
 
   /** Per-row LM scorer with the model BROADCAST into a native
     * expression — value-identical to [[ngramLogProbScore]]'s avg_logp
