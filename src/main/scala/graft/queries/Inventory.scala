@@ -2962,5 +2962,6 @@ object Inventory {
     "q142_weighted_token_sample",
     "q144_substring_dedup", "q145_bm25",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
-    "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read")
+    "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
+    "q157_lake_changes", "q158_lake_ivm")
 }
