@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExprs
 
@@ -282,6 +282,70 @@ object ScaleOps {
       .withColumn("__cum", sum(col(tokenCol).cast("long")).over(byPriority))
       .filter(coalesce(col("__cum"), lit(0L)) < col("__tgt"))
       .drop("__aes", "__tgt", "__cum")
+  }
+
+  /** Deterministic token-budget UPSAMPLING: the missing half of
+    * [[mixToTokenBudget]], whose rates cap at 1.0. Training mixtures
+    * routinely oversample scarce strata (a 2.7× epoch weight on a
+    * high-quality source); here rate = target/available is left
+    * UNCAPPED and realized as floor(rate) full copies of every row
+    * plus one extra copy for an md5-selected frac(rate)-sized slice.
+    * Each output row carries `copy_no` (1-based) so downstream
+    * shuffling/packing can tell repeats apart.
+    *
+    * Determinism and auditability: the fractional slice is chosen by
+    * `substr(md5(key),1,8) < cut`, with cut = floor(frac·2³²) in hex.
+    * 2³² is a power of two, so the multiply is EXACT in IEEE doubles
+    * and any engine replays the same boundary — no rounding-mode
+    * divergence (this is why it is not [[mdHexThreshold]]'s
+    * round-based cut). Map-only after the one planning aggregate;
+    * strata without a target are dropped (null strata fall in that
+    * class, the [[tokenBudgetRates]] contract). Achieved tokens land
+    * within one document-rate-sampling error of the target; compose
+    * with [[weightedTokenSample]] on the fractional slice if tighter
+    * attainment is needed.
+    */
+  def upsampleToTokenBudget(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      tokenCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    require(targets.values.forall(_ >= 0), "token targets must be >= 0")
+    val avail = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol)
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .toMap
+    val rates: Map[String, Double] = targets.flatMap { case (s, tgt) =>
+      avail.get(s).filter(_ > 0).map(a => s -> tgt.toDouble / a)
+    }
+    def chain(of: Map[String, Column], orElse: Column): Column =
+      of.toSeq.sortBy(_._1).foldLeft(orElse) {
+        case (acc, (s, v)) => when(col(strataCol) === s, v).otherwise(acc)
+      }
+    val fullCol = chain(
+      rates.map { case (s, r) => s -> lit(math.floor(r).toLong) },
+      lit(null).cast("long"))
+    val cutCol = chain(
+      rates.map { case (s, r) =>
+        val frac = r - math.floor(r)
+        val t = math.min(math.floor(frac * 4294967296.0).toLong, 4294967295L)
+        s -> lit(f"$t%08x")
+      },
+      lit(null).cast("string"))
+    val tagged = df
+      .withColumn("__full", fullCol)
+      .withColumn("__cut", cutCol)
+      .filter(col("__full").isNotNull) // untargeted strata drop out
+    val copies = tagged.select(df.columns.map(col) :+
+      explode(when(col("__full") >= 1, sequence(lit(1L), col("__full")))
+        .otherwise(array().cast("array<bigint>"))).as("copy_no"): _*)
+    val extra = tagged
+      .filter(substring(md5(col(keyCol).cast("string")), 1, 8) < col("__cut"))
+      .select(df.columns.map(col) :+ (col("__full") + 1).as("copy_no"): _*)
+    copies.unionByName(extra)
   }
 
   /** Fail-fast guard for VERIFICATION-ONLY exhaustive operators.

@@ -2337,6 +2337,45 @@ object Inventory {
           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
         FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    Q("q159_upsample_mix",
+      (s, dir) =>
+        // token-budget UPSAMPLING (rates past 1.0 — the epoch-weight
+        // half mixToTokenBudget's capped rates can't express):
+        // floor(rate) full copies per doc + an md5-selected fractional
+        // slice. The cut is floor(frac·2^32) in hex — 2^32 is a power
+        // of two, so the multiply is exact in IEEE doubles and DuckDB
+        // replays the identical boundary from the identical
+        // data-derived rate. The oracle rebuilds every copy.
+        ScaleOps.upsampleToTokenBudget(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "doc_id", "lang", "n_chars",
+          Map("en" -> 150000L, "es" -> 40000L))
+          .orderBy("doc_id", "copy_no"),
+      Some("""WITH avail AS (
+          SELECT lang, sum(n_chars) AS a FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang),
+        r AS (
+          SELECT d.doc_id, d.lang, d.n_chars,
+            CASE d.lang WHEN 'en' THEN 150000.0 / a.a
+                        WHEN 'es' THEN 40000.0 / a.a END AS rate
+          FROM documents d JOIN avail a USING (lang)
+          WHERE d.lang IN ('en', 'es')),
+        m AS (
+          SELECT *, CAST(floor(rate) AS BIGINT) AS nfull,
+            printf('%08x', CAST(least(floor((rate - floor(rate)) * 4294967296.0),
+              4294967295.0) AS BIGINT)) AS cut
+          FROM r),
+        copies AS (
+          SELECT doc_id, lang, n_chars,
+            unnest(generate_series(1, nfull)) AS copy_no
+          FROM m WHERE nfull >= 1),
+        extra AS (
+          SELECT doc_id, lang, n_chars, nfull + 1 AS copy_no FROM m
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut)
+        SELECT doc_id, lang, n_chars, copy_no FROM copies
+        UNION ALL SELECT doc_id, lang, n_chars, copy_no FROM extra
+        ORDER BY doc_id, copy_no""")),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full

@@ -529,6 +529,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("item", "cnt") && out.count() == 0)
   }
 
+  test("upsampleToTokenBudget: floor(rate)+frac copies, deterministic, near target") {
+    import spark.implicits._
+    // stratum "a": 100 docs x 100 tokens = 10k available, target 27k
+    // → rate 2.7: every doc 2 or 3 copies; "b" targeted under 1x;
+    // "c" untargeted → dropped
+    val docs = (1 to 100).map(i => (i.toLong, "a", 100L)) ++
+      (101 to 160).map(i => (i.toLong, "b", 50L)) ++
+      (161 to 180).map(i => (i.toLong, "c", 10L))
+    val df = docs.toDF("id", "g", "toks")
+    val targets = Map("a" -> 27000L, "b" -> 1500L)
+    val out = ScaleOps.upsampleToTokenBudget(df, "id", "g", "toks", targets).cache()
+
+    assert(out.filter($"g" === "c").count() == 0)
+    // per-doc copy counts: {2,3} for a (rate 2.7), {0,1} for b (rate .5)
+    val perDocA = out.filter($"g" === "a").groupBy("id").count()
+      .select("count").as[Long].collect()
+    assert(perDocA.forall(c => c == 2 || c == 3))
+    assert(out.filter($"g" === "b").groupBy("id").count()
+      .select("count").as[Long].collect().forall(_ == 1))
+    // copy_no enumerates repeats 1..k
+    assert(out.filter($"g" === "a" && $"copy_no" === 3).count() ==
+      perDocA.count(_ == 3))
+    // achieved tokens bracket the target (doc-rate sampling error only)
+    val gotA = out.filter($"g" === "a").agg(sum("toks")).as[Long].head()
+    assert(gotA >= 20000 && gotA <= 30000 && math.abs(gotA - 27000) <= 2000,
+      s"achieved $gotA for target 27000")
+    // pure function of (key, targets): replay is identical
+    val again = ScaleOps.upsampleToTokenBudget(df, "id", "g", "toks", targets)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
+
   test("splitByGroup: a null group key gets a null split, not a silent bucket") {
     import spark.implicits._
     val rows = Seq((1L, Some("g1")), (2L, None), (3L, Some("g2")))
