@@ -822,6 +822,32 @@ object Dedup {
   // ------------------------------------------------------- n-gram jaccard
 
   /** Word n-gram Jaccard similarity of two text columns (set semantics). */
+  /** Split-leakage audit: near-dup pairs whose members landed in
+    * DIFFERENT splits — the contamination a group-level split
+    * ([[graft.operators.ScaleOps.splitByGroup]]) cannot prevent when
+    * near-identical text exists ACROSS groups (mirrored articles on
+    * two domains, syndicated boilerplate). Empty output = the split is
+    * leak-free under the pair set; non-empty rows name exactly which
+    * eval docs are compromised by which training docs.
+    *
+    * Compositional: `pairs` is any (id_a, id_b, …) frame — MinHash,
+    * SimHash, or embedding near-dups — so the audit inherits the
+    * producing operator's recall; `assignments` is (id, split). Two
+    * broadcast-sized joins (the assignment frame is id → split, tiny
+    * next to the corpus) keep the audit map-side at any corpus scale.
+    */
+  def splitLeakage(
+      pairs: DataFrame,
+      assignments: DataFrame,
+      idCol: String = "doc_id",
+      splitCol: String = "split"): DataFrame = {
+    val a = assignments.select(col(idCol).as("id_a"), col(splitCol).as("split_a"))
+    val b = assignments.select(col(idCol).as("id_b"), col(splitCol).as("split_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(pairs.columns.map(col) ++ Seq(col("split_a"), col("split_b")): _*)
+  }
+
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val sa = shingleHashes(a, n)
     val sb = shingleHashes(b, n)

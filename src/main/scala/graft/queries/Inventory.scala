@@ -2376,6 +2376,49 @@ object Inventory {
         UNION ALL SELECT doc_id, lang, n_chars, copy_no FROM extra
         ORDER BY doc_id, copy_no""")),
 
+    Q("q160_split_leakage",
+      (s, dir) => {
+        // contamination audit: near-dup pairs straddling the q117
+        // domain-level train/val/test split — the leakage a
+        // group-level split cannot stop when near-identical text
+        // exists across sources. Oracle = the q81 exhaustive pair
+        // recompute joined to the q117 md5 split replay; same recall
+        // argument as q81 (all true pairs ≥ 0.9 jaccard here).
+        val d = t(s, dir, "documents")
+        val split = ScaleOps.splitByGroup(d, "source",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+          .select(col("doc_id"), col("split"))
+        val pairs = Dedup.minHashNearDups(d, "doc_id", "text",
+          k = 128, bands = 32, w = 3, threshold = 0.5)
+        Dedup.splitLeakage(pairs, split).orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, source, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        sp AS (
+          SELECT doc_id, CASE
+            WHEN substr(md5(source), 1, 8) < 'bfffffff' THEN 'train'
+            WHEN substr(md5(source), 1, 8) < 'dfffffff' THEN 'val'
+            ELSE 'test' END AS split
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5)
+        SELECT p.id_a, p.id_b, p.jaccard,
+          sa.split AS split_a, sb.split AS split_b
+        FROM p
+        JOIN sp sa ON sa.doc_id = p.id_a
+        JOIN sp sb ON sb.doc_id = p.id_b
+        WHERE sa.split <> sb.split
+        ORDER BY id_a, id_b""")),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full

@@ -494,6 +494,20 @@ class DedupSpec extends SparkSpec {
     assert(incr.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
   }
 
+  test("splitLeakage reports exactly the pairs straddling splits, with both sides") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.7))
+      .toDF("id_a", "id_b", "jaccard")
+    val splits = Seq((1L, "train"), (2L, "val"), (3L, "train"), (4L, "train"),
+      (5L, "test"), (6L, "train")).toDF("doc_id", "split")
+    val out = Dedup.splitLeakage(pairs, splits)
+      .orderBy("id_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b"))).toSeq
+    // (3,4) is train-train → clean; the two cross-split pairs surface
+    assert(out == Seq((1L, 2L, "train", "val"), (5L, 6L, "test", "train")))
+  }
+
   test("nearDupSurvivors keeps the highest-rank member per cluster, ties to min id") {
     import spark.implicits._
     // components: {1,2,3} via (1,2),(2,3) — transitive; {7,8}
