@@ -217,6 +217,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"UDF present in bloom plan:\n$plan")
   }
 
+  test("q153: perplexity scoring is map-only — no join, no exchange") {
+    // the model build pays its one explode+groupBy when lmScorer
+    // collects it; the RETURNED scoring frame must stay scan→project→
+    // filter (broadcast native expression), never regress to the
+    // explode+join+agg it replaced
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.operators.TextAnalysis.selfPerplexity(docs)
+    val plan = planString(scored)
+    assert(!plan.contains("Join"), s"perplexity scoring re-grew a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"perplexity scoring re-grew a shuffle:\n$plan")
+    assert(plan.contains("lm_score"), s"native scorer missing:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
