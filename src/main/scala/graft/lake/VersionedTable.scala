@@ -359,6 +359,28 @@ final class VersionedTable private (
     commit(next, untouched ++ writeFiles(survivors, next), base.txns ++ txn, Some(schema))
   }
 
+  /** Copy-on-write range DELETE: remove all rows with key in [lo, hi].
+    * Zone-pruned like [[merge]] — only files whose [minKey, maxKey]
+    * overlaps the range are rewritten (without the deleted rows); the
+    * untouched majority carries by reference, so the commit costs
+    * O(overlapping files), not O(table). A file that ends up empty
+    * simply contributes no entry. The deleted rows appear as `delete`
+    * rows in [[changes]] and remain readable by time travel until
+    * [[vacuum]] — for a hard erasure, vacuum after deleting.
+    */
+  def deleteRange(spark: SparkSession, lo: Long, hi: Long): Snapshot = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val prev = currentVersion()
+    require(prev >= 1, "delete from an empty table")
+    val base = snapshot(prev)
+    val (touched, untouched) = base.files.partition(f => f.maxKey >= lo && f.minKey <= hi)
+    if (touched.isEmpty) return base // nothing in range: no new version
+    val next = prev + 1
+    val survivors = readFiles(spark, base, touched)
+      .filter(!col(keyCol).cast("long").between(lo, hi))
+    commit(next, untouched ++ writeFiles(survivors, next), base.txns, base.schemaDdl)
+  }
+
   /** Compaction-commit: rewrite the CURRENT snapshot as `targetFiles`
     * files (small-file mitigation after many appends/merges). Data is
     * unchanged — only the file layout.

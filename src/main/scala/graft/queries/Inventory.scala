@@ -2419,6 +2419,24 @@ object Inventory {
         WHERE sa.split <> sb.split
         ORDER BY id_a, id_b""")),
 
+    Q("q161_lake_delete",
+      (s, dir) => {
+        // zone-pruned copy-on-write DELETE: only files whose key zone
+        // overlaps the range are rewritten; the read after must show
+        // exactly the complement (the oracle's NOT BETWEEN), with rows
+        // in untouched files carried by reference bit-identically.
+        val root = java.nio.file.Files.createTempDirectory("graft-q161").toString
+        val tbl = graft.lake.VersionedTable(root, "o_orderkey")
+        tbl.append(t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(8, col("o_orderkey")))
+        tbl.deleteRange(s, 2000, 7999)
+        tbl.read(s).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey NOT BETWEEN 2000 AND 7999
+        ORDER BY o_orderkey""")),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full

@@ -379,6 +379,31 @@ class LakeSpec extends SparkSpec {
     assert(snap(m.read(spark)) == before)
   }
 
+  test("deleteRange rewrites only overlapping files; feed and time travel agree") {
+    val root = Files.createTempDirectory("graft-lake-del").toString
+    val t = VersionedTable(root, "k")
+    t.append(rows(1 to 100, "a").repartitionByRange(4, $"k")
+      .sortWithinPartitions($"k"))
+    val before = t.liveFiles().toSet
+
+    t.deleteRange(spark, 10, 40)
+    assert(t.read(spark).count() == 69) // 31 keys removed
+    assert(t.read(spark).filter($"k".between(10, 40)).count() == 0)
+    // files whose zones miss [10,40] carried by reference, not rewritten
+    val after = t.liveFiles().toSet
+    assert((before intersect after).nonEmpty, "non-overlapping files must carry over")
+    // the change feed reports exactly the deleted keys
+    val feed = t.changes(spark, 1, 2)
+    assert(feed.filter($"_change_type" =!= "delete").count() == 0)
+    assert(feed.select("k").as[Long].collect().sorted.toSeq == (10L to 40L))
+    // time travel still sees the pre-delete state
+    assert(t.read(spark, asOf = Some(1)).count() == 100)
+    // an out-of-range delete is a no-op WITHOUT a new version
+    val v = t.currentVersion()
+    t.deleteRange(spark, 500, 600)
+    assert(t.currentVersion() == v)
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
