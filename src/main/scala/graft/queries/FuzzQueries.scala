@@ -8,11 +8,12 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 280 query cases over `orders`/`lineitem`/`documents`
+  * A seeded generator produces 300 query cases over `orders`/`lineitem`/`documents`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions, rollup/cube/grouping-sets,
   * date/interval arithmetic, NULL semantics, string functions over
-  * prose, decimal arithmetic + correlated scalar subqueries). Each case is rendered TWICE from one AST:
+  * prose, decimal arithmetic + correlated scalar subqueries, LATERAL
+  * derived tables). Each case is rendered TWICE from one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
   *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
@@ -27,10 +28,10 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 280
-  * summaries are UNION ALL'd into twelve declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 300
+  * summaries are UNION ALL'd into thirteen declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
-  * correctness gate hash-compares all 280 against DuckDB, while
+  * correctness gate hash-compares all 300 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
   *
   * Everything derives from a fixed seed: the generated set is identical
@@ -51,6 +52,7 @@ object FuzzQueries {
   val nNull = 20
   val nStr = 20
   val nDecCorr = 20
+  val nLateral = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -1016,6 +1018,99 @@ object FuzzQueries {
     }
   }
 
+  /** Family M — LATERAL derived tables (correlated top-k / aggregate /
+    * argmin): the decorrelation surface the scalar-subquery half of
+    * family L does not reach. A lateral LIMIT-k subquery must rewrite
+    * into a partitioned rank, and an aggregate lateral into a left
+    * join that distinguishes the empty group (count 0, sum NULL). The
+    * DSL twin IS that manual rewrite (row_number window / groupBy +
+    * left join), so a disagreement localizes to Spark's lateral
+    * decorrelation against both DuckDB and the reference plan.
+    */
+  private def lateralCase(id: String, rng: scala.util.Random): FuzzCase = {
+    import org.apache.spark.sql.expressions.Window
+    val outer = predicate("orders", rng)
+    val inner = predicate("lineitem", rng)
+    def summarize(df: DataFrame, n: Column, a: Column, x: Column): DataFrame =
+      df.agg(n.as("n_rows"), a.as("agg"), x.as("aux"))
+        .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+    rng.nextInt(3) match {
+      case 0 =>
+        // top-j lines per order, unique-key tiebreak
+        val j = 1 + rng.nextInt(4)
+        FuzzCase(id, "orders",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(CAST(t.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS agg,
+               count(DISTINCT o.o_orderkey) AS aux
+             FROM orders o,
+             LATERAL (SELECT l.l_extendedprice FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND ${inner.sql}
+                      ORDER BY l.l_extendedprice DESC, l.l_linenumber LIMIT $j) t
+             WHERE ${outer.sql}""",
+          ts => {
+            val w = Window.partitionBy(col("l_orderkey"))
+              .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+            val top = ts("lineitem").filter(inner.mk())
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= j)
+            val o = ts("orders").filter(outer.mk())
+            summarize(o.join(top, o("o_orderkey") === top("l_orderkey")),
+              count(lit(1)),
+              sum(col("l_extendedprice").cast(DecimalType(28, 2))).cast("double"),
+              countDistinct(o("o_orderkey")))
+          })
+      case 1 =>
+        // aggregate lateral: exactly ONE row per outer row; the empty
+        // group must come back (c=0, s=NULL), pinned via COALESCE and
+        // an empty-group counter
+        FuzzCase(id, "orders",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(COALESCE(t.s, 0)) AS DOUBLE) AS agg,
+               CAST(sum(CASE WHEN t.c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS aux
+             FROM orders o,
+             LATERAL (SELECT count(*) AS c,
+                        sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS s
+                      FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND ${inner.sql}) t
+             WHERE ${outer.sql}""",
+          ts => {
+            val g = ts("lineitem").filter(inner.mk())
+              .groupBy(col("l_orderkey"))
+              .agg(count(lit(1)).as("__c"),
+                sum(col("l_quantity").cast(DecimalType(28, 2))).as("__s"))
+            val o = ts("orders").filter(outer.mk())
+            summarize(o.join(g, o("o_orderkey") === g("l_orderkey"), "left"),
+              count(lit(1)),
+              sum(coalesce(col("__s"), lit(0))).cast("double"),
+              sum(when(coalesce(col("__c"), lit(0L)) === 0, 1).otherwise(0)).cast("long"))
+          })
+      case _ =>
+        // argmin via LIMIT 1: the cheapest line per order, plus which
+        // line it was (sum of linenumbers pins the argmin itself)
+        FuzzCase(id, "orders",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(sum(CAST(t.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS agg,
+               CAST(sum(t.l_linenumber) AS BIGINT) AS aux
+             FROM orders o,
+             LATERAL (SELECT l.l_extendedprice, l.l_linenumber FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND ${inner.sql}
+                      ORDER BY l.l_extendedprice ASC, l.l_linenumber LIMIT 1) t
+             WHERE ${outer.sql}""",
+          ts => {
+            val w = Window.partitionBy(col("l_orderkey"))
+              .orderBy(col("l_extendedprice").asc, col("l_linenumber"))
+            val top = ts("lineitem").filter(inner.mk())
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+            val o = ts("orders").filter(outer.mk())
+            summarize(o.join(top, o("o_orderkey") === top("l_orderkey")),
+              count(lit(1)),
+              sum(col("l_extendedprice").cast(DecimalType(28, 2))).cast("double"),
+              sum(col("l_linenumber")).cast("long"))
+          })
+    }
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -1034,7 +1129,8 @@ object FuzzQueries {
     val strs = (0 until nStr).map(i => strCase(f"fzK$i%03d", rng))
     val deccorrs = (0 until nDecCorr).map(i =>
       if (i % 2 == 0) decimalCase(f"fzL$i%03d", rng) else correlCase(f"fzL$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs
+    val laterals = (0 until nLateral).map(i => lateralCase(f"fzM$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs ++ laterals
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -1053,7 +1149,8 @@ object FuzzQueries {
     "q128_fuzz_datetime" -> cases.filter(_.id.startsWith("fzI")),
     "q129_fuzz_null_semantics" -> cases.filter(_.id.startsWith("fzJ")),
     "q133_fuzz_string_text" -> cases.filter(_.id.startsWith("fzK")),
-    "q143_fuzz_decimal_correlated" -> cases.filter(_.id.startsWith("fzL")))
+    "q143_fuzz_decimal_correlated" -> cases.filter(_.id.startsWith("fzL")),
+    "q162_fuzz_lateral" -> cases.filter(_.id.startsWith("fzM")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(
