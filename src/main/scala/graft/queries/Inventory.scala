@@ -3063,5 +3063,7 @@ object Inventory {
     "q144_substring_dedup", "q145_bm25",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
-    "q157_lake_changes", "q158_lake_ivm")
+    "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
+    "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
+    "q162_fuzz_lateral")
 }
