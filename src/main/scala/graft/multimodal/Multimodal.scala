@@ -118,6 +118,121 @@ object Multimodal {
       counts.map(_ / n)
     }
 
+    /** Deterministic STRUCTURED synthetic PNG — a seed-phased sinusoid
+      * field. [[makePng]]'s per-pixel noise has no stable low-frequency
+      * signature for [[pHash]] to latch onto; this generator produces
+      * the content class perceptual hashing is designed for, so
+      * fixtures can exercise near-dup detection without binary test
+      * data.
+      */
+    def makeStructuredPng(seed: Long, w: Int = 64, h: Int = 64): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val fx = 1 + math.floorMod(seed, 3).toInt
+      val fy = 1 + math.floorMod(seed >> 2, 3).toInt
+      val phase = math.floorMod(seed, 7) * 0.9
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = 128 + (90 * math.sin(2 * math.Pi * fx * x / w + phase) *
+            math.cos(2 * math.Pi * fy * y / h)).toInt
+          val c = math.max(0, math.min(255, v))
+          img.setRGB(x, y, (c << 16) | (c << 8) | c)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** Deterministic ±delta checkerboard jitter of a decodable image —
+      * the "same content, slightly different bytes" fixture for
+      * near-dup tests (re-encoded PNG, so the BYTES differ a lot while
+      * the pixels barely do).
+      */
+    def jitterPng(bytes: Array[Byte], delta: Int): Array[Byte] = {
+      val img = decode(bytes).get
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val c = (img.getRGB(x, y) & 0xff) + (if ((x + y) % 2 == 0) delta else -delta)
+          val cc = math.max(0, math.min(255, c))
+          img.setRGB(x, y, (cc << 16) | (cc << 8) | cc)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** 64-bit perceptual hash (pHash, DCT variant): decode → 32×32
+      * box-filtered grayscale → 2-D DCT-II → top-left 8×8
+      * low-frequency block → bit per coefficient, set when the
+      * coefficient exceeds the median of the 63 non-DC values. All
+      * arithmetic is fixed-order doubles on deterministic pixel data,
+      * so the hash is a pure function of the decoded pixels: a
+      * re-encode or mild noise moves a few bits, an unrelated image
+      * ~half of them. None for undecodable bytes.
+      */
+    def pHash(bytes: Array[Byte]): Option[Long] = decode(bytes).map { img =>
+      val N = 32
+      // box-filter grayscale resample: average the source region per cell
+      val g = new Array[Double](N * N)
+      val w = img.getWidth; val h = img.getHeight
+      var ty = 0
+      while (ty < N) {
+        val y0 = ty * h / N; val y1 = math.max(y0 + 1, (ty + 1) * h / N)
+        var tx = 0
+        while (tx < N) {
+          val x0 = tx * w / N; val x1 = math.max(x0 + 1, (tx + 1) * w / N)
+          var s = 0.0; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+              x += 1
+            }
+            y += 1
+          }
+          g(ty * N + tx) = s / ((y1 - y0) * (x1 - x0))
+          tx += 1
+        }
+        ty += 1
+      }
+      // 2-D DCT-II of the top-left 8×8 frequencies only (O(64·N²))
+      val coef = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var y = 0
+          while (y < N) {
+            var x = 0
+            while (x < N) {
+              s += g(y * N + x) *
+                math.cos((2 * y + 1) * u * math.Pi / (2.0 * N)) *
+                math.cos((2 * x + 1) * v * math.Pi / (2.0 * N))
+              x += 1
+            }
+            y += 1
+          }
+          coef(u * 8 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      val nonDc = coef.drop(1).sorted
+      val median = (nonDc(30) + nonDc(31)) / 2.0 // 63 values: mid-pair
+      var bits = 0L; var i = 0
+      while (i < 64) {
+        if (coef(i) > median) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+
     /** Aspect-preserving fit of real pixels into (maxW, maxH), PNG
       * re-encode. None when the input is not decodable.
       */
@@ -341,6 +456,68 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Per-image perceptual hashes: (asset_id, phash) for every DECODABLE
+    * image row; non-image and corrupt rows drop out (at 100 TB you
+    * filter, never throw). Batch-at-a-time decode like [[decodeAssets]].
+    */
+  def imagePHashes(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets
+      .select(
+        col("asset_id").cast("long"),
+        col("modality").cast("string"),
+        col("content").cast("binary"),
+        col("source").cast("string"),
+        col("mime").cast("string"))
+      .as[Asset]
+      .mapPartitions { batch =>
+        batch.flatMap { a =>
+          if (a.modality == "image") ImageCodec.pHash(a.content).map(h => (a.asset_id, h))
+          else None
+        }
+      }
+      .toDF("asset_id", "phash")
+  }
+
+  /** Near-duplicate IMAGES by pHash hamming distance — the visual twin
+    * of SimHash text dedup, reusing its pigeonhole banding: the 64-bit
+    * hash splits into `nBands` equal chunks, and any pair within
+    * hamming ≤ nBands−1 must agree on at least one chunk verbatim, so
+    * candidates come from an EQUI-join on (band, chunk) — the shuffle
+    * carries (id, phash) only, never pixels — and exact
+    * bit_count(XOR) verifies. Recall is 1.0 for maxHamming ≤ nBands−1
+    * (enforced); more bands raise the bound but shrink chunk width
+    * (16-bit chunks at 4 bands keep bucket cardinality high — prefer
+    * that at corpus scale).
+    */
+  def imageNearDups(
+      spark: SparkSession,
+      assets: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, "nBands must divide 64")
+    require(maxHamming <= nBands - 1,
+      s"pigeonhole guarantee needs maxHamming <= ${nBands - 1} for $nBands bands " +
+        "(a pair differing in b bits can corrupt at most b chunks)")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val ph = imagePHashes(spark, assets)
+    val banded = ph.select(
+      col("asset_id"), col("phash"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("chunk", expr(s"shiftright(phash, band * $width) & ${mask}L"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("asset_id").as("id_a"), col("phash").as("ph_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("asset_id").as("id_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Frame sampling plan for video assets: every `everyMs` milliseconds,

@@ -2437,6 +2437,33 @@ object Inventory {
         FROM orders WHERE o_orderkey NOT BETWEEN 2000 AND 7999
         ORDER BY o_orderkey""")),
 
+    Q("q163_image_neardup",
+      (s, dir) => {
+        // visual near-dup detection: deterministic structured PNGs
+        // seeded by doc_id, plus jittered re-encoded twins of the
+        // first ten — the twins' BYTES differ entirely (PNG re-encode)
+        // while the pixels barely do, so only a perceptual hash can
+        // pair them. rows-only by necessity: the pHash is computed from
+        // DECODED PIXELS (javax.imageio + DCT), which no SQL engine
+        // can replay; determinism, jitter tolerance, banding recall,
+        // and false-positive absence are pinned in MultimodalSpec.
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id"))
+          .orderBy("doc_id").limit(30).as[Long]
+        val base = ids.map(id => (id, "image",
+          graft.multimodal.Multimodal.ImageCodec.makeStructuredPng(id),
+          "synthetic", "image/png"))
+        val twins = ids.filter(_ < 10).map(id => (1000L + id, "image",
+          graft.multimodal.Multimodal.ImageCodec.jitterPng(
+            graft.multimodal.Multimodal.ImageCodec.makeStructuredPng(id), 2),
+          "synthetic", "image/png"))
+        val assets = base.union(twins)
+          .toDF("asset_id", "modality", "content", "source", "mime")
+        graft.multimodal.Multimodal.imageNearDups(s, assets, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full

@@ -155,4 +155,55 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(resized.filter(_.modality == "audio").forall(r => r.width == 0 && r.height == 0))
   }
+
+  private def structuredPng(seed: Long): Array[Byte] =
+    Multimodal.ImageCodec.makeStructuredPng(seed)
+
+  private def jitter(bytes: Array[Byte], delta: Int): Array[Byte] =
+    Multimodal.ImageCodec.jitterPng(bytes, delta)
+
+  test("pHash: invariant to re-encode, tolerant to jitter and resize, far across content") {
+    val a = structuredPng(1)
+    // PNG is lossless: decode → re-encode → identical pixels → bit 0
+    val reenc = Multimodal.ImageCodec.encodePng(Multimodal.ImageCodec.decode(a).get)
+    assert(Multimodal.ImageCodec.pHash(a) == Multimodal.ImageCodec.pHash(reenc))
+    // ±2 pixel jitter barely moves low-frequency coefficients
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val hJit = ham(Multimodal.ImageCodec.pHash(a).get,
+      Multimodal.ImageCodec.pHash(jitter(a, 2)).get)
+    assert(hJit <= 3, s"jitter moved $hJit bits")
+    // a half-resolution copy stays measurably closer than unrelated
+    // content (SMOOTH rescaling phase-shifts the field, so bits near
+    // the median threshold flip — resize robustness is partial, which
+    // is the honest pHash contract; exact copies and jitter are the
+    // tight cases above)
+    val (half, _, _) = Multimodal.ImageCodec.resize(a, 32, 32).get
+    val hRes = ham(Multimodal.ImageCodec.pHash(a).get,
+      Multimodal.ImageCodec.pHash(half).get)
+    val hDiff = ham(Multimodal.ImageCodec.pHash(a).get,
+      Multimodal.ImageCodec.pHash(structuredPng(9)).get)
+    assert(hRes <= 20, s"resize moved $hRes bits")
+    assert(hDiff >= 16, s"unrelated images only $hDiff bits apart")
+    assert(hRes < hDiff, s"resized copy ($hRes) not closer than unrelated ($hDiff)")
+    assert(Multimodal.ImageCodec.pHash("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDups: banded pHash join finds jittered copies, never unrelated ones") {
+    import spark.implicits._
+    // 6 originals + jittered twins of the first three; audio row ignored
+    val rows = (0 until 6).map(i =>
+      (i.toLong, "image", structuredPng(i * 11 + 1), "s", "image/png")) ++
+      (0 until 3).map(i =>
+        (100L + i, "image", jitter(structuredPng(i * 11 + 1), 2), "s", "image/png")) :+
+      ((999L, "audio", Multimodal.AudioCodec.makeWav(5), "s", "audio/wav"))
+    val assets = rows.toDF("asset_id", "modality", "content", "source", "mime")
+
+    val pairs = Multimodal.imageNearDups(spark, assets, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 100L), (1L, 101L), (2L, 102L)).subsetOf(pairs),
+      s"missing jittered twins: $pairs")
+    // no unrelated originals pair up
+    assert(pairs.forall { case (x, y) => (y - x) == 100 },
+      s"false positives: ${pairs.filterNot { case (x, y) => y - x == 100 }}")
+  }
 }
