@@ -3092,5 +3092,5 @@ object Inventory {
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
     "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
-    "q162_fuzz_lateral")
+    "q162_fuzz_lateral", "q163_image_neardup")
 }
