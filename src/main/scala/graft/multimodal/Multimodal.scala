@@ -520,6 +520,48 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Incremental visual near-dup: pair a NEW batch of images against a
+    * persisted pHash store without re-decoding history — the daily
+    * shape of [[imageNearDups]], mirroring the text side's
+    * `minHashNearDupsIncremental`. Emits pairs TOUCHING THE BATCH only
+    * (batch↔batch and batch↔history; history-internal pairs were a
+    * previous run's output). The store is (asset_id, phash) — 16 bytes
+    * a row, so a billion images is a ~16 GB parquet join side while
+    * the pixels stay cold. Same pigeonhole banding and hamming bound
+    * as the batch operator; append the returned batch hashes to the
+    * store after each run.
+    */
+  def imageNearDupsIncremental(
+      spark: SparkSession,
+      batchAssets: DataFrame,
+      store: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, "nBands must divide 64")
+    require(maxHamming <= nBands - 1,
+      s"pigeonhole guarantee needs maxHamming <= ${nBands - 1} for $nBands bands")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val all = imagePHashes(spark, batchAssets).withColumn("is_batch", lit(1))
+      .unionByName(store.select(col("asset_id").cast("long"),
+        col("phash").cast("long")).withColumn("is_batch", lit(0)))
+    val banded = all.select(
+      col("asset_id"), col("phash"), col("is_batch"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("chunk", expr(s"shiftright(phash, band * $width) & ${mask}L"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("asset_id").as("id_a"), col("phash").as("ph_a"), col("is_batch").as("ba"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("asset_id").as("id_b"), col("phash").as("ph_b"), col("is_batch").as("bb"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("ba") === 1 || col("bb") === 1) // touching the batch
+      .select("id_a", "id_b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Frame sampling plan for video assets: every `everyMs` milliseconds,
     * capped at `maxFrames` — returns (asset_id, frame_idx, ts_ms) rows.
     * Pure expressions (sequence + explode), no decode needed for the plan.

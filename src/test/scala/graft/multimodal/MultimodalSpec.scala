@@ -188,6 +188,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageCodec.pHash("not an image".getBytes).isEmpty)
   }
 
+  test("incremental image near-dup equals the full pass minus history-internal pairs") {
+    import spark.implicits._
+    def png(i: Long) = structuredPng(i * 11 + 1)
+    // history: assets 0..5; batch: jittered twins of 0..2 (ids 100..102)
+    // plus an exact duplicate of history asset 3 (id 103)
+    val history = (0L to 5L).map(i => (i, "image", png(i), "s", "image/png"))
+      .toDF("asset_id", "modality", "content", "source", "mime")
+    val batch = ((0L to 2L).map(i => (100L + i, "image", jitter(png(i), 2), "s", "image/png")) :+
+      ((103L, "image", png(3), "s", "image/png")))
+      .toDF("asset_id", "modality", "content", "source", "mime")
+
+    val store = Multimodal.imagePHashes(spark, history)
+    val incr = Multimodal.imageNearDupsIncremental(spark, batch, store, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Multimodal.imageNearDups(spark,
+      history.unionByName(batch), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val historyIds = (0L to 5L).toSet
+    val expected = full.filterNot { case (x, y) => historyIds(x) && historyIds(y) }
+    assert(incr == expected,
+      s"missing=${expected -- incr} extra=${incr -- expected}")
+    assert(incr.contains((3L, 103L)), "exact duplicate of history must pair")
+    assert(incr.forall { case (x, y) => !(historyIds(x) && historyIds(y)) })
+  }
+
   test("imageNearDups: banded pHash join finds jittered copies, never unrelated ones") {
     import spark.implicits._
     // 6 originals + jittered twins of the first three; audio row ignored
