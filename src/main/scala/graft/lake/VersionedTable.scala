@@ -669,6 +669,20 @@ final class VersionedTable private (
         dataCols.map(c => col(s"__c.__row.$c").as(c)): _*)
   }
 
+  /** Table history as a frame — one row per committed version with its
+    * file count, row count, and byte-free manifest stats (all driver
+    * metadata; no data file is touched). The audit surface a reader
+    * checks before time-traveling or vacuuming.
+    */
+  def history(spark: SparkSession): DataFrame = {
+    val rows = (1 to currentVersion()).map { v =>
+      val s = snapshot(v)
+      (v, s.files.size.toLong, s.files.map(_.rows).sum,
+        s.txns.toSeq.sortBy(_._1).map { case (a, b) => s"$a=$b" }.mkString(","))
+    }
+    spark.createDataFrame(rows).toDF("version", "n_files", "n_rows", "txns")
+  }
+
   /** Files referenced by the version (for plan/pruning assertions). */
   def liveFiles(asOf: Option[Int] = None): Seq[String] =
     snapshot(asOf.getOrElse(currentVersion())).files.map(_.path)

@@ -404,6 +404,19 @@ class LakeSpec extends SparkSpec {
     assert(t.currentVersion() == v)
   }
 
+  test("history lists every version's files, rows, and txn markers") {
+    val t = freshTable()
+    t.append(rows(1 to 100, "a").repartition(2))
+    t.upsertIfNew(rows(101 to 110, "b"), "writer-x", 7L)
+    t.deleteRange(spark, 1, 50)
+    val h = t.history(spark).orderBy("version")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getString(3)))
+    assert(h.length == 3)
+    assert(h(0)._2 == 100 && h(1)._2 == 110 && h(2)._2 == 60)
+    assert(h(1)._3 == "writer-x=7" && h(2)._3 == "writer-x=7",
+      "txn markers must carry forward in history")
+  }
+
   test("racing commits: exactly one winner, loser fails cleanly") {
     val t = freshTable()
     t.append(rows(1 to 10, "a"))
