@@ -933,4 +933,74 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), roundScale).as("cos"))
   }
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style candidate pairs: assign every vector to its nearest
+    * centroid cell (the k-means partition IS the blocking function), then
+    * compare pairs ONLY within a cell. Complements [[embeddingNearDups]]'s
+    * hyperplane-LSH blocking: cells adapt to the data's density (a
+    * quantizer trained on the corpus) where hyperplanes are oblivious, and
+    * the same cell assignment is reusable as the IVF search index
+    * ([[Similarity.ivfIndex]]) — one clustering pays for both dedup and
+    * retrieval. The trade is recall at cell BOUNDARIES: a pair split
+    * across cells is never compared (LSH's multi-table OR has no analogue
+    * here), so production sizing keeps C modest relative to the dup scale.
+    *
+    * Output: (cell, id_a, id_b, cos) with id_a < id_b and
+    * round(cos, roundScale) >= threshold.
+    *
+    * Scale: the self-join shuffles (cell, id) pairs only — vectors are
+    * re-attached per candidate by id, so embedding payloads never ride
+    * the quadratic stage. Per-cell work is (N/C)² for C cells; `maxCell`
+    * caps degenerate cells (a collapsed centroid) via the same
+    * aggregate + anti-join guard as the minhash path, never buffering a
+    * hot cell in one task. Rounding is applied ONCE to the raw cosine.
+    */
+  def semanticNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])],
+      threshold: Double,
+      roundScale: Int = 4,
+      maxCell: Int = 65536): DataFrame = {
+    val assigned = shareLazily(
+      Similarity.ivfIndex(df, idCol, vecCol, cents)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell")))
+    val ids = dropHotBuckets(assigned.select(col("cell"), col("id")), "cell", maxCell)
+    val a = ids.select(col("cell"), col("id").as("id_a"))
+    val b = ids.select(col("cell"), col("id").as("id_b"))
+    val pairIds = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val vecs = assigned.select(col("id"), col("v"))
+    pairIds
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("v_a"), col("v_b")), roundScale))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Semantic dedup: [[semanticNearDupPairs]] edges → connected
+    * components → keep the minimum id per component, drop the rest.
+    * Returns the surviving rows of `df` (schema unchanged). The policy
+    * variant ([[nearDupSurvivors]]) composes the same pair list with an
+    * explicit rank column when "smallest id" is the wrong survivor.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])],
+      threshold: Double,
+      roundScale: Int = 4,
+      maxCell: Int = 65536,
+      maxIter: Int = 25): DataFrame = {
+    val pairs = semanticNearDupPairs(
+      df, idCol, vecCol, cents, threshold, roundScale, maxCell)
+    val losers = nearDupClusters(pairs.select("id_a", "id_b"), maxIter)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
 }

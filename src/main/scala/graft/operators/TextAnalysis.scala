@@ -257,6 +257,52 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("kept_lines"))
   }
 
+  /** Corpus-level boilerplate removal (the RefinedWeb/CCNet sibling of
+    * [[dedupLines]]): a line that occurs in at least `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, footers, license headers) and is
+    * removed from EVERY document — unlike dedupLines, which keeps the
+    * first occurrence. Lines are compared after trim; blank lines are
+    * dropped up front. Documents left with zero lines disappear.
+    *
+    * Output: (idCol, clean_text, kept_lines).
+    *
+    * Scale: the document-frequency pass is a groupBy over (trimmed line)
+    * with a count(DISTINCT id) — map-side partial aggregation collapses
+    * within-partition repeats before the shuffle. The boilerplate set
+    * (lines over threshold) is a tiny fraction of distinct lines, so the
+    * removal anti-join broadcasts it; reassembly is the same single
+    * id-keyed agg as dedupLines. Line text shuffles once, same order as
+    * the input. At 100 TB key the df pass by xxhash64(trim(line)) to
+    * shuffle 8-byte keys; the exact-string key keeps the operator
+    * engine-reproducible (DuckDB oracle).
+    */
+  def removeBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long,
+      sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+    val boiler = lines
+      .groupBy(trim(col("line")).as("__bline"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__bline")
+    lines
+      .join(broadcast(boiler), trim(col("line")) === col("__bline"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          sep).as("clean_text"),
+        count(lit(1)).cast("long").as("kept_lines"))
+  }
+
   /** Annotate a documents frame with all analysis columns. One native
     * single-tokenization kernel (TextProfileExpr); field-by-field
     * value-identical to [[annotateHof]], which the spec pins.

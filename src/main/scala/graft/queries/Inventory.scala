@@ -2464,6 +2464,98 @@ object Inventory {
       },
       None),
 
+    Q("q164_semantic_dedup",
+      (s, dir) => {
+        // SemDeDup-style semantic dedup: the k-means partition is the
+        // blocking function (pairs compared only WITHIN a cell), then
+        // connected components keep the min id per duplicate group.
+        // Declared with the oracle-able seed-centroid assignment (q152
+        // proved the argmin replay is bit-exact cross-engine); the
+        // production path swaps in kmeansCentroids, same machinery.
+        // Cosine is rounded ONCE at 4 dp before the threshold (q84/q85
+        // discipline); the oracle recomputes assignment, within-cell
+        // pairs, and the transitive closure with a recursive CTE.
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.centroids(e, "vec_id", "embedding", c = 8)
+        Dedup.semanticDedup(
+          e, "vec_id", "embedding", cents, threshold = 0.45, roundScale = 4)
+          .select("vec_id")
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+            embedding AS ce
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        d AS (
+          SELECT b.vec_id, c.cell,
+            list_sum(list_transform(list_zip(b.embedding, c.ce),
+              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+          FROM embeddings b, cents c),
+        a AS (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d),
+        asg AS (SELECT vec_id, cell FROM a WHERE rn = 1),
+        p AS (
+          SELECT ax.vec_id AS id_a, ay.vec_id AS id_b
+          FROM asg ax JOIN asg ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+          JOIN embeddings x ON x.vec_id = ax.vec_id
+          JOIN embeddings y ON y.vec_id = ay.vec_id
+          WHERE round(
+              list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(x.embedding,
+                   z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+               * sqrt(list_sum(list_transform(y.embedding,
+                   z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))), 4) >= 0.45),
+        e AS (SELECT id_a AS a1, id_b AS b1 FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        r(id, lab) AS (
+          SELECT a1, a1 FROM e
+          UNION
+          SELECT e.a1, r.lab FROM e JOIN r ON r.id = e.b1),
+        lab AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
+        ORDER BY vec_id""")),
+
+    Q("q165_boilerplate",
+      (s, dir) => {
+        // corpus-level boilerplate removal: a line present in >= 100
+        // DISTINCT documents (order priority/status literals and the
+        // injected footer) is removed from EVERY document; the
+        // document-specific customer/date lines survive. Complements
+        // q110's keep-first line dedup with the remove-everywhere
+        // document-frequency rule.
+        val docs = t(s, dir, "orders").select(
+          col("o_orderkey").as("doc_id"),
+          concat_ws("\n", col("o_orderpriority"), col("o_orderstatus"),
+            concat(lit("C"), col("o_custkey").cast("string")),
+            concat(lit("D"), col("o_orderdate").cast("string")),
+            lit("END-OF-PAGE")).as("text"))
+        TextAnalysis.removeBoilerplate(docs, "doc_id", "text", minDocs = 100)
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT o_orderkey AS doc_id,
+            concat_ws(chr(10), o_orderpriority, o_orderstatus,
+              'C' || CAST(o_custkey AS VARCHAR),
+              'D' || CAST(o_orderdate AS VARCHAR), 'END-OF-PAGE') AS text
+          FROM orders),
+        sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+        ex AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS p, ls FROM sp),
+        ln AS (SELECT doc_id, p, ls[p] AS line FROM ex WHERE trim(ls[p]) <> ''),
+        boiler AS (
+          SELECT trim(line) AS bl FROM ln
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 100),
+        keep AS (
+          SELECT doc_id, p, line FROM ln
+          WHERE trim(line) NOT IN (SELECT bl FROM boiler))
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+          CAST(count(*) AS BIGINT) AS kept_lines
+        FROM keep GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("q151_heavy_tokens",
       (s, dir) =>
         // EXACT heavy hitters over the token stream WITHOUT a full
@@ -3092,5 +3184,6 @@ object Inventory {
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
     "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
-    "q162_fuzz_lateral", "q163_image_neardup")
+    "q162_fuzz_lateral", "q163_image_neardup",
+    "q164_semantic_dedup", "q165_boilerplate")
 }

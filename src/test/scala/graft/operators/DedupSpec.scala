@@ -520,4 +520,43 @@ class DedupSpec extends SparkSpec {
     // cluster 1: rank-50 tie between 2 and 3 → min id 2; cluster 7: 8 (9 > 5)
     assert(out == Seq((1L, 2L, 3L), (7L, 8L, 2L)))
   }
+
+  test("semanticDedup: within-cell components collapse; cross-cell pairs are never compared") {
+    import spark.implicits._
+    // seeds (2 smallest ids) define the cells; 3,4 cluster with seed 1,
+    // 5 with seed 2; 6/7 are a near-identical pair STRADDLING the cell
+    // boundary — the documented recall trade: never compared, both live
+    val vecs = Seq(
+      (1L, Array(1.00f, 0.00f, 0f, 0f)),
+      (2L, Array(0.00f, 1.00f, 0f, 0f)),
+      (3L, Array(0.99f, 0.01f, 0f, 0f)),
+      (4L, Array(0.98f, 0.02f, 0f, 0f)),
+      (5L, Array(0.03f, 0.97f, 0f, 0f)),
+      (6L, Array(0.71f, 0.70f, 0f, 0f)),
+      (7L, Array(0.70f, 0.71f, 0f, 0f))).toDF("id", "v")
+    val cents = Similarity.centroids(vecs, "id", "v", c = 2)
+
+    val pairs = Dedup.semanticNearDupPairs(vecs, "id", "v", cents, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (1L, 4L), (3L, 4L), (2L, 5L)))
+    assert(!pairs.contains((6L, 7L)), "cross-cell pair must not be compared")
+
+    val kept = Dedup.semanticDedup(vecs, "id", "v", cents, threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 6L, 7L)) // min id per component survives
+  }
+
+  test("semanticDedup with a single cell equals exhaustive component dedup") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.00f, 0.00f, 0f, 0f)),
+      (2L, Array(0.99f, 0.01f, 0f, 0f)),
+      (3L, Array(0.00f, 1.00f, 0f, 0f)),
+      (4L, Array(0.70f, 0.71f, 0f, 0f))).toDF("id", "v")
+    val one = Similarity.centroids(vecs, "id", "v", c = 1)
+    val kept = Dedup.semanticDedup(vecs, "id", "v", one, threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // C=1 blocks nothing: only (1,2) clears cos >= 0.9 → 2 drops
+    assert(kept == Set(1L, 3L, 4L))
+  }
 }

@@ -327,4 +327,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(idx2.toSeq == Seq(("hot", 3L, "1,2,3"), ("mid", 3L, "1,2,3")),
       "postings must be doc-id sorted and duplicate tokens collapsed")
   }
+
+  test("removeBoilerplate: df-threshold lines drop everywhere, trim-matched; emptied docs vanish") {
+    val docs = Seq(
+      (1L, "NAV\nalpha\nFOOTER"),
+      (2L, "NAV\nbeta\nFOOTER"),
+      (3L, "NAV\ngamma"),
+      (4L, "delta\n NAV "), // trimmed match still counts toward df and drops
+      (5L, "NAV")           // nothing left → doc disappears
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // NAV df=5 → removed everywhere; FOOTER df=2 → kept (below threshold)
+    assert(out == Seq(
+      (1L, "alpha\nFOOTER", 2L),
+      (2L, "beta\nFOOTER", 2L),
+      (3L, "gamma", 1L),
+      (4L, "delta", 1L)))
+  }
 }
