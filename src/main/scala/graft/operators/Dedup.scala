@@ -981,6 +981,54 @@ object Dedup {
       .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Incremental SemDeDup: compare a NEW batch of vectors against a
+    * persisted history (and within itself) under a FROZEN quantizer,
+    * never re-emitting history-internal pairs — the daily-batch shape,
+    * mirroring [[minHashNearDupsIncremental]]. `history` is (id, vec,
+    * cell) — the IVF index layout ([[Similarity.writeIvfIndex]]), so
+    * when it is read from the cell-partitioned store the semi-join on
+    * the batch's touched cells becomes a dynamic partition prune:
+    * untouched cells' vectors are never read, and [[Similarity.appendIvfIndex]]
+    * maintains the same store, so one index serves search AND dedup.
+    *
+    * Output: (cell, id_a, id_b, cos) with at least one side new.
+    */
+  def semanticNearDupsIncremental(
+      newVecs: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])],
+      threshold: Double,
+      roundScale: Int = 4,
+      maxCell: Int = 65536): DataFrame = {
+    val newAssigned = shareLazily(
+      Similarity.ivfIndex(newVecs, idCol, vecCol, cents)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+        .withColumn("__new", lit(1)))
+    val touched = newAssigned.select("cell").distinct()
+    val hist = history
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+      .join(broadcast(touched), Seq("cell"), "left_semi")
+      .withColumn("__new", lit(0))
+    val tagged = shareLazily(newAssigned.unionByName(hist))
+    val ids = dropHotBuckets(
+      tagged.select(col("cell"), col("id"), col("__new")), "cell", maxCell)
+    val a = ids.select(col("cell"), col("id").as("id_a"), col("__new").as("__new_a"))
+    val b = ids.select(col("cell"), col("id").as("id_b"), col("__new").as("__new_b"))
+    val pairIds = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        (col("__new_a") === 1 || col("__new_b") === 1))
+      .select("cell", "id_a", "id_b")
+    val vecs = tagged.select(col("id"), col("v"))
+    pairIds
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("v_a"), col("v_b")), roundScale))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Semantic dedup: [[semanticNearDupPairs]] edges → connected
     * components → keep the minimum id per component, drop the rest.
     * Returns the surviving rows of `df` (schema unchanged). The policy

@@ -2520,6 +2520,54 @@ object Inventory {
         WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
         ORDER BY vec_id""")),
 
+    Q("q166_semantic_incremental",
+      (s, dir) => {
+        // incremental SemDeDup, the daily-batch shape: vectors >= 400
+        // arrive as the new batch, < 400 are the persisted history
+        // (IVF-index layout, frozen quantizer = the 8 smallest-id
+        // seeds). History-internal pairs are never re-emitted; the
+        // oracle recomputes ALL within-cell pairs and side-filters to
+        // those touching the batch (q134 discipline).
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.centroids(e, "vec_id", "embedding", c = 8)
+        val history = Similarity.ivfIndex(
+          e.filter(col("vec_id") < 400), "vec_id", "embedding", cents)
+        Dedup.semanticNearDupsIncremental(
+          e.filter(col("vec_id") >= 400), history,
+          "vec_id", "embedding", cents, threshold = 0.40, roundScale = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+            embedding AS ce
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        d AS (
+          SELECT b.vec_id, c.cell,
+            list_sum(list_transform(list_zip(b.embedding, c.ce),
+              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+          FROM embeddings b, cents c),
+        a AS (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d),
+        asg AS (SELECT vec_id, cell FROM a WHERE rn = 1),
+        p AS (
+          SELECT ax.cell, ax.vec_id AS id_a, ay.vec_id AS id_b,
+            round(
+              list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(x.embedding,
+                   z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+               * sqrt(list_sum(list_transform(y.embedding,
+                   z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))), 4) AS cos
+          FROM asg ax JOIN asg ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+          JOIN embeddings x ON x.vec_id = ax.vec_id
+          JOIN embeddings y ON y.vec_id = ay.vec_id
+          WHERE ax.vec_id >= 400 OR ay.vec_id >= 400)
+        SELECT cell, id_a, id_b, cos FROM p WHERE cos >= 0.40
+        ORDER BY id_a, id_b""")),
+
     Q("q165_boilerplate",
       (s, dir) => {
         // corpus-level boilerplate removal: a line present in >= 100
@@ -3185,5 +3233,5 @@ object Inventory {
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
     "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
     "q162_fuzz_lateral", "q163_image_neardup",
-    "q164_semantic_dedup", "q165_boilerplate")
+    "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental")
 }

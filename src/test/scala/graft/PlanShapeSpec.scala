@@ -187,6 +187,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q164: semantic-dedup pair stage joins on cell with id-only inputs (vectors re-attach later)") {
+    // pin semanticNearDupPairs itself: the declared q164 runs the
+    // clustering loop eagerly, so its FINAL plan only shows the
+    // survivor anti-join against materialized labels — the quadratic
+    // pair stage to audit lives in the pairs frame
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.operators.Similarity.centroids(e, "vec_id", "embedding", c = 8)
+    val root = graft.operators.Dedup
+      .semanticNearDupPairs(e, "vec_id", "embedding", cents, threshold = 0.45)
+      .queryExecution.executedPlan
+    val unwrapped = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val plan = unwrapped.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must stay equi-join only:\n$plan")
+    val cellJoins = unwrapped.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(cellJoins.nonEmpty, s"no cell-keyed pair join found:\n$plan")
+    cellJoins.foreach { j =>
+      val vectors = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(vectors.isEmpty,
+        s"quadratic pair stage must not carry embedding payloads: ${vectors.mkString(", ")}")
+    }
+  }
+
   test("q151: heavy-hitter verify pass filters to sketch candidates before the shuffle") {
     val plan = planString(run("q151_heavy_tokens"))
     // the exact pass's aggregation keys on <=k candidate items: the IN

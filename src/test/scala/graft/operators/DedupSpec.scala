@@ -546,6 +546,24 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 6L, 7L)) // min id per component survives
   }
 
+  test("semanticNearDupsIncremental equals the full within-cell pass minus history-internal pairs") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.centroids(e, "vec_id", "embedding", c = 8)
+    val full = Dedup.semanticNearDupPairs(e, "vec_id", "embedding", cents, threshold = 0.4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val history = Similarity.ivfIndex(
+      e.filter(col("vec_id") < 250), "vec_id", "embedding", cents)
+    val incr = Dedup.semanticNearDupsIncremental(
+      e.filter(col("vec_id") >= 250), history,
+      "vec_id", "embedding", cents, threshold = 0.4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val expected = full.filter { case (a, b) => a >= 250 || b >= 250 }
+    assert(incr == expected,
+      s"incremental diverged: missing=${expected -- incr} extra=${incr -- expected}")
+    assert(incr.forall { case (a, b) => a >= 250 || b >= 250 },
+      "history-internal pairs must never re-emit")
+  }
+
   test("semanticDedup with a single cell equals exhaustive component dedup") {
     import spark.implicits._
     val vecs = Seq(
