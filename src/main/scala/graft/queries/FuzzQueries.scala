@@ -8,12 +8,13 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 300 query cases over `orders`/`lineitem`/`documents`
+  * A seeded generator produces 320 query cases over `orders`/`lineitem`/`documents`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions, rollup/cube/grouping-sets,
   * date/interval arithmetic, NULL semantics, string functions over
   * prose, decimal arithmetic + correlated scalar subqueries, LATERAL
-  * derived tables). Each case is rendered TWICE from one AST:
+  * derived tables, FILTER-clause aggregates). Each case is rendered
+  * TWICE from one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
   *     unchanged on Spark and DuckDB — comparison atoms, IN/LIKE/BETWEEN,
@@ -28,8 +29,8 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 300
-  * summaries are UNION ALL'd into thirteen declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 320
+  * summaries are UNION ALL'd into fourteen declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
   * correctness gate hash-compares all 300 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
@@ -53,6 +54,7 @@ object FuzzQueries {
   val nStr = 20
   val nDecCorr = 20
   val nLateral = 20
+  val nFilter = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -1111,6 +1113,81 @@ object FuzzQueries {
     }
   }
 
+  /** Family N — FILTER-clause aggregates (SQL:2003): the filter is part
+    * of the AGGREGATE, not the WHERE, so empty-filter semantics differ
+    * per aggregate (sum/max → NULL, count → 0) and per-group filters
+    * coexist with unfiltered ones in a single agg. The DSL twin is the
+    * canonical conditional-aggregation rewrite (`sum(when(p, x))`,
+    * `countDistinct(when(p, x))` — NULLs drop out), so a disagreement
+    * localizes Spark's FILTER path against both DuckDB and the rewrite.
+    */
+  private def filterCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val outer = predicate("lineitem", rng)
+    val p1 = predicate("lineitem", rng)
+    val p2 = predicate("lineitem", rng)
+    rng.nextInt(3) match {
+      case 0 =>
+        // ungrouped: decimal sum FILTER (NULL on empty set, pinned via
+        // COALESCE) next to count FILTER (0 on empty set, no coalesce)
+        FuzzCase(id, "lineitem",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(28,2)))
+                 FILTER (WHERE ${p1.sql}), 0) AS DOUBLE) AS agg,
+               count(*) FILTER (WHERE ${p2.sql}) AS aux
+             FROM lineitem WHERE ${outer.sql}""",
+          ts => ts("lineitem").filter(outer.mk())
+            .agg(
+              count(lit(1)).as("n_rows"),
+              coalesce(sum(when(p1.mk(),
+                col("l_extendedprice").cast(DecimalType(28, 2)))), lit(0))
+                .cast("double").as("agg"),
+              sum(when(p2.mk(), 1L).otherwise(0L)).cast("long").as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+      case 1 =>
+        // grouped: per-group FILTER aggregates; aux counts the groups
+        // whose filter set is EMPTY — the count-0-vs-sum-NULL corner
+        FuzzCase(id, "lineitem",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(COALESCE(sum(s), 0) AS DOUBLE) AS agg,
+               CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS aux
+             FROM (
+               SELECT l_returnflag,
+                 sum(CAST(l_quantity AS DECIMAL(28,2))) FILTER (WHERE ${p1.sql}) AS s,
+                 count(*) FILTER (WHERE ${p2.sql}) AS c
+               FROM lineitem WHERE ${outer.sql} GROUP BY l_returnflag
+             ) __g""",
+          ts => {
+            val g = ts("lineitem").filter(outer.mk())
+              .groupBy(col("l_returnflag"))
+              .agg(
+                sum(when(p1.mk(), col("l_quantity").cast(DecimalType(28, 2)))).as("s"),
+                sum(when(p2.mk(), 1L).otherwise(0L)).as("c"))
+            g.agg(
+              count(lit(1)).as("n_rows"),
+              coalesce(sum(col("s")), lit(0)).cast("double").as("agg"),
+              sum(when(col("c") === 0, 1).otherwise(0)).cast("long").as("aux"))
+              .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux"))
+          })
+      case _ =>
+        // max FILTER (exact, no division) + count(DISTINCT) FILTER —
+        // the distinct-with-filter plan is its own rewrite path
+        FuzzCase(id, "lineitem",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(COALESCE(max(CAST(l_extendedprice AS DECIMAL(28,2)))
+                 FILTER (WHERE ${p1.sql}), 0) AS DOUBLE) AS agg,
+               count(DISTINCT l_partkey) FILTER (WHERE ${p2.sql}) AS aux
+             FROM lineitem WHERE ${outer.sql}""",
+          ts => ts("lineitem").filter(outer.mk())
+            .agg(
+              count(lit(1)).as("n_rows"),
+              coalesce(max(when(p1.mk(),
+                col("l_extendedprice").cast(DecimalType(28, 2)))), lit(0))
+                .cast("double").as("agg"),
+              countDistinct(when(p2.mk(), col("l_partkey"))).cast("long").as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+    }
+  }
+
   // --------------------------------------------------------- public API
 
   /** The full generated set — a pure function of [[seed]]. */
@@ -1130,7 +1207,8 @@ object FuzzQueries {
     val deccorrs = (0 until nDecCorr).map(i =>
       if (i % 2 == 0) decimalCase(f"fzL$i%03d", rng) else correlCase(f"fzL$i%03d", rng))
     val laterals = (0 until nLateral).map(i => lateralCase(f"fzM$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs ++ laterals
+    val filters = (0 until nFilter).map(i => filterCase(f"fzN$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs ++ laterals ++ filters
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -1150,7 +1228,8 @@ object FuzzQueries {
     "q129_fuzz_null_semantics" -> cases.filter(_.id.startsWith("fzJ")),
     "q133_fuzz_string_text" -> cases.filter(_.id.startsWith("fzK")),
     "q143_fuzz_decimal_correlated" -> cases.filter(_.id.startsWith("fzL")),
-    "q162_fuzz_lateral" -> cases.filter(_.id.startsWith("fzM")))
+    "q162_fuzz_lateral" -> cases.filter(_.id.startsWith("fzM")),
+    "q167_fuzz_filter_agg" -> cases.filter(_.id.startsWith("fzN")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(

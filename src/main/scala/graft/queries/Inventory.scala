@@ -3192,7 +3192,7 @@ object Inventory {
         ORDER BY lang, doc_id"""))
   )
 
-  /** Differential fuzz bundles (FuzzQueries): 280 generated cases over
+  /** Differential fuzz bundles (FuzzQueries): 320 generated cases over
     * orders/lineitem, one declared query per family. The Spark side runs
     * the generated dialect-neutral SQL; the oracle is the SAME text run
     * by DuckDB — so the driver hash-compares every generated case.
