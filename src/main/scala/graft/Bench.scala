@@ -40,8 +40,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
 
-    val headline = Inventory.all.filter(q => Inventory.benchNames.contains(q.name)) ++
-      (if (sys.env.get("GRAFT_BENCH_DOUBLE").contains("1")) doubleVariants else Nil)
+    // GRAFT_BENCH_ONLY=q164_…,q165_… restricts the run — for targeted
+    // scale audits (e.g. re-timing only new queries at sf1) without
+    // paying the full headline sweep.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val headline = (Inventory.all.filter(q => Inventory.benchNames.contains(q.name)) ++
+      (if (sys.env.get("GRAFT_BENCH_DOUBLE").contains("1")) doubleVariants else Nil))
+      .filter(q => only.forall(_.contains(q.name)))
 
     // Untimed warm-up at the smallest sf: loads Parquet/codegen/exchange
     // classes and JIT-compiles the hot paths so per-query timings measure

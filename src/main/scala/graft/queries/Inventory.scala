@@ -2475,8 +2475,14 @@ object Inventory {
         // Cosine is rounded ONCE at 4 dp before the threshold (q84/q85
         // discipline); the oracle recomputes assignment, within-cell
         // pairs, and the transitive closure with a recursive CTE.
+        // C scales with the corpus (max(8, n/128)): constant ~128-vector
+        // cells keep the within-cell pair count LINEAR in n — a fixed C
+        // re-introduces the quadratic (measured exp 1.1 at sf1 before
+        // this sizing). count() is one metadata-only job; the oracle
+        // replays the same C via a subquery LIMIT.
         val e = t(s, dir, "embeddings")
-        val cents = Similarity.centroids(e, "vec_id", "embedding", c = 8)
+        val c = math.max(8L, e.count() / 128).toInt
+        val cents = Similarity.centroids(e, "vec_id", "embedding", c)
         Dedup.semanticDedup(
           e, "vec_id", "embedding", cents, threshold = 0.45, roundScale = 4)
           .select("vec_id")
@@ -2485,7 +2491,8 @@ object Inventory {
       Some("""WITH RECURSIVE cents AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
             embedding AS ce
-          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+          FROM (SELECT * FROM embeddings ORDER BY vec_id
+                LIMIT (SELECT greatest(8, count(*) // 128) FROM embeddings))),
         d AS (
           SELECT b.vec_id, c.cell,
             list_sum(list_transform(list_zip(b.embedding, c.ce),
@@ -2522,25 +2529,32 @@ object Inventory {
 
     Q("q166_semantic_incremental",
       (s, dir) => {
-        // incremental SemDeDup, the daily-batch shape: vectors >= 400
-        // arrive as the new batch, < 400 are the persisted history
-        // (IVF-index layout, frozen quantizer = the 8 smallest-id
-        // seeds). History-internal pairs are never re-emitted; the
-        // oracle recomputes ALL within-cell pairs and side-filters to
-        // those touching the batch (q134 discipline).
+        // incremental SemDeDup, the daily-batch shape: the last fifth of
+        // the id space arrives as the new batch, the first 4/5 is the
+        // persisted history (IVF-index layout, frozen quantizer =
+        // smallest-id seeds). History-internal pairs are never
+        // re-emitted; the oracle recomputes ALL within-cell pairs and
+        // side-filters to those touching the batch (q134 discipline).
+        // C and the split cut are pure functions of count(*) so both
+        // replay in the oracle at any corpus size (q164 sizing note).
         val e = t(s, dir, "embeddings")
-        val cents = Similarity.centroids(e, "vec_id", "embedding", c = 8)
+        val n = e.count()
+        val c = math.max(8L, n / 128).toInt
+        val cut = n * 4 / 5
+        val cents = Similarity.centroids(e, "vec_id", "embedding", c)
         val history = Similarity.ivfIndex(
-          e.filter(col("vec_id") < 400), "vec_id", "embedding", cents)
+          e.filter(col("vec_id") < cut), "vec_id", "embedding", cents)
         Dedup.semanticNearDupsIncremental(
-          e.filter(col("vec_id") >= 400), history,
+          e.filter(col("vec_id") >= cut), history,
           "vec_id", "embedding", cents, threshold = 0.40, roundScale = 4)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH cents AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
             embedding AS ce
-          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+          FROM (SELECT * FROM embeddings ORDER BY vec_id
+                LIMIT (SELECT greatest(8, count(*) // 128) FROM embeddings))),
+        cut AS (SELECT count(*) * 4 // 5 AS cut FROM embeddings),
         d AS (
           SELECT b.vec_id, c.cell,
             list_sum(list_transform(list_zip(b.embedding, c.ce),
@@ -2564,7 +2578,8 @@ object Inventory {
           FROM asg ax JOIN asg ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
           JOIN embeddings x ON x.vec_id = ax.vec_id
           JOIN embeddings y ON y.vec_id = ay.vec_id
-          WHERE ax.vec_id >= 400 OR ay.vec_id >= 400)
+          CROSS JOIN cut
+          WHERE ax.vec_id >= cut.cut OR ay.vec_id >= cut.cut)
         SELECT cell, id_a, id_b, cos FROM p WHERE cos >= 0.40
         ORDER BY id_a, id_b""")),
 
