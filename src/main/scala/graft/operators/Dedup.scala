@@ -948,12 +948,22 @@ object Dedup {
     * here), so production sizing keeps C modest relative to the dup scale.
     *
     * Output: (cell, id_a, id_b, cos) with id_a < id_b and
-    * round(cos, roundScale) >= threshold.
+    * round(cos, roundScale) >= threshold; with probes > 1 a pair can
+    * collide in several cells — the MINIMUM colliding cell is reported
+    * (deterministic, and identical to the single cell at probes = 1).
     *
-    * Scale: the self-join shuffles (cell, id) pairs only — vectors are
+    * `probes` is the boundary-recall knob: each vector is blocked into
+    * its `probes` nearest cells, and a candidate pair needs at least one
+    * OWNER side (rank-0 cell) — so probes=2 catches pairs whose members
+    * sit just across a Voronoi boundary at ~2× the candidate volume,
+    * while two mutual probe-only collisions still don't pair (both
+    * vectors would meet again in one of their owner cells if truly
+    * close).
+    *
+    * Scale: the self-join shuffles (cell, id, rank) only — vectors are
     * re-attached per candidate by id, so embedding payloads never ride
-    * the quadratic stage. Per-cell work is (N/C)² for C cells; `maxCell`
-    * caps degenerate cells (a collapsed centroid) via the same
+    * the quadratic stage. Per-cell work is (N·probes/C)² for C cells;
+    * `maxCell` caps degenerate cells (a collapsed centroid) via the same
     * aggregate + anti-join guard as the minhash path, never buffering a
     * hot cell in one task. Rounding is applied ONCE to the raw cosine.
     */
@@ -964,14 +974,22 @@ object Dedup {
       cents: Array[(Int, Array[Double])],
       threshold: Double,
       roundScale: Int = 4,
-      maxCell: Int = 65536): DataFrame = {
+      maxCell: Int = 65536,
+      probes: Int = 1): DataFrame = {
     val assigned = shareLazily(
-      Similarity.ivfIndex(df, idCol, vecCol, cents)
-        .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell")))
-    val ids = dropHotBuckets(assigned.select(col("cell"), col("id")), "cell", maxCell)
-    val a = ids.select(col("cell"), col("id").as("id_a"))
-    val b = ids.select(col("cell"), col("id").as("id_b"))
-    val pairIds = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.probeCellsCol(col(vecCol), cents, probes).as("cells")))
+    val exploded = assigned.select(col("id"),
+      posexplode(col("cells")).as(Seq("rank", "cell")))
+    val ids = dropHotBuckets(
+      exploded.select(col("cell"), col("id"), col("rank")), "cell", maxCell)
+    val a = ids.select(col("cell"), col("id").as("id_a"), col("rank").as("rank_a"))
+    val b = ids.select(col("cell"), col("id").as("id_b"), col("rank").as("rank_b"))
+    val pairIds = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        (col("rank_a") === 0 || col("rank_b") === 0))
+      .groupBy("id_a", "id_b")
+      .agg(min(col("cell")).as("cell"))
     val vecs = assigned.select(col("id"), col("v"))
     pairIds
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
@@ -1043,9 +1061,10 @@ object Dedup {
       threshold: Double,
       roundScale: Int = 4,
       maxCell: Int = 65536,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      probes: Int = 1): DataFrame = {
     val pairs = semanticNearDupPairs(
-      df, idCol, vecCol, cents, threshold, roundScale, maxCell)
+      df, idCol, vecCol, cents, threshold, roundScale, maxCell, probes)
     val losers = nearDupClusters(pairs.select("id_a", "id_b"), maxIter)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("__loser"))

@@ -121,6 +121,7 @@ object Similarity {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+
   /** IVF index build: assign every vector to its nearest centroid cell.
     * At scale, persist with `.write.partitionBy("cell")` so probes prune
     * partitions.
@@ -275,9 +276,11 @@ object Similarity {
     * row's vector, as an array column. Distances are zipped with cell
     * ids into structs and sorted (dist first ⇒ lexicographic struct sort
     * ranks by distance, ties to the lowest cell — deterministic), then
-    * the cell ids of the first nprobe are kept.
+    * the cell ids of the first nprobe are kept. Index 0 is the OWNER
+    * cell, identical to [[cellOf]]'s first-match argmin — also the
+    * multiprobe blocking for [[Dedup.semanticNearDupPairs]].
     */
-  private def probeCellsCol(
+  private[operators] def probeCellsCol(
       vec: Column,
       cents: Array[(Int, Array[Double])],
       nprobe: Int): Column = {

@@ -2527,6 +2527,58 @@ object Inventory {
         WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
         ORDER BY vec_id""")),
 
+    Q("q168_semantic_multiprobe",
+      (s, dir) => {
+        // the boundary-recall knob: probes=2 blocks each vector into its
+        // TWO nearest cells; a candidate pair needs one OWNER side. At
+        // sf0.01 this recovers 11 of the exhaustive 14 pairs at cos
+        // 0.45 (single-probe q164 finds 7) for ~2x the candidate
+        // volume. Pairs colliding in several cells report the MINIMUM
+        // cell (deterministic). Same corpus-sized C as q164.
+        val e = t(s, dir, "embeddings")
+        val c = math.max(8L, e.count() / 128).toInt
+        val cents = Similarity.centroids(e, "vec_id", "embedding", c)
+        Dedup.semanticNearDupPairs(
+          e, "vec_id", "embedding", cents, threshold = 0.45,
+          roundScale = 4, probes = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+            embedding AS ce
+          FROM (SELECT * FROM embeddings ORDER BY vec_id
+                LIMIT (SELECT greatest(8, count(*) // 128) FROM embeddings))),
+        d AS (
+          SELECT b.vec_id, c.cell,
+            list_sum(list_transform(list_zip(b.embedding, c.ce),
+              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+          FROM embeddings b, cents c),
+        a AS (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d),
+        asg AS (SELECT vec_id, cell, rn FROM a WHERE rn <= 2),
+        cand AS (
+          SELECT ax.vec_id AS id_a, ay.vec_id AS id_b,
+            CAST(min(ax.cell) AS INTEGER) AS cell
+          FROM asg ax JOIN asg ay ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+          WHERE ax.rn = 1 OR ay.rn = 1
+          GROUP BY ax.vec_id, ay.vec_id),
+        p AS (
+          SELECT c.cell, c.id_a, c.id_b,
+            round(
+              list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(x.embedding,
+                   z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+               * sqrt(list_sum(list_transform(y.embedding,
+                   z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))), 4) AS cos
+          FROM cand c JOIN embeddings x ON x.vec_id = c.id_a
+          JOIN embeddings y ON y.vec_id = c.id_b)
+        SELECT cell, id_a, id_b, cos FROM p WHERE cos >= 0.45
+        ORDER BY id_a, id_b""")),
+
     Q("q166_semantic_incremental",
       (s, dir) => {
         // incremental SemDeDup, the daily-batch shape: the last fifth of
@@ -3248,5 +3300,6 @@ object Inventory {
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
     "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
     "q162_fuzz_lateral", "q163_image_neardup",
-    "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental")
+    "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
+    "q168_semantic_multiprobe")
 }

@@ -544,6 +544,14 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.semanticDedup(vecs, "id", "v", cents, threshold = 0.9)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 6L, 7L)) // min id per component survives
+
+    // probes=2 blocks each vector into BOTH cells here (C=2), so the
+    // boundary pair is recovered — and nothing else changes
+    val pairs2 = Dedup.semanticNearDupPairs(vecs, "id", "v", cents,
+      threshold = 0.9, probes = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == pairs + ((6L, 7L)),
+      "probes=2 must recover exactly the boundary pair")
   }
 
   test("semanticNearDupsIncremental equals the full within-cell pass minus history-internal pairs") {
