@@ -976,6 +976,12 @@ object Dedup {
       roundScale: Int = 4,
       maxCell: Int = 65536,
       probes: Int = 1): DataFrame = {
+    if (cents.isEmpty)
+      // an empty quantizer blocks nothing (routine at cluster scale:
+      // centroids seeded from an empty/filtered-out corpus) — empty
+      // pair list with the production schema, never an analysis error
+      return df.select(lit(0).as("cell"), col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0.0).as("cos")).limit(0)
     val assigned = shareLazily(
       df.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.probeCellsCol(col(vecCol), cents, probes).as("cells")))
@@ -1020,6 +1026,9 @@ object Dedup {
       threshold: Double,
       roundScale: Int = 4,
       maxCell: Int = 65536): DataFrame = {
+    if (cents.isEmpty)
+      return newVecs.select(lit(0).as("cell"), col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0.0).as("cos")).limit(0)
     val newAssigned = shareLazily(
       Similarity.ivfIndex(newVecs, idCol, vecCol, cents)
         .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))

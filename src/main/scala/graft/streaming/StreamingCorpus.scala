@@ -145,4 +145,92 @@ object StreamingCorpus {
       .withColumn("avg_logp", scorer(col(textCol)))
       .filter(col("avg_logp").isNotNull && col("avg_logp") >= minAvgLogp)
   }
+
+  /** Streaming SemDeDup against a persisted cell-partitioned vector
+    * store (the IVF-index layout): each micro-batch
+    *
+    *  1. drops ids already ingested (exact-id replay guard — a
+    *     checkpoint-recovered batch finds all its ids in the store and
+    *     becomes a no-op, the transactional-writer idempotence this
+    *     plain-parquet store can offer);
+    *  2. finds near-dup pairs against the store and within itself under
+    *     the FROZEN quantizer
+    *     ([[graft.operators.Dedup.semanticNearDupsIncremental]] — the
+    *     store read is semi-joined to the batch's touched cells, so a
+    *     partitioned store is dynamically pruned);
+    *  3. drops batch losers by the GREEDY rule (any batch vector
+    *     pairing with history; the larger id of each batch-internal
+    *     pair — [[graft.operators.Dedup.minHashDedup]]'s documented
+    *     greedy semantics, chosen here because a per-batch transitive
+    *     closure would add an iterative job to the hot path);
+    *  4. appends the survivors' cell assignments to the store — the
+    *     store stays dedup-clean and serves the next batch as history —
+    *     and hands the survivor rows to `onSurvivors` (e.g. a lake
+    *     upsert; batchId is passed through for idempotent sinks).
+    *
+    * Retrain boundary: the quantizer is frozen for the stream's life —
+    * pair it with [[graft.operators.Similarity.appendIvfIndex]]'s drift
+    * report on a schedule, and rebuild store + centroids when drift
+    * gates retrain (pause-the-stream maintenance, like compaction).
+    *
+    * CONCURRENCY: single writer, like [[graft.operators.DedupLedger]] —
+    * plain parquet appends are not transactional.
+    */
+  def semanticDedupStream(
+      vecs: DataFrame,
+      storePath: String,
+      cents: Array[(Int, Array[Double])],
+      threshold: Double,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      probes: Int = 1,
+      onSurvivors: (DataFrame, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = readStoreOrEmpty(spark, storePath, batch.toDF(), idCol, vecCol)
+        val fresh = batch.toDF().join(
+          store.select(col(idCol)), Seq(idCol), "left_anti")
+        val pairs = graft.operators.Dedup.semanticNearDupsIncremental(
+          fresh, store, idCol, vecCol, cents, threshold)
+          .select(col("id_a"), col("id_b"))
+        val bids = fresh.select(col(idCol).cast("long").as("__bid"))
+        val losers = pairs
+          .join(bids.select(col("__bid").as("__a_in")),
+            col("id_a") === col("__a_in"), "left")
+          .join(bids.select(col("__bid").as("__b_in")),
+            col("id_b") === col("__b_in"), "left")
+          .select(
+            when(col("__a_in").isNotNull && col("__b_in").isNull, col("id_a"))
+              .otherwise(col("id_b")).as("__loser"))
+          .distinct()
+        val survivors = fresh
+          .join(losers, fresh(idCol).cast("long") === col("__loser"), "left_anti")
+          .localCheckpoint() // one materialization: the append AND onSurvivors read it
+        graft.operators.Similarity
+          .ivfIndex(survivors, idCol, vecCol, cents)
+          .write.mode("append").partitionBy("cell").parquet(storePath)
+        onSurvivors(survivors, batchId)
+      }
+      .start()
+
+  /** Read the vector store, or an empty (idCol, vecCol, cell) frame when
+    * none exists yet — first-batch bootstrap, same pattern as
+    * [[graft.operators.DedupLedger.read]].
+    */
+  private def readStoreOrEmpty(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hadoopPath))
+      spark.read.parquet(path)
+    else
+      batch.select(col(idCol), col(vecCol), lit(0).as("cell")).limit(0)
+  }
 }

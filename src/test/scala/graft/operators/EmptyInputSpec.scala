@@ -21,11 +21,28 @@ class EmptyInputSpec extends SparkSpec {
     Seq.empty[(Long, Long, Long, String, Double)]
       .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
 
-  test("text operators: tfidf, invertedIndex, ngramCounts, dedupLines") {
+  test("text operators: tfidf, invertedIndex, ngramCounts, dedupLines, removeBoilerplate") {
     assert(TextAnalysis.tfidf(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextAnalysis.invertedIndex(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextAnalysis.ngramCounts(emptyDocs, "text").count() == 0)
     assert(TextAnalysis.dedupLines(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.removeBoilerplate(emptyDocs, "doc_id", "text", minDocs = 2).count() == 0)
+  }
+
+  test("semantic dedup: empty corpus, empty batch against a store") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    val cents = Similarity.centroids(emptyVecs, "id", "v", c = 8)
+    assert(cents.isEmpty)
+    // an empty quantizer cannot block anything — the operator must
+    // yield an empty pair list, not throw
+    assert(Dedup.semanticNearDupPairs(emptyVecs, "id", "v", cents, 0.9).count() == 0)
+    assert(Dedup.semanticDedup(emptyVecs, "id", "v", cents, 0.9).count() == 0)
+    // empty BATCH against a real store: no new ids ⇒ no pairs
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "v")
+    val realCents = Similarity.centroids(vecs, "id", "v", c = 2)
+    val store = Similarity.ivfIndex(vecs, "id", "v", realCents)
+    assert(Dedup.semanticNearDupsIncremental(
+      emptyVecs, store, "id", "v", realCents, 0.9).count() == 0)
   }
 
   test("temporal: scd2, snapshot, merge") {

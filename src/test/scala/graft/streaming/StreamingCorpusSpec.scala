@@ -184,4 +184,47 @@ class StreamingCorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(out.toSeq == Seq(1L, 2L, 3L), s"got ${out.toSeq}")
   }
+
+  test("semanticDedupStream: store-dedup across micro-batches; replayed ids are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("semstream").toFile.getAbsolutePath
+    val store = s"$dir/store"
+    val seeds = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("id", "v")
+    val cents = Similarity.centroids(seeds, "id", "v", c = 2)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingCorpus.semanticDedupStream(
+      in.toDF.toDF("vec_id", "embedding"), store, cents,
+      threshold = 0.9, checkpoint = s"$dir/ckpt",
+      onSurvivors = (df, bid) => emitted.synchronized {
+        df.select("vec_id").collect().foreach(r => emitted += (bid -> r.getLong(0)))
+      })
+    try {
+      // batch A: 10/11 are near-identical in cell 0 → greedy drops 11;
+      // 20 alone in cell 1
+      in.addData(
+        (10L, Array(1f, 0f, 0f, 0f)),
+        (11L, Array(0.99f, 0.01f, 0f, 0f)),
+        (20L, Array(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      // batch B: 12 dups history 10, 21 dups history 20 → both drop;
+      // 30 is orthogonal to everything → survives
+      in.addData(
+        (12L, Array(0.98f, 0.02f, 0f, 0f)),
+        (21L, Array(0.01f, 0.99f, 0f, 0f)),
+        (30L, Array(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      // batch C: replay of an already-ingested id → exact-id guard, no-op
+      in.addData((10L, Array(1f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val storeIds = spark.read.parquet(store)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(storeIds == Set(10L, 20L, 30L), s"store holds $storeIds")
+    assert(emitted.map(_._2).toSet == Set(10L, 20L, 30L) && emitted.size == 3,
+      s"each survivor must be emitted exactly once: $emitted")
+  }
 }
