@@ -611,4 +611,57 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Centroid-based cluster quality (pseudo-silhouette): per vector,
+    * a = L2 distance to its OWN centroid, b = L2 distance to the nearest
+    * OTHER centroid, s = (b − a) / max(a, b) (0 when both are 0 — the
+    * vector IS both centroids). One row per cell: (cell, n, mean_a,
+    * mean_b, mean_sil). mean_sil near 0 flags cells sitting on their
+    * Voronoi boundary — the retrain/split signal, complementing
+    * [[appendIvfIndex]]'s drift report (which watches batch means; this
+    * watches the resident population). The true silhouette needs all
+    * pairwise distances (O(N²)); the centroid form is the standard
+    * scale substitute: map-only + one groupBy, no shuffle wider than
+    * (cell, three decimals).
+    *
+    * Determinism: distances are double index-order folds; per-vector
+    * values round to 6 dp into DECIMAL(18,6), sums are exact, the final
+    * mean divides the double-cast sum by n and rounds to 4 dp (the
+    * q153 discipline) — so the whole frame carries a DuckDB oracle
+    * (q169). Tie-break between equidistant cells is (distance, cell) —
+    * identical to [[cellOf]]/[[probeCellsCol]].
+    *
+    * Plan note: the sorted distance-struct array appears once per
+    * extracted field (Catalyst collapses the projection) — ~4C distance
+    * subtrees. Fine at quantizer sizes (C ≤ thousands); it rides the
+    * same broadcast-as-literals pattern as every centroid op here.
+    */
+  def clusterQuality(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    require(cents.length >= 2, "cluster quality needs at least 2 cells")
+    import org.apache.spark.sql.types.DecimalType
+    val entries = cents.sortBy(_._1).map { case (cid, cvec) =>
+      struct(
+        VectorFunctions.l2Sq(col(vecCol), array(cvec.map(lit).toIndexedSeq: _*)).as("d"),
+        lit(cid).as("cell"))
+    }
+    val top2 = slice(sort_array(array(entries.toIndexedSeq: _*)), 1, 2)
+    val a = sqrt(element_at(top2, 1).getField("d"))
+    val b = sqrt(element_at(top2, 2).getField("d"))
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    df.select(
+        element_at(top2, 1).getField("cell").as("cell"),
+        round(a, 6).cast(DecimalType(18, 6)).as("__a"),
+        round(b, 6).cast(DecimalType(18, 6)).as("__b"),
+        round(s, 6).cast(DecimalType(18, 6)).as("__s"))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n"),
+        round((sum("__a").cast("double") / count(lit(1))), 4).as("mean_a"),
+        round((sum("__b").cast("double") / count(lit(1))), 4).as("mean_b"),
+        round((sum("__s").cast("double") / count(lit(1))), 4).as("mean_sil"))
+  }
 }

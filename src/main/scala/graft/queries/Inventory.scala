@@ -2527,6 +2527,48 @@ object Inventory {
         WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
         ORDER BY vec_id""")),
 
+    Q("q169_cluster_quality",
+      (s, dir) => {
+        // quantizer health: per-cell pseudo-silhouette (distance to own
+        // vs nearest-other centroid). Same corpus-sized seed quantizer
+        // as q164; per-value 6dp rounding into DECIMAL(18,6) exact
+        // sums, mean = double-cast sum / n rounded 4dp (q153
+        // discipline) — fully replayable cross-engine.
+        val e = t(s, dir, "embeddings")
+        val c = math.max(8L, e.count() / 128).toInt
+        val cents = Similarity.centroids(e, "vec_id", "embedding", c)
+        Similarity.clusterQuality(e, "vec_id", "embedding", cents)
+          .orderBy("cell")
+      },
+      Some("""WITH cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+            embedding AS ce
+          FROM (SELECT * FROM embeddings ORDER BY vec_id
+                LIMIT (SELECT greatest(8, count(*) // 128) FROM embeddings))),
+        d AS (
+          SELECT b.vec_id, c.cell,
+            list_sum(list_transform(list_zip(b.embedding, c.ce),
+              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+          FROM embeddings b, cents c),
+        r AS (
+          SELECT vec_id, cell, d2,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          FROM d),
+        x AS (
+          SELECT o.vec_id, o.cell,
+            CAST(round(sqrt(o.d2), 6) AS DECIMAL(18,6)) AS a,
+            CAST(round(sqrt(s.d2), 6) AS DECIMAL(18,6)) AS b,
+            CAST(round(CASE WHEN greatest(sqrt(o.d2), sqrt(s.d2)) > 0
+              THEN (sqrt(s.d2) - sqrt(o.d2)) / greatest(sqrt(o.d2), sqrt(s.d2))
+              ELSE 0 END, 6) AS DECIMAL(18,6)) AS sil
+          FROM r o JOIN r s ON o.vec_id = s.vec_id AND o.rn = 1 AND s.rn = 2)
+        SELECT cell, count(*) AS n,
+          round(CAST(sum(a) AS DOUBLE) / count(*), 4) AS mean_a,
+          round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b,
+          round(CAST(sum(sil) AS DOUBLE) / count(*), 4) AS mean_sil
+        FROM x GROUP BY cell ORDER BY cell""")),
+
     Q("q168_semantic_multiprobe",
       (s, dir) => {
         // the boundary-recall knob: probes=2 blocks each vector into its
@@ -3301,5 +3343,5 @@ object Inventory {
     "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
     "q162_fuzz_lateral", "q163_image_neardup",
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
-    "q168_semantic_multiprobe")
+    "q168_semantic_multiprobe", "q169_cluster_quality")
 }

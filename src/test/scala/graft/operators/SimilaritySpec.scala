@@ -339,4 +339,23 @@ class SimilaritySpec extends SparkSpec {
       "rerank must keep the ADC window's captured truth")
     encoded.unpersist()
   }
+
+  test("clusterQuality: on-centroid members score 1, boundary members 0, counts per cell") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),    // seed cell 0 (sits on its centroid)
+      (2L, Array(0f, 1f)),    // seed cell 1
+      (3L, Array(1f, 0f)),    // exactly centroid 0 → a=0, b=√2 → s=1
+      (4L, Array(0.5f, 0.5f)) // equidistant → ties to cell 0, s=0
+    ).toDF("id", "v")
+    val cents = Similarity.centroids(vecs, "id", "v", c = 2)
+    val rows = Similarity.clusterQuality(vecs, "id", "v", cents)
+      .orderBy("cell").collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 3L), (1, 1L)))
+    assert(math.abs(rows(0).getDouble(4) - 0.6667) < 1e-9) // (1 + 1 + 0) / 3
+    assert(rows(1).getDouble(4) == 1.0)
+    intercept[IllegalArgumentException] {
+      Similarity.clusterQuality(vecs, "id", "v", cents.take(1))
+    }
+  }
 }
