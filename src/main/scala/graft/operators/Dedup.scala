@@ -554,6 +554,40 @@ object Dedup {
     corpus.join(contaminated, corpus(idCol) === col("__cid"), "left_anti")
   }
 
+  /** Graded decontamination: per-document CONTAMINATION SCORE — the
+    * fraction of the doc's distinct w-shingles present in the eval set —
+    * for threshold/reporting policies where [[decontaminate]]'s binary
+    * drop is too blunt (e.g. "flag ≥ 5% overlap, drop ≥ 50%"). Docs
+    * with fewer than w tokens carry no shingles and are absent.
+    *
+    * Output: (idCol, n_shingles, n_shared, contamination[6dp]).
+    *
+    * Scale: the eval shingle set is distinct-collapsed and broadcast
+    * (benchmark corpora are small by construction); per-doc counting is
+    * one broadcast left join + an id-keyed aggregate — shingle hashes
+    * and ids ride the shuffle, text never leaves the map stage.
+    */
+  def contaminationScore(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(shingleHashes(col(textCol), w)).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    corpus
+      .select(col(idCol), explode(shingleHashes(col(textCol), w)).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_shared"))
+      .withColumn("contamination",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   /** EXACT near-dup clustering: connected components of the pair graph
     * via iterative min-label propagation — each node's label becomes the
     * minimum label among itself and its neighbors until a fixpoint.

@@ -1671,6 +1671,35 @@ object Inventory {
         WHERE s.doc_id % 50 <> 0 AND len(list_intersect(s.sh, ev.all_sh)) = 0
         ORDER BY s.doc_id""")),
 
+    Q("q170_contamination_score",
+      (s, dir) => {
+        // graded decontamination: per-doc fraction of distinct 8-word
+        // shingles shared with the eval slice — the continuous sibling
+        // of q106's binary drop. Hashed-shingle intersection SIZES are
+        // engine-agnostic (q106 precedent), so counts and the 6dp
+        // fraction replay exactly.
+        val d = t(s, dir, "documents")
+        val evalSet = d.filter(col("doc_id") % 50 === 0)
+        Dedup.contaminationScore(
+          d.filter(col("doc_id") % 50 =!= 0), evalSet, "doc_id", "text", w = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(array_to_string(w[i:i+7], ' ')) for i in range(1, greatest(len(w) - 6, 1))]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        ev AS (
+          SELECT flatten(list(sh)) AS all_sh FROM sh WHERE doc_id % 50 = 0)
+        SELECT s.doc_id,
+          CAST(len(s.sh) AS BIGINT) AS n_shingles,
+          CAST(len(list_intersect(s.sh, ev.all_sh)) AS BIGINT) AS n_shared,
+          round(CAST(len(list_intersect(s.sh, ev.all_sh)) AS DOUBLE)
+            / len(s.sh), 6) AS contamination
+        FROM sh s, ev
+        WHERE s.doc_id % 50 <> 0 AND len(s.sh) > 0
+        ORDER BY s.doc_id""")),
+
     Q("q107_corpus_prepare",
       (s, dir) => {
         // The FULL preparation composite: clean → repetition gate →

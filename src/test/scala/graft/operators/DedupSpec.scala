@@ -314,6 +314,24 @@ class DedupSpec extends SparkSpec {
     assert(!capped.exists { case (a, b) => a <= 18 && b <= 18 }) // no boilerplate-only pairs
   }
 
+  test("contaminationScore: exact shared-shingle fractions; shingle-less docs absent") {
+    import spark.implicits._
+    val eval = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"), // all 3 shingles shared → 1.0
+      (2L, "a b c d e f g h x y"), // only "a..h" shared → 1/3
+      (3L, "p q r s t u v w x y"), // nothing shared → 0.0
+      (4L, "too short")            // < 8 tokens → no shingles → absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(corpus, eval, "doc_id", "text", w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 1.0),
+      (2L, 3L, 1L, 0.333333),
+      (3L, 3L, 0L, 0.0)))
+  }
+
   test("nearDupClusters: exact components on chain, star, and split graphs") {
     import spark.implicits._
     // chain 1-2-3-4, star 10-{11,12,13}, separate pair 20-21
