@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training and encoding — the tokenizer-
+  * construction step of an LLM data pipeline (reference scope: the
+  * north-star text-analysis family; token COUNTING exists as
+  * `TextAnalysis.tokenCount`/`subwordCount`, this builds the subword
+  * vocabulary itself).
+  *
+  * Scale shape (the standard one): BPE training operates on the WORD-TYPE
+  * frequency table, not the token stream — one distributed
+  * explode+groupBy collapses the corpus (the only pass over data), and
+  * the merge loop runs driver-side over the compact type table, exactly
+  * like k-means centroids ride the driver. The type table is capped at
+  * `maxTypes` by (count desc, word) — bounded driver state at any corpus
+  * size; rare tail types contribute pair counts ≈ their own frequency
+  * and are the standard sacrifice.
+  *
+  * Determinism: the merge chosen each step is the max-count pair with
+  * ties broken lexicographically on (left, right); type iteration order
+  * never matters because counts are summed before the argmax. Training
+  * twice on the same corpus is bit-identical (spec-pinned), but there is
+  * no SQL-expressible oracle for an iterative argmax — the declared
+  * query is rows-only by necessity, pinned by the classic
+  * low/lower/newest/widest worked example (Sennrich et al. 2016, §3.2)
+  * in BpeSpec.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence, so
+    * merges distinguish word-final from word-internal pairs ("est</w>"
+    * vs "est"). The paper's formulation.
+    */
+  val EndOfWord = "</w>"
+
+  /** Train `numMerges` BPE merges over the corpus.
+    *
+    * Returns a local, ordered merge table — broadcast state for
+    * [[encodeUdf]], small by construction (numMerges rows). Use
+    * [[trainDf]] for the DataFrame form (the declared-query surface).
+    *
+    * @param maxTypes cap on distinct word types collected to the driver
+    *                 (top by count, ties to the lexicographically
+    *                 smaller word — deterministic at any parallelism)
+    */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxTypes: Int = 1 << 20,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    val types: Array[(Array[String], Long)] = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(maxTypes)
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray :+ EndOfWord, r.getLong(1)))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var work = types
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      work.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // max count, ties to the lexicographically smallest (left, right)
+        val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        if (best._2 < minPairCount) done = true
+        else {
+          val (l, r) = best._1
+          merges += ((l, r))
+          val joined = l + r
+          work = work.map { case (syms, cnt) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += joined; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, cnt)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[train]] as a DataFrame: (rank, left, right, merged) — the
+    * declared-query surface (q171; rows-only: an iterative argmax has no
+    * SQL-expressible oracle, so BpeSpec pins the worked example and
+    * bit-identical retraining instead).
+    */
+  def trainDf(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxTypes: Int = 1 << 20,
+      minPairCount: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, textCol, numMerges, maxTypes, minPairCount)
+      .zipWithIndex
+      .map { case ((l, r), i) => (i, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Map-only BPE encoder: applies the trained merges to each
+    * whitespace token (lowest-rank applicable merge first — the
+    * standard greedy-by-priority encode), returning the subword array
+    * column. The merge-rank map is closure-broadcast; no shuffle, no
+    * per-row driver work. A Scala UDF is the honest shape here — no
+    * built-in expresses an iterative priority merge, and the per-token
+    * loop is primitive string work (same judgment call as the
+    * multimodal codecs).
+    */
+  def encodeUdf(merges: Seq[(String, String)]): Column => Column = {
+    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val enc = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else
+        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+          var syms = (w.map(_.toString) :+ EndOfWord).toArray
+          var go = true
+          while (go && syms.length > 1) {
+            var bestRank = Int.MaxValue
+            var bestAt = -1
+            var i = 0
+            while (i < syms.length - 1) {
+              val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (rk < bestRank) { bestRank = rk; bestAt = i }
+              i += 1
+            }
+            if (bestAt < 0) go = false
+            else {
+              val out = new Array[String](syms.length - 1)
+              Array.copy(syms, 0, out, 0, bestAt)
+              out(bestAt) = syms(bestAt) + syms(bestAt + 1)
+              Array.copy(syms, bestAt + 2, out, bestAt + 1, syms.length - bestAt - 2)
+              syms = out
+            }
+          }
+          syms
+        }
+    }
+    c => enc(c)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis}
 
 /** One declared operator: name, Spark implementation, optional DuckDB
   * oracle SQL over the same parquet tables. Column names MUST match
@@ -2555,6 +2555,19 @@ object Inventory {
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
         ORDER BY vec_id""")),
+
+    Q("q171_bpe_train",
+      (s, dir) =>
+        // BPE vocabulary training over the corpus: one distributed
+        // word-type count (the only pass over data), then the classic
+        // merge loop on the compact type table driver-side (bounded by
+        // maxTypes, like centroids). rows-only BY NECESSITY: an
+        // iterative argmax has no SQL-expressible oracle — BpeSpec pins
+        // the Sennrich et al. worked example, deterministic tie-breaks,
+        // bit-identical retraining, and the priority encoder instead.
+        Bpe.trainDf(t(s, dir, "documents"), "text", numMerges = 30)
+          .orderBy("rank"),
+      None),
 
     Q("q169_cluster_quality",
       (s, dir) => {

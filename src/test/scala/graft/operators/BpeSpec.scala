@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // the worked example of Sennrich et al. 2016 §3.2:
+  // vocabulary {low:5, lower:2, newest:6, widest:3}
+  private def paperCorpus = Seq(
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+  ).toDF("text")
+
+  test("train reproduces the paper's merge sequence with deterministic tie-breaks") {
+    val merges = Bpe.train(paperCorpus, "text", numMerges = 6)
+    // counts round 1: (e,s)=(s,t)=(t,</w>)=9 tie → lexicographic (e,s);
+    // then est builds outward, then the 7-count tie (l,o)/(o,w) → (l,o)
+    assert(merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w")))
+  }
+
+  test("training twice is bit-identical; trainDf ranks in merge order") {
+    val a = Bpe.train(paperCorpus, "text", numMerges = 6)
+    val b = Bpe.train(paperCorpus, "text", numMerges = 6)
+    assert(a == b)
+    val df = Bpe.trainDf(paperCorpus, "text", numMerges = 3).orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(df.toSeq == Seq(
+      (0, "e", "s", "es"), (1, "es", "t", "est"), (2, "est", "</w>", "est</w>")))
+  }
+
+  test("encode applies merges by priority; unseen words fall back to characters") {
+    val merges = Bpe.train(paperCorpus, "text", numMerges = 6)
+    val enc = Bpe.encodeUdf(merges)
+    val out = Seq(("lowest newest", 1)).toDF("text", "i")
+      .select(enc(col("text")).as("toks"))
+      .head().getSeq[String](0)
+    // lowest: es→est→est</w> then lo→low ⇒ [low, est</w>]
+    // newest: shares est</w>, then (e,w) ⇒ [n, ew, est</w>]
+    assert(out == Seq("low", "est</w>", "n", "ew", "est</w>"))
+    val unseen = Seq(("zq", 1)).toDF("text", "i")
+      .select(enc(col("text")).as("toks")).head().getSeq[String](0)
+    assert(unseen == Seq("z", "q", "</w>"))
+  }
+
+  test("minPairCount stops before rare merges; maxTypes caps driver state deterministically") {
+    // every pair occurs once → nothing reaches minPairCount=2
+    val rare = Seq(("ab cd", 1)).toDF("text", "i")
+    assert(Bpe.train(rare, "text", numMerges = 5).isEmpty)
+    // maxTypes=2 keeps the two most frequent types (newest:6, low:5);
+    // every newest-pair now ties at 6, so lexicographic order drives the
+    // whole sequence: (e,s), then (e,w) (since "e" < "es"), then (es,t),
+    // then (est,</w>) — different from the full-corpus sequence, which
+    // is exactly the point: the cap changes counts deterministically
+    val merges = Bpe.train(paperCorpus, "text", numMerges = 4, maxTypes = 2)
+    assert(merges == Seq(("e", "s"), ("e", "w"), ("es", "t"), ("est", "</w>")))
+  }
+
+  test("empty corpus trains an empty merge table; encoding with it is pure chars") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.train(empty, "text", numMerges = 5).isEmpty)
+    assert(Bpe.trainDf(empty, "text", numMerges = 5).count() == 0)
+  }
+}
