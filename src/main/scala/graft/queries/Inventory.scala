@@ -3385,5 +3385,6 @@ object Inventory {
     "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
     "q162_fuzz_lateral", "q163_image_neardup",
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
-    "q168_semantic_multiprobe", "q169_cluster_quality")
+    "q168_semantic_multiprobe", "q169_cluster_quality",
+    "q170_contamination_score", "q171_bpe_train")
 }

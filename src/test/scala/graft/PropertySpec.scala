@@ -199,4 +199,38 @@ class PropertySpec extends SparkSpec {
     }.sum
     assert(total == expected)
   }
+
+  test("removeBoilerplate invariants: output df < threshold, lines only ever removed, order kept") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // random multi-line docs over a small line alphabet so document
+    // frequencies cross the threshold both ways
+    val docs = (1 to 40).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i.toLong, (1 to n).map(_ => s"L${rnd.nextInt(8)}").mkString("\n"))
+    }.toDF("doc_id", "text")
+    val minDocs = 10L
+    val out = graft.operators.TextAnalysis
+      .removeBoilerplate(docs, "doc_id", "text", minDocs)
+    val outRows = out.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // recomputing document frequency over the OUTPUT: nothing at or
+    // above the threshold may remain
+    val residualDf = out
+      .select(col("doc_id"), explode(split(col("clean_text"), "\n")).as("line"))
+      .groupBy("line").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs).count()
+    assert(residualDf == 0, "a boilerplate-frequency line survived")
+    // every output doc's lines are a SUBSEQUENCE of its input lines
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val orig = r.getString(1).split("\n").toSeq
+      outRows.get(id).foreach { cleaned =>
+        val kept = cleaned.split("\n").toSeq
+        // subsequence check preserves order and multiplicity
+        val it = orig.iterator
+        assert(kept.forall(l => it.contains(l)),
+          s"doc $id: $kept is not an in-order subsequence of $orig")
+      }
+    }
+  }
 }

@@ -590,6 +590,16 @@ class DedupSpec extends SparkSpec {
       "history-internal pairs must never re-emit")
   }
 
+  test("semanticDedup is idempotent: deduping the survivors changes nothing") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.centroids(e, "vec_id", "embedding", c = 8)
+    val once = Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.45)
+    val twice = Dedup.semanticDedup(once, "vec_id", "embedding", cents, threshold = 0.45)
+    val a = once.select("vec_id").collect().map(_.getLong(0)).toSet
+    val b = twice.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "a deduped corpus must be a fixpoint")
+  }
+
   test("semanticDedup with a single cell equals exhaustive component dedup") {
     import spark.implicits._
     val vecs = Seq(
