@@ -303,6 +303,107 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("kept_lines"))
   }
 
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken
+    * 2003, simplified to the distinct-window-minima set): md5 each
+    * char k-gram of the normalized text, take the minimum hash of every
+    * window of `w` consecutive k-grams, and emit each document's
+    * DISTINCT minima as its fingerprint set. The winnowing guarantee:
+    * any shared substring of at least k + w − 1 chars yields at least
+    * one shared fingerprint, while the emitted set is ~1/w the k-gram
+    * count. md5 makes every value engine-replayable (q105/q117
+    * discipline), and hex strings order like the underlying value, so
+    * the window min is lexicographic in both engines.
+    *
+    * Output: (idCol, fp) — one row per distinct fingerprint. Documents
+    * shorter than k + w − 1 chars emit nothing.
+    *
+    * Scale/shape: the native one-pass kernel (`WinnowMd5Expr`: reused
+    * digest, monotonic-deque window min) computes each row's distinct
+    * fingerprint set map-side — no posexplode, no window shuffle; only
+    * the final distinct aggregates. [[winnowFingerprintsWindowed]] is
+    * the built-in-operator semantic twin the spec pins.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 25,
+      w: Int = 10): DataFrame = {
+    require(k >= 2 && w >= 1, s"k=$k must be >= 2 and w=$w >= 1")
+    df.select(col(idCol),
+        explode(org.apache.spark.sql.graft.NativeExprs
+          .winnowMd5(col(textCol), k, w)).as("fp"))
+      .distinct()
+  }
+
+  /** Built-in-operator formulation of [[winnowFingerprints]], kept as
+    * the executable semantic spec: k-gram hashes are computed ONCE per
+    * position in a map-side transform, then the window minima come from
+    * a ROWS-frame running min over the exploded (pos, hash) stream —
+    * one shuffle keyed by the document id. (The tempting all-HOF form —
+    * `transform(windows, j => array_min(slice(grams, j, w)))` —
+    * re-evaluates the whole gram array per WINDOW ELEMENT, because
+    * non-lambda subtrees inside a higher-order lambda re-execute per
+    * invocation: O(len²) md5 calls per document.)
+    */
+  def winnowFingerprintsWindowed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 25,
+      w: Int = 10): DataFrame = {
+    require(k >= 2 && w >= 1, s"k=$k must be >= 2 and w=$w >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val t = lower(trim(col(textCol)))
+    val grams = when(length(t) >= k + w - 1,
+      transform(sequence(lit(1), length(t) - (k - 1)),
+        i => md5(t.substr(i, lit(k)).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val g = df.select(col(idCol), posexplode(grams).as(Seq("pos", "h")))
+    val byDoc = Window.partitionBy(idCol)
+    val frame = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__m", min("h").over(frame))
+      .filter(col("pos") <= col("__n") - w) // full windows only (pos is 0-based)
+      .select(col(idCol), col("__m").as("fp"))
+      .distinct()
+  }
+
+  /** Winnowing near-dup pairs: documents sharing at least `minShared`
+    * fingerprints, with the shared count — the containment-style
+    * complement to MinHash (which estimates whole-document Jaccard;
+    * winnowing catches a long COPIED PASSAGE inside otherwise-different
+    * documents, the plagiarism shape). Fingerprints present in more
+    * than `maxDf` documents are dropped first (corpus boilerplate
+    * carries no discrimination and would drive the join quadratic —
+    * the invertedIndex df-band rule).
+    *
+    * Scale: the join shuffles (fp, id) pairs only; the df prune runs as
+    * a map-side-partial aggregate before it.
+    */
+  def winnowNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 25,
+      w: Int = 10,
+      minShared: Long = 3L,
+      maxDf: Long = 1000L): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    val hot = fp.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("fp")
+    val kept = fp.join(hot, Seq("fp"), "left_anti")
+    val a = kept.select(col("fp"), col(idCol).as("id_a"))
+    val b = kept.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Annotate a documents frame with all analysis columns. One native
     * single-tokenization kernel (TextProfileExpr); field-by-field
     * value-identical to [[annotateHof]], which the spec pins.

@@ -2556,6 +2556,57 @@ object Inventory {
         WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
         ORDER BY vec_id""")),
 
+    Q("q172_winnow_fingerprints",
+      (s, dir) =>
+        // MOSS winnowing fingerprints (distinct window minima of md5
+        // 25-gram hashes, w=10) for the first 50 docs — md5 hex
+        // strings order identically in any engine, so the full
+        // fingerprint set replays exactly.
+        TextAnalysis.winnowFingerprints(
+          t(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", k = 25, w = 10)
+          .orderBy("doc_id", "fp"),
+      Some("""WITH t AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 50),
+        g AS (
+          SELECT doc_id, [md5(t[i:i+24]) for i in range(1, len(t) - 23)] AS gs
+          FROM t WHERE len(t) >= 25),
+        wn AS (
+          SELECT doc_id,
+            list_distinct([list_min(gs[j:j+9]) for j in range(1, len(gs) - 8)]) AS fps
+          FROM g WHERE len(gs) >= 10)
+        SELECT doc_id, unnest(fps) AS fp FROM wn ORDER BY doc_id, fp""")),
+
+    Q("q173_winnow_pairs",
+      (s, dir) =>
+        // containment-style near-dup: docs sharing >= 3 winnowing
+        // fingerprints (catches a copied PASSAGE inside otherwise-
+        // different docs, where MinHash's whole-doc Jaccard stays low).
+        // The 25 surfaced pairs cross-validate the q81 minhash set.
+        TextAnalysis.winnowNearDups(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 25, w = 10, minShared = 3L, maxDf = 1000L)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        g AS (
+          SELECT doc_id, [md5(t[i:i+24]) for i in range(1, len(t) - 23)] AS gs
+          FROM t WHERE len(t) >= 25),
+        wn AS (
+          SELECT doc_id,
+            list_distinct([list_min(gs[j:j+9]) for j in range(1, len(gs) - 8)]) AS fps
+          FROM g WHERE len(gs) >= 10),
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+        kept AS (
+          SELECT * FROM fp WHERE fp NOT IN (
+            SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) > 1000)),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
+        ORDER BY id_a, id_b""")),
+
     Q("q171_bpe_train",
       (s, dir) =>
         // BPE vocabulary training over the corpus: one distributed
@@ -3386,5 +3437,5 @@ object Inventory {
     "q162_fuzz_lateral", "q163_image_neardup",
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
     "q168_semantic_multiprobe", "q169_cluster_quality",
-    "q170_contamination_score", "q171_bpe_train")
+    "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs")
 }

@@ -73,6 +73,31 @@ case class ShingleHashesExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Distinct MOSS winnowing fingerprints of a text column in one pass
+  * (graft.functions.Winnow.fingerprints): per-position md5 with a
+  * reused digest + monotonic-deque window minima — no posexplode, no
+  * window shuffle, no per-position expression tree. Value-identical to
+  * the window-function formulation
+  * (graft.operators.TextAnalysis.winnowFingerprintsWindowed), which the
+  * spec pins; md5 hex keeps the values engine-replayable.
+  */
+case class WinnowMd5Expr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Winnow.fingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Winnow.fingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMd5Expr =
+    copy(child = newChild)
+}
+
 /** LSH band hashes of a MinHash signature (graft.functions.MinHash
   * .bandHashes) — replaces per-band string rendering + xxhash64 with a
   * direct hash over the signature longs.
@@ -364,6 +389,10 @@ object NativeExprs {
   /** Column-level entry for RepetitionRatioExpr. */
   def repetitionRatio(text: Column, n: Int): Column =
     ExpressionUtils.column(RepetitionRatioExpr(ExpressionUtils.expression(text), n))
+
+  /** Column-level entry for WinnowMd5Expr. */
+  def winnowMd5(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowMd5Expr(ExpressionUtils.expression(text), k, w))
 
   /** Column-level entry for MinHashSignatureExpr. */
   def minhashSignature(shingles: Column, k: Int, seed: Long): Column =

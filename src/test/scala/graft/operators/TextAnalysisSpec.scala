@@ -328,6 +328,37 @@ class TextAnalysisSpec extends SparkSpec {
       "postings must be doc-id sorted and duplicate tokens collapsed")
   }
 
+  test("winnowing guarantee: a shared >= k+w-1 char passage yields a shared fingerprint") {
+    val passage = "the quick brown fox jumps over the lazy dog" // 43 chars >= 25+10-1
+    val docs = Seq(
+      (1L, "first document head material " + passage + " and a unique tail"),
+      (2L, "totally different opening text here " + passage),
+      (3L, "no shared passage at all in this third document body")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowNearDups(
+      docs, "doc_id", "text", k = 25, w = 10, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the copied passage must surface")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 shares nothing")
+    // short docs emit no fingerprints at all
+    val short = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowFingerprints(short, "doc_id", "text").count() == 0)
+    // maxDf=1 prunes every cross-doc fingerprint → no pairs survive
+    assert(TextAnalysis.winnowNearDups(
+      docs, "doc_id", "text", k = 25, w = 10, minShared = 1L, maxDf = 1L).count() == 0)
+  }
+
+  test("native winnow kernel is value-identical to the window formulation on corpus docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val native = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 25, w = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val windowed = TextAnalysis.winnowFingerprintsWindowed(docs, "doc_id", "text", k = 25, w = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == windowed,
+      s"missing=${(windowed -- native).take(3)} extra=${(native -- windowed).take(3)}")
+    assert(native.nonEmpty)
+  }
+
   test("removeBoilerplate: df-threshold lines drop everywhere, trim-matched; emptied docs vanish") {
     val docs = Seq(
       (1L, "NAV\nalpha\nFOOTER"),
