@@ -664,4 +664,73 @@ object Similarity {
         round((sum("__b").cast("double") / count(lit(1))), 4).as("mean_b"),
         round((sum("__s").cast("double") / count(lit(1))), 4).as("mean_sil"))
   }
+
+  // ------------------------------------------------ hybrid retrieval (RRF)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke, Buettcher, SIGIR 2009) over
+    * N ranked lists — the standard way to combine lexical (BM25) and
+    * semantic (ANN) retrieval without score calibration.
+    *
+    * Each input is an already-retrieved `(id, score)` frame: the BOUNDED
+    * top-k pool of a retriever, not a corpus-sized frame. Ranks are
+    * assigned by (score desc, id asc) within each list; a document's
+    * fused score is Σ 1/(kRrf + rank) over the lists containing it.
+    * Contributions are rounded at 6dp and summed as exact DECIMAL(18,6)
+    * (the q145/q153 discipline) so the fusion replays bit-identically in
+    * any engine — q174 carries a full DuckDB oracle.
+    *
+    * Scale note: the unpartitioned rank window runs over a retriever's
+    * pool (≤ poolK rows), never data-sized — the corpus scans / ANN
+    * probes already happened inside the retrievers being fused.
+    */
+  def rrfFuse(
+      rankings: Seq[(DataFrame, String)],
+      idCol: String,
+      kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val contribs = rankings.map { case (df, scoreCol) =>
+      df.select(
+          col(idCol),
+          row_number()
+            .over(Window.orderBy(col(scoreCol).desc, col(idCol).asc))
+            .as("rank"))
+        .select(
+          col(idCol),
+          round(lit(1.0) / (lit(kRrf.toDouble) + col("rank")), 6)
+            .cast(DecimalType(18, 6)).as("c6"))
+    }.reduce(_ union _)
+    contribs
+      .groupBy(idCol)
+      .agg(
+        sum("c6").cast("double").as("score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Hybrid lexical+semantic retrieval: BM25 and exact-cosine top-poolK
+    * pools fused by [[rrfFuse]]. The semantic pool can be swapped for
+    * [[ivfTopK]]'s output on the ANN scale path (at nprobe=C the fusion
+    * is identical — pinned in SimilaritySpec).
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      vecs: DataFrame,
+      queryTerms: Seq[String],
+      queryVec: Array[Float],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding",
+      kRrf: Int = 60,
+      poolK: Int = 50,
+      topK: Int = 10): DataFrame = {
+    val lex = TextAnalysis.bm25(docs, queryTerms, idCol, textCol, topK = poolK)
+    val sem = bruteForceTopK(vecs, vecIdCol, vecCol, queryVec, poolK)
+      .withColumnRenamed(vecIdCol, idCol)
+    rrfFuse(Seq((lex, "score"), (sem, "cos")), idCol, kRrf, topK)
+  }
 }

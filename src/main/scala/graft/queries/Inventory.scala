@@ -2607,6 +2607,83 @@ object Inventory {
         SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
         ORDER BY id_a, id_b""")),
 
+    Q("q174_hybrid_rrf",
+      (s, dir) => {
+        // hybrid RAG retrieval: BM25 (q145's query terms) and exact
+        // cosine (q90's query vector) top-50 pools fused by reciprocal-
+        // rank fusion. Both ingredient scores are decimal-exact cross-
+        // engine, so the RANKS replay exactly and the fusion carries a
+        // full oracle: 1/(60+rank) rounded 6dp, summed DECIMAL(18,6).
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 1).select("embedding").head()
+          .getSeq[Float](0).toArray
+        Similarity.hybridTopK(
+          t(s, dir, "documents"), e,
+          Seq("join", "vector", "stream"), q,
+          poolK = 50, topK = 10)
+      },
+      Some("""WITH base AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+          FROM documents),
+        lens AS (SELECT doc_id, len(ts) AS len FROM base),
+        stats AS (SELECT count(*) AS n, avg(len) AS avg_len FROM lens),
+        tp AS (SELECT doc_id, unnest(ts) AS term FROM base),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tp
+          WHERE term IN ('join', 'vector', 'stream') GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+            CAST(round(
+              ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5)) *
+                (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+                (tf.tf + CAST(1.2 AS DOUBLE) *
+                  (0.25 + CAST(0.75 AS DOUBLE) * l.len / s.avg_len)),
+              6) AS DECIMAL(18,6)) AS c6
+          FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+          CROSS JOIN stats s),
+        bm AS (
+          SELECT doc_id, round(CAST(sum(c6) AS DOUBLE), 4) AS score
+          FROM sc GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT 50),
+        lexr AS (
+          SELECT doc_id,
+            row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM bm),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        c AS (
+          SELECT b.vec_id,
+            round(
+              list_sum(list_transform(list_zip(b.embedding, q.qe),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qe,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+          FROM embeddings b, q),
+        sem AS (
+          SELECT vec_id AS doc_id, cos FROM c
+          ORDER BY cos DESC, vec_id LIMIT 50),
+        semr AS (
+          SELECT doc_id,
+            row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+          FROM sem),
+        contribs AS (
+          SELECT doc_id,
+            CAST(round(CAST(1.0 AS DOUBLE) / (60 + r), 6)
+              AS DECIMAL(18,6)) AS c6
+          FROM lexr
+          UNION ALL
+          SELECT doc_id,
+            CAST(round(CAST(1.0 AS DOUBLE) / (60 + r), 6)
+              AS DECIMAL(18,6)) AS c6
+          FROM semr)
+        SELECT doc_id, CAST(sum(c6) AS DOUBLE) AS score,
+          count(*) AS n_lists
+        FROM contribs GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10""")),
+
     Q("q171_bpe_train",
       (s, dir) =>
         // BPE vocabulary training over the corpus: one distributed

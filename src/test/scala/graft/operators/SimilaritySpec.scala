@@ -358,4 +358,47 @@ class SimilaritySpec extends SparkSpec {
       Similarity.clusterQuality(vecs, "id", "v", cents.take(1))
     }
   }
+
+  test("rrfFuse matches the hand-computed RRF formula on a small example") {
+    import spark.implicits._
+    // list 1 ranks: a(1), b(2), c(3); list 2 ranks: b(1), a(2), d(3)
+    val l1 = Seq(("a", 0.9), ("b", 0.8), ("c", 0.7)).toDF("id", "s")
+    val l2 = Seq(("b", 5.0), ("a", 4.0), ("d", 3.0)).toDF("id", "s")
+    val fused = Similarity.rrfFuse(Seq((l1, "s"), (l2, "s")), "id", kRrf = 60, topK = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    def c(r: Int) = BigDecimal(1.0 / (60 + r)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp = Seq(
+      ("a", (c(1) + c(2)).toDouble, 2L),
+      ("b", (c(2) + c(1)).toDouble, 2L),
+      ("c", c(3).toDouble, 1L),
+      ("d", c(3).toDouble, 1L))
+    // a and b tie exactly (symmetric ranks); order breaks on id asc
+    assert(fused == exp.sortBy { case (id, s, _) => (-s, id) })
+  }
+
+  test("rrfFuse rank ties break on id: equal scores rank deterministically") {
+    import spark.implicits._
+    val l = Seq(("x", 1.0), ("y", 1.0)).toDF("id", "s")
+    val fused = Similarity.rrfFuse(Seq((l, "s")), "id", kRrf = 60, topK = 2).collect()
+    assert(fused.map(_.getString(0)).toSeq == Seq("x", "y")) // x gets rank 1
+    assert(fused(0).getDouble(1) > fused(1).getDouble(1))
+  }
+
+  test("hybridTopK: IVF semantic pool at nprobe=C fuses identically to brute force") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
+    val terms = Seq("join", "vector", "stream")
+    val brute = Similarity.hybridTopK(docs, emb, terms, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // swap the semantic retriever for IVF probing ALL cells (nprobe=C ⇒ exact)
+    val cents = Similarity.centroids(emb, "vec_id", "embedding", 8)
+    val sem = Similarity.ivfTopK(
+        Similarity.ivfIndex(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", cents, q, k = 50, nprobe = 8)
+      .withColumnRenamed("vec_id", "doc_id")
+    val lex = TextAnalysis.bm25(docs, terms, "doc_id", "text", topK = 50)
+    val ivf = Similarity.rrfFuse(Seq((lex, "score"), (sem, "cos")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute, "nprobe=C IVF pool must fuse to the identical ranking")
+  }
 }
