@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based text classification: a multinomial Naive Bayes classifier
+  * over hashed bag-of-words features — the fastText-shaped "train a
+  * cheap model on labeled docs, score the corpus" stage of an LLM data
+  * pipeline (model-based language ID / quality filtering), kept fully
+  * engine-auditable.
+  *
+  * Reference anchor: the reference's query surface stops at SQL
+  * analytics (`scripts/data_lake_query_execution_with_pyspark.py`);
+  * this module is north-star scope (SURVEY.md §2.C — model-based
+  * quality scoring for training-data curation).
+  *
+  * Design for scale:
+  *  - TRAIN is one shuffle: explode tokens → groupBy(label, bucket)
+  *    count with map-side partial aggregation. The model is bounded by
+  *    `vocab × |labels|` rows regardless of corpus size — feature
+  *    HASHING (md5 → bucket) is what caps it, the standard trick for
+  *    corpus-scale vocabularies. Everything derived from the counts
+  *    frame (totals, log-probs, defaults) is model-sized work.
+  *  - SCORE is map-only fan-out (tokens × |labels| via a broadcast
+  *    nested-loop over the tiny label list, then broadcast hash joins
+  *    against the model) followed by ONE id-width shuffle
+  *    (groupBy(id, label) over decimal contributions) and a
+  *    doc-partitioned window for the argmax. Document text never
+  *    shuffles. The model broadcasts (≤ vocab·L rows).
+  *  - Driver state: one row per label (the prior counts) — bounded by
+  *    label cardinality, same contract as ScaleOps.tokenBudgetRates.
+  *
+  * Determinism / auditability (the q115/q145/q153 discipline):
+  * features hash via the first 8 hex chars of md5 (any engine replays
+  * the bucket assignment); every log term — smoothed likelihood
+  * ln((cnt+1)/(tot+V)), the unseen-bucket default ln(1/(tot+V)), and
+  * the prior ln(nd/n) — is rounded to 6dp and summed as exact
+  * DECIMAL(18,6), so per-doc scores and the argmax replay
+  * bit-identically in DuckDB. q175 carries the full train+score oracle.
+  */
+object Classify {
+
+  private val Dec = DecimalType(18, 6)
+
+  /** md5-hashed feature bucket of a term — engine-auditable: DuckDB
+    * replays it as `CAST(('0x' || substr(md5(term),1,8)) AS BIGINT) % v`
+    * (the q148 SimHash idiom; 32 bits is collision-ample for bucketing).
+    */
+  def bucketOf(term: Column, vocab: Int): Column =
+    conv(substring(md5(term), 1, 8), 16, 10).cast("long") % vocab
+
+  /** Whitespace tokens of lowercased text (the corpus-wide convention —
+    * bm25/tfidf/token counting all segment identically).
+    */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** A trained model: `logp` (label, bucket, lp) over every bucket seen
+    * in training × every label; `defaults` (label, lp) for buckets never
+    * seen; `priors` (label, lp). All decimal 6dp, all broadcast-sized.
+    */
+  final case class NbModel(
+      logp: DataFrame,
+      defaults: DataFrame,
+      priors: DataFrame,
+      vocab: Int)
+
+  /** Train multinomial NB with add-one smoothing on hashed token
+    * counts. Labels are the distinct non-null values of `labelCol`; a
+    * label whose documents are all empty still gets a prior and the
+    * all-default likelihood row set (tot = 0).
+    */
+  def nbTrain(
+      df: DataFrame,
+      labelCol: String,
+      textCol: String,
+      vocab: Int = 4096): NbModel = {
+    require(vocab > 0, "vocab must be positive")
+    val labeled = df.filter(col(labelCol).isNotNull)
+
+    val counts = labeled
+      .select(col(labelCol).as("label"), explode(toks(col(textCol))).as("__t"))
+      .select(col("label"), bucketOf(col("__t"), vocab).as("bucket"))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+    // one tiny collect: (label, n_docs) — bounded by label cardinality
+    val ndRows = labeled.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd")).collect()
+    val n = ndRows.map(_.getLong(1)).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nd = ndRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("label", "nd")
+    val labels = nd.select("label")
+
+    val stats = labels
+      .join(counts.groupBy("label").agg(sum("cnt").as("__tot")), Seq("label"), "left")
+      .select(col("label"), coalesce(col("__tot"), lit(0L)).as("tot"))
+
+    val logp = labels
+      .crossJoin(counts.select("bucket").distinct())
+      .join(counts, Seq("label", "bucket"), "left")
+      .join(stats, "label")
+      .select(col("label"), col("bucket"),
+        round(log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+          (col("tot") + lit(vocab.toDouble))), 6).cast(Dec).as("lp"))
+
+    val defaults = stats.select(col("label"),
+      round(log(lit(1.0) / (col("tot") + lit(vocab.toDouble))), 6)
+        .cast(Dec).as("lp"))
+
+    val priors = nd.select(col("label"),
+      round(log(col("nd") / lit(n.toDouble)), 6).cast(Dec).as("lp"))
+
+    NbModel(logp, defaults, priors, vocab)
+  }
+
+  /** Score every document against every label and keep the argmax
+    * (ties break to the lexicographically smallest label — pinned by
+    * the decimal-exact scores, so the tie-break replays cross-engine).
+    * Documents with no tokens score on priors alone. Output:
+    * (idCol, pred, score DOUBLE).
+    */
+  def nbScore(
+      df: DataFrame,
+      model: NbModel,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val labels = broadcast(model.priors.select("label"))
+
+    // every (doc, label) exists even for token-less docs
+    val base = df.select(col(idCol)).crossJoin(labels)
+      .select(col(idCol), col("label"), lit(0).cast(Dec).as("lp"))
+
+    val contrib = df
+      .select(col(idCol), explode(toks(col(textCol))).as("__t"))
+      .select(col(idCol), bucketOf(col("__t"), model.vocab).as("bucket"))
+      .crossJoin(labels)
+      .join(broadcast(model.logp), Seq("label", "bucket"), "left")
+      .join(broadcast(model.defaults.withColumnRenamed("lp", "__lpd")), "label")
+      .select(col(idCol), col("label"), coalesce(col("lp"), col("__lpd")).as("lp"))
+
+    val scores = base.union(contrib)
+      .groupBy(col(idCol), col("label"))
+      .agg(sum("lp").as("__s"))
+      .join(broadcast(model.priors.withColumnRenamed("lp", "__prior")), "label")
+      .select(col(idCol), col("label"),
+        (col("__s") + col("__prior")).as("__sd"))
+
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sd").desc, col("label").asc)
+    scores
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("label").as("pred"),
+        col("__sd").cast("double").as("score"))
+  }
+}

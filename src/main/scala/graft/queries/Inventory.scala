@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, Dedup, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classify, Dedup, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis}
 
 /** One declared operator: name, Spark implementation, optional DuckDB
   * oracle SQL over the same parquet tables. Column names MUST match
@@ -2684,6 +2684,92 @@ object Inventory {
         FROM contribs GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 10""")),
 
+    Q("q175_nb_classify",
+      (s, dir) => {
+        // model-based language ID: train multinomial Naive Bayes on the
+        // even-doc_id half (md5-hashed bag-of-words, V=4096, add-one
+        // smoothing), score the odd half, keep the argmax label. Every
+        // log term is rounded 6dp and summed as DECIMAL(18,6), so the
+        // full train+score round trip replays exactly in DuckDB. (The
+        // fixture's lang labels are independent of its synthetic text,
+        // so the model converges to the majority prior here — the
+        // oracle checks the full computation; ClassifySpec proves
+        // learning on a separable corpus.)
+        val d = t(s, dir, "documents")
+        val model = Classify.nbTrain(
+          d.filter(col("doc_id") % 2 === 0), "lang", "text")
+        Classify.nbScore(
+            d.filter(col("doc_id") % 2 === 1), model, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+          .select("doc_id", "actual", "pred", "score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        tr_tok AS (
+          SELECT lang,
+            CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS bucket
+          FROM (SELECT lang,
+                  unnest(list_filter(string_split(lower(text), ' '),
+                         x -> x <> '')) AS term
+                FROM tr)),
+        counts AS (
+          SELECT lang, bucket, count(*) AS cnt
+          FROM tr_tok GROUP BY lang, bucket),
+        nd AS (SELECT lang, count(*) AS nd FROM tr GROUP BY lang),
+        n AS (SELECT count(*) AS n FROM tr),
+        stats AS (
+          SELECT l.lang, coalesce(t.tot, 0) AS tot
+          FROM nd l LEFT JOIN
+            (SELECT lang, sum(cnt) AS tot FROM counts GROUP BY lang) t
+            USING (lang)),
+        logp AS (
+          SELECT s.lang, b.bucket,
+            CAST(round(ln((coalesce(c.cnt, 0) + 1.0) / (s.tot + 4096.0)), 6)
+              AS DECIMAL(18,6)) AS lp
+          FROM stats s
+          CROSS JOIN (SELECT DISTINCT bucket FROM counts) b
+          LEFT JOIN counts c ON c.lang = s.lang AND c.bucket = b.bucket),
+        defaults AS (
+          SELECT lang,
+            CAST(round(ln(1.0 / (tot + 4096.0)), 6) AS DECIMAL(18,6)) AS lp
+          FROM stats),
+        priors AS (
+          SELECT d.lang,
+            CAST(round(ln(CAST(d.nd AS DOUBLE) / n.n), 6)
+              AS DECIMAL(18,6)) AS lp
+          FROM nd d CROSS JOIN n),
+        te_tok AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS bucket
+          FROM (SELECT doc_id,
+                  unnest(list_filter(string_split(lower(text), ' '),
+                         x -> x <> '')) AS term
+                FROM te)),
+        contrib AS (
+          SELECT t.doc_id, l.lang, coalesce(p.lp, d.lp) AS lp
+          FROM te_tok t
+          CROSS JOIN (SELECT lang FROM nd) l
+          LEFT JOIN logp p ON p.lang = l.lang AND p.bucket = t.bucket
+          JOIN defaults d ON d.lang = l.lang
+          UNION ALL
+          SELECT te.doc_id, l.lang, CAST(0 AS DECIMAL(18,6)) AS lp
+          FROM te CROSS JOIN (SELECT lang FROM nd) l),
+        scores AS (
+          SELECT c.doc_id, c.lang, sum(c.lp) + any_value(p.lp) AS sd
+          FROM contrib c JOIN priors p ON p.lang = c.lang
+          GROUP BY c.doc_id, c.lang),
+        ranked AS (
+          SELECT doc_id, lang, sd,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY sd DESC, lang) AS r
+          FROM scores)
+        SELECT r.doc_id, te.lang AS actual, r.lang AS pred,
+          CAST(r.sd AS DOUBLE) AS score
+        FROM ranked r JOIN te USING (doc_id)
+        WHERE r.r = 1
+        ORDER BY r.doc_id""")),
+
     Q("q171_bpe_train",
       (s, dir) =>
         // BPE vocabulary training over the corpus: one distributed
@@ -3514,5 +3600,6 @@ object Inventory {
     "q162_fuzz_lateral", "q163_image_neardup",
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
     "q168_semantic_multiprobe", "q169_cluster_quality",
-    "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs")
+    "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs",
+    "q174_hybrid_rrf", "q175_nb_classify")
 }
