@@ -158,4 +158,51 @@ object Classify {
       .select(col(idCol), col("label").as("pred"),
         col("__sd").cast("double").as("score"))
   }
+
+  /** Semi-supervised k-NN label propagation: each unlabeled vector takes
+    * the cosine-weighted majority label of its k nearest labeled seeds —
+    * the "label a small seed set by hand, spread it over the corpus by
+    * embedding neighborhood" curation step.
+    *
+    * Built on [[Similarity.knnJoin]]'s cell equi-join (IVF-blocked, a
+    * bounded TopKByScore partial aggregate — never a corpus×corpus
+    * nested loop); at `nprobe = cents.length` the neighbor set is exact
+    * by construction, which is how q176 attaches an exhaustive DuckDB
+    * oracle. The labeled seed is assumed broadcast-small (it is the
+    * hand-labeled set); its label column attaches via a broadcast join
+    * and the vote is one id-width shuffle. Vote weights are the already
+    * `scale`-rounded cosines summed as exact DECIMAL(18,6) — ties break
+    * (weight desc, label asc), all cross-engine replayable.
+    *
+    * Output: (queryId, pred, weight DOUBLE, n_votes).
+    */
+  def knnPropagate(
+      unlabeled: DataFrame,
+      labeled: DataFrame,
+      corpusId: String,
+      queryId: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      cents: Array[(Int, Array[Double])],
+      nprobe: Int = 4,
+      scale: Int = 6): DataFrame = {
+    val nn = Similarity.knnJoin(
+      labeled.select(col(corpusId), col(vecCol)),
+      unlabeled, corpusId, queryId, vecCol, k, cents, nprobe, scale)
+    val votes = nn
+      .join(broadcast(labeled.select(col(corpusId), col(labelCol).as("label"))),
+        corpusId)
+      .groupBy(col(queryId), col("label"))
+      .agg(
+        sum(col("cos").cast(Dec)).as("__w"),
+        count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("__w").desc, col("label").asc)
+    votes
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(queryId), col("label").as("pred"),
+        col("__w").cast("double").as("weight"), col("n_votes"))
+  }
 }

@@ -2770,6 +2770,62 @@ object Inventory {
         WHERE r.r = 1
         ORDER BY r.doc_id""")),
 
+    Q("q176_knn_propagate",
+      (s, dir) => {
+        // semi-supervised labeling: even vec_ids form the labeled seed
+        // (lang joined from documents), odd vec_ids take the cosine-
+        // weighted majority label of their 5 nearest seeds. nprobe = C
+        // = 16 probes every cell ⇒ the neighbor set is exact, so the
+        // exhaustive DuckDB window oracle replays ranks, decimal vote
+        // sums, and the (weight desc, label asc) tie-break. cos at 4dp
+        // (the q93 convention for cross-engine float identity).
+        val e = t(s, dir, "embeddings")
+        val d = t(s, dir, "documents")
+        val seed = e.filter(col("vec_id") % 2 === 0)
+          .join(d.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        val queries = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, iters = 2)
+        Classify.knnPropagate(queries, seed, "vec_id", "qid", "embedding",
+            "lang", k = 5, cents = cents, nprobe = 16, scale = 4)
+          .orderBy("qid")
+      },
+      Some("""WITH seed AS (
+          SELECT e.vec_id, e.embedding, d.lang
+          FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+          WHERE e.vec_id % 2 = 0),
+        q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 2 = 1),
+        c AS (
+          SELECT q.qid, s.vec_id, s.lang,
+            round(
+              list_sum(list_transform(list_zip(s.embedding, q.qv),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(s.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+          FROM seed s, q),
+        r AS (
+          SELECT qid, vec_id, lang, cos,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, vec_id) AS rank
+          FROM c),
+        v AS (
+          SELECT qid, lang,
+            sum(CAST(cos AS DECIMAL(18,6))) AS wd,
+            count(*) AS n_votes
+          FROM r WHERE rank <= 5 GROUP BY qid, lang),
+        p AS (
+          SELECT qid, lang, wd, n_votes,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY wd DESC, lang) AS rr
+          FROM v)
+        SELECT qid, lang AS pred, CAST(wd AS DOUBLE) AS weight, n_votes
+        FROM p WHERE rr = 1
+        ORDER BY qid""")),
+
     Q("q171_bpe_train",
       (s, dir) =>
         // BPE vocabulary training over the corpus: one distributed
@@ -3601,5 +3657,5 @@ object Inventory {
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
     "q168_semantic_multiprobe", "q169_cluster_quality",
     "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs",
-    "q174_hybrid_rrf", "q175_nb_classify")
+    "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate")
 }

@@ -82,6 +82,43 @@ class ClassifySpec extends SparkSpec {
     assert(scored.head().getString(1) == "a")
   }
 
+  test("knnPropagate labels two separable clusters perfectly; weights are the decimal cos sums") {
+    // two tight clusters around orthogonal axes; seeds 0-5, queries 10-13
+    def jitter(base: Array[Float], eps: Float) = base.map(_ + eps)
+    val ax = Array(1f, 0f, 0f)
+    val ay = Array(0f, 1f, 0f)
+    val seed = Seq(
+      (0L, jitter(ax, 0.00f), "X"), (2L, jitter(ax, 0.01f), "X"), (4L, jitter(ax, 0.02f), "X"),
+      (1L, jitter(ay, 0.00f), "Y"), (3L, jitter(ay, 0.01f), "Y"), (5L, jitter(ay, 0.02f), "Y"))
+      .toDF("vec_id", "embedding", "lang")
+    val queries = Seq(
+      (10L, jitter(ax, 0.03f)), (11L, jitter(ay, 0.03f)),
+      (12L, jitter(ax, 0.04f)), (13L, jitter(ay, 0.04f)))
+      .toDF("qid", "embedding")
+    val cents = Similarity.centroids(seed, "vec_id", "embedding", 2)
+    val got = Classify.knnPropagate(queries, seed, "vec_id", "qid", "embedding",
+        "lang", k = 3, cents = cents, nprobe = 2, scale = 6)
+      .orderBy("qid").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq ==
+      Seq((10L, "X", 3L), (11L, "Y", 3L), (12L, "X", 3L), (13L, "Y", 3L)))
+    // weight is a sum of 3 cosines each <= 1, rounded 6dp — bounded and positive
+    assert(got.forall(r => r.getDouble(2) > 2.5 && r.getDouble(2) <= 3.0))
+  }
+
+  test("knnPropagate vote ties break to the lexicographically smallest label") {
+    // one seed per label at the SAME point: both neighbors have identical
+    // cosine to any query, so the weighted vote ties exactly
+    val seed = Seq(
+      (0L, Array(1f, 0f), "b"), (1L, Array(1f, 0f), "a"))
+      .toDF("vec_id", "embedding", "lang")
+    val queries = Seq((10L, Array(1f, 0.1f))).toDF("qid", "embedding")
+    val cents = Similarity.centroids(seed, "vec_id", "embedding", 1)
+    val got = Classify.knnPropagate(queries, seed, "vec_id", "qid", "embedding",
+        "lang", k = 2, cents = cents, nprobe = 1).head()
+    assert(got.getString(1) == "a")
+    assert(got.getLong(3) == 1L) // one vote per label; 'a' wins the tie
+  }
+
   test("declared q175 parameterization converges to the majority prior on the label-independent fixture") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val m = Classify.nbTrain(d.filter($"doc_id" % 2 === 0), "lang", "text")
