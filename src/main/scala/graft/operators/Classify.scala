@@ -159,6 +159,44 @@ object Classify {
         col("__sd").cast("double").as("score"))
   }
 
+  /** Per-row NB scorer with the model BROADCAST into a native
+    * expression — value-identical to [[nbScore]] (parity spec-pinned:
+    * the micro-unit log-probs are lifted from the model's DECIMAL(18,6)
+    * columns unscaled, so the kernel sums exactly what the batch side
+    * sums) but map-only and shuffle-free, so it gates unbounded streams
+    * with no watermark or state (StreamingCorpus.nbGate) and scores
+    * batch frames without the fan-out. Collects the model to the driver
+    * once: it is vocab × |labels| rows — broadcast state by
+    * construction, not data. Returns a (pred, score) struct column.
+    */
+  def nbScorer(model: NbModel): Column => Column = {
+    val spark = model.logp.sparkSession
+    val labels = model.priors.select("label").collect()
+      .map(_.getString(0)).sorted
+    val idx = labels.zipWithIndex.toMap
+    def microsOf(df: DataFrame): Map[String, Long] =
+      df.collect().map(r =>
+        r.getString(0) -> r.getDecimal(1).unscaledValue().longValueExact()).toMap
+    val defaults = {
+      val m = microsOf(model.defaults.select("label", "lp"))
+      labels.map(m)
+    }
+    val priors = {
+      val m = microsOf(model.priors.select("label", "lp"))
+      labels.map(m)
+    }
+    val bucketLp = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    model.logp.select("label", "bucket", "lp").collect().foreach { r =>
+      val b = java.lang.Long.valueOf(r.getLong(1))
+      var arr = bucketLp.get(b)
+      if (arr == null) { arr = defaults.clone(); bucketLp.put(b, arr) }
+      arr(idx(r.getString(0))) = r.getDecimal(2).unscaledValue().longValueExact()
+    }
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.NbScore.MicroModel(labels, bucketLp, defaults, priors, model.vocab))
+    text => org.apache.spark.sql.graft.NativeExprs.nbScore(text, bc)
+  }
+
   /** Semi-supervised k-NN label propagation: each unlabeled vector takes
     * the cosine-weighted majority label of its k nearest labeled seeds —
     * the "label a small seed set by hand, spread it over the corpus by

@@ -146,6 +146,30 @@ object StreamingCorpus {
       .filter(col("avg_logp").isNotNull && col("avg_logp") >= minAvgLogp)
   }
 
+  /** Streaming twin of the model-based quality/language filter: score
+    * each arriving document with a broadcast Naive Bayes model (trained
+    * batch-side by Classify.nbTrain on a labeled corpus) and keep
+    * documents whose predicted label is in `keep`. Like [[lmGate]], the
+    * scorer is a map-only native expression — no explode, no join, no
+    * aggregation state, no watermark — so the gate adds zero streaming
+    * state; prediction and score stay attached as `pred` / `pred_score`
+    * for downstream routing.
+    */
+  def nbGate(
+      docs: DataFrame,
+      model: graft.operators.Classify.NbModel,
+      keep: Set[String],
+      textCol: String = "text"): DataFrame = {
+    require(keep.nonEmpty, "nbGate needs at least one label to keep")
+    val scorer = graft.operators.Classify.nbScorer(model)
+    docs
+      .withColumn("__nb", scorer(col(textCol)))
+      .withColumn("pred", col("__nb.pred"))
+      .withColumn("pred_score", col("__nb.score"))
+      .drop("__nb")
+      .filter(col("pred").isin(keep.toSeq: _*))
+  }
+
   /** Streaming SemDeDup against a persisted cell-partitioned vector
     * store (the IVF-index layout): each micro-batch
     *

@@ -385,6 +385,41 @@ case class LmScoreExpr(
     copy(child = newChild)
 }
 
+/** One-pass Naive Bayes scoring against a broadcast micro-unit model
+  * (graft.functions.NbScore.score) — the map-only, shuffle-free twin of
+  * graft.operators.Classify.nbScore, which is what lets the classifier
+  * gate run inside Structured Streaming with no watermark or state.
+  * Returns (pred STRING, score DOUBLE); never null on non-null input
+  * (token-less text scores on priors).
+  */
+case class NbScoreExpr(
+    child: Expression,
+    modelBc: Broadcast[graft.functions.NbScore.MicroModel])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nb_score"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.NbScore.score(
+      input.asInstanceOf[UTF8String], modelBc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("nbModelBc", modelBc, classOf[Broadcast[_]].getName)
+    val modelVar = ctx.addMutableState("graft.functions.NbScore.MicroModel", "graftNbModel",
+      v => s"$v = (graft.functions.NbScore.MicroModel) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NbScore.score($c, $modelVar);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NbScoreExpr =
+    copy(child = newChild)
+}
+
 object NativeExprs {
   /** Column-level entry for RepetitionRatioExpr. */
   def repetitionRatio(text: Column, n: Int): Column =
@@ -450,4 +485,10 @@ object NativeExprs {
       defaultMicro: Long): Column =
     ExpressionUtils.column(
       LmScoreExpr(ExpressionUtils.expression(text), model, n, defaultMicro))
+
+  /** Column-level entry for NbScoreExpr. */
+  def nbScore(
+      text: Column,
+      model: Broadcast[graft.functions.NbScore.MicroModel]): Column =
+    ExpressionUtils.column(NbScoreExpr(ExpressionUtils.expression(text), model))
 }

@@ -82,6 +82,25 @@ class ClassifySpec extends SparkSpec {
     assert(scored.head().getString(1) == "a")
   }
 
+  test("nbScorer native expression equals batch nbScore bit-for-bit on the fixture") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val m = Classify.nbTrain(d.filter($"doc_id" % 2 === 0), "lang", "text")
+    val batch = Classify.nbScore(d.filter($"doc_id" % 2 === 1), m, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val scorer = Classify.nbScorer(m)
+    val native = d.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", scorer($"text").as("p"))
+      .select($"doc_id", $"p.pred", $"p.score")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(native.keySet == batch.keySet)
+    assert(native.keys.forall(k => native(k) == batch(k)),
+      native.keys.filter(k => native(k) != batch(k)).take(3)
+        .map(k => s"$k: ${native(k)} vs ${batch(k)}").mkString("; "))
+    // map-only: no exchange in the native scoring plan
+    val plan = d.select(scorer($"text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("knnPropagate labels two separable clusters perfectly; weights are the decimal cos sums") {
     // two tight clusters around orthogonal axes; seeds 0-5, queries 10-13
     def jitter(base: Array[Float], eps: Float) = base.map(_ + eps)

@@ -148,6 +148,39 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nbGate: streaming classifier filter equals the batch scorer, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val labeled = Seq(
+      (0L, "en", "the quick brown fox jumps over the lazy dog"),
+      (1L, "en", "the dog and the fox are quick"),
+      (2L, "xx", "zzxqv wkjq ppfzt bbqx vnmz qqpz"),
+      (3L, "xx", "ppfzt zzxqv bbqx wkjq")).toDF("doc_id", "lang", "text")
+    val model = graft.operators.Classify.nbTrain(labeled, "lang", "text")
+
+    val inDocs = Seq(
+      (10L, "the fox is quick and brown"),
+      (11L, "vnmz qqpz zzxqv wkjq")) // off-vocabulary → 'xx', gated out
+    val batch = graft.operators.Classify.nbScore(
+        inDocs.toDF("doc_id", "text"), model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(batch(10L)._1 == "en" && batch(11L)._1 == "xx")
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCorpus.nbGate(in.toDF.toDF("doc_id", "text"), model, Set("en"))
+      .select("doc_id", "pred", "pred_score")
+      .writeStream.format("memory").queryName("nb_out").outputMode("append").start()
+    try {
+      in.addData(inDocs: _*)
+      q.processAllAvailable()
+      val rows = spark.table("nb_out").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(rows.keySet == Set(10L), s"got $rows")
+      // the streamed prediction and score are the batch values, bit for bit
+      assert(rows(10L) == batch(10L))
+    } finally q.stop()
+  }
+
   test("file-source pipeline survives checkpointed restart without duplicating output") {
     val srcDir = Files.createTempDirectory("sc_src").toString
     val outDir = Files.createTempDirectory("sc_out").toString
