@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Classify, Similarity}
 import graft.queries.{Inventory, Q}
 
 /** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
@@ -36,6 +37,31 @@ object Bench {
           .orderBy("l_returnflag", "l_linestatus"),
       None))
 
+  /** GRAFT_BENCH_KNN_APPROX=1 adds the production parameterization of
+    * q176's label propagation: centroid count scaled with the corpus
+    * (C = max(16, n/128)) and nprobe = 4, so each query scans a bounded
+    * ~4·128 seed vectors instead of all of them. The declared q176 probes
+    * every cell (nprobe = C) because that makes the neighbor set exact
+    * and DuckDB-replayable — this twin is what a 100 TB deployment runs,
+    * and benching both quantifies the oracle-exactness tax the same way
+    * GRAFT_BENCH_DOUBLE does for decimal sums.
+    */
+  private val knnApproxVariants: Seq[Q] = Seq(
+    Q("q176x_knn_approx",
+      (s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val c = math.max(16, (e.count() / 128).toInt)
+        val seed = e.filter(col("vec_id") % 2 === 0)
+          .join(d.select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        val queries = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", c, iters = 2)
+        Classify.knnPropagate(queries, seed, "vec_id", "qid", "embedding",
+          "lang", k = 5, cents = cents, nprobe = 4, scale = 4)
+      },
+      None))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
@@ -46,7 +72,8 @@ object Bench {
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = (Inventory.all.filter(q => Inventory.benchNames.contains(q.name)) ++
-      (if (sys.env.get("GRAFT_BENCH_DOUBLE").contains("1")) doubleVariants else Nil))
+      (if (sys.env.get("GRAFT_BENCH_DOUBLE").contains("1")) doubleVariants else Nil) ++
+      (if (sys.env.get("GRAFT_BENCH_KNN_APPROX").contains("1")) knnApproxVariants else Nil))
       .filter(q => only.forall(_.contains(q.name)))
 
     // Untimed warm-up at the smallest sf: loads Parquet/codegen/exchange
