@@ -890,6 +890,129 @@ object Dedup {
     when(union === 0, 1.0).otherwise(inter / union)
   }
 
+  // ----------------------------------------- exact prefix-filtered join
+
+  /** Candidate pairs for [[jaccardPrefixJoin]]: ids of documents whose
+    * shingle-set PREFIXES (rare-first canonical order) share at least
+    * one hash, with the Jaccard length filter t·sa ≤ sb ≤ sa/t applied.
+    * Exposed for the pruning-effectiveness spec; `toks` is the exploded
+    * ((id, tok)) shingle stream, `sizes` its per-id set sizes.
+    */
+  private[graft] def jaccardPrefixCandidates(
+      toks: DataFrame,
+      sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val posW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__df").asc, col("__tok").asc)
+    // Prefix length s − floor(t·s) + 1 is one token LONGER than the
+    // tight s − ceil(t·s) + 1 bound, so any float rounding in t·s can
+    // only lengthen a prefix — exactness never depends on it.
+    val prefixes = toks.join(dfreq, "__tok")
+      .withColumn("__pos", row_number().over(posW))
+      .join(sizes, "__id")
+      .filter(col("__pos") <= col("__sz") - floor(lit(threshold) * col("__sz")) + 1)
+      .select(col("__id"), col("__tok"), col("__pos"), col("__sz"))
+    val a = prefixes.select(col("__id").as("id_a"), col("__tok"),
+      col("__pos").as("__pa"), col("__sz").as("__sza"))
+    val b = prefixes.select(col("__id").as("id_b"), col("__tok"),
+      col("__pos").as("__pb"), col("__sz").as("__szb"))
+    // Both filters only PRUNE (the verify stage is exact), so every
+    // float bound gets 1e-9 of slack: rounding may admit a doomed
+    // candidate but can never drop a qualifying one.
+    //
+    // Positional filter (PPJoin): over a pair's prefix-shared tokens,
+    // the row minimizing __pa also minimizes __pb (common tokens sort
+    // identically in both sets under the global canonical order), and
+    // any OTHER common token sits after both positions — if it preceded
+    // (i, j) in either set it would precede in both AND land inside
+    // both prefixes, contradicting (i, j) being first. So the overlap
+    // is ≤ 1 + min(sa − i, sb − j), and pairs whose bound can't reach
+    // the required α = t/(1+t)·(sa+sb) are pruned before verification.
+    val alpha = lit(threshold) / (lit(1.0) + lit(threshold)) *
+      (col("__sza") + col("__szb")) - 1e-9
+    a.join(b, Seq("__tok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__szb") >= lit(threshold) * col("__sza") - 1e-9 &&
+        col("__szb") <= col("__sza") / lit(threshold) + 1e-9)
+      .groupBy("id_a", "id_b")
+      .agg(min("__pa").as("__i"), min("__pb").as("__j"),
+        first("__sza").as("__sza"), first("__szb").as("__szb"))
+      .filter(lit(1) +
+        least(col("__sza") - col("__i"), col("__szb") - col("__j")) >= alpha)
+      .select("id_a", "id_b")
+  }
+
+  /** Exact Jaccard similarity join via AllPairs/PPJoin-style prefix
+    * filtering (Bayardo et al. WWW'07, Xiao et al. WWW'08): emits every
+    * pair of documents whose w-shingle-set Jaccard is ≥ `threshold`,
+    * with its exact score — the SAME output as the exhaustive all-pairs
+    * join (q83), but with the candidate set pruned LOSSLESSLY, so no
+    * O(N²) stage exists and no `boundedExhaustive` guard is needed.
+    *
+    * Mechanics: shingle hashes are put in a global rare-first canonical
+    * order (corpus document frequency asc, hash asc). A set of size s
+    * only needs its first s − ⌈t·s⌉ + 1 tokens probed: if two sets share
+    * NO prefix token, every shared token lies in both suffixes, so the
+    * overlap is < t·max(sa, sb) ≤ |a ∩ b| required by J ≥ t —
+    * contradiction. Candidates are prefix-sharing pairs (plus the
+    * t·sa ≤ sb ≤ sa/t length filter); each is then verified EXACTLY by
+    * counting shared hashes on the postings lists, never by re-reading
+    * text.
+    *
+    * Scale shape: after the map-side shingling, every shuffle carries
+    * (hash, id, size) or id-pair rows — text never crosses an exchange
+    * (plan-pinned). Rare-first ordering is the built-in skew guard:
+    * corpus-hot shingles (boilerplate) sort to the END of each set and
+    * enter a prefix only when a document has nothing rarer, so the hot
+    * postings lists stay out of the candidate join. Complements
+    * [[minHashNearDups]]: banding trades recall for candidate volume,
+    * this path keeps recall 1 by paying exact verification — the right
+    * tool when a legal/contractual dedup needs provably complete pairs.
+    *
+    * Reference scope: the reference dedups exact duplicate rows only
+    * (`drop_duplicates`, scripts/.../pyspark.py:61); this extends that
+    * to near-duplicate pairs under the north-star charter.
+    */
+  def jaccardPrefixJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      w: Int = 3,
+      roundScale: Int = 6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    // Exploded once, read four times (dfreq, prefix positions, both
+    // verify sides) — executor-local blocks instead of recomputing the
+    // shingling per branch.
+    val toks = shareLazily(docs.select(
+      col(idCol).as("__id"),
+      explode(shingleHashes(col(textCol), w)).as("__tok")))
+    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    // The emitted filter is round(jac, roundScale) >= threshold, which
+    // PROMOTES true Jaccards in [t − 0.5·10^−scale, t) — pairs the
+    // t-threshold prefix filter is entitled to prune. Pruning at the
+    // promote-window floor keeps output == exhaustive-then-round at any
+    // corpus/document size, not just while unions stay under 10^scale.
+    val tPrune = threshold - 0.5 * math.pow(10, -roundScale)
+    val cand = jaccardPrefixCandidates(toks, sizes, tPrune)
+    // Exact verification: one array_intersect per surviving candidate
+    // against the id-keyed set store — candidate volume after the
+    // positional filter is a small multiple of the true pair count, so
+    // carrying two token arrays per pair beats exploding each pair back
+    // into ~|set| postings rows (the first formulation; 3× slower at
+    // sf0.1).
+    val sets = toks.groupBy("__id").agg(collect_list(col("__tok")).as("__set"))
+    val inter = size(array_intersect(col("__seta"), col("__setb"))).cast("double")
+    val union = (size(col("__seta")) + size(col("__setb"))).cast("double") - inter
+    cand
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("__seta")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("__setb")), "id_b")
+      .withColumn("jac", round(inter / union, roundScale))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates via

@@ -2826,6 +2826,30 @@ object Inventory {
         FROM p WHERE rr = 1
         ORDER BY qid""")),
 
+    Q("q177_jaccard_prefix_join",
+      (s, dir) =>
+        // The SCALE path for q83's exhaustive all-pairs trigram Jaccard:
+        // AllPairs/PPJoin prefix filtering prunes LOSSLESSLY, so the
+        // output (and the oracle SQL) is identical — no boundedExhaustive
+        // guard, no recall parameter. Exactness over hashes: Jaccard over
+        // xxhash64 shingles equals Jaccard over the trigrams themselves
+        // (both engines hash injectively w.h.p.), the q83 convention.
+        Dedup.jaccardPrefixJoin(
+            t(s, dir, "documents"), "doc_id", "text", 0.3, w = 3)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3
+        ORDER BY id_a, id_b""")),
+
     Q("q171_bpe_train",
       (s, dir) =>
         // BPE vocabulary training over the corpus: one distributed
@@ -3657,5 +3681,6 @@ object Inventory {
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
     "q168_semantic_multiprobe", "q169_cluster_quality",
     "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs",
-    "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate")
+    "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate",
+    "q177_jaccard_prefix_join")
 }

@@ -140,6 +140,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q177: prefix-join shuffles carry hashes/ids/sizes, never document text") {
+    // the exact-join complement of the q115 pin: after the map-side
+    // shingling, every exchange in the AllPairs pipeline is
+    // (hash, id, size)- or id-pair-width
+    val root = run("q177_jaccard_prefix_join").queryExecution.executedPlan
+    val unwrapped = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"no ShuffleExchangeExec found:\n$unwrapped")
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"prefix-join exchange carries the text payload: ${e.child.output.mkString(", ")}")
+    }
+  }
+
   test("q137: six-table TPC-H Q5 shape joins without a cartesian product") {
     val plan = planString(run("q137_tpch_q5_local_volume"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -199,6 +199,45 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (found ${found.size}/${truth.size})")
   }
 
+  test("jaccardPrefixJoin equals the exhaustive all-pairs join exactly") {
+    // Prefix filtering is LOSSLESS pruning, so this is set equality,
+    // not a recall band — the property that lets q177 share q83's
+    // exhaustive oracle without a boundedExhaustive guard.
+    for (t <- Seq(0.3, 0.5, 0.85)) {
+      val a = docs.select(col("doc_id").as("id_a"), Dedup.shingleHashes(col("text"), 3).as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), Dedup.shingleHashes(col("text"), 3).as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+      val truth = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jac", round(when(union === 0, 1.0).otherwise(inter / union), 6))
+        .filter(col("jac") >= t)
+        .select("id_a", "id_b", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      val got = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      assert(got == truth, s"t=$t: ${got.diff(truth)} extra, ${truth.diff(got)} missing")
+      if (t <= 0.5) assert(truth.nonEmpty, s"fixture should contain pairs at $t")
+    }
+  }
+
+  test("jaccardPrefixJoin prunes: candidates well below all-pairs, and include every emitted pair") {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id").as("__id"),
+      explode(Dedup.shingleHashes(col("text"), 3)).as("__tok"))
+    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val n = sizes.count()
+    val cands = Dedup.jaccardPrefixCandidates(toks, sizes, 0.5)
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = n * (n - 1) / 2
+    assert(candSet.size < allPairs / 10,
+      s"prefix filter should prune >90% at t=0.5: ${candSet.size} of $allPairs")
+    val emitted = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(emitted.subsetOf(candSet), "every emitted pair must be a candidate")
+  }
+
   test("q81 oracle soundness: banding catches EVERY exhaustive pair at both corpora") {
     // q81 attaches an EXACT-match oracle to a probabilistic operator.
     // Sound iff the seeded banding's recall is exactly 1 at the corpora
