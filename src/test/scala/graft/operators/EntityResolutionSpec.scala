@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EntityResolutionSpec extends SparkSpec {
+
+  import EntityResolution._
+
+  test("levSim: identity scores 1, null scores 0, bounds hold") {
+    import spark.implicits._
+    val df = Seq(
+      ("abc", "abc"),
+      ("abc", null),
+      (null, "abc"),
+      ("abc", "xyz"),
+      ("kitten", "sitting")).toDF("a", "b")
+    val got = df.select(round(levSim(col("a"), col("b")), 6)).collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0 && got(2) == 0.0, "null field must score 0, not null")
+    assert(got(3) == 0.0, "fully dissimilar same-length strings score 0")
+    assert(got(4) == bdRound(BigDecimal(1.0 - 3.0 / 7.0), 6), "kitten/sitting: 3 edits over max len 7")
+    got.foreach(s => assert(s >= 0.0 && s <= 1.0))
+  }
+
+  private def bdRound(x: BigDecimal, s: Int): Double =
+    x.setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("linkPairs: candidates only form inside a block; threshold applies after rounding") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "B1", "acme corp", "retail"),
+      (2L, "B1", "acme corp", "retail"),   // identical to 1 — score 1.0
+      (3L, "B2", "acme corp", "retail"),   // identical TEXT, different block
+      (4L, "B1", "zzzzzzzzz", "finance")   // same block, dissimilar
+    ).toDF("id", "blk", "name", "kind")
+    val pairs = linkPairs(df, "id", Seq("blk"),
+        Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"only the in-block identical pair qualifies: ${pairs.mkString(", ")}")
+  }
+
+  test("linkPairs: blocks past blockCap are excluded (degenerate-key guard)") {
+    import spark.implicits._
+    val hot = (1 to 20).map(i => (i.toLong, "HOT", "same name", "same kind"))
+    val cold = Seq((100L, "COLD", "twin", "x"), (101L, "COLD", "twin", "x"))
+    val df = (hot ++ cold).toDF("id", "blk", "name", "kind")
+    val pairs = linkPairs(df, "id", Seq("blk"),
+        Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.9, blockCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((100L, 101L)),
+      s"the 20-row block exceeds cap 10 and must drop: ${pairs.mkString(", ")}")
+  }
+
+  test("resolve: transitive closure assigns one entity id; singletons keep their own") {
+    import spark.implicits._
+    // a genuine chain: 1~2 and 2~3 are each ONE edit apart (score
+    // 0.6·(1−1/19)+0.4 ≈ 0.968 ≥ 0.95) but 1~3 is TWO edits
+    // (≈ 0.937 < 0.95) — only the closure can unite all three.
+    // 9 is untouched.
+    val df = Seq(
+      (1L, "B", "aaaa bbbb cccc dddd", "mfg"),
+      (2L, "B", "aaaa bbbb cccc dddz", "mfg"),
+      (3L, "B", "aaaa bbbb cccc ddzz", "mfg"),
+      (9L, "B", "omega logistics gmbh", "shipping")
+    ).toDF("id", "blk", "name", "kind")
+    val direct13 = linkPairs(df.filter($"id".isin(1L, 3L)), "id", Seq("blk"),
+      Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.95)
+    assert(direct13.isEmpty, "1~3 must NOT link directly — the chain is the point")
+    val got = resolve(df, "id", Seq("blk"),
+        Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.95)
+      .select("id", "entity_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      s"chain 1-2-3 must share entity 1: $got")
+    assert(got(9L) == 9L, s"singleton keeps its own id: $got")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.quality
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (age_band, zip3, diagnosis): one 3-row class, one 2-row class,
+  // two singletons
+  private lazy val rows = Seq(
+    ("30-40", "941", "flu"),
+    ("30-40", "941", "flu"),
+    ("30-40", "941", "cold"),
+    ("50-60", "102", "flu"),
+    ("50-60", "102", "flu"),
+    ("30-40", "102", "cold"),
+    ("70-80", "941", "flu")
+  ).toDF("age_band", "zip3", "diagnosis")
+
+  test("kAnonymityClasses counts every quasi-identifier combination") {
+    val got = Privacy.kAnonymityClasses(rows, Seq("age_band", "zip3"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("30-40", "941") -> 3L, ("50-60", "102") -> 2L,
+      ("30-40", "102") -> 1L, ("70-80", "941") -> 1L))
+  }
+
+  test("kAnonymityViolations: only classes below k; empty means k-anonymous") {
+    val v3 = Privacy.kAnonymityViolations(rows, Seq("age_band", "zip3"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(v3 == Set(("50-60", "102"), ("30-40", "102"), ("70-80", "941")))
+    val v1 = Privacy.kAnonymityViolations(rows, Seq("age_band", "zip3"), k = 1)
+    assert(v1.isEmpty, "every class has >= 1 row — k=1 always holds")
+  }
+
+  test("kAnonymityProfile histogram partitions classes and rows exactly") {
+    val prof = Privacy.kAnonymityProfile(rows, Seq("age_band", "zip3"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(prof == Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+    assert(prof.values.map(_._2).sum == rows.count(), "row mass must be partitioned")
+  }
+
+  test("lDiversityViolations flags homogeneous classes regardless of size") {
+    // the 2-row (50-60, 102) class is all-flu: size passes k=2 but
+    // leaks the diagnosis — exactly what l-diversity exists to catch
+    val got = Privacy.lDiversityViolations(rows, Seq("age_band", "zip3"), "diagnosis", l = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(("50-60", "102"), ("30-40", "102"), ("70-80", "941")))
+    assert(got(("50-60", "102")) == ((2L, 1L)), "2 rows, 1 distinct diagnosis")
+    // the 3-row class has 2 diagnoses — diverse at l=2
+    assert(!got.contains(("30-40", "941")))
+  }
+}
