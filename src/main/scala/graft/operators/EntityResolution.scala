@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: candidates come from an equi-join on the blocking key —
   * never a cartesian product — with a hot-block cap (the skew guard the
   * near-dup family uses); scoring is codegen'd string expressions on
-  * the joined pairs; clustering reuses the bounded min-label
-  * propagation of [[Dedup.nearDupClusters]]. Every stage is exact and
+  * the joined pairs, behind a lossless length prefilter; clustering
+  * reuses the bounded min-label propagation of
+  * [[Dedup.nearDupClusters]]. Every stage is exact and
   * engine-replayable (levenshtein + integer lengths + one rounded
   * division), so the whole path carries a DuckDB oracle.
   */
@@ -53,18 +54,85 @@ object EntityResolution {
       fields: Seq[(String, Double)],
       threshold: Double,
       roundScale: Int = 6,
+      blockCap: Int = 10000): DataFrame =
+    scoredBlockPairs(
+      slimProjection(df, idCol, blockCols, fields, isNew = true),
+      idCol, fields, threshold, roundScale, blockCap)
+
+  /** Incremental record linkage, the daily-ingest shape: score only
+    * pairs that TOUCH the new batch (batch×batch and batch×store) —
+    * store-internal pairs were scored when their rows arrived and are
+    * never re-emitted. With |store| ≫ |batch| that removes the dominant
+    * quadratic term: a day's ingest costs O(batch·block) comparisons
+    * against the slim store projection (id, block key, scoring fields),
+    * not a corpus rescore. Same contract as the other incremental twins
+    * ([[Dedup.minHashNearDupsIncremental]], pHash, SemDeDup): output ==
+    * full-pass [[linkPairs]] over (store ∪ batch), minus the
+    * store-internal pairs — spec-pinned, and q182's oracle recomputes
+    * exhaustively then side-filters (the q134 discipline).
+    *
+    * `store` must carry `idCol`, `blockCols`, and every scoring field
+    * (it IS the slim projection a deployment persists); ids must be
+    * unique across store ∪ batch.
+    */
+  def linkPairsIncremental(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[(String, Double)],
+      threshold: Double,
+      roundScale: Int = 6,
       blockCap: Int = 10000): DataFrame = {
-    require(fields.nonEmpty, "at least one scoring field")
-    val key = concat_ws("", blockCols.map(c => col(c).cast("string")): _*)
-    val slim = df.select(
-      (Seq(col(idCol), key.as("__block")) ++
+    val all = slimProjection(batch, idCol, blockCols, fields, isNew = true)
+      .unionByName(slimProjection(store, idCol, blockCols, fields, isNew = false))
+    scoredBlockPairs(all, idCol, fields, threshold, roundScale, blockCap)
+  }
+
+  private def slimProjection(
+      df: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[(String, Double)],
+      isNew: Boolean): DataFrame = {
+    val key = concat_ws("", blockCols.map(c => col(c).cast("string")): _*)
+    df.select(
+      (Seq(col(idCol), key.as("__block"), lit(isNew).as("__new")) ++
         fields.map { case (f, _) => col(f) }): _*)
+  }
+
+  /** Shared candidate + scoring stage over the slim projection
+    * (idCol, __block, __new, fields): pairs form inside blocks after
+    * the hot-block cap — the cap sees the COMBINED block in the
+    * incremental case, so a historically saturated block stays refused
+    * for new arrivals instead of charging every ingest the full
+    * hot-block join.
+    *
+    * The probe side carries ONLY `__new` rows, so store-internal pairs
+    * are never MATERIALIZED by the join (filtering them after a full
+    * self-join still pays the dominant quadratic term — measured: the
+    * post-join-filter formulation ran SLOWER than the full pass at sf1,
+    * 73.7 s vs 45.4 s; this shape is 36M joined rows instead of 100M).
+    * New×new pairs arrive twice (each side probes) and are kept once
+    * via id order; new×old pairs arrive once and get their ids
+    * normalized afterwards — the score is symmetric, so swapping ids
+    * alone is sound. Pairs pass the lossless length prefilter and are
+    * emitted when the ROUNDED score clears the threshold.
+    */
+  private def scoredBlockPairs(
+      slim: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Double)],
+      threshold: Double,
+      roundScale: Int,
+      blockCap: Int): DataFrame = {
+    require(fields.nonEmpty, "at least one scoring field")
     val guarded = Dedup.dropHotBuckets(slim, "__block", blockCap)
-    val a = guarded.select(
+    val a = guarded.filter(col("__new")).select(
       (Seq(col(idCol).as("id_a"), col("__block")) ++
         fields.map { case (f, _) => col(f).as(s"__a_$f") }): _*)
     val b = guarded.select(
-      (Seq(col(idCol).as("id_b"), col("__block")) ++
+      (Seq(col(idCol).as("id_b"), col("__block"), col("__new").as("__new_b")) ++
         fields.map { case (f, _) => col(f).as(s"__b_$f") }): _*)
     val score = round(
       fields.map { case (f, w) =>
@@ -84,11 +152,17 @@ object EntityResolution {
       lit(w) * when(la.isNull || lb.isNull, 0.0).otherwise(ub)
     }.reduce(_ + _)
     a.join(b, Seq("__block"))
-      .filter(col("id_a") < col("id_b"))
+      // ordered once for new×new; every new×old pair survives (the old
+      // side never probes, so it cannot duplicate)
+      .filter(!col("__new_b") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .filter(ubound >= threshold - 0.5 * math.pow(10, -roundScale) - 1e-9)
       .withColumn("score", score)
       .filter(col("score") >= threshold)
-      .select("id_a", "id_b", "score")
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("score"))
   }
 
   /** End-to-end resolution: link pairs, close them transitively

@@ -2926,6 +2926,55 @@ object Inventory {
         FROM part p LEFT JOIN lab l ON l.id = p.p_partkey
         ORDER BY p_partkey""")),
 
+    Q("q182_linkage_incremental",
+      (s, dir) => {
+        // incremental linkage, the daily-ingest shape: the last fifth
+        // of rows BY KEY ORDER arrives as the batch, the rest is the
+        // persisted slim store. Store-internal pairs never re-scored;
+        // the oracle recomputes exhaustively and side-filters to pairs
+        // touching the batch (the q134/q166 discipline). The cut is the
+        // DISCRETE 0.8-percentile of the keys (bit-identical
+        // cross-engine, the q114 convention) — a count-derived cut
+        // would assume dense keys, which the sf1 fixture's re-keyed
+        // copies violate (keys up to 90M for 200k rows).
+        val p = t(s, dir, "part")
+          .withColumn("name_noun", element_at(split(col("p_name"), " "), -1))
+        // Spark's percentile_disc returns DOUBLE; the discrete value is
+        // an actual key (< 2^53), so the round-trip to long is exact
+        val cut = p.agg(expr(
+          "percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey)"))
+          .head().getDouble(0).toLong
+        EntityResolution.linkPairsIncremental(
+            p.filter(col("p_partkey") > cut),
+            p.filter(col("p_partkey") <= cut),
+            "p_partkey",
+            blockCols = Seq("p_brand", "name_noun"),
+            fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
+            threshold = 0.85)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH cut AS (
+          SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey) AS c
+          FROM part)
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+          round(
+            0.6 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                   / greatest(len(a.p_name), len(b.p_name), 1)) +
+            0.4 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE)
+                   / greatest(len(a.p_type), len(b.p_type), 1)), 6) AS score
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand
+          AND string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+          AND a.p_partkey < b.p_partkey
+        WHERE (a.p_partkey > (SELECT c FROM cut)
+               OR b.p_partkey > (SELECT c FROM cut))
+          AND round(
+            0.6 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                   / greatest(len(a.p_name), len(b.p_name), 1)) +
+            0.4 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE)
+                   / greatest(len(a.p_type), len(b.p_type), 1)), 6) >= 0.85
+        ORDER BY id_a, id_b""")),
+
     Q("q180_k_anonymity",
       (s, dir) =>
         // privacy release gate: quasi-identifier classes smaller than
@@ -3798,5 +3847,6 @@ object Inventory {
     "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs",
     "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate",
     "q177_jaccard_prefix_join", "q178_record_linkage",
-    "q179_entity_resolution", "q180_k_anonymity")
+    "q179_entity_resolution", "q180_k_anonymity",
+    "q182_linkage_incremental")
 }

@@ -54,6 +54,27 @@ class EntityResolutionSpec extends SparkSpec {
       s"the 20-row block exceeds cap 10 and must drop: ${pairs.mkString(", ")}")
   }
 
+  test("linkPairsIncremental == full pass minus store-internal pairs") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .withColumn("name_noun", element_at(split(col("p_name"), " "), -1))
+    val cut = parts.count() * 4 / 5
+    val blocks = Seq("p_brand", "name_noun")
+    val fields = Seq(("p_name", 0.6), ("p_type", 0.4))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+
+    val full = EntityResolution.linkPairs(parts, "p_partkey", blocks, fields, 0.85)
+      .collect().map(key).toSet
+    val expected = full.filterNot { case (a, b, _) => a <= cut && b <= cut }
+    val got = EntityResolution.linkPairsIncremental(
+        parts.filter(col("p_partkey") > cut), parts.filter(col("p_partkey") <= cut),
+        "p_partkey", blocks, fields, 0.85)
+      .collect().map(key).toSet
+    assert(got == expected,
+      s"${got.diff(expected).size} extra, ${expected.diff(got).size} missing")
+    assert(expected.nonEmpty, "fixture should contain batch-touching pairs")
+    assert(full.size > expected.size, "store-internal pairs must be withheld")
+  }
+
   test("resolve: transitive closure assigns one entity id; singletons keep their own") {
     import spark.implicits._
     // a genuine chain: 1~2 and 2~3 are each ONE edit apart (score
