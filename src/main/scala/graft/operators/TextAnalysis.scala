@@ -701,4 +701,143 @@ object TextAnalysis {
     val default = graft.functions.LmScore.defaultMicro(total)
     text => org.apache.spark.sql.graft.NativeExprs.lmScore(text, bc, n, default)
   }
+
+  // ------------------------------------------------------------------
+  // Gopher repetition/quality gates (Rae et al. 2021, arXiv:2112.11446,
+  // Table A1) — the standard pre-training corpus filter the reference's
+  // quality pass (scripts/data_quality_check_pyspark.py) stops short of.
+
+  /** num/den as a double rounded to 6 places via exact micro-units:
+    * num·10⁶ is exact in IEEE for any document-scale count, so both
+    * engines round the SAME double and the result is bit-identical
+    * cross-engine (round-half-up == round-half-away for positives).
+    */
+  private def microFrac(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0))
+      .otherwise(round(num.cast("double") * 1000000.0 / den.cast("double"), 0) / 1000000.0)
+
+  /** Per-document Gopher signals + pass gate, derived from the one-pass
+    * native counter kernel ([[graft.functions.GopherSignals]]) — a
+    * map-only stage, no gram explosion, no shuffle, at any corpus scale.
+    *
+    * Output: (idCol, word_count, mean_word_len, alpha_word_frac,
+    * symbol_word_ratio, top2gram_frac, top3gram_frac, top4gram_frac,
+    * dup5gram_frac, passes_gopher). Fractions are micro-rounded (6dp)
+    * doubles so the DuckDB oracle (q183) replays them bit-for-bit;
+    * dup5gram_frac is clamped to 1 (overlapping repeats can overcount —
+    * documented upper bound of the paper's per-character coverage).
+    *
+    * The gate applies the paper's thresholds (Table A1): 50 ≤ words ≤
+    * 100000, 3 ≤ mean word length ≤ 10, symbol-to-word ratio < 0.1,
+    * > 80% words with an alphabetic character, top-{2,3,4}-gram char
+    * fraction < {0.20, 0.18, 0.16}, duplicate-5-gram char fraction
+    * < 0.15.
+    */
+  def gopherSignals(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = org.apache.spark.sql.graft.NativeExprs.gopherSignals(col(textCol))
+    gopherDerive(df.withColumn("__g", sig), idCol)
+  }
+
+  /** Fraction + gate derivation shared by the kernel path and the
+    * exploded reference twin — takes a frame with a `__g` struct of the
+    * raw counters and returns the public schema.
+    */
+  private def gopherDerive(withSig: DataFrame, idCol: String): DataFrame = {
+    val g = col("__g")
+    val wc = g("word_count")
+    val wch = g("word_chars")
+    withSig
+      .withColumn("word_count", wc.cast("long"))
+      .withColumn("mean_word_len", microFrac(wch, wc))
+      .withColumn("alpha_word_frac", microFrac(g("alpha_words"), wc))
+      .withColumn("symbol_word_ratio", microFrac(g("hash_chars") + g("ellipses"), wc))
+      .withColumn("top2gram_frac", microFrac(g("top2_chars"), wch))
+      .withColumn("top3gram_frac", microFrac(g("top3_chars"), wch))
+      .withColumn("top4gram_frac", microFrac(g("top4_chars"), wch))
+      .withColumn("dup5gram_frac", least(microFrac(g("dup5_chars"), wch), lit(1.0)))
+      .withColumn("passes_gopher",
+        col("word_count").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") < 0.1 &&
+          col("alpha_word_frac") > 0.8 &&
+          col("top2gram_frac") < 0.20 &&
+          col("top3gram_frac") < 0.18 &&
+          col("top4gram_frac") < 0.16 &&
+          col("dup5gram_frac") < 0.15)
+      .select(idCol, "word_count", "mean_word_len", "alpha_word_frac",
+        "symbol_word_ratio", "top2gram_frac", "top3gram_frac",
+        "top4gram_frac", "dup5gram_frac", "passes_gopher")
+  }
+
+  /** Reference formulation of [[gopherSignals]] via gram explosion +
+    * groupBy — the semantic spec for the native kernel (parity pinned in
+    * TextAnalysisSpec) and the shape the DuckDB oracle mirrors. Shuffles
+    * gram text; verification-scale only.
+    */
+  def gopherSignalsRef(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    val base = df.select(
+      col(idCol),
+      tokens(norm).as("ws"),
+      length(regexp_replace(norm, "\\s", "")).cast("long").as("wchars"),
+      norm.as("t"))
+
+    val words = base.select(
+      col(idCol),
+      size(col("ws")).as("word_count"),
+      col("wchars"),
+      size(filter(col("ws"), w => w.rlike("[a-z]"))).as("alpha_words"),
+      (length(col("t")) - length(regexp_replace(col("t"), "#", ""))).cast("long")
+        .as("hash_chars"),
+      ((length(col("t")) - length(regexp_replace(col("t"), "\\.\\.\\.", ""))) / 3)
+        .cast("long").as("ellipses"))
+
+    // all n in one explode: (n, gram) pairs for n = 2..5
+    // sequence(1, m) is DESCENDING for m < 1, so valid gram starts are
+    // filtered from an always-ascending index list instead
+    val grams = base.select(col(idCol), col("wchars"), explode(flatten(
+      transform(sequence(lit(2), lit(5)), n =>
+        transform(
+          filter(sequence(lit(1), greatest(size(col("ws")), lit(1))),
+            i => i <= size(col("ws")) - n + 1),
+          i => struct(n.as("n"), array_join(slice(col("ws"), i, n), " ").as("gram"))))))
+      .as("g"))
+      .select(col(idCol), col("wchars"), col("g.n").as("n"), col("g.gram").as("gram"))
+
+    val cnt = grams
+      .groupBy(idCol, "n", "gram")
+      .agg(count(lit(1)).as("c"), first("wchars").as("wchars"))
+      .withColumn("gchars", (length(col("gram")) - (col("n") - 1)).cast("long"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("n")).orderBy(col("c").desc, col("gram"))
+    val tops = cnt
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(idCol)
+      .agg(
+        max(when(col("n") === 2, col("c") * col("gchars"))).as("t2"),
+        max(when(col("n") === 3, col("c") * col("gchars"))).as("t3"),
+        max(when(col("n") === 4, col("c") * col("gchars"))).as("t4"))
+
+    val dups = cnt
+      .filter(col("n") === 5 && col("c") > 1)
+      .groupBy(idCol)
+      .agg(sum((col("c") - 1) * col("gchars")).as("d5"))
+
+    val joined = words
+      .join(tops, Seq(idCol), "left")
+      .join(dups, Seq(idCol), "left")
+      .withColumn("__g", struct(
+        col("word_count").cast("int").as("word_count"),
+        col("wchars").cast("long").as("word_chars"),
+        col("alpha_words").cast("int").as("alpha_words"),
+        col("hash_chars").as("hash_chars"),
+        col("ellipses").as("ellipses"),
+        coalesce(col("t2"), lit(0L)).cast("long").as("top2_chars"),
+        coalesce(col("t3"), lit(0L)).cast("long").as("top3_chars"),
+        coalesce(col("t4"), lit(0L)).cast("long").as("top4_chars"),
+        coalesce(col("d5"), lit(0L)).cast("long").as("dup5_chars")))
+    gopherDerive(joined, idCol)
+  }
 }

@@ -3235,6 +3235,71 @@ object Inventory {
         FROM tok, n GROUP BY item, n.n HAVING count(*) > 0.005 * n.n
         ORDER BY item""")),
 
+    Q("q183_gopher_quality",
+      (s, dir) =>
+        // Gopher repetition/quality gate (Rae et al. 2021, Table A1):
+        // per-doc word stats, most-frequent-{2,3,4}-gram char fractions,
+        // duplicate-5-gram char mass, and the conjunctive pass flag.
+        // Spark side is the one-pass native counter kernel (map-only, no
+        // gram explosion); the oracle replays the explode+group
+        // formulation — micro-rounded fractions make every derived
+        // double bit-identical cross-engine.
+        TextAnalysis.gopherSignals(
+          t(s, dir, "documents").filter(length(trim(col("text"))) > 0))
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+          SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS ws,
+            len(regexp_replace(trim(lower(text)), '\s', '', 'g')) AS wchars,
+            trim(lower(text)) AS t
+          FROM documents WHERE length(trim(text)) > 0),
+        words AS (
+          SELECT doc_id, len(ws) AS wc, wchars,
+            len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+            len(t) - len(replace(t, '#', '')) AS hash_chars,
+            (len(t) - len(replace(t, '...', ''))) // 3 AS ellipses
+          FROM base),
+        g AS (
+          SELECT b.doc_id, n.n, array_to_string(b.ws[i.i : i.i + n.n - 1], ' ') AS gram
+          FROM base b, (VALUES (2),(3),(4),(5)) n(n),
+            unnest(generate_series(1, len(b.ws) - n.n + 1)) i(i)
+          WHERE len(b.ws) >= n.n),
+        cnt AS (
+          SELECT doc_id, n, gram, count(*) AS c, len(gram) - (n - 1) AS gchars
+          FROM g GROUP BY ALL),
+        tops AS (
+          SELECT doc_id,
+            max(CASE WHEN n = 2 THEN tc END) AS t2,
+            max(CASE WHEN n = 3 THEN tc END) AS t3,
+            max(CASE WHEN n = 4 THEN tc END) AS t4
+          FROM (
+            SELECT doc_id, n, c * gchars AS tc
+            FROM cnt
+            QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) = 1)
+          GROUP BY doc_id),
+        dups AS (
+          SELECT doc_id, sum((c - 1) * gchars) AS d5
+          FROM cnt WHERE n = 5 AND c > 1 GROUP BY doc_id),
+        fr AS (
+          SELECT w.doc_id,
+            CAST(w.wc AS BIGINT) AS word_count,
+            round(w.wchars * 1000000.0 / w.wc, 0) / 1000000.0 AS mean_word_len,
+            round(w.alpha_words * 1000000.0 / w.wc, 0) / 1000000.0 AS alpha_word_frac,
+            round((w.hash_chars + w.ellipses) * 1000000.0 / w.wc, 0) / 1000000.0
+              AS symbol_word_ratio,
+            round(coalesce(t.t2, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top2gram_frac,
+            round(coalesce(t.t3, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top3gram_frac,
+            round(coalesce(t.t4, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top4gram_frac,
+            least(round(coalesce(d.d5, 0) * 1000000.0 / w.wchars, 0) / 1000000.0, 1.0)
+              AS dup5gram_frac
+          FROM words w LEFT JOIN tops t USING (doc_id) LEFT JOIN dups d USING (doc_id))
+        SELECT *,
+          (word_count BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8
+            AND top2gram_frac < 0.20 AND top3gram_frac < 0.18
+            AND top4gram_frac < 0.16 AND dup5gram_frac < 0.15) AS passes_gopher
+        FROM fr ORDER BY doc_id""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's
@@ -3848,5 +3913,5 @@ object Inventory {
     "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate",
     "q177_jaccard_prefix_join", "q178_record_linkage",
     "q179_entity_resolution", "q180_k_anonymity",
-    "q182_linkage_incremental")
+    "q182_linkage_incremental", "q183_gopher_quality")
 }

@@ -196,6 +196,44 @@ object TextProfileExpr {
     StructField("fingerprint", LongType, nullable = false)))
 }
 
+/** Every Gopher repetition/quality counter in one tokenization pass
+  * (graft.functions.GopherSignals.signals) — raw integer counters only;
+  * the fraction columns and the pass gate derive in Column arithmetic
+  * (TextAnalysis.gopherSignals) so the DuckDB oracle replays them
+  * exactly. Value-identical to the explode+groupBy reference twin
+  * (TextAnalysis.gopherSignalsRef, pinned by spec) but map-only: no
+  * gram explosion, no shuffle.
+  */
+case class GopherSignalsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = GopherSignalsExpr.schema
+  override def prettyName: String = "gopher_signals"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.GopherSignals.signals(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherSignals.signals($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherSignalsExpr =
+    copy(child = newChild)
+}
+
+object GopherSignalsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("word_count", IntegerType, nullable = false),
+    StructField("word_chars", LongType, nullable = false),
+    StructField("alpha_words", IntegerType, nullable = false),
+    StructField("hash_chars", LongType, nullable = false),
+    StructField("ellipses", LongType, nullable = false),
+    StructField("top2_chars", LongType, nullable = false),
+    StructField("top3_chars", LongType, nullable = false),
+    StructField("top4_chars", LongType, nullable = false),
+    StructField("dup5_chars", LongType, nullable = false)))
+}
+
 /** Common type handling for binary vector expressions over
   * array<float|double> children with double output.
   */
@@ -449,6 +487,10 @@ object NativeExprs {
   /** Column-level entry for TextProfileExpr. */
   def textProfile(text: Column): Column =
     ExpressionUtils.column(TextProfileExpr(ExpressionUtils.expression(text)))
+
+  /** Column-level entry for GopherSignalsExpr. */
+  def gopherSignals(text: Column): Column =
+    ExpressionUtils.column(GopherSignalsExpr(ExpressionUtils.expression(text)))
 
   /** Column-level entry for BandHashesExpr. */
   def bandHashes(sig: Column, bands: Int): Column =

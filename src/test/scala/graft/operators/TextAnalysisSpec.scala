@@ -377,4 +377,64 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "gamma", 1L),
       (4L, "delta", 1L)))
   }
+
+  test("gopherSignals: hand-computed fractions on a crafted doc") {
+    val df = Seq((1L, "aa bb aa bb aa bb cc")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherSignals(df).head
+    // 7 words, 14 word-chars; top 2-gram "aa bb" ×3 → 12/14 chars
+    assert(r.getAs[Long]("word_count") == 7L)
+    assert(r.getAs[Double]("mean_word_len") == 2.0)
+    assert(r.getAs[Double]("top2gram_frac") == 0.857143)
+    // 5-grams are the 3 distinct windows → no duplicate mass
+    assert(r.getAs[Double]("dup5gram_frac") == 0.0)
+    assert(r.getAs[Double]("alpha_word_frac") == 1.0)
+    assert(!r.getAs[Boolean]("passes_gopher")) // too short, words too short
+  }
+
+  test("gopherSignals: top-gram ties break to the bytewise-smallest gram") {
+    // "b a"(2), "a b"(2), "b c"(2), "c b"(1) — tie resolves to "a b"
+    val df = Seq((1L, "b a b c b a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherSignals(df).head
+    assert(r.getAs[Double]("top2gram_frac") == 0.5) // 2 occ × 2 chars / 8
+  }
+
+  test("gopherSignals: gate fails repetitive text, passes diverse text; symbol counter") {
+    val spam = (1L, Seq.fill(60)("spam ham").mkString(" "))
+    val clean = (2L, (1 to 60).map(i => f"word$i%03d").mkString(" "))
+    val symbols = (3L, (1 to 60).map(i => f"tok$i%03d").mkString(" ") + " " +
+      Seq.fill(9)("#").mkString(" ") + " so... on... then...")
+    val out = TextAnalysis.gopherSignals(Seq(spam, clean, symbols).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(!out(0).getAs[Boolean]("passes_gopher") &&
+      out(0).getAs[Double]("top2gram_frac") > 0.2)
+    assert(out(1).getAs[Boolean]("passes_gopher"), out(1).toString)
+    // 9 '#' + 3 '...' over 72 words = 12/72
+    assert(out(2).getAs[Double]("symbol_word_ratio") == 0.166667)
+  }
+
+  test("gopherSignals: short and empty docs yield zero fractions, no crash") {
+    val df = Seq((1L, "one two"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherSignals(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("dup5gram_frac") == 0.0) // < 5 words
+    assert(out(1).getAs[Long]("word_count") == 0L &&
+      out(1).getAs[Double]("mean_word_len") == 0.0 &&
+      !out(1).getAs[Boolean]("passes_gopher"))
+    assert(out(2).getAs[Long]("word_count") == 0L)
+  }
+
+  test("native gopherSignals kernel is value-identical to the exploded reference twin") {
+    val edge = Seq(
+      "one", "aa bb aa bb aa bb cc", "b a b c b a b c",
+      "the quick brown fox jumps over the lazy dog again and again and again",
+      "x# y# z#... repeated x# y# z#... repeated x# y# z#...",
+      Seq.fill(30)("dup gram block").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    for (frame <- Seq(edge, corpus)) {
+      val nat = TextAnalysis.gopherSignals(frame)
+      val ref = TextAnalysis.gopherSignalsRef(frame)
+      assert(nat.exceptAll(ref).count() == 0 && ref.exceptAll(nat).count() == 0)
+    }
+  }
 }
