@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus operators: URL parsing/canonicalization, registrable
+  * domains, and per-domain caps — the provenance-side half of a
+  * crawl-to-corpus pipeline (dedup by canonical URL, cap any one site's
+  * contribution, aggregate quality per domain). Extends the reference's
+  * documents surface (it has no URL handling at all) with the ops every
+  * web-scale corpus build needs.
+  *
+  * Everything is pure column expressions over anchored regexes with no
+  * lookaround and no backreferences — the syntax subset Java regex
+  * (Spark) and RE2 (DuckDB) evaluate identically, which is what makes
+  * the q184/q185 oracles hash-exact. Map-only: no shuffle anywhere
+  * except [[capPerDomain]]'s single window.
+  */
+object WebOps {
+
+  /** Parsed URL parts as a struct: (scheme, host, port, path, query,
+    * fragment). Grammar is the pragmatic RFC-3986 subset
+    * `scheme://host[:port][path][?query][#fragment]` — no userinfo, no
+    * relative refs (a crawler's frontier is absolute URLs). Unparseable
+    * inputs yield empty-string parts, never null (regexp_extract's
+    * no-match convention), so downstream expressions stay total.
+    * Scheme and host are matched case-preserving; [[canonicalizeUrl]]
+    * lowercases them.
+    */
+  def urlParts(url: Column): Column = struct(
+    regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1).as("scheme"),
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1).as("host"),
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)", 1).as("port"),
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1).as("path"),
+    regexp_extract(url, "^[^?#]*\\?([^#]*)", 1).as("query"),
+    regexp_extract(url, "#(.*)$", 1).as("fragment"))
+
+  /** Query-param names dropped by [[canonicalizeUrl]] (tracking noise
+    * that splits otherwise-identical URLs): utm_*, fbclid, gclid.
+    */
+  val trackingParamPattern = "^(utm_[^=]*|fbclid|gclid)(=|$)"
+
+  /** Canonical URL for dedup keys, rebuilt from [[urlParts]] under the
+    * standard normalization rules, each deterministic and replayable in
+    * any engine:
+    *  - scheme and host lowercase
+    *  - default ports dropped (:80 for http, :443 for https); other
+    *    ports kept
+    *  - empty path → "/"; trailing slashes stripped otherwise
+    *  - tracking params ([[trackingParamPattern]]) removed; the "?" is
+    *    dropped when the query empties
+    *  - fragment always dropped (never reaches the server)
+    * Unparseable URLs (no scheme) canonicalize to the empty string —
+    * filter them, don't dedup on them.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val p = urlParts(url)
+    val scheme = lower(p("scheme"))
+    val host = lower(p("host"))
+    val port = p("port")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rtrimmed = regexp_replace(p("path"), "/+$", "")
+    val path = when(rtrimmed === "", "/").otherwise(rtrimmed)
+    val cleanQuery = array_join(
+      filter(split(p("query"), "&"), s => s =!= "" && !s.rlike(trackingParamPattern)), "&")
+    when(scheme === "", "").otherwise(concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(cleanQuery =!= "", concat(lit("?"), cleanQuery)).otherwise("")))
+  }
+
+  /** Default public-suffix list for [[registrableDomain]] — a documented
+    * MINI subset of publicsuffix.org (the full list is ~10k rules and a
+    * data file, not a code default). Order does not matter; matching
+    * picks the longest suffix by label count, then by length.
+    */
+  val defaultSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "com.au", "co.jp", "com.br", "github.io",
+    "com", "org", "net", "edu", "gov", "io", "uk", "de", "fr", "jp")
+
+  /** Registrable domain (eTLD+1): the last host label before the
+    * longest matching public suffix, plus the suffix — "blog.x.co.uk" →
+    * "x.co.uk", "a.b.example.com" → "example.com". A host that IS a
+    * bare suffix, or matches none, yields empty string. This is the
+    * level web pipelines cap and aggregate at: subdomains are free, so
+    * per-host caps are gameable; registrable domains cost money.
+    */
+  def registrableDomain(
+      host: Column,
+      suffixes: Seq[String] = defaultSuffixes): Column = {
+    val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), -s.length, s))
+    val chain = ordered.foldRight(lit(""): Column) { (s, acc) =>
+      val esc = s.replace(".", "\\.")
+      when(host.endsWith("." + s),
+        regexp_extract(host, s"([^.]+\\.$esc)$$", 1)).otherwise(acc)
+    }
+    // a host that IS a suffix would otherwise fall through to a SHORTER
+    // suffix it ends with ("co.uk" → ".uk" → "co.uk") and look registrable
+    when(host.isInCollection(suffixes), "").otherwise(chain)
+  }
+
+  /** Keep at most k documents per domain, preferring the BEST by
+    * `orderCol` (descending; ties to the smallest id — total order, so
+    * the survivor set is deterministic). The anti-spam shape: any one
+    * registrable domain contributes a bounded number of documents no
+    * matter how much it publishes. One shuffle on the domain key; the
+    * per-group sort is bounded by group size. Complements
+    * [[ScaleOps.sampleKPerGroup]], which picks a hash-RANDOM k — this
+    * picks the top-quality k.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      orderCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, Classify, Dedup, EntityResolution, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classify, Dedup, EntityResolution, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis, WebOps}
 import graft.quality.Privacy
 
 /** One declared operator: name, Spark implementation, optional DuckDB
@@ -3299,6 +3299,126 @@ object Inventory {
             AND top2gram_frac < 0.20 AND top3gram_frac < 0.18
             AND top4gram_frac < 0.16 AND dup5gram_frac < 0.15) AS passes_gopher
         FROM fr ORDER BY doc_id""")),
+
+    Q("q184_url_canonical",
+      (s, dir) => {
+        // URL canonicalization + registrable-domain extraction over a
+        // deterministic synthetic URL per document (the corpus has no
+        // URL column; both engines build the identical string, then
+        // replay the same anchored no-lookaround regexes). Exercises
+        // case folding, default-port and fragment dropping, trailing
+        // slashes, tracking-param removal, and the public-suffix
+        // longest-match chain.
+        val did = col("doc_id").cast("string")
+        val url = when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/Path/"),
+              did, lit("/?q="), col("lang"), lit("&utm_source=feed#frag")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("https://Blog."), col("source"), lit(".co.uk:443/post/"),
+              did, lit("?id="), did, lit("&gclid=zz")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("https://"), col("source"), lit(".github.io/pages//")))
+          .otherwise(
+            concat(lit("http://news."), col("source"), lit(".org:8080/a/"),
+              did, lit("?utm_medium=x")))
+        val withU = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .withColumn("url", url)
+        val p = WebOps.urlParts(col("url"))
+        withU.select(
+          col("doc_id"),
+          WebOps.canonicalizeUrl(col("url")).as("canonical_url"),
+          lower(p("host")).as("host"),
+          WebOps.registrableDomain(lower(p("host"))).as("domain"),
+          p("port").as("port"),
+          p("fragment").as("fragment"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Path/' ||
+                CAST(doc_id AS VARCHAR) || '/?q=' || lang || '&utm_source=feed#frag'
+              WHEN 1 THEN 'https://Blog.' || source || '.co.uk:443/post/' ||
+                CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=zz'
+              WHEN 2 THEN 'https://' || source || '.github.io/pages//'
+              ELSE 'http://news.' || source || '.org:8080/a/' ||
+                CAST(doc_id AS VARCHAR) || '?utm_medium=x'
+            END AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1) AS port,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+            regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS query0,
+            regexp_extract(url, '#(.*)$', 1) AS fragment
+          FROM u),
+        c AS (
+          SELECT doc_id, scheme, host, port, fragment,
+            CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(path0, '/+$', '') END AS path,
+            array_to_string(list_filter(string_split(query0, '&'),
+              s -> s <> '' AND NOT regexp_matches(s, '^(utm_[^=]*|fbclid|gclid)(=|$)')),
+              '&') AS q
+          FROM p)
+        SELECT doc_id,
+          CASE WHEN scheme = '' THEN '' ELSE scheme || '://' || host ||
+            CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                  AND NOT (scheme = 'https' AND port = '443')
+                 THEN ':' || port ELSE '' END ||
+            path ||
+            CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS canonical_url,
+          host,
+          CASE
+            WHEN host IN ('co.uk', 'org.uk', 'com.au', 'co.jp', 'com.br', 'github.io',
+              'com', 'org', 'net', 'edu', 'gov', 'io', 'uk', 'de', 'fr', 'jp') THEN ''
+            WHEN host LIKE '%.github.io' THEN regexp_extract(host, '([^.]+\.github\.io)$', 1)
+            WHEN host LIKE '%.com.au' THEN regexp_extract(host, '([^.]+\.com\.au)$', 1)
+            WHEN host LIKE '%.com.br' THEN regexp_extract(host, '([^.]+\.com\.br)$', 1)
+            WHEN host LIKE '%.org.uk' THEN regexp_extract(host, '([^.]+\.org\.uk)$', 1)
+            WHEN host LIKE '%.co.jp' THEN regexp_extract(host, '([^.]+\.co\.jp)$', 1)
+            WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+            WHEN host LIKE '%.com' THEN regexp_extract(host, '([^.]+\.com)$', 1)
+            WHEN host LIKE '%.edu' THEN regexp_extract(host, '([^.]+\.edu)$', 1)
+            WHEN host LIKE '%.gov' THEN regexp_extract(host, '([^.]+\.gov)$', 1)
+            WHEN host LIKE '%.net' THEN regexp_extract(host, '([^.]+\.net)$', 1)
+            WHEN host LIKE '%.org' THEN regexp_extract(host, '([^.]+\.org)$', 1)
+            WHEN host LIKE '%.de' THEN regexp_extract(host, '([^.]+\.de)$', 1)
+            WHEN host LIKE '%.fr' THEN regexp_extract(host, '([^.]+\.fr)$', 1)
+            WHEN host LIKE '%.io' THEN regexp_extract(host, '([^.]+\.io)$', 1)
+            WHEN host LIKE '%.jp' THEN regexp_extract(host, '([^.]+\.jp)$', 1)
+            WHEN host LIKE '%.uk' THEN regexp_extract(host, '([^.]+\.uk)$', 1)
+            ELSE '' END AS domain,
+          port, fragment
+        FROM c ORDER BY doc_id""")),
+
+    Q("q185_domain_cap",
+      (s, dir) => {
+        // per-domain contribution cap: at most 3 documents per
+        // registrable domain, keeping the LONGEST (n_chars as the
+        // quality proxy, ties to the smallest doc_id) — the anti-spam
+        // gate that bounds any one site's weight in the corpus
+        val host = concat(lit("www."), col("source"),
+          pmod(col("doc_id"), lit(5)).cast("string"), lit(".com"))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("source"))
+          .withColumn("domain", WebOps.registrableDomain(host))
+        WebOps.capPerDomain(docs, "domain", "doc_id", "n_chars", k = 3)
+          .select("domain", "doc_id", "n_chars")
+          .orderBy("domain", "doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, n_chars,
+            source || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain
+          FROM documents)
+        SELECT domain, doc_id, n_chars
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+              FROM d)
+        WHERE rk <= 3
+        ORDER BY domain, doc_id""")),
 
     Q("q153_ngram_perplexity",
       (s, dir) =>

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WebOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url")
+      .select(WebOps.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq
+
+  test("urlParts: full URL decomposes; missing parts are empty strings") {
+    val r = Seq("https://Host.Example.com:8443/a/b?x=1&y=2#frag")
+      .toDF("url").select(WebOps.urlParts(col("url")).as("p")).select("p.*").head
+    assert(r.getAs[String]("scheme") == "https")
+    assert(r.getAs[String]("host") == "Host.Example.com")
+    assert(r.getAs[String]("port") == "8443")
+    assert(r.getAs[String]("path") == "/a/b")
+    assert(r.getAs[String]("query") == "x=1&y=2")
+    assert(r.getAs[String]("fragment") == "frag")
+
+    val bare = Seq("http://h").toDF("url")
+      .select(WebOps.urlParts(col("url")).as("p")).select("p.*").head
+    assert(bare.getAs[String]("port") == "" && bare.getAs[String]("path") == "" &&
+      bare.getAs[String]("query") == "" && bare.getAs[String]("fragment") == "")
+  }
+
+  test("urlParts: a '?' inside the fragment is not a query") {
+    val r = Seq("http://h/p#frag?notquery").toDF("url")
+      .select(WebOps.urlParts(col("url")).as("p")).select("p.*").head
+    assert(r.getAs[String]("query") == "")
+    assert(r.getAs[String]("fragment") == "frag?notquery")
+  }
+
+  test("canonicalizeUrl applies each rule") {
+    assert(canon(
+      "HTTP://WWW.Site.COM:80/Path/#f", // case, default port, fragment, trailing slash
+      "https://h.com:443/",             // https default port; root path survives
+      "https://h.com:8443/x",           // non-default port kept
+      "http://h.com",                   // empty path → "/"
+      "http://h.com/p?utm_source=a&id=3&gclid=b", // tracking params drop, real one stays
+      "http://h.com/p?utm_source=a",    // query empties → '?' dropped
+      "not a url"                       // unparseable → empty
+    ) == Seq(
+      "http://www.site.com/Path", // path case is preserved (paths are case-sensitive)
+      "https://h.com/",
+      "https://h.com:8443/x",
+      "http://h.com/",
+      "http://h.com/p?id=3",
+      "http://h.com/p",
+      ""))
+  }
+
+  test("canonical URL is a fixpoint: canonicalizing twice changes nothing") {
+    val urls = Seq(
+      "HTTP://A.B.COM:80/x/?utm_source=1&k=2#z",
+      "https://x.co.uk/deep/path//",
+      "http://h.com").toDF("url")
+    val once = urls.select(WebOps.canonicalizeUrl(col("url")).as("url"))
+    val twice = once.select(WebOps.canonicalizeUrl(col("url")).as("url"))
+    assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+  }
+
+  test("registrableDomain: longest suffix wins; bare suffix and no match yield empty") {
+    val r = Seq(
+      "blog.x.co.uk",     // multi-label suffix beats .uk
+      "a.b.example.com",  // deep subdomain collapses
+      "user.github.io",   // site-as-suffix (github.io)
+      "example.com",      // already registrable
+      "co.uk",            // bare suffix — not registrable
+      "localhost"         // no suffix
+    ).toDF("host").select(WebOps.registrableDomain(col("host")))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("x.co.uk", "example.com", "user.github.io", "example.com", "", ""))
+  }
+
+  test("capPerDomain keeps the top-k by score with deterministic ties") {
+    val df = Seq(
+      ("a.com", 1L, 10), ("a.com", 2L, 30), ("a.com", 3L, 20), ("a.com", 4L, 30),
+      ("b.com", 5L, 5)).toDF("domain", "doc_id", "score")
+    val kept = WebOps.capPerDomain(df, "domain", "doc_id", "score", k = 2)
+      .orderBy("domain", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a.com: scores 30(id 2), 30(id 4), 20, 10 — tie at 30 keeps smaller id first
+    assert(kept.toSeq == Seq(("a.com", 2L), ("a.com", 4L), ("b.com", 5L)))
+  }
+
+  test("capPerDomain: domains under k are untouched; output bounded by k per domain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("domain", concat(lit("www."), col("source"), lit(".com")))
+      .withColumn("domain", WebOps.registrableDomain(col("domain")))
+    val capped = WebOps.capPerDomain(docs, "domain", "doc_id", "n_chars", k = 4)
+    val sizes = capped.groupBy("domain").count().collect()
+    assert(sizes.forall(_.getLong(1) <= 4))
+    val small = docs.groupBy("domain").count().filter(col("count") <= 4)
+      .select("domain").as[String].collect().toSet
+    val keptSmall = capped.filter(col("domain").isin(small.toSeq: _*))
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val origSmall = docs.filter(col("domain").isin(small.toSeq: _*))
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptSmall == origSmall)
+  }
+}
