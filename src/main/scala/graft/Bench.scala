@@ -1,8 +1,11 @@
 package graft
 
+import java.io.{BufferedReader, InputStreamReader}
+import java.lang.management.ManagementFactory
+
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classify, Similarity}
+import graft.operators.{Classify, Dedup, Similarity}
 import graft.queries.{Inventory, Q}
 
 /** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
@@ -10,6 +13,30 @@ import graft.queries.{Inventory, Q}
   *
   * Each query is forced through the noop sink (full materialization of
   * every output row — unlike count(), which lets Spark prune the plan).
+  *
+  * == Per-family child JVMs ==
+  * The round-5 sweep grew to 67 queries in one JVM and every query shared
+  * that JVM's accumulated history (broadcast cleanup backlog, code-cache
+  * and GC pressure from 1.5 MB task binaries). Measured on the shared-26
+  * round-4 set: in-sweep 20.13 s vs 19.46 s mean isolated — a ~3% history
+  * tax that only grows with the query count. So the parent process now
+  * partitions the headline set into families of 8 (declared order) and
+  * forks ONE CHILD JVM PER FAMILY (same classpath/module-opens/heap,
+  * sequential — never concurrent, each child is local[32]); each child
+  * warms up, runs min-of-3 per query, and prints its own JSON line; the
+  * parent merges them into the single driver-visible line. A query's
+  * timing now depends only on its family, not on the 60 queries that
+  * happened to run before it.
+  *
+  * == Environment calibration ==
+  * The rest of the round-4→5 drift (~1.33×, uniform across all 26 shared
+  * queries, zero code/config change on their paths) was HOST-level: the
+  * same isolated 26-query bench measured 14.6 s on Aug 12 and 19.4–19.6 s
+  * on Aug 13 on an idle machine. Wall-clock alone cannot distinguish "the
+  * code got slower" from "the machine got slower", so the parent times a
+  * fixed single-thread and all-cores xorshift spin and embeds both in the
+  * JSON (`calib_st_ms` / `calib_mt_ms`): compare calibration across rounds
+  * to normalize engine numbers before reading a ratio as a regression.
   */
 object Bench {
 
@@ -37,16 +64,25 @@ object Bench {
           .orderBy("l_returnflag", "l_linestatus"),
       None))
 
-  /** GRAFT_BENCH_KNN_APPROX=1 adds the production parameterization of
-    * q176's label propagation: centroid count scaled with the corpus
-    * (C = max(16, n/128)) and nprobe = 4, so each query scans a bounded
-    * ~4·128 seed vectors instead of all of them. The declared q176 probes
-    * every cell (nprobe = C) because that makes the neighbor set exact
-    * and DuckDB-replayable — this twin is what a 100 TB deployment runs,
-    * and benching both quantifies the oracle-exactness tax the same way
-    * GRAFT_BENCH_DOUBLE does for decimal sums.
+  /** Production parameterizations of the ANN/clustering headliners,
+    * ALWAYS benched alongside their oracle-shaped originals (they live
+    * here rather than in `Inventory.all` because approximate-by-
+    * construction results have no SQL oracle, and the declared set keeps
+    * those to a documented minimum):
+    *
+    *  - q176x_knn_approx — q176's label propagation with corpus-scaled
+    *    C = max(16, n/128) and nprobe = 4, so each query scans a bounded
+    *    ~4·128 seed vectors instead of all of them (the declared q176
+    *    probes every cell because that makes the neighbor set exact and
+    *    DuckDB-replayable).
+    *  - q164x_semantic_fixed_c / q169x_cluster_fixed_c — the declared
+    *    twins size C with the corpus (max(8, n/128)) so the ORACLE's
+    *    within-cell pair count stays linear; a deployment instead fixes
+    *    the quantizer (trained kmeans centroids, C bounded by the
+    *    cluster budget) and pays n·C map cost. Benching both keeps the
+    *    headline number honest about what a 100 TB run costs.
     */
-  private val knnApproxVariants: Seq[Q] = Seq(
+  private[graft] val productionTwins: Seq[Q] = Seq(
     Q("q176x_knn_approx",
       (s, dir) => {
         val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -60,26 +96,71 @@ object Bench {
         Classify.knnPropagate(queries, seed, "vec_id", "qid", "embedding",
           "lang", k = 5, cents = cents, nprobe = 4, scale = 4)
       },
+      None),
+    Q("q164x_semantic_fixed_c",
+      (s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 64, iters = 2)
+        Dedup.semanticDedup(
+          e, "vec_id", "embedding", cents, threshold = 0.45, roundScale = 4)
+          .select("vec_id")
+      },
+      None),
+    Q("q169x_cluster_fixed_c",
+      (s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 64, iters = 2)
+        Similarity.clusterQuality(e, "vec_id", "embedding", cents)
+      },
       None))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.get("graft-bench")
-
-    // GRAFT_BENCH_ONLY=q164_…,q165_… restricts the run — for targeted
-    // scale audits (e.g. re-timing only new queries at sf1) without
-    // paying the full headline sweep.
-    val only = sys.env.get("GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val headline = (Inventory.all.filter(q => Inventory.benchNames.contains(q.name)) ++
-      (if (sys.env.get("GRAFT_BENCH_DOUBLE").contains("1")) doubleVariants else Nil) ++
-      (if (sys.env.get("GRAFT_BENCH_KNN_APPROX").contains("1")) knnApproxVariants else Nil))
+  private def headlineQueries(only: Option[Set[String]]): Seq[Q] =
+    (Inventory.all.filter(q => Inventory.benchNames.contains(q.name)) ++
+      productionTwins ++
+      (if (sys.env.get("GRAFT_BENCH_DOUBLE").contains("1")) doubleVariants else Nil))
       .filter(q => only.forall(_.contains(q.name)))
 
+  // --- environment calibration -------------------------------------------
+
+  /** Deterministic xorshift64 spin, `n` steps; returns elapsed ms. The
+    * running state is folded into a volatile sink so the JIT cannot dead-
+    * code the loop.
+    */
+  @volatile private var sink: Long = 0L
+  private def spin(n: Long): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    sink ^= x
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** (single-thread ms, all-cores ms) for a fixed 2e8-step spin — a
+    * machine-speed anchor independent of Spark. Min-of-3 single-thread
+    * (after a JIT warm pass); one all-cores round (32 threads × the same
+    * spin) whose elapsed time exposes both per-core speed and how much
+    * parallelism the host actually delivers that day.
+    */
+  private def calibrate(): (Double, Double) = {
+    spin(50000000L) // JIT warm
+    val st = (1 to 3).map(_ => spin(200000000L)).min
+    val cores = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val ts = (1 to cores).map(_ => new Thread(() => { spin(200000000L); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val mt = (System.nanoTime() - t0) / 1e6
+    (st, mt)
+  }
+
+  // --- child-side: time one family in THIS JVM ---------------------------
+
+  private def runFamily(names: Seq[Q], sfDir: String): Seq[(String, Double)] = {
+    val spark = GraftSession.get("graft-bench")
     // Untimed warm-up at the smallest sf: loads Parquet/codegen/exchange
     // classes and JIT-compiles the hot paths so per-query timings measure
     // the engine, not JVM startup.
-    try headline.head.run(spark, "/root/testdata/sf0.001")
+    try names.head.run(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
@@ -91,7 +172,7 @@ object Bench {
     // internal persists (q81/q101) stay COLD: the cache manager would
     // otherwise dedupe on the logical plan and hand a later run the
     // first run's materialized signatures.
-    val results = headline.map { q =>
+    val results = names.map { q =>
       val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -103,10 +184,81 @@ object Bench {
       }
       q.name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    results
+  }
+
+  private def queriesJson(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+  // --- parent-side: fork one JVM per family, merge the lines -------------
+
+  /** Re-launch this JVM (same java binary, module opens, heap, system
+    * props, classpath) on one family of queries; returns the child's
+    * parsed (name, seconds) pairs, or None if the child failed.
+    */
+  private def forkFamily(family: Seq[String], sfDir: String): Option[Seq[(String, Double)]] = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.Bench")
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("GRAFT_BENCH_CHILD", "1")
+    pb.environment().put("GRAFT_BENCH_ONLY", family.mkString(","))
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new BufferedReader(new InputStreamReader(proc.getInputStream))
+    var line: String = null
+    var jsonLine: String = null
+    while ({ line = out.readLine(); line != null })
+      if (line.contains("\"metric\"")) jsonLine = line
+    val rc = proc.waitFor()
+    if (rc != 0 || jsonLine == null) {
+      System.err.println(s"[bench] child for ${family.head}.. failed (rc=$rc)")
+      None
+    } else {
+      // The queries object is flat ({"name":secs,…}); pull it out by
+      // brace position and regex the pairs — no JSON library needed.
+      val qStart = jsonLine.indexOf("\"queries\":{")
+      val body = jsonLine.substring(qStart + 11, jsonLine.indexOf('}', qStart))
+      val pair = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+      Some(pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // GRAFT_BENCH_ONLY=q164_…,q165_… restricts the run — for targeted
+    // scale audits (e.g. re-timing only new queries at sf1) without
+    // paying the full headline sweep.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val headline = headlineQueries(only)
+
+    if (sys.env.get("GRAFT_BENCH_CHILD").contains("1")) {
+      // Child: time my family in-process and report one line up.
+      val results = runFamily(headline, sfDir)
+      val total = results.map(_._2).sum
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir"}""")
+    } else {
+      val (calibSt, calibMt) = calibrate()
+      val families = headline.map(_.name).grouped(8).toSeq
+      val merged = families.flatMap { fam =>
+        forkFamily(fam, sfDir) match {
+          case Some(rs) => rs
+          case None =>
+            // Fallback: a child that cannot launch (unexpected classpath
+            // shape) still gets timed — in this JVM, old single-process
+            // behavior — rather than silently dropping its queries.
+            runFamily(headline.filter(q => fam.contains(q.name)), sfDir)
+        }
+      }
+      val total = merged.map(_._2).sum
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f}""")
+    }
   }
 }
