@@ -42,16 +42,46 @@ class EntityResolutionSpec extends SparkSpec {
       s"only the in-block identical pair qualifies: ${pairs.mkString(", ")}")
   }
 
-  test("linkPairs: blocks past blockCap are excluded (degenerate-key guard)") {
+  test("pairBudget: an unsplittable hot block (identical top field) drops as boilerplate") {
     import spark.implicits._
+    // every row shares an 8-char top-field head, so no prefix level can
+    // split the over-budget group — the value is boilerplate, not
+    // identity, and the group drops (the documented terminal case)
     val hot = (1 to 20).map(i => (i.toLong, "HOT", "same name", "same kind"))
     val cold = Seq((100L, "COLD", "twin", "x"), (101L, "COLD", "twin", "x"))
     val df = (hot ++ cold).toDF("id", "blk", "name", "kind")
     val pairs = linkPairs(df, "id", Seq("blk"),
-        Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.9, blockCap = 10)
+        Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.9, pairBudget = 10L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((100L, 101L)),
-      s"the 20-row block exceeds cap 10 and must drop: ${pairs.mkString(", ")}")
+      s"the 20-row identical block exceeds budget 10 at every level: ${pairs.mkString(", ")}")
+  }
+
+  test("pairBudget: over-budget blocks sub-block on prefix cascade, retaining in-group recall") {
+    import spark.implicits._
+    // one 25-row block, budget 50 pairs (row cap 10). The round-5 row
+    // cap would have refused the WHOLE block; the cascade splits it:
+    // famA (10 rows, 'a') fits at the 1-char level; famB (15 rows, 'b')
+    // is over budget at 1 char and splits at 2 chars into 'ba' (8) and
+    // 'bu' (7). All in-group pairs survive; the only loss is the
+    // documented cross-prefix case (basket~bucket qualifies at 0.92 in
+    // an unbounded pass but differs at char 2).
+    val famA = (1 to 10).map(i => (i.toLong, "HOT", "alpha unit one", "x"))
+    val famB1 = (11 to 18).map(i => (i.toLong, "HOT", "basket unit one", "x"))
+    val famB2 = (19 to 25).map(i => (i.toLong, "HOT", "bucket unit one", "x"))
+    val df = (famA ++ famB1 ++ famB2).toDF("id", "blk", "name", "kind")
+    def run(budget: Long) = linkPairs(df, "id", Seq("blk"),
+        Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.9, pairBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sub = run(50L)
+    val full = run(1000000L)
+    val crossPrefix = for (a <- 11L to 18L; b <- 19L to 25L) yield (a, b)
+    assert(full.size == 45 + 28 + 21 + 56,
+      s"unbounded pass: all in-family pairs plus basket~bucket at 0.92: ${full.size}")
+    assert(sub == full -- crossPrefix,
+      "sub-blocking must retain every same-prefix pair and lose exactly the cross-prefix ones")
+    assert(sub.count { case (a, b) => a <= 10 && b <= 10 } == 45,
+      "famA — a block the old row cap refused wholesale — keeps all 45 pairs")
   }
 
   test("linkPairsIncremental == full pass minus store-internal pairs") {
