@@ -41,12 +41,22 @@ object Inventory {
   private def viewed(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
 
-  /** events with ts normalized to epoch seconds (source stores
-    * TIMESTAMP(NANOS) which Spark reads as nanos BIGINT under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by GraftSession).
+  /** events with ts normalized to epoch seconds. The generated table
+    * has stored `ts` as TIMESTAMP(NANOS) (read as nanos BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by GraftSession)
+    * in some fixture generations and as TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ) in others — branch on the read type so both work.
+    * The session timezone is UTC, so NTZ→timestamp→long is the exact
+    * floor-seconds epoch DuckDB's `epoch_ns(ts) // 1000000000` yields.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_sec", expr("ts div 1000000000"))
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    val tsSec = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => expr("cast(cast(ts as timestamp) as bigint)")
+    }
+    df.withColumn("ts_sec", tsSec)
+  }
 
   /** Exact decimal sum of a double expr, surfaced as double. */
   private def dsum(e: String, scale: Int = 2): Column =
