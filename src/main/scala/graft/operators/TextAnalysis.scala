@@ -118,6 +118,35 @@ object TextAnalysis {
       st => st.getField("acc"))
   }
 
+  /** Cross-engine twin of [[fingerprint]]: the SAME positional
+    * polynomial combine (fp = Σ h(token_p)·31^p mod 2⁶⁴) with the
+    * per-token hash drawn from md5's first 64 bits (assembled from two
+    * 32-bit `conv(substring(md5(tok),…),16,10)` halves, the q148
+    * convention) instead of Spark-internal xxhash64. Every step is
+    * 64-bit wraparound arithmetic, so any engine with exact integer
+    * semantics can replay it — the DuckDB oracle does the modular
+    * multiply in 32-bit limbs over HUGEINT and lands on identical
+    * signed-64 bit patterns. Prefer [[fingerprint]] when only Spark
+    * needs to agree with itself (one internal hash per token instead of
+    * an md5 plus two hex-decodes); prefer this when the fingerprint is
+    * persisted for other systems to verify.
+    */
+  def fingerprintMd5Poly(text: Column): Column = {
+    val toks = tokens(lower(text))
+    aggregate(
+      toks,
+      struct(lit(0L).as("acc"), lit(1L).as("pow")),
+      (st, t) => {
+        val hex = md5(t)
+        val hv = conv(substring(hex, 1, 8), 16, 10).cast("long") * lit(4294967296L) +
+          conv(substring(hex, 9, 8), 16, 10).cast("long")
+        struct(
+          (st.getField("acc") + hv * st.getField("pow")).as("acc"),
+          (st.getField("pow") * 31L).as("pow"))
+      },
+      st => st.getField("acc"))
+  }
+
   /** PII redaction — the scrub pass every training-data pipeline runs
     * before text leaves the lake. Four conservative patterns (emails,
     * SSN-shaped ids, US-style phone numbers, IPv4 addresses) replaced

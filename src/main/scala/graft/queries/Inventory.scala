@@ -1332,18 +1332,14 @@ object Inventory {
                  / (deg.degree * (deg.degree - 1)), 4) END AS clustering
         FROM deg LEFT JOIN tn ON deg.id = tn.id ORDER BY deg.id""")),
 
-    Q("q82_dedup_simhash",
-      (s, dir) =>
-        Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
-          .orderBy("id_a", "id_b"),
-      // rows-only by necessity, not by approximation: the pigeonhole
-      // banding is EXACT (recall 1 for hamming <= maxDist), but the
-      // fingerprint is built from Spark's xxhash64, which DuckDB cannot
-      // reproduce — no engine-independent oracle exists. DedupSpec pins
-      // the semantics on constructed fixtures instead. q148 is the
-      // md5-keyed sibling of this operator WITH a full DuckDB oracle.
-      None),
-
+    // q82_dedup_simhash (xxhash64 SimHash) was RETIRED from the declared
+    // set in round 6: it is the same operator as q148 below with a
+    // Spark-internal per-token hash, so it could never carry an
+    // engine-independent oracle — a permanent rows-only row auditing
+    // nothing q148's full oracle doesn't. The operator itself
+    // (Dedup.simHashNearDups) remains the cheaper production variant
+    // (one xxhash64 per token vs an md5 + two hex decodes) and stays
+    // pinned by DedupSpec on constructed fixtures.
     Q("q148_simhash_md5",
       (s, dir) =>
         // the cross-engine-auditable SimHash: per-token hash = first
@@ -1824,10 +1820,55 @@ object Inventory {
 
     Q("q98_fingerprint",
       (s, dir) =>
+        // Declared over the md5-token twin (identical positional
+        // polynomial; per-token hash = first 64 bits of md5) so the
+        // full arithmetic is DuckDB-replayable. The xxhash64 original
+        // (TextAnalysis.fingerprint) is the cheaper Spark-internal
+        // variant, pinned by TextAnalysisSpec.
         t(s, dir, "documents")
-          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .select(col("doc_id"),
+            TextAnalysis.fingerprintMd5Poly(col("text")).as("fingerprint"))
           .orderBy("doc_id"),
-      None), // xxhash64-based — no DuckDB equivalent; ScalaTest covers it
+      Some("""WITH RECURSIVE maxn AS (
+          SELECT max(len(string_split_regex(trim(lower(text)), '\s+'))) AS m
+          FROM documents),
+        pow(i, p) AS (
+          SELECT 1, CAST(1 AS HUGEINT)
+          UNION ALL
+          SELECT i + 1, (p * 31) % 18446744073709551616
+          FROM pow, maxn WHERE i < maxn.m),
+        tok AS (
+          SELECT doc_id, i, w[i] AS tok
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents WHERE length(trim(text)) > 0),
+               LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+        h AS (
+          SELECT doc_id, i,
+            (CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS HUGEINT)
+               * 4294967296
+             + CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT)) AS hv
+          FROM tok),
+        -- 64x64-bit modular multiply in 32-bit limbs (a full product
+        -- would overflow INT128): hv*p mod 2^64 =
+        -- ((hi(hv)*lo(p) + lo(hv)*hi(p)) mod 2^32)*2^32 + lo(hv)*lo(p)
+        term AS (
+          SELECT doc_id,
+            ((((hv // 4294967296) * (p % 4294967296)
+              + (hv % 4294967296) * (p // 4294967296)) % 4294967296) * 4294967296
+              + (hv % 4294967296) * (p % 4294967296)) % 18446744073709551616 AS t
+          FROM h JOIN pow ON h.i = pow.i),
+        acc AS (
+          SELECT doc_id,
+            CAST(sum(t) % 18446744073709551616 AS HUGEINT) AS m
+          FROM term GROUP BY doc_id),
+        signed AS (
+          SELECT doc_id,
+            CAST(CASE WHEN m >= 9223372036854775808
+                 THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS fingerprint
+          FROM acc)
+        SELECT d.doc_id, coalesce(s.fingerprint, 0) AS fingerprint
+        FROM documents d LEFT JOIN signed s USING (doc_id)
+        ORDER BY doc_id""")),
 
     Q("q99_sessionize",
       (s, dir) =>

@@ -68,6 +68,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(4L)) // lowercased first
   }
 
+  test("fingerprintMd5Poly: same polynomial properties; blank text is 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha"),
+      (4L, "ALPHA BETA GAMMA"),
+      (5L, "   ")).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprintMd5Poly(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L)) // deterministic
+    assert(fps(1L) != fps(3L)) // order matters (positional polynomial)
+    assert(fps(1L) == fps(4L)) // lowercased first
+    assert(fps(5L) == 0L)      // whitespace-only folds to the empty accumulator
+    // single token: fp = h(tok) exactly — pin the md5-limb assembly
+    // against an independently computed value (hi*2^32 + lo of md5 hex)
+    val single = Seq(Tuple1("alpha")).toDF("text")
+      .select(TextAnalysis.fingerprintMd5Poly(col("text"))).head.getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = java.lang.Long.parseLong(md.substring(0, 8), 16) * 4294967296L +
+      java.lang.Long.parseLong(md.substring(8, 16), 16)
+    assert(single == expect)
+  }
+
   test("annotate adds all analysis columns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
     val ann = TextAnalysis.annotate(docs)
