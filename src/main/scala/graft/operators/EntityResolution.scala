@@ -262,4 +262,89 @@ object EntityResolution {
       .withColumn("entity_id", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")
   }
+
+  /** Golden-record construction — the last step of ER: collapse each
+    * entity cluster from [[resolve]] into ONE survivor row by per-field
+    * survivorship policy. Three policies, all with DETERMINISTIC ties so
+    * the output is engine-replayable:
+    *
+    *  - `modeFields`: most frequent non-null value; count ties break to
+    *    the smallest value BY STRING IMAGE (the stacked frame carries
+    *    every field as a string — an oracle replaying a numeric field
+    *    must tie-break on `CAST(v AS VARCHAR)`).
+    *  - `longestFields`: longest non-null value; length ties break to
+    *    the smallest value (same string-image caveat).
+    *  - `newestFields` (field, orderCol): the value on the row with the
+    *    greatest `orderCol` (a timestamp / version / ingest key); order
+    *    ties break to the greatest value. Faithful to recency: if the
+    *    newest row's field is null, the survivor is null.
+    *
+    * Scale shape: mode and longest share ONE stacked pass — explode the
+    * fields to an (entity, field, value) frame, aggregate counts (the
+    * only value-width shuffle, map-side combined), pick winners with
+    * per-policy windows over the (entity, field) grain, and pivot back
+    * with a single entity-grain groupBy. Newest fields are one more
+    * entity-grain groupBy (`max(struct(order, value))`), shared across
+    * all of them. No per-entity collects; every join is entity-width.
+    * Values travel as strings through the stacked frame and are cast
+    * back to their original types on the way out.
+    */
+  def goldenRecord(
+      resolved: DataFrame,
+      entityCol: String,
+      modeFields: Seq[String] = Nil,
+      longestFields: Seq[String] = Nil,
+      newestFields: Seq[(String, String)] = Nil): DataFrame = {
+    require(
+      modeFields.nonEmpty || longestFields.nonEmpty || newestFields.nonEmpty,
+      "goldenRecord needs at least one survivorship field")
+    require(
+      (modeFields ++ longestFields ++ newestFields.map(_._1)).distinct.size ==
+        modeFields.size + longestFields.size + newestFields.size,
+      "a field may appear under exactly one survivorship policy")
+    val schema = resolved.schema
+    val stackFields = modeFields ++ longestFields
+
+    val base = resolved.groupBy(col(entityCol).as("__ent"))
+      .agg(count(lit(1)).as("n_members"))
+
+    val picked: Option[DataFrame] = if (stackFields.isEmpty) None else {
+      val stacked = resolved
+        .select(
+          col(entityCol).as("__ent"),
+          explode(array(stackFields.map(f =>
+            struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*)).as("__fv"))
+        .select(col("__ent"), col("__fv.f").as("__field"), col("__fv.v").as("__value"))
+        .filter(col("__value").isNotNull)
+      val counted = stacked
+        .groupBy("__ent", "__field", "__value").agg(count(lit(1)).as("__cnt"))
+      val grain = org.apache.spark.sql.expressions.Window
+        .partitionBy("__ent", "__field")
+      val wMode = grain.orderBy(col("__cnt").desc, col("__value").asc)
+      val wLong = grain.orderBy(length(col("__value")).desc, col("__value").asc)
+      val modePick = counted.filter(col("__field").isin(modeFields: _*))
+        .withColumn("__rn", row_number().over(wMode))
+      val longPick = counted.filter(col("__field").isin(longestFields: _*))
+        .withColumn("__rn", row_number().over(wLong))
+      val winners = modePick.unionByName(longPick).filter(col("__rn") === 1)
+      val pivotAggs = stackFields.map(f =>
+        max(when(col("__field") === f, col("__value")))
+          .cast(schema(f).dataType).as(f))
+      Some(winners.groupBy("__ent").agg(pivotAggs.head, pivotAggs.tail: _*))
+    }
+
+    val newest: Option[DataFrame] = if (newestFields.isEmpty) None else {
+      val aggs = newestFields.map { case (f, ord) =>
+        max(struct(col(ord).as("o"), col(f).as("v"))).getField("v").as(f)
+      }
+      Some(resolved.groupBy(col(entityCol).as("__ent"))
+        .agg(aggs.head, aggs.tail: _*))
+    }
+
+    val joined = Seq(picked, newest).flatten
+      .foldLeft(base)((acc, d) => acc.join(d, Seq("__ent"), "left"))
+    val outCols = col("__ent").as(entityCol) +: col("n_members") +:
+      (stackFields ++ newestFields.map(_._1)).map(col)
+    joined.select(outCols: _*)
+  }
 }

@@ -128,4 +128,45 @@ class EntityResolutionSpec extends SparkSpec {
       s"chain 1-2-3 must share entity 1: $got")
     assert(got(9L) == 9L, s"singleton keeps its own id: $got")
   }
+
+  test("goldenRecord: every tie resolves deterministically; nulls never survive mode/longest") {
+    import spark.implicits._
+    // one 4-row entity engineered so every policy hits its tie rule,
+    // plus a singleton and an all-null-field entity
+    val resolved = Seq(
+      // (id, entity, kind, name, price, version)
+      (1L, 10L, "beta", "aaaa", 5.0, 1L),
+      (2L, 10L, "alpha", "bbbb", 7.0, 3L),
+      (3L, 10L, "beta", "cc", 6.0, 2L),
+      (4L, 10L, "alpha", null.asInstanceOf[String], 9.0, 0L),
+      (5L, 50L, "solo", "x", 1.0, 9L),
+      (6L, 60L, null.asInstanceOf[String], null.asInstanceOf[String], 2.0, 5L)
+    ).toDF("id", "entity_id", "kind", "name", "price", "version")
+    val g = goldenRecord(resolved, "entity_id",
+      modeFields = Seq("kind"), longestFields = Seq("name"),
+      newestFields = Seq(("price", "version")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val e10 = g(10L)
+    assert(e10.getLong(1) == 4L, "n_members counts every member row")
+    // mode tie: alpha x2 vs beta x2 → smallest value wins
+    assert(e10.getString(2) == "alpha", s"mode count tie must break to smallest value: $e10")
+    // longest tie: aaaa vs bbbb (len 4) → smallest value; null never competes
+    assert(e10.getString(3) == "aaaa", s"longest length tie must break to smallest value: $e10")
+    // newest: version 3 row carries price 7.0 (not the max price 9.0)
+    assert(e10.getDouble(4) == 7.0, s"newest must follow the order column, not the value: $e10")
+
+    assert(g(50L).getLong(1) == 1L && g(50L).getString(2) == "solo" &&
+      g(50L).getString(3) == "x" && g(50L).getDouble(4) == 1.0)
+    // all-null fields: survivors null, entity still present
+    assert(g(60L).isNullAt(2) && g(60L).isNullAt(3) && g(60L).getDouble(4) == 2.0)
+
+    // determinism under reshuffled input order
+    val shuffled = goldenRecord(resolved.orderBy(rand(7)).repartition(5), "entity_id",
+      modeFields = Seq("kind"), longestFields = Seq("name"),
+      newestFields = Seq(("price", "version")))
+    assert(shuffled.orderBy("entity_id").collect().toSeq ==
+      goldenRecord(resolved, "entity_id", Seq("kind"), Seq("name"),
+        Seq(("price", "version"))).orderBy("entity_id").collect().toSeq)
+  }
 }
