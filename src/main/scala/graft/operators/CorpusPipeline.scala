@@ -97,8 +97,16 @@ object CorpusPipeline {
       maxRepetition: Double = 0.9,
       evalDocs: Option[DataFrame] = None,
       chunk: Option[(Int, Int)] = None,
-      splitBy: Option[(String, Seq[(String, Double)])] = None): DataFrame = {
-    val scrubbed = docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      splitBy: Option[(String, Seq[(String, Double)])] = None,
+      htmlInput: Boolean = false): DataFrame = {
+    // stage 0 when the input is a crawl: markup → main text (map-only,
+    // HtmlText's block-segmented link-density extraction); pages whose
+    // every block was boilerplate vanish here, before any text gate
+    val textual =
+      if (!htmlInput) docs
+      else docs.withColumn(textCol, HtmlText.extractText(col(textCol)))
+        .filter(length(col(textCol)) > 0)
+    val scrubbed = textual.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .filter(TextAnalysis.repetitionRatio(col(textCol)) <= maxRepetition)
     val cleaned = clean(scrubbed, idCol, textCol, cfg)
     val decontaminated = evalDocs

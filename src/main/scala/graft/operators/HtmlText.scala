@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML→text extraction — the step BEFORE every text gate when the
+  * corpus input is a crawl. Three stages, the boilerpipe/jusText shape
+  * reduced to pure column expressions:
+  *
+  *  1. strip non-content regions wholesale (comments, script, style,
+  *     noscript, head);
+  *  2. segment into BLOCKS at block-level tag boundaries (p, div, li,
+  *     table cells, headings, …) — the grain at which boilerplate
+  *     decisions are made;
+  *  3. keep a block only if its visible text is long enough
+  *     (`minChars`) AND its link density — visible characters inside
+  *     `<a>` anchors over all visible characters — is at or below
+  *     `maxLinkDensity` (nav bars, footers, and "related links" rows
+  *     are link-dense; prose is not — the classic link-density
+  *     boilerplate rule).
+  *
+  * Surviving blocks are entity-decoded, whitespace-collapsed, and
+  * joined with newlines.
+  *
+  * Everything is regex in the Java∩RE2 subset (inline `(?is)` flags,
+  * non-greedy repetition, NO lookaround, NO backreferences — the
+  * closing tag of a stripped region is matched independently of its
+  * opener), so DuckDB replays every stage character-identically: that
+  * is what makes the q187 oracle hash-exact. Explicit `[ \t\r\n]`
+  * classes instead of `\s` (Java's `\s` includes `\x0B`, RE2's does
+  * not). Map-only: no shuffle, no UDF, stays inside whole-stage
+  * codegen via the string/array HOF expressions.
+  *
+  * This is an extractor for the regex-expressible 90%: malformed
+  * nesting degrades gracefully (an unclosed `<script>` swallows to the
+  * next `</script>` in BOTH engines identically) rather than erroring.
+  */
+object HtmlText {
+
+  /** Block-level elements: a close OR open of any of these ends the
+    * current text block. Tag-name boundary is explicit (`>`, blank, or
+    * `/`) so e.g. `<param>` does not match `p`.
+    */
+  private val blockTagAlt =
+    "p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|" +
+      "section|article|aside|header|footer|nav|main|blockquote|pre|form|fieldset|" +
+      "figure|figcaption|hr|br"
+  private val blockTagRe = s"(?is)</?($blockTagAlt)(>|[ \t\r\n/][^>]*>)"
+
+  /** Comments, scripts, styles, noscript, and the whole head removed
+    * wholesale — their text is never content.
+    */
+  def stripNonContent(html: Column): Column = {
+    val steps = Seq(
+      "(?s)<!--.*?-->",
+      "(?is)<script(>|[ \t\r\n/][^>]*>).*?</script>",
+      "(?is)<style(>|[ \t\r\n/][^>]*>).*?</style>",
+      "(?is)<noscript(>|[ \t\r\n/][^>]*>).*?</noscript>",
+      "(?is)<head(>|[ \t\r\n/][^>]*>).*?</head>")
+    steps.foldLeft(html)((c, re) => regexp_replace(c, re, ""))
+  }
+
+  /** The five HTML entities that appear in text-bearing attributes and
+    * prose everywhere; `&amp;` decoded LAST so `&amp;lt;` yields the
+    * literal `&lt;` (single-pass decode semantics).
+    */
+  def decodeEntities(text: Column): Column = {
+    val steps = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(text) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+  }
+
+  /** Visible text of an HTML fragment: tags stripped, entities
+    * decoded, whitespace collapsed, trimmed.
+    */
+  def visibleText(fragment: Column): Column =
+    trim(regexp_replace(
+      decodeEntities(regexp_replace(fragment, "<[^>]*>", "")),
+      "[ \t\r\n]+", " "))
+
+  /** Raw blocks (tag soup still inside): non-content stripped, source
+    * whitespace flattened (HTML newlines are insignificant — this
+    * deliberately forfeits `<pre>` verbatim layout), then split at
+    * block-tag boundaries.
+    */
+  def rawBlocks(html: Column): Column =
+    split(
+      regexp_replace(
+        regexp_replace(stripNonContent(html), "[\r\n\t]", " "),
+        blockTagRe, "\n"),
+      "\n")
+
+  /** Characters of visible text inside `<a>` anchors of a raw block. */
+  private def linkChars(block: Column): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(block, lit("(?is)<a(>|[ \t\r\n/][^>]*>)(.*?)</a>"), lit(2)),
+        l => length(visibleText(l))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Extracted main text: surviving blocks joined with newlines; empty
+    * string when nothing survives (filter on it, don't gate on null).
+    */
+  def extractText(
+      html: Column,
+      minChars: Int = 25,
+      maxLinkDensity: Double = 0.5): Column =
+    array_join(
+      transform(keptBlocks(html, minChars, maxLinkDensity), visibleText(_)),
+      "\n")
+
+  /** The raw blocks that pass both boilerplate gates — exposed so
+    * callers can count kept/dropped blocks or inspect densities.
+    */
+  def keptBlocks(
+      html: Column,
+      minChars: Int = 25,
+      maxLinkDensity: Double = 0.5): Column =
+    filter(rawBlocks(html), b => {
+      val txtLen = length(visibleText(b))
+      txtLen >= minChars &&
+        linkChars(b).cast("double") <= lit(maxLinkDensity) * txtLen.cast("double")
+    })
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, Classify, Dedup, EntityResolution, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis, WebOps}
+import graft.operators.{Bpe, Classify, Dedup, EntityResolution, HtmlText, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis, WebOps}
 import graft.quality.Privacy
 
 /** One declared operator: name, Spark implementation, optional DuckDB
@@ -3555,6 +3555,118 @@ object Inventory {
         WHERE rk <= 3
         ORDER BY domain, doc_id""")),
 
+    Q("q187_html_extract",
+      (s, dir) => {
+        // HTML→text extraction over a deterministic synthetic page per
+        // document (the corpus stores extracted text, not markup; both
+        // engines build the identical string, then replay the identical
+        // Java∩RE2 regex pipeline): non-content strip → block
+        // segmentation → minChars + link-density boilerplate gates.
+        // Nav / related-links / footer blocks drop as link-dense, the
+        // document body and the long editorial tail survive, entities
+        // decode. Composes WebOps.canonicalizeUrl for the provenance
+        // key, the crawl-pipeline pairing.
+        val did = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style></head><body>"),
+          lit("<nav><a href=\"/\">Home navigation link</a> " +
+            "<a href=\"/arc\">Archive of everything</a></nav>"),
+          lit("<h1>Document number "), did,
+          lit(" retrieved from source "), col("source"), lit(" &amp; friends</h1>"),
+          lit("<p>"), col("text"), lit("</p>"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("<div class=\"rel\"><a href=\"/r1\">Read the related story here</a> " +
+              "<a href=\"/r2\">And another related one</a></div>"))
+            .otherwise(
+              lit("<p>Closing editorial remark long enough to clear the gate.</p>")),
+          lit("<footer><a href=\"/tos\">Terms</a> <a href=\"/p\">Privacy</a></footer>"),
+          lit("<script>track()</script></body></html>"))
+        val url = concat(lit("HTTPS://"), col("source"),
+          lit(".Example.COM:443/doc/"), did, lit("?utm_source=mail"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("html", html)
+          .select(
+            col("doc_id"),
+            WebOps.canonicalizeUrl(url).as("canonical_url"),
+            HtmlText.extractText(col("html")).as("extracted"),
+            size(HtmlText.keptBlocks(col("html"))).cast("long").as("n_blocks"))
+          .withColumn("n_chars_out", length(col("extracted")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, source,
+            '<html><head><title>T</title><style>p{color:red}</style></head><body>'
+            || '<nav><a href="/">Home navigation link</a> <a href="/arc">Archive of everything</a></nav>'
+            || '<h1>Document number ' || CAST(doc_id AS VARCHAR)
+            || ' retrieved from source ' || source || ' &amp; friends</h1>'
+            || '<p>' || text || '</p>'
+            || CASE WHEN doc_id % 3 = 0
+               THEN '<div class="rel"><a href="/r1">Read the related story here</a> <a href="/r2">And another related one</a></div>'
+               ELSE '<p>Closing editorial remark long enough to clear the gate.</p>' END
+            || '<footer><a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'
+            || '<script>track()</script></body></html>' AS html
+          FROM documents),
+        stripped AS (
+          SELECT doc_id, source,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?s)<!--.*?-->', '', 'g'),
+              '(?is)<script(>|[ \t\r\n/][^>]*>).*?</script>', '', 'g'),
+              '(?is)<style(>|[ \t\r\n/][^>]*>).*?</style>', '', 'g'),
+              '(?is)<noscript(>|[ \t\r\n/][^>]*>).*?</noscript>', '', 'g'),
+              '(?is)<head(>|[ \t\r\n/][^>]*>).*?</head>', '', 'g') AS s
+          FROM h),
+        blocked AS (
+          SELECT doc_id, source,
+            string_split_regex(
+              regexp_replace(
+                regexp_replace(s, '[\r\n\t]', ' ', 'g'),
+                '(?is)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|pre|form|fieldset|figure|figcaption|hr|br)(>|[ \t\r\n/][^>]*>)',
+                chr(10), 'g'),
+              '\n') AS blks
+          FROM stripped),
+        b AS (
+          SELECT doc_id, i, blks[i] AS blk
+          FROM blocked, LATERAL (SELECT unnest(range(1, len(blks) + 1)) AS i)),
+        -- visible text: tags stripped, entities decoded (&amp; LAST),
+        -- whitespace collapsed, trimmed — the Spark expression verbatim
+        vis AS (
+          SELECT doc_id, i, blk,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(blk, '<[^>]*>', '', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')) AS txt
+          FROM b),
+        lc AS (
+          SELECT doc_id, i,
+            coalesce(list_sum([len(trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(l, '<[^>]*>', '', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')))
+              for l in regexp_extract_all(blk, '(?is)<a(>|[ \t\r\n/][^>]*>)(.*?)</a>', 2)]), 0) AS linkchars
+          FROM vis),
+        kept AS (
+          SELECT v.doc_id, v.i, v.txt
+          FROM vis v JOIN lc USING (doc_id, i)
+          WHERE len(v.txt) >= 25 AND linkchars <= 0.5 * len(v.txt)),
+        agg AS (
+          SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS extracted,
+            count(*) AS n_blocks
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+          'https://' || d.source || '.example.com/doc/' || CAST(d.doc_id AS VARCHAR)
+            AS canonical_url,
+          coalesce(a.extracted, '') AS extracted,
+          coalesce(a.n_blocks, 0) AS n_blocks,
+          CAST(len(coalesce(a.extracted, '')) AS BIGINT) AS n_chars_out
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's
@@ -4168,5 +4280,6 @@ object Inventory {
     "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate",
     "q177_jaccard_prefix_join", "q178_record_linkage",
     "q179_entity_resolution", "q186_golden_record", "q180_k_anonymity",
-    "q182_linkage_incremental", "q183_gopher_quality")
+    "q182_linkage_incremental", "q183_gopher_quality", "q184_url_canonical",
+    "q185_domain_cap", "q187_html_extract")
 }

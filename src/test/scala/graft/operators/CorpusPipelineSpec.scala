@@ -58,6 +58,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(whole.columns.contains("quality"))
   }
 
+  test("prepare htmlInput=true: markup is extracted before every text stage") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the open field toward the river every single morning"
+    val pages = Seq(
+      (1L, s"<html><body><nav><a href='/'>Home page link row</a></nav><p>$body</p></body></html>"),
+      (2L, "<html><body><div><a href='/x'>only boilerplate links live here on this page</a></div></body></html>")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(pages, htmlInput = true,
+      cfg = CorpusPipeline.Config(minTokens = 5, minQuality = 0.0, langs = Seq("en", "und")))
+    val rows = out.select("doc_id", "text").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L), "all-boilerplate page vanishes at stage 0")
+    assert(rows.head.getString(1) == body, "markup stripped before annotation saw the text")
+  }
+
   test("prepare with splitBy: chunks inherit the group's split, no straddling") {
     val chunks = CorpusPipeline.prepare(docs, chunk = Some((64, 8)),
       splitBy = Some(("source", Seq("train" -> 0.5, "test" -> 0.5))))
