@@ -125,6 +125,24 @@ object Bpe {
     * loop is primitive string work (same judgment call as the
     * multimodal codecs).
     */
+  /** Native codegen twin of [[encodeUdf]]: the same greedy merge loop
+    * as a whole-stage-codegen expression over an EXPLICITLY broadcast
+    * rank table (`functions.BpeEncode`, the NbScore pattern) — no
+    * ScalaUDF encoder round-trip per row, no closure re-serialization
+    * per task. Null text encodes to the empty array, matching the UDF.
+    * Prefer this for corpus-wide encoding; the UDF twin stays as the
+    * readable semantic reference and parity anchor.
+    */
+  def encodeNative(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): Column => Column = {
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.BpeEncode.model(merges, EndOfWord))
+    c =>
+      when(c.isNull, array().cast("array<string>"))
+        .otherwise(org.apache.spark.sql.graft.NativeExprs.bpeEncode(c, bc))
+  }
+
   def encodeUdf(merges: Seq[(String, String)]): Column => Column = {
     val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
     val enc = udf { (text: String) =>

@@ -423,6 +423,39 @@ case class LmScoreExpr(
     copy(child = newChild)
 }
 
+/** Greedy-by-priority BPE encoding against a broadcast merge-rank table
+  * (graft.functions.BpeEncode.encode) — the codegen twin of
+  * graft.operators.Bpe.encodeUdf, removing the ScalaUDF
+  * encoder-roundtrip from the hot map stage when a trained vocabulary
+  * is applied corpus-wide. Value parity is pinned by BpeSpec.
+  */
+case class BpeEncodeExpr(
+    child: Expression,
+    ranksBc: Broadcast[graft.functions.BpeEncode.RankModel])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.BpeEncode.encode(
+      input.asInstanceOf[UTF8String], ranksBc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bpeRanksBc", ranksBc, classOf[Broadcast[_]].getName)
+    val ranksVar = ctx.addMutableState(
+      "graft.functions.BpeEncode.RankModel", "graftBpeRanks",
+      v => s"$v = (graft.functions.BpeEncode.RankModel) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode.encode($c, $ranksVar);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
 /** One-pass Naive Bayes scoring against a broadcast micro-unit model
   * (graft.functions.NbScore.score) — the map-only, shuffle-free twin of
   * graft.operators.Classify.nbScore, which is what lets the classifier
@@ -533,4 +566,10 @@ object NativeExprs {
       text: Column,
       model: Broadcast[graft.functions.NbScore.MicroModel]): Column =
     ExpressionUtils.column(NbScoreExpr(ExpressionUtils.expression(text), model))
+
+  /** Column-level entry for BpeEncodeExpr. */
+  def bpeEncode(
+      text: Column,
+      ranks: Broadcast[graft.functions.BpeEncode.RankModel]): Column =
+    ExpressionUtils.column(BpeEncodeExpr(ExpressionUtils.expression(text), ranks))
 }

@@ -48,6 +48,25 @@ class BpeSpec extends SparkSpec {
     assert(unseen == Seq("z", "q", "</w>"))
   }
 
+  test("native encode expression is value-identical to the UDF over the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Bpe.train(docs, "text", numMerges = 40)
+    val udfEnc = Bpe.encodeUdf(merges)
+    val natEnc = Bpe.encodeNative(spark, merges)
+    val mism = docs
+      .select(col("doc_id"), udfEnc(col("text")).as("u"), natEnc(col("text")).as("n"))
+      .filter(col("u") =!= col("n"))
+      .count()
+    assert(mism == 0L, "every document must encode identically in both paths")
+    // null + empty + unseen-word edges agree too
+    val edges = Seq((1, null.asInstanceOf[String]), (2, ""), (3, "  "), (4, "zq lowest"))
+      .toDF("i", "text")
+    val got = edges
+      .select(col("i"), udfEnc(col("text")).as("u"), natEnc(col("text")).as("n"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2), s"row $r"))
+  }
+
   test("minPairCount stops before rare merges; maxTypes caps driver state deterministically") {
     // every pair occurs once → nothing reaches minPairCount=2
     val rare = Seq(("ab cd", 1)).toDF("text", "i")
