@@ -2418,6 +2418,81 @@ object Inventory {
           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
         FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    Q("q188_lake_maintenance",
+      (s, dir) => {
+        // the WHOLE lake maintenance loop as one declared scenario
+        // (round-6 directive; each stage also pinned individually by
+        // LakeSpec/StreamingLakeSpec): exactly-once upsert feed (the
+        // streaming sink's batch form, incl. a replayed batch id that
+        // must be a version-less no-op) → CHECK constraint gate (a
+        // violating batch aborts pre-manifest; caught and the loop
+        // continues) → incrementally maintained aggregate advanced
+        // after every commit → z-order compaction (layout-only; the
+        // change feed is empty so the IVM must not move) → time-travel
+        // audit (v1 row count captured from manifest stats) → vacuum
+        // (physical cleanup; the final read below runs AFTER it).
+        // Oracle: latest-wins upsert + per-status GROUP BY + base
+        // count, all in plain SQL — every maintenance stage must be
+        // data-invisible or the hash breaks.
+        val root = java.nio.file.Files.createTempDirectory("graft-q188").toString
+        val aggRoot = java.nio.file.Files.createTempDirectory("graft-q188-agg").toString
+        val tbl = graft.lake.VersionedTable(root, "o_orderkey",
+          statsCols = Seq("o_totalprice"),
+          checks = Seq("o_totalprice >= 0"))
+        val m = new graft.lake.MaterializedAgg(
+          tbl, aggRoot, Seq("o_orderstatus"), Seq("o_totalprice"))
+        val orders = t(s, dir, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val upd = orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus"))
+        tbl.upsertIfNew(base.repartitionByRange(4, col("o_orderkey")), "maint", 0L)
+        m.refresh(s)
+        tbl.upsertIfNew(upd, "maint", 1L)
+        m.refresh(s)
+        tbl.upsertIfNew(upd, "maint", 1L) // replay: no version, no effect
+        m.refresh(s)
+        try
+          tbl.merge(orders.limit(1).select(col("o_orderkey"), col("o_custkey"),
+            lit(-1.0).as("o_totalprice"), lit("X").as("o_orderstatus")))
+        catch { case _: IllegalArgumentException => () }
+        tbl.compactZOrder(s, Seq("o_orderkey", "o_totalprice"), targetFiles = 4)
+        m.refresh(s)
+        val v1Rows = tbl.tableCount(Some(1)) // manifest-only time travel
+        tbl.vacuum(retainVersions = 1)
+        val ivm = m.read(s).select(col("o_orderstatus"),
+          col("cnt").as("status_cnt"),
+          col("sum_o_totalprice").cast("double").as("status_sum"))
+        tbl.read(s)
+          .join(ivm, Seq("o_orderstatus"))
+          .withColumn("v1_rows", lit(v1Rows))
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+            "status_cnt", "status_sum", "v1_rows")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 3 = 0),
+        upd AS (
+          SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+            'U' AS o_orderstatus
+          FROM orders WHERE o_orderkey % 5 = 0),
+        final AS (
+          SELECT * FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+          UNION ALL SELECT * FROM upd),
+        agg AS (
+          SELECT o_orderstatus, count(*) AS status_cnt,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS status_sum
+          FROM final GROUP BY o_orderstatus)
+        SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, f.o_orderstatus,
+          a.status_cnt, a.status_sum,
+          (SELECT count(*) FROM base) AS v1_rows
+        FROM final f JOIN agg a USING (o_orderstatus)
+        ORDER BY f.o_orderkey""")),
+
     Q("q159_upsample_mix",
       (s, dir) =>
         // token-budget UPSAMPLING (rates past 1.0 — the epoch-weight
@@ -4273,6 +4348,7 @@ object Inventory {
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
     "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
+    "q188_lake_maintenance",
     "q162_fuzz_lateral", "q163_image_neardup",
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
     "q168_semantic_multiprobe", "q169_cluster_quality",
