@@ -25,4 +25,18 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   def sf: String = SparkSpec.sf
+
+  /** Epoch seconds from the events table's `ts`, whichever physical
+    * type the fixture generation stored (TIMESTAMP(NANOS) read as nanos
+    * BIGINT under nanosAsLong, or TIMESTAMP(MICROS) read as
+    * TIMESTAMP_NTZ) — the test-side twin of Inventory's events()
+    * normalization.
+    */
+  def tsSecExpr(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("ts div 1000000000")
+      case _ =>
+        org.apache.spark.sql.functions.expr("cast(cast(ts as timestamp) as bigint)")
+    }
 }

@@ -89,8 +89,8 @@ class AsofJoinSpec extends SparkSpec {
 
   test("matches DuckDB-style asof semantics on the events table") {
     // each 'click' gets the most recent prior-or-equal 'view' value per user
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val ev = { val raw = spark.read.parquet(s"$sf/events.parquet")
+      raw.withColumn("ts_sec", tsSecExpr(raw)) }
     val clicks = ev.filter(col("event_type") === "click")
       .select("user_id", "event_id", "ts_sec")
     val views = ev.filter(col("event_type") === "view")

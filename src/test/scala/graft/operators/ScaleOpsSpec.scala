@@ -290,8 +290,8 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("binnedIntervalJoin equals the naive predicate join on corpus data") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val ev = { val raw = spark.read.parquet(s"$sf/events.parquet")
+      raw.withColumn("ts_sec", tsSecExpr(raw)) }
     val sessions = Sessionize.sessions(ev, "ts_sec", "event_id", gapSeconds = 1800L)
     val purchases = ev.filter($"event_type" === "purchase")
       .select("user_id", "event_id", "ts_sec")
@@ -382,8 +382,8 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("hll sketch rollup: merged estimate tracks exact distinct counts") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("day", expr("(ts div 1000000000) div 86400"))
+    val ev = { val raw = spark.read.parquet(s"$sf/events.parquet")
+      raw.withColumn("day", (tsSecExpr(raw) / 86400).cast("long")) }
     // fine-grained sketches per (type, day), rolled up to type
     val parts = ScaleOps.hllRollup(ev, Seq("event_type", "day"), "user_id")
     val est = ScaleOps.hllMergeEstimate(parts, Seq("event_type"))

@@ -91,8 +91,8 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("corpus events sessionize without nulls and cover all users") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val events = { val raw = spark.read.parquet(s"$sf/events.parquet")
+      raw.withColumn("ts_sec", tsSecExpr(raw)) }
     val sess = Sessionize.sessions(events, "ts_sec", "event_id", 1800L)
     assert(sess.filter(col("session_idx").isNull).count() == 0)
     assert(

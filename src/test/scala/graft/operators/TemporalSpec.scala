@@ -115,8 +115,8 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("corpus events: every user has exactly one current row and contiguous intervals") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val ev = { val raw = spark.read.parquet(s"$sf/events.parquet")
+      raw.withColumn("ts_sec", tsSecExpr(raw)) }
     // pre-dedup to one row per (user, second) — scd2's precondition
     val one = ev.withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
