@@ -281,6 +281,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("lm_score"), s"native scorer missing:\n$plan")
   }
 
+  test("q187: html extraction is map-only — no join, no exchange, no UDF") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val extracted = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.operators.HtmlText.extractText(
+        org.apache.spark.sql.functions.col("text")).as("t"))
+    val plan = planString(extracted)
+    assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"extraction must not join:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"extraction must stay in native expressions:\n$plan")
+  }
+
+  test("q186: golden-record shuffles carry (entity, field, value) triples, never full rows") {
+    // the stacked frame drops every non-surviving column BEFORE its
+    // count aggregation — the exchange that sizes with values must not
+    // haul the table's other fields
+    val root = run("q186_golden_record").queryExecution.executedPlan
+    val unwrapped = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"no ShuffleExchangeExec found:\n$unwrapped")
+    val stacked = exchanges.filter(_.child.output.exists(_.name == "__value"))
+    assert(stacked.nonEmpty, s"stacked survivorship exchange missing:\n$unwrapped")
+    stacked.foreach { e =>
+      val names = e.child.output.map(_.name).toSet
+      assert(names.forall(n => n.startsWith("__") || n.startsWith("_w") || n == "count"),
+        s"stacked exchange must carry only the survivorship triple, got $names")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
