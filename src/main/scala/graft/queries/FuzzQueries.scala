@@ -8,12 +8,13 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 320 query cases over `orders`/`lineitem`/`documents`
+  * A seeded generator produces 340 query cases over `orders`/`lineitem`/`documents`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions, rollup/cube/grouping-sets,
   * date/interval arithmetic, NULL semantics, string functions over
   * prose, decimal arithmetic + correlated scalar subqueries, LATERAL
-  * derived tables, FILTER-clause aggregates). Each case is rendered
+  * derived tables, FILTER-clause aggregates, explicit ROWS/RANGE
+  * window frames). Each case is rendered
   * TWICE from one AST:
   *
   *  1. a SQL string in a deliberately dialect-neutral subset (runs
@@ -29,8 +30,8 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 320
-  * summaries are UNION ALL'd into fourteen declared bundles (by family)
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 340
+  * summaries are UNION ALL'd into fifteen declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
   * correctness gate hash-compares all 300 against DuckDB, while
   * FuzzSpec cross-checks SQL-vs-DSL inside `sbt test`.
@@ -55,6 +56,7 @@ object FuzzQueries {
   val nDecCorr = 20
   val nLateral = 20
   val nFilter = 20
+  val nFrame = 20
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -1121,6 +1123,72 @@ object FuzzQueries {
     * `countDistinct(when(p, x))` — NULLs drop out), so a disagreement
     * localizes Spark's FILTER path against both DuckDB and the rewrite.
     */
+  /** Family O — explicit window FRAMES: running/sliding aggregates
+    * under ROWS/RANGE BETWEEN bounds. ROWS frames ride a TOTAL order
+    * (unique tiebreak appended) so frame membership is deterministic;
+    * the RANGE variant orders by a single numeric column where peers
+    * join the frame by VALUE — both engines must agree on the frame
+    * extent of every row AND on the decimal-exact sums inside it. The
+    * per-row framed sums then collapse through the house summary
+    * (exact DECIMAL outer sum → one DOUBLE cast).
+    */
+  private def frameCase(id: String, rng: scala.util.Random): FuzzCase = {
+    val table = if (rng.nextBoolean()) "orders" else "lineitem"
+    val pred = predicate(table, rng)
+    val part = groupFrag(table, rng)
+    val (c, sc) = aggCol(table, rng)
+    val k = 1 + rng.nextInt(5)
+    val variant = rng.nextInt(4)
+    val desc_ = rng.nextBoolean()
+    val (sort, keys) = sortFrag(table, rng)
+    val rangeCol = if (table == "orders") "o_custkey" else "l_partkey"
+
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    val dirSql = if (desc_) "DESC" else "ASC"
+    val tiebreakSql = keys.map(k0 => s"$k0 ASC").mkString(", ")
+    def rowsOrder: WindowSpec = {
+      val sortCol = if (desc_) sort.mk().desc else sort.mk().asc
+      Window.partitionBy(part.mk())
+        .orderBy((sortCol +: keys.map(col(_).asc)).toIndexedSeq: _*)
+    }
+    val (orderSql, frameSql, spec) = variant match {
+      case 0 => (s"${sort.sql} $dirSql, $tiebreakSql",
+        s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW",
+        rowsOrder.rowsBetween(-k, 0))
+      case 1 => (s"${sort.sql} $dirSql, $tiebreakSql",
+        s"ROWS BETWEEN CURRENT ROW AND $k FOLLOWING",
+        rowsOrder.rowsBetween(0, k))
+      case 2 => (s"$rangeCol ASC",
+        s"RANGE BETWEEN ${k * 100} PRECEDING AND CURRENT ROW",
+        Window.partitionBy(part.mk()).orderBy(col(rangeCol).asc)
+          .rangeBetween(-k * 100L, 0L))
+      case _ => (s"${sort.sql} $dirSql, $tiebreakSql",
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND $k FOLLOWING",
+        rowsOrder.rowsBetween(Window.unboundedPreceding, k))
+    }
+    FuzzCase(id, table,
+      s"""SELECT '$id' AS fq, count(*) AS n_rows,
+           CAST(sum(fs) AS DOUBLE) AS agg,
+           CAST(sum(fc) AS BIGINT) AS aux
+         FROM (
+           SELECT
+             sum(CAST($c AS DECIMAL(28,$sc))) OVER w AS fs,
+             count(*) OVER w AS fc
+           FROM $table WHERE ${pred.sql}
+           WINDOW w AS (PARTITION BY ${part.sql} ORDER BY $orderSql $frameSql)
+         ) __f""",
+      ts =>
+        ts(table).filter(pred.mk())
+          .select(
+            sum(col(c).cast(DecimalType(28, sc))).over(spec).as("fs"),
+            count(lit(1)).over(spec).as("fc"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("fs")).cast("double").as("agg"),
+            sum(col("fc")).cast("long").as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+  }
+
   private def filterCase(id: String, rng: scala.util.Random): FuzzCase = {
     val outer = predicate("lineitem", rng)
     val p1 = predicate("lineitem", rng)
@@ -1208,7 +1276,8 @@ object FuzzQueries {
       if (i % 2 == 0) decimalCase(f"fzL$i%03d", rng) else correlCase(f"fzL$i%03d", rng))
     val laterals = (0 until nLateral).map(i => lateralCase(f"fzM$i%03d", rng))
     val filters = (0 until nFilter).map(i => filterCase(f"fzN$i%03d", rng))
-    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs ++ laterals ++ filters
+    val frames = (0 until nFrame).map(i => frameCase(f"fzO$i%03d", rng))
+    scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs ++ laterals ++ filters ++ frames
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'
@@ -1229,7 +1298,8 @@ object FuzzQueries {
     "q133_fuzz_string_text" -> cases.filter(_.id.startsWith("fzK")),
     "q143_fuzz_decimal_correlated" -> cases.filter(_.id.startsWith("fzL")),
     "q162_fuzz_lateral" -> cases.filter(_.id.startsWith("fzM")),
-    "q167_fuzz_filter_agg" -> cases.filter(_.id.startsWith("fzN")))
+    "q167_fuzz_filter_agg" -> cases.filter(_.id.startsWith("fzN")),
+    "q189_fuzz_frames" -> cases.filter(_.id.startsWith("fzO")))
 
   def bundleSql(cs: Seq[FuzzCase]): String =
     cs.map(c => s"(${c.sql})").mkString(

@@ -36,7 +36,8 @@ class FuzzSpec extends SparkSpec {
       FuzzQueries.nScan + FuzzQueries.nGroup + FuzzQueries.nTop +
         FuzzQueries.nJoin + FuzzQueries.nWin + FuzzQueries.nScalar + FuzzQueries.nSetop +
         FuzzQueries.nRollup + FuzzQueries.nDate + FuzzQueries.nNull + FuzzQueries.nStr +
-        FuzzQueries.nDecCorr + FuzzQueries.nLateral + FuzzQueries.nFilter)
+        FuzzQueries.nDecCorr + FuzzQueries.nLateral + FuzzQueries.nFilter +
+        FuzzQueries.nFrame)
     assert(FuzzQueries.cases.map(_.id).distinct.size == FuzzQueries.cases.size)
     // lazy val caches, so regenerate through the private path: sql text
     // equality across two JVM-wide accesses plus a spot re-render
@@ -44,7 +45,7 @@ class FuzzSpec extends SparkSpec {
     assert(again == FuzzQueries.bundles.map { case (n, cs) => n -> FuzzQueries.bundleSql(cs) })
   }
 
-  test("all 320 cases: SQL and DataFrame-API programs agree row-for-row") {
+  test("all 340 cases: SQL and DataFrame-API programs agree row-for-row") {
     tables // register + cache the views before any spark.sql below
     val failures = FuzzQueries.cases.flatMap { c =>
       val viaSql = normalize(spark.sql(c.sql).head())
