@@ -159,6 +159,49 @@ object TextAnalysis {
     * <SSN>, not half a phone), email before IPv4 (domains with numeric
     * labels stay inside <EMAIL>).
     */
+  /** Luhn checksum validity of a candidate card number (separators
+    * allowed; 13–19 digits after stripping them — the issued-length
+    * band). Pure column arithmetic: per-digit doubling from the RIGHT
+    * with 9-wrap, one aggregate fold — no UDF, and the same loop
+    * replays in DuckDB as a list comprehension, which is what lets the
+    * q190 oracle validate REAL checksum semantics instead of a regex
+    * shape. The checksum is what separates a card number from any other
+    * 16-digit run (order ids, tracking numbers): a digit-run regex
+    * alone would redact those too.
+    */
+  def luhnValid(candidate: Column): Column = {
+    val d = regexp_replace(candidate, "[^0-9]", "")
+    val n = length(d)
+    val total = aggregate(
+      transform(sequence(lit(1), n), i => {
+        val dig = ascii(d.substr(i, lit(1))) - 48
+        val dbl = dig * 2
+        when(((n - i) % 2) === 1, when(dbl > 9, dbl - 9).otherwise(dbl))
+          .otherwise(dig)
+      }),
+      lit(0), (acc, x) => acc + x)
+    n >= 13 && n <= 19 && total % 10 === 0
+  }
+
+  /** Candidate card numbers in a text: digit runs of 13–19 (optionally
+    * ' '/'-' separated) bounded by non-digits. Java∩RE2 subset (no
+    * lookaround), so extraction replays cross-engine.
+    */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text,
+      lit("(^|[^0-9])((?:[0-9][ -]?){12,18}[0-9])([^0-9]|$)"), lit(2))
+
+  /** Redact every Luhn-VALID card number (literal replace per validated
+    * candidate, folded over the text); invalid candidates — order ids,
+    * tracking numbers — are left alone. Complements [[redactPii]]'s
+    * shape-only patterns with a checksum-verified one.
+    */
+  def redactCards(text: Column, placeholder: String = "<CARD>"): Column =
+    aggregate(
+      filter(cardCandidates(text), luhnValid(_)),
+      text,
+      (acc, c) => org.apache.spark.sql.functions.replace(acc, c, lit(placeholder)))
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(
       text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

@@ -3742,6 +3742,74 @@ object Inventory {
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id""")),
 
+    Q("q190_luhn_redact",
+      (s, dir) => {
+        // checksum-verified card redaction: candidates are 13–19-digit
+        // runs (separators allowed), but only Luhn-VALID ones redact —
+        // the oracle replays the actual mod-10 double-from-the-right
+        // arithmetic per candidate, not a regex shape. One card is
+        // injected per document (valid for even ids, off-by-one
+        // checksum otherwise; every 5th doc also gets a dash-separated
+        // valid MasterCard test number → two candidates).
+        val injected = concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit(" card 4111111111111111 end"))
+            .otherwise(lit(" card 4111111111111112 end")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" alt 5500-0055-5555-5559 tail")).otherwise(lit("")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), injected.as("t2"))
+          .select(
+            col("doc_id"),
+            size(TextAnalysis.cardCandidates(col("t2"))).cast("long").as("n_candidates"),
+            size(filter(TextAnalysis.cardCandidates(col("t2")),
+              TextAnalysis.luhnValid(_))).cast("long").as("n_valid"),
+            TextAnalysis.redactCards(col("t2")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 2 = 0 THEN ' card 4111111111111111 end'
+                    ELSE ' card 4111111111111112 end' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' alt 5500-0055-5555-5559 tail'
+                    ELSE '' END AS t2
+          FROM documents),
+        c AS (
+          SELECT doc_id, t2,
+            regexp_extract_all(t2,
+              '(^|[^0-9])((?:[0-9][ -]?){12,18}[0-9])([^0-9]|$)', 2) AS cands
+          FROM h),
+        cand AS (
+          SELECT doc_id, t2, i, cands[i] AS c0
+          FROM c, LATERAL (SELECT unnest(range(1, len(cands) + 1)) AS i)),
+        lu AS (
+          SELECT doc_id, t2, i, c0,
+            (len(d) BETWEEN 13 AND 19 AND
+             list_sum([CASE WHEN (len(d) - i2) % 2 = 1
+                 THEN CASE WHEN (ascii(d[i2]) - 48) * 2 > 9
+                      THEN (ascii(d[i2]) - 48) * 2 - 9
+                      ELSE (ascii(d[i2]) - 48) * 2 END
+                 ELSE ascii(d[i2]) - 48 END
+               for i2 in range(1, len(d) + 1)]) % 10 = 0) AS ok
+          FROM (SELECT *, regexp_replace(c0, '[^0-9]', '', 'g') AS d FROM cand)),
+        agg AS (
+          SELECT doc_id,
+            count(*) AS n_candidates,
+            count(*) FILTER (ok) AS n_valid,
+            list(c0 ORDER BY i) FILTER (ok) AS valids
+          FROM lu GROUP BY doc_id)
+        SELECT h.doc_id,
+          CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+          CAST(coalesce(a.n_valid, 0) AS BIGINT) AS n_valid,
+          CASE coalesce(len(a.valids), 0)
+            WHEN 0 THEN h.t2
+            WHEN 1 THEN replace(h.t2, a.valids[1], '<CARD>')
+            ELSE replace(replace(h.t2, a.valids[1], '<CARD>'), a.valids[2], '<CARD>')
+          END AS redacted
+        FROM h LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's
@@ -4357,5 +4425,5 @@ object Inventory {
     "q177_jaccard_prefix_join", "q178_record_linkage",
     "q179_entity_resolution", "q186_golden_record", "q180_k_anonymity",
     "q182_linkage_incremental", "q183_gopher_quality", "q184_url_canonical",
-    "q185_domain_cap", "q187_html_extract")
+    "q185_domain_cap", "q187_html_extract", "q190_luhn_redact")
 }

@@ -92,6 +92,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single == expect)
   }
 
+  test("luhn card redaction: checksum decides, separators allowed, non-cards survive") {
+    val df = Seq(
+      (1L, "pay 4111111111111111 now"),            // valid visa test number
+      (2L, "pay 4111111111111112 now"),            // checksum off by one
+      (3L, "pay 4111-1111-1111-1111 today"),       // separated, still valid
+      (4L, "order 123456789012 shipped"),          // 12 digits: too short, never a candidate
+      (5L, "a 4111111111111111 b 5500005555555559 c"), // two valid cards (visa + mc test numbers)
+      (6L, "no digits at all here")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.redactCards(col("text")).as("t"),
+        size(TextAnalysis.cardCandidates(col("text"))).as("nc"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L)._1 == "pay <CARD> now")
+    assert(got(2L)._1 == "pay 4111111111111112 now", "invalid checksum must NOT redact")
+    assert(got(3L)._1 == "pay <CARD> today")
+    assert(got(4L)._1 == "order 123456789012 shipped" && got(4L)._2 == 0)
+    assert(got(5L)._1 == "a <CARD> b <CARD> c", "every valid card redacts independently")
+    assert(got(6L)._1 == "no digits at all here")
+    // direct checksum pins
+    val v = Seq(("4111111111111111", true), ("4111111111111112", false),
+      ("5500005555555559", true), ("4111-1111-1111-1111", true))
+      .toDF("c", "want")
+    assert(v.filter(TextAnalysis.luhnValid(col("c")) =!= col("want")).isEmpty)
+  }
+
   test("annotate adds all analysis columns") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
     val ann = TextAnalysis.annotate(docs)
