@@ -47,6 +47,13 @@ object HtmlText {
       "figure|figcaption|hr|br"
   private val blockTagRe = s"(?is)</?($blockTagAlt)(>|[ \t\r\n/][^>]*>)"
 
+  /** Page title (visible text of the first `<title>` element) —
+    * extracted BEFORE [[stripNonContent]] discards the head. Empty
+    * string when absent, never null.
+    */
+  def extractTitle(html: Column): Column =
+    visibleText(regexp_extract(html, "(?is)<title(>|[ \t\r\n/][^>]*>)(.*?)</title>", 2))
+
   /** Comments, scripts, styles, noscript, and the whole head removed
     * wholesale — their text is never content.
     */

@@ -147,18 +147,32 @@ object TextAnalysis {
       st => st.getField("acc"))
   }
 
-  /** PII redaction — the scrub pass every training-data pipeline runs
-    * before text leaves the lake. Four conservative patterns (emails,
-    * SSN-shaped ids, US-style phone numbers, IPv4 addresses) replaced
-    * with typed placeholders. Deliberately restricted to the regex
-    * subset Java regex and RE2 agree on (no lookaround, no backrefs) so
-    * the operator is DuckDB-oracle-checkable (q102) and portable to
-    * RE2-based engines. Map-only; regexp_replace is codegen'd.
-    *
-    * Order matters: SSN before phone (a 3-2-4 digit group must become
-    * <SSN>, not half a phone), email before IPv4 (domains with numeric
-    * labels stay inside <EMAIL>).
+  /** Encoding-noise (mojibake) signal — the ftfy-class cleanup gate: a
+    * UTF-8 byte sequence decoded as Latin-1/cp1252 leaves fingerprint
+    * pairs ("Ã©" for é, "â€™" for ', "â€"" for —, a stray "Â" before
+    * punctuation/space). Counts those artifact sequences and the
+    * U+FFFD replacement char, normalized per 1000 characters (rounded
+    * 4dp so the ratio is engine-exact). A corpus gate drops or
+    * re-decodes docs above a small threshold; clean text scores 0.
+    * Pure regexp_count-style column arithmetic, Java∩RE2 subset.
     */
+  def encodingNoiseScore(text: Column): Column = {
+    // one alternative per double-decode artifact class, written with
+    // \\x{...} escapes -- the hex syntax Java regex and RE2 share:
+    //  - U+00C3 followed by a char in U+0080..U+00BF: a 2-byte UTF-8
+    //    sequence read back as Latin-1 (the "A-tilde + copyright"
+    //    ghost where an accented letter belonged)
+    //  - U+00E2 U+20AC: the cp1252 ghost of the U+2018..U+2026 smart
+    //    punctuation block
+    //  - U+00C2 before space/NBSP: the stray byte NBSP decodings leave
+    //  - U+FFFD: the replacement char a strict decoder already emitted
+    val artifact = "(\\x{00C3}[\\x{0080}-\\x{00BF}])|(\\x{00E2}\\x{20AC})|" +
+      "(\\x{00C2}[\\x{0020}\\x{00A0}])|(\\x{FFFD})"
+    val hits = size(split(text, artifact, -1)) - 1
+    when(text.isNull || length(text) === 0, 0.0)
+      .otherwise(round(hits.cast("double") * 1000.0 / length(text), 4))
+  }
+
   /** Luhn checksum validity of a candidate card number (separators
     * allowed; 13–19 digits after stripping them — the issued-length
     * band). Pure column arithmetic: per-digit doubling from the RIGHT
@@ -202,6 +216,18 @@ object TextAnalysis {
       text,
       (acc, c) => org.apache.spark.sql.functions.replace(acc, c, lit(placeholder)))
 
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before text leaves the lake. Four conservative patterns (emails,
+    * SSN-shaped ids, US-style phone numbers, IPv4 addresses) replaced
+    * with typed placeholders. Deliberately restricted to the regex
+    * subset Java regex and RE2 agree on (no lookaround, no backrefs) so
+    * the operator is DuckDB-oracle-checkable (q102) and portable to
+    * RE2-based engines. Map-only; regexp_replace is codegen'd.
+    *
+    * Order matters: SSN before phone (a 3-2-4 digit group must become
+    * <SSN>, not half a phone), email before IPv4 (domains with numeric
+    * labels stay inside <EMAIL>).
+    */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(
       text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

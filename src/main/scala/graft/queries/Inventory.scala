@@ -3643,7 +3643,8 @@ object Inventory {
         // key, the crawl-pipeline pairing.
         val did = col("doc_id").cast("string")
         val html = concat(
-          lit("<html><head><title>T</title><style>p{color:red}</style></head><body>"),
+          lit("<html><head><title>Page "), did, lit(" of "), col("source"),
+          lit("</title><style>p{color:red}</style></head><body>"),
           lit("<nav><a href=\"/\">Home navigation link</a> " +
             "<a href=\"/arc\">Archive of everything</a></nav>"),
           lit("<h1>Document number "), did,
@@ -3664,6 +3665,7 @@ object Inventory {
           .select(
             col("doc_id"),
             WebOps.canonicalizeUrl(url).as("canonical_url"),
+            HtmlText.extractTitle(col("html")).as("title"),
             HtmlText.extractText(col("html")).as("extracted"),
             size(HtmlText.keptBlocks(col("html"))).cast("long").as("n_blocks"))
           .withColumn("n_chars_out", length(col("extracted")).cast("long"))
@@ -3671,7 +3673,8 @@ object Inventory {
       },
       Some("""WITH h AS (
           SELECT doc_id, source,
-            '<html><head><title>T</title><style>p{color:red}</style></head><body>'
+            '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || ' of ' || source
+            || '</title><style>p{color:red}</style></head><body>'
             || '<nav><a href="/">Home navigation link</a> <a href="/arc">Archive of everything</a></nav>'
             || '<h1>Document number ' || CAST(doc_id AS VARCHAR)
             || ' retrieved from source ' || source || ' &amp; friends</h1>'
@@ -3736,10 +3739,13 @@ object Inventory {
         SELECT d.doc_id,
           'https://' || d.source || '.example.com/doc/' || CAST(d.doc_id AS VARCHAR)
             AS canonical_url,
+          trim(regexp_replace(
+            regexp_extract(h.html, '(?is)<title(>|[ \t\r\n/][^>]*>)(.*?)</title>', 2),
+            '[ \t\r\n]+', ' ', 'g')) AS title,
           coalesce(a.extracted, '') AS extracted,
           coalesce(a.n_blocks, 0) AS n_blocks,
           CAST(len(coalesce(a.extracted, '')) AS BIGINT) AS n_chars_out
-        FROM documents d LEFT JOIN agg a USING (doc_id)
+        FROM documents d JOIN h USING (doc_id) LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id""")),
 
     Q("q190_luhn_redact",
@@ -3809,6 +3815,52 @@ object Inventory {
           END AS redacted
         FROM h LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id""")),
+
+    Q("q191_encoding_noise",
+      (s, dir) => {
+        // mojibake gate: double-decode artifact pairs injected into a
+        // third of the docs (Latin-1 ghost of é + the cp1252 ghost of
+        // U+2019), stray-byte + U+FFFD artifacts into every 7th;
+        // clean docs must score EXACTLY 0. Both engines assemble the
+        // injection from code points (chr / \\u escapes) so no literal
+        // mojibake travels through source files.
+        val gA = lit("\u00C3\u00A9")       // the Latin-1 ghost pair
+        val gB = lit("\u00E2\u20AC\u2122") // the cp1252 ghost triple
+        val gC = lit("\u00C2\u00A0")       // stray byte + NBSP
+        val injected = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" caf"), gA, lit(" it"), gB, lit("s fine"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" A"), gC, lit("B \uFFFD end"))).otherwise(lit("")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), injected.as("t2"))
+          .select(
+            col("doc_id"),
+            length(col("t2")).cast("long").as("n_chars2"),
+            TextAnalysis.encodingNoiseScore(col("t2")).as("noise"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 = 0
+               THEN ' caf' || chr(195) || chr(169) || ' it'
+                 || chr(226) || chr(8364) || chr(8482) || 's fine'
+               ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+               THEN ' A' || chr(194) || chr(160) || 'B ' || chr(65533) || ' end'
+               ELSE '' END AS t2
+          FROM documents),
+        c AS (
+          SELECT doc_id, t2,
+            len(string_split_regex(t2,
+              '(\x{00C3}[\x{0080}-\x{00BF}])|(\x{00E2}\x{20AC})|(\x{00C2}[\x{0020}\x{00A0}])|(\x{FFFD})'
+            )) - 1 AS hits
+          FROM h)
+        SELECT doc_id, CAST(len(t2) AS BIGINT) AS n_chars2,
+          CASE WHEN len(t2) = 0 THEN 0.0
+               ELSE round(hits * 1000.0 / len(t2), 4) END AS noise
+        FROM c ORDER BY doc_id""")),
 
     Q("q153_ngram_perplexity",
       (s, dir) =>
@@ -4425,5 +4477,6 @@ object Inventory {
     "q177_jaccard_prefix_join", "q178_record_linkage",
     "q179_entity_resolution", "q186_golden_record", "q180_k_anonymity",
     "q182_linkage_incremental", "q183_gopher_quality", "q184_url_canonical",
-    "q185_domain_cap", "q187_html_extract", "q190_luhn_redact")
+    "q185_domain_cap", "q187_html_extract", "q190_luhn_redact",
+    "q191_encoding_noise")
 }

@@ -59,6 +59,12 @@ class HtmlTextSpec extends SparkSpec {
     assert(!got.contains("Terms"), "footer drops (short + link-dense)")
     assert(!got.contains("Ignored Title") && !got.contains("color: red") &&
       !got.contains("trackPageView"), "head/style/script never contribute text")
+    // the title is still reachable through the dedicated extractor
+    val title = Seq(Tuple1(page)).toDF("html")
+      .select(HtmlText.extractTitle(col("html"))).head.getString(0)
+    assert(title == "Ignored Title")
+    assert(Seq(Tuple1("<p>no head</p>")).toDF("html")
+      .select(HtmlText.extractTitle(col("html"))).head.getString(0) == "")
   }
 
   test("extractText: degenerate inputs are total, never null") {

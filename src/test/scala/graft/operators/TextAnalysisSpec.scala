@@ -92,6 +92,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single == expect)
   }
 
+  test("encodingNoiseScore: mojibake artifacts score, clean multilingual text does not") {
+    val mojibakeEacute = "\u00C3\u00A9"      // UTF-8 e-acute read back as Latin-1
+    val mojibakeQuote = "\u00E2\u20AC\u2122" // cp1252 ghost of U+2019
+    val strayByte = "\u00C2\u00A0"           // stray byte + NBSP
+    val df = Seq(
+      (1L, s"caf$mojibakeEacute au lait, that${mojibakeQuote}s it"),
+      (2L, "caf\u00E9 au lait, that\u2019s it"), // the PROPERLY decoded twin
+      (3L, s"A${strayByte}B and \uFFFD here"),
+      (4L, ""),
+      (5L, "plain ascii text only")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.encodingNoiseScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > 0.0, s"double-decode artifacts must score: $got")
+    assert(got(2L) == 0.0, "correctly decoded accents and smart quotes are NOT noise")
+    assert(got(3L) > 0.0, "stray-byte and replacement-char artifacts score")
+    assert(got(4L) == 0.0 && got(5L) == 0.0)
+    // ratio arithmetic: 2 artifacts over the row-1 string's length
+    val len1 = s"caf$mojibakeEacute au lait, that${mojibakeQuote}s it".length
+    assert(got(1L) == BigDecimal(2.0 * 1000 / len1)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("luhn card redaction: checksum decides, separators allowed, non-cards survive") {
     val df = Seq(
       (1L, "pay 4111111111111111 now"),            // valid visa test number
