@@ -43,6 +43,24 @@ object StreamingCorpus {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming twin of the crawl-ingest front door
+    * ([[graft.operators.CorpusPipeline.prepare]]'s `htmlInput=true`
+    * stage 0 plus the round-6 text gates): HTML→text extraction,
+    * encoding-noise (mojibake) gate, checksum-verified card redaction.
+    * Every stage is STATELESS map-only column work — no watermark, no
+    * state store — so this runs at input rate and composes BEFORE
+    * [[clean]], which is where the stateful dedup begins.
+    */
+  def ingestCrawl(
+      pages: DataFrame,
+      textCol: String = "text",
+      maxNoise: Double = 5.0): DataFrame =
+    pages
+      .withColumn(textCol, graft.operators.HtmlText.extractText(col(textCol)))
+      .filter(length(col(textCol)) > 0)
+      .filter(TextAnalysis.encodingNoiseScore(col(textCol)) <= maxNoise)
+      .withColumn(textCol, TextAnalysis.redactCards(col(textCol)))
+
   /** Streaming scrub-and-chunk: PII redaction then token-window
     * chunking, continuously. Both stages are STATELESS (regexp chains
     * and a per-row explode — no watermark, no state store), so this

@@ -35,6 +35,34 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestCrawl: stateless html + noise + card gates equal the batch composition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val body = "the quick brown fox keeps running through the open field toward " +
+      "the river every single morning pay 4111111111111111 now thanks"
+    val mojibake = "caf\u00C3\u00A9 " * 12 + "padding words to reach a length"
+    val pages = Seq(
+      (1L, s"<html><body><nav><a href='/'>Home page nav row</a></nav><p>$body</p></body></html>"),
+      (2L, "<div><a href='/x'>only boilerplate anchors live on this page</a></div>"),
+      (3L, s"<p>$mojibake</p>")) // extraction succeeds, noise gate rejects
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCorpus.ingestCrawl(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("crawl_out").outputMode("append").start()
+    try {
+      in.addData(pages: _*)
+      q.processAllAvailable()
+      val got = spark.table("crawl_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.keySet == Set(1L), s"boilerplate and mojibake pages must drop: $got")
+      assert(got(1L).contains("pay <CARD> now"), "card redaction ran on the stream")
+      assert(!got(1L).contains("Home page nav"), "nav boilerplate stripped")
+      // batch equivalence: the same frame through the batch operators
+      val batch = StreamingCorpus.ingestCrawl(pages.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch == got, "stateless gates must be batch/stream invariant")
+    } finally q.stop()
+  }
+
   test("dedupLinesStream keeps the first arrival of each line, drops repeats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
