@@ -347,4 +347,135 @@ object EntityResolution {
       (stackFields ++ newestFields.map(_._1)).map(col)
     joined.select(outCols: _*)
   }
+
+  // ---------------------------------------------------- incremental GR
+
+  /** Survivorship STATE for incremental golden records — the IVM
+    * pattern applied to [[goldenRecord]]: instead of winners, persist
+    * the MERGEABLE sufficient statistics each policy needs, so a new
+    * batch advances the store without re-reading history:
+    *
+    *  - mode/longest: the (entity, field, value) COUNT table (counts
+    *    add across batches; longest only needs value presence, which
+    *    the same rows carry);
+    *  - newest: the per-(entity, field) running max of (order, value)
+    *    (maxes combine associatively; order column must be numeric —
+    *    it travels as a double; order TIES break on the value's STRING
+    *    image here, vs the typed value in [[goldenRecord]] — identical
+    *    whenever the order key is unique per entity, the normal case
+    *    for a version/ingest key);
+    *  - membership: the per-entity row count.
+    *
+    * One unified frame `(__ent, __kind, __field, __value, __cnt,
+    * __ord)` — parquet-persistable, engine-replayable. Entity
+    * ASSIGNMENT is the caller's (linkage stays batch): this maintains
+    * survivorship state under appends, the common daily-ingest case
+    * where new rows join existing entities.
+    */
+  def goldenRecordState(
+      resolved: DataFrame,
+      entityCol: String,
+      modeFields: Seq[String] = Nil,
+      longestFields: Seq[String] = Nil,
+      newestFields: Seq[(String, String)] = Nil): DataFrame = {
+    val stackFields = modeFields ++ longestFields
+    val counts =
+      if (stackFields.isEmpty) None
+      else Some(resolved
+        .select(
+          col(entityCol).as("__ent"),
+          explode(array(stackFields.map(f =>
+            struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*)).as("__fv"))
+        .select(col("__ent"), col("__fv.f").as("__field"), col("__fv.v").as("__value"))
+        .filter(col("__value").isNotNull)
+        .groupBy("__ent", "__field", "__value")
+        .agg(count(lit(1)).as("__cnt"))
+        .select(col("__ent"), lit("count").as("__kind"), col("__field"),
+          col("__value"), col("__cnt"), lit(null).cast("double").as("__ord")))
+    val newest =
+      if (newestFields.isEmpty) None
+      else Some(newestFields.map { case (f, ord) =>
+        resolved.groupBy(col(entityCol).as("__ent"))
+          .agg(max(struct(col(ord).cast("double").as("o"),
+            col(f).cast("string").as("v"))).as("__m"))
+          .select(col("__ent"), lit("newest").as("__kind"), lit(f).as("__field"),
+            col("__m.v").as("__value"), lit(1L).as("__cnt"),
+            col("__m.o").as("__ord"))
+      }.reduce(_ unionByName _))
+    val members = resolved.groupBy(col(entityCol).as("__ent"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("__ent"), lit("members").as("__kind"), lit("").as("__field"),
+        lit("").as("__value"), col("__cnt"), lit(null).cast("double").as("__ord"))
+    (Seq(counts, newest).flatten :+ members).reduce(_ unionByName _)
+  }
+
+  /** Combine two survivorship states (associative, commutative):
+    * counts and memberships add, newest maxes combine.
+    */
+  def goldenRecordMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.unionByName(b)
+    val added = u.filter(col("__kind") =!= "newest")
+      .groupBy("__ent", "__kind", "__field", "__value")
+      .agg(sum(col("__cnt")).as("__cnt"))
+      .withColumn("__ord", lit(null).cast("double"))
+    val maxed = u.filter(col("__kind") === "newest")
+      .groupBy("__ent", "__kind", "__field")
+      .agg(max(struct(col("__ord"), col("__value"))).as("__m"))
+      .select(col("__ent"), col("__kind"), col("__field"),
+        col("__m.__value").as("__value"), lit(1L).as("__cnt"),
+        col("__m.__ord").as("__ord"))
+    added.select("__ent", "__kind", "__field", "__value", "__cnt", "__ord")
+      .unionByName(maxed)
+  }
+
+  /** Golden records from a (possibly merged) survivorship state — the
+    * same winners, tie rules, and output shape as [[goldenRecord]];
+    * `template` supplies the original column types for the cast back
+    * from the state's string values.
+    */
+  def goldenRecordFromState(
+      state: DataFrame,
+      template: DataFrame,
+      entityCol: String,
+      modeFields: Seq[String] = Nil,
+      longestFields: Seq[String] = Nil,
+      newestFields: Seq[(String, String)] = Nil): DataFrame = {
+    val schema = template.schema
+    val stackFields = modeFields ++ longestFields
+    val base = state.filter(col("__kind") === "members")
+      .select(col("__ent"), col("__cnt").as("n_members"))
+    val picked =
+      if (stackFields.isEmpty) None
+      else {
+        val counted = state.filter(col("__kind") === "count")
+        val grain = org.apache.spark.sql.expressions.Window
+          .partitionBy("__ent", "__field")
+        val wMode = grain.orderBy(col("__cnt").desc, col("__value").asc)
+        val wLong = grain.orderBy(length(col("__value")).desc, col("__value").asc)
+        val modePick = counted.filter(col("__field").isin(modeFields: _*))
+          .withColumn("__rn", row_number().over(wMode))
+        val longPick = counted.filter(col("__field").isin(longestFields: _*))
+          .withColumn("__rn", row_number().over(wLong))
+        val winners = modePick.unionByName(longPick).filter(col("__rn") === 1)
+        val pivotAggs = stackFields.map(f =>
+          max(when(col("__field") === f, col("__value")))
+            .cast(schema(f).dataType).as(f))
+        Some(winners.groupBy("__ent").agg(pivotAggs.head, pivotAggs.tail: _*))
+      }
+    val newest =
+      if (newestFields.isEmpty) None
+      else {
+        val n = state.filter(col("__kind") === "newest")
+        val pivotAggs = newestFields.map { case (f, _) =>
+          max(when(col("__field") === f, col("__value")))
+            .cast(schema(f).dataType).as(f)
+        }
+        Some(n.groupBy("__ent").agg(pivotAggs.head, pivotAggs.tail: _*))
+      }
+    val joined = Seq(picked, newest).flatten
+      .foldLeft(base)((acc, d) => acc.join(d, Seq("__ent"), "left"))
+    val outCols = col("__ent").as(entityCol) +: col("n_members") +:
+      (stackFields ++ newestFields.map(_._1)).map(col)
+    joined.select(outCols: _*)
+  }
 }

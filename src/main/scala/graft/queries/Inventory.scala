@@ -3136,6 +3136,108 @@ object Inventory {
         LEFT JOIN newp n USING (entity_id)
         ORDER BY entity_id""")),
 
+    Q("q192_golden_incremental",
+      (s, dir) => {
+        // incremental SURVIVORSHIP (the IVM pattern on q186): the store
+        // persists mergeable state — (entity, field, value) counts,
+        // per-entity newest (order, value) maxes, membership counts —
+        // and a daily batch advances it without re-reading history;
+        // only batch-touched entities re-pick winners. Entity
+        // assignment comes from the full-corpus closure (linkage stays
+        // batch — q182 covers ITS incremental form). The oracle is
+        // q186's full replay side-filtered to entities the batch
+        // touched: state merge must be exact or the hash breaks.
+        val resolved = EntityResolution.resolve(
+          t(s, dir, "part")
+            .withColumn("name_noun", element_at(split(col("p_name"), " "), -1)),
+          "p_partkey",
+          blockCols = Seq("p_brand", "name_noun"),
+          fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
+          threshold = 0.85)
+        val cut = resolved.agg(expr(
+          "percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey)"))
+          .head().getDouble(0).toLong
+        val mode = Seq("p_type", "p_size"); val long = Seq("p_name")
+        val newest = Seq(("p_retailprice", "p_partkey"))
+        val store = EntityResolution.goldenRecordState(
+          resolved.filter(col("p_partkey") <= cut), "entity_id", mode, long, newest)
+        val batch = resolved.filter(col("p_partkey") > cut)
+        val merged = EntityResolution.goldenRecordMerge(
+          store,
+          EntityResolution.goldenRecordState(batch, "entity_id", mode, long, newest))
+        val touched = batch.select(col("entity_id").as("__ent")).distinct()
+        EntityResolution.goldenRecordFromState(
+            merged.join(touched, Seq("__ent"), "left_semi"),
+            resolved, "entity_id", mode, long, newest)
+          .orderBy("entity_id")
+      },
+      Some("""WITH RECURSIVE pr AS (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand
+            AND string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+            AND a.p_partkey < b.p_partkey
+          WHERE round(
+              0.6 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                     / greatest(len(a.p_name), len(b.p_name), 1)) +
+              0.4 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE)
+                     / greatest(len(a.p_type), len(b.p_type), 1)), 6) >= 0.85),
+        e AS (SELECT id_a AS a, id_b AS b FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        r(id, lab) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b),
+        lab AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id),
+        res AS (
+          SELECT p.*, CAST(coalesce(l.cluster, p.p_partkey) AS BIGINT) AS entity_id
+          FROM part p LEFT JOIN lab l ON l.id = p.p_partkey),
+        cut AS (
+          SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey) AS c
+          FROM res),
+        touched AS (
+          SELECT DISTINCT entity_id FROM res WHERE p_partkey > (SELECT c FROM cut)),
+        base AS (SELECT entity_id, count(*) AS n_members FROM res GROUP BY entity_id),
+        modep AS (
+          SELECT entity_id, p_type FROM (
+            SELECT entity_id, p_type,
+              row_number() OVER (PARTITION BY entity_id
+                ORDER BY cnt DESC, p_type ASC) AS rn
+            FROM (SELECT entity_id, p_type, count(*) AS cnt FROM res
+                  WHERE p_type IS NOT NULL GROUP BY entity_id, p_type))
+          WHERE rn = 1),
+        modec AS (
+          SELECT entity_id, p_size FROM (
+            SELECT entity_id, p_size,
+              row_number() OVER (PARTITION BY entity_id
+                ORDER BY cnt DESC, CAST(p_size AS VARCHAR) ASC) AS rn
+            FROM (SELECT entity_id, p_size, count(*) AS cnt FROM res
+                  WHERE p_size IS NOT NULL GROUP BY entity_id, p_size))
+          WHERE rn = 1),
+        longp AS (
+          SELECT entity_id, p_name FROM (
+            SELECT entity_id, p_name,
+              row_number() OVER (PARTITION BY entity_id
+                ORDER BY len(p_name) DESC, p_name ASC) AS rn
+            FROM res WHERE p_name IS NOT NULL)
+          WHERE rn = 1),
+        newp AS (
+          SELECT entity_id, p_retailprice FROM (
+            SELECT entity_id, p_retailprice,
+              row_number() OVER (PARTITION BY entity_id
+                ORDER BY p_partkey DESC) AS rn
+            FROM res)
+          WHERE rn = 1)
+        SELECT b.entity_id, b.n_members, m.p_type, c.p_size,
+               lo.p_name, n.p_retailprice
+        FROM base b
+        JOIN touched t USING (entity_id)
+        LEFT JOIN modep m USING (entity_id)
+        LEFT JOIN modec c USING (entity_id)
+        LEFT JOIN longp lo USING (entity_id)
+        LEFT JOIN newp n USING (entity_id)
+        ORDER BY entity_id""")),
+
     Q("q182_linkage_incremental",
       (s, dir) => {
         // incremental linkage, the daily-ingest shape: the last fifth
@@ -4475,7 +4577,8 @@ object Inventory {
     "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs",
     "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate",
     "q177_jaccard_prefix_join", "q178_record_linkage",
-    "q179_entity_resolution", "q186_golden_record", "q180_k_anonymity",
+    "q179_entity_resolution", "q186_golden_record", "q192_golden_incremental",
+    "q180_k_anonymity",
     "q182_linkage_incremental", "q183_gopher_quality", "q184_url_canonical",
     "q185_domain_cap", "q187_html_extract", "q190_luhn_redact",
     "q191_encoding_noise")

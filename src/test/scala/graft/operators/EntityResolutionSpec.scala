@@ -169,4 +169,47 @@ class EntityResolutionSpec extends SparkSpec {
       goldenRecord(resolved, "entity_id", Seq("kind"), Seq("name"),
         Seq(("price", "version"))).orderBy("entity_id").collect().toSeq)
   }
+
+  test("goldenRecord state: split-merge equals the batch operator; appends advance without history") {
+    import spark.implicits._
+    val spark2 = spark
+    import spark2.implicits._
+    val resolved = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), (col("p_partkey") % 37).as("entity_id"),
+        col("p_type"), col("p_name"), col("p_retailprice"))
+    val mode = Seq("p_type"); val long = Seq("p_name")
+    val newest = Seq(("p_retailprice", "p_partkey"))
+
+    val full = goldenRecord(resolved, "entity_id", mode, long, newest)
+      .orderBy("entity_id").collect().toSeq
+
+    // arbitrary split; merged state must reproduce the batch result
+    val (a, b) = (resolved.filter(col("p_partkey") % 3 === 0),
+      resolved.filter(col("p_partkey") % 3 =!= 0))
+    val merged = goldenRecordMerge(
+      goldenRecordState(a, "entity_id", mode, long, newest),
+      goldenRecordState(b, "entity_id", mode, long, newest))
+    val viaState = goldenRecordFromState(merged, resolved, "entity_id", mode, long, newest)
+      .orderBy("entity_id").collect().toSeq
+    assert(viaState == full, "state split-merge must equal the one-shot operator")
+
+    // merge is commutative
+    val swapped = goldenRecordFromState(
+      goldenRecordMerge(
+        goldenRecordState(b, "entity_id", mode, long, newest),
+        goldenRecordState(a, "entity_id", mode, long, newest)),
+      resolved, "entity_id", mode, long, newest).orderBy("entity_id").collect().toSeq
+    assert(swapped == viaState)
+
+    // the daily-ingest shape: only batch-touched entities need re-picking,
+    // and their re-picked rows match the full recompute
+    val touched = b.select(col("entity_id").as("__ent")).distinct()
+    val incremental = goldenRecordFromState(
+      merged.join(touched, Seq("__ent"), "left_semi"),
+      resolved, "entity_id", mode, long, newest)
+      .orderBy("entity_id").collect().toSeq
+    val fullTouched = full.filter(r =>
+      touched.collect().map(_.getLong(0)).toSet.contains(r.getLong(0)))
+    assert(incremental == fullTouched)
+  }
 }
