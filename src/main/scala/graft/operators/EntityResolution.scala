@@ -412,8 +412,14 @@ object EntityResolution {
   /** Combine two survivorship states (associative, commutative):
     * counts and memberships add, newest maxes combine.
     */
-  def goldenRecordMerge(a: DataFrame, b: DataFrame): DataFrame = {
-    val u = a.unionByName(b)
+  def goldenRecordMerge(a: DataFrame, b: DataFrame): DataFrame =
+    normalizeState(a.unionByName(b))
+
+  /** Re-aggregate a state frame whose keys may repeat (after a union,
+    * or after an entity-merge re-key): counts/memberships add, newest
+    * maxes combine. Idempotent on already-normal state.
+    */
+  private def normalizeState(u: DataFrame): DataFrame = {
     val added = u.filter(col("__kind") =!= "newest")
       .groupBy("__ent", "__kind", "__field", "__value")
       .agg(sum(col("__cnt")).as("__cnt"))
@@ -426,6 +432,67 @@ object EntityResolution {
         col("__m.__ord").as("__ord"))
     added.select("__ent", "__kind", "__field", "__value", "__cnt", "__ord")
       .unionByName(maxed)
+  }
+
+  /** One daily-ingest step of the COMPOSED incremental pipeline —
+    * incremental linkage AND incremental survivorship, including the
+    * case the two-halves composition must get right: a batch row that
+    * BRIDGES two existing entities merges them (and their golden
+    * records) transitively.
+    *
+    *  1. [[linkPairsIncremental]] scores batch↔store and batch↔batch
+    *     pairs only — store-internal pairs never re-materialize;
+    *  2. pair endpoints map to their CURRENT entity ids (batch rows
+    *     start as their own singleton entity), and the resulting
+    *     ENTITY-level graph — orders of magnitude smaller than the row
+    *     graph — closes transitively via [[Dedup.nearDupClusters]];
+    *  3. the store's state plus the batch's fresh state re-key to the
+    *     canonical entities and re-aggregate — exactly why the state
+    *     is MERGEABLE: merging two entities' golden records is a
+    *     re-key + the same normalize pass, no history re-read.
+    *
+    * Returns (newState, remap) where `remap(__ent, __canon)` lists
+    * every entity id whose canonical changed — the caller re-keys its
+    * row store with it and re-picks winners via
+    * [[goldenRecordFromState]] for the union of remapped and
+    * batch-touched entities.
+    */
+  def goldenRecordAdvance(
+      store: DataFrame,
+      state: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[(String, Double)],
+      threshold: Double,
+      modeFields: Seq[String] = Nil,
+      longestFields: Seq[String] = Nil,
+      newestFields: Seq[(String, String)] = Nil,
+      roundScale: Int = 6,
+      pairBudget: Long = 5000L): (DataFrame, DataFrame) = {
+    val pairs = linkPairsIncremental(
+      batch, store.drop("entity_id"), idCol, blockCols, fields,
+      threshold, roundScale, pairBudget)
+    val idToEnt = store.select(col(idCol).as("__id"), col("entity_id").as("__e"))
+      .unionByName(batch.select(col(idCol).as("__id"), col(idCol).as("__e")))
+    val entPairs = pairs
+      .join(idToEnt.select(col("__id").as("id_a"), col("__e").as("ent_a")), Seq("id_a"))
+      .join(idToEnt.select(col("__id").as("id_b"), col("__e").as("ent_b")), Seq("id_b"))
+      .select(
+        least(col("ent_a"), col("ent_b")).as("id_a"),
+        greatest(col("ent_a"), col("ent_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val remap = Dedup.nearDupClusters(entPairs)
+      .select(col("id").as("__ent"), col("cluster").as("__canon"))
+      .filter(col("__ent") =!= col("__canon"))
+    val batchState = goldenRecordState(
+      batch.withColumn("entity_id", col(idCol)), "entity_id",
+      modeFields, longestFields, newestFields)
+    val rekeyed = state.unionByName(batchState)
+      .join(remap, Seq("__ent"), "left")
+      .withColumn("__ent", coalesce(col("__canon"), col("__ent")))
+      .drop("__canon")
+    (normalizeState(rekeyed), remap)
   }
 
   /** Golden records from a (possibly merged) survivorship state — the

@@ -212,4 +212,45 @@ class EntityResolutionSpec extends SparkSpec {
       touched.collect().map(_.getLong(0)).toSet.contains(r.getLong(0)))
     assert(incremental == fullTouched)
   }
+
+  test("goldenRecordAdvance: a bridging batch row merges two entities' golden records") {
+    import spark.implicits._
+    // two store entities that do NOT link to each other (f1 and f2 both
+    // fully dissimilar across them), plus a singleton
+    val storeRows = Seq(
+      (1L, "B", "aaaaaaaa", "xxxxxxxx", 10.0, 1L),
+      (2L, "B", "aaaaaaaa", "xxxxxxxz", 11.0, 2L),
+      (5L, "B", "bbbbbbbb", "yyyyyyyy", 50.0, 3L),
+      (6L, "B", "bbbbbbbb", "yyyyyyyz", 51.0, 4L),
+      (7L, "B", "cccccccc", "wwwwwwww", 70.0, 5L)
+    ).toDF("id", "blk", "f1", "f2", "price", "ver")
+    val fields = Seq(("f1", 0.5), ("f2", 0.5))
+    val mode = Seq("f1"); val long = Seq("f2"); val newest = Seq(("price", "ver"))
+    val resolvedStore = resolve(storeRows, "id", Seq("blk"), fields, threshold = 0.5)
+    val ents = resolvedStore.select("id", "entity_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ents == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L),
+      s"fixture precondition: two 2-row entities + a singleton, got $ents")
+    val state = goldenRecordState(resolvedStore, "entity_id", mode, long, newest)
+
+    // the bridge: f1 matches entity 1's rows exactly, f2 matches row 5
+    // exactly — each pair scores exactly at threshold, E1↔E2 never do
+    val batch = Seq((9L, "B", "aaaaaaaa", "yyyyyyyy", 90.0, 6L))
+      .toDF("id", "blk", "f1", "f2", "price", "ver")
+    val (newState, remap) = goldenRecordAdvance(
+      resolvedStore, state, batch, "id", Seq("blk"), fields, threshold = 0.5,
+      modeFields = mode, longestFields = long, newestFields = newest)
+    val remapMap = remap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remapMap == Map(5L -> 1L, 9L -> 1L),
+      s"entity 5 and the bridge row must fold into entity 1: $remapMap")
+
+    // the composed advance equals a from-scratch rebuild of everything
+    val fullResolved = resolve(storeRows.unionByName(batch), "id", Seq("blk"),
+      fields, threshold = 0.5)
+    val want = goldenRecord(fullResolved, "entity_id", mode, long, newest)
+      .orderBy("entity_id").collect().toSeq
+    val got = goldenRecordFromState(newState, storeRows, "entity_id", mode, long, newest)
+      .orderBy("entity_id").collect().toSeq
+    assert(got == want, s"advance must equal the rebuild:\n got=$got\nwant=$want")
+  }
 }
