@@ -1138,10 +1138,11 @@ object FuzzQueries {
     val part = groupFrag(table, rng)
     val (c, sc) = aggCol(table, rng)
     val k = 1 + rng.nextInt(5)
-    val variant = rng.nextInt(4)
+    val variant = rng.nextInt(5)
     val desc_ = rng.nextBoolean()
     val (sort, keys) = sortFrag(table, rng)
     val rangeCol = if (table == "orders") "o_custkey" else "l_partkey"
+    val dateCol = if (table == "orders") "o_orderdate" else "l_shipdate"
 
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val dirSql = if (desc_) "DESC" else "ASC"
@@ -1162,9 +1163,20 @@ object FuzzQueries {
         s"RANGE BETWEEN ${k * 100} PRECEDING AND CURRENT ROW",
         Window.partitionBy(part.mk()).orderBy(col(rangeCol).asc)
           .rangeBetween(-k * 100L, 0L))
-      case _ => (s"${sort.sql} $dirSql, $tiebreakSql",
+      case 3 => (s"${sort.sql} $dirSql, $tiebreakSql",
         s"ROWS BETWEEN UNBOUNDED PRECEDING AND $k FOLLOWING",
         rowsOrder.rowsBetween(Window.unboundedPreceding, k))
+      case _ =>
+        // date-typed RANGE frame with an INTERVAL offset. The DSL twin
+        // is a genuinely independent formulation: the same frame over
+        // datediff-to-an-anchor as a NUMERIC range — peers (equal
+        // dates) and the k·10-day inclusive bound coincide exactly.
+        (s"CAST($dateCol AS DATE) ASC",
+          s"RANGE BETWEEN INTERVAL ${k * 10} DAY PRECEDING AND CURRENT ROW",
+          Window.partitionBy(part.mk())
+            .orderBy(datediff(col(dateCol).cast("date"),
+              lit(java.sql.Date.valueOf("1990-01-01"))).asc)
+            .rangeBetween(-k * 10L, 0L))
     }
     FuzzCase(id, table,
       s"""SELECT '$id' AS fq, count(*) AS n_rows,
