@@ -1132,13 +1132,12 @@ object FuzzQueries {
     * per-row framed sums then collapse through the house summary
     * (exact DECIMAL outer sum → one DOUBLE cast).
     */
-  private def frameCase(id: String, rng: scala.util.Random): FuzzCase = {
+  private def frameCase(id: String, rng: scala.util.Random, variant: Int): FuzzCase = {
     val table = if (rng.nextBoolean()) "orders" else "lineitem"
     val pred = predicate(table, rng)
     val part = groupFrag(table, rng)
     val (c, sc) = aggCol(table, rng)
     val k = 1 + rng.nextInt(5)
-    val variant = rng.nextInt(5)
     val desc_ = rng.nextBoolean()
     val (sort, keys) = sortFrag(table, rng)
     val rangeCol = if (table == "orders") "o_custkey" else "l_partkey"
@@ -1288,7 +1287,8 @@ object FuzzQueries {
       if (i % 2 == 0) decimalCase(f"fzL$i%03d", rng) else correlCase(f"fzL$i%03d", rng))
     val laterals = (0 until nLateral).map(i => lateralCase(f"fzM$i%03d", rng))
     val filters = (0 until nFilter).map(i => filterCase(f"fzN$i%03d", rng))
-    val frames = (0 until nFrame).map(i => frameCase(f"fzO$i%03d", rng))
+    // variant by index, not by draw: every frame shape gets 4 cases
+    val frames = (0 until nFrame).map(i => frameCase(f"fzO$i%03d", rng, i % 5))
     scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs ++ laterals ++ filters ++ frames
   }
 
