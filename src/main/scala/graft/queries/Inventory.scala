@@ -4571,7 +4571,7 @@ object Inventory {
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
     "q159_upsample_mix", "q160_split_leakage", "q161_lake_delete",
     "q188_lake_maintenance",
-    "q162_fuzz_lateral", "q189_fuzz_frames", "q163_image_neardup",
+    "q162_fuzz_lateral", "q163_image_neardup",
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
     "q168_semantic_multiprobe", "q169_cluster_quality",
     "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs",
