@@ -158,5 +158,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"md5_fingerprint expects (text), got ${args.length} args")
       })
+
+    register(ext, "html_text",
+      "html_text(html) - main text of an HTML page (block-segmented link-density boilerplate removal)", {
+        case Seq(html) =>
+          expression(graft.operators.HtmlText.extractText(column(html)))
+        case args => throw new IllegalArgumentException(
+          s"html_text expects (html), got ${args.length} args")
+      })
+
+    register(ext, "html_title",
+      "html_title(html) - visible text of the page title ('' when absent)", {
+        case Seq(html) =>
+          expression(graft.operators.HtmlText.extractTitle(column(html)))
+        case args => throw new IllegalArgumentException(
+          s"html_title expects (html), got ${args.length} args")
+      })
+
+    register(ext, "luhn_valid",
+      "luhn_valid(candidate) - mod-10 checksum validity of a 13-19-digit card candidate", {
+        case Seq(c) =>
+          expression(graft.operators.TextAnalysis.luhnValid(column(c)))
+        case args => throw new IllegalArgumentException(
+          s"luhn_valid expects (candidate), got ${args.length} args")
+      })
+
+    register(ext, "redact_cards",
+      "redact_cards(text) - Luhn-VALID card numbers replaced with <CARD>", {
+        case Seq(text) =>
+          expression(graft.operators.TextAnalysis.redactCards(column(text)))
+        case args => throw new IllegalArgumentException(
+          s"redact_cards expects (text), got ${args.length} args")
+      })
+
+    register(ext, "encoding_noise",
+      "encoding_noise(text) - mojibake artifact count per 1000 chars (0 for clean text)", {
+        case Seq(text) =>
+          expression(graft.operators.TextAnalysis.encodingNoiseScore(column(text)))
+        case args => throw new IllegalArgumentException(
+          s"encoding_noise expects (text), got ${args.length} args")
+      })
   }
 }

@@ -80,6 +80,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows.map(_.getString(3)).toSeq == viaCol.toSeq)
   }
 
+  test("html_text / html_title / luhn_valid / redact_cards / encoding_noise are SQL-callable") {
+    val page = "<html><head><title>The Page</title></head><body>" +
+      "<nav><a href='/'>Home row of navigation links</a></nav>" +
+      "<p>prose paragraph long enough to survive the boilerplate gate, " +
+      "pay 4111111111111111 please</p></body></html>"
+    val df = Seq(("a", page), ("b", "caf\u00C3\u00A9 " * 20)).toDF("id", "text")
+    df.createOrReplaceTempView("ext_crawl")
+    val rows = spark.sql(
+      """SELECT id, html_title(text) AS title,
+                redact_cards(html_text(text)) AS body,
+                luhn_valid('4111111111111111') AS ok,
+                luhn_valid('4111111111111112') AS bad,
+                encoding_noise(text) AS noise
+         FROM ext_crawl ORDER BY id""").collect()
+    assert(rows(0).getString(1) == "The Page")
+    assert(rows(0).getString(2).contains("pay <CARD> please"))
+    assert(!rows(0).getString(2).contains("Home row"))
+    assert(rows(0).getBoolean(3) && !rows(0).getBoolean(4))
+    assert(rows(0).getDouble(5) == 0.0 && rows(1).getDouble(5) > 0.0)
+  }
+
   test("simhash_md5 is SQL-callable and matches the Column API") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("id", "text")
     df.createOrReplaceTempView("ext_shm")
