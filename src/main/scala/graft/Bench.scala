@@ -159,10 +159,16 @@ object Bench {
     val spark = GraftSession.get("graft-bench")
     // Untimed warm-up at the smallest sf: loads Parquet/codegen/exchange
     // classes and JIT-compiles the hot paths so per-query timings measure
-    // the engine, not JVM startup.
-    try names.head.run(spark, "/root/testdata/sf0.001")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // the engine, not JVM startup. EVERY query in the family runs once
+    // (not just names.head — round 6 showed a family's heavy query can
+    // pay its own JIT/codegen bill inside its timed first iteration when
+    // only the head was warmed; sf0.001 keeps the extra passes cheap).
+    names.foreach { q =>
+      try q.run(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
 
     // Three timed iterations per query, report the min — one run is noisy
     // (GC pauses, first-touch page faults) and the min is the best
@@ -226,7 +232,14 @@ object Bench {
       val qStart = jsonLine.indexOf("\"queries\":{")
       val body = jsonLine.substring(qStart + 11, jsonLine.indexOf('}', qStart))
       val pair = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-      Some(pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toSeq)
+      val rs = pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      // Per-family progress line, printed AS the child exits, so a
+      // truncated driver tail still carries most families even if the
+      // final merged line is cut (BENCH_r06 lost q01–q64 that way).
+      // Deliberately no "metric" key: the driver parses the metric line.
+      println(s"""{"family_done":"${family.head}","queries":${queriesJson(rs)}}""")
+      Console.out.flush()
+      Some(rs)
     }
   }
 
@@ -258,7 +271,18 @@ object Bench {
         }
       }
       val total = merged.map(_._2).sum
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f}""")
+      val line =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f}"""
+      // Also persist the full merged artifact to the repo: the driver's
+      // stdout tail truncates long lines (BENCH_r06 lost 10 families and
+      // parsed:null); a committed file can't be truncated.
+      try {
+        val w = new java.io.PrintWriter(new java.io.File("BENCH_LOCAL.json"), "UTF-8")
+        try w.println(line) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      }
+      println(line)
     }
   }
 }

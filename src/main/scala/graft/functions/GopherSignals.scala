@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GopherSignals {
 
-  private val SplitPattern = UTF8String.fromString("\\s+")
+  private val SplitPattern = UTF8String.fromString(graft.operators.TextAnalysis.WhitespaceSplit)
   private val Space = UTF8String.fromString(" ")
 
   /** counts(0) = occurrences, counts(1) = word-chars of the gram */

@@ -124,7 +124,7 @@ object ShingleHash {
   import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  private val SplitPattern = UTF8String.fromString("\\s+")
+  private val SplitPattern = UTF8String.fromString(graft.operators.TextAnalysis.WhitespaceSplit)
   private val Empty = new GenericArrayData(Array.empty[Long])
 
   def shingleHashes(text: UTF8String, w: Int): ArrayData = {
@@ -179,7 +179,7 @@ object SimHash {
   import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  private val SplitPattern = UTF8String.fromString("\\s+")
+  private val SplitPattern = UTF8String.fromString(graft.operators.TextAnalysis.WhitespaceSplit)
 
   def fingerprint(text: UTF8String): Long = {
     val trimmed = text.toLowerCase.trim()
@@ -236,7 +236,7 @@ object SimHashExpr {
 object SimHashMd5 {
   import org.apache.spark.unsafe.types.UTF8String
 
-  private val SplitPattern = UTF8String.fromString("\\s+")
+  private val SplitPattern = UTF8String.fromString(graft.operators.TextAnalysis.WhitespaceSplit)
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

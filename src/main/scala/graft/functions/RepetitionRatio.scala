@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RepetitionRatio {
 
-  private val SplitPattern = UTF8String.fromString("\\s+")
+  private val SplitPattern = UTF8String.fromString(graft.operators.TextAnalysis.WhitespaceSplit)
 
   private def round6(v: Double): Double =
     java.math.BigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP).doubleValue()

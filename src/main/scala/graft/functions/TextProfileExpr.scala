@@ -29,8 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextProfile {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  private val SplitPattern = UTF8String.fromString("\\s+")
-  private val SubwordPattern = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+  private val SplitPattern = UTF8String.fromString(graft.operators.TextAnalysis.WhitespaceSplit)
+  private val SubwordPattern = java.util.regex.Pattern.compile(
+    "[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + graft.operators.TextAnalysis.WhitespaceChars + "]")
   private val PunctChars = ".,!?;:'\"()[]{}-".toSet
 
   private def toSet(words: Seq[String]): java.util.HashSet[UTF8String] = {

@@ -148,7 +148,7 @@ object Bpe {
     val enc = udf { (text: String) =>
       if (text == null) Array.empty[String]
       else
-        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+        text.trim.toLowerCase.split(graft.operators.TextAnalysis.WhitespaceSplit).filter(_.nonEmpty).flatMap { w =>
           var syms = (w.map(_.toString) :+ EndOfWord).toArray
           var go = true
           while (go && syms.length > 1) {

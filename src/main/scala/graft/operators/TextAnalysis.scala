@@ -11,12 +11,34 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Engine-wide tokenizer whitespace: the explicit `[ \t\n\f\r]` —
+    * exactly RE2's (and so DuckDB's) `\s` — NOT Java's `\s`, which
+    * additionally matches U+000B. Every tokenizer in the engine (column
+    * expressions, native kernels, the BPE Java splits) and every DuckDB
+    * oracle that writes `\s` then agree by construction, independent of
+    * fixture content. Cross-engine regex rule, SURVEY conventions.
+    */
+  val WhitespaceClass: String = "[ \\t\\n\\f\\r]"
+
+  /** One-or-more of [[WhitespaceClass]] — the split pattern. */
+  val WhitespaceSplit: String = WhitespaceClass + "+"
+
+  /** Complement character-class body: inserted into negated classes like
+    * `[^A-Za-z0-9 \t\n\f\r]` so they too track the engine rule.
+    */
+  val WhitespaceChars: String = " \\t\\n\\f\\r"
+
   /** Whitespace tokenization; empty string → empty array (split would give
-    * one empty token).
+    * one empty token). The separator class is the explicit
+    * `[ \t\n\f\r]` — exactly RE2's `\s` — rather than Java's `\s`
+    * (which additionally matches U+000B): every DuckDB oracle that
+    * tokenizes with `\s+` then agrees with this tokenizer by
+    * construction, independent of fixture content (cross-engine regex
+    * rule, SURVEY conventions).
     */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+      .otherwise(split(trim(text), WhitespaceSplit))
 
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -26,7 +48,8 @@ object TextAnalysis {
     * regex shape. An approximation of BPE token counts without a vocab.
     */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(
+      text, lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$WhitespaceChars]"), lit(0)))
 
   /** Characters of punctuation. */
   def punctCount(text: Column): Column =
@@ -589,7 +612,7 @@ object TextAnalysis {
     require(n >= 1, "n must be >= 1")
     // the repo's tokenizer convention (tokens()): trim + \s+ split, so
     // tabs/newlines separate words exactly as in shingleHashes/chunk
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= lit(""))
+    val toks = filter(split(lower(trim(col(textCol))), WhitespaceSplit), t => t =!= lit(""))
     // 1-based slice starts; a doc shorter than n tokens yields no grams
     val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - n + 1))
       .otherwise(array().cast("array<int>"))
@@ -877,7 +900,7 @@ object TextAnalysis {
     val base = df.select(
       col(idCol),
       tokens(norm).as("ws"),
-      length(regexp_replace(norm, "\\s", "")).cast("long").as("wchars"),
+      length(regexp_replace(norm, WhitespaceClass, "")).cast("long").as("wchars"),
       norm.as("t"))
 
     val words = base.select(

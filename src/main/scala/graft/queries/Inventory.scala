@@ -1709,12 +1709,9 @@ object Inventory {
 
     Q("q107_corpus_prepare",
       (s, dir) => {
-        // The FULL preparation composite: clean → repetition gate →
-        // decontaminate vs the eval slice → PII scrub → 128/16-token
-        // chunking with gate columns carried. rows-only (langId + MinHash
-        // are engine-internal); stage semantics are individually
-        // oracle-checked (q97, q102-q106) and the composition is pinned
-        // in CorpusPipelineSpec.
+        // The FULL preparation composite: PII scrub → repetition gate →
+        // clean → decontaminate vs the eval slice → 128/16-token
+        // chunking with gate columns carried.
         val d = t(s, dir, "documents")
         val evalSet = d.filter(col("doc_id") % 50 === 0)
         graft.operators.CorpusPipeline.prepare(
@@ -1722,7 +1719,113 @@ object Inventory {
           evalDocs = Some(evalSet), chunk = Some((128, 16)))
           .orderBy("doc_id", "chunk_idx")
       },
-      None),
+      // Latest-wins composite replay (q188 technique): chains the q102
+      // scrub, q104 repetition gate, q101's clean replay (see its oracle
+      // note for the MinHash recall argument), the q106 decontamination
+      // shape (8-shingle intersect vs the eval slice — eval side RAW
+      // text, corpus side scrubbed, exactly as prepare() wires it), and
+      // the q103 chunk arithmetic at 128/16 with carried gate columns.
+      Some("""WITH scrub AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+              '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS text
+          FROM documents WHERE doc_id % 50 <> 0),
+        rep AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+              string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM scrub)
+          WHERE (CASE WHEN len(w) - 2 <= 0 THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(
+              [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 1, 1))])) AS DOUBLE)
+              / (len(w) - 2), 6) END) <= 0.9),
+        ann AS (
+          SELECT doc_id, text,
+            string_split_regex(trim(lower(text)), '\s+') AS wl,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+          FROM rep),
+        feat AS (
+          SELECT doc_id, text, wl, n_tokens,
+            CAST(length(text) AS DOUBLE) AS nchars,
+            CAST(n_tokens AS DOUBLE) AS ntoks,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS DOUBLE) AS punct,
+            CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(wl, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / n_tokens END AS sr
+          FROM ann),
+        qual AS (
+          SELECT doc_id, text, wl, n_tokens,
+            round((least(nchars/100.0, 1.0)
+              + greatest(0.0, 1.0 - (CASE WHEN nchars = 0 THEN 0.0 ELSE punct/nchars END)*5.0)
+              + (CASE WHEN sr BETWEEN 0.1 AND 0.6 THEN 1.0 ELSE greatest(0.0, 1.0 - abs(sr - 0.35)*2.0) END)
+              + (CASE WHEN (CASE WHEN ntoks = 0 THEN 0.0 ELSE nchars/ntoks END) BETWEEN 3.0 AND 10.0 THEN 1.0
+                      ELSE greatest(0.0, 1.0 - abs((CASE WHEN ntoks = 0 THEN 0.0 ELSE nchars/ntoks END) - 6.0)/10.0) END)
+              )/4.0, 4) AS quality
+          FROM feat),
+        lang AS (
+          SELECT doc_id,
+            len(list_filter(wl, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS de,
+            len(list_filter(wl, t -> list_contains(['the','and','of','to','is','that','you','with'], t))) AS en,
+            len(list_filter(wl, t -> list_contains(['el','la','de','que','los','una','por','con'], t))) AS es,
+            len(list_filter(wl, t -> list_contains(['le','les','des','est','dans','une','pour','que'], t))) AS fr,
+            len(list_filter(wl, t -> list_contains(['的','是','了','在','我','有','他','这'], t)))
+              + len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+          FROM qual),
+        annotated AS (
+          SELECT q.doc_id, q.text, q.wl, q.n_tokens, q.quality,
+            CASE WHEN coalesce(greatest(de, en, es, fr, zh), 0) = 0 THEN 'und'
+                 WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+                 WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+                 WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+                 WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+                 ELSE 'zh' END AS lang_pred
+          FROM qual q JOIN lang l USING (doc_id)),
+        gated AS (
+          SELECT * FROM annotated
+          WHERE n_tokens >= 10 AND quality >= 0.3
+            AND lang_pred IN ('en','es','fr','de','zh')),
+        exact AS (
+          SELECT min(doc_id) AS doc_id FROM gated GROUP BY array_to_string(wl, ' ')),
+        surv AS (
+          SELECT g.* FROM gated g JOIN exact e USING (doc_id)),
+        sh3 AS (
+          SELECT doc_id, list_distinct(
+            [hash(wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) for i in range(1, len(wl) - 1)]) AS sh
+          FROM surv),
+        losers AS (
+          SELECT DISTINCT b.doc_id AS loser
+          FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+          WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8),
+        cleaned AS (
+          SELECT s.* FROM surv s LEFT JOIN losers l ON s.doc_id = l.loser WHERE l.loser IS NULL),
+        evsh AS (
+          SELECT flatten(list(list_distinct(
+            [hash(array_to_string(w[i:i+7], ' ')) for i in range(1, greatest(len(w) - 6, 1))]))) AS all_sh
+          FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents WHERE doc_id % 50 = 0)),
+        decon AS (
+          SELECT c.doc_id, c.text, c.lang_pred, c.quality
+          FROM cleaned c, evsh e
+          WHERE len(list_intersect(
+            list_distinct([hash(array_to_string(c.wl[i:i+7], ' ')) for i in range(1, greatest(len(c.wl) - 6, 1))]),
+            e.all_sh)) = 0),
+        toks AS (
+          SELECT doc_id, lang_pred, quality, string_split_regex(trim(text), '\s+') AS w
+          FROM decon WHERE length(trim(text)) > 0),
+        st AS (
+          SELECT doc_id, lang_pred, quality, w,
+            unnest(generate_series(1, greatest(len(w) - 16, 1), 112)) AS s
+          FROM toks)
+        SELECT doc_id,
+          CAST((s - 1) // 112 AS BIGINT) AS chunk_idx,
+          CAST(least(128, len(w) - s + 1) AS INTEGER) AS chunk_tokens,
+          array_to_string(w[s:s + 127], ' ') AS chunk,
+          lang_pred, quality
+        FROM st ORDER BY doc_id, chunk_idx""")),
 
     Q("q94_sim_pq",
       (s, dir) => {
@@ -1827,7 +1930,10 @@ object Inventory {
         // variant, pinned by TextAnalysisSpec.
         t(s, dir, "documents")
           .select(col("doc_id"),
-            TextAnalysis.fingerprintMd5Poly(col("text")).as("fingerprint"))
+            // NULL text → NULL polynomial; pin to 0 to match the
+            // oracle's LEFT JOIN + coalesce convention.
+            coalesce(TextAnalysis.fingerprintMd5Poly(col("text")), lit(0L))
+              .as("fingerprint"))
           .orderBy("doc_id"),
       Some("""WITH RECURSIVE maxn AS (
           SELECT max(len(string_split_regex(trim(lower(text)), '\s+'))) AS m
@@ -1970,7 +2076,76 @@ object Inventory {
         graft.operators.CorpusPipeline.clean(t(s, dir, "documents"))
           .select("doc_id", "lang_pred", "n_tokens", "quality")
           .orderBy("doc_id"),
-      None), // langId + MinHash are engine-internal — rows-only check
+      // Latest-wins composite replay (the q188 technique): every stage is
+      // individually oracled — annotate (q95/q96/q97 formulas), gates,
+      // exact dedup (fingerprint ≡ group-by-normalized-token-sequence,
+      // collision-free at 64 bits), MinHash near-dup (exhaustive exact-
+      // Jaccard recompute ≡ LSH output; q81's recall argument — at J ≥ t
+      // the 32×4 banding misses with probability ≤ (1−t⁴)³² ≈ 5e-8).
+      // Quality/lang replays keep Spark's operation order so the IEEE
+      // doubles agree bit-for-bit before the 4dp round.
+      Some("""WITH ann AS (
+          SELECT doc_id, text,
+            string_split_regex(trim(lower(text)), '\s+') AS wl,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+          FROM documents),
+        feat AS (
+          SELECT doc_id, text, wl, n_tokens,
+            CAST(length(text) AS DOUBLE) AS nchars,
+            CAST(n_tokens AS DOUBLE) AS ntoks,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS DOUBLE) AS punct,
+            CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(wl, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE) / n_tokens END AS sr
+          FROM ann),
+        qual AS (
+          SELECT doc_id, text, wl, n_tokens,
+            round((least(nchars/100.0, 1.0)
+              + greatest(0.0, 1.0 - (CASE WHEN nchars = 0 THEN 0.0 ELSE punct/nchars END)*5.0)
+              + (CASE WHEN sr BETWEEN 0.1 AND 0.6 THEN 1.0 ELSE greatest(0.0, 1.0 - abs(sr - 0.35)*2.0) END)
+              + (CASE WHEN (CASE WHEN ntoks = 0 THEN 0.0 ELSE nchars/ntoks END) BETWEEN 3.0 AND 10.0 THEN 1.0
+                      ELSE greatest(0.0, 1.0 - abs((CASE WHEN ntoks = 0 THEN 0.0 ELSE nchars/ntoks END) - 6.0)/10.0) END)
+              )/4.0, 4) AS quality
+          FROM feat),
+        lang AS (
+          SELECT doc_id,
+            len(list_filter(wl, t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS de,
+            len(list_filter(wl, t -> list_contains(['the','and','of','to','is','that','you','with'], t))) AS en,
+            len(list_filter(wl, t -> list_contains(['el','la','de','que','los','una','por','con'], t))) AS es,
+            len(list_filter(wl, t -> list_contains(['le','les','des','est','dans','une','pour','que'], t))) AS fr,
+            len(list_filter(wl, t -> list_contains(['的','是','了','在','我','有','他','这'], t)))
+              + len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+          FROM qual),
+        annotated AS (
+          SELECT q.doc_id, q.wl, q.n_tokens, q.quality,
+            CASE WHEN coalesce(greatest(de, en, es, fr, zh), 0) = 0 THEN 'und'
+                 WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+                 WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+                 WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+                 WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+                 ELSE 'zh' END AS lang_pred
+          FROM qual q JOIN lang l USING (doc_id)),
+        gated AS (
+          SELECT * FROM annotated
+          WHERE n_tokens >= 10 AND quality >= 0.3
+            AND lang_pred IN ('en','es','fr','de','zh')),
+        exact AS (
+          SELECT min(doc_id) AS doc_id FROM gated GROUP BY array_to_string(wl, ' ')),
+        surv AS (
+          SELECT g.* FROM gated g JOIN exact e USING (doc_id)),
+        sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) for i in range(1, len(wl) - 1)]) AS sh
+          FROM surv),
+        losers AS (
+          SELECT DISTINCT b.doc_id AS loser
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8)
+        SELECT s.doc_id, s.lang_pred, s.n_tokens, s.quality
+        FROM surv s LEFT JOIN losers l ON s.doc_id = l.loser
+        WHERE l.loser IS NULL
+        ORDER BY s.doc_id""")),
 
     Q("q102_pii_redact",
       (s, dir) => {
@@ -3910,11 +4085,8 @@ object Inventory {
         SELECT h.doc_id,
           CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
           CAST(coalesce(a.n_valid, 0) AS BIGINT) AS n_valid,
-          CASE coalesce(len(a.valids), 0)
-            WHEN 0 THEN h.t2
-            WHEN 1 THEN replace(h.t2, a.valids[1], '<CARD>')
-            ELSE replace(replace(h.t2, a.valids[1], '<CARD>'), a.valids[2], '<CARD>')
-          END AS redacted
+          list_reduce(list_prepend(h.t2, coalesce(a.valids, [])),
+            (acc, v) -> replace(acc, v, '<CARD>')) AS redacted
         FROM h LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id""")),
 
