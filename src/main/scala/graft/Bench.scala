@@ -163,7 +163,8 @@ object Bench {
     // (not just names.head — round 6 showed a family's heavy query can
     // pay its own JIT/codegen bill inside its timed first iteration when
     // only the head was warmed; sf0.001 keeps the extra passes cheap).
-    names.foreach { q =>
+    val warmAll = !sys.env.get("GRAFT_BENCH_WARM_HEAD_ONLY").contains("1")
+    (if (warmAll) names else names.take(1)).foreach { q =>
       try q.run(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -237,7 +238,13 @@ object Bench {
       // truncated driver tail still carries most families even if the
       // final merged line is cut (BENCH_r06 lost q01–q64 that way).
       // Deliberately no "metric" key: the driver parses the metric line.
-      println(s"""{"family_done":"${family.head}","queries":${queriesJson(rs)}}""")
+      // calib_st_ms stamps host speed RIGHT AFTER this family: r6's q177
+      // 2.7× "regression" was a transient host slow window during the
+      // later families (unreproducible next day on the same fixture at
+      // the same global calibration — see SCALE.md); a per-family stamp
+      // makes the next such window attributable from the artifact alone.
+      val famCalib = spin(200000000L)
+      println(f"""{"family_done":"${family.head}","calib_st_ms":$famCalib%.1f,"queries":${queriesJson(rs)}}""")
       Console.out.flush()
       Some(rs)
     }
