@@ -525,6 +525,56 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental winnowing near-dup pairs: a NEW batch against a
+    * persisted fingerprint store — the daily-crawl shape every other
+    * near-dup family already has ([[graft.operators.Dedup
+    * .minHashNearDupsIncremental]], tiles, semantic, pHash). The store
+    * is prior [[winnowFingerprints]] output `(id, fp)` rows — 16 bytes
+    * of md5 hex per fingerprint, never history TEXT, which is the
+    * point: a daily batch fingerprints ONLY its own documents and
+    * joins the store.
+    *
+    * Emits (id_a, id_b, n_shared) where AT LEAST ONE side is new —
+    * history×history pairs are already known and never recomputed. Ids
+    * must be unique across batch and store (the DedupLedger
+    * convention). The boilerplate prune (`maxDf`) counts document
+    * frequency over the COMBINED store+batch population, so the pair
+    * set equals [[winnowNearDups]] over the full corpus side-filtered
+    * to new pairs — the q166/q134 incremental contract, which is what
+    * the oracle and the incremental-≡-full spec replay.
+    *
+    * The next day's store is `historyFps ∪ this batch's fingerprints`
+    * ([[winnowFingerprints]] of the batch alone): winnowing state is
+    * append-only, so maintenance is a blind union — no rebuild.
+    */
+  def winnowNearDupsIncremental(
+      newDocs: DataFrame,
+      historyFps: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 25,
+      w: Int = 10,
+      minShared: Long = 3L,
+      maxDf: Long = 1000L): DataFrame = {
+    val newFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .withColumn("__new", lit(1))
+    val all = newFp.unionByName(
+      historyFps.select(col(idCol), col("fp")).withColumn("__new", lit(0)))
+    val hot = all.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("fp")
+    val kept = all.join(hot, Seq("fp"), "left_anti")
+    val a = kept.select(col("fp"), col(idCol).as("id_a"), col("__new").as("__new_a"))
+    val b = kept.select(col("fp"), col(idCol).as("id_b"), col("__new").as("__new_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b") &&
+        (col("__new_a") === 1 || col("__new_b") === 1))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Annotate a documents frame with all analysis columns. One native
     * single-tokenization kernel (TextProfileExpr); field-by-field
     * value-identical to [[annotateHof]], which the spec pins.

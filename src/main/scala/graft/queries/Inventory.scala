@@ -2909,6 +2909,44 @@ object Inventory {
         SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
         ORDER BY id_a, id_b""")),
 
+    Q("q193_winnow_incremental",
+      (s, dir) => {
+        // incremental winnowing, the daily-crawl shape: every 5th doc
+        // arrives as the new batch, the rest is the persisted (id, fp)
+        // store — the batch fingerprints only itself and joins the
+        // store (q134/q166 discipline). The oracle recomputes ALL
+        // passage-sharing pairs and side-filters to those touching the
+        // batch; the combined-population maxDf prune makes incremental
+        // ≡ full exact, not approximate.
+        val d = t(s, dir, "documents")
+        val store = TextAnalysis.winnowFingerprints(
+          d.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", k = 25, w = 10)
+        TextAnalysis.winnowNearDupsIncremental(
+          d.filter(col("doc_id") % 5 === 4), store, "doc_id", "text",
+          k = 25, w = 10, minShared = 3L, maxDf = 1000L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        g AS (
+          SELECT doc_id, [md5(t[i:i+24]) for i in range(1, len(t) - 23)] AS gs
+          FROM t WHERE len(t) >= 25),
+        wn AS (
+          SELECT doc_id,
+            list_distinct([list_min(gs[j:j+9]) for j in range(1, len(gs) - 8)]) AS fps
+          FROM g WHERE len(gs) >= 10),
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+        kept AS (
+          SELECT * FROM fp WHERE fp NOT IN (
+            SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) > 1000)),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          WHERE a.doc_id % 5 = 4 OR b.doc_id % 5 = 4
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
+        ORDER BY id_a, id_b""")),
+
     Q("q174_hybrid_rrf",
       (s, dir) => {
         // hybrid RAG retrieval: BM25 (q145's query terms) and exact
@@ -4747,6 +4785,7 @@ object Inventory {
     "q164_semantic_dedup", "q165_boilerplate", "q166_semantic_incremental",
     "q168_semantic_multiprobe", "q169_cluster_quality",
     "q170_contamination_score", "q171_bpe_train", "q173_winnow_pairs",
+    "q193_winnow_incremental",
     "q174_hybrid_rrf", "q175_nb_classify", "q176_knn_propagate",
     "q177_jaccard_prefix_join", "q178_record_linkage",
     "q179_entity_resolution", "q186_golden_record", "q192_golden_incremental",

@@ -420,6 +420,33 @@ class TextAnalysisSpec extends SparkSpec {
       docs, "doc_id", "text", k = 25, w = 10, minShared = 1L, maxDf = 1L).count() == 0)
   }
 
+  test("incremental winnowing vs a persisted store == full recompute side-filtered to new pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val history = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val store = TextAnalysis.winnowFingerprints(history, "doc_id", "text", k = 25, w = 10)
+    val inc = TextAnalysis.winnowNearDupsIncremental(
+      batch, store, "doc_id", "text", k = 25, w = 10, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = TextAnalysis.winnowNearDups(
+      docs, "doc_id", "text", k = 25, w = 10, minShared = 1L)
+      .filter(col("id_a") % 5 === 4 || col("id_b") % 5 === 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full,
+      s"missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+    assert(inc.nonEmpty, "fixture must exercise at least one batch-touching pair")
+    // history×history pairs never re-emitted
+    assert(!inc.exists(p => p._1 % 5 != 4 && p._2 % 5 != 4))
+    // next-day store maintenance is a blind union: store ∪ batch fps ==
+    // full-corpus fingerprints (winnowing state is append-only)
+    val nextStore = store.unionByName(
+      TextAnalysis.winnowFingerprints(batch, "doc_id", "text", k = 25, w = 10))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fullFps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 25, w = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(nextStore == fullFps)
+  }
+
   test("native winnow kernel is value-identical to the window formulation on corpus docs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val native = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 25, w = 10)
