@@ -233,6 +233,14 @@ object Multimodal {
       bits
     }
 
+    /** [[pHash]] with a boxed-null miss — the codegen-callable shape
+      * for the SQL surface's `phash(content)` (PHashExpr): undecodable
+      * bytes hash to SQL NULL, mirroring [[pHashes]]' decodable-only
+      * contract.
+      */
+    def pHashOrNull(bytes: Array[Byte]): java.lang.Long =
+      pHash(bytes).map(java.lang.Long.valueOf).orNull
+
     /** Aspect-preserving fit of real pixels into (maxW, maxH), PNG
       * re-encode. None when the input is not decodable.
       */

@@ -143,6 +143,16 @@ object Bpe {
         .otherwise(org.apache.spark.sql.graft.NativeExprs.bpeEncode(c, bc))
   }
 
+  /** Name [[encodeNative]]'s trained closure on the SQL surface:
+    * `bpe_encode(text, 'name')` (GraftExtensions) resolves to exactly
+    * this expression tree — one semantics, reachable from a config SQL.
+    */
+  def registerSql(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      merges: Seq[(String, String)]): Unit =
+    graft.functions.GraftModels.register(name, "bpe", encodeNative(spark, merges))
+
   def encodeUdf(merges: Seq[(String, String)]): Column => Column = {
     val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
     val enc = udf { (text: String) =>

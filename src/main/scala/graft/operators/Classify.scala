@@ -197,6 +197,13 @@ object Classify {
     text => org.apache.spark.sql.graft.NativeExprs.nbScore(text, bc)
   }
 
+  /** Name [[nbScorer]]'s trained closure on the SQL surface:
+    * `nb_score(text, 'name')` (GraftExtensions) resolves to exactly
+    * this expression tree — one semantics, reachable from a config SQL.
+    */
+  def registerSql(name: String, model: NbModel): Unit =
+    graft.functions.GraftModels.register(name, "nb", nbScorer(model))
+
   /** Semi-supervised k-NN label propagation: each unlabeled vector takes
     * the cosine-weighted majority label of its k nearest labeled seeds —
     * the "label a small seed set by hand, spread it over the corpus by

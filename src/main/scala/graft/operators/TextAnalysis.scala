@@ -873,6 +873,13 @@ object TextAnalysis {
     text => org.apache.spark.sql.graft.NativeExprs.lmScore(text, bc, n, default)
   }
 
+  /** Name [[lmScorer]]'s trained closure on the SQL surface:
+    * `lm_score(text, 'name')` (GraftExtensions) resolves to exactly
+    * this expression tree — one semantics, reachable from a config SQL.
+    */
+  def registerLmSql(name: String, model: DataFrame, n: Int = 3): Unit =
+    graft.functions.GraftModels.register(name, "lm", lmScorer(model, n))
+
   // ------------------------------------------------------------------
   // Gopher repetition/quality gates (Rae et al. 2021, arXiv:2112.11446,
   // Table A1) — the standard pre-training corpus filter the reference's

@@ -57,6 +57,7 @@ object FuzzQueries {
   val nLateral = 20
   val nFilter = 20
   val nFrame = 20
+  val nSurface = 24
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -1290,6 +1291,162 @@ object FuzzQueries {
     // variant by index, not by draw: every frame shape gets 4 cases
     val frames = (0 until nFrame).map(i => frameCase(f"fzO$i%03d", rng, i % 5))
     scans ++ groups ++ tops ++ joins ++ wins ++ scalars ++ setops ++ rollups ++ dates ++ nulls ++ strs ++ deccorrs ++ laterals ++ filters ++ frames
+  }
+
+  /** Family P — the registered graft SQL functions (GraftExtensions),
+    * fuzzed through `spark.sql` against their Column-API twins.
+    *
+    * Deliberately NOT part of [[cases]]/[[bundles]]: the native kernels
+    * do not exist in DuckDB (each is value-oracled at the operator
+    * level — q148 simhash_md5, q172 winnow, q183 gopher, q190 Luhn,
+    * q187 html, …), so the differential here is front-end vs front-end:
+    * SQL parse/resolution/codegen vs the Scala expression constructors.
+    * Every double-valued kernel is rounded PER ROW to 6dp and scaled to
+    * BIGINT before the sum, so both programs aggregate exact integers
+    * and the comparison is order-independent. Model-parameterized
+    * cases (`fz_bpe`/`fz_nb`/`fz_lm`) resolve names FuzzSpec registers
+    * on the fixture corpus before running the family.
+    */
+  lazy val sqlSurfaceCases: Seq[FuzzCase] = {
+    val rng = new scala.util.Random(seed + 16)
+    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 12))
+  }
+
+  /** One family-P case (see [[sqlSurfaceCases]]). The SQL text uses
+    * only function names GraftExtensions registers; the twin builds the
+    * same tree through NativeExprs / the operator Column APIs, never
+    * touching the parser. Summary shape matches every other family.
+    */
+  private def surfaceCase(id: String, rng: scala.util.Random, kind: Int): FuzzCase = {
+    import org.apache.spark.sql.graft.NativeExprs
+    // per-row 6dp fix-point of a double kernel, summed exactly
+    def fix6Sql(e: String) = s"sum(CAST(round(($e) * 1000000, 0) AS BIGINT))"
+    def fix6(c: Column) = sum(round(c * 1000000d, 0).cast("long"))
+    def doc(pred: Frag,
+            aggSql: String, auxSql: String,
+            aggMk: () => Column, auxMk: () => Column): FuzzCase =
+      FuzzCase(id, "documents",
+        s"""SELECT '$id' AS fq, count(*) AS n_rows,
+             CAST($aggSql AS DOUBLE) AS agg,
+             $auxSql AS aux
+           FROM documents WHERE ${pred.sql}""",
+        ts => ts("documents").filter(pred.mk())
+          .agg(
+            count(lit(1)).as("n_rows"),
+            aggMk().cast("double").as("agg"),
+            auxMk().as("aux"))
+          .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+
+    kind match {
+      case 0 => // SimHash pair: xxhash64 fingerprint + md5 twin halves
+        val pred = docAtom(rng)
+        doc(pred,
+          "count(DISTINCT simhash(text))",
+          "count(DISTINCT element_at(simhash_md5(text), 1))",
+          () => countDistinct(graft.operators.Dedup.simHash(col("text"))),
+          () => countDistinct(element_at(graft.operators.Dedup.simHashMd5(col("text")), 1)))
+      case 1 => // shingle → minhash → band chain
+        val pred = docAtom(rng)
+        val w = 2 + rng.nextInt(3)
+        val k = Seq(16, 32, 64)(rng.nextInt(3))
+        val sd = 1 + rng.nextInt(100)
+        val b = Seq(4, 8)(rng.nextInt(2))
+        doc(pred,
+          s"count(DISTINCT element_at(band_hashes(minhash_signature(shingle_hashes(text, $w), $k, $sd), $b), 1))",
+          s"sum(size(shingle_hashes(text, $w)))",
+          () => countDistinct(element_at(NativeExprs.bandHashes(
+            NativeExprs.minhashSignature(NativeExprs.shingleHashes(col("text"), w), k, sd.toLong), b), 1)),
+          () => sum(size(NativeExprs.shingleHashes(col("text"), w))))
+      case 2 => // winnowing fingerprints
+        val pred = docAtom(rng)
+        val k = 4 + rng.nextInt(7)
+        val w = 3 + rng.nextInt(4)
+        doc(pred,
+          s"sum(size(winnow_md5(text, $k, $w)))",
+          s"count(DISTINCT element_at(winnow_md5(text, $k, $w), 1))",
+          () => sum(size(NativeExprs.winnowMd5(col("text"), k, w))),
+          () => countDistinct(element_at(NativeExprs.winnowMd5(col("text"), k, w), 1)))
+      case 3 => // repetition ratio + text profile
+        val pred = docAtom(rng)
+        val n = 2 + rng.nextInt(3)
+        doc(pred,
+          fix6Sql(s"repetition_ratio(text, $n)"),
+          "sum(text_profile(text).n_tokens)",
+          () => fix6(NativeExprs.repetitionRatio(col("text"), n)),
+          () => sum(NativeExprs.textProfile(col("text")).getField("n_tokens")))
+      case 4 => // Gopher counters
+        val pred = docAtom(rng)
+        doc(pred,
+          "sum(gopher_signals(text).word_chars)",
+          "sum(gopher_signals(text).alpha_words)",
+          () => sum(NativeExprs.gopherSignals(col("text")).getField("word_chars")),
+          () => sum(NativeExprs.gopherSignals(col("text")).getField("alpha_words")))
+      case 5 => // PII + Luhn card redaction
+        val pred = docAtom(rng)
+        doc(pred,
+          "sum(length(redact_pii(text)))",
+          "sum(length(redact_cards(text)))",
+          () => sum(length(graft.operators.TextAnalysis.redactPii(col("text")))),
+          () => sum(length(graft.operators.TextAnalysis.redactCards(col("text")))))
+      case 6 => // mojibake score + md5 fingerprint
+        val pred = docAtom(rng)
+        doc(pred,
+          fix6Sql("encoding_noise(text)"),
+          "count(DISTINCT md5_fingerprint(text))",
+          () => fix6(graft.operators.TextAnalysis.encodingNoiseScore(col("text"))),
+          () => countDistinct(graft.operators.TextAnalysis.md5Fingerprint(col("text"))))
+      case 7 => // HTML extraction (prose in, prose out — still the full pipeline)
+        val pred = docAtom(rng)
+        doc(pred,
+          "sum(length(html_text(text)))",
+          "sum(length(html_title(text)))",
+          () => sum(length(graft.operators.HtmlText.extractText(col("text")))),
+          () => sum(length(graft.operators.HtmlText.extractTitle(col("text")))))
+      case 8 => // vector kernels over embeddings
+        val pred = modAtom("vec_id", rng)
+        val p = 4 + rng.nextInt(13)
+        val sd = 1 + rng.nextInt(100)
+        FuzzCase(id, "embeddings",
+          s"""SELECT '$id' AS fq, count(*) AS n_rows,
+               CAST(${fix6Sql("l2_sq(embedding, reverse(embedding))")} AS DOUBLE) AS agg,
+               count(DISTINCT hyperplane_sig(embedding, 64, $p, $sd)) AS aux
+             FROM embeddings WHERE ${pred.sql}""",
+          ts => ts("embeddings").filter(pred.mk())
+            .agg(
+              count(lit(1)).as("n_rows"),
+              fix6(NativeExprs.l2Sq(col("embedding"), reverse(col("embedding"))))
+                .cast("double").as("agg"),
+              countDistinct(NativeExprs.hyperplaneSig(col("embedding"),
+                graft.functions.VectorFunctions.randomPlanes(64, p, sd.toLong))).as("aux"))
+            .select(lit(id).as("fq"), col("n_rows"), col("agg"), col("aux")))
+      case 9 => // named models: LM score + BPE encode
+        val pred = docAtom(rng)
+        doc(pred,
+          fix6Sql("lm_score(text, 'fz_lm')"),
+          "sum(size(bpe_encode(text, 'fz_bpe')))",
+          () => fix6(graft.functions.GraftModels.resolve("fz_lm", "lm")(col("text"))),
+          () => sum(size(graft.functions.GraftModels.resolve("fz_bpe", "bpe")(col("text")))))
+      case 10 => // named NB model + KMV bottom-k aggregate
+        val pred = docAtom(rng)
+        val k = Seq(8, 16, 32)(rng.nextInt(3))
+        doc(pred,
+          "count(DISTINCT nb_score(text, 'fz_nb').pred)",
+          s"element_at(bottom_k(doc_id, $k), 1)",
+          () => countDistinct(
+            graft.functions.GraftModels.resolve("fz_nb", "nb")(col("text")).getField("pred")),
+          () => element_at(graft.functions.BottomKSketch.sketch(col("doc_id"), k), 1))
+      case _ => // bounded top-k + bloom bitset aggregates
+        val pred = docAtom(rng)
+        val k = 2 + rng.nextInt(5)
+        doc(pred,
+          s"element_at(top_k_by_score(doc_id, CAST(n_chars AS DOUBLE), $k), 1).id",
+          "aggregate(bloom_sketch(lang, 256), CAST(0 AS BIGINT), (a, x) -> a + bit_count(x))",
+          () => element_at(graft.functions.TopKByScore.topK(
+            col("doc_id"), col("n_chars").cast("double"), k), 1).getField("id"),
+          () => aggregate(
+            graft.functions.BloomSketch.sketch(col("lang"), 256),
+            lit(0L), (a, x) => a + bit_count(x)))
+    }
   }
 
   /** Declared bundles, one per family: each is a UNION ALL of its cases'

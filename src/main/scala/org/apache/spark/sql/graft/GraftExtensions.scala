@@ -198,5 +198,112 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"encoding_noise expects (text), got ${args.length} args")
       })
+
+    register(ext, "winnow_md5",
+      "winnow_md5(text, k, w) - distinct MOSS winnowing fingerprints (md5 char k-grams, window w)", {
+        case Seq(text, k, w) => WinnowMd5Expr(text, intArg(k, "k"), intArg(w, "w"))
+        case Seq(text)       => WinnowMd5Expr(text, 20, 8)
+        case args => throw new IllegalArgumentException(
+          s"winnow_md5 expects (text[, k, w]), got ${args.length} args")
+      })
+
+    register(ext, "band_hashes",
+      "band_hashes(signature, bands) - LSH band hashes of a MinHash signature", {
+        case Seq(sig, bands) => BandHashesExpr(sig, intArg(bands, "bands"))
+        case args => throw new IllegalArgumentException(
+          s"band_hashes expects (signature, bands), got ${args.length} args")
+      })
+
+    register(ext, "gopher_signals",
+      "gopher_signals(text) - struct of Gopher quality counters (word_count, alpha_words, " +
+        "hash_chars, ellipses, top2/3/4_chars, dup5_chars, word_chars)", {
+        case Seq(text) => GopherSignalsExpr(text)
+        case args => throw new IllegalArgumentException(
+          s"gopher_signals expects (text), got ${args.length} args")
+      })
+
+    register(ext, "phash",
+      "phash(image_bytes) - 64-bit DCT perceptual hash; NULL for undecodable bytes", {
+        case Seq(bytes) => PHashExpr(bytes)
+        case args => throw new IllegalArgumentException(
+          s"phash expects (image_bytes), got ${args.length} args")
+      })
+
+    register(ext, "hyperplane_sig",
+      "hyperplane_sig(vec, dim, n_planes, seed) - random-hyperplane LSH signature " +
+        "(seeded plane set, same generator as embeddingNearDups)", {
+        case Seq(vec, dim, nPlanes, seed) =>
+          val planes = graft.functions.VectorFunctions.randomPlanes(
+            intArg(dim, "dim"), intArg(nPlanes, "n_planes"), longArg(seed, "seed"))
+          expression(NativeExprs.hyperplaneSig(column(vec), planes))
+        case Seq(vec, dim, nPlanes) =>
+          val planes = graft.functions.VectorFunctions.randomPlanes(
+            intArg(dim, "dim"), intArg(nPlanes, "n_planes"), 42L)
+          expression(NativeExprs.hyperplaneSig(column(vec), planes))
+        case args => throw new IllegalArgumentException(
+          s"hyperplane_sig expects (vec, dim, n_planes[, seed]), got ${args.length} args")
+      })
+
+    register(ext, "top_k_by_score",
+      "top_k_by_score(id, score, k) - bounded top-k aggregate: array<struct<id,score>> of the " +
+        "k highest-scored rows per group (map-side combinable; (score desc, id asc) order)", {
+        case Seq(id, score, kExpr) =>
+          val k = intArg(kExpr, "k")
+          val uda = org.apache.spark.sql.functions.udaf(new graft.functions.TopKByScore(k))
+            .asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[
+              graft.functions.Scored, Array[graft.functions.Scored], Array[graft.functions.Scored]]]
+          org.apache.spark.sql.execution.aggregate.ScalaAggregator(uda, Seq(id, score))
+            .toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"top_k_by_score expects (id, score, k), got ${args.length} args")
+      })
+
+    register(ext, "bloom_sketch",
+      "bloom_sketch(col, num_bits[, num_hashes]) - mergeable bloom bitset aggregate of a " +
+        "STRING column as array<bigint> (probe with graft.functions.BloomSketch.mightContain)", {
+        case args if args.length == 2 || args.length == 3 =>
+          val bits = intArg(args(1), "num_bits")
+          val hashes = if (args.length == 3) intArg(args(2), "num_hashes") else 7
+          val uda = org.apache.spark.sql.functions.udaf(new graft.functions.BloomSketch(bits, hashes))
+            .asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[String, Array[Long], Array[Long]]]
+          org.apache.spark.sql.execution.aggregate.ScalaAggregator(uda, Seq(args.head))
+            .toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"bloom_sketch expects (col, num_bits[, num_hashes]), got ${args.length} args")
+      })
+
+    // ---------------------------------------------------- named models
+    // Trained state (BPE merge ranks, NB micro-model, char-ngram LM) is
+    // a broadcast closure, not a literal — the SQL surface reaches it
+    // by NAME through GraftModels (registered via Bpe.registerSql /
+    // Classify.registerSql / TextAnalysis.registerLmSql). Resolution
+    // happens at analysis time and splices in the exact expression tree
+    // the Scala API builds: one semantics per kernel.
+    def modelFn(sqlName: String, kind: String): FunctionBuilder = {
+      case Seq(text, nameExpr) =>
+        val name = nameExpr match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"$sqlName model name must be a string literal, got $other")
+        }
+        expression(graft.functions.GraftModels.resolve(name, kind)(column(text)))
+      case args => throw new IllegalArgumentException(
+        s"$sqlName expects (text, 'model_name'), got ${args.length} args")
+    }
+
+    register(ext, "bpe_encode",
+      "bpe_encode(text, 'model') - greedy-by-priority BPE subword encoding under a " +
+        "registered merge-rank model (Bpe.registerSql)",
+      modelFn("bpe_encode", "bpe"))
+
+    register(ext, "nb_score",
+      "nb_score(text, 'model') - struct(pred, score) under a registered Naive Bayes " +
+        "micro-model (Classify.registerSql)",
+      modelFn("nb_score", "nb"))
+
+    register(ext, "lm_score",
+      "lm_score(text, 'model') - avg char-ngram log-prob under a registered LM " +
+        "(TextAnalysis.registerLmSql)",
+      modelFn("lm_score", "lm"))
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -330,6 +330,34 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Double], count: In
     copy(child = newChild)
 }
 
+/** 64-bit DCT perceptual hash of image bytes
+  * (graft.multimodal.Multimodal.ImageCodec.pHash) on the SQL surface:
+  * undecodable bytes hash to NULL. The codec is the same black-box
+  * kernel the batch path uses (Multimodal.pHashes), so `phash(content)`
+  * in a config SQL and the Dataset pipeline agree bit for bit.
+  */
+case class PHashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "phash"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.multimodal.Multimodal.ImageCodec.pHashOrNull(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long graftPh = graft.multimodal.Multimodal.ImageCodec.pHashOrNull($c);
+         |if (graftPh == null) { ${ev.isNull} = true; } else { ${ev.value} = graftPh.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PHashExpr =
+    copy(child = newChild)
+}
+
 /** Repetition ratio (1 − distinct/total word n-grams) in one pass
   * (graft.functions.RepetitionRatio.ratio) — replaces an interpreted
   * transform(sequence…)→array_join→array_distinct chain that allocates a
@@ -547,6 +575,10 @@ object NativeExprs {
     ExpressionUtils.column(
       HyperplaneSigExpr(ExpressionUtils.expression(v), planes.flatten.toArray, planes.size))
   }
+
+  /** Column-level entry for PHashExpr. */
+  def phash(imageBytes: Column): Column =
+    ExpressionUtils.column(PHashExpr(ExpressionUtils.expression(imageBytes)))
 
   /** Column-level entry for BloomMightContainExpr. */
   def bloomMightContain(key: Column, bf: Broadcast[BloomFilter]): Column =

@@ -134,6 +134,135 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.length == 16)
   }
 
+  test("winnow_md5 / band_hashes / gopher_signals are SQL-callable and match the Column API") {
+    import org.apache.spark.sql.graft.NativeExprs
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "short")).toDF("id", "text")
+    df.createOrReplaceTempView("ext_kernels")
+    val viaSql = spark.sql(
+      """SELECT id, winnow_md5(text, 5, 4) AS fps,
+                band_hashes(minhash_signature(shingle_hashes(text, 2), 16, 7), 4) AS bh,
+                gopher_signals(text).word_count AS wc,
+                gopher_signals(text).alpha_words AS aw
+         FROM ext_kernels ORDER BY id""").collect()
+    val viaCol = df.orderBy("id").select(
+      NativeExprs.winnowMd5(col("text"), 5, 4),
+      NativeExprs.bandHashes(
+        NativeExprs.minhashSignature(NativeExprs.shingleHashes(col("text"), 2), 16, 7L), 4),
+      NativeExprs.gopherSignals(col("text"))).collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getSeq[String](1) == c.getSeq[String](0))
+      assert(s.getSeq[Long](2) == c.getSeq[Long](1))
+      val g = c.getStruct(2)
+      def num(r: org.apache.spark.sql.Row, i: Int): Long =
+        r.get(i).asInstanceOf[Number].longValue
+      assert(num(s, 3) == num(g, g.fieldIndex("word_count")))
+      assert(num(s, 4) == num(g, g.fieldIndex("alpha_words")))
+    }
+    assert(viaSql(0).getSeq[String](1).nonEmpty)
+  }
+
+  test("phash is SQL-callable; NULL for undecodable bytes; matches the codec") {
+    import graft.multimodal.Multimodal
+    val png = Multimodal.ImageCodec.makeStructuredPng(11L)
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8"))).toDF("id", "content")
+    df.createOrReplaceTempView("ext_img")
+    val rows = spark.sql("SELECT id, phash(content) AS h FROM ext_img ORDER BY id").collect()
+    assert(rows(0).getLong(1) == Multimodal.ImageCodec.pHash(png).get)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("hyperplane_sig SQL matches VectorFunctions.hyperplaneSignature") {
+    import graft.functions.VectorFunctions
+    val df = Seq((1L, Array(0.5f, -1f, 2f, 0f)), (2L, Array(-3f, 1f, 0f, 4f)))
+      .toDF("id", "v")
+    df.createOrReplaceTempView("ext_hp")
+    val viaSql = spark.sql(
+      "SELECT hyperplane_sig(v, 4, 8, 42) AS s FROM ext_hp ORDER BY id")
+      .collect().map(_.getLong(0))
+    val planes = VectorFunctions.randomPlanes(4, 8, 42L)
+    val viaCol = df.orderBy("id")
+      .select(VectorFunctions.hyperplaneSignature(col("v"), planes))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("top_k_by_score and bloom_sketch aggregates are SQL-callable") {
+    import graft.functions.BloomSketch
+    val df = (1L to 100L).map(i => (i % 4, i, (i * 37 % 100).toDouble)).toDF("g", "id", "score")
+    df.createOrReplaceTempView("ext_topk")
+    val rows = spark.sql(
+      """SELECT g, top_k_by_score(id, score, 3) AS top FROM ext_topk GROUP BY g ORDER BY g""")
+      .collect()
+    rows.foreach { r =>
+      val top = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(top.length == 3)
+      val scores = top.map(_.getDouble(1))
+      assert(scores == scores.sorted.reverse, "ordered by score desc")
+    }
+    // top of group equals the window formulation's argmax
+    val expectTop = df.groupBy("g").agg(max(struct(col("score"), col("id"))).as("m"))
+      .select(col("g"), col("m.id")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1).head.getLong(0) == expectTop(r.getLong(0)))
+    }
+
+    val names = Seq("alpha", "beta", "gamma", "delta").toDF("name")
+    names.createOrReplaceTempView("ext_bloom")
+    val bits = spark.sql("SELECT bloom_sketch(name, 256) AS b FROM ext_bloom")
+      .head().getSeq[Long](0).toArray
+    assert(Seq("alpha", "beta", "gamma", "delta").forall(BloomSketch.mightContain(bits, _)))
+    assert(!BloomSketch.mightContain(bits, "omega") || bits.length == 4) // 256 bits: fp unlikely
+  }
+
+  test("named models: bpe_encode / nb_score / lm_score resolve registered closures") {
+    import graft.operators.{Bpe, Classify, TextAnalysis}
+    val docs = Seq(
+      (1L, "low lower lowest low low", "a"),
+      (2L, "new newer newest new new", "b"),
+      (3L, "low new lower newer", "a")).toDF("doc_id", "text", "label")
+    docs.createOrReplaceTempView("ext_models")
+
+    val merges = Bpe.train(docs.toDF(), "text", 8)
+    Bpe.registerSql(spark, "ext_bpe", merges)
+    val nb = Classify.nbTrain(docs.toDF(), "label", "text", vocab = 64)
+    Classify.registerSql("ext_nb", nb)
+    val lm = TextAnalysis.charNgramModel(docs.toDF(), "text", 3)
+    TextAnalysis.registerLmSql("ext_lm", lm, 3)
+
+    val viaSql = spark.sql(
+      """SELECT doc_id, bpe_encode(text, 'ext_bpe') AS toks,
+                nb_score(text, 'ext_nb').pred AS pred,
+                lm_score(text, 'ext_lm') AS lp
+         FROM ext_models ORDER BY doc_id""").collect()
+    val bpeCol = Bpe.encodeNative(spark, merges)
+    val nbCol = Classify.nbScorer(nb)
+    val lmCol = TextAnalysis.lmScorer(lm, 3)
+    val viaCol = docs.orderBy("doc_id").select(
+      bpeCol(col("text")), nbCol(col("text")).getField("pred"), lmCol(col("text"))).collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getSeq[String](1) == c.getSeq[String](0))
+      assert(s.getString(2) == c.getString(1))
+      assert(s.getDouble(3) == c.getDouble(2))
+    }
+    assert(viaSql(0).getSeq[String](1).nonEmpty)
+  }
+
+  test("named models: unregistered name and wrong kind fail with a helpful error") {
+    Seq("x").toDF("text").createOrReplaceTempView("ext_badmodel")
+    val missing = intercept[Exception] {
+      spark.sql("SELECT bpe_encode(text, 'no_such_model') FROM ext_badmodel").collect()
+    }
+    assert(missing.getMessage.contains("no registered graft model"))
+    graft.functions.GraftModels.register("ext_kindcheck", "bpe", identity[org.apache.spark.sql.Column])
+    val wrongKind = intercept[Exception] {
+      spark.sql("SELECT nb_score(text, 'ext_kindcheck') FROM ext_badmodel").collect()
+    }
+    assert(wrongKind.getMessage.contains("kind"))
+    graft.functions.GraftModels.drop("ext_kindcheck")
+  }
+
   test("bottom_k property: partitioning/order-invariant, merge-correct in GROUP BY") {
     import graft.functions.BottomKSketch
     // property sweep over group sizes spanning the exact (<k) and

@@ -17,7 +17,8 @@ class FuzzSpec extends SparkSpec {
     val m = Map(
       "orders" -> spark.read.parquet(s"$sf/orders.parquet"),
       "lineitem" -> spark.read.parquet(s"$sf/lineitem.parquet"),
-      "documents" -> spark.read.parquet(s"$sf/documents.parquet"))
+      "documents" -> spark.read.parquet(s"$sf/documents.parquet"),
+      "embeddings" -> spark.read.parquet(s"$sf/embeddings.parquet"))
     m.foreach { case (n, df) =>
       df.createOrReplaceTempView(n)
       df.cache().count() // tiny at sf0.001; 260 fuzz jobs re-scan them
@@ -48,6 +49,28 @@ class FuzzSpec extends SparkSpec {
   test("all 340 cases: SQL and DataFrame-API programs agree row-for-row") {
     tables // register + cache the views before any spark.sql below
     val failures = FuzzQueries.cases.flatMap { c =>
+      val viaSql = normalize(spark.sql(c.sql).head())
+      val viaDsl = normalize(c.dsl(tables).head())
+      if (viaSql == viaDsl) None
+      else Some(s"${c.id}: sql=$viaSql dsl=$viaDsl\n  ${c.sql}")
+    }
+    assert(failures.isEmpty, s"${failures.size} divergent cases:\n${failures.mkString("\n")}")
+  }
+
+  test("family P: registered SQL-surface functions agree with their Column-API twins") {
+    tables
+    // the model-parameterized cases resolve these names at analysis time
+    val docs = tables("documents")
+    graft.operators.Bpe.registerSql(spark, "fz_bpe",
+      graft.operators.Bpe.train(docs, "text", 12))
+    graft.operators.Classify.registerSql("fz_nb",
+      graft.operators.Classify.nbTrain(docs, "lang", "text", vocab = 256))
+    graft.operators.TextAnalysis.registerLmSql("fz_lm",
+      graft.operators.TextAnalysis.charNgramModel(docs, "text", 3), 3)
+
+    assert(FuzzQueries.sqlSurfaceCases.size == FuzzQueries.nSurface)
+    assert(FuzzQueries.sqlSurfaceCases.map(_.id).distinct.size == FuzzQueries.nSurface)
+    val failures = FuzzQueries.sqlSurfaceCases.flatMap { c =>
       val viaSql = normalize(spark.sql(c.sql).head())
       val viaDsl = normalize(c.dsl(tables).head())
       if (viaSql == viaDsl) None
