@@ -458,6 +458,26 @@ final class VersionedTable private (
     }
   }
 
+  /** Idempotent overwrite: replace the table EXACTLY ONCE per
+    * (appId, batchId) — the overwrite-shaped twin of [[upsertIfNew]]
+    * for state frames that are recomputed whole per micro-batch (the
+    * ER survivorship state in StreamingEr). The txn marker rides the
+    * same atomic manifest commit as the data files, so a replayed
+    * batch after checkpoint recovery is recognized and skipped.
+    */
+  def overwriteIfNew(df: DataFrame, appId: String, batchId: Long): Snapshot = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    lastTxn(appId) match {
+      case Some(last) if last >= batchId =>
+        snapshot(currentVersion()) // replay — already applied, no commit
+      case _ =>
+        val prev = currentVersion()
+        val txns = (if (prev == 0) Map.empty[String, Long] else snapshot(prev).txns) +
+          (appId -> batchId)
+        commit(prev + 1, writeFiles(df, prev + 1), txns, Some(df.schema.toDDL))
+    }
+  }
+
   // -------------------------------------------------------------- reads
 
   /** Snapshot read: the latest version, or `asOf` for time travel. */
