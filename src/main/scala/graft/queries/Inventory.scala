@@ -4174,6 +4174,119 @@ object Inventory {
                ELSE round(hits * 1000.0 / len(t2), 4) END AS noise
         FROM c ORDER BY doc_id""")),
 
+    Q("q194_sql_surface",
+      (s, dir) => {
+        // The registered SQL surface as ONE config-style statement: the
+        // whole query is a spark.sql STRING (the reference's public
+        // query language), touching only GraftExtensions functions —
+        // md5_fingerprint, simhash_md5, redact_pii∘redact_cards (on an
+        // injected email/IP/card payload, q102+q190 discipline),
+        // encoding_noise (on an injected mojibake ghost, q191
+        // discipline). The oracle replays every formula from scratch —
+        // no shortcut rides on the injection being the only match, so
+        // fixture regeneration cannot silently break the hash.
+        t(s, dir, "documents").createOrReplaceTempView("sqlsurf_docs")
+        s.sql("""WITH t2 AS (
+            SELECT doc_id, text,
+              concat(text, ' reach u', CAST(doc_id AS STRING),
+                '@ex-mail.org at 10.0.', CAST(doc_id % 256 AS STRING), '.7 pay ',
+                CASE WHEN doc_id % 2 = 0 THEN '4111111111111111'
+                     ELSE '4111111111111112' END, ' now') AS t_pii,
+              concat(text,
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat(' caf', chr(195), chr(169), ' ok')
+                     ELSE '' END) AS t_noise
+            FROM sqlsurf_docs)
+          SELECT doc_id,
+            md5_fingerprint(text) AS fp_md5,
+            element_at(simhash_md5(text), 1) AS sim_hi,
+            element_at(simhash_md5(text), 2) AS sim_lo,
+            CAST(length(redact_cards(redact_pii(t_pii))) AS BIGINT) AS clean_len,
+            encoding_noise(t_noise) AS noise
+          FROM t2 ORDER BY doc_id""")
+      },
+      Some("""WITH t2 AS (
+          SELECT doc_id, text,
+            text || ' reach u' || CAST(doc_id AS VARCHAR)
+              || '@ex-mail.org at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 pay '
+              || CASE WHEN doc_id % 2 = 0 THEN '4111111111111111'
+                      ELSE '4111111111111112' END || ' now' AS t_pii,
+            text || CASE WHEN doc_id % 3 = 0
+                    THEN ' caf' || chr(195) || chr(169) || ' ok'
+                    ELSE '' END AS t_noise
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0),
+        h AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+            CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+          FROM tok),
+        votes AS (
+          SELECT doc_id, j,
+            CASE WHEN 2 * sum((hi >> j) & 1) >= count(*)
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS hb,
+            CASE WHEN 2 * sum((lo >> j) & 1) >= count(*)
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS lb
+          FROM h CROSS JOIN generate_series(0, 31) t(j)
+          GROUP BY doc_id, j),
+        fp AS (
+          SELECT doc_id, sum(hb) AS fp_hi, sum(lb) AS fp_lo
+          FROM votes GROUP BY doc_id),
+        pii AS (
+          SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            t_pii,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+            '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+            '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS p
+          FROM t2),
+        c AS (
+          SELECT doc_id, p,
+            regexp_extract_all(p,
+              '(^|[^0-9])((?:[0-9][ -]?){12,18}[0-9])([^0-9]|$)', 2) AS cands
+          FROM pii),
+        cand AS (
+          SELECT doc_id, i, cands[i] AS c0
+          FROM c, LATERAL (SELECT unnest(range(1, len(cands) + 1)) AS i)),
+        lu AS (
+          SELECT doc_id, i, c0,
+            (len(d) BETWEEN 13 AND 19 AND
+             list_sum([CASE WHEN (len(d) - i2) % 2 = 1
+                 THEN CASE WHEN (ascii(d[i2]) - 48) * 2 > 9
+                      THEN (ascii(d[i2]) - 48) * 2 - 9
+                      ELSE (ascii(d[i2]) - 48) * 2 END
+                 ELSE ascii(d[i2]) - 48 END
+               for i2 in range(1, len(d) + 1)]) % 10 = 0) AS ok
+          FROM (SELECT *, regexp_replace(c0, '[^0-9]', '', 'g') AS d FROM cand)),
+        agg AS (
+          SELECT doc_id, list(c0 ORDER BY i) FILTER (ok) AS valids
+          FROM lu GROUP BY doc_id),
+        clean AS (
+          SELECT pi.doc_id,
+            CAST(length(list_reduce(list_prepend(pi.p, coalesce(a.valids, [])),
+              (acc, v) -> replace(acc, v, '<CARD>'))) AS BIGINT) AS clean_len
+          FROM pii pi LEFT JOIN agg a USING (doc_id)),
+        noise AS (
+          SELECT doc_id,
+            CASE WHEN len(t_noise) = 0 THEN 0.0
+                 ELSE round((len(string_split_regex(t_noise,
+                   '(\x{00C3}[\x{0080}-\x{00BF}])|(\x{00E2}\x{20AC})|(\x{00C2}[\x{0020}\x{00A0}])|(\x{FFFD})'
+                 )) - 1) * 1000.0 / len(t_noise), 4) END AS noise
+          FROM t2)
+        SELECT d.doc_id,
+          md5(lower(trim(d.text))) AS fp_md5,
+          CAST(coalesce(f.fp_hi, 0) AS BIGINT) AS sim_hi,
+          CAST(coalesce(f.fp_lo, 0) AS BIGINT) AS sim_lo,
+          cl.clean_len AS clean_len,
+          n.noise AS noise
+        FROM documents d
+        LEFT JOIN fp f USING (doc_id)
+        JOIN clean cl USING (doc_id)
+        JOIN noise n USING (doc_id)
+        ORDER BY doc_id""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's

@@ -258,6 +258,72 @@ object StreamingCorpus {
       }
       .start()
 
+  /** Streaming winnowing (MOSS passage) dedup against the persisted
+    * fingerprint store of [[graft.operators.TextAnalysis
+    * .winnowNearDupsIncremental]] — the passage-level member of the
+    * per-family streaming-twin set (MinHash, tiles, semantic, pHash …).
+    * Each micro-batch:
+    *
+    *  1. drops ids already in the store (exact-id replay guard — a
+    *     checkpoint-recovered batch is a no-op);
+    *  2. fingerprints ONLY the batch (one map-side native-kernel pass;
+    *     history text is never re-read) and pairs it against the store
+    *     + itself, with the boilerplate maxDf prune counted over the
+    *     combined population — identical arithmetic to the batch
+    *     incremental operator;
+    *  3. drops batch losers by the greedy rule (pairs-with-history
+    *     loses; larger id of a batch-internal pair loses);
+    *  4. appends survivors' `(id, fp)` rows to the store (winnowing
+    *     state is append-only — the same blind-union maintenance as
+    *     the batch twin) and hands survivor DOCUMENTS to
+    *     `onSurvivors(df, batchId)`.
+    *
+    * CONCURRENCY: single writer, like [[semanticDedupStream]].
+    */
+  def winnowDedupStream(
+      docs: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 25,
+      w: Int = 10,
+      minShared: Long = 3L,
+      maxDf: Long = 1000L,
+      onSurvivors: (DataFrame, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hadoopPath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val store =
+          if (fs.exists(hadoopPath)) spark.read.parquet(storePath)
+          else batch.toDF().select(col(idCol), lit("").as("fp")).limit(0)
+        val fresh = batch.toDF().join(
+          store.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        val pairs = graft.operators.TextAnalysis.winnowNearDupsIncremental(
+          fresh, store, idCol, textCol, k, w, minShared, maxDf)
+        val bids = fresh.select(col(idCol).cast("long").as("__bid"))
+        val losers = pairs
+          .join(bids.select(col("__bid").as("__a_in")),
+            col("id_a") === col("__a_in"), "left")
+          .join(bids.select(col("__bid").as("__b_in")),
+            col("id_b") === col("__b_in"), "left")
+          .select(
+            when(col("__a_in").isNotNull && col("__b_in").isNull, col("id_a"))
+              .otherwise(col("id_b")).as("__loser"))
+          .distinct()
+        val survivors = fresh
+          .join(losers, fresh(idCol).cast("long") === col("__loser"), "left_anti")
+          .localCheckpoint() // one materialization: the append AND onSurvivors read it
+        graft.operators.TextAnalysis
+          .winnowFingerprints(survivors, idCol, textCol, k, w)
+          .write.mode("append").parquet(storePath)
+        onSurvivors(survivors, batchId)
+      }
+      .start()
+
   /** Read the vector store, or an empty (idCol, vecCol, cell) frame when
     * none exists yet — first-batch bootstrap, same pattern as
     * [[graft.operators.DedupLedger.read]].

@@ -288,4 +288,49 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(emitted.map(_._2).toSet == Set(10L, 20L, 30L) && emitted.size == 3,
       s"each survivor must be emitted exactly once: $emitted")
   }
+
+  test("winnowDedupStream: passage dedup vs the fp store; replayed ids are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("winstream").toFile.getAbsolutePath
+    val store = s"$dir/store"
+    val passage = "the copied passage rides along unchanged through every plagiarized document"
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCorpus.winnowDedupStream(
+      in.toDF.toDF("doc_id", "text"), store, s"$dir/ckpt",
+      k = 8, w = 4, minShared = 2L,
+      onSurvivors = (df, bid) => emitted.synchronized {
+        df.select("doc_id").collect().foreach(r => emitted += (bid -> r.getLong(0)))
+      })
+    try {
+      // batch A: 10/11 share the passage → greedy drops 11; 20 is clean
+      in.addData(
+        (10L, s"intro one $passage outro alpha"),
+        (11L, s"intro two $passage outro beta"),
+        (20L, "completely different prose with no repeated span at all here"))
+      q.processAllAvailable()
+      // batch B: 12 copies history 10's passage → drops; 30 is clean
+      in.addData(
+        (12L, s"fresh framing yet $passage again"),
+        (30L, "zebra quartz flamingo vortex kiwi mango glyph nothing matches"))
+      q.processAllAvailable()
+      // batch C: replay of an ingested id → exact-id guard, no-op
+      in.addData((10L, s"intro one $passage outro alpha"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val storeIds = spark.read.parquet(store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storeIds == Set(10L, 20L, 30L), s"store holds $storeIds")
+    assert(emitted.map(_._2).toSet == Set(10L, 20L, 30L) && emitted.size == 3,
+      s"each survivor must be emitted exactly once: $emitted")
+    // the survivors' store serves the batch twin identically: a new day
+    // against it flags the same passage
+    val nextDay = Seq((40L, s"day two reuse $passage here")).toDF("doc_id", "text")
+    val pairs = graft.operators.TextAnalysis.winnowNearDupsIncremental(
+      nextDay, spark.read.parquet(store), "doc_id", "text",
+      k = 8, w = 4, minShared = 2L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 40L)), s"batch twin over the stream's store: $pairs")
+  }
 }
