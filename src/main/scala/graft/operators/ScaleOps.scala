@@ -643,4 +643,44 @@ object ScaleOps {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(phi) * lit(n.toDouble))
   }
+
+  /** md5-derived shuffle key: the deterministic, ENGINE-REPLAYABLE
+    * permutation every training-data emission needs — same md5
+    * determinism idiom as [[stratifiedSample]]. Reading the corpus
+    * `ORDER BY shuffle_key` is Spark's range-partitioned total sort
+    * (sample → range exchange → local sort) — one exchange, the
+    * standard scale path; a new seed is a fresh permutation with no
+    * state to keep.
+    */
+  def corpusShuffleKey(id: Column, seed: Long): Column =
+    md5(concat_ws(":", lit(seed.toString), id.cast("string")))
+
+  /** Deterministic curriculum ordering for training emission: rows bin
+    * into `nBins` equal-frequency difficulty bins on `valueCol`
+    * (DISCRETE percentile boundaries — actual data values, so any
+    * engine reproduces the exact bin of every row; the q135
+    * `quantileBin` machinery with one global group), then shuffle
+    * WITHIN each bin by [[corpusShuffleKey]]. The trainer reads
+    * `ORDER BY (bin, shuffle_key)` for an easy→hard curriculum whose
+    * within-bin order is reproducible and re-seedable without
+    * re-binning.
+    *
+    * Scale: the boundary aggregate is one global percentile pass whose
+    * result broadcasts (nBins−1 values); binning and the key are
+    * map-only. The only data exchange is the final sort the READER
+    * chooses to do — the operator itself adds none.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      nBins: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val binned = graft.quality.Outliers.quantileBin(
+      df.withColumn("__all", lit(1)), valueCol, Seq("__all"), nBins)
+    binned
+      .withColumn("bin", col(s"${valueCol}_bin"))
+      .withColumn("shuffle_key", corpusShuffleKey(col(idCol), seed))
+      .drop("__all", s"${valueCol}_bin")
+  }
 }

@@ -4287,6 +4287,32 @@ object Inventory {
         JOIN noise n USING (doc_id)
         ORDER BY doc_id""")),
 
+    Q("q195_curriculum_shuffle",
+      (s, dir) =>
+        // deterministic curriculum ordering for training emission:
+        // equal-frequency n_chars quartiles (discrete boundaries — the
+        // q135 machinery with one global group) + md5-derived within-bin
+        // shuffle key. The key IS the permutation: a trainer reads
+        // ORDER BY (bin, shuffle_key); the oracle reproduces both the
+        // exact bin of every row and the exact key, so the entire
+        // emission order replays in any engine.
+        ScaleOps.curriculumOrder(
+          t(s, dir, "documents"), "doc_id", "n_chars", nBins = 4, seed = 42L)
+          .select("doc_id", "bin", "shuffle_key")
+          .orderBy("doc_id"),
+      Some("""WITH b AS (
+          SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+                 percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS q2,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+          FROM documents)
+        SELECT doc_id,
+          CAST(1 + CASE WHEN n_chars > b.q1 THEN 1 ELSE 0 END
+                 + CASE WHEN n_chars > b.q2 THEN 1 ELSE 0 END
+                 + CASE WHEN n_chars > b.q3 THEN 1 ELSE 0 END AS INTEGER) AS bin,
+          md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents, b
+        ORDER BY doc_id""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's

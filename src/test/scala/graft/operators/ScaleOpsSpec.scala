@@ -560,6 +560,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
   }
 
+  test("curriculumOrder: equal-frequency bins, deterministic re-seedable shuffle key") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, (i * 37) % 1000)).toDF("id", "difficulty")
+    val out = ScaleOps.curriculumOrder(df, "id", "difficulty", nBins = 4, seed = 7L)
+    val byBin = out.groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBin.keySet == Set(1, 2, 3, 4))
+    assert(byBin.values.forall(n => n >= 80 && n <= 120), s"skewed bins: $byBin")
+    // bins respect the difficulty order: every bin-1 value <= every bin-4 value
+    val max1 = out.filter($"bin" === 1).agg(max("difficulty")).as[Long].head()
+    val min4 = out.filter($"bin" === 4).agg(min("difficulty")).as[Long].head()
+    assert(max1 <= min4)
+    // the key is a pure function of (seed, id): partitioning-invariant,
+    // and a new seed is a genuinely different permutation
+    val again = ScaleOps.curriculumOrder(
+      df.repartition(13), "id", "difficulty", nBins = 4, seed = 7L)
+    assert(out.select("id", "bin", "shuffle_key").exceptAll(
+      again.select("id", "bin", "shuffle_key")).count() == 0)
+    val reseeded = ScaleOps.curriculumOrder(df, "id", "difficulty", nBins = 4, seed = 8L)
+    val order7 = out.orderBy("bin", "shuffle_key").select("id").as[Long].collect().toSeq
+    val order8 = reseeded.orderBy("bin", "shuffle_key").select("id").as[Long].collect().toSeq
+    assert(order7 != order8, "a new seed must re-permute")
+    assert(order7.toSet == order8.toSet)
+  }
+
   test("splitByGroup: a null group key gets a null split, not a silent bucket") {
     import spark.implicits._
     val rows = Seq((1L, Some("g1")), (2L, None), (3L, Some("g2")))
