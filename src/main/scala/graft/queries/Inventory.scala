@@ -4313,6 +4313,51 @@ object Inventory {
         FROM documents, b
         ORDER BY doc_id""")),
 
+    Q("q196_unicode_nfc",
+      (s, dir) => {
+        // Unicode canonicalization (UAX #15 NFC) — the pass that makes
+        // "café" composed (U+00E9) and decomposed (e + U+0301) hash
+        // identically before any fingerprint/dedup stage. Decomposed
+        // sequences are injected into half the docs (built from \u
+        // escapes / chr() codepoints — no literal combining marks
+        // travel through source files), an already-composed phrase
+        // into every 5th (idempotence); both engines implement the
+        // same standard (java.text.Normalizer vs utf8proc), so the
+        // normalized TEXT hash-compares, not just the lengths.
+        val gA = lit("e\u0301") // decomposed e + U+0301 (combining acute)
+        val gB = lit("n\u0303") // decomposed n + U+0303 (combining tilde)
+        val injected = concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" caf"), gA, lit(" ma"), gB, lit("ana"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" d\u00E9j\u00E0 vu")).otherwise(lit("")))
+        val nfc = org.apache.spark.sql.graft.NativeExprs
+          .unicodeNormalize(col("t2"), "NFC")
+        t(s, dir, "documents")
+          .select(col("doc_id"), injected.as("t2"))
+          .select(
+            col("doc_id"),
+            nfc.as("nfc_text"),
+            length(col("t2")).cast("long").as("n_chars_raw"),
+            length(nfc).cast("long").as("n_chars_nfc"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 2 = 0
+               THEN ' caf' || chr(101) || chr(769) || ' ma' || chr(110) || chr(771) || 'ana'
+               ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+               THEN ' d' || chr(233) || 'j' || chr(224) || ' vu'
+               ELSE '' END AS t2
+          FROM documents)
+        SELECT doc_id,
+          nfc_normalize(t2) AS nfc_text,
+          CAST(length(t2) AS BIGINT) AS n_chars_raw,
+          CAST(length(nfc_normalize(t2)) AS BIGINT) AS n_chars_nfc
+        FROM h ORDER BY doc_id""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's

@@ -272,6 +272,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"bloom_sketch expects (col, num_bits[, num_hashes]), got ${args.length} args")
       })
 
+    register(ext, "unicode_normalize",
+      "unicode_normalize(text[, 'NFC'|'NFD'|'NFKC'|'NFKD']) - UAX #15 normalization " +
+        "(default NFC; the canonicalization pass before fingerprinting)", {
+        case Seq(text, formExpr) =>
+          val name = formExpr match {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+            case other => throw new IllegalArgumentException(
+              s"unicode_normalize form must be a string literal, got $other")
+          }
+          val idx = graft.functions.TextNorm.formIndex(name)
+          if (idx < 0) throw new IllegalArgumentException(
+            s"unknown normalization form '$name' (NFC/NFD/NFKC/NFKD)")
+          UnicodeNormalizeExpr(text, idx)
+        case Seq(text) => UnicodeNormalizeExpr(text, 0)
+        case args => throw new IllegalArgumentException(
+          s"unicode_normalize expects (text[, form]), got ${args.length} args")
+      })
+
     // ---------------------------------------------------- named models
     // Trained state (BPE merge ranks, NB micro-model, char-ngram LM) is
     // a broadcast closure, not a literal — the SQL surface reaches it

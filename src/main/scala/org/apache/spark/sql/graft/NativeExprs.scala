@@ -358,6 +358,30 @@ case class PHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode normalization (UAX #15, graft.functions.TextNorm): the
+  * canonicalization pass before any text fingerprinting. `form` is the
+  * TextNorm form index (0=NFC, 1=NFD, 2=NFKC, 3=NFKD), resolved once
+  * at construction; the kernel's isNormalized fast path returns the
+  * input untouched for already-normal text (the overwhelming case).
+  */
+case class UnicodeNormalizeExpr(child: Expression, form: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(form >= 0 && form <= 3, s"form index $form out of range")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.TextNorm.normalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.normalize($c, $form)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalizeExpr =
+    copy(child = newChild)
+}
+
 /** Repetition ratio (1 − distinct/total word n-grams) in one pass
   * (graft.functions.RepetitionRatio.ratio) — replaces an interpreted
   * transform(sequence…)→array_join→array_distinct chain that allocates a
@@ -574,6 +598,13 @@ object NativeExprs {
     require(planes.forall(_.length == dim), "planes must share a dimension")
     ExpressionUtils.column(
       HyperplaneSigExpr(ExpressionUtils.expression(v), planes.flatten.toArray, planes.size))
+  }
+
+  /** Column-level entry for UnicodeNormalizeExpr. */
+  def unicodeNormalize(text: Column, form: String): Column = {
+    val idx = graft.functions.TextNorm.formIndex(form)
+    require(idx >= 0, s"unknown normalization form '$form' (NFC/NFD/NFKC/NFKD)")
+    ExpressionUtils.column(UnicodeNormalizeExpr(ExpressionUtils.expression(text), idx))
   }
 
   /** Column-level entry for PHashExpr. */

@@ -216,6 +216,39 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!BloomSketch.mightContain(bits, "omega") || bits.length == 4) // 256 bits: fp unlikely
   }
 
+  test("unicode_normalize: NFC composes, NFKC folds compatibility, SQL matches Column API") {
+    import org.apache.spark.sql.graft.NativeExprs
+    val decomposed = "cafe\u0301 man\u0303ana"   // combining acute + tilde
+    val composed = "caf\u00E9 ma\u00F1ana"
+    val ligature = "\uFB01ne o\uFB03ce"           // fi / ffi ligatures
+    val df = Seq((1L, decomposed), (2L, ligature), (3L, "plain ascii")).toDF("id", "text")
+    df.createOrReplaceTempView("ext_norm")
+    val rows = spark.sql(
+      """SELECT id, unicode_normalize(text) AS nfc,
+                unicode_normalize(text, 'NFKC') AS nfkc
+         FROM ext_norm ORDER BY id""").collect()
+    assert(rows(0).getString(1) == composed, "NFC must compose")
+    assert(rows(1).getString(1) == ligature, "NFC leaves compatibility chars alone")
+    assert(rows(1).getString(2) == "fine office", "NFKC folds ligatures")
+    assert(rows(2).getString(1) == "plain ascii")
+    val viaCol = df.orderBy("id")
+      .select(NativeExprs.unicodeNormalize(col("text"), "NFC")).collect().map(_.getString(0))
+    assert(rows.map(_.getString(1)).toSeq == viaCol.toSeq)
+    // NFC-then-fingerprint makes composed and decomposed hash-equal
+    val pair = Seq(composed, decomposed).toDF("v")
+    pair.createOrReplaceTempView("ext_norm2")
+    val n = spark.sql(
+      "SELECT count(DISTINCT md5_fingerprint(unicode_normalize(v))) AS n FROM ext_norm2")
+      .head().getLong(0)
+    assert(n == 1L, "composed and decomposed must fingerprint identically after NFC")
+    assert(pair.select(countDistinct(graft.operators.TextAnalysis.md5Fingerprint(col("v"))))
+      .head().getLong(0) == 2L, "without NFC they differ (the hazard the pass removes)")
+    val bad = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize(text, 'NFX') FROM ext_norm").collect()
+    }
+    assert(bad.getMessage.contains("NFKC"))
+  }
+
   test("named models: bpe_encode / nb_score / lm_score resolve registered closures") {
     import graft.operators.{Bpe, Classify, TextAnalysis}
     val docs = Seq(
