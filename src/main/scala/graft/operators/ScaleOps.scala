@@ -655,6 +655,21 @@ object ScaleOps {
   def corpusShuffleKey(id: Column, seed: Long): Column =
     md5(concat_ws(":", lit(seed.toString), id.cast("string")))
 
+  /** 64-bit variant of [[corpusShuffleKey]]: the first 16 hex chars of
+    * the same md5, assembled as hi·2³² + lo from two 32-bit limbs (the
+    * q98/q148 convention — 64-bit wraparound, so the bit pattern
+    * replays in any engine with exact integer semantics). Use THIS one
+    * for the emission sort: the reader's `ORDER BY (bin, shuffle_key)`
+    * compares 8-byte longs instead of 32-byte hex strings and ships
+    * ~24 B/row less sort-shuffle payload at emission scale. The hex
+    * form remains for systems that want a human-greppable key.
+    */
+  def corpusShuffleKey64(id: Column, seed: Long): Column = {
+    val hex = corpusShuffleKey(id, seed)
+    conv(substring(hex, 1, 8), 16, 10).cast("long") * lit(4294967296L) +
+      conv(substring(hex, 9, 8), 16, 10).cast("long")
+  }
+
   /** Deterministic curriculum ordering for training emission: rows bin
     * into `nBins` equal-frequency difficulty bins on `valueCol`
     * (DISCRETE percentile boundaries — actual data values, so any
@@ -676,11 +691,20 @@ object ScaleOps {
       valueCol: String,
       nBins: Int = 4,
       seed: Long = 42L): DataFrame = {
+    // withColumn REPLACES same-named columns: silently clobbering a
+    // caller's bin/shuffle_key (or the internal __all scratch column)
+    // would corrupt the input undetected, so fail loudly instead.
+    val reserved = Seq("bin", "shuffle_key", "shuffle_key64", "__all")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"curriculumOrder emits columns ${reserved.mkString("/")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before calling")
     val binned = graft.quality.Outliers.quantileBin(
       df.withColumn("__all", lit(1)), valueCol, Seq("__all"), nBins)
     binned
       .withColumn("bin", col(s"${valueCol}_bin"))
       .withColumn("shuffle_key", corpusShuffleKey(col(idCol), seed))
+      .withColumn("shuffle_key64", corpusShuffleKey64(col(idCol), seed))
       .drop("__all", s"${valueCol}_bin")
   }
 }

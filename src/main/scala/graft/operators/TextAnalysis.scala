@@ -575,6 +575,93 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Mergeable (fp, df) document-frequency state for the winnowing
+    * store — the tileHashStore discipline ([[graft.operators.Dedup
+    * .tileHashStore]]) applied to the boilerplate prune: instead of
+    * re-counting `countDistinct(id)` over store ∪ batch every ingest
+    * (an O(|store|) pass at full history width), persist per-batch
+    * (fp, df) delta rows and let readers sum them.
+    *
+    * Input MUST be a [[winnowFingerprints]] output — (id, fp) rows are
+    * distinct by construction, so `count` IS the document frequency.
+    * Maintenance is a blind append of each batch's own `winnowDfStore`
+    * (ids globally unique, the DedupLedger convention): df is additive
+    * over disjoint id populations, so sum-of-deltas ≡ recompute from
+    * the combined corpus — the associativity [[TextAnalysisSpec]] pins.
+    * Compact periodically with [[winnowDfCompact]] to bound row count.
+    */
+  def winnowDfStore(fps: DataFrame, idCol: String): DataFrame =
+    fps.groupBy("fp").agg(count(lit(1)).cast("long").as("df"))
+
+  /** Compaction of an append-only [[winnowDfStore]] delta stream back
+    * to one row per fingerprint. Idempotent; safe at any cadence.
+    */
+  def winnowDfCompact(historyDf: DataFrame): DataFrame =
+    historyDf.groupBy("fp").agg(sum(col("df")).cast("long").as("df"))
+
+  /** [[winnowNearDupsIncremental]] with the boilerplate prune served
+    * from persisted mergeable df state instead of a per-batch
+    * recount — the daily-ingest shape a 100 TB deployment actually
+    * runs: work is O(batch + store rows for TOUCHED fingerprints),
+    * never O(|store|) aggregation.
+    *
+    *  - `historyFps`: prior (id, fp) rows — read only via a left-semi
+    *    prune to batch-touched fingerprints, then joined for pairing;
+    *  - `historyDf`: append-only (fp, df) deltas ([[winnowDfStore]]
+    *    per ingested batch); summed per touched fp on read.
+    *
+    * Prune equivalence: a fingerprint untouched by the batch can
+    * produce no new pair, so its df is irrelevant; for touched fps,
+    * batch count + stored sum IS the combined-population df (disjoint
+    * ids, distinct per-doc fps). Hence the emitted pair set equals
+    * [[winnowNearDupsIncremental]] — and the full-corpus recompute
+    * side-filtered to new pairs — exactly (spec-pinned), while the
+    * countDistinct pass over store ∪ batch drops out of the plan
+    * (PlanShapeSpec pins no count(distinct) anywhere in q193).
+    *
+    * Store maintenance after the batch: append the batch's (id, fp)
+    * rows to `historyFps` and `winnowDfStore(batchFps)` to
+    * `historyDf` — both blind appends.
+    */
+  def winnowNearDupsIncrementalMergeable(
+      newDocs: DataFrame,
+      historyFps: DataFrame,
+      historyDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 25,
+      w: Int = 10,
+      minShared: Long = 3L,
+      maxDf: Long = 1000L): DataFrame = {
+    val newFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
+    val batchDf = newFp.groupBy("fp").agg(count(lit(1)).cast("long").as("__bdf"))
+    val touchedStoreDf = historyDf
+      .join(batchDf.select("fp"), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(sum(col("df")).as("__sdf"))
+    val hot = batchDf.join(touchedStoreDf, Seq("fp"), "left")
+      .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) > maxDf)
+      .select("fp")
+    val newKept = newFp.join(hot, Seq("fp"), "left_anti")
+    val histKept = historyFps.select(col(idCol), col("fp"))
+      .join(batchDf.select("fp"), Seq("fp"), "left_semi")
+      .join(hot, Seq("fp"), "left_anti")
+    // new×history (exactly one new side — orient by id order) plus
+    // new×new (both new): disjoint pair populations, so the union
+    // never double-counts a shared fingerprint.
+    val nh = newKept.select(col("fp"), col(idCol).as("__n_id"))
+      .join(histKept.select(col("fp"), col(idCol).as("__h_id")), Seq("fp"))
+      .select(least(col("__n_id"), col("__h_id")).as("id_a"),
+        greatest(col("__n_id"), col("__h_id")).as("id_b"))
+    val nn = newKept.select(col("fp"), col(idCol).as("id_a"))
+      .join(newKept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    nh.unionByName(nn)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Annotate a documents frame with all analysis columns. One native
     * single-tokenization kernel (TextProfileExpr); field-by-field
     * value-identical to [[annotateHof]], which the spec pins.

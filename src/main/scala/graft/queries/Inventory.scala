@@ -2918,11 +2918,22 @@ object Inventory {
         // passage-sharing pairs and side-filters to those touching the
         // batch; the combined-population maxDf prune makes incremental
         // ≡ full exact, not approximate.
+        // the store arrived as TWO ingests (docs %5 in {0,1} then
+        // {2,3}), each appending its own (fp, df) delta — the prune
+        // sums deltas per touched fp instead of re-counting the full
+        // (id, fp) history (mergeable-state path; the recount variant
+        // winnowNearDupsIncremental is the pinned semantic twin).
         val d = t(s, dir, "documents")
-        val store = TextAnalysis.winnowFingerprints(
-          d.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", k = 25, w = 10)
-        TextAnalysis.winnowNearDupsIncremental(
-          d.filter(col("doc_id") % 5 === 4), store, "doc_id", "text",
+        val dayA = d.filter(col("doc_id") % 5 < 2)
+        val dayB = d.filter(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
+        val fpsA = TextAnalysis.winnowFingerprints(dayA, "doc_id", "text", k = 25, w = 10)
+        val fpsB = TextAnalysis.winnowFingerprints(dayB, "doc_id", "text", k = 25, w = 10)
+        TextAnalysis.winnowNearDupsIncrementalMergeable(
+          d.filter(col("doc_id") % 5 === 4),
+          fpsA.unionByName(fpsB),
+          TextAnalysis.winnowDfStore(fpsA, "doc_id")
+            .unionByName(TextAnalysis.winnowDfStore(fpsB, "doc_id")),
+          "doc_id", "text",
           k = 25, w = 10, minShared = 3L, maxDf = 1000L)
           .orderBy("id_a", "id_b")
       },
@@ -4298,7 +4309,7 @@ object Inventory {
         // emission order replays in any engine.
         ScaleOps.curriculumOrder(
           t(s, dir, "documents"), "doc_id", "n_chars", nBins = 4, seed = 42L)
-          .select("doc_id", "bin", "shuffle_key")
+          .select("doc_id", "bin", "shuffle_key", "shuffle_key64")
           .orderBy("doc_id"),
       Some("""WITH b AS (
           SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
@@ -4309,8 +4320,18 @@ object Inventory {
           CAST(1 + CASE WHEN n_chars > b.q1 THEN 1 ELSE 0 END
                  + CASE WHEN n_chars > b.q2 THEN 1 ELSE 0 END
                  + CASE WHEN n_chars > b.q3 THEN 1 ELSE 0 END AS INTEGER) AS bin,
-          md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
-        FROM documents, b
+          md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+          -- 64-bit variant: hi·2^32 + lo from the first 16 hex chars,
+          -- wrapped to signed 64 via HUGEINT (the q98 limb convention)
+          CAST(CASE WHEN sk64 >= 9223372036854775808
+               THEN sk64 - 18446744073709551616 ELSE sk64 END AS BIGINT)
+            AS shuffle_key64
+        FROM (SELECT doc_id, n_chars,
+                (CAST(CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT)
+                   * 4294967296
+                 + CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT))
+                  % 18446744073709551616 AS sk64
+              FROM documents), b
         ORDER BY doc_id""")),
 
     Q("q196_unicode_nfc",

@@ -347,12 +347,18 @@ case class PHashExpr(child: Expression)
   override def nullSafeEval(input: Any): Any =
     graft.multimodal.Multimodal.ImageCodec.pHashOrNull(input.asInstanceOf[Array[Byte]])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: with a non-nullable child, nullSafeCodeGen emits this
+    // block unwrapped, so a fixed identifier would collide when two
+    // phash() calls land in one generated function (janino failure ->
+    // silent interpreted fallback).
+    val ph = ctx.freshName("graftPh")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |java.lang.Long graftPh = graft.multimodal.Multimodal.ImageCodec.pHashOrNull($c);
-         |if (graftPh == null) { ${ev.isNull} = true; } else { ${ev.value} = graftPh.longValue(); }
+         |java.lang.Long $ph = graft.multimodal.Multimodal.ImageCodec.pHashOrNull($c);
+         |if ($ph == null) { ${ev.isNull} = true; } else { ${ev.value} = $ph.longValue(); }
        """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): PHashExpr =
     copy(child = newChild)
@@ -464,10 +470,11 @@ case class LmScoreExpr(
     val bcRef = ctx.addReferenceObj("lmModelBc", modelBc, classOf[Broadcast[_]].getName)
     val mapVar = ctx.addMutableState("java.util.HashMap", "graftLmModel",
       v => s"$v = (java.util.HashMap) $bcRef.value();")
+    val r = ctx.freshName("graftLmR")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |java.lang.Double graftLmR = graft.functions.LmScore.score($c, $mapVar, $n, ${defaultMicro}L);
-         |if (graftLmR == null) { ${ev.isNull} = true; } else { ${ev.value} = graftLmR.doubleValue(); }
+         |java.lang.Double $r = graft.functions.LmScore.score($c, $mapVar, $n, ${defaultMicro}L);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin)
   }
 

@@ -317,6 +317,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q193: mergeable df store removes the per-batch recount over the fp history") {
+    // the boilerplate prune must be served from summed (fp, df) deltas:
+    // no count(distinct ...) anywhere in the plan (the recount variant
+    // aggregates countDistinct(doc_id) over store ∪ batch — verified
+    // below so this pin cannot rot into vacuity), and the history fps
+    // are pruned to batch-touched fingerprints via a semi-join before
+    // any pairing work.
+    val plan = planString(run("q193_winnow_incremental")).toLowerCase
+    assert(!plan.contains("count(distinct"),
+      s"mergeable prune must not recount dfs over the history:\n$plan")
+    assert(plan.contains("leftsemi"),
+      s"history must be pruned to touched fps via a semi-join:\n$plan")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val legacy = graft.operators.TextAnalysis.winnowNearDupsIncremental(
+      docs.filter(col("doc_id") % 5 === 4),
+      graft.operators.TextAnalysis.winnowFingerprints(
+        docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text"),
+      "doc_id", "text")
+    assert(planString(legacy).toLowerCase.contains("count(distinct"),
+      "sentinel: the recount variant should show count(distinct) — " +
+        "if this fails the pin above is checking the wrong marker")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

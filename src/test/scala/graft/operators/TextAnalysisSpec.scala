@@ -447,6 +447,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nextStore == fullFps)
   }
 
+  test("mergeable winnow df state: delta-summed prune == recount == full recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    // history arrived as two ingests, each appending its own df delta
+    val dayA = docs.filter(col("doc_id") % 5 < 2)
+    val dayB = docs.filter(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
+    val fpsA = TextAnalysis.winnowFingerprints(dayA, "doc_id", "text", k = 25, w = 10)
+    val fpsB = TextAnalysis.winnowFingerprints(dayB, "doc_id", "text", k = 25, w = 10)
+    val storeFps = fpsA.unionByName(fpsB)
+    val deltaDf = TextAnalysis.winnowDfStore(fpsA, "doc_id")
+      .unionByName(TextAnalysis.winnowDfStore(fpsB, "doc_id"))
+    // maxDf = 2 makes the prune arithmetic load-bearing: an fp in two
+    // history docs plus one batch doc must read 3 (pruned), which only
+    // happens if stored deltas and the batch count actually combine
+    val asSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mergeable = asSet(TextAnalysis.winnowNearDupsIncrementalMergeable(
+      batch, storeFps, deltaDf, "doc_id", "text", k = 25, w = 10,
+      minShared = 1L, maxDf = 2L))
+    val recount = asSet(TextAnalysis.winnowNearDupsIncremental(
+      batch, storeFps, "doc_id", "text", k = 25, w = 10,
+      minShared = 1L, maxDf = 2L))
+    assert(mergeable == recount,
+      s"missing=${(recount -- mergeable).take(3)} extra=${(mergeable -- recount).take(3)}")
+    val full = asSet(TextAnalysis.winnowNearDups(
+      docs, "doc_id", "text", k = 25, w = 10, minShared = 1L, maxDf = 2L)
+      .filter(col("id_a") % 5 === 4 || col("id_b") % 5 === 4))
+    assert(mergeable == full,
+      s"missing=${(full -- mergeable).take(3)} extra=${(mergeable -- full).take(3)}")
+    assert(mergeable.nonEmpty, "fixture must exercise at least one pair")
+    // the prune must actually fire at maxDf=2 on this fixture, or the
+    // equivalence above proves nothing about the df arithmetic
+    val loose = asSet(TextAnalysis.winnowNearDupsIncrementalMergeable(
+      batch, storeFps, deltaDf, "doc_id", "text", k = 25, w = 10,
+      minShared = 1L, maxDf = 1000L))
+    assert(loose != mergeable, "maxDf=2 must prune something on this fixture")
+    // delta-store associativity: sum of per-ingest deltas == recompute
+    // from the combined fingerprints; compaction is idempotent
+    val compacted = TextAnalysis.winnowDfCompact(deltaDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val recomputed = TextAnalysis.winnowDfStore(storeFps, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(compacted == recomputed)
+    val twice = TextAnalysis.winnowDfCompact(TextAnalysis.winnowDfCompact(deltaDf))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(twice == compacted)
+  }
+
   test("native winnow kernel is value-identical to the window formulation on corpus docs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val native = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 25, w = 10)
