@@ -5,7 +5,7 @@ import java.lang.management.ManagementFactory
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classify, Dedup, Similarity}
+import graft.operators.{Classify, Dedup, ScaleOps, Similarity}
 import graft.queries.{Inventory, Q}
 
 /** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
@@ -112,6 +112,19 @@ object Bench {
         val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 64, iters = 2)
         Similarity.clusterQuality(e, "vec_id", "embedding", cents)
       },
+      None),
+    Q("q195x_emission_sort",
+      // the READER side of q195 — the one exchange curriculumOrder's
+      // scaladoc reasons about but the declared query (ordered by
+      // doc_id for oracle determinism) never executes: a total sort of
+      // the corpus by (bin, shuffle_key64). Benched on the 64-bit key
+      // (8-byte comparisons; the hex twin would ship +24 B/row of sort
+      // payload); PlanShapeSpec pins it as ONE range-partitioned sort.
+      (s, dir) =>
+        ScaleOps.curriculumOrder(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "n_chars", nBins = 4, seed = 42L)
+          .orderBy(col("bin"), col("shuffle_key64")),
       None))
 
   private def headlineQueries(only: Option[Set[String]]): Seq[Q] =

@@ -340,6 +340,30 @@ class PlanShapeSpec extends SparkSpec {
         "if this fails the pin above is checking the wrong marker")
   }
 
+  test("q195x: emission sort is ONE range-partitioned total sort on (bin, shuffle_key64)") {
+    // the trainer's read path: after the broadcast percentile binning,
+    // ordering the corpus must cost exactly one range exchange — a hash
+    // exchange or a second sort pass here would dominate emission at
+    // 100 TB
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sorted = graft.operators.ScaleOps
+      .curriculumOrder(docs, "doc_id", "n_chars", nBins = 4, seed = 42L)
+      .orderBy(col("bin"), col("shuffle_key64"))
+    val plan = planString(sorted)
+    val ranges = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(ranges == 1, s"expected 1 range exchange, got $ranges:\n$plan")
+    assert("Sort \\[bin".r.findFirstIn(plan).isDefined &&
+      plan.contains("shuffle_key64"),
+      s"global sort keys must be (bin, shuffle_key64):\n$plan")
+    // the only permitted hash exchange is the percentile-boundary
+    // aggregate's singleton-key exchange (3 rows, feeds a broadcast) —
+    // never one over the corpus itself
+    val hashes = "Exchange hashpartitioning\\(([^,#]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashes.forall(_ == "1"),
+      s"corpus-width hash exchange on the emission path (keys=$hashes):\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
