@@ -28,22 +28,29 @@ import org.apache.spark.sql.Column
   */
 object GraftModels {
 
-  final case class Entry(kind: String, fn: Column => Column)
+  // name → (kind → closure): ONE model name can carry several kinds —
+  // a trained BPE registers both its encoder ('bpe') and its id decoder
+  // ('bpe_decode') under the same name, so `bpe_encode(text, 'm')` and
+  // `bpe_decode(ids, 'm')` round-trip through one registration.
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Column => Column]]()
 
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
-
-  /** Register (or replace) a named scorer of the given kind. */
+  /** Register (or replace) a named scorer of the given kind; other
+    * kinds already registered under the name are preserved.
+    */
   def register(name: String, kind: String, fn: Column => Column): Unit = {
     require(name.nonEmpty, "model name must be non-empty")
-    registry.put(name, Entry(kind, fn))
+    registry.merge(name, Map(kind -> fn), (old, add) => old ++ add)
   }
 
+  /** Drop every kind registered under the name. */
   def drop(name: String): Unit = registry.remove(name)
 
-  /** Registered (name, kind) pairs, name-ordered. */
+  /** Registered (name, kind) pairs, (name, kind)-ordered. */
   def registered: Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
-    registry.asScala.toSeq.map { case (n, e) => (n, e.kind) }.sortBy(_._1)
+    registry.asScala.toSeq
+      .flatMap { case (n, ks) => ks.keys.map(n -> _) }.sorted
   }
 
   /** Resolve a name for a SQL builder; the error text lists what IS
@@ -56,8 +63,8 @@ object GraftModels {
       throw new IllegalArgumentException(
         s"no registered graft model '$name'; registered: " +
           registered.map { case (n, k) => s"$n($k)" }.mkString("[", ", ", "]"))
-    require(e.kind == kind,
-      s"registered model '$name' has kind '${e.kind}', not '$kind'")
-    e.fn
+    e.getOrElse(kind, throw new IllegalArgumentException(
+      s"registered model '$name' has kind ${e.keys.mkString("'", "'/'", "'")}, " +
+        s"not '$kind'"))
   }
 }

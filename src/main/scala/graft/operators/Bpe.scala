@@ -153,6 +153,93 @@ object Bpe {
       merges: Seq[(String, String)]): Unit =
     graft.functions.GraftModels.register(name, "bpe", encodeNative(spark, merges))
 
+  /** Detokenization — the inverse of [[encodeNative]]/[[encodeUdf]] at
+    * the subword level, and deliberately MODEL-FREE: encoding never
+    * loses a character (every merge concatenates what it consumed), so
+    * concatenating the subwords and turning each end-of-word marker
+    * into a space reconstructs the tokenizer-normalized text exactly
+    * (lowercased, whitespace collapsed to single spaces — the
+    * round-trip BpeSpec pins: decode ∘ encode = `array_join(tokens(
+    * lower(text)), ' ')`). Pure codegen'd column arithmetic, map-only.
+    *
+    * Boundary: a document whose TEXT contains the literal marker
+    * "</w>" inside a whitespace token can merge its way to a symbol
+    * equal to the marker, which decode reads as a word boundary — the
+    * standard ambiguity of marker-based BPE (Sennrich et al. 2016 use
+    * the same convention). Pipelines feeding adversarial text should
+    * scrub the marker first.
+    */
+  def decode(subwords: Column): Column =
+    rtrim(regexp_replace(
+      array_join(subwords, ""),
+      java.util.regex.Pattern.quote(EndOfWord), " "))
+
+  /** Deterministic (symbol → token id) vocabulary: the DISTINCT
+    * subwords the trained model actually emits over the corpus,
+    * id-assigned in lexicographic order — any engine that can sort
+    * strings reproduces the mapping. One distributed encode +
+    * distinct; the collect is model state bounded by |alphabet| +
+    * numMerges, the kmeans-centroid rationale, NOT data.
+    */
+  def vocabFromCorpus(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val enc = encodeNative(df.sparkSession, merges)
+    df.select(explode(enc(col(textCol))).as("s"))
+      .distinct().orderBy("s")
+      .collect().map(_.getString(0)).toSeq.zipWithIndex
+  }
+
+  // vocab as a foldable map literal: map_from_arrays over two array
+  // literals is deterministic + foldable, so Catalyst collapses it to
+  // ONE map value at optimization time — per-row cost is the hash
+  // lookup, never map construction.
+  private def symToId(vocab: Seq[(String, Int)]): Column =
+    map_from_arrays(lit(vocab.map(_._1).toArray), lit(vocab.map(_._2).toArray))
+  private def idToSym(vocab: Seq[(String, Int)]): Column =
+    map_from_arrays(lit(vocab.map(_._2).toArray), lit(vocab.map(_._1).toArray))
+
+  /** [[encodeNative]] composed with the vocabulary: text → token-id
+    * array (the shape q109 packs). Subwords outside the vocabulary
+    * (unseen base characters in post-training data) encode as -1 — an
+    * explicit UNK, never a silent drop.
+    */
+  def encodeToIds(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)],
+      vocab: Seq[(String, Int)]): Column => Column = {
+    val enc = encodeNative(spark, merges)
+    val m = symToId(vocab)
+    c => transform(enc(c), s => coalesce(element_at(m, s), lit(-1)))
+  }
+
+  /** Token-id array → text: the id→symbol map then [[decode]]. UNK ids
+    * (-1, or any id outside the vocabulary) resolve to null and are
+    * dropped by the join — decode of a lossy stream is lossy exactly
+    * where the stream was.
+    */
+  def decodeIds(vocab: Seq[(String, Int)]): Column => Column = {
+    val inv = idToSym(vocab)
+    c => decode(transform(c, i => element_at(inv, i)))
+  }
+
+  /** Register the full id surface under ONE model name:
+    * `bpe_encode(text, 'name')` (subwords), `bpe_encode_ids(text,
+    * 'name')` and `bpe_decode(ids, 'name')` (GraftExtensions) — the
+    * round trip a packing/inspection pipeline needs from a config SQL.
+    */
+  def registerIdsSql(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      merges: Seq[(String, String)],
+      vocab: Seq[(String, Int)]): Unit = {
+    registerSql(spark, name, merges)
+    graft.functions.GraftModels.register(
+      name, "bpe_ids", encodeToIds(spark, merges, vocab))
+    graft.functions.GraftModels.register(name, "bpe_decode", decodeIds(vocab))
+  }
+
   def encodeUdf(merges: Seq[(String, String)]): Column => Column = {
     val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
     val enc = udf { (text: String) =>

@@ -57,7 +57,7 @@ object FuzzQueries {
   val nLateral = 20
   val nFilter = 20
   val nFrame = 20
-  val nSurface = 24
+  val nSurface = 26
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -1309,7 +1309,7 @@ object FuzzQueries {
     */
   lazy val sqlSurfaceCases: Seq[FuzzCase] = {
     val rng = new scala.util.Random(seed + 16)
-    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 12))
+    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 13))
   }
 
   /** One family-P case (see [[sqlSurfaceCases]]). The SQL text uses
@@ -1435,7 +1435,7 @@ object FuzzQueries {
           () => countDistinct(
             graft.functions.GraftModels.resolve("fz_nb", "nb")(col("text")).getField("pred")),
           () => element_at(graft.functions.BottomKSketch.sketch(col("doc_id"), k), 1))
-      case _ => // bounded top-k + bloom bitset aggregates
+      case 11 => // bounded top-k + bloom bitset aggregates
         val pred = docAtom(rng)
         val k = 2 + rng.nextInt(5)
         doc(pred,
@@ -1446,6 +1446,16 @@ object FuzzQueries {
           () => aggregate(
             graft.functions.BloomSketch.sketch(col("lang"), 256),
             lit(0L), (a, x) => a + bit_count(x)))
+      case _ => // BPE id round trip through the multi-kind named model
+        val pred = docAtom(rng)
+        def ids(c: Column) =
+          graft.functions.GraftModels.resolve("fz_bpe", "bpe_ids")(c)
+        doc(pred,
+          "sum(size(bpe_encode_ids(text, 'fz_bpe')))",
+          "sum(length(bpe_decode(bpe_encode_ids(text, 'fz_bpe'), 'fz_bpe')))",
+          () => sum(size(ids(col("text")))),
+          () => sum(length(
+            graft.functions.GraftModels.resolve("fz_bpe", "bpe_decode")(ids(col("text"))))))
     }
   }
 

@@ -4379,6 +4379,31 @@ object Inventory {
           CAST(length(nfc_normalize(t2)) AS BIGINT) AS n_chars_nfc
         FROM h ORDER BY doc_id""")),
 
+    Q("q197_bpe_roundtrip",
+      (s, dir) => {
+        // BPE detokenization closes the q109/q171 loop: text → token
+        // ids (trained merges + lexicographic vocab) → text. The merge
+        // table itself has no SQL oracle (iterative argmax, q171), but
+        // the ROUND TRIP does: decode ∘ encode reconstructs the
+        // tokenizer-normalized text for ANY merge table (no character
+        // is ever lost by a merge), so DuckDB replays the expected
+        // output as plain lower+whitespace normalization — a full hash
+        // gate over the id pipeline's end-to-end correctness.
+        val d = t(s, dir, "documents")
+        val merges = Bpe.train(d, "text", numMerges = 60)
+        val vocab = Bpe.vocabFromCorpus(d, "text", merges)
+        val encIds = Bpe.encodeToIds(s, merges, vocab)
+        val decIds = Bpe.decodeIds(vocab)
+        d.select(col("doc_id"),
+            decIds(encIds(col("text"))).as("round_trip"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          coalesce(array_to_string(
+            list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''),
+            ' '), '') AS round_trip
+        FROM documents ORDER BY doc_id""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's

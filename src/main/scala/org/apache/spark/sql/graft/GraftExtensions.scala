@@ -314,6 +314,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "registered merge-rank model (Bpe.registerSql)",
       modelFn("bpe_encode", "bpe"))
 
+    register(ext, "bpe_encode_ids",
+      "bpe_encode_ids(text, 'model') - BPE token-id array under a registered " +
+        "merge-rank model + vocabulary (Bpe.registerIdsSql); OOV subwords -> -1",
+      modelFn("bpe_encode_ids", "bpe_ids"))
+
+    register(ext, "bpe_decode",
+      "bpe_decode(ids, 'model') - detokenize a BPE token-id array back to " +
+        "tokenizer-normalized text (Bpe.registerIdsSql); UNK ids drop",
+      modelFn("bpe_decode", "bpe_decode"))
+
     register(ext, "nb_score",
       "nb_score(text, 'model') - struct(pred, score) under a registered Naive Bayes " +
         "micro-model (Classify.registerSql)",

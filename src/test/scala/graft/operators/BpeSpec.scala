@@ -85,4 +85,72 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(empty, "text", numMerges = 5).isEmpty)
     assert(Bpe.trainDf(empty, "text", numMerges = 5).count() == 0)
   }
+
+  test("decode inverts encode: round trip = tokenizer-normalized text (paper + corpus)") {
+    val merges = Bpe.train(paperCorpus, "text", numMerges = 6)
+    val enc = Bpe.encodeNative(spark, merges)
+    // the paper fixture plus unseen words, mixed case, ragged whitespace
+    val docs = Seq(
+      (1L, "low lower newest widest"),
+      (2L, "  Lowest   NEWEST\tunseen  "),
+      (3L, "zebra"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        Bpe.decode(enc(col("text"))).as("rt"),
+        array_join(TextAnalysis.tokens(lower(col("text"))), " ").as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    out.foreach { case (id, rt, norm) =>
+      if (id == 4L) assert(rt == "", "null text round-trips to empty")
+      else assert(rt == norm, s"doc $id: '$rt' != '$norm'")
+    }
+    // corpus-scale round trip on real documents
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val mism = corpus.select(
+        Bpe.decode(enc(col("text"))).as("rt"),
+        array_join(TextAnalysis.tokens(lower(col("text"))), " ").as("norm"))
+      .filter(col("rt") =!= col("norm")).count()
+    assert(mism == 0, s"$mism corpus docs failed the decode round trip")
+  }
+
+  test("id round trip: encodeToIds -> decodeIds = decode(encode); OOV is explicit -1") {
+    val merges = Bpe.train(paperCorpus, "text", numMerges = 6)
+    val vocab = Bpe.vocabFromCorpus(paperCorpus, "text", merges)
+    // vocabulary is deterministic and lexicographically id'd
+    assert(vocab.map(_._1) == vocab.map(_._1).sorted)
+    assert(vocab.map(_._2) == vocab.indices.toSeq)
+    val encIds = Bpe.encodeToIds(spark, merges, vocab)
+    val decIds = Bpe.decodeIds(vocab)
+    val docs = Seq((1L, "low lower newest widest"), (2L, "lowest newest")).toDF("doc_id", "text")
+    val rt = docs.select(col("doc_id"), decIds(encIds(col("text"))).as("rt"),
+        array_join(TextAnalysis.tokens(lower(col("text"))), " ").as("norm"))
+      .collect()
+    rt.foreach(r => assert(r.getString(1) == r.getString(2)))
+    // a symbol outside the training alphabet ids as -1 and drops on decode
+    val oov = Seq((1L, "zq")).toDF("doc_id", "text")
+      .select(encIds(col("text")).as("ids"), decIds(encIds(col("text"))).as("rt"))
+      .head()
+    assert(oov.getSeq[Int](0).contains(-1), "unseen chars must id as -1")
+  }
+
+  test("bpe_encode_ids / bpe_decode round-trip on the SQL surface via one registration") {
+    val merges = Bpe.train(paperCorpus, "text", numMerges = 6)
+    val vocab = Bpe.vocabFromCorpus(paperCorpus, "text", merges)
+    Bpe.registerIdsSql(spark, "bpespec_rt", merges, vocab)
+    try {
+      Seq((1L, "low lower newest widest"), (2L, "newest low"))
+        .toDF("doc_id", "text").createOrReplaceTempView("bpe_rt_docs")
+      val rows = spark.sql(
+        """SELECT doc_id,
+                  bpe_decode(bpe_encode_ids(text, 'bpespec_rt'), 'bpespec_rt') AS rt,
+                  text
+           FROM bpe_rt_docs ORDER BY doc_id""").collect()
+      rows.foreach(r => assert(r.getString(1) == r.getString(2)))
+      // same name still serves the subword encoder (multi-kind registry)
+      val sub = spark.sql(
+        "SELECT bpe_encode(text, 'bpespec_rt') FROM bpe_rt_docs WHERE doc_id = 1")
+        .head().getSeq[String](0)
+      assert(sub.nonEmpty && sub.contains("low") && sub.contains("est</w>"))
+    } finally graft.functions.GraftModels.drop("bpespec_rt")
+  }
 }

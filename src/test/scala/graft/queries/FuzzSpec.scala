@@ -61,8 +61,11 @@ class FuzzSpec extends SparkSpec {
     tables
     // the model-parameterized cases resolve these names at analysis time
     val docs = tables("documents")
-    graft.operators.Bpe.registerSql(spark, "fz_bpe",
-      graft.operators.Bpe.train(docs, "text", 12))
+    val fzMerges = graft.operators.Bpe.train(docs, "text", 12)
+    // registerIdsSql covers all three kinds (bpe/bpe_ids/bpe_decode)
+    // under one name — the kind-12 round-trip cases need the id surface
+    graft.operators.Bpe.registerIdsSql(spark, "fz_bpe", fzMerges,
+      graft.operators.Bpe.vocabFromCorpus(docs, "text", fzMerges))
     graft.operators.Classify.registerSql("fz_nb",
       graft.operators.Classify.nbTrain(docs, "lang", "text", vocab = 256))
     graft.operators.TextAnalysis.registerLmSql("fz_lm",
