@@ -52,12 +52,18 @@ object EntityResolution {
     * scoring field, the first level whose group fits the budget. True
     * matches score high on that field, so they overwhelmingly share its
     * prefix and survive the split (the spec pins recall parity on a
-    * block the old row cap refused wholesale). Only groups that exceed
-    * the budget even at 8 chars drop — by then the rows agree on block
-    * key AND an 8-char head of their best evidence field, i.e. the value
-    * is boilerplate, not identity. Per-row candidate fan-out is bounded
-    * by √(2·budget), so total pairs stay LINEAR in corpus size no matter
-    * how coarse the blocking vocabulary is.
+    * block the old row cap refused wholesale). A group that exceeds the
+    * budget even at 8 chars — rows agreeing on block key AND an 8-char
+    * head of their best evidence field, i.e. boilerplate — is NOT
+    * dropped either: a final md5-salt level splits it into
+    * ⌈n/rowCap⌉ buckets with a one-step probe chain (each bucket also
+    * receives the previous bucket's rows as probes), so every row still
+    * meets ≲ 4·√(2·budget) peers and transitive closure can stitch the
+    * buckets back into one entity when the group really is one — bounded
+    * recall instead of zero, at the same linear pair bound. Per-row
+    * candidate fan-out is bounded by O(√budget) at every level, so
+    * total pairs stay LINEAR in corpus size no matter how coarse the
+    * blocking vocabulary is.
     *
     * Output: (id_a, id_b, score) with id_a < id_b.
     */
@@ -130,17 +136,32 @@ object EntityResolution {
     * values group (and join back) instead of vanishing through
     * null-unsafe equality.
     *
+    * Groups still over budget at the 8-char level take a FINAL
+    * md5-salt level instead of dropping: the group splits into
+    * ⌈c8/rowCap⌉ buckets on pmod(md5(id), s), and every row except the
+    * last bucket's also PROBES the next bucket (emitted twice, probe
+    * rows flagged `__probe`). Within-bucket pairs are found exactly;
+    * adjacent-bucket pairs are found through the probes; the
+    * both-probes join filter in [[scoredBlockPairs]] makes each found
+    * pair unique. Bucket sizes are ≤ ~2·rowCap (home + probe load), so
+    * the per-bucket pair cost stays O(budget) and the chain
+    * 0→1→…→s−1 keeps the group CONNECTED: when the group is one true
+    * entity (the boilerplate case), min-label closure reassembles it
+    * from the found pairs alone — the recall-parity spec pins exactly
+    * that. Pairs whose salts differ by ≥ 2 are the bounded loss.
+    *
     * Recall note (honest limit): a qualifying pair whose top-field
     * values differ in the first prefix character lands in different
-    * sub-blocks once its group is over budget. That loss is confined to
-    * over-budget groups (none exist at the oracle scale — verified:
-    * sf0.01's largest block is 190 pairs vs a 5 000 budget), is pinned
-    * by the recall-parity spec on a representative hot block, and is
-    * the price of a hard linear bound — the alternative (the round-5
-    * row cap) dropped ENTIRE hot blocks, losing every pair in them.
+    * sub-blocks once its group is over budget, and a salted pair two
+    * buckets apart is only recovered through closure. That loss is
+    * confined to over-budget groups (none exist at the oracle scale —
+    * verified: sf0.01's largest block is 190 pairs vs a 5 000 budget),
+    * is pinned by the recall-parity specs on representative hot
+    * blocks, and is the price of a hard linear bound.
     */
   private def subBlocked(
       slim: DataFrame,
+      idCol: String,
       topField: String,
       pairBudget: Long): DataFrame = {
     // largest b with b(b-1)/2 <= budget, computed driver-side to keep
@@ -170,11 +191,33 @@ object EntityResolution {
           .when(col("__c4") <= rowCap, concat(lit("4:"), col("__p4")))
           .when(col("__c8") <= rowCap, concat(lit("8:"), col("__p8")))
           .otherwise(lit(null)))
-      .select(("__block" +: levels).map(col) :+ col("__sub"): _*)
-    tagged.join(dec, "__block" +: levels)
-      .filter(col("__sub").isNotNull)
+      .select(("__block" +: levels).map(col) ++ Seq(col("__sub"), col("__c8")): _*)
+    val joined = tagged.join(dec, "__block" +: levels)
+    val plain = joined.filter(col("__sub").isNotNull)
       .withColumn("__block", concat_ws("\u0001", col("__block"), col("__sub")))
-      .drop("__sub" +: levels: _*)
+      .withColumn("__probe", lit(false))
+      .drop("__sub" :: "__c8" :: levels.toList: _*)
+    // final salt level for groups over budget even at 8 chars: s =
+    // ceil(c8/rowCap) home buckets on md5(id); every bucket but the
+    // last also probes the NEXT bucket -- the connectivity chain
+    val salted = {
+      val over = joined.filter(col("__sub").isNull)
+      val nb = ceil(col("__c8").cast("double") / lit(rowCap.toDouble)).cast("long")
+      val home = pmod(
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"), nb)
+      val variants = when(home + 1 < nb,
+        array(
+          struct(home.as("b"), lit(false).as("p")),
+          struct((home + 1).as("b"), lit(true).as("p"))))
+        .otherwise(array(struct(home.as("b"), lit(false).as("p"))))
+      over
+        .withColumn("__v", explode(variants))
+        .withColumn("__block",
+          concat_ws("\u0001", col("__block"), concat(lit("s:"), col("__v.b"))))
+        .withColumn("__probe", col("__v.p"))
+        .drop("__v" :: "__sub" :: "__c8" :: levels.toList: _*)
+    }
+    plain.unionByName(salted)
   }
 
   /** Shared candidate + scoring stage over the slim projection
@@ -203,12 +246,13 @@ object EntityResolution {
       pairBudget: Long): DataFrame = {
     require(fields.nonEmpty, "at least one scoring field")
     require(pairBudget >= 1, "pairBudget must admit at least one pair")
-    val guarded = subBlocked(slim, fields.maxBy(_._2)._1, pairBudget)
+    val guarded = subBlocked(slim, idCol, fields.maxBy(_._2)._1, pairBudget)
     val a = guarded.filter(col("__new")).select(
-      (Seq(col(idCol).as("id_a"), col("__block")) ++
+      (Seq(col(idCol).as("id_a"), col("__block"), col("__probe").as("__probe_a")) ++
         fields.map { case (f, _) => col(f).as(s"__a_$f") }): _*)
     val b = guarded.select(
-      (Seq(col(idCol).as("id_b"), col("__block"), col("__new").as("__new_b")) ++
+      (Seq(col(idCol).as("id_b"), col("__block"), col("__new").as("__new_b"),
+        col("__probe").as("__probe_b")) ++
         fields.map { case (f, _) => col(f).as(s"__b_$f") }): _*)
     val score = round(
       fields.map { case (f, w) =>
@@ -228,10 +272,13 @@ object EntityResolution {
       lit(w) * when(la.isNull || lb.isNull, 0.0).otherwise(ub)
     }.reduce(_ + _)
     a.join(b, Seq("__block"))
-      // ordered once for new×new; every new×old pair survives (the old
-      // side never probes, so it cannot duplicate)
+      // ordered once for new×new; new×old pairs survive per bucket
       .filter(!col("__new_b") || col("id_a") < col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
+      // salt-level uniqueness: a same-home pair meets again in the next
+      // bucket with BOTH rows as probes — keep only the meeting where at
+      // least one side is home (exactly one bucket per found pair)
+      .filter(!(col("__probe_a") && col("__probe_b")))
       .filter(ubound >= threshold - 0.5 * math.pow(10, -roundScale) - 1e-9)
       .withColumn("score", score)
       .filter(col("score") >= threshold)

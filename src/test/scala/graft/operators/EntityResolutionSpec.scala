@@ -42,19 +42,67 @@ class EntityResolutionSpec extends SparkSpec {
       s"only the in-block identical pair qualifies: ${pairs.mkString(", ")}")
   }
 
-  test("pairBudget: an unsplittable hot block (identical top field) drops as boilerplate") {
+  // replicate the engine's salt assignment (first 8 md5 hex chars of
+  // the id string, mod s) so salt-level tests can derive the EXACT
+  // expected pair set instead of hand-waving about buckets
+  private def saltHome(id: Long, s: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % s
+  }
+
+  test("pairBudget: an unsplittable hot block salts into a bounded, exact pair set") {
     import spark.implicits._
     // every row shares an 8-char top-field head, so no prefix level can
-    // split the over-budget group — the value is boilerplate, not
-    // identity, and the group drops (the documented terminal case)
+    // split the over-budget group. Pre-round-8 semantics dropped it
+    // wholesale (zero recall); the md5-salt final level now finds every
+    // pair whose homes are equal or adjacent — s = ceil(20/5) = 4
+    // buckets at budget 10 (rowCap 5) — and nothing else.
     val hot = (1 to 20).map(i => (i.toLong, "HOT", "same name", "same kind"))
     val cold = Seq((100L, "COLD", "twin", "x"), (101L, "COLD", "twin", "x"))
     val df = (hot ++ cold).toDF("id", "blk", "name", "kind")
     val pairs = linkPairs(df, "id", Seq("blk"),
         Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.9, pairBudget = 10L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.toSeq == Seq((100L, 101L)),
-      s"the 20-row identical block exceeds budget 10 at every level: ${pairs.mkString(", ")}")
+    assert(pairs.length == pairs.distinct.length,
+      s"salt probes must never duplicate a pair: ${pairs.groupBy(identity).filter(_._2.length > 1).keys}")
+    val hotPairs = pairs.filter(_._1 <= 20L).toSet
+    val expected = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L
+      if math.abs(saltHome(a, 4) - saltHome(b, 4)) <= 1
+    } yield (a, b)).toSet
+    assert(hotPairs == expected,
+      s"missing=${(expected -- hotPairs).take(5)} extra=${(hotPairs -- expected).take(5)}")
+    assert(hotPairs.nonEmpty && hotPairs.size < 190,
+      s"bounded recall, not zero and not quadratic: ${hotPairs.size}")
+    assert(pairs.contains((100L, 101L)), "the cold block is untouched")
+  }
+
+  test("salt level: closure reassembles a boilerplate block into ONE entity under the pair bound") {
+    import spark.implicits._
+    // 60 identical rows, budget 50 (rowCap 10) -> s = 6 salt buckets.
+    // The probe chain 0->1->...->5 keeps the block connected whenever
+    // every bucket has a home row (verified below against the same md5
+    // arithmetic the engine uses), so min-label closure must stitch the
+    // buckets back into one entity — bounded recall recovering FULL
+    // entity-level recall on the all-match block.
+    val n = 60L
+    val s = 6L
+    val homes = (1L to n).map(saltHome(_, s)).toSet
+    assume(homes == (0L until s).toSet, "fixture must populate every bucket")
+    val df = (1L to n).map(i => (i, "HOT", "same name", "same kind"))
+      .toDF("id", "blk", "name", "kind")
+    val resolved = EntityResolution.resolve(df, "id", Seq("blk"),
+      Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.9, pairBudget = 50L)
+    assert(resolved.select("entity_id").distinct().count() == 1L,
+      "all 60 boilerplate rows must close into one entity")
+    val nPairs = linkPairs(df, "id", Seq("blk"),
+        Seq(("name", 0.6), ("kind", 0.4)), threshold = 0.9, pairBudget = 50L)
+      .count()
+    // per-bucket load ≤ home + probe ≈ 2·(n/s) rows -> pairs stay far
+    // under the unsalted quadratic (60·59/2 = 1770)
+    assert(nPairs < 900L, s"salted pair count must stay bounded, got $nPairs")
   }
 
   test("pairBudget: over-budget blocks sub-block on prefix cascade, retaining in-group recall") {
