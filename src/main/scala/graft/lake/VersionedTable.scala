@@ -458,6 +458,25 @@ final class VersionedTable private (
     }
   }
 
+  /** Idempotent append: add `df`'s rows EXACTLY ONCE per
+    * (appId, batchId) — the append-only twin of [[upsertIfNew]] for
+    * stores whose maintenance is a blind union (winnowing fingerprint
+    * state, df-delta streams). No merge key is consulted; rows are
+    * never rewritten. An empty batch skips the commit (zero
+    * applications IS exactly once) without advancing the marker.
+    */
+  def appendIfNew(df: DataFrame, appId: String, batchId: Long): Snapshot = {
+    require(appId.nonEmpty, "appId must be non-empty")
+    lastTxn(appId) match {
+      case Some(last) if last >= batchId =>
+        snapshot(currentVersion()) // replay — already applied, no commit
+      case _ if df.isEmpty =>
+        val v = currentVersion()
+        if (v == 0) Snapshot(0, Seq.empty) else snapshot(v)
+      case _ => appendTxn(df, Some(appId -> batchId))
+    }
+  }
+
   /** Idempotent overwrite: replace the table EXACTLY ONCE per
     * (appId, batchId) — the overwrite-shaped twin of [[upsertIfNew]]
     * for state frames that are recomputed whole per micro-batch (the

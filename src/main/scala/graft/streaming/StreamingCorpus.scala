@@ -258,25 +258,35 @@ object StreamingCorpus {
       }
       .start()
 
-  /** Streaming winnowing (MOSS passage) dedup against the persisted
-    * fingerprint store of [[graft.operators.TextAnalysis
-    * .winnowNearDupsIncremental]] — the passage-level member of the
-    * per-family streaming-twin set (MinHash, tiles, semantic, pHash …).
-    * Each micro-batch:
+  /** Streaming winnowing (MOSS passage) dedup with EXACTLY-ONCE store
+    * maintenance: the fingerprint store and its mergeable df-delta
+    * store ([[graft.operators.TextAnalysis
+    * .winnowNearDupsIncrementalMergeable]]) are
+    * [[graft.lake.VersionedTable]]s advanced by `appendIfNew` under
+    * (appId, batchId) txn markers, so the append and replay detection
+    * are ATOMIC — the r7 raw-parquet version had an at-most-once
+    * emission window (a crash between the store append and the
+    * checkpoint commit made the replayed batch's survivors invisible
+    * to `onSurvivors`) and a torn-job hazard (partial fingerprint rows
+    * behind the id-presence guard); the manifest commit closes both.
     *
-    *  1. drops ids already in the store (exact-id replay guard — a
-    *     checkpoint-recovered batch is a no-op);
-    *  2. fingerprints ONLY the batch (one map-side native-kernel pass;
-    *     history text is never re-read) and pairs it against the store
-    *     + itself, with the boilerplate maxDf prune counted over the
-    *     combined population — identical arithmetic to the batch
-    *     incremental operator;
-    *  3. drops batch losers by the greedy rule (pairs-with-history
-    *     loses; larger id of a batch-internal pair loses);
-    *  4. appends survivors' `(id, fp)` rows to the store (winnowing
-    *     state is append-only — the same blind-union maintenance as
-    *     the batch twin) and hands survivor DOCUMENTS to
-    *     `onSurvivors(df, batchId)`.
+    * Each micro-batch ([[winnowAdvanceBatch]], public for
+    * driver-orchestrated daily jobs):
+    *
+    *  1. if the fp-store marker already covers the batch (checkpoint
+    *     replay), the batch's own committed rows are read back from
+    *     the files THAT version added, the df-delta store is completed
+    *     if its commit was the one that crashed, and the SAME
+    *     survivors re-deliver to `onSurvivors` — at-least-once
+    *     emission with exactly-once state, the StreamingEr contract;
+    *  2. otherwise: drop ids already in the store (exact-id guard),
+    *     fingerprint ONLY the batch, pair it against the store with
+    *     the boilerplate prune served from SUMMED df deltas (the
+    *     mergeable-state path — no per-batch recount over history),
+    *     drop batch losers by the greedy rule, then commit survivors'
+    *     (id, fp) rows and their (fp, df) delta — fp store FIRST, so a
+    *     crash between the two commits is repaired from the fp
+    *     version diff on replay.
     *
     * CONCURRENCY: single writer, like [[semanticDedupStream]].
     */
@@ -290,39 +300,119 @@ object StreamingCorpus {
       w: Int = 10,
       minShared: Long = 3L,
       maxDf: Long = 1000L,
-      onSurvivors: (DataFrame, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+      onSurvivors: (DataFrame, Long) => Unit = (_, _) => (),
+      appId: String = "winnow-dedup"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fps = winnowFpTable(storePath, idCol)
+    val dfs = winnowDfTable(storePath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val hadoopPath = new org.apache.hadoop.fs.Path(storePath)
-        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val store =
-          if (fs.exists(hadoopPath)) spark.read.parquet(storePath)
-          else batch.toDF().select(col(idCol), lit("").as("fp")).limit(0)
-        val fresh = batch.toDF().join(
-          store.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-        val pairs = graft.operators.TextAnalysis.winnowNearDupsIncremental(
-          fresh, store, idCol, textCol, k, w, minShared, maxDf)
-        val bids = fresh.select(col(idCol).cast("long").as("__bid"))
-        val losers = pairs
-          .join(bids.select(col("__bid").as("__a_in")),
-            col("id_a") === col("__a_in"), "left")
-          .join(bids.select(col("__bid").as("__b_in")),
-            col("id_b") === col("__b_in"), "left")
-          .select(
-            when(col("__a_in").isNotNull && col("__b_in").isNull, col("id_a"))
-              .otherwise(col("id_b")).as("__loser"))
-          .distinct()
-        val survivors = fresh
-          .join(losers, fresh(idCol).cast("long") === col("__loser"), "left_anti")
-          .localCheckpoint() // one materialization: the append AND onSurvivors read it
-        graft.operators.TextAnalysis
-          .winnowFingerprints(survivors, idCol, textCol, k, w)
-          .write.mode("append").parquet(storePath)
-        onSurvivors(survivors, batchId)
+        winnowAdvanceBatch(fps, dfs, batch.toDF(), idCol, textCol,
+          k, w, minShared, maxDf, appId, batchId, onSurvivors)
       }
       .start()
+  }
+
+  /** The winnow stream's fingerprint store handle — public so batch
+    * jobs and audits read the same table the stream maintains.
+    */
+  def winnowFpTable(storePath: String, idCol: String = "doc_id"): graft.lake.VersionedTable =
+    graft.lake.VersionedTable(s"$storePath/fps", idCol)
+
+  /** The mergeable (fp, df) delta store (keyed on df only for the
+    * manifest's numeric-zone slot; reads always aggregate per fp).
+    */
+  def winnowDfTable(storePath: String): graft.lake.VersionedTable =
+    graft.lake.VersionedTable(s"$storePath/df", "df")
+
+  /** Apply ONE winnow-dedup batch exactly once (the foreachBatch body;
+    * see [[winnowDedupStream]] for the protocol).
+    */
+  def winnowAdvanceBatch(
+      fps: graft.lake.VersionedTable,
+      dfs: graft.lake.VersionedTable,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minShared: Long,
+      maxDf: Long,
+      appId: String,
+      batchId: Long,
+      onSurvivors: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    if (fps.lastTxn(appId).exists(_ >= batchId)) {
+      // fp commit already applied (replay): repair the df store if its
+      // commit was the one that crashed, then re-deliver the batch's
+      // own survivors from the rows that exact version added
+      val v = committedVersionFor(fps, appId, batchId)
+      val added = addedFilePaths(fps, v)
+      val insFps =
+        if (added.isEmpty)
+          batch.select(col(idCol), lit("").as("fp")).limit(0)
+        else spark.read.parquet(added: _*)
+      if (!dfs.lastTxn(appId).exists(_ >= batchId))
+        dfs.appendIfNew(
+          TextAnalysis.winnowDfStore(insFps, idCol), appId, batchId): Unit
+      val survivors = batch
+        .join(insFps.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      onSurvivors(survivors, batchId)
+      return
+    }
+    val storeFps =
+      if (fps.currentVersion() == 0)
+        batch.select(col(idCol), lit("").as("fp")).limit(0)
+      else fps.read(spark)
+    val storeDf =
+      if (dfs.currentVersion() == 0)
+        batch.select(lit("").as("fp"), lit(0L).as("df")).limit(0)
+      else dfs.read(spark)
+    val fresh = batch.join(
+      storeFps.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    val pairs = TextAnalysis.winnowNearDupsIncrementalMergeable(
+      fresh, storeFps, storeDf, idCol, textCol, k, w, minShared, maxDf)
+    val bids = fresh.select(col(idCol).cast("long").as("__bid"))
+    val losers = pairs
+      .join(bids.select(col("__bid").as("__a_in")),
+        col("id_a") === col("__a_in"), "left")
+      .join(bids.select(col("__bid").as("__b_in")),
+        col("id_b") === col("__b_in"), "left")
+      .select(
+        when(col("__a_in").isNotNull && col("__b_in").isNull, col("id_a"))
+          .otherwise(col("id_b")).as("__loser"))
+      .distinct()
+    val survivors = fresh
+      .join(losers, fresh(idCol).cast("long") === col("__loser"), "left_anti")
+      .localCheckpoint() // one materialization: both commits AND onSurvivors read it
+    val survFps = TextAnalysis
+      .winnowFingerprints(survivors, idCol, textCol, k, w)
+      .localCheckpoint() // fingerprint once; feeds both table commits
+    fps.appendIfNew(survFps, appId, batchId): Unit
+    dfs.appendIfNew(
+      TextAnalysis.winnowDfStore(survFps, idCol), appId, batchId): Unit
+    onSurvivors(survivors, batchId)
+  }
+
+  /** Smallest version whose txn marker for `appId` covers `batchId` —
+    * the commit that batch produced (markers are monotone; streaming
+    * serializes batches, so the scan walks at most a step or two).
+    */
+  private def committedVersionFor(
+      t: graft.lake.VersionedTable, appId: String, batchId: Long): Int = {
+    var v = t.currentVersion()
+    while (v > 1 && t.snapshot(v - 1).txns.get(appId).exists(_ >= batchId)) v -= 1
+    v
+  }
+
+  /** Data files version `v` ADDED relative to `v - 1` — for an
+    * append-only table, exactly the rows that commit wrote.
+    */
+  private def addedFilePaths(t: graft.lake.VersionedTable, v: Int): Seq[String] = {
+    val prev = if (v <= 1) Set.empty[String]
+      else t.snapshot(v - 1).files.map(_.path).toSet
+    t.snapshot(v).files.map(_.path).filterNot(prev)
+  }
 
   /** Read the vector store, or an empty (idCol, vecCol, cell) frame when
     * none exists yet — first-batch bootstrap, same pattern as

@@ -319,18 +319,90 @@ class StreamingCorpusSpec extends SparkSpec {
       in.addData((10L, s"intro one $passage outro alpha"))
       q.processAllAvailable()
     } finally q.stop()
-    val storeIds = spark.read.parquet(store)
+    val fpsTable = StreamingCorpus.winnowFpTable(store)
+    val storeFps = fpsTable.read(spark)
+    val storeIds = storeFps
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(storeIds == Set(10L, 20L, 30L), s"store holds $storeIds")
     assert(emitted.map(_._2).toSet == Set(10L, 20L, 30L) && emitted.size == 3,
       s"each survivor must be emitted exactly once: $emitted")
+    // the df-delta store tracks the fp store exactly (mergeable state
+    // ≡ recompute — the TextAnalysisSpec associativity, live here)
+    val dfTable = StreamingCorpus.winnowDfTable(store)
+    val fromDeltas = graft.operators.TextAnalysis.winnowDfCompact(dfTable.read(spark))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val recomputed = graft.operators.TextAnalysis.winnowDfStore(storeFps, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fromDeltas == recomputed, "df deltas must sum to the store's true dfs")
     // the survivors' store serves the batch twin identically: a new day
     // against it flags the same passage
     val nextDay = Seq((40L, s"day two reuse $passage here")).toDF("doc_id", "text")
     val pairs = graft.operators.TextAnalysis.winnowNearDupsIncremental(
-      nextDay, spark.read.parquet(store), "doc_id", "text",
+      nextDay, storeFps, "doc_id", "text",
       k = 8, w = 4, minShared = 2L)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((10L, 40L)), s"batch twin over the stream's store: $pairs")
+  }
+
+  test("winnowAdvanceBatch: every crash/replay interleaving recovers exactly once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("winreplay").toFile.getAbsolutePath
+    val fps = StreamingCorpus.winnowFpTable(s"$dir/store")
+    val dfs = StreamingCorpus.winnowDfTable(s"$dir/store")
+    val passage = "the copied passage rides along unchanged through every plagiarized document"
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val deliver = (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+      df.select("doc_id").collect().foreach(r => emitted += (bid -> r.getLong(0)))
+    def advance(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      StreamingCorpus.winnowAdvanceBatch(fps, dfs, batch, "doc_id", "text",
+        8, 4, 2L, 1000L, "app", bid, deliver)
+
+    val b0 = Seq(
+      (10L, s"intro one $passage outro alpha"),
+      (11L, s"intro two $passage outro beta"),
+      (20L, "completely different prose with no repeated span at all here"))
+      .toDF("doc_id", "text")
+    advance(b0, 0L)
+    assert(emitted.toSet == Set(0L -> 10L, 0L -> 20L), s"batch 0 survivors: $emitted")
+
+    // interleaving 1: full replay of an applied batch (checkpoint loss
+    // AFTER both commits) — state unchanged, survivors re-delivered
+    val v1 = (fps.currentVersion(), dfs.currentVersion())
+    advance(b0, 0L)
+    assert((fps.currentVersion(), dfs.currentVersion()) == v1,
+      "replay must not re-commit either store")
+    assert(emitted.count(_ == (0L -> 10L)) == 2 && emitted.count(_ == (0L -> 20L)) == 2,
+      s"replay re-delivers the SAME survivors (at-least-once emission): $emitted")
+
+    // interleaving 2: crash BETWEEN the fp commit and the df commit —
+    // simulate by committing only the fp leg of batch 1, then replaying
+    val b1 = Seq(
+      (12L, s"fresh framing yet $passage again"),
+      (30L, "zebra quartz flamingo vortex kiwi mango glyph nothing matches"))
+      .toDF("doc_id", "text")
+    val freshFps = graft.operators.TextAnalysis.winnowFingerprints(
+      // 12 loses to history's 10 — only 30 survives batch 1
+      b1.filter($"doc_id" === 30L), "doc_id", "text", 8, 4)
+    fps.appendIfNew(freshFps, "app", 1L)
+    assert(!dfs.lastTxn("app").exists(_ >= 1L), "df leg deliberately missing")
+    advance(b1, 1L) // the replay must repair the df store AND deliver 30
+    assert(dfs.lastTxn("app").exists(_ >= 1L), "replay completes the df commit")
+    assert(emitted.count(_ == (1L -> 30L)) == 1 && !emitted.exists(_._2 == 12L),
+      s"repair delivers exactly batch 1's survivors: $emitted")
+    val fromDeltas = graft.operators.TextAnalysis.winnowDfCompact(dfs.read(spark))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val recomputed = graft.operators.TextAnalysis.winnowDfStore(fps.read(spark), "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fromDeltas == recomputed, "repaired df deltas must equal the recompute")
+
+    // interleaving 3: a later batch proceeds normally over the repaired
+    // state — 40 shares the passage with history and drops
+    val b2 = Seq((40L, s"day three reuse $passage here"),
+      (50L, "quiet unrelated final document closing the fixture")).toDF("doc_id", "text")
+    advance(b2, 2L)
+    assert(emitted.count(_._1 == 2L) == 1 && emitted.contains(2L -> 50L),
+      s"batch 2 keeps only the clean doc: $emitted")
+    assert(fps.read(spark).select("doc_id").distinct().count() == 4L,
+      "store ends with 10, 20, 30, 50")
   }
 }
