@@ -48,6 +48,19 @@ object Sources {
 
   /** Format dispatch — reference `:59,:67,:72-77`; json/orc are
     * extension formats behind the same typed-failure contract.
+    *
+    * DEPENDENCY BOUNDARY — avro: real lakes commonly carry Avro
+    * alongside csv/json/orc/parquet, but the `spark-avro` DATASOURCE
+    * jar is an external module not shipped in this environment's
+    * `/opt/spark/jars` (only the core `avro-*.jar` libraries, which do
+    * not register the `avro` format), so `spark.read.format("avro")`
+    * cannot resolve. When the module is present, the wiring is one
+    * dispatch arm — `case "avro" => spark.read.format("avro")
+    * .load(path)` — behind this same typed-failure contract; until
+    * then 'avro' routes to [[UnsupportedFormatException]] like any
+    * unknown format (the video-codec precedent,
+    * `multimodal/Multimodal.scala` — document the boundary, never
+    * stub a half-working path).
     */
   def read(spark: SparkSession, format: String, path: String): DataFrame =
     format.toLowerCase match {

@@ -192,32 +192,24 @@ object EntityResolution {
           .when(col("__c8") <= rowCap, concat(lit("8:"), col("__p8")))
           .otherwise(lit(null)))
       .select(("__block" +: levels).map(col) ++ Seq(col("__sub"), col("__c8")): _*)
-    val joined = tagged.join(dec, "__block" +: levels)
-    val plain = joined.filter(col("__sub").isNotNull)
-      .withColumn("__block", concat_ws("\u0001", col("__block"), col("__sub")))
-      .withColumn("__probe", lit(false))
-      .drop("__sub" :: "__c8" :: levels.toList: _*)
-    // final salt level for groups over budget even at 8 chars: s =
-    // ceil(c8/rowCap) home buckets on md5(id); every bucket but the
-    // last also probes the NEXT bucket -- the connectivity chain
-    val salted = {
-      val over = joined.filter(col("__sub").isNull)
-      val nb = ceil(col("__c8").cast("double") / lit(rowCap.toDouble)).cast("long")
-      val home = pmod(
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"), nb)
-      val variants = when(home + 1 < nb,
+    // ONE pass assigns every row its refined block (prefix level or
+    // salt bucket) via a conditional explode -- a plain/salted union
+    // would evaluate the tagged-join subtree twice
+    val nb = ceil(col("__c8").cast("double") / lit(rowCap.toDouble)).cast("long")
+    val home = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"), nb)
+    val variants = when(col("__sub").isNotNull,
+        array(struct(col("__sub").as("s"), lit(false).as("p"))))
+      .when(home + 1 < nb,
         array(
-          struct(home.as("b"), lit(false).as("p")),
-          struct((home + 1).as("b"), lit(true).as("p"))))
-        .otherwise(array(struct(home.as("b"), lit(false).as("p"))))
-      over
-        .withColumn("__v", explode(variants))
-        .withColumn("__block",
-          concat_ws("\u0001", col("__block"), concat(lit("s:"), col("__v.b"))))
-        .withColumn("__probe", col("__v.p"))
-        .drop("__v" :: "__sub" :: "__c8" :: levels.toList: _*)
-    }
-    plain.unionByName(salted)
+          struct(concat(lit("s:"), home).as("s"), lit(false).as("p")),
+          struct(concat(lit("s:"), home + 1).as("s"), lit(true).as("p"))))
+      .otherwise(array(struct(concat(lit("s:"), home).as("s"), lit(false).as("p"))))
+    tagged.join(dec, "__block" +: levels)
+      .withColumn("__v", explode(variants))
+      .withColumn("__block", concat_ws("\u0001", col("__block"), col("__v.s")))
+      .withColumn("__probe", col("__v.p"))
+      .drop("__v" :: "__sub" :: "__c8" :: levels.toList: _*)
   }
 
   /** Shared candidate + scoring stage over the slim projection
