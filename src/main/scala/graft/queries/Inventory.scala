@@ -3670,12 +3670,20 @@ object Inventory {
         val e = t(s, dir, "embeddings")
         val n = e.count()
         val c = math.max(8L, n / 128).toInt
-        val cut = n * 4 / 5
+        // the DISCRETE 0.8-percentile of the ids, not count*4/5: a
+        // count-derived cut assumes dense ids, which the sf1+ rehearsal
+        // fixtures' re-keyed copies violate (measured round 8 at sf10:
+        // the count cut left 2 000 of 200 000 rows as "history", so the
+        // 'incremental' query silently became a full-corpus pass — the
+        // q182 lesson, applied here)
+        val cut = e.agg(expr(
+          "percentile_disc(0.8) WITHIN GROUP (ORDER BY vec_id)"))
+          .head().getDouble(0).toLong
         val cents = Similarity.centroids(e, "vec_id", "embedding", c)
         val history = Similarity.ivfIndex(
-          e.filter(col("vec_id") < cut), "vec_id", "embedding", cents)
+          e.filter(col("vec_id") <= cut), "vec_id", "embedding", cents)
         Dedup.semanticNearDupsIncremental(
-          e.filter(col("vec_id") >= cut), history,
+          e.filter(col("vec_id") > cut), history,
           "vec_id", "embedding", cents, threshold = 0.40, roundScale = 4)
           .orderBy("id_a", "id_b")
       },
@@ -3684,7 +3692,8 @@ object Inventory {
             embedding AS ce
           FROM (SELECT * FROM embeddings ORDER BY vec_id
                 LIMIT (SELECT greatest(8, count(*) // 128) FROM embeddings))),
-        cut AS (SELECT count(*) * 4 // 5 AS cut FROM embeddings),
+        cut AS (SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY vec_id) AS cut
+                FROM embeddings),
         d AS (
           SELECT b.vec_id, c.cell,
             list_sum(list_transform(list_zip(b.embedding, c.ce),
@@ -3709,7 +3718,7 @@ object Inventory {
           JOIN embeddings x ON x.vec_id = ax.vec_id
           JOIN embeddings y ON y.vec_id = ay.vec_id
           CROSS JOIN cut
-          WHERE ax.vec_id >= cut.cut OR ay.vec_id >= cut.cut)
+          WHERE ax.vec_id > cut.cut OR ay.vec_id > cut.cut)
         SELECT cell, id_a, id_b, cos FROM p WHERE cos >= 0.40
         ORDER BY id_a, id_b""")),
 
