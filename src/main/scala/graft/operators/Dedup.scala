@@ -153,6 +153,157 @@ object Dedup {
     rebuild(batch, droppedTiles, idCol, textCol, w)
   }
 
+  // ------------------------------------------------------- duplicate spans
+
+  /** (doc, pos, md5) stream of OVERLAPPING w-token shingles — one shingle
+    * at every token position (vs [[tileStream]]'s aligned, disjoint
+    * tiles). Map-only; md5 so any engine replays the assignment.
+    */
+  private def shingleStreamPos(
+      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nSh = (size(toks) - (w - 1)).cast("int")
+    docs
+      .select(col(idCol).as("__id"), toks.as("__t"), nSh.as("__n"))
+      .where(col("__n") >= 1)
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("pos"))
+      .select(col("__id"), col("pos"),
+        md5(array_join(slice(col("__t"), col("pos") + 1, lit(w)), " ")).as("h"))
+  }
+
+  /** Duplicated shingle occurrences: (doc, pos) whose w-shingle TEXT
+    * occurred earlier in the corpus (global (doc, pos) order — the first
+    * occurrence is kept). One hash-aggregation + one hash-width join.
+    */
+  private def duplicatedPositions(sh: DataFrame): DataFrame = {
+    val key = col("__id") * 1000000L + col("pos")
+    val firsts = sh
+      .groupBy("h")
+      .agg(min(key).as("__first"), count(lit(1)).as("__c"))
+    sh.join(firsts, Seq("h"))
+      .where(col("__c") > 1 && key =!= col("__first"))
+      .select(col("__id"), col("pos"))
+  }
+
+  /** Gaps-and-islands merge of duplicated positions into MAXIMAL spans:
+    * positions whose w-windows overlap or touch (next ≤ prev + w) fuse
+    * into one [start_tok, end_tok] (0-based, inclusive). The window runs
+    * per-doc over ONLY the duplicated positions — a vanishing fraction
+    * of the token stream — never over the corpus.
+    */
+  private def mergeSpans(dup: DataFrame, idCol: String, w: Int): DataFrame = {
+    val byDoc = Window.partitionBy("__id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(byDoc)
+    val brk = when(prev.isNull || col("pos") > prev + w, 1).otherwise(0)
+    val isl = sum(brk).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dup
+      .withColumn("__isl", isl)
+      .groupBy(col("__id"), col("__isl"))
+      .agg(
+        min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (w - 1)).as("end_tok"),
+        count(lit(1)).as("n_shingles"))
+      .withColumn("span_no",
+        row_number().over(Window.partitionBy("__id").orderBy("start_tok")))
+      .select(col("__id").as(idCol), col("span_no"),
+        col("start_tok"), col("end_tok"), col("n_shingles"))
+  }
+
+  /** MAXIMAL duplicated-span detection with overlapping w-token shingles —
+    * the alignment-free refinement of [[substringDedup]]'s tiling. The
+    * tile pass only removes duplicated content covering a full ALIGNED
+    * tile (repeats ≥ 2w tokens guaranteed, shorter ones only by luck);
+    * sliding a w-token window at EVERY position finds every repeated run
+    * of ≥ w tokens exactly, and merging overlapping duplicated positions
+    * per document yields maximal spans — the distributed formulation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") with match threshold w
+    * tokens. North-star EXTENSION, no reference citation.
+    *
+    * Scale design — text never crosses a shuffle:
+    *  1. map-only shingling emits (md5, doc, pos): w× the rows of the
+    *     tile pass — the price of alignment freedom — but each shuffle
+    *     row carries only 32 hex chars + two ints;
+    *  2. one aggregation finds each shingle text's first occurrence
+    *     (min over doc·10⁶+pos — exact while positions/doc < 10⁶, same
+    *     composite-key discipline as the tile path);
+    *  3. the join back emits duplicated (doc, pos) only;
+    *  4. span merge is a per-doc window over only those positions.
+    *
+    * Returns one row per span: (idCol, span_no, start_tok, end_tok,
+    * n_shingles), span_no 1-based in start order.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, "shingle width must be >= 2 tokens")
+    mergeSpans(duplicatedPositions(shingleStreamPos(docs, idCol, textCol, w)), idCol, w)
+  }
+
+  /** Cut every [[duplicateSpans]] span out of its document — span-level
+    * substring dedup that removes ONLY the repeated run, preserving the
+    * surrounding text (the tile path rounds the cut to tile boundaries).
+    * Span lists per doc are tiny (duplicated regions only), so the cut is
+    * a map-side indexed filter over the token array after one id-width
+    * join.
+    *
+    * Returns (idCol, n_spans, n_dup_tokens, text_dedup) — one row per
+    * input document.
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, w)
+    val perDoc = spans
+      .groupBy(idCol)
+      .agg(
+        collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("end_tok") - col("start_tok") + 1).as("n_dup_tokens"))
+    val toks = split(col(textCol), " ")
+    docs
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("__spans").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(toks, (_, i) =>
+              !exists(col("__spans"), sp =>
+                i >= sp("start_tok") && i <= sp("end_tok"))),
+            " ")).as("text_dedup"))
+  }
+
+  /** SPAN-LEVEL decontamination report: maximal runs (≥ w tokens) of
+    * `train` documents whose text also appears anywhere in the `heldOut`
+    * corpus. [[contaminationScore]] grades documents; this names the
+    * exact token ranges, so a pipeline can CUT the contaminated span and
+    * keep the document — the surgical variant a 100 TB corpus needs when
+    * whole-doc dropping is too lossy.
+    *
+    * Scale: held-out benchmark suites are small next to the corpus, so
+    * the hash semi-join broadcasts (AQE); train-side text never shuffles.
+    * Same output shape as [[duplicateSpans]].
+    */
+  def contaminationSpans(
+      train: DataFrame,
+      heldOut: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, "shingle width must be >= 2 tokens")
+    val trainSh = shingleStreamPos(train, idCol, textCol, w)
+    val heldSh = shingleStreamPos(heldOut, idCol, textCol, w).select("h").distinct()
+    val hits = trainSh.join(heldSh, Seq("h"), "left_semi").select("__id", "pos")
+    mergeSpans(hits, idCol, w)
+  }
+
   /** Rows whose `bucketCol` bucket holds more than `cap` rows are dropped.
     *
     * Implemented as aggregate + left-anti join rather than a count window:

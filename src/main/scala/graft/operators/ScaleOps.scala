@@ -707,4 +707,72 @@ object ScaleOps {
       .withColumn("shuffle_key64", corpusShuffleKey64(col(idCol), seed))
       .drop("__all", s"${valueCol}_bin")
   }
+
+  /** KMV (bottom-k) estimate of the distinct-shingle overlap between two
+    * corpora: Jaccard plus per-side distinct-count estimates, from two
+    * k-row sketches instead of a full distinct-set join. The sketch key
+    * is the first 15 md5 hex chars of each w-token shingle (60 bits —
+    * always a non-negative BIGINT), so the EXACT sketch replays in any
+    * engine: unlike a seeded-hash sketch, every number this emits is
+    * deterministic, oracle-checkable arithmetic at ANY k (the usual
+    * sketch/oracle impasse — q25/q118 — does not apply).
+    *
+    * Estimators (the classic KMV identities):
+    *   S  = bottom-k of (A ∪ B)   — computable from the two sketches,
+    *        because bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B));
+    *   Ĵ  = |S ∩ skA ∩ skB| / |S| (exact when |A ∪ B| ≤ k);
+    *   n̂  = (k−1) / (kth smallest / 2⁶⁰), exact when the side has < k
+    *        distinct shingles.
+    *
+    * Scale: each side costs one distinct (hash-width shuffle — 8 B keys)
+    * and a TakeOrderedAndProject (per-partition bottom-k; k rows reach
+    * one task). The combine is array math on two k-length arrays in a
+    * 1×1 cross join. The k-long sketches persist naturally for
+    * incremental corpus-overlap monitoring — track train/eval
+    * contamination drift across snapshots without re-reading history.
+    * Contrast [[Dedup.contaminationSpans]] (exact, per-span, costs a
+    * corpus-wide semi-join) — this is the cheap monitoring counterpart.
+    */
+  def kmvCorpusOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      w: Int = 5,
+      k: Int = 1024): DataFrame = {
+    require(w >= 1, "shingle width must be >= 1")
+    require(k >= 2, "sketch size must be >= 2")
+    def sketch(df: DataFrame, name: String): DataFrame = {
+      val toks = split(col(textCol), " ")
+      val nSh = (size(toks) - (w - 1)).cast("int")
+      df.select(toks.as("__t"), nSh.as("__n"))
+        .where(col("__n") >= 1)
+        .select(col("__t"), explode(sequence(lit(0), col("__n") - 1)).as("p"))
+        .select(
+          conv(substring(
+            md5(array_join(slice(col("__t"), col("p") + 1, lit(w)), " ")),
+            1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(sort_array(collect_list(col("h"))).as(name))
+    }
+    val hashSpace = 1.152921504606846976e18 // 2^60
+    def estDistinct(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(round(
+          lit((k - 1).toDouble) / (array_max(sk).cast("double") / hashSpace), 4))
+    sketch(a, "sa").crossJoin(sketch(b, "sb"))
+      .select(col("sa"), col("sb"),
+        slice(array_sort(array_union(col("sa"), col("sb"))), 1, k).as("su"))
+      .select(
+        lit(k).cast("int").as("k"),
+        size(col("su")).as("union_k"),
+        estDistinct(col("sa")).as("d_a_est"),
+        estDistinct(col("sb")).as("d_b_est"),
+        round(
+          size(filter(col("su"), x =>
+            array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+            .cast("double") / size(col("su")).cast("double"), 6)
+          .as("jaccard_est"))
+  }
 }

@@ -4413,6 +4413,218 @@ object Inventory {
             ' '), '') AS round_trip
         FROM documents ORDER BY doc_id""")),
 
+    Q("q198_duplicate_spans",
+      (s, dir) =>
+        // alignment-free substring dedup, detection surface: maximal
+        // duplicated runs of >= 8 tokens via overlapping shingles +
+        // gaps-and-islands merge (Lee et al. 2022 semantics at shingle
+        // granularity). The oracle replays the md5 shingle assignment,
+        // the global first-occurrence rule, and the island merge.
+        Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", w = 8)
+          .orderBy("doc_id", "span_no"),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        nn AS (
+          SELECT doc_id, t, len(t) - 7 AS ns FROM base WHERE len(t) >= 8),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS pos FROM nn),
+        sh AS (
+          SELECT doc_id, pos,
+            md5(array_to_string(t[pos+1 : pos+8], ' ')) AS h
+          FROM pos),
+        f AS (
+          SELECT h, min(doc_id*1000000 + pos) AS fk, count(*) AS c
+          FROM sh GROUP BY h),
+        dup AS (
+          SELECT s.doc_id, s.pos
+          FROM sh s JOIN f USING (h)
+          WHERE c > 1 AND s.doc_id*1000000 + s.pos <> fk),
+        brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                 THEN 1 ELSE 0 END AS b
+          FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+          FROM brk),
+        sp AS (
+          SELECT doc_id, g, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+            count(*) AS n_shingles
+          FROM isl GROUP BY doc_id, g)
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+            AS INTEGER) AS span_no,
+          CAST(start_tok AS INTEGER) AS start_tok,
+          CAST(end_tok AS INTEGER) AS end_tok,
+          n_shingles
+        FROM sp ORDER BY doc_id, span_no""")),
+
+    Q("q199_span_removal",
+      (s, dir) =>
+        // alignment-free substring dedup, cut surface: remove ONLY the
+        // duplicated spans, keep the surrounding text (the tile path
+        // q144 rounds cuts to tile boundaries). One row per document;
+        // the oracle rebuilds the cut text token-by-token.
+        Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", w = 8)
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        nn AS (
+          SELECT doc_id, t, len(t) - 7 AS ns FROM base WHERE len(t) >= 8),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS pos FROM nn),
+        sh AS (
+          SELECT doc_id, pos,
+            md5(array_to_string(t[pos+1 : pos+8], ' ')) AS h
+          FROM pos),
+        f AS (
+          SELECT h, min(doc_id*1000000 + pos) AS fk, count(*) AS c
+          FROM sh GROUP BY h),
+        dup AS (
+          SELECT s.doc_id, s.pos
+          FROM sh s JOIN f USING (h)
+          WHERE c > 1 AND s.doc_id*1000000 + s.pos <> fk),
+        brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                 THEN 1 ELSE 0 END AS b
+          FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+          FROM brk),
+        sp AS (
+          SELECT doc_id, g, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+            count(*) AS n_shingles
+          FROM isl GROUP BY doc_id, g),
+        cov AS (
+          SELECT doc_id, unnest(generate_series(start_tok, end_tok)) AS p
+          FROM sp),
+        tok AS (
+          SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+          FROM base),
+        kept AS (
+          SELECT k.doc_id, k.i, k.t[k.i] AS wd
+          FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.i - 1
+          WHERE c.doc_id IS NULL),
+        rebuilt AS (
+          SELECT doc_id, string_agg(wd, ' ' ORDER BY i) AS txt
+          FROM kept GROUP BY doc_id),
+        agg AS (
+          SELECT doc_id, count(*) AS n_spans,
+            sum(end_tok - start_tok + 1) AS n_dup_tokens
+          FROM sp GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(a.n_spans, 0) AS n_spans,
+          coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+          CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(r.txt, '') END
+            AS text_dedup
+        FROM documents d
+        LEFT JOIN agg a ON a.doc_id = d.doc_id
+        LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    Q("q200_contamination_spans",
+      (s, dir) => {
+        // span-level decontamination: exact token ranges of train docs
+        // (doc_id < 450) whose text appears anywhere in the held-out
+        // slice (doc_id >= 450). q106/q170 grade whole documents; this
+        // names the ranges so the span — not the document — can be cut.
+        val d = t(s, dir, "documents")
+        Dedup.contaminationSpans(
+          d.filter(col("doc_id") < 450),
+          d.filter(col("doc_id") >= 450),
+          "doc_id", "text", w = 8)
+          .orderBy("doc_id", "span_no")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        nn AS (
+          SELECT doc_id, t, len(t) - 7 AS ns FROM base WHERE len(t) >= 8),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS pos FROM nn),
+        sh AS (
+          SELECT doc_id, pos,
+            md5(array_to_string(t[pos+1 : pos+8], ' ')) AS h
+          FROM pos),
+        held AS (SELECT DISTINCT h FROM sh WHERE doc_id >= 450),
+        hits AS (
+          SELECT s.doc_id, s.pos
+          FROM sh s JOIN held USING (h)
+          WHERE s.doc_id < 450),
+        brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                 THEN 1 ELSE 0 END AS b
+          FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+          FROM brk),
+        sp AS (
+          SELECT doc_id, g, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+            count(*) AS n_shingles
+          FROM isl GROUP BY doc_id, g)
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+            AS INTEGER) AS span_no,
+          CAST(start_tok AS INTEGER) AS start_tok,
+          CAST(end_tok AS INTEGER) AS end_tok,
+          n_shingles
+        FROM sp ORDER BY doc_id, span_no""")),
+
+    Q("q201_kmv_overlap",
+      (s, dir) => {
+        // sketch-based corpus-overlap monitoring: distinct-5-shingle
+        // Jaccard between the even and odd documents halves from two
+        // 1024-row bottom-k sketches. The 60-bit md5-prefix sketch key
+        // makes every emitted number replayable arithmetic — a sketch
+        // with a FULL hash oracle at production k (unlike q25/q118,
+        // whose seeded hashes no other engine can reproduce).
+        val d = t(s, dir, "documents")
+        ScaleOps.kmvCorpusOverlap(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "text", w = 5, k = 1024)
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        nn AS (
+          SELECT doc_id, t, len(t) - 4 AS ns FROM base WHERE len(t) >= 5),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS p FROM nn),
+        sh AS (
+          SELECT doc_id,
+            CAST(concat('0x',
+              substr(md5(array_to_string(t[p+1 : p+5], ' ')), 1, 15))
+              AS BIGINT) AS h
+          FROM pos),
+        sa AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0 ORDER BY h LIMIT 1024),
+        sb AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 1 ORDER BY h LIMIT 1024),
+        su AS (
+          SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT 1024),
+        m AS (
+          SELECT count(*) AS inter FROM su
+          WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+        ka AS (SELECT count(*) AS n, max(h) AS kth FROM sa),
+        kb AS (SELECT count(*) AS n, max(h) AS kth FROM sb),
+        ku AS (SELECT count(*) AS n FROM su)
+        SELECT CAST(1024 AS INTEGER) AS k,
+          CAST(ku.n AS INTEGER) AS union_k,
+          CASE WHEN ka.n < 1024 THEN CAST(ka.n AS DOUBLE)
+               ELSE round(1023.0 / (CAST(ka.kth AS DOUBLE) / 1152921504606846976.0), 4)
+          END AS d_a_est,
+          CASE WHEN kb.n < 1024 THEN CAST(kb.n AS DOUBLE)
+               ELSE round(1023.0 / (CAST(kb.kth AS DOUBLE) / 1152921504606846976.0), 4)
+          END AS d_b_est,
+          round(CAST(m.inter AS DOUBLE) / CAST(ku.n AS DOUBLE), 6) AS jaccard_est
+        FROM ka, kb, ku, m""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's
@@ -5015,6 +5227,7 @@ object Inventory {
     "q139_pagerank_neardup", "q140_triangles_neardup", "q141_clustering_neardup",
     "q142_weighted_token_sample",
     "q144_substring_dedup", "q145_bm25",
+    "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

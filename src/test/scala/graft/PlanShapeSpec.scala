@@ -364,6 +364,86 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-width hash exchange on the emission path (keys=$hashes):\n$plan")
   }
 
+  test("q198: duplicate-span shuffles carry (hash, id, pos) — never text or token arrays") {
+    val root = run("q198_duplicate_spans").queryExecution.executedPlan
+    val unwrapped = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, s"no ShuffleExchangeExec found:\n$unwrapped")
+    shuffles.foreach { e =>
+      val names = e.child.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("__t"),
+        s"span-dedup exchange carries a payload column: ${names.mkString(", ")}")
+    }
+  }
+
+  test("partitioned fact join prunes partitions DYNAMICALLY from the dim filter") {
+    // the 100 TB lake shape: a fact table laid out by a partition
+    // column is joined to a dimension with a selective filter the
+    // planner cannot see statically. Dynamic partition pruning must
+    // inject the dim's filter result into the fact scan's partition
+    // filters, so only the matching directories are read — without it
+    // the scan reads EVERY partition and the layout is wasted.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .withColumn("om", date_format(col("o_orderdate").cast("date"), "yyyy-MM"))
+      orders.write.mode("overwrite").partitionBy("om").parquet(s"$dir/fact")
+      val fact = spark.read.parquet(s"$dir/fact")
+      import spark.implicits._
+      // the dim carries a filter the planner can see is SELECTIVE but
+      // whose surviving om values it cannot enumerate statically — the
+      // DPP pattern (join on partition column + filtered build side).
+      // The dim must be FILE-backed: an in-memory relation would fold
+      // the filter away and leave no selective predicate for the rule.
+      Seq(("1995-01", 1), ("1995-06", 1), ("1996-03", 0))
+        .toDF("om", "keep").write.mode("overwrite").parquet(s"$dir/dim")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"keep" === 1)
+      val joined = fact.join(broadcast(dim), Seq("om")).groupBy("om")
+        .agg(count(lit(1)).as("n"))
+      val scan = joined.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("fact")).getOrElse("")
+      assert(scan.contains("dynamicpruning"),
+        s"fact scan has no dynamic partition filter:\n$scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("min/max/count roll up from parquet FOOTERS when aggregate pushdown is on") {
+    // at 100 TB, min/max/count over a raw table should read statistics,
+    // not data. The v2 parquet source pushes these aggregates into the
+    // scan (PushedAggregation) when no filter blocks it; pin the plan
+    // and the values against the v1 computed twin.
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggpd").toString
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/t")
+      val exact = spark.read.parquet(s"$dir/t")
+        .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey")).head()
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val pushed = spark.read.parquet(s"$dir/t")
+        .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)")
+        || plan.contains("PushedAggregation: [MIN("),
+        s"aggregates not pushed into the scan:\n$plan")
+      assert(pushed.head() == exact, "footer statistics disagree with data")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -594,4 +594,57 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(2L).isEmpty, "null group must not be assigned to any split")
     assert(out(1L).nonEmpty && out(3L).nonEmpty)
   }
+
+  test("kmvCorpusOverlap: identical corpora estimate J=1, disjoint estimate J=0") {
+    import spark.implicits._
+    val a = (1L to 40L).map(i => s"a$i w$i x$i y$i z$i q$i v$i").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val b = (1L to 40L).map(i => s"b$i m$i n$i o$i p$i r$i s$i").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val same = ScaleOps.kmvCorpusOverlap(a, a, "text", w = 3, k = 64).head()
+    assert(same.getAs[Double]("jaccard_est") == 1.0)
+    val disj = ScaleOps.kmvCorpusOverlap(a, b, "text", w = 3, k = 64).head()
+    assert(disj.getAs[Double]("jaccard_est") == 0.0)
+    // below-k sides report EXACT distinct counts (40 docs x 5 shingles,
+    // all distinct by construction = 200 > 64: use a smaller slice)
+    val small = ScaleOps.kmvCorpusOverlap(
+      a.limit(5), b.limit(5), "text", w = 3, k = 64).head()
+    assert(small.getAs[Double]("d_a_est") == 25.0, small.toString)
+  }
+
+  test("kmvCorpusOverlap at small k tracks the exact Jaccard within KMV error") {
+    // real corpus halves, k=256: |est - exact| must sit inside a loose
+    // 5-sigma KMV bound (sigma ~ sqrt(J(1-J)/k) ~ 0.03 at J~0.2)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    def shingles(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(col("text"), " ")
+      df.select(toks.as("t"), (size(toks) - 4).cast("int").as("n"))
+        .where(col("n") >= 1)
+        .select(col("t"), explode(sequence(lit(0), col("n") - 1)).as("p"))
+        .select(md5(array_join(slice(col("t"), col("p") + 1, lit(5)), " ")).as("h"))
+        .distinct()
+    }
+    val sa = shingles(a).withColumnRenamed("h", "ha")
+    val sb = shingles(b).withColumnRenamed("h", "hb")
+    val inter = sa.join(sb, sa("ha") === sb("hb"), "left_semi").count().toDouble
+    val union = sa.count() + sb.count() - inter
+    val exact = inter / union
+    val est = ScaleOps.kmvCorpusOverlap(a, b, "text", w = 5, k = 256)
+      .head().getAs[Double]("jaccard_est")
+    val bound = 5.0 * math.sqrt(math.max(exact * (1 - exact), 0.01) / 256)
+    assert(math.abs(est - exact) <= bound,
+      s"est=$est exact=$exact bound=$bound")
+  }
+
+  test("kmvCorpusOverlap is partitioning-invariant (bottom-k is order-free)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val one = ScaleOps.kmvCorpusOverlap(a, b, "text", w = 5, k = 128).head()
+    val two = ScaleOps.kmvCorpusOverlap(
+      a.repartition(17), b.repartition(3), "text", w = 5, k = 128).head()
+    assert(one == two, s"$one vs $two")
+  }
 }
