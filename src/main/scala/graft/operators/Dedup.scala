@@ -280,6 +280,48 @@ object Dedup {
             " ")).as("text_dedup"))
   }
 
+  /** Persistable shingle-hash store for INCREMENTAL duplicate-span
+    * detection: one row per distinct w-shingle text ever seen, with its
+    * global first-occurrence key. Merge-associative like
+    * [[tileHashStore]] — union two stores (or a store with a fresh
+    * [[shingleStreamPos]] day) and re-take min(first_key).
+    */
+  def spanHashStore(docs: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame =
+    shingleStreamPos(docs, idCol, textCol, w)
+      .groupBy("h")
+      .agg(min(col("__id") * 1000000L + col("pos")).as("first_key"))
+
+  /** Incremental [[duplicateSpans]] of a NEW batch against a persisted
+    * [[spanHashStore]]: a batch position is duplicated if its shingle
+    * text exists in the store (history is always earlier) or occurred
+    * earlier within the batch itself. History TEXT is never re-read —
+    * the batch joins 32-hex hashes only — and history documents are
+    * never re-scanned: the O(day) daily-pipeline shape of
+    * [[substringDedupIncremental]], at span granularity. With every
+    * history id below every batch id this equals running
+    * [[duplicateSpans]] over the combined corpus and keeping the
+    * batch's spans (the q202 oracle replays that equivalence).
+    */
+  def duplicateSpansIncremental(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, "shingle width must be >= 2 tokens")
+    val sh = shingleStreamPos(batch, idCol, textCol, w)
+    val key = col("__id") * 1000000L + col("pos")
+    val firsts = sh
+      .groupBy("h")
+      .agg(min(key).as("__first"), count(lit(1)).as("__c"))
+    val dup = sh
+      .join(firsts, Seq("h"))
+      .join(store.select(col("h"), lit(1).as("__hist")), Seq("h"), "left")
+      .where(col("__hist").isNotNull || (col("__c") > 1 && key =!= col("__first")))
+      .select(col("__id"), col("pos"))
+    mergeSpans(dup, idCol, w)
+  }
+
   /** SPAN-LEVEL decontamination report: maximal runs (≥ w tokens) of
     * `train` documents whose text also appears anywhere in the `heldOut`
     * corpus. [[contaminationScore]] grades documents; this names the

@@ -4577,6 +4577,61 @@ object Inventory {
           n_shingles
         FROM sp ORDER BY doc_id, span_no""")),
 
+    Q("q202_span_dedup_incremental",
+      (s, dir) =>
+        // daily-batch shape at span granularity: docs >= 250 detect
+        // duplicated spans against the shingle-hash store of docs < 250
+        // — history text is never re-read. The oracle recomputes the
+        // FULL corpus span detection and keeps the batch's rows;
+        // equivalence holds because history ids precede batch ids.
+        Dedup.duplicateSpansIncremental(
+          t(s, dir, "documents").filter(col("doc_id") >= 250),
+          Dedup.spanHashStore(
+            t(s, dir, "documents").filter(col("doc_id") < 250),
+            "doc_id", "text", w = 8),
+          "doc_id", "text", w = 8)
+          .orderBy("doc_id", "span_no"),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        nn AS (
+          SELECT doc_id, t, len(t) - 7 AS ns FROM base WHERE len(t) >= 8),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS pos FROM nn),
+        sh AS (
+          SELECT doc_id, pos,
+            md5(array_to_string(t[pos+1 : pos+8], ' ')) AS h
+          FROM pos),
+        f AS (
+          SELECT h, min(doc_id*1000000 + pos) AS fk, count(*) AS c
+          FROM sh GROUP BY h),
+        dup AS (
+          SELECT s.doc_id, s.pos
+          FROM sh s JOIN f USING (h)
+          WHERE c > 1 AND s.doc_id*1000000 + s.pos <> fk),
+        brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                 THEN 1 ELSE 0 END AS b
+          FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+          FROM brk),
+        sp AS (
+          SELECT doc_id, g, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+            count(*) AS n_shingles
+          FROM isl GROUP BY doc_id, g)
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+            AS INTEGER) AS span_no,
+          CAST(start_tok AS INTEGER) AS start_tok,
+          CAST(end_tok AS INTEGER) AS end_tok,
+          n_shingles
+        FROM sp
+        WHERE doc_id >= 250
+        ORDER BY doc_id, span_no""")),
+
     Q("q201_kmv_overlap",
       (s, dir) => {
         // sketch-based corpus-overlap monitoring: distinct-5-shingle
@@ -5228,6 +5283,7 @@ object Inventory {
     "q142_weighted_token_sample",
     "q144_substring_dedup", "q145_bm25",
     "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
+    "q202_span_dedup_incremental",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

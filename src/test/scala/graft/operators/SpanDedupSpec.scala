@@ -113,6 +113,32 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1, 2, 11)), out.toSeq.toString)
   }
 
+  test("incremental span detection equals the full pass restricted to the batch") {
+    // q202's contract on the real corpus: batch (>= 250) vs the
+    // history store (< 250) must reproduce exactly the full-corpus
+    // spans that land in batch docs (history ids precede batch ids)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val full = Dedup.duplicateSpans(docs, "doc_id", "text", w = 8)
+      .filter(col("doc_id") >= 250)
+    val inc = Dedup.duplicateSpansIncremental(
+      docs.filter(col("doc_id") >= 250),
+      Dedup.spanHashStore(docs.filter(col("doc_id") < 250), "doc_id", "text", w = 8),
+      "doc_id", "text", w = 8)
+    assert(full.exceptAll(inc).count() == 0 && inc.exceptAll(full).count() == 0)
+  }
+
+  test("spanHashStore is merge-associative: two daily stores union to the corpus store") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val d1 = Dedup.spanHashStore(docs.filter(col("doc_id") < 100), "doc_id", "text", w = 8)
+    val d2 = Dedup.spanHashStore(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 250), "doc_id", "text", w = 8)
+    val merged = d1.union(d2).groupBy("h")
+      .agg(min(col("first_key")).as("first_key"))
+    val direct = Dedup.spanHashStore(
+      docs.filter(col("doc_id") < 250), "doc_id", "text", w = 8)
+    assert(merged.exceptAll(direct).count() == 0 && direct.exceptAll(merged).count() == 0)
+  }
+
   test("spans vs tiles on the corpus: the sliding window dominates tile coverage") {
     // every token a w-tile cut removes lies inside some reported span
     // when the SAME duplicated content is measured at shingle width w:
