@@ -109,7 +109,7 @@ object EntityResolution {
     scoredBlockPairs(all, idCol, fields, threshold, roundScale, pairBudget)
   }
 
-  private def slimProjection(
+  private[graft] def slimProjection(
       df: DataFrame,
       idCol: String,
       blockCols: Seq[String],
@@ -159,7 +159,7 @@ object EntityResolution {
     * is pinned by the recall-parity specs on representative hot
     * blocks, and is the price of a hard linear bound.
     */
-  private def subBlocked(
+  private[graft] def subBlocked(
       slim: DataFrame,
       idCol: String,
       topField: String,
@@ -228,6 +228,13 @@ object EntityResolution {
     * normalized afterwards — the score is symmetric, so swapping ids
     * alone is sound. Pairs pass the lossless length prefilter and are
     * emitted when the ROUNDED score clears the threshold.
+    *
+    * Both the join and the scoring run at the DISTINCT-attribute-vector
+    * level, expanded back to row pairs afterwards — see the inline
+    * note; measured at the sf10 rehearsal this cut candidate DPs ~33×
+    * (503M row-level candidates, ~15M value-level) on a fixture whose
+    * amplified copies repeat values heavily, which is also the shape of
+    * real name/address linkage corpora.
     */
   private def scoredBlockPairs(
       slim: DataFrame,
@@ -239,17 +246,55 @@ object EntityResolution {
     require(fields.nonEmpty, "at least one scoring field")
     require(pairBudget >= 1, "pairBudget must admit at least one pair")
     val guarded = subBlocked(slim, idCol, fields.maxBy(_._2)._1, pairBudget)
-    val a = guarded.filter(col("__new")).select(
-      (Seq(col(idCol).as("id_a"), col("__block"), col("__probe").as("__probe_a")) ++
+    // Attribute-vector collapse: the score depends only on the field
+    // VALUES, and real linkage corpora repeat them heavily (the sf10
+    // rehearsal fixture: 2M rows, 349k distinct (block, values) tuples
+    // — a 5.7× per-block collapse, squaring to ~33× fewer DPs). So the
+    // candidate join and the levenshtein scoring run over DISTINCT
+    // value tuples per refined block; row ids ride along as grouped
+    // member lists (bounded by the sub-block row cap ≈ 2·√(2·budget),
+    // so no list exceeds a few hundred entries) and two explodes
+    // expand passing value pairs back to exactly the row pairs the
+    // row-level join would have produced — the row-level filters apply
+    // unchanged after expansion.
+    val vcols = fields.map { case (f, _) => col(f) }
+    val ga = guarded.filter(col("__new"))
+      .groupBy(col("__block") +: vcols: _*)
+      .agg(collect_list(struct(col(idCol).as("id"), col("__probe").as("p"))).as("__ma"))
+      .select((col("__block") +: col("__ma") +:
         fields.map { case (f, _) => col(f).as(s"__a_$f") }): _*)
-    val b = guarded.select(
-      (Seq(col(idCol).as("id_b"), col("__block"), col("__new").as("__new_b"),
-        col("__probe").as("__probe_b")) ++
+    val gb = guarded
+      .groupBy(col("__block") +: vcols: _*)
+      .agg(collect_list(struct(col(idCol).as("id"), col("__new").as("n"),
+        col("__probe").as("p"))).as("__mb"))
+      .select((col("__block") +: col("__mb") +:
         fields.map { case (f, _) => col(f).as(s"__b_$f") }): _*)
+    // Banded Levenshtein (lossless): a pair whose ROUNDED score clears
+    // the threshold needs simᵢ ≥ (t′ − (1−wᵢ))/wᵢ on every field (the
+    // other fields contribute at most their full weight), i.e.
+    // levᵢ ≤ maxlenᵢ·(1−t′)/wᵢ with t′ = threshold − round-slack. When
+    // that cap is real (t′ > 1−wᵢ), the per-pair capped DP computes the
+    // EXACT distance when within it and −1 when provably over — the −1
+    // poisons the weighted sum to NULL, which the score gate drops, so
+    // surviving pairs score bit-identically to the full DP. This is the
+    // dominant cost at amplification scale: the sf10 fixture puts ~70%
+    // of rows in salted boilerplate buckets where every candidate pays
+    // the DP, and the band caps it at ~25% of the table (w=0.6, t=0.85)
+    // with early exit on dissimilar rows.
+    val tEff = threshold - 0.5 * math.pow(10, -roundScale) - 1e-9
+    val fieldSim: ((String, Double)) => Column = { case (f, w) =>
+      val (la, lb) = (col(s"__a_$f"), col(s"__b_$f"))
+      if (tEff > 1.0 - w) {
+        val maxlen = greatest(length(la), length(lb), lit(1))
+        val cap = (maxlen.cast("double") * lit((1.0 - tEff) / w)).cast("int") + lit(1)
+        val lev = org.apache.spark.sql.graft.NativeExprs.levWithin(la, lb, cap)
+        when(la.isNull || lb.isNull, lit(0.0))
+          .when(lev === -1, lit(null).cast("double"))
+          .otherwise(lit(1.0) - lev.cast("double") / maxlen.cast("double"))
+      } else levSim(la, lb)
+    }
     val score = round(
-      fields.map { case (f, w) =>
-        lit(w) * levSim(col(s"__a_$f"), col(s"__b_$f"))
-      }.reduce(_ + _),
+      fields.map { case fw @ (_, w) => lit(w) * fieldSim(fw) }.reduce(_ + _),
       roundScale)
     // Length prefilter (lossless): lev(a,b) ≥ |len(a)−len(b)|, so
     // Σ wᵢ·(1 − |lenΔᵢ|/maxLenᵢ) upper-bounds the score — pairs whose
@@ -263,7 +308,18 @@ object EntityResolution {
           greatest(length(la), length(lb), lit(1)).cast("double")
       lit(w) * when(la.isNull || lb.isNull, 0.0).otherwise(ub)
     }.reduce(_ + _)
-    a.join(b, Seq("__block"))
+    ga.join(gb, Seq("__block"))
+      .filter(ubound >= threshold - 0.5 * math.pow(10, -roundScale) - 1e-9)
+      .withColumn("score", score)
+      .filter(col("score") >= threshold)
+      // expansion: every (new row with value a) × (row with value b)
+      // inside the block — identical to the row-level join's output
+      .select(col("score"), explode(col("__ma")).as("__a"), col("__mb"))
+      .select(col("score"), col("__a"), explode(col("__mb")).as("__b"))
+      .select(
+        col("__a.id").as("id_a"), col("__a.p").as("__probe_a"),
+        col("__b.id").as("id_b"), col("__b.n").as("__new_b"),
+        col("__b.p").as("__probe_b"), col("score"))
       // ordered once for new×new; new×old pairs survive per bucket
       .filter(!col("__new_b") || col("id_a") < col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
@@ -271,9 +327,6 @@ object EntityResolution {
       // bucket with BOTH rows as probes — keep only the meeting where at
       // least one side is home (exactly one bucket per found pair)
       .filter(!(col("__probe_a") && col("__probe_b")))
-      .filter(ubound >= threshold - 0.5 * math.pow(10, -roundScale) - 1e-9)
-      .withColumn("score", score)
-      .filter(col("score") >= threshold)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -292,6 +292,38 @@ case class L2SqExpr(left: Expression, right: Expression) extends VectorBinaryExp
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr =
     copy(left = l, right = r)
+}
+
+/** Levenshtein distance with a PER-ROW cap: exact distance when
+  * ≤ cap, −1 when provably greater (UTF8String's banded DP with early
+  * exit — O(len·cap) cells instead of O(len²), and far less on
+  * dissimilar rows). The built-in 3-arg `levenshtein` only takes a
+  * literal threshold; record-linkage scoring
+  * (graft.operators.EntityResolution) needs the cap to scale with the
+  * pair's own max field length, which is what makes the band tight:
+  * at threshold 0.85 / weight 0.6 only ~25% of the DP table can ever
+  * matter for a pair that clears the score gate.
+  */
+case class LevWithinExpr(left: Expression, right: Expression, cap: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = cap
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lev_within"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    a.asInstanceOf[UTF8String].levenshteinDistance(
+      b.asInstanceOf[UTF8String], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"$a.levenshteinDistance($b, $c)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LevWithinExpr =
+    copy(left = f, right = s, cap = t)
 }
 
 /** Random-hyperplane LSH signature: nPlanes dot products + sign bits in
@@ -587,6 +619,12 @@ object NativeExprs {
   /** Column-level entry for BandHashesExpr. */
   def bandHashes(sig: Column, bands: Int): Column =
     ExpressionUtils.column(BandHashesExpr(ExpressionUtils.expression(sig), bands))
+
+  /** Column-level entry for LevWithinExpr. */
+  def levWithin(a: Column, b: Column, cap: Column): Column =
+    ExpressionUtils.column(LevWithinExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(cap)))
 
   /** Column-level entry for CosineSimExpr. */
   def cosineSim(a: Column, b: Column): Column =

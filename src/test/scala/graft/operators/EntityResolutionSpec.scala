@@ -132,6 +132,39 @@ class EntityResolutionSpec extends SparkSpec {
       "famA — a block the old row cap refused wholesale — keeps all 45 pairs")
   }
 
+  test("value-collapse + banded levenshtein == brute-force row-level scoring") {
+    import spark.implicits._
+    // adversarial mix for the round-8 scoring rework: heavy value
+    // repetition (the collapse path), near-threshold pairs (the banded
+    // cap must stay lossless through the rounding slack), nulls in one
+    // or both fields (score 0 contribution, never dropped), and
+    // dissimilar strings (the cap's −1 prune path)
+    val rng = new scala.util.Random(42)
+    val vocab = Seq("acme corporation", "acme corporatian", "acme corp",
+      "zenith industries", "zzzzzzzzzzzzzzzz", null)
+    val kinds = Seq("retail", "retaii", "finance", null)
+    val rows = (1L to 120L).map { id =>
+      (id, s"B${rng.nextInt(3)}", vocab(rng.nextInt(vocab.size)),
+        kinds(rng.nextInt(kinds.size)))
+    }
+    val df = rows.toDF("id", "blk", "name", "kind")
+    val fields = Seq(("name", 0.6), ("kind", 0.4))
+    val got = linkPairs(df, "id", Seq("blk"), fields, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every in-block id pair through the raw levSim sum
+    val brute = df.as("a").join(df.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("score", round(
+        lit(0.6) * levSim(col("a.name"), col("b.name")) +
+          lit(0.4) * levSim(col("a.kind"), col("b.kind")), 6))
+      .filter(col("score") >= 0.8)
+      .select(col("a.id"), col("b.id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture must produce qualifying pairs")
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("linkPairsIncremental == full pass minus store-internal pairs") {
     val parts = spark.read.parquet(s"$sf/part.parquet")
       .withColumn("name_noun", element_at(split(col("p_name"), " "), -1))
