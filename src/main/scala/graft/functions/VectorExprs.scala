@@ -43,6 +43,49 @@ object VectorKernels {
     acc
   }
 
+  /** The `nprobe` nearest centroid cells of `v` by squared L2,
+    * (distance, cell)-ordered — one kernel call per VECTOR instead of a
+    * C-wide literal expression tree per row (the literal-array argmin
+    * evaluated C l2Sq subtrees plus an array_min/array_position pass;
+    * at the sf10 rehearsal's C=1562 that was 312M ArrayData evaluations
+    * for one assignment pass). `cents` is dense row-major (c × dim).
+    * Distances accumulate in the same per-element order as [[l2Sq]], so
+    * cell choices are bit-identical to the literal formulation; ties
+    * resolve to the lowest cell (strict-inequality insertion, cells
+    * scanned in ascending order) — the same (d, cell) order the
+    * struct-sort formulation pinned.
+    */
+  def nearestCells(v: ArrayData, cents: Array[Double], c: Int, nprobe: Int, vF: Boolean): ArrayData = {
+    val dim = if (c == 0) 0 else cents.length / c
+    val n = math.min(v.numElements(), dim)
+    val k = math.min(nprobe, c)
+    val bestD = new Array[Double](k)
+    val bestC = new Array[Int](k)
+    var filled = 0
+    var cell = 0
+    while (cell < c) {
+      var acc = 0.0
+      var i = 0
+      val off = cell * dim
+      while (i < n) { val d = elem(v, i, vF) - cents(off + i); acc += d * d; i += 1 }
+      if (filled < k) {
+        var j = filled
+        while (j > 0 && bestD(j - 1) > acc) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(j) = acc; bestC(j) = cell; filled += 1
+      } else if (acc < bestD(k - 1)) {
+        var j = k - 1
+        while (j > 0 && bestD(j - 1) > acc) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(j) = acc; bestC(j) = cell
+      }
+      cell += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(bestC, filled))
+  }
+
   /** planes is a dense row-major (count × dim) matrix. */
   def hyperplaneSig(v: ArrayData, planes: Array[Double], count: Int, vF: Boolean): Long = {
     val dim = planes.length / count

@@ -104,21 +104,24 @@ object Similarity {
     cents
   }
 
-  /** Cell assignment: argmin over centroid distances (squared L2).
-    * Distances are computed ONCE into an array column, then the argmin is
-    * `array_position(dists, array_min(dists))` — each centroid's distance
-    * subtree appears exactly twice in the plan (a naive per-centroid
-    * comparison chain embeds them quadratically and blows up codegen).
-    * Cells are ordered by centroid index, so ties resolve to the lowest
-    * cell deterministically (array_position returns the first match).
+  /** Cell assignment: argmin over centroid distances (squared L2),
+    * evaluated as ONE native kernel call per vector with the centroid
+    * matrix as a per-task constant (NearestCellsExpr). The previous
+    * literal formulation built a C-wide expression tree
+    * (array(l2Sq…) → array_min → array_position) whose size AND
+    * per-row ArrayData overhead grew with the corpus when C tracks n —
+    * at the sf10 rehearsal (C = 1562, n = 200k) one assignment pass
+    * evaluated 312M literal-array l2Sq subtrees. The kernel scans the
+    * dense matrix in primitive loops, same accumulation order, same
+    * first-match tie rule (lowest cell) — value parity spec-pinned.
     */
-  private def cellOf(vec: Column, cents: Array[(Int, Array[Double])]): Column = {
+  private def cellOf(vec: Column, cents: Array[(Int, Array[Double])]): Column =
+    element_at(probeCellsCol(vec, cents, 1), 1)
+
+  private def centMatrix(cents: Array[(Int, Array[Double])]): Array[Double] = {
     val ordered = cents.sortBy(_._1)
     require(ordered.map(_._1).sameElements(ordered.indices), "cell ids must be 0..C-1")
-    val dists = array(ordered.map { case (_, cvec) =>
-      VectorFunctions.l2Sq(vec, array(cvec.map(lit).toIndexedSeq: _*))
-    }.toIndexedSeq: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    ordered.flatMap(_._2)
   }
 
 
@@ -273,26 +276,18 @@ object Similarity {
   }
 
   /** Per-row probe-cell list: the `nprobe` centroid cells nearest to the
-    * row's vector, as an array column. Distances are zipped with cell
-    * ids into structs and sorted (dist first ⇒ lexicographic struct sort
-    * ranks by distance, ties to the lowest cell — deterministic), then
-    * the cell ids of the first nprobe are kept. Index 0 is the OWNER
-    * cell, identical to [[cellOf]]'s first-match argmin — also the
-    * multiprobe blocking for [[Dedup.semanticNearDupPairs]].
+    * row's vector, as an array column — ONE native kernel call over the
+    * broadcast-constant centroid matrix (see [[cellOf]]), ordered by
+    * (distance, cell) with ties to the lowest cell. Index 0 is the
+    * OWNER cell, identical to [[cellOf]]'s first-match argmin — also
+    * the multiprobe blocking for [[Dedup.semanticNearDupPairs]].
     */
   private[operators] def probeCellsCol(
       vec: Column,
       cents: Array[(Int, Array[Double])],
-      nprobe: Int): Column = {
-    val entries = cents.sortBy(_._1).map { case (cid, cvec) =>
-      struct(
-        VectorFunctions.l2Sq(vec, array(cvec.map(lit).toIndexedSeq: _*)).as("d"),
-        lit(cid).as("cell"))
-    }
-    transform(
-      slice(sort_array(array(entries.toIndexedSeq: _*)), 1, nprobe),
-      e => e.getField("cell"))
-  }
+      nprobe: Int): Column =
+    org.apache.spark.sql.graft.NativeExprs.nearestCells(
+      vec, centMatrix(cents), cents.length, nprobe)
 
   /** Batch k-NN JOIN: for EVERY query row, the k nearest corpus rows by
     * cosine — the all-queries generalization of [[ivfTopK]] (which

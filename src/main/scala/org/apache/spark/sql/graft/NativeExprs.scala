@@ -362,6 +362,47 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Double], count: In
     copy(child = newChild)
 }
 
+/** The nprobe nearest IVF cells of a vector
+  * (graft.functions.VectorKernels.nearestCells): the whole
+  * centroid-matrix scan is ONE kernel call with the matrix as a
+  * per-task reference object — replacing a C-wide literal expression
+  * tree (C l2Sq subtrees + array_min + array_position) whose size grew
+  * with the corpus when C tracks n. Element 0 is the owner cell (exact
+  * argmin, ties to the lowest cell), identical to the literal
+  * formulation it replaces (same accumulation order, same (d, cell)
+  * tie order — spec-pinned in SimilaritySpec).
+  */
+case class NearestCellsExpr(child: Expression, cents: Array[Double], c: Int, nprobe: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  private def isFloatArray: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.VectorKernels.nearestCells(
+      v.asInstanceOf[ArrayData], cents, c, nprobe, isFloatArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.nearestCells($v, $centsRef, $c, $nprobe, $isFloatArray)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit DCT perceptual hash of image bytes
   * (graft.multimodal.Multimodal.ImageCodec.pHash) on the SQL surface:
   * undecodable bytes hash to NULL. The codec is the same black-box
@@ -619,6 +660,11 @@ object NativeExprs {
   /** Column-level entry for BandHashesExpr. */
   def bandHashes(sig: Column, bands: Int): Column =
     ExpressionUtils.column(BandHashesExpr(ExpressionUtils.expression(sig), bands))
+
+  /** Column-level entry for NearestCellsExpr (cents row-major c × dim). */
+  def nearestCells(vec: Column, cents: Array[Double], c: Int, nprobe: Int): Column =
+    ExpressionUtils.column(
+      NearestCellsExpr(ExpressionUtils.expression(vec), cents, c, nprobe))
 
   /** Column-level entry for LevWithinExpr. */
   def levWithin(a: Column, b: Column, cap: Column): Column =

@@ -39,6 +39,36 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("nearest-cells kernel == literal array_min/struct-sort formulation (value parity)") {
+    // pins the round-8 assignment rework: the one-kernel-per-vector
+    // NearestCellsExpr must choose bit-identical cells AND probe
+    // orders to the literal expression trees it replaced, including
+    // exact-tie vectors (equidistant centroids resolve to the lowest
+    // cell in both formulations)
+    val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
+    import spark.implicits._
+    val tie = Seq(
+      (900001L, Array.fill(64)(0f)),                    // equidistant-ish
+      (900002L, cents(3)._2.map(_.toFloat)),            // exactly on a centroid
+      (900003L, cents(3)._2.zip(cents(7)._2).map { case (a, b) => ((a + b) / 2).toFloat })
+    ).toDF("vec_id", "embedding")
+    val probe = emb.select("vec_id", "embedding").unionByName(tie)
+    val litEntries = cents.sortBy(_._1).map { case (cid, cvec) =>
+      struct(
+        VectorFunctions.l2Sq(col("embedding"), array(cvec.map(lit).toIndexedSeq: _*)).as("d"),
+        lit(cid).as("cell"))
+    }
+    val litProbe = transform(
+      slice(sort_array(array(litEntries.toIndexedSeq: _*)), 1, 4),
+      e => e.getField("cell"))
+    val cmp = probe.select(
+        col("vec_id"),
+        Similarity.probeCellsCol(col("embedding"), cents, 4).as("kern"),
+        litProbe.as("lit"))
+      .filter(not(col("kern") === col("lit")))
+    assert(cmp.count() == 0, s"kernel/literal divergence: ${cmp.take(3).mkString}")
+  }
+
   test("IVF top-k recall >= 0.5 vs brute force at nprobe=4/16") {
     val q = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0).toArray
     val rest = emb.filter(col("vec_id") =!= 1)
