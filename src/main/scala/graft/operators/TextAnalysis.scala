@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Lazy block-level reuse of a subtree consumed by several downstream
+    * branches — same mechanism and rationale as
+    * [[graft.operators.Dedup.shareLazily]] (lazy localCheckpoint: no
+    * CacheManager entry, no eager job; blocks freed by the
+    * ContextCleaner). Without it the winnow kernel re-fingerprints the
+    * batch once per consuming branch — measured at the sf10 rehearsal:
+    * the batch pass ran 3×, the history pass 2×, in one q193 call.
+    */
+  private def shareLazily(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   /** Engine-wide tokenizer whitespace: the explicit `[ \t\n\f\r]` —
     * exactly RE2's (and so DuckDB's) `\s` — NOT Java's `\s`, which
     * additionally matches U+000B. Every tokenizer in the engine (column
@@ -510,12 +521,12 @@ object TextAnalysis {
       w: Int = 10,
       minShared: Long = 3L,
       maxDf: Long = 1000L): DataFrame = {
-    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    val fp = shareLazily(winnowFingerprints(df, idCol, textCol, k, w))
     val hot = fp.groupBy("fp")
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") > maxDf)
       .select("fp")
-    val kept = fp.join(hot, Seq("fp"), "left_anti")
+    val kept = shareLazily(fp.join(hot, Seq("fp"), "left_anti"))
     val a = kept.select(col("fp"), col(idCol).as("id_a"))
     val b = kept.select(col("fp"), col(idCol).as("id_b"))
     a.join(b, Seq("fp"))
@@ -556,6 +567,10 @@ object TextAnalysis {
       w: Int = 10,
       minShared: Long = 3L,
       maxDf: Long = 1000L): DataFrame = {
+    // no shareLazily here: this variant survives as the pinned semantic
+    // twin of the mergeable path (plan-inspected by PlanShapeSpec's
+    // count(distinct) sentinel, which a checkpoint would truncate away);
+    // production callers use [[winnowNearDupsIncrementalMergeable]]
     val newFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
       .withColumn("__new", lit(1))
     val all = newFp.unionByName(
@@ -633,7 +648,7 @@ object TextAnalysis {
       w: Int = 10,
       minShared: Long = 3L,
       maxDf: Long = 1000L): DataFrame = {
-    val newFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
+    val newFp = shareLazily(winnowFingerprints(newDocs, idCol, textCol, k, w))
     val batchDf = newFp.groupBy("fp").agg(count(lit(1)).cast("long").as("__bdf"))
     val touchedStoreDf = historyDf
       .join(batchDf.select("fp"), Seq("fp"), "left_semi")
@@ -641,7 +656,7 @@ object TextAnalysis {
     val hot = batchDf.join(touchedStoreDf, Seq("fp"), "left")
       .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) > maxDf)
       .select("fp")
-    val newKept = newFp.join(hot, Seq("fp"), "left_anti")
+    val newKept = shareLazily(newFp.join(hot, Seq("fp"), "left_anti"))
     val histKept = historyFps.select(col(idCol), col("fp"))
       .join(batchDf.select("fp"), Seq("fp"), "left_semi")
       .join(hot, Seq("fp"), "left_anti")

@@ -2926,8 +2926,22 @@ object Inventory {
         val d = t(s, dir, "documents")
         val dayA = d.filter(col("doc_id") % 5 < 2)
         val dayB = d.filter(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
-        val fpsA = TextAnalysis.winnowFingerprints(dayA, "doc_id", "text", k = 25, w = 10)
-        val fpsB = TextAnalysis.winnowFingerprints(dayB, "doc_id", "text", k = 25, w = 10)
+        // the store is PERSISTED state in a deployment (each ingest
+        // appended its (id, fp) rows once, to disk); materializing it
+        // to scratch parquet — the q149-q158 lake-query convention —
+        // reproduces that shape exactly: history is re-fingerprinted
+        // ONCE per ingest, not once per consuming branch, and the
+        // store read is a compressed columnar scan, not a kernel pass
+        // (an in-memory checkpoint of the same frames OOMs an 8g
+        // driver at the sf10 rehearsal; the deployment artifact is a
+        // file, so simulate the file)
+        val root = java.nio.file.Files.createTempDirectory("graft-q193").toString
+        TextAnalysis.winnowFingerprints(dayA, "doc_id", "text", k = 25, w = 10)
+          .write.mode("overwrite").parquet(s"$root/fpsA")
+        TextAnalysis.winnowFingerprints(dayB, "doc_id", "text", k = 25, w = 10)
+          .write.mode("overwrite").parquet(s"$root/fpsB")
+        val fpsA = s.read.parquet(s"$root/fpsA")
+        val fpsB = s.read.parquet(s"$root/fpsB")
         TextAnalysis.winnowNearDupsIncrementalMergeable(
           d.filter(col("doc_id") % 5 === 4),
           fpsA.unionByName(fpsB),
