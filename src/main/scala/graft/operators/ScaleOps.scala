@@ -775,4 +775,70 @@ object ScaleOps {
             .cast("double") / size(col("su")).cast("double"), 6)
           .as("jaccard_est"))
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select the `k` raw-corpus documents whose
+    * char-n-gram distribution best matches a TARGET domain, by
+    * importance weight under two bounded unigram-of-char-ngram LMs and
+    * Gumbel-top-k sampling. This is the data-selection step a
+    * pre-training pipeline runs between crawl and mixing: "give me the
+    * 10M web documents that look most like the curated domain" — the
+    * reference stops at row-level quality checks
+    * (scripts/data_quality_check_pyspark.py); this selects BY
+    * DISTRIBUTION MATCH.
+    *
+    *  - log importance weight: `n_grams · (avgLogP_target − avgLogP_raw)`
+    *    with both averages from the broadcast native LM scorer
+    *    ([[TextAnalysis.lmScorer]], the q153 machinery) — the total
+    *    target-vs-raw log-likelihood ratio of the document under the
+    *    two unigram models. Absent grams take the scorer's add-half
+    *    smoothing, so out-of-vocabulary text scores low, not null.
+    *  - Gumbel-top-k: sampling ∝ softmax(logw) without replacement ≡
+    *    top-k by `logw + Gumbel(0,1)`. The Gumbel is DETERMINISTIC and
+    *    engine-replayable: u = (md5-52-bit + 0.5) / 2⁵², g = −ln(−ln u)
+    *    — 52 bits so the long→double cast is exact, the
+    *    [[corpusShuffleKey64]] limb discipline applied to (0,1).
+    *    A fresh seed is a fresh draw; seedless selection (pure top-k by
+    *    weight) is `gumbelScale = 0`.
+    *
+    * Both models are bounded (char-n-gram vocabularies) so they
+    * broadcast at any corpus scale; scoring is MAP-ONLY (two native
+    * expressions per row, no explode, no join) and the only exchange is
+    * the TakeOrdered top-k — per-partition heaps, k rows to one task.
+    * Every emitted number is deterministic arithmetic, so the whole
+    * selection carries a DuckDB oracle (q203) — including the sampling.
+    *
+    * Output: (idCol, n_grams, logw, sel_key) for the k selected rows,
+    * sel_key descending; ties break on id.
+    */
+  def importanceResample(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      n: Int = 3,
+      seed: Long = 42L,
+      gumbelScale: Double = 1.0): DataFrame = {
+    require(k >= 1, "selection size must be >= 1")
+    val tModel = TextAnalysis.charNgramModel(target, textCol, n)
+    val rModel = TextAnalysis.charNgramModel(raw, textCol, n)
+    require(!tModel.isEmpty, s"target corpus has no document with >= $n chars")
+    require(!rModel.isEmpty, s"raw corpus has no document with >= $n chars")
+    val tScore = TextAnalysis.lmScorer(tModel, n)
+    val rScore = TextAnalysis.lmScorer(rModel, n)
+    val norm = lower(trim(col(textCol)))
+    val nGrams = (length(norm) - (n - 1)).cast("long")
+    val logw = round(
+      (tScore(col(textCol)) - rScore(col(textCol))) * nGrams.cast("double"), 4)
+    val hex = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    val u = (conv(substring(hex, 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52 — exact long→double, exact division
+    val gumbel = round(-log(-log(u)), 6)
+    raw.select(col(idCol), nGrams.as("n_grams"), logw.as("logw"))
+      .filter(col("n_grams") >= 1)
+      .withColumn("sel_key", col("logw") + lit(gumbelScale) * gumbel)
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -4694,6 +4694,60 @@ object Inventory {
           round(CAST(m.inter AS DOUBLE) / CAST(ku.n AS DOUBLE), 6) AS jaccard_est
         FROM ka, kb, ku, m""")),
 
+    Q("q203_importance_resample",
+      (s, dir) => {
+        // DSIR-style data selection: pick the 200 raw docs whose
+        // char-trigram distribution best matches the target slice
+        // (doc_id % 7 == 0 stands in for a curated domain), by
+        // target-vs-raw LM log-likelihood ratio + deterministic
+        // Gumbel-top-k. Every number — both LM averages, the weight,
+        // the md5-derived Gumbel, the selection itself — is replayable
+        // arithmetic, so SAMPLING carries a full hash oracle.
+        val d = t(s, dir, "documents")
+        ScaleOps.importanceResample(
+          d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text", k = 200, n = 3, seed = 42L)
+      },
+      Some("""WITH norm AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        tgt AS (SELECT t FROM norm WHERE doc_id % 7 = 0),
+        tg AS (
+          SELECT unnest([substr(t, i, 3) for i in range(1, greatest(len(t) - 1, 1))]) AS gram
+          FROM tgt WHERE len(t) >= 3),
+        tmodel AS (SELECT gram, count(*) AS cnt FROM tg GROUP BY gram),
+        ttot AS (SELECT sum(cnt) AS total FROM tmodel),
+        rg AS (
+          SELECT doc_id,
+            unnest([substr(t, i, 3) for i in range(1, greatest(len(t) - 1, 1))]) AS gram
+          FROM norm WHERE doc_id % 7 <> 0 AND len(t) >= 3),
+        rmodel AS (SELECT gram, count(*) AS cnt FROM rg GROUP BY gram),
+        rtot AS (SELECT sum(cnt) AS total FROM rmodel),
+        tavg AS (
+          SELECT doc_id, count(*) AS n_grams,
+            round(CAST(sum(CAST(round(
+              ln(coalesce(CAST(m.cnt AS DOUBLE), 0.5) / CAST(ttot.total AS DOUBLE)),
+              6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS a
+          FROM rg LEFT JOIN tmodel m USING (gram) CROSS JOIN ttot
+          GROUP BY doc_id),
+        ravg AS (
+          SELECT doc_id,
+            round(CAST(sum(CAST(round(
+              ln(CAST(m.cnt AS DOUBLE) / CAST(rtot.total AS DOUBLE)),
+              6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS a
+          FROM rg JOIN rmodel m USING (gram) CROSS JOIN rtot
+          GROUP BY doc_id),
+        sc AS (
+          SELECT ta.doc_id, CAST(ta.n_grams AS BIGINT) AS n_grams,
+            round((ta.a - ra.a) * CAST(ta.n_grams AS DOUBLE), 4) AS logw,
+            (CAST(CAST(concat('0x',
+               substr(md5('42:' || CAST(ta.doc_id AS VARCHAR)), 1, 13))
+               AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+          FROM tavg ta JOIN ravg ra USING (doc_id))
+        SELECT doc_id, n_grams, logw,
+          logw + 1.0 * round(-ln(-ln(u)), 6) AS sel_key
+        FROM sc ORDER BY sel_key DESC, doc_id LIMIT 200""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's
@@ -5297,7 +5351,7 @@ object Inventory {
     "q142_weighted_token_sample",
     "q144_substring_dedup", "q145_bm25",
     "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
-    "q202_span_dedup_incremental",
+    "q202_span_dedup_incremental", "q203_importance_resample",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -647,4 +647,41 @@ class ScaleOpsSpec extends SparkSpec {
       a.repartition(17), b.repartition(3), "text", w = 5, k = 128).head()
     assert(one == two, s"$one vs $two")
   }
+
+  test("importanceResample: target-like docs win; deterministic; reseed = fresh draw") {
+    import spark.implicits._
+    // two sub-populations with distinct character distributions: the
+    // target matches population A, so selection should be dominated by
+    // A even though B outnumbers it 3:1 in the raw pool
+    val rng = new scala.util.Random(7)
+    def sentence(vocab: Seq[String], len: Int): String =
+      Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val vocabA = Seq("protein", "genome", "enzyme", "cell", "dna", "molecular")
+    val vocabB = Seq("xylophone", "quartz", "jukebox", "fuzzy", "whiskey", "vodka")
+    val raw = ((1L to 50L).map(i => (i, sentence(vocabA, 12))) ++
+      (51L to 200L).map(i => (i, sentence(vocabB, 12)))).toDF("doc_id", "text")
+    val target = (1001L to 1030L).map(i => (i, sentence(vocabA, 12)))
+      .toDF("doc_id", "text")
+    val sel = ScaleOps.importanceResample(raw, target, "doc_id", "text", k = 30)
+    val ids = sel.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length == 30)
+    val fromA = ids.count(_ <= 50)
+    assert(fromA >= 25, s"target-like docs should dominate selection: $fromA/30 from A")
+    // determinism: same seed, same selection, same keys
+    val again = ScaleOps.importanceResample(raw, target, "doc_id", "text", k = 30)
+    assert(sel.collect().toSeq == again.collect().toSeq)
+    // reseed: a fresh permutation among close-weight docs (population A
+    // members swap ranks), while gumbelScale = 0 is the pure-weight
+    // top-k and ignores the seed entirely
+    val reseeded = ScaleOps.importanceResample(
+      raw, target, "doc_id", "text", k = 30, seed = 99L)
+    assert(reseeded.select("doc_id").collect().map(_.getLong(0)).toSeq != ids.toSeq,
+      "a fresh seed should reorder the selection")
+    val pure1 = ScaleOps.importanceResample(
+      raw, target, "doc_id", "text", k = 10, seed = 1L, gumbelScale = 0.0)
+    val pure2 = ScaleOps.importanceResample(
+      raw, target, "doc_id", "text", k = 10, seed = 2L, gumbelScale = 0.0)
+    assert(pure1.collect().toSeq == pure2.collect().toSeq,
+      "gumbelScale = 0 must be seed-independent")
+  }
 }
