@@ -776,6 +776,109 @@ object ScaleOps {
           .as("jaccard_est"))
   }
 
+  /** Mix-FEASIBILITY solver — the planning step the token-budget
+    * family ([[tokenBudgetRates]]/[[weightedTokenSample]]/
+    * [[upsampleToTokenBudget]]) assumes already happened: those take
+    * per-stratum ABSOLUTE targets; a training run starts from mix
+    * WEIGHTS ("50% web, 30% code, 20% books") and an epoch cap per
+    * source. The solver computes the largest total budget T such that
+    * every stratum can supply its share within `maxEpochs` passes over
+    * its available tokens:
+    *
+    *   T* = min over strata of (maxEpochs · avail_d / w_d),  w
+    *        normalized to sum 1
+    *
+    * (water-filling's degenerate-but-ubiquitous fixed-proportions
+    * case — with hard mix ratios the scarcest source is the binding
+    * constraint and caps everything else). Output, one row per
+    * weighted stratum: (stratum, weight, avail_tokens, alloc_tokens,
+    * epochs, binding) with alloc = floor(w·T*), epochs rounded 6dp,
+    * and `binding` marking the stratum whose supply sets T*. A
+    * weighted stratum ABSENT from the corpus is kept with avail 0 and
+    * makes the mix infeasible (T* = 0) — the honest answer, visible as
+    * every allocation zeroing with the absent stratum binding.
+    *
+    * Scale: one groupBy over (stratum) collected to the driver —
+    * bounded by the number of mix domains (planning metadata, not
+    * data, the centroids/NB-model discipline). All arithmetic is
+    * deterministic and engine-replayable (q204 carries a full oracle).
+    */
+  def solveMixBudget(
+      df: DataFrame,
+      strataCol: String,
+      tokenCol: String,
+      weights: Map[String, Double],
+      maxEpochs: Double = 1.0): DataFrame = {
+    require(weights.nonEmpty, "at least one mix weight")
+    require(weights.values.forall(_ > 0), "mix weights must be > 0")
+    require(maxEpochs > 0, "epoch cap must be > 0")
+    val spark = df.sparkSession
+    // sum in sorted-key order: Map iteration order is an implementation
+    // detail, and FP addition is order-sensitive — the oracle needs ONE
+    // defined order (q204 additionally picks weights whose sum is exact
+    // in IEEE, so any engine's summation order agrees)
+    val wSum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val avail = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol)
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .toMap
+    val rows = weights.toSeq.sortBy(_._1).map { case (s, w) =>
+      (s, w / wSum, avail.getOrElse(s, 0L))
+    }
+    // T* and its binding stratum; ties bind the lexicographically first
+    val caps = rows.map { case (s, w, a) => (s, maxEpochs * a / w) }
+    val tStar = caps.map(_._2).min
+    val binding = caps.find(_._2 == tStar).get._1
+    import spark.implicits._
+    rows.map { case (s, w, a) =>
+      val alloc = math.floor(w * tStar).toLong
+      val epochs = if (a <= 0L) 0.0
+        else BigDecimal(alloc.toDouble / a.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s, BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        a, alloc, epochs, s == binding)
+    }.toDF("stratum", "weight", "avail_tokens", "alloc_tokens", "epochs", "binding")
+  }
+
+  /** [[solveMixBudget]] composed with the realization operators: each
+    * stratum is DOWN-sampled to its allocation when it fits in one
+    * epoch ([[weightedTokenSample]] — tight A-ES attainment) and
+    * UP-sampled past 1.0 otherwise ([[upsampleToTokenBudget]] —
+    * copy_no-numbered full + fractional copies). The output is the
+    * ready-to-pack training mix at the largest feasible budget; rows
+    * gain `copy_no` (1 for downsampled strata).
+    */
+  def mixAtMaxBudget(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      tokenCol: String,
+      weights: Map[String, Double],
+      maxEpochs: Double = 1.0): DataFrame = {
+    val plan = solveMixBudget(df, strataCol, tokenCol, weights, maxEpochs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val down = plan.filter { case (_, a, alloc) => alloc <= a }
+      .map { case (s, _, alloc) => s -> alloc }.toMap
+    val up = plan.filter { case (_, a, alloc) => alloc > a }
+      .map { case (s, _, alloc) => s -> alloc }.toMap
+    val downDf =
+      if (down.isEmpty) None
+      else Some(weightedTokenSample(df, keyCol, strataCol, tokenCol, down)
+        .withColumn("copy_no", lit(1L)))
+    val upDf =
+      if (up.isEmpty) None
+      else Some(upsampleToTokenBudget(df, keyCol, strataCol, tokenCol, up))
+    (downDf, upDf) match {
+      case (Some(d), Some(u)) => d.unionByName(u)
+      case (Some(d), None) => d
+      case (None, Some(u)) => u
+      case (None, None) => df.withColumn("copy_no", lit(1L)).limit(0)
+    }
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023,
     * arXiv:2302.03169): select the `k` raw-corpus documents whose
     * char-n-gram distribution best matches a TARGET domain, by

@@ -4748,6 +4748,45 @@ object Inventory {
           logw + 1.0 * round(-ln(-ln(u)), 6) AS sel_key
         FROM sc ORDER BY sel_key DESC, doc_id LIMIT 200""")),
 
+    Q("q204_mix_budget_solver",
+      (s, dir) => {
+        // mix-feasibility planning: the largest training budget a
+        // 50/25/25 web/code/books mix can reach when no source may
+        // exceed 2 epochs — the scarcest source binds and caps the
+        // whole run. Weights are powers of two so normalization is
+        // exact in IEEE and every emitted number replays cross-engine.
+        val d = t(s, dir, "documents").withColumn("src",
+          when(pmod(col("doc_id"), lit(3)) === 0, "web")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "code")
+            .otherwise("books"))
+        ScaleOps.solveMixBudget(d, "src", "n_chars",
+          Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25), maxEpochs = 2.0)
+          .orderBy("stratum")
+      },
+      Some("""WITH s AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN 'web'
+                      WHEN doc_id % 3 = 1 THEN 'code'
+                      ELSE 'books' END AS stratum,
+                 n_chars
+          FROM documents),
+        av AS (SELECT stratum, sum(n_chars) AS avail FROM s GROUP BY stratum),
+        w AS (SELECT * FROM (VALUES ('web', 0.5), ('code', 0.25), ('books', 0.25))
+              t(stratum, wn)),
+        j AS (SELECT w.stratum, w.wn, coalesce(av.avail, 0) AS avail
+              FROM w LEFT JOIN av USING (stratum)),
+        ts AS (SELECT min(2.0 * avail / wn) AS tstar FROM j),
+        b AS (SELECT min(stratum) AS bind FROM j, ts
+              WHERE 2.0 * avail / wn = ts.tstar)
+        SELECT j.stratum,
+          round(j.wn, 6) AS weight,
+          CAST(j.avail AS BIGINT) AS avail_tokens,
+          CAST(floor(j.wn * ts.tstar) AS BIGINT) AS alloc_tokens,
+          CASE WHEN j.avail <= 0 THEN 0.0
+               ELSE round(CAST(floor(j.wn * ts.tstar) AS DOUBLE)
+                          / CAST(j.avail AS DOUBLE), 6) END AS epochs,
+          j.stratum = b.bind AS binding
+        FROM j, ts, b ORDER BY j.stratum""")),
+
     Q("q153_ngram_perplexity",
       (s, dir) =>
         // CCNet-style LM quality signal: mean log-prob of each doc's
@@ -5352,6 +5391,7 @@ object Inventory {
     "q144_substring_dedup", "q145_bm25",
     "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
     "q202_span_dedup_incremental", "q203_importance_resample",
+    "q204_mix_budget_solver",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

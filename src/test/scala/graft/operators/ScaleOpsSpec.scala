@@ -648,6 +648,59 @@ class ScaleOpsSpec extends SparkSpec {
     assert(one == two, s"$one vs $two")
   }
 
+  test("solveMixBudget: scarcest source binds; allocations honor the normalized weights") {
+    import spark.implicits._
+    // web: 10k tokens, code: 1k, books: 500 — per-stratum caps at a
+    // 2-epoch cap: web 2·10000/0.5 = 40000, code 2·1000/0.3 = 6666.7,
+    // books 2·500/0.2 = 5000 — BOOKS is the scarcest source and binds
+    val df = ((1 to 100).map(i => (s"w$i", "web", 100L)) ++
+      (1 to 20).map(i => (s"c$i", "code", 50L)) ++
+      (1 to 10).map(i => (s"b$i", "books", 50L)))
+      .toDF("id", "src", "tok")
+    val plan = ScaleOps.solveMixBudget(df, "src", "tok",
+      Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2), maxEpochs = 2.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).sortBy(_._1)
+    val byName = plan.map(p => p._1 -> p).toMap
+    assert(byName("books")._6, "books must be the binding stratum")
+    assert(!byName("web")._6 && !byName("code")._6)
+    val tStar = 2.0 * 500 / 0.2
+    assert(byName("web")._4 == math.floor(0.5 * tStar).toLong)
+    assert(byName("code")._4 == math.floor(0.3 * tStar).toLong)
+    assert(byName("books")._4 == math.floor(0.2 * tStar).toLong)
+    assert(byName("books")._5 == 2.0, "binding stratum runs at the epoch cap")
+    // a weighted stratum with no data makes the mix infeasible
+    val infeasible = ScaleOps.solveMixBudget(df, "src", "tok",
+      Map("web" -> 0.5, "latin" -> 0.5)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(5)))).toMap
+    assert(infeasible("latin") == ((0L, true)), "absent stratum binds at zero")
+    assert(infeasible("web") == ((0L, false)), "every allocation zeroes")
+  }
+
+  test("mixAtMaxBudget: down-sampled strata near allocation, up-sampled strata pass 1 epoch") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (s"w$i", "web", 100L)) ++
+      (1 to 20).map(i => (s"c$i", "code", 50L)))
+      .toDF("id", "src", "tok")
+    // weights 1:1, 3-epoch cap: code binds at T* = 2·3000... code avail
+    // 1000 → T* = 3·1000/0.5 = 6000; web alloc 3000 (downsample from
+    // 10k), code alloc 3000 (3 epochs of 1000)
+    val mix = ScaleOps.mixAtMaxBudget(df, "id", "src", "tok",
+      Map("web" -> 0.5, "code" -> 0.5), maxEpochs = 3.0)
+    val toks = mix.groupBy("src").agg(sum("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(toks("web") - 3000L) <= 100L,
+      s"web downsample should land within one doc of 3000: ${toks("web")}")
+    assert(toks("code") == 3000L, s"code upsample is exact here: ${toks("code")}")
+    val copyMax = mix.filter(col("src") === "code").agg(max("copy_no")).head().getLong(0)
+    assert(copyMax == 3L, "3-epoch code keeps numbered copies")
+    // deterministic end-to-end
+    val again = ScaleOps.mixAtMaxBudget(df, "id", "src", "tok",
+      Map("web" -> 0.5, "code" -> 0.5), maxEpochs = 3.0)
+    assert(mix.orderBy("src", "id", "copy_no").collect().toSeq ==
+      again.orderBy("src", "id", "copy_no").collect().toSeq)
+  }
+
   test("importanceResample: target-like docs win; deterministic; reseed = fresh draw") {
     import spark.implicits._
     // two sub-populations with distinct character distributions: the
