@@ -257,8 +257,19 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      w: Int = 8): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, w)
+      w: Int = 8): DataFrame =
+    cutSpans(docs, duplicateSpans(docs, idCol, textCol, w), idCol, textCol)
+
+  /** The cut stage shared by [[removeDuplicateSpans]] and its
+    * incremental twin: token-indexed filter of each doc against its
+    * span list (tiny — duplicated regions only) after one id-width
+    * join.
+    */
+  private def cutSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
     val perDoc = spans
       .groupBy(idCol)
       .agg(
@@ -279,6 +290,21 @@ object Dedup {
                 i >= sp("start_tok") && i <= sp("end_tok"))),
             " ")).as("text_dedup"))
   }
+
+  /** [[removeDuplicateSpans]] against a persisted [[spanHashStore]]:
+    * cut every batch span that [[duplicateSpansIncremental]] detects
+    * (history shingle or earlier-in-batch), keep the surrounding text.
+    * One row per batch document — the streaming span-dedup twin's
+    * per-batch body (StreamingCorpus.spanDedupStream).
+    */
+  def removeDuplicateSpansIncremental(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame =
+    cutSpans(batch,
+      duplicateSpansIncremental(batch, store, idCol, textCol, w), idCol, textCol)
 
   /** Persistable shingle-hash store for INCREMENTAL duplicate-span
     * detection: one row per distinct w-shingle text ever seen, with its

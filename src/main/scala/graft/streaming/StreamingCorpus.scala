@@ -394,6 +394,93 @@ object StreamingCorpus {
     onSurvivors(survivors, batchId)
   }
 
+  /** Streaming duplicate-SPAN dedup (the q198–q202 family's stream
+    * twin): each micro-batch is span-cut against everything ingested
+    * before it ([[graft.operators.Dedup.removeDuplicateSpansIncremental]]
+    * — history shingle-hash store plus earlier-in-batch), then the
+    * batch's own shingle delta ([[graft.operators.Dedup.spanHashStore]])
+    * appends to the store exactly once under an (appId, batchId) txn
+    * marker.
+    *
+    * EXACTLY-ONCE protocol — deliberately simpler than
+    * [[winnowDedupStream]]'s two-table dance, because this state is ONE
+    * table and the batch output is a DETERMINISTIC function of (batch,
+    * pre-commit store): on checkpoint replay the batch recomputes
+    * against the TIME-TRAVELED snapshot from before its own commit
+    * (`read(asOf = v−1)`) and re-delivers bit-identical cleaned rows —
+    * at-least-once emission, exactly-once state, with no reconstruction
+    * bookkeeping. Every operator in the path is deterministic (md5
+    * shingles, min first-keys, per-doc windows over unique positions),
+    * which is what makes the recompute sound.
+    *
+    * The store is hash-level state: deltas append blindly and readers
+    * re-take min(first_key) per hash (the merge-associative
+    * [[graft.operators.Dedup.spanHashStore]] contract). A re-ingested
+    * document (source replay beyond the checkpoint) is NOT an error:
+    * all its shingles are already in the store, so it cleans to an
+    * empty text — the correct treatment of an exact re-crawl.
+    *
+    * CONCURRENCY: single writer, like the other streams here.
+    */
+  def spanDedupStream(
+      docs: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 8,
+      onCleaned: (DataFrame, Long) => Unit = (_, _) => (),
+      appId: String = "span-dedup"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val store = spanStoreTable(storePath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        spanAdvanceBatch(store, batch.toDF(), idCol, textCol, w, appId, batchId, onCleaned)
+      }
+      .start()
+  }
+
+  /** The span stream's shingle-store handle — public so batch jobs
+    * (q202's daily shape) and audits read the same table the stream
+    * maintains.
+    */
+  def spanStoreTable(storePath: String): graft.lake.VersionedTable =
+    graft.lake.VersionedTable(s"$storePath/shingles", "first_key")
+
+  /** Apply ONE span-dedup batch exactly once (the foreachBatch body;
+    * see [[spanDedupStream]] for the protocol).
+    */
+  def spanAdvanceBatch(
+      store: graft.lake.VersionedTable,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      appId: String,
+      batchId: Long,
+      onCleaned: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val replay = store.lastTxn(appId).exists(_ >= batchId)
+    val preVersion: Option[Int] =
+      if (replay) Some(committedVersionFor(store, appId, batchId) - 1) else None
+    val empty = preVersion.map(_ <= 0).getOrElse(store.currentVersion() == 0)
+    // guard twice: version 0 AND a version whose snapshot has no data
+    // files (an all-short-docs batch appends nothing) — read() returns
+    // a schema-less emptyDataFrame for the latter
+    val raw = if (empty) None else Some(store.read(spark, preVersion))
+    val storeDf = raw
+      .filter(_.columns.contains("h"))
+      .map(_.groupBy("h").agg(min(col("first_key")).as("first_key")))
+      .getOrElse(batch.select(lit("").as("h"), lit(0L).as("first_key")).limit(0))
+    val cleaned = graft.operators.Dedup.removeDuplicateSpansIncremental(
+      batch, storeDf, idCol, textCol, w)
+    if (!replay)
+      store.appendIfNew(
+        graft.operators.Dedup.spanHashStore(batch, idCol, textCol, w),
+        appId, batchId): Unit
+    onCleaned(cleaned, batchId)
+  }
+
   /** Smallest version whose txn marker for `appId` covers `batchId` —
     * the commit that batch produced (markers are monotone; streaming
     * serializes batches, so the scan walks at most a step or two).

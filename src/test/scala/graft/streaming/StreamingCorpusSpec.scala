@@ -405,4 +405,71 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(fps.read(spark).select("doc_id").distinct().count() == 4L,
       "store ends with 10, 20, 30, 50")
   }
+
+  test("spanAdvanceBatch: span-cut vs history; time-traveled replay re-delivers identically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("spanstream").toFile.getAbsolutePath
+    val store = StreamingCorpus.spanStoreTable(s"$dir/store")
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens = one w=8 shingle+
+    val cleanedLog = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val deliver = (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+      df.orderBy("doc_id").collect().foreach(r =>
+        cleanedLog += ((bid, r.getLong(0), r.getString(3))))
+    def advance(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      StreamingCorpus.spanAdvanceBatch(
+        store, batch, "doc_id", "text", 8, "app", bid, deliver)
+
+    // batch 0: doc 2 repeats doc 1's run INSIDE the batch — the
+    // intra-batch path must cut it; doc 1 (first occurrence) survives
+    val b0 = Seq(
+      (1L, s"$run original tail words one two three four five six seven"),
+      (2L, s"unrelated head words $run and a different ending here now")
+    ).toDF("doc_id", "text")
+    advance(b0, 0L)
+    val afterB0 = cleanedLog.toList
+    assert(afterB0.exists(e => e._2 == 1L && e._3.contains("alpha")),
+      s"first occurrence keeps its text: $afterB0")
+    assert(afterB0.exists(e => e._2 == 2L && !e._3.contains("alpha")),
+      s"intra-batch repeat is cut: $afterB0")
+
+    // batch 1: doc 3 repeats the run AGAINST HISTORY (the store)
+    val b1 = Seq(
+      (3L, s"later document also contains $run in the middle of itself"),
+      (4L, "totally fresh content with no overlap at all whatsoever today")
+    ).toDF("doc_id", "text")
+    advance(b1, 1L)
+    val b1Rows = cleanedLog.filter(_._1 == 1L).toList
+    assert(b1Rows.exists(e => e._2 == 3L && !e._3.contains("alpha")),
+      s"history span is cut: $b1Rows")
+    assert(b1Rows.exists(e => e._2 == 4L && e._3.contains("fresh")),
+      s"clean doc passes untouched: $b1Rows")
+
+    // replay batch 1 (checkpoint loss): the store version must not
+    // advance, and the SAME cleaned rows re-deliver bit-identically —
+    // the time-traveled recompute contract
+    val vBefore = store.currentVersion()
+    advance(b1, 1L)
+    assert(store.currentVersion() == vBefore, "replay must not re-commit")
+    val replayRows = cleanedLog.filter(_._1 == 1L).drop(b1Rows.size).toList
+    assert(replayRows.map(e => (e._2, e._3)) == b1Rows.map(e => (e._2, e._3)),
+      s"replay must re-deliver identical output:\n$b1Rows\nvs\n$replayRows")
+
+    // a re-ingested document (source replay beyond the checkpoint)
+    // cleans to empty — every shingle is already history
+    val b2 = Seq((1L, s"$run original tail words one two three four five six seven"))
+      .toDF("doc_id", "text")
+    advance(b2, 2L)
+    val reIngested = cleanedLog.filter(_._1 == 2L).head
+    assert(reIngested._3.isEmpty, s"full re-ingest cuts to empty: $reIngested")
+
+    // the stream's store serves the batch twin identically (q202 shape)
+    val nextDay = Seq((9L, s"day four copy of $run appears once more here"))
+      .toDF("doc_id", "text")
+    val compact = store.read(spark)
+      .groupBy("h").agg(min(col("first_key")).as("first_key"))
+    val spans = graft.operators.Dedup.duplicateSpansIncremental(
+      nextDay, compact, "doc_id", "text", 8).collect()
+    assert(spans.length == 1 && spans.head.getLong(0) == 9L,
+      s"batch twin over the stream's store: ${spans.mkString}")
+  }
 }
