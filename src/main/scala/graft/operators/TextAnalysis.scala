@@ -857,6 +857,125 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  // ------------------------------------------------ gazetteer redaction
+
+  /** Gazetteer (dictionary) matches as COVER SPANS over the token
+    * stream: every occurrence of any multi-token term, with
+    * overlapping/adjacent matches merged into maximal runs — the
+    * dictionary complement to the regex PII pass ([[redactPii]]) and
+    * the checksum pass ([[redactCards]]): name lists, product
+    * blocklists, internal codenames.
+    *
+    * Matching is token-boundary exact after the engine's
+    * normalization (lower + the unified whitespace class): a term of n
+    * tokens matches at position p iff the token slice [p, p+n)
+    * joins to the term string. COVER semantics (any token covered by
+    * any match is redacted) rather than leftmost-longest: cover is
+    * order-independent — every match contributes, so the result is the
+    * same under any parallel evaluation order — and it merges through
+    * the same gaps-and-islands machinery as duplicate spans, making the
+    * whole path engine-replayable (q205 carries a full oracle; a greedy
+    * leftmost-longest scan is inherently sequential per document).
+    *
+    * Scale shape: the term list is REFERENCE DATA (bounded), so it
+    * broadcasts; candidate slices explode one row per (position ×
+    * distinct term LENGTH) — lengths are few, so this is a small
+    * constant over the token count — and the broadcast join prunes
+    * them map-side. Text never shuffles; the span merge windows over
+    * matched positions only.
+    *
+    * Output: (idCol, span_no, start_tok, end_tok) — 0-based inclusive
+    * token ranges, span_no 1-based per doc in start order.
+    */
+  def gazetteerSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val normTerms = terms.map(t => normalizeTokens(t)).filter(_.nonEmpty).distinct
+    require(normTerms.nonEmpty, "gazetteer must contain at least one non-empty term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termDf = normTerms.map(t => (t, t.split(' ').length)).toDF("__term", "__tlen")
+    val lengths = normTerms.map(_.split(' ').length).distinct.sorted
+    val toks = split(lower(trim(col(textCol))), "[ \t\n\f\r]+")
+    val base = docs
+      .select(col(idCol).as("__id"), toks.as("__t"), size(toks).as("__n"))
+      .where(col("__n") >= lengths.min)
+    // one candidate row per (position, term length); the slice string
+    // is built map-side and pruned by the broadcast join
+    val cands = base
+      .select(col("__id"), col("__t"), col("__n"),
+        explode(sequence(lit(0), col("__n") - lengths.min)).as("pos"))
+      .select(col("__id"), col("__t"), col("__n"), col("pos"),
+        explode(array(lengths.map(lit(_)): _*)).as("__tlen"))
+      .where(col("pos") + col("__tlen") <= col("__n"))
+      .select(col("__id"), col("pos"), col("__tlen"),
+        array_join(slice(col("__t"), col("pos") + 1, col("__tlen")), " ").as("__term"))
+    val matches = cands
+      .join(broadcast(termDf), Seq("__term", "__tlen"))
+      .select(col("__id"), col("pos"),
+        (col("pos") + col("__tlen") - 1).as("__end"))
+    // covered positions → maximal runs (gaps-and-islands over match
+    // endpoints directly: a new island starts when this match begins
+    // past the furthest end seen so far)
+    val byDoc = Window.partitionBy("__id").orderBy("pos", "__end")
+    val reach = max(col("__end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(reach.isNull || col("pos") > reach + 1, 1).otherwise(0)
+    val isl = sum(brk).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matches
+      .withColumn("__isl", isl)
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min(col("pos")).as("start_tok"), max(col("__end")).as("end_tok"))
+      .withColumn("span_no",
+        row_number().over(Window.partitionBy("__id").orderBy("start_tok")))
+      .select(col("__id").as(idCol), col("span_no"), col("start_tok"), col("end_tok"))
+  }
+
+  private def normalizeTokens(s: String): String =
+    s.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).mkString(" ")
+
+  /** Redact every [[gazetteerSpans]] run: each maximal matched run is
+    * replaced by ONE `placeholder` token, surrounding text preserved.
+    * Output: (idCol, n_spans, n_redacted_tokens, text_redacted), one
+    * row per input document; the redacted text is rebuilt over the
+    * NORMALIZED token stream (the match domain).
+    */
+  def gazetteerRedact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      placeholder: String = "[GAZ]"): DataFrame = {
+    val spans = gazetteerSpans(docs, idCol, textCol, terms)
+    val perDoc = spans
+      .groupBy(idCol)
+      .agg(
+        collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("end_tok") - col("start_tok") + 1).as("n_redacted_tokens"))
+    val toks = split(lower(trim(col(textCol))), "[ \t\n\f\r]+")
+    docs
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_redacted_tokens"), lit(0L)).as("n_redacted_tokens"),
+        when(col("__spans").isNull, array_join(toks, " ")).otherwise(
+          array_join(
+            filter(
+              transform(toks, (tok, i) =>
+                when(!exists(col("__spans"), sp =>
+                    i >= sp("start_tok") && i <= sp("end_tok")), tok)
+                  .when(exists(col("__spans"), sp => sp("start_tok") === i),
+                    lit(placeholder))
+                  .otherwise(lit(null))),
+              x => x.isNotNull),
+            " ")).as("text_redacted"))
+  }
+
   // ------------------------------------------- char-ngram LM perplexity
 
   /** Character n-grams of the normalized (lower+trim) text; empty array

@@ -4748,6 +4748,71 @@ object Inventory {
           logw + 1.0 * round(-ln(-ln(u)), 6) AS sel_key
         FROM sc ORDER BY sel_key DESC, doc_id LIMIT 200""")),
 
+    Q("q205_gazetteer_redact",
+      (s, dir) => {
+        // dictionary redaction: every occurrence of the 4-term
+        // gazetteer (incl. multi-token terms) cover-merged into maximal
+        // runs, one [GAZ] placeholder per run. Complements regex PII
+        // (q102) and checksum cards (q190) with the third redaction
+        // modality a pipeline runs: curated term lists.
+        TextAnalysis.gazetteerRedact(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "table table", "customer query", "window stream"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+          FROM documents),
+        terms(term, n) AS (SELECT * FROM (VALUES
+          ('spark', 1), ('table table', 2),
+          ('customer query', 2), ('window stream', 2))),
+        m AS (
+          SELECT p.doc_id, p.p, p.p + tr.n - 1 AS e
+          FROM (SELECT doc_id, tk,
+                  unnest(generate_series(0, len(tk) - 1)) AS p
+                FROM t) p, terms tr
+          WHERE p.p + tr.n <= len(p.tk)
+            AND array_to_string(p.tk[p.p+1 : p.p+tr.n], ' ') = tr.term),
+        cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, e)) AS c FROM m),
+        b AS (
+          SELECT doc_id, c,
+            CASE WHEN lag(c) OVER w IS NULL OR c > lag(c) OVER w + 1
+                 THEN 1 ELSE 0 END AS brk
+          FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY c)),
+        isl AS (
+          SELECT doc_id, c,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY c
+                           ROWS UNBOUNDED PRECEDING) AS g
+          FROM b),
+        sp AS (
+          SELECT doc_id, g, min(c) AS start_tok, max(c) AS end_tok
+          FROM isl GROUP BY doc_id, g),
+        tok AS (
+          SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+          FROM t),
+        kept AS (
+          SELECT k.doc_id, k.i - 1 AS p, k.tk[k.i] AS wd
+          FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.c = k.i - 1
+          WHERE c.doc_id IS NULL
+          UNION ALL
+          SELECT doc_id, start_tok AS p, '[GAZ]' AS wd FROM sp),
+        rebuilt AS (
+          SELECT doc_id, string_agg(wd, ' ' ORDER BY p) AS txt
+          FROM kept GROUP BY doc_id),
+        agg AS (
+          SELECT doc_id, count(*) AS n_spans,
+            sum(end_tok - start_tok + 1) AS n_red
+          FROM sp GROUP BY doc_id)
+        SELECT t.doc_id,
+          coalesce(a.n_spans, 0) AS n_spans,
+          coalesce(a.n_red, 0) AS n_redacted_tokens,
+          CASE WHEN a.doc_id IS NULL THEN array_to_string(t.tk, ' ')
+               ELSE coalesce(r.txt, '') END AS text_redacted
+        FROM t
+        LEFT JOIN agg a ON a.doc_id = t.doc_id
+        LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
     Q("q204_mix_budget_solver",
       (s, dir) => {
         // mix-feasibility planning: the largest training budget a
@@ -5391,7 +5456,7 @@ object Inventory {
     "q144_substring_dedup", "q145_bm25",
     "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
     "q202_span_dedup_incremental", "q203_importance_resample",
-    "q204_mix_budget_solver",
+    "q204_mix_budget_solver", "q205_gazetteer_redact",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -8,6 +8,39 @@ class TextAnalysisSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("gazetteerRedact: cover semantics, overlap merge, one placeholder per run") {
+    import spark.implicits._
+    val docs = Seq(
+      // 'acme corp' and 'corp tower' overlap -> ONE merged run, one [GAZ]
+      (1L, "visit Acme Corp Tower on main street today"),
+      // two separate matches -> two placeholders
+      (2L, "acme corp sells to beta labs every quarter"),
+      // adjacent (abutting) matches merge into one run
+      (3L, "acme corp beta labs merged their operations"),
+      // no match survives untouched (normalized)
+      (4L, "Nothing Matches In This Document At All"),
+      // term at the very end; case-insensitive
+      (5L, "the deal closed with BETA LABS")
+    ).toDF("doc_id", "text")
+    val terms = Seq("Acme Corp", "corp tower", "beta   labs") // messy spacing normalizes
+    val got = TextAnalysis.gazetteerRedact(docs, "doc_id", "text", terms)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 1L, 3L, "visit [GAZ] on main street today")),
+      s"overlap must merge: ${got(0)}")
+    assert(got(1) == ((2L, 2L, 4L, "[GAZ] sells to [GAZ] every quarter")), s"${got(1)}")
+    assert(got(2) == ((3L, 1L, 4L, "[GAZ] merged their operations")),
+      s"abutting matches merge into one placeholder: ${got(2)}")
+    assert(got(3) == ((4L, 0L, 0L, "nothing matches in this document at all")), s"${got(3)}")
+    assert(got(4) == ((5L, 1L, 2L, "the deal closed with [GAZ]")), s"${got(4)}")
+    // span view agrees with the cut view's counts
+    val spans = TextAnalysis.gazetteerSpans(docs, "doc_id", "text", terms)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spans == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 5L -> 1L), s"$spans")
+  }
+
   test("tokenCount: whitespace runs, empty string → 0") {
     val df = Seq("one two  three", "", "   ", "single").toDF("text")
     val n = df.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
