@@ -57,7 +57,7 @@ object FuzzQueries {
   val nLateral = 20
   val nFilter = 20
   val nFrame = 20
-  val nSurface = 26
+  val nSurface = 28
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -1309,7 +1309,7 @@ object FuzzQueries {
     */
   lazy val sqlSurfaceCases: Seq[FuzzCase] = {
     val rng = new scala.util.Random(seed + 16)
-    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 13))
+    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 14))
   }
 
   /** One family-P case (see [[sqlSurfaceCases]]). The SQL text uses
@@ -1446,7 +1446,7 @@ object FuzzQueries {
           () => aggregate(
             graft.functions.BloomSketch.sketch(col("lang"), 256),
             lit(0L), (a, x) => a + bit_count(x)))
-      case _ => // BPE id round trip through the multi-kind named model
+      case 12 => // BPE id round trip through the multi-kind named model
         val pred = docAtom(rng)
         def ids(c: Column) =
           graft.functions.GraftModels.resolve("fz_bpe", "bpe_ids")(c)
@@ -1456,6 +1456,25 @@ object FuzzQueries {
           () => sum(size(ids(col("text")))),
           () => sum(length(
             graft.functions.GraftModels.resolve("fz_bpe", "bpe_decode")(ids(col("text"))))))
+      case _ => // banded levenshtein: in-cap values exact, -1 ≡ over-cap
+        val pred = docAtom(rng)
+        val cap = 3 + rng.nextInt(8)
+        def lw(a: Column, b: Column) =
+          org.apache.spark.sql.graft.NativeExprs.levWithin(a, b, lit(cap))
+        doc(pred,
+          // the CASE folds the -1 sentinel back through the BUILT-IN
+          // levenshtein, so the sum equals sum(levenshtein(..)) iff the
+          // band's within/over split is exactly right on every row
+          s"""sum(CASE WHEN lev_within(lang, reverse(lang), $cap) = -1
+                  THEN levenshtein(lang, reverse(lang))
+                  ELSE lev_within(lang, reverse(lang), $cap) END)""",
+          s"count(DISTINCT lev_within(substr(text, 1, 24), substr(text, 5, 24), $cap))",
+          () => sum(
+            when(lw(col("lang"), reverse(col("lang"))) === -1,
+              levenshtein(col("lang"), reverse(col("lang"))))
+              .otherwise(lw(col("lang"), reverse(col("lang"))))),
+          () => countDistinct(
+            lw(substring(col("text"), 1, 24), substring(col("text"), 5, 24))))
     }
   }
 

@@ -108,6 +108,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"l2_sq expects (a, b), got ${args.length} args")
       })
 
+    register(ext, "lev_within",
+      "lev_within(a, b, cap) - levenshtein distance when <= cap (banded DP, " +
+        "per-ROW cap expression), -1 when provably greater", {
+        case Seq(a, b, cap) => LevWithinExpr(a, b, cap)
+        case args => throw new IllegalArgumentException(
+          s"lev_within expects (a, b, cap), got ${args.length} args")
+      })
+
     // The KMV bottom-k sketch is a typed Aggregator, not a row Expression:
     // SQL exposure goes through ScalaAggregator (the same bridge
     // `udf.register(name, udaf(...))` uses), whose partial-merge contract
