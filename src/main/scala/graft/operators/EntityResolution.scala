@@ -242,7 +242,36 @@ object EntityResolution {
       fields: Seq[(String, Double)],
       threshold: Double,
       roundScale: Int,
-      pairBudget: Long): DataFrame = {
+      pairBudget: Long): DataFrame =
+    expandRowPairs(tupleStage(slim, idCol, fields, threshold, roundScale, pairBudget)._2)
+
+  /** Tuple-level candidate + scoring stage shared by the row-pair
+    * expansion ([[expandRowPairs]] → [[linkPairs]]) and the compact
+    * closure edges in [[resolve]]. Returns (tuple frame, passing tuple
+    * pairs): the tuple frame is one row per refined block + DISTINCT
+    * value tuple with its member list; the pair frame carries the
+    * member lists of both sides plus the rounded score.
+    *
+    * The tuple frame is aggregated ONCE and lazily local-checkpointed
+    * (the [[Dedup.nearDupClusters]] discipline): both join sides and
+    * the star-edge consumer in [[resolve]] read the checkpointed
+    * blocks, so the sub-block assignment (count cascade + window
+    * rollups + salt explode) executes once instead of once per
+    * consumer (measured at sf1: the subBlocked subtree is ~60% of
+    * linkage time). The a-side is the b-side's member list filtered to
+    * `__new` rows — not a second groupBy over the `__new`-filtered
+    * input, which would re-shuffle the full projection. Checkpoint
+    * size is O(distinct tuples + membership ids) — strictly smaller
+    * than the slim input, so the truncation is safe at any corpus
+    * size.
+    */
+  private def tupleStage(
+      slim: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Double)],
+      threshold: Double,
+      roundScale: Int,
+      pairBudget: Long): (DataFrame, DataFrame) = {
     require(fields.nonEmpty, "at least one scoring field")
     require(pairBudget >= 1, "pairBudget must admit at least one pair")
     val guarded = subBlocked(slim, idCol, fields.maxBy(_._2)._1, pairBudget)
@@ -258,15 +287,19 @@ object EntityResolution {
     // row-level join would have produced — the row-level filters apply
     // unchanged after expansion.
     val vcols = fields.map { case (f, _) => col(f) }
-    val ga = guarded.filter(col("__new"))
-      .groupBy(col("__block") +: vcols: _*)
-      .agg(collect_list(struct(col(idCol).as("id"), col("__probe").as("p"))).as("__ma"))
-      .select((col("__block") +: col("__ma") +:
-        fields.map { case (f, _) => col(f).as(s"__a_$f") }): _*)
-    val gb = guarded
+    val tuples = guarded
       .groupBy(col("__block") +: vcols: _*)
       .agg(collect_list(struct(col(idCol).as("id"), col("__new").as("n"),
         col("__probe").as("p"))).as("__mb"))
+      .localCheckpoint(eager = false)
+    val newMembers = transform(
+      filter(col("__mb"), m => m.getField("n")),
+      m => struct(m.getField("id").as("id"), m.getField("p").as("p")))
+    val ga = tuples
+      .select((col("__block") +: newMembers.as("__ma") +:
+        fields.map { case (f, _) => col(f).as(s"__a_$f") }): _*)
+      .filter(size(col("__ma")) > 0)
+    val gb = tuples
       .select((col("__block") +: col("__mb") +:
         fields.map { case (f, _) => col(f).as(s"__b_$f") }): _*)
     // Banded Levenshtein (lossless): a pair whose ROUNDED score clears
@@ -308,10 +341,20 @@ object EntityResolution {
           greatest(length(la), length(lb), lit(1)).cast("double")
       lit(w) * when(la.isNull || lb.isNull, 0.0).otherwise(ub)
     }.reduce(_ + _)
-    ga.join(gb, Seq("__block"))
+    val tuplePairs = ga.join(gb, Seq("__block"))
       .filter(ubound >= threshold - 0.5 * math.pow(10, -roundScale) - 1e-9)
       .withColumn("score", score)
       .filter(col("score") >= threshold)
+      .select(col("__block"), col("score"), col("__ma"), col("__mb"))
+    (tuples, tuplePairs)
+  }
+
+  /** Row-pair expansion of [[tupleStage]]'s passing tuple pairs —
+    * exactly the pairs the row-level join would have produced, with the
+    * row-level dedup filters applied after expansion.
+    */
+  private def expandRowPairs(tuplePairs: DataFrame): DataFrame = {
+    tuplePairs
       // expansion: every (new row with value a) × (row with value b)
       // inside the block — identical to the row-level join's output
       .select(col("score"), explode(col("__ma")).as("__a"), col("__mb"))
@@ -339,6 +382,28 @@ object EntityResolution {
     * smallest member id of its match cluster; singletons keep their own
     * id). The survivor policy is the caller's — [[Dedup.nearDupSurvivors]]
     * composes directly.
+    *
+    * Closure runs on COMPACT edges, not expanded row pairs: for each
+    * passing tuple pair one representative edge (min member id to min
+    * member id), plus one star edge per member of every PARTICIPATING
+    * tuple group (its min id to each member). Components — and
+    * therefore min-id entity labels — are identical to closing over the
+    * expanded pairs: a passing pair (A, B) connects every a∈A to every
+    * b∈B at row level, which is exactly {stars of A} ∪ {stars of B} ∪
+    * {minA–minB}; a group whose rows never appear in a passing pair
+    * (e.g. identical tuples whose null fields keep the self-score
+    * under threshold) contributes no edges on either path; and salted
+    * over-budget groups connect adjacent buckets through their shared
+    * probe members exactly as the row-level meetings do (equivalence
+    * spec-pinned, including both degenerate cases). At the sf10
+    * rehearsal this is ~7M closure edges instead of 48M expanded pairs
+    * — the expansion explode never materializes — and the closure was
+    * the dominant cost of the golden-record composites.
+    *
+    * The compact path leans on [[resolve]]'s all-rows-new invariant:
+    * the a-side member list (new rows only) must equal the full
+    * membership so its min is the group min. [[linkPairs]] callers that
+    * need the pair list itself still get the exact row-level expansion.
     */
   def resolve(
       df: DataFrame,
@@ -348,8 +413,28 @@ object EntityResolution {
       threshold: Double,
       roundScale: Int = 6,
       pairBudget: Long = 5000L): DataFrame = {
-    val pairs = linkPairs(df, idCol, blockCols, fields, threshold, roundScale, pairBudget)
-    val clusters = Dedup.nearDupClusters(pairs) // (id, cluster)
+    val (tuples, rawTuplePairs) = tupleStage(
+      slimProjection(df, idCol, blockCols, fields, isNew = true),
+      idCol, fields, threshold, roundScale, pairBudget)
+    // the scoring join feeds three consumers (rep edges, participation
+    // keys ×2) — checkpoint it so the banded DP runs once
+    val tuplePairs = rawTuplePairs.localCheckpoint(eager = false)
+    val minOf = (members: Column) =>
+      array_min(transform(members, m => m.getField("id")))
+    val rep = tuplePairs.select(
+      minOf(col("__ma")).as("id_a"), minOf(col("__mb")).as("id_b"))
+    // participating groups, keyed by (refined block, group min id) —
+    // slim keys only; member lists rejoin from the (reused) tuple frame
+    val parts = tuplePairs.select(col("__block"), minOf(col("__ma")).as("__gmin"))
+      .union(tuplePairs.select(col("__block"), minOf(col("__mb")).as("__gmin")))
+      .distinct()
+    val stars = tuples
+      .withColumn("__gmin", minOf(col("__mb")))
+      .join(parts, Seq("__block", "__gmin"), "left_semi")
+      .select(col("__gmin").as("id_a"),
+        explode(transform(col("__mb"), m => m.getField("id"))).as("id_b"))
+    val edges = rep.unionByName(stars).filter(col("id_a") =!= col("id_b"))
+    val clusters = Dedup.nearDupClusters(edges) // (id, cluster)
     df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("entity_id", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")

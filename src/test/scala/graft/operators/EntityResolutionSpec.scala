@@ -210,6 +210,64 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got(9L) == 9L, s"singleton keeps its own id: $got")
   }
 
+  test("resolve: compact closure edges == closing the expanded row pairs") {
+    import spark.implicits._
+    // the round-8 closure rework: resolve no longer materializes the
+    // row-pair expansion; it closes over representative + star edges.
+    // This pin replays BOTH paths over fixtures hitting every proof
+    // obligation: multi-member tuples (stars), identical tuples whose
+    // null field keeps the self-score under threshold (no edges either
+    // way — two rows with identical values must NOT merge then), an
+    // edit-distance chain (closure required), an over-budget salted
+    // block (probe-chain connectivity), and a random adversarial mix.
+    // Note the structural invariant the compact path leans on: a cross
+    // pair's score never exceeds either side's self-score (nulls cap
+    // both identically), so a group touched by any passing pair always
+    // has a passing self-pair — stars cannot be wrongly omitted.
+    val rng = new scala.util.Random(11)
+    val vocab = Seq("acme corp", "acme corb", "zenith ltd", null)
+    val kinds = Seq("retail", "finance", null)
+    val structured = Seq(
+      (1L, "R", "acme corp", "retail"), (2L, "R", "acme corp", "retail"),
+      (3L, "R", "acme corp", "retail"), (4L, "R", "acme corb", "retail"),
+      (10L, "N", null, "retail"), (11L, "N", null, "retail"),
+      (12L, "N", "zen", null), (13L, "N", "zen", null),
+      (20L, "C", "aaaa bbbb cccc dddd", "mfg"),
+      (21L, "C", "aaaa bbbb cccc dddz", "mfg"),
+      (22L, "C", "aaaa bbbb cccc ddzz", "mfg"))
+    val hot = (30L to 59L).map(i => (i, "HOT", "same name", "same kind"))
+    val noise = (100L to 219L).map { id =>
+      (id, s"B${rng.nextInt(3)}", vocab(rng.nextInt(vocab.size)),
+        kinds(rng.nextInt(kinds.size)))
+    }
+    val df = (structured ++ hot ++ noise).toDF("id", "blk", "name", "kind")
+    val fields = Seq(("name", 0.6), ("kind", 0.4))
+    for (t <- Seq(0.8, 0.55); budget <- Seq(40L, 5000L)) {
+      val viaRows = {
+        val pairs = linkPairs(df, "id", Seq("blk"), fields, t, pairBudget = budget)
+        val clusters = Dedup.nearDupClusters(pairs)
+        df.join(clusters.withColumnRenamed("id", "cid"),
+            col("id") === col("cid"), "left")
+          .select(col("id"), coalesce(col("cluster"), col("id")).as("entity_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      }
+      val viaCompact = resolve(df, "id", Seq("blk"), fields, t, pairBudget = budget)
+        .select("id", "entity_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaCompact == viaRows,
+        s"t=$t budget=$budget: ${viaCompact.toSet.diff(viaRows.toSet).take(5)} vs " +
+          s"${viaRows.toSet.diff(viaCompact.toSet).take(5)}")
+      if (t == 0.8) {
+        assert(viaCompact(10L) == 10L && viaCompact(11L) == 11L,
+          "identical null-field tuples under threshold must stay separate entities")
+        assert(viaCompact(20L) == 20L && viaCompact(22L) == 20L,
+          "the edit chain must close transitively")
+        assert((30L to 59L).map(viaCompact).toSet.size == 1,
+          "the salted hot block must reassemble into one entity")
+      }
+    }
+  }
+
   test("goldenRecord: every tie resolves deterministically; nulls never survive mode/longest") {
     import spark.implicits._
     // one 4-row entity engineered so every policy hits its tie rule,
