@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class UnsupportedFormatException(format: String)
     extends IllegalArgumentException(
-      s"Unsupported file format: '$format' (expected one of 'csv', 'json', 'orc', 'parquet')")
+      s"Unsupported file format: '$format' (expected one of 'csv', 'json', 'orc', 'parquet', 'text', 'binary')")
 
 /** Source readers — reference `scripts/...pyspark.py:59-71`.
   *
@@ -46,6 +46,27 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Line-oriented text source (EXTENSION): one string column `value`
+    * per line — the raw-corpus ingestion shape (crawl dumps, jsonl
+    * before parsing, log shards). Splittable like CSV; compressed
+    * files (.gz/.bz2) decode through the same codec path Spark applies
+    * to every text-based source.
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Whole-file binary source (EXTENSION): (path, modificationTime,
+    * length, content) per FILE — the multimodal ingestion shape
+    * (`multimodal/Multimodal.scala` decodes the `content` bytes). Not
+    * splittable by construction (a file is one row), so parallelism
+    * comes from file COUNT; pair with
+    * `spark.sql.files.maxPartitionBytes`-sized objects upstream, and
+    * push `pathGlobFilter`-style selection into `path` rather than
+    * filtering rows after the read.
+    */
+  def binaryFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+
   /** Format dispatch — reference `:59,:67,:72-77`; json/orc are
     * extension formats behind the same typed-failure contract.
     *
@@ -68,6 +89,8 @@ object Sources {
       case "json"    => json(spark, path)
       case "orc"     => orc(spark, path)
       case "parquet" => parquet(spark, path)
+      case "text"    => text(spark, path)
+      case "binary"  => binaryFiles(spark, path)
       case other     => throw UnsupportedFormatException(other)
     }
 }

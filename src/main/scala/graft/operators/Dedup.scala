@@ -861,6 +861,91 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Connected components by ALTERNATING star contraction (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the deep-graph
+    * twin of [[nearDupClusters]]. Min-label propagation converges in
+    * O(component diameter) full-edge passes and [[nearDupClusters]]
+    * THROWS past `maxIter`: correct for the shallow star/clique
+    * components near-dup pairs produce, but a 100 TB boilerplate
+    * entity reaches the closure as a salt-bucket CHAIN whose diameter
+    * grows with block size / rowCap (see
+    * [[graft.operators.EntityResolution.resolve]]) — at extreme block
+    * sizes that chain outruns any fixed iteration budget. Star
+    * contraction converges in O(log²) rounds regardless of diameter
+    * (in practice < 10 on million-node chains) because each round
+    * HALVES chain heights instead of walking them:
+    *
+    *  - large-star: every node u points each STRICTLY GREATER neighbor
+    *    at m(u) = min(Γ(u) ∪ u). Monotone (no edge to a larger node is
+    *    created), so tall chains collapse geometrically.
+    *  - small-star: every node u points each neighbor ≤ u — and itself
+    *    — at m(u). Flattens the remaining two-level trees into stars.
+    *
+    * Both rounds are one groupBy(min) + one join over the current edge
+    * set — the SAME per-round shape as a label-propagation step — but
+    * the round COUNT is logarithmic, and the edge set only shrinks
+    * (dedup per round). Fixpoint = a large+small round pair that leaves
+    * the edge set unchanged — checked EXACTLY (equal count + empty
+    * anti-join, scalars to the driver only); at fixpoint the edges ARE
+    * the star forest (child → component minimum), which is exactly the
+    * (id, cluster) contract. Per-round lineage truncates through the
+    * same lazy localCheckpoint discipline as [[nearDupClusters]].
+    *
+    * Same contract as [[nearDupClusters]]: input (id_a, id_b) pairs,
+    * output (id, cluster) for every id that appears in a pair, cluster
+    * = component minimum. Equivalence is spec-pinned on chains,
+    * cliques, forests, and random graphs; a 10k-node path — 400
+    * iterations beyond nearDupClusters' budget — closes in a handful
+    * of rounds.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val idPairs = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    var edges = idPairs
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("l"), greatest(col("a"), col("b")).as("g"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // one star round: point the {greater | smaller-plus-self} neighbors
+    // of every node at min(Γ(u) ∪ u); keep the canonical (l, g) form
+    def round(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.select(col("l").as("u"), col("g").as("v"))
+        .union(e.select(col("g").as("u"), col("l").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val joined = sym.join(mins, "u")
+      val pointed =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("m").as("l"), col("v").as("g"))
+        else joined.filter(col("v") < col("u"))
+          .select(col("m").as("l"), col("v").as("g"))
+          .union(mins.select(col("m").as("l"), col("u").as("g")))
+      pointed.filter(col("l") =!= col("g")).distinct()
+        .localCheckpoint(eager = false)
+    }
+    var n = edges.count()
+    var stable = n == 0
+    var i = 0
+    while (!stable && i < maxRounds) {
+      val next = round(round(edges, large = true), large = false)
+      val n2 = next.count()
+      stable = n2 == n &&
+        next.join(edges, Seq("l", "g"), "left_anti").isEmpty
+      edges = next; n = n2
+      i += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not stabilize in $maxRounds rounds " +
+          "— rounds are logarithmic in component size, so this indicates a bug, " +
+          "not a large graph")
+    val ids = idPairs.select(col("a").as("id"))
+      .union(idPairs.select(col("b").as("id"))).distinct()
+    ids.join(edges.select(col("g").as("id"), col("l").as("cluster")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** Exact-transitive-closure variant of [[minHashDedup]]: one
     * representative (the minimum id) survives per CONNECTED COMPONENT of
     * the near-dup graph. Differs from the greedy rule when a doc with no

@@ -434,7 +434,16 @@ object EntityResolution {
       .select(col("__gmin").as("id_a"),
         explode(transform(col("__mb"), m => m.getField("id"))).as("id_b"))
     val edges = rep.unionByName(stars).filter(col("id_a") =!= col("id_b"))
-    val clusters = Dedup.nearDupClusters(edges) // (id, cluster)
+    // min-label propagation is the measured fast path (near-dup
+    // components are shallow); a salted boilerplate block whose bucket
+    // CHAIN outruns the iteration budget falls back to alternating
+    // star contraction — logarithmic rounds, any diameter — instead of
+    // failing the job (fallback correctness spec-pinned on a chain
+    // deeper than the label budget)
+    val clusters = try Dedup.nearDupClusters(edges) catch {
+      case _: IllegalStateException =>
+        Dedup.connectedComponentsAlternating(edges)
+    } // (id, cluster)
     df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("entity_id", coalesce(col("cluster"), col(idCol)))
       .drop("cluster")

@@ -61,6 +61,26 @@ class SinksSpec extends SparkSpec {
     intercept[UnsupportedFormatException](Sources.read(spark, "xml", dj))
   }
 
+  test("text and binary sources: raw-corpus lines and whole-file bytes through the dispatch") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val d = Files.createTempDirectory("io_raw").toString
+    JFiles.write(Paths.get(d, "a.txt"), "line one\nline two\n".getBytes("UTF-8"))
+    JFiles.write(Paths.get(d, "b.txt"), "line three\n".getBytes("UTF-8"))
+    val lines = Sources.read(spark, "text", d)
+    assert(lines.columns.toSeq == Seq("value"), "one string column per line")
+    assert(lines.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("line one", "line three", "line two"))
+    val bin = Sources.read(spark, "binary", d)
+    assert(bin.columns.contains("content") && bin.columns.contains("path"),
+      s"binaryFile schema: ${bin.columns.toSeq}")
+    assert(bin.count() == 2, "one row per FILE, not per line")
+    val byName = bin.collect()
+      .map(r => (r.getAs[String]("path").split('/').last,
+        new String(r.getAs[Array[Byte]]("content"), "UTF-8"))).toMap
+    assert(byName("a.txt") == "line one\nline two\n" && byName("b.txt") == "line three\n",
+      "content bytes must round-trip exactly")
+  }
+
   test("compact rewrites a fragmented directory to the target file count, data intact") {
     val dir = Files.createTempDirectory("compact").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -407,6 +407,38 @@ class DedupSpec extends SparkSpec {
     assert(ok.toSeq == Seq(1L))
   }
 
+  test("connectedComponentsAlternating == nearDupClusters; deep chains close in log rounds") {
+    import spark.implicits._
+    // same-contract equivalence on the shapes that distinguish CC
+    // algorithms: chain (diameter), clique (density), star (fan),
+    // self-pair-only singleton, and a seeded random graph
+    val rng = new scala.util.Random(23)
+    val structured = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (20L, 21L), (30L, 30L))
+    val random = (1 to 300).map(_ =>
+      (rng.nextInt(120).toLong + 100L, rng.nextInt(120).toLong + 100L))
+    val pairs = (structured ++ random).toDF("id_a", "id_b")
+    val viaLabels = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Dedup.connectedComponentsAlternating(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == viaLabels,
+      s"diff: ${viaStars.toSet.diff(viaLabels.toSet).take(5)} vs ${viaLabels.toSet.diff(viaStars.toSet).take(5)}")
+    assert(viaStars(30L) == 30L, "a self-pair-only id is its own singleton component")
+
+    // the deep-graph case the min-label budget cannot touch: a
+    // 2 000-hop path needs 2 000 label-propagation passes (80× the
+    // default maxIter) but closes here in O(log) star rounds
+    val deep = (1L to 2000L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsAlternating(deep)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 2000 && labels.forall(_._2 == 1L),
+      "the whole path must collapse to component 1")
+  }
+
   test("minHashDedupExact keeps one representative per component (vs greedy)") {
     import spark.implicits._
     // 1 and 2 are both near-dups of 3, but not of each other: the greedy

@@ -268,6 +268,31 @@ class EntityResolutionSpec extends SparkSpec {
     }
   }
 
+  test("resolve: a chain deeper than the label budget falls back to star contraction") {
+    import spark.implicits._
+    // 30 names where name_i has its first i chars flipped to 'z': each
+    // adjacent pair is ONE edit apart (score 0.6·39/40 + 0.4 = 0.985 ≥
+    // 0.98) and every distance-2 pair is two edits (0.97 < 0.98) — the
+    // pair graph is a 30-node PATH, diameter 29, past nearDupClusters'
+    // default 25-iteration budget (proven below by the row-pair closure
+    // throwing). resolve must survive via the star-contraction fallback
+    // and still close the whole chain into entity 1.
+    val base = "a" * 40
+    val df = (1 to 30).map(i => (i.toLong, "B", "z" * i + base.drop(i), "mfg"))
+      .toDF("id", "blk", "name", "kind")
+    val fields = Seq(("name", 0.6), ("kind", 0.4))
+    val pairs = linkPairs(df, "id", Seq("blk"), fields, 0.98)
+    assert(pairs.count() == 29L, "the fixture must be exactly the adjacent-pair path")
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(pairs).collect()
+    }
+    val got = resolve(df, "id", Seq("blk"), fields, 0.98)
+      .select("id", "entity_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (1L to 30L).map(_ -> 1L).toMap,
+      s"the whole chain must close into entity 1: ${got.toSeq.sortBy(_._1).take(6)}...")
+  }
+
   test("goldenRecord: every tie resolves deterministically; nulls never survive mode/longest") {
     import spark.implicits._
     // one 4-row entity engineered so every policy hits its tie rule,
