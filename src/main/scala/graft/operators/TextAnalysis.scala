@@ -389,6 +389,72 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("kept_lines"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…", §2.2 — the published heuristics
+    * behind the C4 corpus), the per-LINE quality pass that sits between
+    * document-level gates (Gopher, q183) and line dedup (q110):
+    *
+    *  - keep a line only if its trimmed form ends in terminal
+    *    punctuation (`.` `!` `?`, optionally followed by a closing
+    *    quote) AND has at least `minLineWords` whitespace tokens (the
+    *    engine-wide `[ \t\n\f\r]` class) AND does not mention
+    *    "javascript" (case-insensitive);
+    *  - drop the whole DOCUMENT if the original text contains `{` or
+    *    "lorem ipsum" (case-insensitive) — code/template and filler
+    *    pages;
+    *  - after line filtering, keep only documents whose surviving text
+    *    has at least `minDocSentences` sentences (terminal-punctuation
+    *    count).
+    *
+    * C4's English-specific langdetect gate and its word blocklist are
+    * intentionally not reproduced — language ID is its own operator
+    * ([[langId]], q97) and blocklists are deployment policy
+    * ([[gazetteerSpans]] is the mechanism, q205).
+    *
+    * Output: (idCol, clean_text, kept_lines, dropped_lines) — survivor
+    * documents only.
+    *
+    * Scale: entirely map-only — the line rules are a `filter` HOF over
+    * the split array and both document gates are scalar predicates, so
+    * the whole operator runs inside one whole-stage-codegen span with
+    * NO shuffle, no explode (line arrays never leave their row), and
+    * no UDF; it composes with [[dedupLines]] / [[removeBoilerplate]]
+    * (which shuffle line text) as the cheap first cut. Every rule is
+    * a deterministic string predicate, so the operator carries a full
+    * DuckDB oracle (q206).
+    */
+  def c4Clean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineWords: Int = 3,
+      minDocSentences: Int = 5): DataFrame = {
+    require(minLineWords >= 1, "minLineWords must be >= 1")
+    require(minDocSentences >= 1, "minDocSentences must be >= 1")
+    val terminal = "[.!?][\"']?$"
+    val lineOk = (l: Column) => {
+      val t = trim(l)
+      t.rlike(terminal) &&
+        size(split(t, "[ \t\n\f\r]+")) >= minLineWords &&
+        !lower(t).contains("javascript")
+    }
+    val kept = filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+      l => lineOk(l))
+    df
+      .filter(!col(textCol).contains("{") &&
+        !lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("__kept", kept)
+      .withColumn("clean_text", array_join(transform(col("__kept"), l => trim(l)), sep))
+      .withColumn("kept_lines", size(col("__kept")).cast("long"))
+      .withColumn("dropped_lines",
+        (size(split(col(textCol), java.util.regex.Pattern.quote(sep))) -
+          size(col("__kept"))).cast("long"))
+      // sentence count = number of terminal marks in the kept text
+      .filter(size(split(col("clean_text"), "[.!?]")) - 1 >= minDocSentences)
+      .select(col(idCol), col("clean_text"), col("kept_lines"), col("dropped_lines"))
+  }
+
   /** Corpus-level boilerplate removal (the RefinedWeb/CCNet sibling of
     * [[dedupLines]]): a line that occurs in at least `minDocs` DISTINCT
     * documents is boilerplate (nav bars, footers, license headers) and is

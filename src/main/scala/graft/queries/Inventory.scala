@@ -4813,6 +4813,70 @@ object Inventory {
         LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
         ORDER BY t.doc_id""")),
 
+    Q("q206_c4_line_filter",
+      (s, dir) => {
+        // C4's published line/document heuristics (Raffel et al. 2020
+        // §2.2) over synthetic multi-line docs built from the documents
+        // table, constructed so EVERY rule fires somewhere: terminal
+        // punctuation variants (. ! ?), a 2-word line, a 1-word line, a
+        // javascript line on doc_id%7 (whose loss then trips the
+        // 5-sentence floor), a curly-brace template on doc_id%11 and
+        // lorem-ipsum filler on doc_id%13 (whole-document drops).
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat_ws("\n",
+            concat(substring(col("text"), 1, 60), lit(".")),
+            lit("click here"),
+            col("lang"),
+            concat(lit("order "), col("doc_id").cast("string"),
+              lit(" arrived in good condition today!")),
+            when(col("doc_id") % 7 === 0,
+                lit("please enable javascript to continue."))
+              .otherwise(concat(substring(col("text"), 61, 60), lit("?"))),
+            when(col("doc_id") % 11 === 0,
+                lit("css template { margin zero }"))
+              .otherwise(concat(substring(col("text"), 121, 60), lit("."))),
+            when(col("doc_id") % 13 === 0,
+                lit("lorem ipsum dolor sit amet."))
+              .otherwise(lit("the final checks were complete."))).as("text"))
+        TextAnalysis.c4Clean(docs, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              substr(text, 1, 60) || '.',
+              'click here',
+              lang,
+              'order ' || CAST(doc_id AS VARCHAR) || ' arrived in good condition today!',
+              CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript to continue.'
+                   ELSE substr(text, 61, 60) || '?' END,
+              CASE WHEN doc_id % 11 = 0 THEN 'css template { margin zero }'
+                   ELSE substr(text, 121, 60) || '.' END,
+              CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'
+                   ELSE 'the final checks were complete.' END) AS text
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+            string_split(text, chr(10)) AS ls,
+            list_filter(string_split(text, chr(10)), l ->
+              regexp_matches(trim(l), '[.!?]["'']?$')
+              AND len(string_split_regex(trim(l), '[ \t\n\f\r]+')) >= 3
+              AND NOT contains(lower(trim(l)), 'javascript')) AS ks
+          FROM docs
+          WHERE NOT contains(text, '{')
+            AND NOT contains(lower(text), 'lorem ipsum')),
+        r AS (
+          SELECT doc_id,
+            array_to_string(list_transform(ks, l -> trim(l)), chr(10)) AS clean_text,
+            CAST(len(ks) AS BIGINT) AS kept_lines,
+            CAST(len(ls) - len(ks) AS BIGINT) AS dropped_lines
+          FROM f)
+        SELECT doc_id, clean_text, kept_lines, dropped_lines
+        FROM r
+        WHERE len(string_split_regex(clean_text, '[.!?]')) - 1 >= 5
+        ORDER BY doc_id""")),
+
     Q("q204_mix_budget_solver",
       (s, dir) => {
         // mix-feasibility planning: the largest training budget a
@@ -5456,7 +5520,7 @@ object Inventory {
     "q144_substring_dedup", "q145_bm25",
     "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
     "q202_span_dedup_incremental", "q203_importance_resample",
-    "q204_mix_budget_solver", "q205_gazetteer_redact",
+    "q204_mix_budget_solver", "q205_gazetteer_redact", "q206_c4_line_filter",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

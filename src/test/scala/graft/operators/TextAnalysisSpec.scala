@@ -272,6 +272,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(same)
   }
 
+  test("c4Clean: every published line and document rule, each witnessed both ways") {
+    val good =
+      "the first shipment arrived on time.\n" +
+        "every carton was inspected carefully!\n" +
+        "was the manifest checked against the order?\n" +
+        "he said \"the label reads fragile.\"\n" +       // terminal punct + closing quote
+        "totals were reconciled the same evening."
+    val docs = Seq(
+      (1L, good),                                          // 5 sentences — survives exactly
+      (2L, good + "\nshort one"),                          // no terminal punct — line dropped, doc survives
+      (3L, good + "\nok."),                                // punct but < 3 words — line dropped
+      (4L, good + "\nplease enable JavaScript to continue."), // javascript line dropped
+      (5L, "style { margin: 0 }\n" + good),                // '{' — whole doc dropped
+      (6L, "Lorem Ipsum dolor sit amet.\n" + good),        // lorem ipsum — whole doc dropped
+      (7L, "only four sentences here.\nanother good line here!\na third fine line stands.\nthe fourth one closes this?"),
+      (8L, "   padded line ends properly.   \n" + good))   // trim before the rules AND in output
+      .toDF("id", "text")
+    val out = TextAnalysis.c4Clean(docs, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 8L),
+      s"doc gates: 5/6 dropped by brace/lorem, 7 by the sentence minimum; got ${out.map(_._1).toSeq}")
+    val byId = out.map(o => o._1 -> o).toMap
+    assert(byId(1L)._2 == good && byId(1L)._3 == 5L && byId(1L)._4 == 0L)
+    assert(byId(2L)._2 == good && byId(2L)._3 == 5L && byId(2L)._4 == 1L,
+      "the punct-less line must be dropped and counted")
+    assert(byId(3L)._4 == 1L, "a 1-word line is dropped even with terminal punctuation")
+    assert(byId(4L)._4 == 1L, "the javascript line is dropped case-insensitively")
+    assert(byId(8L)._2.startsWith("padded line ends properly.\n"),
+      "surviving lines are emitted trimmed")
+    // threshold knobs move the gates, not the rules
+    val relaxed = TextAnalysis.c4Clean(docs, "id", "text", minDocSentences = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(relaxed.contains(7L), "a 4-sentence doc passes the relaxed gate")
+    val strictWords = TextAnalysis.c4Clean(docs, "id", "text", minLineWords = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(!strictWords.contains(1L) || strictWords(1L) < 5L,
+      "raising minLineWords must drop shorter sentences")
+  }
+
   test("dedupLines keeps the corpus-first copy of every line, reassembled in order") {
     val docs = Seq(
       (1L, "alpha\nbeta\ngamma"),
