@@ -429,7 +429,8 @@ object TextAnalysis {
       textCol: String,
       sep: String = "\n",
       minLineWords: Int = 3,
-      minDocSentences: Int = 5): DataFrame = {
+      minDocSentences: Int = 5,
+      carry: Seq[String] = Nil): DataFrame = {
     require(minLineWords >= 1, "minLineWords must be >= 1")
     require(minDocSentences >= 1, "minDocSentences must be >= 1")
     val terminal = "[.!?][\"']?$"
@@ -452,7 +453,8 @@ object TextAnalysis {
           size(col("__kept"))).cast("long"))
       // sentence count = number of terminal marks in the kept text
       .filter(size(split(col("clean_text"), "[.!?]")) - 1 >= minDocSentences)
-      .select(col(idCol), col("clean_text"), col("kept_lines"), col("dropped_lines"))
+      .select(col(idCol) +: col("clean_text") +: col("kept_lines") +:
+        col("dropped_lines") +: carry.map(col): _*)
   }
 
   /** Corpus-level boilerplate removal (the RefinedWeb/CCNet sibling of

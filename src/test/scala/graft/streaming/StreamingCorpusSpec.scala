@@ -63,6 +63,37 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("c4CleanStream: line/document rules stream statelessly, carry survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = (1 to 5).map(i => s"sentence number $i stands entirely on its own.")
+      .mkString("\n")
+    val docs = Seq(
+      (1L, good, new java.sql.Timestamp(1000L)),
+      (2L, good + "\nno punctuation here", new java.sql.Timestamp(2000L)),
+      (3L, "short { brace } doc.", new java.sql.Timestamp(3000L)))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingCorpus.c4CleanStream(in.toDF.toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("c4_out").outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getTimestamp(4)))
+      assert(got.map(_._1).toSet == Set(1L, 2L), s"brace doc must drop: ${got.toSeq}")
+      val byId = got.map(g => g._1 -> g).toMap
+      assert(byId(1L)._2 == good && byId(1L)._3 == 0L)
+      assert(byId(2L)._3 == 1L, "the punct-less line drops on the stream too")
+      assert(byId(2L)._4 == new java.sql.Timestamp(2000L),
+        "the carried ts column must survive for downstream watermarks")
+      // batch equivalence through the same operator
+      val batch = graft.operators.TextAnalysis.c4Clean(
+          docs.toDF("doc_id", "text", "ts"), "doc_id", "text", carry = Seq("ts"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getTimestamp(4)))
+      assert(batch.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    } finally q.stop()
+  }
+
   test("dedupLinesStream keeps the first arrival of each line, drops repeats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
