@@ -102,6 +102,51 @@ object WebOps {
     when(host.isInCollection(suffixes), "").otherwise(chain)
   }
 
+  /** Drop rows whose URL is on a domain blocklist — the crawl-corpus
+    * policy filter that runs BEFORE expensive text processing. An entry
+    * matches either the exact lowercased host or the host's REGISTRABLE
+    * domain, so blocking "example.com" removes every subdomain
+    * ("a.b.example.com" collapses to it) while an exact-host entry
+    * ("news.x.org") removes just that host and leaves the rest of
+    * "x.org" alone. Matching is a pure column predicate
+    * (`isInCollection` compiles the list into the plan), right for
+    * config-sized lists; deployment-scale lists (10⁵–10⁶ rows) use
+    * [[blockDomainsJoin]], the broadcast anti-join twin with identical
+    * semantics (spec-pinned equivalent).
+    */
+  def blockDomains(
+      df: DataFrame,
+      urlCol: String,
+      blocked: Seq[String],
+      suffixes: Seq[String] = defaultSuffixes): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist — nothing to do")
+    val bl = blocked.map(_.toLowerCase)
+    val host = lower(urlParts(col(urlCol)).getField("host"))
+    val rd = registrableDomain(host, suffixes)
+    df.filter(!host.isInCollection(bl) && !rd.isInCollection(bl))
+  }
+
+  /** [[blockDomains]] with the blocklist as a DataFrame (column
+    * `domain`) — two broadcast anti-joins (exact host, registrable
+    * domain), the scale path for deployment-sized lists where a plan
+    * literal would be absurd. Blocklists are small relative to the
+    * corpus by construction, so the broadcast is the right join and no
+    * shuffle of the corpus ever happens.
+    */
+  def blockDomainsJoin(
+      df: DataFrame,
+      urlCol: String,
+      blocked: DataFrame,
+      suffixes: Seq[String] = defaultSuffixes): DataFrame = {
+    val b = broadcast(blocked.select(lower(col("domain")).as("__bd")).distinct())
+    val host = lower(urlParts(col(urlCol)).getField("host"))
+    val rd = registrableDomain(host, suffixes)
+    df.withColumn("__h", host).withColumn("__rd", rd)
+      .join(b, col("__h") === col("__bd"), "left_anti")
+      .join(b, col("__rd") === col("__bd"), "left_anti")
+      .drop("__h", "__rd")
+  }
+
   /** Keep at most k documents per domain, preferring the BEST by
     * `orderCol` (descending; ties to the smallest id — total order, so
     * the survivor set is deterministic). The anti-spam shape: any one

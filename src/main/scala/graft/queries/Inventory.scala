@@ -4877,6 +4877,85 @@ object Inventory {
         WHERE len(string_split_regex(clean_text, '[.!?]')) - 1 >= 5
         ORDER BY doc_id""")),
 
+    Q("q207_domain_blocklist",
+      (s, dir) => {
+        // crawl-corpus blocklist filter over q184's synthetic URLs
+        // (source ≡ "src"+(doc_id%20), so each source pins one URL arm):
+        // 'example.com' collapses every www.srcN.example.com subdomain
+        // (125 docs), 'src5.co.uk' kills blog.src5.co.uk via the
+        // registrable domain, 'news.src7.org' is an exact-host entry,
+        // and 'src6.github.io' matches both arms at once — 300 of 500
+        // docs survive at sf0.01.
+        val did = col("doc_id").cast("string")
+        val url = when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/Path/"),
+              did, lit("/?q="), col("lang"), lit("&utm_source=feed#frag")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("https://Blog."), col("source"), lit(".co.uk:443/post/"),
+              did, lit("?id="), did, lit("&gclid=zz")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("https://"), col("source"), lit(".github.io/pages//")))
+          .otherwise(
+            concat(lit("http://news."), col("source"), lit(".org:8080/a/"),
+              did, lit("?utm_medium=x")))
+        val withU = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .withColumn("url", url)
+        val p = WebOps.urlParts(col("url"))
+        WebOps.blockDomains(withU, "url",
+            Seq("example.com", "src5.co.uk", "src6.github.io", "news.src7.org"))
+          .select(
+            col("doc_id"),
+            lower(p("host")).as("host"),
+            WebOps.registrableDomain(lower(p("host"))).as("domain"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Path/' ||
+                CAST(doc_id AS VARCHAR) || '/?q=' || lang || '&utm_source=feed#frag'
+              WHEN 1 THEN 'https://Blog.' || source || '.co.uk:443/post/' ||
+                CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=zz'
+              WHEN 2 THEN 'https://' || source || '.github.io/pages//'
+              ELSE 'http://news.' || source || '.org:8080/a/' ||
+                CAST(doc_id AS VARCHAR) || '?utm_medium=x'
+            END AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+          FROM u),
+        d AS (
+          SELECT doc_id, host,
+            CASE
+              WHEN host IN ('co.uk', 'org.uk', 'com.au', 'co.jp', 'com.br', 'github.io',
+                'com', 'org', 'net', 'edu', 'gov', 'io', 'uk', 'de', 'fr', 'jp') THEN ''
+              WHEN host LIKE '%.github.io' THEN regexp_extract(host, '([^.]+\.github\.io)$', 1)
+              WHEN host LIKE '%.com.au' THEN regexp_extract(host, '([^.]+\.com\.au)$', 1)
+              WHEN host LIKE '%.com.br' THEN regexp_extract(host, '([^.]+\.com\.br)$', 1)
+              WHEN host LIKE '%.org.uk' THEN regexp_extract(host, '([^.]+\.org\.uk)$', 1)
+              WHEN host LIKE '%.co.jp' THEN regexp_extract(host, '([^.]+\.co\.jp)$', 1)
+              WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+              WHEN host LIKE '%.com' THEN regexp_extract(host, '([^.]+\.com)$', 1)
+              WHEN host LIKE '%.org' THEN regexp_extract(host, '([^.]+\.org)$', 1)
+              WHEN host LIKE '%.net' THEN regexp_extract(host, '([^.]+\.net)$', 1)
+              WHEN host LIKE '%.edu' THEN regexp_extract(host, '([^.]+\.edu)$', 1)
+              WHEN host LIKE '%.gov' THEN regexp_extract(host, '([^.]+\.gov)$', 1)
+              WHEN host LIKE '%.io' THEN regexp_extract(host, '([^.]+\.io)$', 1)
+              WHEN host LIKE '%.uk' THEN regexp_extract(host, '([^.]+\.uk)$', 1)
+              WHEN host LIKE '%.de' THEN regexp_extract(host, '([^.]+\.de)$', 1)
+              WHEN host LIKE '%.fr' THEN regexp_extract(host, '([^.]+\.fr)$', 1)
+              WHEN host LIKE '%.jp' THEN regexp_extract(host, '([^.]+\.jp)$', 1)
+              ELSE ''
+            END AS domain
+          FROM h)
+        SELECT doc_id, host, domain
+        FROM d
+        WHERE host NOT IN ('example.com', 'src5.co.uk', 'src6.github.io', 'news.src7.org')
+          AND domain NOT IN ('example.com', 'src5.co.uk', 'src6.github.io', 'news.src7.org')
+        ORDER BY doc_id""")),
+
     Q("q204_mix_budget_solver",
       (s, dir) => {
         // mix-feasibility planning: the largest training budget a
@@ -5521,6 +5600,7 @@ object Inventory {
     "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
     "q202_span_dedup_incremental", "q203_importance_resample",
     "q204_mix_budget_solver", "q205_gazetteer_redact", "q206_c4_line_filter",
+    "q207_domain_blocklist",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

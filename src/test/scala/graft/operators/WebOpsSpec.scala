@@ -78,6 +78,28 @@ class WebOpsSpec extends SparkSpec {
     assert(r == Seq("x.co.uk", "example.com", "user.github.io", "example.com", "", ""))
   }
 
+  test("blockDomains: registrable-domain entries kill subdomains, host entries kill one host") {
+    val df = Seq(
+      (1L, "https://a.b.example.com/x"),     // rd example.com — blocked
+      (2L, "https://example.com/y"),         // exact rd — blocked
+      (3L, "https://sub.other.com/z"),       // survives
+      (4L, "http://news.x.org/a"),           // exact host entry — blocked
+      (5L, "http://blog.x.org/b"),           // same rd, different host — survives
+      (6L, "https://EXAMPLE.COM/case"))      // case-folded — blocked
+      .toDF("id", "url")
+    val blocked = Seq("example.com", "news.x.org")
+    val kept = WebOps.blockDomains(df, "url", blocked)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L),
+      s"subdomain collapse + exact-host semantics: $kept")
+    // the broadcast anti-join twin is semantics-identical
+    val viaJoin = WebOps.blockDomainsJoin(df, "url", blocked.toDF("domain"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaJoin == kept, "join twin must match the literal predicate")
+    assert(WebOps.blockDomainsJoin(df, "url", blocked.toDF("domain"))
+      .columns.toSeq == df.columns.toSeq, "helper columns must not leak")
+  }
+
   test("capPerDomain keeps the top-k by score with deterministic ties") {
     val df = Seq(
       ("a.com", 1L, 10), ("a.com", 2L, 30), ("a.com", 3L, 20), ("a.com", 4L, 30),
