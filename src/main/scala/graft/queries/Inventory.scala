@@ -3979,6 +3979,43 @@ object Inventory {
         WHERE rk <= 3
         ORDER BY domain, doc_id""")),
 
+    Q("q208_domain_cap_incremental",
+      (s, dir) => {
+        // q185's cap as a daily ingest: the store is the capped
+        // survivor set over the first 80% of doc_ids, the batch is the
+        // rest, and the advance re-ranks ONLY batch-touched domains
+        // against the ≤k-row store slice — never corpus history. Top-k
+        // under the (n_chars desc, doc_id) total order is
+        // merge-associative, so the advance is EXACT and the oracle is
+        // simply the FULL cap over everything (the incremental ≡ full
+        // identity, q134/q182 discipline).
+        val host = concat(lit("www."), col("source"),
+          pmod(col("doc_id"), lit(5)).cast("string"), lit(".com"))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("source"))
+          .withColumn("domain", WebOps.registrableDomain(host))
+          .select("domain", "doc_id", "n_chars")
+        val cut = docs.agg(expr(
+          "percentile_disc(0.8) WITHIN GROUP (ORDER BY doc_id)"))
+          .head().getDouble(0).toLong
+        val store = WebOps.capPerDomain(
+          docs.filter(col("doc_id") <= cut), "domain", "doc_id", "n_chars", k = 3)
+        WebOps.capPerDomainIncremental(
+            docs.filter(col("doc_id") > cut), store,
+            "domain", "doc_id", "n_chars", k = 3)
+          .orderBy("domain", "doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, n_chars,
+            source || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain
+          FROM documents)
+        SELECT domain, doc_id, n_chars
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+              FROM d)
+        WHERE rk <= 3
+        ORDER BY domain, doc_id""")),
+
     Q("q187_html_extract",
       (s, dir) => {
         // HTML→text extraction over a deterministic synthetic page per
@@ -5600,7 +5637,7 @@ object Inventory {
     "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
     "q202_span_dedup_incremental", "q203_importance_resample",
     "q204_mix_budget_solver", "q205_gazetteer_redact", "q206_c4_line_filter",
-    "q207_domain_blocklist",
+    "q207_domain_blocklist", "q208_domain_cap_incremental",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -100,6 +100,36 @@ class WebOpsSpec extends SparkSpec {
       .columns.toSeq == df.columns.toSeq, "helper columns must not leak")
   }
 
+  test("capPerDomainIncremental: advance == full recompute; replay is a no-op") {
+    // three daily batches over shared + disjoint domains; the advance
+    // chain must equal capping the full union at every step (top-k
+    // merge-associativity), untouched domains must pass through, and
+    // re-ingesting a batch must change nothing
+    val day1 = Seq((1L, "a.com", 5.0), (2L, "a.com", 9.0), (3L, "a.com", 7.0),
+      (4L, "b.org", 1.0)).toDF("id", "dom", "score")
+    val day2 = Seq((5L, "a.com", 8.0), (6L, "c.net", 2.0)).toDF("id", "dom", "score")
+    val day3 = Seq((7L, "a.com", 9.0), (8L, "b.org", 0.5)).toDF("id", "dom", "score")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    var store = WebOps.capPerDomain(day1, "dom", "id", "score", 2)
+    var full = day1
+    for (b <- Seq(day2, day3)) {
+      store = WebOps.capPerDomainIncremental(b, store, "dom", "id", "score", 2)
+      full = full.unionByName(b)
+      assert(snap(store) == snap(WebOps.capPerDomain(full, "dom", "id", "score", 2)),
+        "advance must equal the full recompute")
+    }
+    // ties broke deterministically: day3's (7, 9.0) beats (2, 9.0)? no —
+    // equal score, smaller id wins, so 2 stays and 7 joins over 5/3
+    assert(snap(store).map(_._1) == Set(2L, 7L, 4L, 8L, 6L), s"got ${snap(store)}")
+    val replayed = WebOps.capPerDomainIncremental(day3, store, "dom", "id", "score", 2)
+    assert(snap(replayed) == snap(store), "a re-delivered batch must be a no-op")
+    val disjoint = WebOps.capPerDomainIncremental(
+      Seq((9L, "d.io", 1.0)).toDF("id", "dom", "score"), store, "dom", "id", "score", 2)
+    assert(snap(disjoint) == snap(store) + ((9L, "d.io", 1.0)),
+      "untouched domains pass through untouched")
+  }
+
   test("capPerDomain keeps the top-k by score with deterministic ties") {
     val df = Seq(
       ("a.com", 1L, 10), ("a.com", 2L, 30), ("a.com", 3L, 20), ("a.com", 4L, 30),
