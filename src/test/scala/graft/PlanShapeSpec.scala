@@ -294,6 +294,25 @@ class PlanShapeSpec extends SparkSpec {
       s"extraction must stay in native expressions:\n$plan")
   }
 
+  test("q206/q207: C4 line cleaning and blocklist filtering are map-only — no exchange, no explode, no UDF") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cleaned = graft.operators.TextAnalysis.c4Clean(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val blocked = graft.operators.WebOps.blockDomains(
+      docs.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/x")).as("url")),
+      "url", Seq("blocked.example.org"))
+    for ((name, frame) <- Seq("c4Clean" -> cleaned, "blockDomains" -> blocked)) {
+      val plan = planString(frame)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      assert(!plan.contains("Generate"), s"$name must not explode (in-row arrays only):\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$name must stay in native expressions:\n$plan")
+    }
+  }
+
   test("q186: golden-record shuffles carry (entity, field, value) triples, never full rows") {
     // the stacked frame drops every non-surviving column BEFORE its
     // count aggregation — the exchange that sizes with values must not
