@@ -58,7 +58,7 @@ object Dedup {
       w: Int = 20): DataFrame = {
     require(w >= 2, "tile width must be >= 2 tokens")
     val tiled = tileStream(docs, idCol, textCol, w)
-    val key = col("__id") * 100000L + col("tile_no")
+    val key = firstOccKey(col("tile_no"))
     val firsts = tiled
       .groupBy("h")
       .agg(min(key).as("__first"), count(lit(1)).as("__c"))
@@ -67,6 +67,21 @@ object Dedup {
       .where(col("__c") > 1 && key =!= col("__first"))
     rebuild(docs, droppedTiles, idCol, textCol, w)
   }
+
+  /** Exact global first-occurrence ordering over (doc, position): a
+    * lexicographic struct-min. Unlike the arithmetic composite
+    * `id·K + pos` it has no per-doc position bound and cannot overflow,
+    * so a 100 TB corpus with book-length documents needs no runtime
+    * guard. The persisted stores keep their compact `first_key` long —
+    * presence is all the incremental joins test, and the key only
+    * orders store MERGES (min across unions), where any total order
+    * over occurrences gives the same merged set. The DuckDB oracles
+    * replay the composite form, which agrees with this ordering exactly
+    * while positions stay under the composite's K (always true of the
+    * fixtures); the struct is correct beyond it.
+    */
+  private def firstOccKey(posCol: Column): Column =
+    struct(col("__id").as("d"), posCol.as("p"))
 
   /** (doc, tile_no, md5) stream — the map-only tiling stage shared by
     * the batch and incremental substring dedup paths.
@@ -142,7 +157,7 @@ object Dedup {
       w: Int = 20): DataFrame = {
     require(w >= 2, "tile width must be >= 2 tokens")
     val tiled = tileStream(batch, idCol, textCol, w)
-    val key = col("__id") * 100000L + col("tile_no")
+    val key = firstOccKey(col("tile_no"))
     val firsts = tiled
       .groupBy("h")
       .agg(min(key).as("__first"), count(lit(1)).as("__c"))
@@ -177,7 +192,7 @@ object Dedup {
     * occurrence is kept). One hash-aggregation + one hash-width join.
     */
   private def duplicatedPositions(sh: DataFrame): DataFrame = {
-    val key = col("__id") * 1000000L + col("pos")
+    val key = firstOccKey(col("pos"))
     val firsts = sh
       .groupBy("h")
       .agg(min(key).as("__first"), count(lit(1)).as("__c"))
@@ -226,8 +241,8 @@ object Dedup {
     *     tile pass — the price of alignment freedom — but each shuffle
     *     row carries only 32 hex chars + two ints;
     *  2. one aggregation finds each shingle text's first occurrence
-    *     (min over doc·10⁶+pos — exact while positions/doc < 10⁶, same
-    *     composite-key discipline as the tile path);
+    *     (lexicographic struct-min over (doc, pos) — exact at any
+    *     document length, same discipline as the tile path);
     *  3. the join back emits duplicated (doc, pos) only;
     *  4. span merge is a per-doc window over only those positions.
     *
@@ -336,7 +351,7 @@ object Dedup {
       w: Int = 8): DataFrame = {
     require(w >= 2, "shingle width must be >= 2 tokens")
     val sh = shingleStreamPos(batch, idCol, textCol, w)
-    val key = col("__id") * 1000000L + col("pos")
+    val key = firstOccKey(col("pos"))
     val firsts = sh
       .groupBy("h")
       .agg(min(key).as("__first"), count(lit(1)).as("__c"))

@@ -315,11 +315,18 @@ object EntityResolution {
     // the DP, and the band caps it at ~25% of the table (w=0.6, t=0.85)
     // with early exit on dissimilar rows.
     val tEff = threshold - 0.5 * math.pow(10, -roundScale) - 1e-9
+    // The band derives from "other fields contribute at most their full
+    // weight" — that total is Σwᵢ, NOT 1.0 (linkPairs never requires
+    // normalized weights). With W = Σwᵢ: need simᵢ ≥ (t′ − (W − wᵢ))/wᵢ,
+    // i.e. levᵢ ≤ maxlenᵢ·(W − t′)/wᵢ, and the cap is only real when
+    // t′ > W − wᵢ. Hard-coding W = 1 under-caps when Σwᵢ > 1 and
+    // silently drops true matches.
+    val wTotal = fields.map(_._2).sum
     val fieldSim: ((String, Double)) => Column = { case (f, w) =>
       val (la, lb) = (col(s"__a_$f"), col(s"__b_$f"))
-      if (tEff > 1.0 - w) {
+      if (tEff > wTotal - w) {
         val maxlen = greatest(length(la), length(lb), lit(1))
-        val cap = (maxlen.cast("double") * lit((1.0 - tEff) / w)).cast("int") + lit(1)
+        val cap = (maxlen.cast("double") * lit((wTotal - tEff) / w)).cast("int") + lit(1)
         val lev = org.apache.spark.sql.graft.NativeExprs.levWithin(la, lb, cap)
         when(la.isNull || lb.isNull, lit(0.0))
           .when(lev === -1, lit(null).cast("double"))
@@ -398,7 +405,12 @@ object EntityResolution {
     * spec-pinned, including both degenerate cases). At the sf10
     * rehearsal this is ~7M closure edges instead of 48M expanded pairs
     * — the expansion explode never materializes — and the closure was
-    * the dominant cost of the golden-record composites.
+    * the dominant cost of the golden-record composites. The compact
+    * topology is GATED on estimated pair volume
+    * (`compactClosureMinPairs`): below it the star construction's
+    * fixed join overhead dominates its savings, so closure takes the
+    * plain expanded row pairs — both paths are spec-pinned identical
+    * on the same fixtures.
     *
     * The compact path leans on [[resolve]]'s all-rows-new invariant:
     * the a-side member list (new rows only) must equal the full
@@ -412,28 +424,51 @@ object EntityResolution {
       fields: Seq[(String, Double)],
       threshold: Double,
       roundScale: Int = 6,
-      pairBudget: Long = 5000L): DataFrame = {
-    val (tuples, rawTuplePairs) = tupleStage(
-      slimProjection(df, idCol, blockCols, fields, isNew = true),
-      idCol, fields, threshold, roundScale, pairBudget)
-    // the scoring join feeds three consumers (rep edges, participation
-    // keys ×2) — checkpoint it so the banded DP runs once
-    val tuplePairs = rawTuplePairs.localCheckpoint(eager = false)
-    val minOf = (members: Column) =>
-      array_min(transform(members, m => m.getField("id")))
-    val rep = tuplePairs.select(
-      minOf(col("__ma")).as("id_a"), minOf(col("__mb")).as("id_b"))
-    // participating groups, keyed by (refined block, group min id) —
-    // slim keys only; member lists rejoin from the (reused) tuple frame
-    val parts = tuplePairs.select(col("__block"), minOf(col("__ma")).as("__gmin"))
-      .union(tuplePairs.select(col("__block"), minOf(col("__mb")).as("__gmin")))
-      .distinct()
-    val stars = tuples
-      .withColumn("__gmin", minOf(col("__mb")))
-      .join(parts, Seq("__block", "__gmin"), "left_semi")
-      .select(col("__gmin").as("id_a"),
-        explode(transform(col("__mb"), m => m.getField("id"))).as("id_b"))
-    val edges = rep.unionByName(stars).filter(col("id_a") =!= col("id_b"))
+      pairBudget: Long = 5000L,
+      compactClosureMinPairs: Long = 1000000L): DataFrame = {
+    val slim = slimProjection(df, idCol, blockCols, fields, isNew = true)
+    // Path gate: the compact tuple-edge closure wins when expansion
+    // volume is large (sf10: 48M expanded pairs → ~7M edges, q186
+    // 126→72 s) but its star topology costs a fixed ~1.5–2 s of extra
+    // joins/checkpointing at small scale (the measured r8 sf0.1
+    // regression). Estimate row-pair volume as Σ n·(n−1)/2 over RAW
+    // blocks — a |blocks|-bounded planning aggregate, and an UPPER
+    // bound (sub-blocking only shrinks groups, so inflation errs
+    // toward the scale-safe compact path) — and take the plain
+    // expanded-pair closure under the threshold. Pass 0 to force the
+    // compact path (the equivalence spec does), Long.MaxValue to force
+    // row expansion.
+    val useCompact = compactClosureMinPairs <= 0L || {
+      val est = slim.groupBy("__block").agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n") * (col("__n") - lit(1L))).as("__p"))
+        .head()
+      (if (est.isNullAt(0)) 0L else est.getLong(0)) / 2 >= compactClosureMinPairs
+    }
+    val edges = if (!useCompact) {
+      scoredBlockPairs(slim, idCol, fields, threshold, roundScale, pairBudget)
+        .select(col("id_a"), col("id_b"))
+    } else {
+      val (tuples, rawTuplePairs) =
+        tupleStage(slim, idCol, fields, threshold, roundScale, pairBudget)
+      // the scoring join feeds three consumers (rep edges, participation
+      // keys ×2) — checkpoint it so the banded DP runs once
+      val tuplePairs = rawTuplePairs.localCheckpoint(eager = false)
+      val minOf = (members: Column) =>
+        array_min(transform(members, m => m.getField("id")))
+      val rep = tuplePairs.select(
+        minOf(col("__ma")).as("id_a"), minOf(col("__mb")).as("id_b"))
+      // participating groups, keyed by (refined block, group min id) —
+      // slim keys only; member lists rejoin from the (reused) tuple frame
+      val parts = tuplePairs.select(col("__block"), minOf(col("__ma")).as("__gmin"))
+        .union(tuplePairs.select(col("__block"), minOf(col("__mb")).as("__gmin")))
+        .distinct()
+      val stars = tuples
+        .withColumn("__gmin", minOf(col("__mb")))
+        .join(parts, Seq("__block", "__gmin"), "left_semi")
+        .select(col("__gmin").as("id_a"),
+          explode(transform(col("__mb"), m => m.getField("id"))).as("id_b"))
+      rep.unionByName(stars).filter(col("id_a") =!= col("id_b"))
+    }
     // min-label propagation is the measured fast path (near-dup
     // components are shallow); a salted boilerplate block whose bucket
     // CHAIN outruns the iteration budget falls back to alternating

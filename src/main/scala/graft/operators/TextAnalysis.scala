@@ -394,17 +394,23 @@ object TextAnalysis {
     * behind the C4 corpus), the per-LINE quality pass that sits between
     * document-level gates (Gopher, q183) and line dedup (q110):
     *
-    *  - keep a line only if its trimmed form ends in terminal
-    *    punctuation (`.` `!` `?`, optionally followed by a closing
-    *    quote) AND has at least `minLineWords` whitespace tokens (the
-    *    engine-wide `[ \t\n\f\r]` class) AND does not mention
-    *    "javascript" (case-insensitive);
+    *  - keep a line only if its trimmed form ends in a terminal mark —
+    *    `.` `!` `?` (optionally followed by a closing quote) or an end
+    *    quotation mark itself, the paper's four terminals — AND has at
+    *    least `minLineWords` whitespace tokens (the engine-wide
+    *    `[ \t\n\f\r]` class; the paper keeps lines of ≥ 5 words) AND
+    *    does not mention "javascript" (case-insensitive);
     *  - drop the whole DOCUMENT if the original text contains `{` or
     *    "lorem ipsum" (case-insensitive) — code/template and filler
     *    pages;
     *  - after line filtering, keep only documents whose surviving text
-    *    has at least `minDocSentences` sentences (terminal-punctuation
-    *    count).
+    *    has at least `minDocSentences` sentences (the paper keeps pages
+    *    of ≥ 3; sentences are counted as terminal-PUNCTUATION marks, so
+    *    a kept quote-terminal line contributes its internal `[.!?]`
+    *    marks only).
+    *
+    * Defaults are the published thresholds (≥ 5 words/line, ≥ 3
+    * sentences/page); both are knobs for stricter deployments.
     *
     * C4's English-specific langdetect gate and its word blocklist are
     * intentionally not reproduced — language ID is its own operator
@@ -428,12 +434,12 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       sep: String = "\n",
-      minLineWords: Int = 3,
-      minDocSentences: Int = 5,
+      minLineWords: Int = 5,
+      minDocSentences: Int = 3,
       carry: Seq[String] = Nil): DataFrame = {
     require(minLineWords >= 1, "minLineWords must be >= 1")
     require(minDocSentences >= 1, "minDocSentences must be >= 1")
-    val terminal = "[.!?][\"']?$"
+    val terminal = "([.!?][\"']?|[\"'])$"
     val lineOk = (l: Column) => {
       val t = trim(l)
       t.rlike(terminal) &&

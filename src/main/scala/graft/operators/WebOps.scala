@@ -123,7 +123,11 @@ object WebOps {
     val bl = blocked.map(_.toLowerCase)
     val host = lower(urlParts(col(urlCol)).getField("host"))
     val rd = registrableDomain(host, suffixes)
-    df.filter(!host.isInCollection(bl) && !rd.isInCollection(bl))
+    // NULL url ⇒ NULL host ⇒ NULL predicate: a bare filter would drop
+    // the row, while the anti-join twin KEEPS it (null keys never
+    // match). Pin the join's semantics — a blocklist states which
+    // domains to remove; a row with no URL matches none of them.
+    df.filter(coalesce(!host.isInCollection(bl) && !rd.isInCollection(bl), lit(true)))
   }
 
   /** [[blockDomains]] with the blocklist as a DataFrame (column

@@ -30,12 +30,42 @@ final case class Q(
   *  - int-width alignment: counts stay BIGINT, year()/length()/etc. are
   *    cast so Spark and DuckDB agree (DuckDB's year() is BIGINT, Spark's
   *    INT, …);
-  *  - `current_date` never appears (nondeterministic day-to-day).
+  *  - `current_date` never appears (nondeterministic day-to-day);
+  *  - integer typing: DuckDB sum(BIGINT) returns HUGEINT which pandas
+  *    renders as float — every oracle sum feeding an integer output
+  *    column is wrapped in CAST(... AS BIGINT) (q199/q205 shipped red
+  *    without it; tools/check_oracle.py now hard-fails int-vs-float
+  *    dtype parity so the class cannot recur);
+  *  - tokenizer parity (audited r9): oracles using bare
+  *    string_split(x, ' ') have Spark twins that also split on the
+  *    single-space literal (q65/q67/q144/q146/q178, span family
+  *    q198–q202 via Dedup's `split(col, " ")`) — symmetric by
+  *    construction at any fixture. Wherever the Spark side splits on
+  *    the whitespace class `[ \t\n\f\r]+` (TextAnalysis), the oracle
+  *    uses string_split_regex with the same class (or '\s+', equal on
+  *    these fixtures).
   */
 object Inventory {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Scratch directory for queries that materialize persisted-state
+    * parquet (the q149–q161 lake convention, q188, q193): registered
+    * for recursive deletion at JVM exit, so repeated bench/Verify runs
+    * in one process don't accumulate scratch. Exit-time (not eager)
+    * cleanup is required — the returned plans read these files lazily,
+    * after query construction.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
+      def run(): Unit = {
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); ()
+      }
+    }))
+    p.toString
+  }
 
   /** Register tables as temp views for spark.sql pass-through queries. */
   private def viewed(s: SparkSession, dir: String, names: String*): Unit =
@@ -2435,7 +2465,7 @@ object Inventory {
         // result = the post-merge snapshot. The oracle replays the
         // latest-wins upsert in plain SQL; *2 on a double is exact, so
         // values are bit-identical cross-engine.
-        val root = java.nio.file.Files.createTempDirectory("graft-q149").toString
+        val root = scratchDir("graft-q149")
         val tbl = graft.lake.VersionedTable(root, "o_orderkey")
         val orders = t(s, dir, "orders")
         tbl.append(orders.filter(col("o_orderkey") % 3 === 0)
@@ -2465,7 +2495,7 @@ object Inventory {
         // time travel: after the same MERGE as q149, version 1 must
         // still read back as the untouched base snapshot — copy-on-write
         // means the merge created files, never mutated them
-        val root = java.nio.file.Files.createTempDirectory("graft-q150").toString
+        val root = scratchDir("graft-q150")
         val tbl = graft.lake.VersionedTable(root, "o_orderkey")
         val orders = t(s, dir, "orders")
         tbl.append(orders.filter(col("o_orderkey") % 3 === 0)
@@ -2489,7 +2519,7 @@ object Inventory {
         // declared o_totalprice zones before Spark lists them. The
         // oracle is the plain range filter — pruning must be invisible
         // to results, and the boundary rows are where a zone bug shows.
-        val root = java.nio.file.Files.createTempDirectory("graft-q155").toString
+        val root = scratchDir("graft-q155")
         val tbl = graft.lake.VersionedTable(root, "o_orderkey",
           statsCols = Seq("o_totalprice"))
         tbl.append(t(s, dir, "orders")
@@ -2511,7 +2541,7 @@ object Inventory {
         // scans files the name might be in. The oracle is the plain
         // equality filter — a bloom that wrongly prunes (or a hash
         // mismatch between build and probe) returns 0 rows and fails.
-        val root = java.nio.file.Files.createTempDirectory("graft-q156").toString
+        val root = scratchDir("graft-q156")
         val tbl = graft.lake.VersionedTable(root, "c_custkey",
           bloomCols = Seq("c_name"))
         tbl.append(t(s, dir, "customer").repartition(8))
@@ -2532,7 +2562,7 @@ object Inventory {
         // row can never equal its old row here (status flips to 'U',
         // which never occurs in orders, and prices are positive so *2
         // always changes them).
-        val root = java.nio.file.Files.createTempDirectory("graft-q157").toString
+        val root = scratchDir("graft-q157")
         val tbl = graft.lake.VersionedTable(root, "o_orderkey")
         val orders = t(s, dir, "orders")
         tbl.append(orders.filter(col("o_orderkey") % 3 === 0)
@@ -2560,7 +2590,7 @@ object Inventory {
         // post-merge table — which is what the oracle computes from
         // scratch in SQL. Sums ride as decimals, so delta application
         // is order-independent and the comparison is exact.
-        val root = java.nio.file.Files.createTempDirectory("graft-q158").toString
+        val root = scratchDir("graft-q158")
         val tbl = graft.lake.VersionedTable(root, "o_orderkey")
         val orders = t(s, dir, "orders")
         tbl.append(orders.filter(col("o_orderkey") % 3 === 0)
@@ -2609,8 +2639,8 @@ object Inventory {
         // Oracle: latest-wins upsert + per-status GROUP BY + base
         // count, all in plain SQL — every maintenance stage must be
         // data-invisible or the hash breaks.
-        val root = java.nio.file.Files.createTempDirectory("graft-q188").toString
-        val aggRoot = java.nio.file.Files.createTempDirectory("graft-q188-agg").toString
+        val root = scratchDir("graft-q188")
+        val aggRoot = scratchDir("graft-q188-agg")
         val tbl = graft.lake.VersionedTable(root, "o_orderkey",
           statsCols = Seq("o_totalprice"),
           checks = Seq("o_totalprice >= 0"))
@@ -2756,7 +2786,7 @@ object Inventory {
         // overlaps the range are rewritten; the read after must show
         // exactly the complement (the oracle's NOT BETWEEN), with rows
         // in untouched files carried by reference bit-identically.
-        val root = java.nio.file.Files.createTempDirectory("graft-q161").toString
+        val root = scratchDir("graft-q161")
         val tbl = graft.lake.VersionedTable(root, "o_orderkey")
         tbl.append(t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
@@ -2935,7 +2965,7 @@ object Inventory {
         // (an in-memory checkpoint of the same frames OOMs an 8g
         // driver at the sf10 rehearsal; the deployment artifact is a
         // file, so simulate the file)
-        val root = java.nio.file.Files.createTempDirectory("graft-q193").toString
+        val root = scratchDir("graft-q193")
         TextAnalysis.winnowFingerprints(dayA, "doc_id", "text", k = 25, w = 10)
           .write.mode("overwrite").parquet(s"$root/fpsA")
         TextAnalysis.winnowFingerprints(dayB, "doc_id", "text", k = 25, w = 10)
@@ -4566,7 +4596,7 @@ object Inventory {
           FROM kept GROUP BY doc_id),
         agg AS (
           SELECT doc_id, count(*) AS n_spans,
-            sum(end_tok - start_tok + 1) AS n_dup_tokens
+            CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS n_dup_tokens
           FROM sp GROUP BY doc_id)
         SELECT d.doc_id,
           coalesce(a.n_spans, 0) AS n_spans,
@@ -4798,7 +4828,8 @@ object Inventory {
           .orderBy("doc_id")
       },
       Some("""WITH t AS (
-          SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+          SELECT doc_id,
+            string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS tk
           FROM documents),
         terms(term, n) AS (SELECT * FROM (VALUES
           ('spark', 1), ('table table', 2),
@@ -4838,7 +4869,7 @@ object Inventory {
           FROM kept GROUP BY doc_id),
         agg AS (
           SELECT doc_id, count(*) AS n_spans,
-            sum(end_tok - start_tok + 1) AS n_red
+            CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS n_red
           FROM sp GROUP BY doc_id)
         SELECT t.doc_id,
           coalesce(a.n_spans, 0) AS n_spans,
@@ -4853,52 +4884,63 @@ object Inventory {
     Q("q206_c4_line_filter",
       (s, dir) => {
         // C4's published line/document heuristics (Raffel et al. 2020
-        // §2.2) over synthetic multi-line docs built from the documents
-        // table, constructed so EVERY rule fires somewhere: terminal
-        // punctuation variants (. ! ?), a 2-word line, a 1-word line, a
-        // javascript line on doc_id%7 (whose loss then trips the
-        // 5-sentence floor), a curly-brace template on doc_id%11 and
-        // lorem-ipsum filler on doc_id%13 (whole-document drops).
+        // §2.2, published thresholds: ≥5-word lines, ≥3-sentence pages,
+        // end-quote counted terminal) over synthetic multi-line docs
+        // built from the documents table, constructed so EVERY rule
+        // fires somewhere: terminal variants (. ! ? and a bare
+        // end-quote line in every doc), 1/2-word lines, a javascript
+        // line on doc_id%7, a curly-brace template on doc_id%11 and
+        // lorem-ipsum filler on doc_id%13 (whole-document drops), and a
+        // doc_id%19 arm whose lines mostly fail the word rule so the
+        // 3-sentence floor fires.
         val docs = t(s, dir, "documents").select(
           col("doc_id"),
           concat_ws("\n",
-            concat(substring(col("text"), 1, 60), lit(".")),
+            when(col("doc_id") % 19 === 0, lit("intro"))
+              .otherwise(concat(substring(col("text"), 1, 60), lit("."))),
             lit("click here"),
             col("lang"),
-            concat(lit("order "), col("doc_id").cast("string"),
-              lit(" arrived in good condition today!")),
+            when(col("doc_id") % 19 === 0, lit("order arrived!"))
+              .otherwise(concat(lit("order "), col("doc_id").cast("string"),
+                lit(" arrived in good condition today!"))),
             when(col("doc_id") % 7 === 0,
                 lit("please enable javascript to continue."))
               .otherwise(concat(substring(col("text"), 61, 60), lit("?"))),
             when(col("doc_id") % 11 === 0,
                 lit("css template { margin zero }"))
+              .when(col("doc_id") % 19 === 0, lit("done now."))
               .otherwise(concat(substring(col("text"), 121, 60), lit("."))),
             when(col("doc_id") % 13 === 0,
                 lit("lorem ipsum dolor sit amet."))
-              .otherwise(lit("the final checks were complete."))).as("text"))
+              .otherwise(lit("the final checks were complete.")),
+            lit("the supervisor said \"all these cartons look fine\"")).as("text"))
         TextAnalysis.c4Clean(docs, "doc_id", "text")
           .orderBy("doc_id")
       },
       Some("""WITH docs AS (
           SELECT doc_id,
             concat_ws(chr(10),
-              substr(text, 1, 60) || '.',
+              CASE WHEN doc_id % 19 = 0 THEN 'intro'
+                   ELSE substr(text, 1, 60) || '.' END,
               'click here',
               lang,
-              'order ' || CAST(doc_id AS VARCHAR) || ' arrived in good condition today!',
+              CASE WHEN doc_id % 19 = 0 THEN 'order arrived!'
+                   ELSE 'order ' || CAST(doc_id AS VARCHAR) || ' arrived in good condition today!' END,
               CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript to continue.'
                    ELSE substr(text, 61, 60) || '?' END,
               CASE WHEN doc_id % 11 = 0 THEN 'css template { margin zero }'
+                   WHEN doc_id % 19 = 0 THEN 'done now.'
                    ELSE substr(text, 121, 60) || '.' END,
               CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.'
-                   ELSE 'the final checks were complete.' END) AS text
+                   ELSE 'the final checks were complete.' END,
+              'the supervisor said "all these cartons look fine"') AS text
           FROM documents),
         f AS (
           SELECT doc_id,
             string_split(text, chr(10)) AS ls,
             list_filter(string_split(text, chr(10)), l ->
-              regexp_matches(trim(l), '[.!?]["'']?$')
-              AND len(string_split_regex(trim(l), '[ \t\n\f\r]+')) >= 3
+              regexp_matches(trim(l), '([.!?]["'']?|["''])$')
+              AND len(string_split_regex(trim(l), '[ \t\n\f\r]+')) >= 5
               AND NOT contains(lower(trim(l)), 'javascript')) AS ks
           FROM docs
           WHERE NOT contains(text, '{')
@@ -4911,7 +4953,7 @@ object Inventory {
           FROM f)
         SELECT doc_id, clean_text, kept_lines, dropped_lines
         FROM r
-        WHERE len(string_split_regex(clean_text, '[.!?]')) - 1 >= 5
+        WHERE len(string_split_regex(clean_text, '[.!?]')) - 1 >= 3
         ORDER BY doc_id""")),
 
     Q("q207_domain_blocklist",

@@ -73,8 +73,8 @@ object StreamingCorpus {
       idCol: String = "doc_id",
       textCol: String = "text",
       sep: String = "\n",
-      minLineWords: Int = 3,
-      minDocSentences: Int = 5,
+      minLineWords: Int = 5,
+      minDocSentences: Int = 3,
       carry: Seq[String] = Seq("ts")): DataFrame =
     TextAnalysis.c4Clean(docs, idCol, textCol, sep, minLineWords,
       minDocSentences, carry)

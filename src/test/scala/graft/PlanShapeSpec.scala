@@ -463,6 +463,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q203: Gumbel-top-k selection plans as TakeOrderedAndProject — no corpus-wide sort") {
+    // importanceResample ends in orderBy(sel_key desc, id).limit(k); a
+    // range exchange here would mean the whole raw corpus was
+    // total-sorted to emit a k-row selection
+    val plan = planString(run("q203_importance_resample"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a range exchange means the corpus sorted globally for a 200-row result:\n$plan")
+  }
+
+  test("q205: the gazetteer dictionary joins as a broadcast; candidate slices never shuffle") {
+    // the (position × term-length) slice strings are built map-side and
+    // must be consumed by the broadcast dictionary join in the same
+    // stage — no exchange may carry __term (per-token string payload)
+    val df = run("q205_gazetteer_redact")
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), s"dictionary join must broadcast:\n$plan")
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected the span-merge window exchange:\n$unwrapped")
+    exchanges.foreach { e =>
+      val names = e.child.output.map(_.name).toSet
+      assert(!names.contains("__term") && !names.contains("__t"),
+        s"slice strings/token arrays must be pruned before any exchange, got $names")
+    }
+  }
+
+  test("q208: the store advance re-ranks only batch-touched domains (semi/anti prune)") {
+    val plan = planString(run("q208_domain_cap_incremental")).toLowerCase
+    assert(plan.contains("leftsemi"),
+      s"store slice must be pruned to touched domains via a semi-join:\n$plan")
+    assert(plan.contains("leftanti"),
+      s"untouched store rows must bypass the re-rank via the anti side:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -251,12 +251,23 @@ class EntityResolutionSpec extends SparkSpec {
           .select(col("id"), coalesce(col("cluster"), col("id")).as("entity_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       }
-      val viaCompact = resolve(df, "id", Seq("blk"), fields, t, pairBudget = budget)
+      // compactClosureMinPairs = 0 FORCES the compact star topology —
+      // this fixture is far below the default volume gate, which would
+      // otherwise route resolve through the row path and leave this
+      // equivalence pin vacuous
+      val viaCompact = resolve(df, "id", Seq("blk"), fields, t, pairBudget = budget,
+          compactClosureMinPairs = 0L)
         .select("id", "entity_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(viaCompact == viaRows,
         s"t=$t budget=$budget: ${viaCompact.toSet.diff(viaRows.toSet).take(5)} vs " +
           s"${viaRows.toSet.diff(viaCompact.toSet).take(5)}")
+      // the GATED default (small fixture → row path) must agree too —
+      // the gate may change the plan, never the entities
+      val viaGate = resolve(df, "id", Seq("blk"), fields, t, pairBudget = budget)
+        .select("id", "entity_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaGate == viaRows, s"t=$t budget=$budget: gated path diverged")
       if (t == 0.8) {
         assert(viaCompact(10L) == 10L && viaCompact(11L) == 11L,
           "identical null-field tuples under threshold must stay separate entities")
@@ -286,11 +297,15 @@ class EntityResolutionSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Dedup.nearDupClusters(pairs).collect()
     }
-    val got = resolve(df, "id", Seq("blk"), fields, 0.98)
-      .select("id", "entity_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == (1L to 30L).map(_ -> 1L).toMap,
-      s"the whole chain must close into entity 1: ${got.toSeq.sortBy(_._1).take(6)}...")
+    for (gate <- Seq(Long.MaxValue, 0L)) { // row path AND forced compact path
+      val got = resolve(df, "id", Seq("blk"), fields, 0.98,
+          compactClosureMinPairs = gate)
+        .select("id", "entity_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == (1L to 30L).map(_ -> 1L).toMap,
+        s"gate=$gate: the whole chain must close into entity 1: " +
+          s"${got.toSeq.sortBy(_._1).take(6)}...")
+    }
   }
 
   test("goldenRecord: every tie resolves deterministically; nulls never survive mode/longest") {

@@ -282,30 +282,35 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (1L, good),                                          // 5 sentences — survives exactly
       (2L, good + "\nshort one"),                          // no terminal punct — line dropped, doc survives
-      (3L, good + "\nok."),                                // punct but < 3 words — line dropped
+      (3L, good + "\nok."),                                // punct but < 5 words — line dropped
       (4L, good + "\nplease enable JavaScript to continue."), // javascript line dropped
       (5L, "style { margin: 0 }\n" + good),                // '{' — whole doc dropped
       (6L, "Lorem Ipsum dolor sit amet.\n" + good),        // lorem ipsum — whole doc dropped
       (7L, "only four sentences here.\nanother good line here!\na third fine line stands.\nthe fourth one closes this?"),
-      (8L, "   padded line ends properly.   \n" + good))   // trim before the rules AND in output
+      (8L, "   the padded line ends properly.   \n" + good),   // trim before the rules AND in output
+      (9L, good + "\nshe answered \"these goods were weighed and sealed\"")) // bare end-quote terminal — KEPT
       .toDF("id", "text")
     val out = TextAnalysis.c4Clean(docs, "id", "text")
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 8L),
-      s"doc gates: 5/6 dropped by brace/lorem, 7 by the sentence minimum; got ${out.map(_._1).toSeq}")
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 8L, 9L),
+      s"doc gates: 5/6 dropped by brace/lorem, 7 by the 3-sentence floor " +
+        s"(its two 4-word lines fail the 5-word rule first); got ${out.map(_._1).toSeq}")
     val byId = out.map(o => o._1 -> o).toMap
     assert(byId(1L)._2 == good && byId(1L)._3 == 5L && byId(1L)._4 == 0L)
     assert(byId(2L)._2 == good && byId(2L)._3 == 5L && byId(2L)._4 == 1L,
       "the punct-less line must be dropped and counted")
     assert(byId(3L)._4 == 1L, "a 1-word line is dropped even with terminal punctuation")
     assert(byId(4L)._4 == 1L, "the javascript line is dropped case-insensitively")
-    assert(byId(8L)._2.startsWith("padded line ends properly.\n"),
+    assert(byId(8L)._2.startsWith("the padded line ends properly.\n"),
       "surviving lines are emitted trimmed")
+    assert(byId(9L)._3 == 6L && byId(9L)._4 == 0L &&
+      byId(9L)._2.endsWith("\"these goods were weighed and sealed\""),
+      "the paper treats an end quotation mark itself as terminal")
     // threshold knobs move the gates, not the rules
-    val relaxed = TextAnalysis.c4Clean(docs, "id", "text", minDocSentences = 4)
+    val relaxed = TextAnalysis.c4Clean(docs, "id", "text", minDocSentences = 2)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(relaxed.contains(7L), "a 4-sentence doc passes the relaxed gate")
+    assert(relaxed.contains(7L), "doc 7's two surviving sentences pass the relaxed floor")
     val strictWords = TextAnalysis.c4Clean(docs, "id", "text", minLineWords = 6)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(!strictWords.contains(1L) || strictWords(1L) < 5L,

@@ -85,13 +85,14 @@ class WebOpsSpec extends SparkSpec {
       (3L, "https://sub.other.com/z"),       // survives
       (4L, "http://news.x.org/a"),           // exact host entry — blocked
       (5L, "http://blog.x.org/b"),           // same rd, different host — survives
-      (6L, "https://EXAMPLE.COM/case"))      // case-folded — blocked
+      (6L, "https://EXAMPLE.COM/case"),      // case-folded — blocked
+      (7L, null))                            // no URL — matches no entry, KEPT
       .toDF("id", "url")
     val blocked = Seq("example.com", "news.x.org")
     val kept = WebOps.blockDomains(df, "url", blocked)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(kept == Set(3L, 5L),
-      s"subdomain collapse + exact-host semantics: $kept")
+    assert(kept == Set(3L, 5L, 7L),
+      s"subdomain collapse + exact-host + null-url semantics: $kept")
     // the broadcast anti-join twin is semantics-identical
     val viaJoin = WebOps.blockDomainsJoin(df, "url", blocked.toDF("domain"))
       .select("id").collect().map(_.getLong(0)).toSet

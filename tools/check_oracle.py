@@ -45,10 +45,23 @@ def main(out_dir, sf_dir):
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
         bad = []
+        typebad = []
         for c in g.columns:
             a, b = g[c], w[c]
             try:
-                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                # Type-parity gate: the driver's hasher renders 3 vs 3.0
+                # differently, so an integer Spark column vs a float
+                # oracle column (DuckDB sum(BIGINT) -> HUGEINT -> pandas
+                # float) is a hash failure even when values agree. Catch
+                # it locally: integer-vs-float dtype is a hard FAIL.
+                ai = pd.api.types.is_integer_dtype(a)
+                bi = pd.api.types.is_integer_dtype(b)
+                af = pd.api.types.is_float_dtype(a)
+                bf = pd.api.types.is_float_dtype(b)
+                if (ai and bf) or (af and bi):
+                    typebad.append(f"{c}: spark={a.dtype} oracle={b.dtype}")
+                    continue
+                if af or bf:
                     import numpy as np
                     if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True):
                         bad.append(c)
@@ -57,6 +70,10 @@ def main(out_dir, sf_dir):
                         bad.append(c)
             except Exception as e:
                 bad.append(f"{c}({e})")
+        if typebad:
+            print(f"FAIL {name}: TYPE mismatch (add CAST in oracle): {typebad}")
+            n_fail += 1
+            continue
         if bad:
             print(f"FAIL {name}: value mismatch in {bad}")
             for c in bad[:2]:
