@@ -4713,6 +4713,80 @@ object Inventory {
         WHERE doc_id >= 250
         ORDER BY doc_id, span_no""")),
 
+    Q("q209_span_cut_incremental",
+      (s, dir) =>
+        // q202's CUT surface: the batch (docs >= 250) has its
+        // history-or-earlier-in-batch duplicated spans removed against
+        // the persisted shingle store of docs < 250, history text never
+        // re-read. The oracle rebuilds the cut text from the FULL
+        // corpus detection restricted to batch docs (q199's rebuild
+        // CTEs + q202's side filter; equivalence holds because history
+        // ids precede batch ids).
+        Dedup.removeDuplicateSpansIncremental(
+          t(s, dir, "documents").filter(col("doc_id") >= 250),
+          Dedup.spanHashStore(
+            t(s, dir, "documents").filter(col("doc_id") < 250),
+            "doc_id", "text", w = 8),
+          "doc_id", "text", w = 8)
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        nn AS (
+          SELECT doc_id, t, len(t) - 7 AS ns FROM base WHERE len(t) >= 8),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS pos FROM nn),
+        sh AS (
+          SELECT doc_id, pos,
+            md5(array_to_string(t[pos+1 : pos+8], ' ')) AS h
+          FROM pos),
+        f AS (
+          SELECT h, min(doc_id*1000000 + pos) AS fk, count(*) AS c
+          FROM sh GROUP BY h),
+        dup AS (
+          SELECT s.doc_id, s.pos
+          FROM sh s JOIN f USING (h)
+          WHERE c > 1 AND s.doc_id*1000000 + s.pos <> fk),
+        brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                 THEN 1 ELSE 0 END AS b
+          FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+          FROM brk),
+        sp AS (
+          SELECT doc_id, g, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+          FROM isl GROUP BY doc_id, g),
+        cov AS (
+          SELECT doc_id, unnest(generate_series(start_tok, end_tok)) AS p
+          FROM sp),
+        tok AS (
+          SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+          FROM base),
+        kept AS (
+          SELECT k.doc_id, k.i, k.t[k.i] AS wd
+          FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.i - 1
+          WHERE c.doc_id IS NULL),
+        rebuilt AS (
+          SELECT doc_id, string_agg(wd, ' ' ORDER BY i) AS txt
+          FROM kept GROUP BY doc_id),
+        agg AS (
+          SELECT doc_id, count(*) AS n_spans,
+            CAST(sum(end_tok - start_tok + 1) AS BIGINT) AS n_dup_tokens
+          FROM sp GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(a.n_spans, 0) AS n_spans,
+          coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+          CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(r.txt, '') END
+            AS text_dedup
+        FROM documents d
+        LEFT JOIN agg a ON a.doc_id = d.doc_id
+        LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        WHERE d.doc_id >= 250
+        ORDER BY d.doc_id""")),
+
     Q("q201_kmv_overlap",
       (s, dir) => {
         // sketch-based corpus-overlap monitoring: distinct-5-shingle
@@ -5676,10 +5750,12 @@ object Inventory {
     "q139_pagerank_neardup", "q140_triangles_neardup", "q141_clustering_neardup",
     "q142_weighted_token_sample",
     "q144_substring_dedup", "q145_bm25",
+    "q197_bpe_roundtrip",
     "q199_span_removal", "q200_contamination_spans", "q201_kmv_overlap",
     "q202_span_dedup_incremental", "q203_importance_resample",
     "q204_mix_budget_solver", "q205_gazetteer_redact", "q206_c4_line_filter",
     "q207_domain_blocklist", "q208_domain_cap_incremental",
+    "q209_span_cut_incremental",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
