@@ -1309,7 +1309,7 @@ object FuzzQueries {
     */
   lazy val sqlSurfaceCases: Seq[FuzzCase] = {
     val rng = new scala.util.Random(seed + 16)
-    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 14))
+    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 15))
   }
 
   /** One family-P case (see [[sqlSurfaceCases]]). The SQL text uses
@@ -1456,6 +1456,21 @@ object FuzzQueries {
           () => sum(size(ids(col("text")))),
           () => sum(length(
             graft.functions.GraftModels.resolve("fz_bpe", "bpe_decode")(ids(col("text"))))))
+      case 13 => // mojibake repair: ghost injection must round-trip away
+        val pred = docAtom(rng)
+        // ghost of U+00E9 appended in SQL via chr(); the repair must
+        // shrink each injected pair to one char, so the length sum
+        // pins the whole inverse-map + strict-decode path through both
+        // front ends (text itself is ASCII: repair is the identity on
+        // the base, the delta is exactly one char per injection).
+        doc(pred,
+          "sum(length(fix_mojibake(text || chr(195) || chr(169) || ' x')))",
+          "count(DISTINCT md5(fix_mojibake(chr(226) || chr(8364) || chr(8482) || text)))",
+          () => sum(length(NativeExprs.fixMojibake(
+            concat(col("text"), lit("\u00C3\u00A9"), lit(" x"))))),
+          () => countDistinct(md5(NativeExprs.fixMojibake(
+            concat(lit("\u00E2\u20AC\u2122"), col("text"))))))
+
       case _ => // banded levenshtein: in-cap values exact, -1 ≡ over-cap
         val pred = docAtom(rng)
         val cap = 3 + rng.nextInt(8)

@@ -4787,6 +4787,118 @@ object Inventory {
         WHERE d.doc_id >= 250
         ORDER BY d.doc_id""")),
 
+    Q("q210_fix_mojibake",
+      (s, dir) => {
+        // REPAIR twin of q191's detection (the ftfy fix_encoding core):
+        // ghosts are injected from code points (q191 discipline) in
+        // three arms — a one-generation Latin-1 ghost pair + cp1252
+        // smart-quote triple, a stray-byte+NBSP arm carrying a poison
+        // U+FFFD (un-mappable: must be KEPT without blocking the
+        // repairs beside it — the segment-wise property), and a
+        // TWO-generation double-decode (chr sequence C3 0192 C2 A9)
+        // that must unwind through the one-generation ghost pair to
+        // U+00E9. noise_after re-runs q191's
+        // The oracle replays the repair as the explicit replace-chain
+        // inverse of the injection — the kernel's byte-roundtrip and
+        // the oracle's string algebra must agree on every row.
+        val gA = lit("\u00C3\u00A9")       // ghost pair of U+00E9
+        val gB = lit("\u00E2\u20AC\u2122") // cp1252 ghost of U+2019
+        val gC = lit("\u00C2\u00A0")       // stray byte + NBSP ghost
+        val gD = lit("\u00C3\u0192\u00C2\u00A9") // U+00E9, TWO generations
+        val injected = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" caf"), gA, lit(" it"), gB, lit("s fine"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" A"), gC, lit("B \uFFFD end"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" caf"), gD, lit(" encore"))).otherwise(lit("")))
+        val fixed = org.apache.spark.sql.graft.NativeExprs.fixMojibake(injected)
+        t(s, dir, "documents")
+          .select(col("doc_id"), fixed.as("tf"))
+          .select(
+            col("doc_id"),
+            length(col("tf")).cast("long").as("n_chars_fix"),
+            TextAnalysis.encodingNoiseScore(col("tf")).as("noise_after"),
+            col("tf").as("text_fixed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 = 0
+               THEN ' caf' || chr(195) || chr(169) || ' it'
+                 || chr(226) || chr(8364) || chr(8482) || 's fine'
+               ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+               THEN ' A' || chr(194) || chr(160) || 'B ' || chr(65533) || ' end'
+               ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+               THEN ' caf' || chr(195) || chr(402) || chr(194) || chr(169)
+                 || ' encore'
+               ELSE '' END AS t2
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+            replace(replace(replace(replace(t2,
+              chr(195)||chr(402)||chr(194)||chr(169), chr(233)),
+              chr(195)||chr(169), chr(233)),
+              chr(226)||chr(8364)||chr(8482), chr(8217)),
+              chr(194)||chr(160), chr(160)) AS tf
+          FROM h)
+        SELECT doc_id, CAST(len(tf) AS BIGINT) AS n_chars_fix,
+          CASE WHEN len(tf) = 0 THEN 0.0
+               ELSE round((len(string_split_regex(tf,
+                 '(\x{00C3}[\x{0080}-\x{00BF}])|(\x{00E2}\x{20AC})|(\x{00C2}[\x{0020}\x{00A0}])|(\x{FFFD})'
+               )) - 1) * 1000.0 / len(tf), 4) END AS noise_after,
+          tf AS text_fixed
+        FROM r ORDER BY doc_id""")),
+
+    Q("q211_countmin_freq",
+      (s, dir) => {
+        // Count-Min frequency estimation at production parameters
+        // (depth 4 × width 2048) over lineitem part keys: one pass
+        // builds the mergeable grid, then the top-20 exact heavy
+        // hitters are probed DECLARATIVELY (md5/conv/element_at — the
+        // estimate never leaves codegen). The md5-prefix cell
+        // discipline makes the ENTIRE grid and every estimate
+        // replayable arithmetic — a sketch with a FULL hash oracle,
+        // like q201's KMV and unlike seeded-hash q25/q118. The exact
+        // column rides along so the one-sided guarantee
+        // (n_est >= n_exact) is visible in the checked output itself.
+        val items = t(s, dir, "lineitem")
+          .select(col("l_partkey").cast("string").as("item"))
+        val sk = items.agg(
+          graft.functions.CountMin.sketch(col("item"), 4, 2048).as("sk"))
+        val top = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("item")).limit(20)
+        top.crossJoin(broadcast(sk))
+          .select(col("item"), col("n_exact"),
+            graft.functions.CountMin.estimate(col("sk"), col("item"), 4, 2048)
+              .as("n_est"))
+          .orderBy(col("n_exact").desc, col("item"))
+      },
+      Some("""WITH items AS (
+          SELECT CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+        js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        grid AS (
+          SELECT j,
+            CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || item), 1, 8))
+              AS BIGINT) % 2048 AS cell,
+            CAST(count(*) AS BIGINT) AS c
+          FROM items CROSS JOIN js GROUP BY j, cell),
+        top AS (
+          SELECT item, CAST(count(*) AS BIGINT) AS n_exact
+          FROM items GROUP BY item ORDER BY n_exact DESC, item LIMIT 20),
+        probe AS (
+          SELECT t.item, t.n_exact, j.j,
+            CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || t.item), 1, 8))
+              AS BIGINT) % 2048 AS cell
+          FROM top t CROSS JOIN js j)
+        SELECT p.item, p.n_exact, CAST(min(coalesce(g.c, 0)) AS BIGINT) AS n_est
+        FROM probe p LEFT JOIN grid g ON g.j = p.j AND g.cell = p.cell
+        GROUP BY p.item, p.n_exact
+        ORDER BY n_exact DESC, item""")),
+
     Q("q201_kmv_overlap",
       (s, dir) => {
         // sketch-based corpus-overlap monitoring: distinct-5-shingle
@@ -5755,7 +5867,7 @@ object Inventory {
     "q202_span_dedup_incremental", "q203_importance_resample",
     "q204_mix_budget_solver", "q205_gazetteer_redact", "q206_c4_line_filter",
     "q207_domain_blocklist", "q208_domain_cap_incremental",
-    "q209_span_cut_incremental",
+    "q209_span_cut_incremental", "q210_fix_mojibake", "q211_countmin_freq",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

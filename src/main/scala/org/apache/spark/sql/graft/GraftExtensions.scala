@@ -133,6 +133,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"bottom_k expects (col, k), got ${args.length} args")
       })
 
+    register(ext, "cms_sketch",
+      "cms_sketch(col, depth, width) - Count-Min sketch of a STRING column as a " +
+        "flat depth*width LONG grid (row j cell = md5(j||':'||item) first-32-bits % width; " +
+        "estimate = min over rows, one-sided error <= eps*n)", {
+        case Seq(child, dExpr, wExpr) =>
+          val d = intArg(dExpr, "depth")
+          val w = intArg(wExpr, "width")
+          val uda = org.apache.spark.sql.functions.udaf(new graft.functions.CountMin(d, w))
+            .asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[String, Array[Long], Array[Long]]]
+          org.apache.spark.sql.execution.aggregate.ScalaAggregator(uda, Seq(child))
+            .toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"cms_sketch expects (col, depth, width), got ${args.length} args")
+      })
+
     // Column-composition operators exposed to SQL through the
     // Column↔Expression bridge: the SQL surface gets exactly the same
     // expression tree the Scala API builds (regexp chains, HOF chunking
@@ -296,6 +311,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => UnicodeNormalizeExpr(text, 0)
         case args => throw new IllegalArgumentException(
           s"unicode_normalize expects (text[, form]), got ${args.length} args")
+      })
+
+    register(ext, "fix_mojibake",
+      "fix_mojibake(text) - repair UTF-8-decoded-as-cp1252 ghost runs " +
+        "(segment-wise inverse-map + strict re-decode; ASCII untouched)", {
+        case Seq(text) => FixMojibakeExpr(text)
+        case args => throw new IllegalArgumentException(
+          s"fix_mojibake expects (text), got ${args.length} args")
       })
 
     // ---------------------------------------------------- named models

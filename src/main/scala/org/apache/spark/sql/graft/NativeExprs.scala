@@ -461,6 +461,30 @@ case class UnicodeNormalizeExpr(child: Expression, form: Int)
     copy(child = newChild)
 }
 
+/** Mojibake repair (graft.functions.MojibakeRepair): segment-wise
+  * cp1252-inverse → strict-UTF-8 re-decode of maximal non-ASCII runs —
+  * the fix half of the q191 encoding-noise gate. ASCII input returns
+  * the same buffer (scan-only fast path), genuine accented text
+  * survives (its bytes are not valid UTF-8), and un-mappable runs
+  * (U+FFFD, CJK) never block repairing their neighbors.
+  */
+case class FixMojibakeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_mojibake"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.MojibakeRepair.repair(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MojibakeRepair.repair($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibakeExpr =
+    copy(child = newChild)
+}
+
 /** Repetition ratio (1 − distinct/total word n-grams) in one pass
   * (graft.functions.RepetitionRatio.ratio) — replaces an interpreted
   * transform(sequence…)→array_join→array_distinct chain that allocates a
@@ -697,6 +721,10 @@ object NativeExprs {
     require(idx >= 0, s"unknown normalization form '$form' (NFC/NFD/NFKC/NFKD)")
     ExpressionUtils.column(UnicodeNormalizeExpr(ExpressionUtils.expression(text), idx))
   }
+
+  /** Column-level entry for FixMojibakeExpr. */
+  def fixMojibake(text: Column): Column =
+    ExpressionUtils.column(FixMojibakeExpr(ExpressionUtils.expression(text)))
 
   /** Column-level entry for PHashExpr. */
   def phash(imageBytes: Column): Column =
