@@ -308,6 +308,142 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Deterministic STRUCTURED WAV: 64 constant-amplitude segments of
+      * 200 samples each (8 kHz 8-bit unsigned mono, 1.6 s), segment
+      * amplitude/frequency a seeded xorshift walk — the audio analogue
+      * of [[ImageCodec.makeStructuredPng]]. [[makeWav]]'s constant-
+      * amplitude sine makes every frame energy equal, so any
+      * energy-delta fingerprint degenerates on it; the segment walk
+      * gives each seed a distinctive energy CONTOUR for near-dup
+      * fixtures.
+      */
+    def makeStructuredWav(seed: Long): Array[Byte] = {
+      val rate = 8000; val segLen = 200; val nSeg = 64
+      val data = new Array[Byte](segLen * nSeg)
+      var x = seed * 0x9E3779B97F4A7C15L + 1
+      var s = 0
+      while (s < nSeg) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        val amp = 20 + math.floorMod(x, 81).toInt // 20..100
+        val freq = 200.0 + math.floorMod(x >> 8, 700).toInt
+        var i = 0
+        while (i < segLen) {
+          val t = s * segLen + i
+          data(t) = (128 + amp * math.sin(2 * math.Pi * freq * t / rate)).toByte
+          i += 1
+        }
+        s += 1
+      }
+      val fmt = new AudioFormat(rate.toFloat, 8, 1, false, false)
+      val out = new ByteArrayOutputStream()
+      val stream = new AudioInputStream(new ByteArrayInputStream(data), fmt, data.length.toLong)
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Deterministic volume jitter of a decodable 8-bit mono WAV: every
+      * sample's deviation from the 128 midpoint scales by num/den and
+      * the stream re-encodes — most BYTES change while the energy
+      * ORDER across frames doesn't (uniform gain), the audio twin of
+      * [[ImageCodec.jitterPng]]'s "same content, different bytes"
+      * fixture. Truncation noise may flip near-tie fingerprint bits
+      * only.
+      */
+    def jitterWavGain(bytes: Array[Byte], num: Int = 7, den: Int = 8): Array[Byte] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          "jitterWavGain expects 8-bit mono (the fixture generators' format)")
+        val raw = readAll(in)
+        var i = 0
+        while (i < raw.length) {
+          val d = (raw(i) & 0xff) - 128
+          raw(i) = (128 + d * num / den).toByte
+          i += 1
+        }
+        val out = new ByteArrayOutputStream()
+        val st = new AudioInputStream(new ByteArrayInputStream(raw), fmt, raw.length.toLong)
+        AudioSystem.write(st, AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      } finally in.close()
+    }
+
+    private def readAll(in: AudioInputStream): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }
+
+    /** 64-bit audio fingerprint (Haitsma–Kalker sign-of-energy-delta,
+      * collapsed to one band): decode → channel-averaged sample
+      * magnitudes → 64 equal frames → mean |deviation from silence|
+      * per frame → bit i set when e(i) > e((i+1) mod 64). Comparing
+      * ADJACENT frame energies makes the hash invariant to uniform
+      * gain (every energy scales by the same factor, preserving
+      * order) — the audio analogue of pHash's median rule: a
+      * volume-jittered re-encode moves only near-tie bits, an
+      * unrelated clip ~half of them. Fixed-order double arithmetic on
+      * deterministic samples ⇒ a pure function of the decoded audio.
+      * None for undecodable bytes, unsupported sample widths, or
+      * clips too short to frame (< 128 samples).
+      */
+    def aHash(bytes: Array[Byte]): Option[Long] =
+      if (bytes == null || bytes.length == 0) None
+      else
+        try {
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val ch = fmt.getChannels
+            if (bits != 8 && bits != 16) None
+            else {
+              val raw = readAll(in)
+              val bps = bits / 8
+              val n = raw.length / (bps * ch)
+              if (n < 128) None
+              else {
+                val e = new Array[Double](64)
+                val cnt = new Array[Long](64)
+                var i = 0
+                while (i < n) {
+                  var s = 0.0
+                  var c = 0
+                  while (c < ch) {
+                    val off = (i * ch + c) * bps
+                    val v =
+                      if (bits == 8) {
+                        if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+                          (raw(off) & 0xff) - 128.0
+                        else raw(off).toDouble
+                      } else if (fmt.isBigEndian)
+                        ((raw(off).toInt << 8) | (raw(off + 1) & 0xff)).toDouble
+                      else
+                        ((raw(off + 1).toInt << 8) | (raw(off) & 0xff)).toDouble
+                    s += math.abs(v)
+                    c += 1
+                  }
+                  val f = (i.toLong * 64 / n).toInt
+                  e(f) += s / ch
+                  cnt(f) += 1
+                  i += 1
+                }
+                var h = 0L
+                var f = 0
+                while (f < 64) {
+                  val g = (f + 1) % 64
+                  if (e(f) / cnt(f) > e(g) / cnt(g)) h |= (1L << f)
+                  f += 1
+                }
+                Some(h)
+              }
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+
     /** Real feature extraction from samples: dim-bucket amplitude
       * histogram over the decoded 8-bit stream, L1-normalized. Swap for
       * a spectral embedding in production.
@@ -489,44 +625,64 @@ object Multimodal {
       .toDF("asset_id", "phash")
   }
 
-  /** Near-duplicate IMAGES by pHash hamming distance — the visual twin
-    * of SimHash text dedup, reusing its pigeonhole banding: the 64-bit
-    * hash splits into `nBands` equal chunks, and any pair within
-    * hamming ≤ nBands−1 must agree on at least one chunk verbatim, so
-    * candidates come from an EQUI-join on (band, chunk) — the shuffle
-    * carries (id, phash) only, never pixels — and exact
+  /** Pigeonhole-banded Hamming pairs over ANY 64-bit perceptual hash —
+    * the shared physical shape of image (pHash) and audio (aHash)
+    * near-dup, reusing SimHash text dedup's banding: the 64-bit hash
+    * splits into `nBands` equal chunks, and any pair within hamming ≤
+    * nBands−1 must agree on at least one chunk verbatim, so candidates
+    * come from an EQUI-join on (band, chunk) — the shuffle carries
+    * (id, hash) only, never pixels or samples — and exact
     * bit_count(XOR) verifies. Recall is 1.0 for maxHamming ≤ nBands−1
     * (enforced); more bands raise the bound but shrink chunk width
     * (16-bit chunks at 4 bands keep bucket cardinality high — prefer
-    * that at corpus scale).
+    * that at corpus scale). Input is (asset_id, h64[, is_batch]); with
+    * `incremental` the output keeps only pairs TOUCHING a batch row.
     */
-  def imageNearDups(
-      spark: SparkSession,
-      assets: DataFrame,
-      maxHamming: Int = 3,
-      nBands: Int = 4): DataFrame = {
+  private def bandedHamming64(
+      hashed: DataFrame,
+      maxHamming: Int,
+      nBands: Int,
+      incremental: Boolean): DataFrame = {
     require(64 % nBands == 0, "nBands must divide 64")
     require(maxHamming <= nBands - 1,
       s"pigeonhole guarantee needs maxHamming <= ${nBands - 1} for $nBands bands " +
         "(a pair differing in b bits can corrupt at most b chunks)")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val ph = imagePHashes(spark, assets)
-    val banded = ph.select(
-      col("asset_id"), col("phash"),
-      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("chunk", expr(s"shiftright(phash, band * $width) & ${mask}L"))
-    val a = banded.select(col("band"), col("chunk"),
-      col("asset_id").as("id_a"), col("phash").as("ph_a"))
-    val b = banded.select(col("band"), col("chunk"),
-      col("asset_id").as("id_b"), col("phash").as("ph_b"))
-    a.join(b, Seq("band", "chunk"))
+    val banded = hashed
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("chunk", expr(s"shiftright(h64, band * $width) & ${mask}L"))
+    def side(sfx: String) = {
+      val base = banded.select(
+        (Seq(col("band"), col("chunk"),
+          col("asset_id").as(s"id_$sfx"), col("h64").as(s"h_$sfx")) ++
+          (if (incremental) Seq(col("is_batch").as(s"b_$sfx")) else Nil)): _*)
+      base
+    }
+    val joined = side("a").join(side("b"), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ph_a", "ph_b").distinct()
-      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+    val scoped =
+      if (incremental) joined.filter(col("b_a") === 1 || col("b_b") === 1)
+      else joined
+    scoped
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Near-duplicate IMAGES by pHash hamming distance — the visual twin
+    * of SimHash text dedup; see [[bandedHamming64]] for the banding
+    * argument (the shuffle carries (id, phash) only, never pixels).
+    */
+  def imageNearDups(
+      spark: SparkSession,
+      assets: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame =
+    bandedHamming64(
+      imagePHashes(spark, assets).select(col("asset_id"), col("phash").as("h64")),
+      maxHamming, nBands, incremental = false)
 
   /** Incremental visual near-dup: pair a NEW batch of images against a
     * persisted pHash store without re-decoding history — the daily
@@ -544,31 +700,74 @@ object Multimodal {
       batchAssets: DataFrame,
       store: DataFrame,
       maxHamming: Int = 3,
-      nBands: Int = 4): DataFrame = {
-    require(64 % nBands == 0, "nBands must divide 64")
-    require(maxHamming <= nBands - 1,
-      s"pigeonhole guarantee needs maxHamming <= ${nBands - 1} for $nBands bands")
-    val width = 64 / nBands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val all = imagePHashes(spark, batchAssets).withColumn("is_batch", lit(1))
-      .unionByName(store.select(col("asset_id").cast("long"),
-        col("phash").cast("long")).withColumn("is_batch", lit(0)))
-    val banded = all.select(
-      col("asset_id"), col("phash"), col("is_batch"),
-      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("chunk", expr(s"shiftright(phash, band * $width) & ${mask}L"))
-    val a = banded.select(col("band"), col("chunk"),
-      col("asset_id").as("id_a"), col("phash").as("ph_a"), col("is_batch").as("ba"))
-    val b = banded.select(col("band"), col("chunk"),
-      col("asset_id").as("id_b"), col("phash").as("ph_b"), col("is_batch").as("bb"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("ba") === 1 || col("bb") === 1) // touching the batch
-      .select("id_a", "id_b", "ph_a", "ph_b").distinct()
-      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      nBands: Int = 4): DataFrame =
+    bandedHamming64(
+      imagePHashes(spark, batchAssets)
+        .select(col("asset_id"), col("phash").as("h64")).withColumn("is_batch", lit(1))
+        .unionByName(store.select(col("asset_id").cast("long"),
+          col("phash").cast("long").as("h64")).withColumn("is_batch", lit(0))),
+      maxHamming, nBands, incremental = true)
+
+  /** Per-clip audio fingerprints: (asset_id, ahash) for every
+    * JDK-decodable audio row ([[AudioCodec.aHash]]); non-audio and
+    * undecodable rows drop out. Batch-at-a-time decode like
+    * [[imagePHashes]] — the acoustic half of the perceptual-hash
+    * surface.
+    */
+  def audioFingerprints(spark: SparkSession, assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets
+      .select(
+        col("asset_id").cast("long"),
+        col("modality").cast("string"),
+        col("content").cast("binary"),
+        col("source").cast("string"),
+        col("mime").cast("string"))
+      .as[Asset]
+      .mapPartitions { batch =>
+        batch.flatMap { a =>
+          if (a.modality == "audio") AudioCodec.aHash(a.content).map(h => (a.asset_id, h))
+          else None
+        }
+      }
+      .toDF("asset_id", "ahash")
   }
+
+  /** Near-duplicate AUDIO by fingerprint hamming distance — the
+    * acoustic twin of [[imageNearDups]]: gain-jittered re-encodes land
+    * within a few bits of their original while unrelated clips differ
+    * in ~32; same pigeonhole banding, the shuffle carries (id, ahash)
+    * only, never samples.
+    */
+  def audioNearDups(
+      spark: SparkSession,
+      assets: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame =
+    bandedHamming64(
+      audioFingerprints(spark, assets).select(col("asset_id"), col("ahash").as("h64")),
+      maxHamming, nBands, incremental = false)
+
+  /** Incremental acoustic near-dup against a persisted (asset_id,
+    * ahash) store — the daily shape of [[audioNearDups]], mirroring
+    * [[imageNearDupsIncremental]]: batch clips are decoded once, the
+    * store joins at 16 bytes/row while the samples stay cold, and only
+    * pairs touching the batch emit (history-internal pairs were a
+    * previous run's output). Append the batch's fingerprints to the
+    * store after each run.
+    */
+  def audioNearDupsIncremental(
+      spark: SparkSession,
+      batchAssets: DataFrame,
+      store: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame =
+    bandedHamming64(
+      audioFingerprints(spark, batchAssets)
+        .select(col("asset_id"), col("ahash").as("h64")).withColumn("is_batch", lit(1))
+        .unionByName(store.select(col("asset_id").cast("long"),
+          col("ahash").cast("long").as("h64")).withColumn("is_batch", lit(0))),
+      maxHamming, nBands, incremental = true)
 
   /** Frame sampling plan for video assets: every `everyMs` milliseconds,
     * capped at `maxFrames` — returns (asset_id, frame_idx, ts_ms) rows.

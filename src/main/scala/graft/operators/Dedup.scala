@@ -641,6 +641,44 @@ object Dedup {
     (withSig, pairIds)
   }
 
+  /** Band/row auto-tuning for the MinHash banding (Leskovec–Rajaraman–
+    * Ullman, "Mining of Massive Datasets" ch. 3.4): among divisor
+    * pairs b·r = k, pick the banding whose S-curve
+    * P(s) = 1 − (1 − s^r)^b minimizes the weighted error integral
+    * fpWeight·∫₀ᵗ P(s) ds + fnWeight·∫ₜ¹ (1 − P(s)) ds — false
+    * positives cost verification work, false negatives cost recall;
+    * equal weights by default (raise fnWeight when dedup misses are
+    * worse than wasted verify joins, the usual 100 TB posture).
+    * Driver-side algebra over the ≤ d(k) divisor candidates, midpoint
+    * integration at 1e-3; deterministic (ties break to the smallest
+    * band count — the cheaper join). Pass the result's bands into
+    * [[minHashNearDups]].
+    */
+  def lshParamsFor(
+      threshold: Double,
+      k: Int = 128,
+      fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(k >= 2, s"signature length must be >= 2, got $k")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "error weights must be non-negative and not both zero")
+    def err(b: Int, r: Int): Double = {
+      val step = 0.001
+      var fp = 0.0; var fn = 0.0
+      var s = step / 2 // midpoint rule
+      while (s < 1.0) {
+        val pCollide = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += pCollide * step
+        else fn += (1.0 - pCollide) * step
+        s += step
+      }
+      fpWeight * fp + fnWeight * fn
+    }
+    (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      .minBy { case (b, r) => err(b, r) }
+  }
+
   /** Near-duplicate PAIRS via MinHash LSH.
     *
     * @param df        input
@@ -648,7 +686,8 @@ object Dedup {
     * @param textCol   text column
     * @param k         signature length
     * @param bands     LSH bands (rows-per-band = k/bands); more bands →
-    *                  higher recall, more candidates
+    *                  higher recall, more candidates. [[lshParamsFor]]
+    *                  sizes this from the target Jaccard threshold.
     * @param threshold exact-Jaccard verification threshold on shingle sets
     * @param maxBucket candidate-bucket size cap: band buckets larger than
     *                  this are dropped from candidate generation. This

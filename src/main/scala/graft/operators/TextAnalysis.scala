@@ -1148,6 +1148,34 @@ object TextAnalysis {
       .filter(col("n_grams") >= 1)
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): score every document with the corpus's
+    * own char-ngram LM ([[selfPerplexity]]), then split EACH LANGUAGE
+    * into head/middle/tail score terciles — head is the
+    * least-perplexing third (highest avg_logp), the slice CCNet keeps
+    * for LM training. Cuts are DISCRETE per-language percentiles
+    * (Outliers.quantileBin discipline): boundaries are actual data
+    * values, ties share a bucket, and assignment is a bounded
+    * aggregate broadcast back into a map-only compare — no rank/ntile
+    * window, which would funnel each language through one reducer at
+    * corpus scale and split tied scores nondeterministically.
+    */
+  def ccnetBuckets(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      nBuckets: Int = 3): DataFrame = {
+    val scored = selfPerplexity(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    graft.quality.Outliers.quantileBin(scored, "avg_logp", Seq(langCol), nBuckets)
+      .withColumn("bucket",
+        when(col("avg_logp_bin") === nBuckets, lit("head"))
+          .when(col("avg_logp_bin") === 1, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col(idCol), col(langCol), col("n_grams"), col("avg_logp"), col("bucket"))
+  }
+
   /** Per-row LM scorer with the model BROADCAST into a native
     * expression — value-identical to [[ngramLogProbScore]]'s avg_logp
     * (parity spec-pinned) but map-only and shuffle-free, so it gates

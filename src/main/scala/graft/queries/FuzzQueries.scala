@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
   * the cast/widening/ordering divergence class that hand-written queries
   * catch one at a time.
   *
-  * A seeded generator produces 340 query cases over `orders`/`lineitem`/`documents`
+  * A seeded generator produces 344 query cases over `orders`/`lineitem`/`documents`
   * spanning (projection, predicate, group-by, having, order+limit,
   * inner/left joins, window functions, rollup/cube/grouping-sets,
   * date/interval arithmetic, NULL semantics, string functions over
@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.DecimalType
   * schema `(fq STRING, n_rows BIGINT, agg DOUBLE, aux BIGINT)`:
   * `agg` flows through an exact DECIMAL sum then a final DOUBLE cast
   * (order-independent, bit-identical in both engines — the house rule
-  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 340
+  * from SURVEY.md §5), `aux` is an exact integer aggregate. The 344
   * summaries are UNION ALL'd into fifteen declared bundles (by family)
   * whose DuckDB oracle is the SAME generated SQL — so the driver's
   * correctness gate hash-compares all 300 against DuckDB, while
@@ -57,7 +57,7 @@ object FuzzQueries {
   val nLateral = 20
   val nFilter = 20
   val nFrame = 20
-  val nSurface = 28
+  val nSurface = 32
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -1309,7 +1309,7 @@ object FuzzQueries {
     */
   lazy val sqlSurfaceCases: Seq[FuzzCase] = {
     val rng = new scala.util.Random(seed + 16)
-    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 15))
+    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 16))
   }
 
   /** One family-P case (see [[sqlSurfaceCases]]). The SQL text uses
@@ -1470,6 +1470,16 @@ object FuzzQueries {
             concat(col("text"), lit("\u00C3\u00A9"), lit(" x"))))),
           () => countDistinct(md5(NativeExprs.fixMojibake(
             concat(lit("\u00E2\u20AC\u2122"), col("text"))))))
+
+      case 14 => // script profile: struct-field access through both front ends
+        val pred = docAtom(rng)
+        doc(pred,
+          "sum(script_profile(text).n_latin + script_profile(text).n_space)",
+          "max(script_profile(text).n_digit * 10 + script_profile(text).n_other)",
+          () => sum(NativeExprs.scriptProfile(col("text")).getField("n_latin") +
+            NativeExprs.scriptProfile(col("text")).getField("n_space")),
+          () => max(NativeExprs.scriptProfile(col("text")).getField("n_digit") * 10 +
+            NativeExprs.scriptProfile(col("text")).getField("n_other")))
 
       case _ => // banded levenshtein: in-cap values exact, -1 ≡ over-cap
         val pred = docAtom(rng)

@@ -2825,6 +2825,165 @@ object Inventory {
       },
       None),
 
+    Q("q212_audio_neardup",
+      (s, dir) => {
+        // acoustic near-dup detection: deterministic structured WAVs
+        // seeded by doc_id, plus gain-jittered re-encoded twins of the
+        // first ten — the twins' BYTES mostly differ (every sample
+        // rescaled) while the frame-energy CONTOUR doesn't, so only
+        // the sign-of-energy-delta fingerprint can pair them. The
+        // audio twin of q163: rows-only by necessity — the aHash is
+        // computed from DECODED SAMPLES (javax.sound), which no SQL
+        // engine can replay; determinism, gain invariance, banding
+        // recall, and false-positive absence are pinned in
+        // MultimodalSpec.
+        import s.implicits._
+        val ids = t(s, dir, "documents").select(col("doc_id"))
+          .orderBy("doc_id").limit(30).as[Long]
+        val base = ids.map(id => (id, "audio",
+          graft.multimodal.Multimodal.AudioCodec.makeStructuredWav(id * 13 + 1),
+          "synthetic", "audio/wav"))
+        val twins = ids.filter(_ < 10).map(id => (1000L + id, "audio",
+          graft.multimodal.Multimodal.AudioCodec.jitterWavGain(
+            graft.multimodal.Multimodal.AudioCodec.makeStructuredWav(id * 13 + 1)),
+          "synthetic", "audio/wav"))
+        val assets = base.union(twins)
+          .toDF("asset_id", "modality", "content", "source", "mime")
+        graft.multimodal.Multimodal.audioNearDups(s, assets, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    Q("q213_script_profile",
+      (s, dir) => {
+        // writing-system routing: one-pass Unicode-script counters +
+        // dominant class — the cheap first gate a multilingual corpus
+        // routes on before any model runs. Multi-script runs are
+        // injected from code points (q191/q210 discipline) so every
+        // counter fires; the oracle replays each class as an RE2
+        // \p{Script} count (Java Character.UnicodeScript and RE2 both
+        // implement the Unicode Script property) and derives n_other
+        // from the code-point total. The dominant CASE checks classes
+        // in one fixed order in both engines, so ties break
+        // identically.
+        val cyr = lit("\u043F\u0440\u0438\u0432\u0435\u0442") // privet
+        val grk = lit("\u03B1\u03B8\u03B7\u03BD\u03B1")             // athina
+        val cjk = lit("\u6F22\u5B57\u304B\u30CA\uD55C")             // han/kana/katakana/hangul
+        val ara = lit("\u0645\u0631\u062D\u0628\u0627 \u0663\u0664") // marhaba + arabic-indic digits
+        val injected = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(lit(" "), cyr)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" "), grk, lit(" "), cjk)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(lit(" "), ara)).otherwise(lit("")))
+        val m = greatest(col("n_latin"), col("n_cyrillic"), col("n_greek"),
+          col("n_arabic"), col("n_cjk"), col("n_digit"), col("n_space"), col("n_other"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            org.apache.spark.sql.graft.NativeExprs.scriptProfile(injected).as("p"))
+          .select(col("doc_id"), col("p.*"))
+          .withColumn("dominant",
+            when(col("n_latin") === m, lit("latin"))
+              .when(col("n_cyrillic") === m, lit("cyrillic"))
+              .when(col("n_greek") === m, lit("greek"))
+              .when(col("n_arabic") === m, lit("arabic"))
+              .when(col("n_cjk") === m, lit("cjk"))
+              .when(col("n_digit") === m, lit("digit"))
+              .when(col("n_space") === m, lit("space"))
+              .otherwise(lit("other")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(1087) || chr(1088)
+                 || chr(1080) || chr(1074) || chr(1077) || chr(1090) ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(945) || chr(952)
+                 || chr(951) || chr(957) || chr(945) || ' ' || chr(28450)
+                 || chr(23383) || chr(12363) || chr(12490) || chr(54620) ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(1605) || chr(1585)
+                 || chr(1581) || chr(1576) || chr(1575) || ' ' || chr(1635)
+                 || chr(1636) ELSE '' END AS t2
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t2, '\p{Latin}')) AS BIGINT) AS n_latin,
+            CAST(len(regexp_extract_all(t2, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+            CAST(len(regexp_extract_all(t2, '\p{Greek}')) AS BIGINT) AS n_greek,
+            CAST(len(regexp_extract_all(t2, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+            CAST(len(regexp_extract_all(t2,
+              '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS BIGINT) AS n_cjk,
+            CAST(len(regexp_extract_all(t2, '[0-9]')) AS BIGINT) AS n_digit,
+            CAST(len(regexp_extract_all(t2, '[ \t\n\f\r]')) AS BIGINT) AS n_space,
+            CAST(len(t2) AS BIGINT) AS n_total
+          FROM h),
+        c2 AS (
+          SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+            n_digit, n_space,
+            n_total - n_latin - n_cyrillic - n_greek - n_arabic - n_cjk
+              - n_digit - n_space AS n_other
+          FROM c),
+        c3 AS (
+          SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+            n_digit, n_space, n_other) AS m
+          FROM c2)
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+          n_digit, n_space, n_other,
+          CASE WHEN n_latin = m THEN 'latin'
+               WHEN n_cyrillic = m THEN 'cyrillic'
+               WHEN n_greek = m THEN 'greek'
+               WHEN n_arabic = m THEN 'arabic'
+               WHEN n_cjk = m THEN 'cjk'
+               WHEN n_digit = m THEN 'digit'
+               WHEN n_space = m THEN 'space'
+               ELSE 'other' END AS dominant
+        FROM c3 ORDER BY doc_id""")),
+
+    Q("q214_ccnet_buckets",
+      (s, dir) =>
+        // CCNet head/middle/tail bucketing (Wenzek et al. 1911.00359):
+        // q153's self-perplexity score, cut into per-LANGUAGE terciles
+        // on DISCRETE percentile boundaries (q135's quantileBin
+        // discipline — actual data values, ties share a bucket, no
+        // ntile window). head = least-perplexing third. The oracle
+        // replays the LM score through q153's CTEs, the cuts through
+        // percentile_disc, and the same fixed-order bucket CASE.
+        TextAnalysis.ccnetBuckets(t(s, dir, "documents"))
+          .orderBy("doc_id"),
+      Some("""WITH norm AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        g AS (
+          SELECT doc_id,
+            unnest([substr(t, i, 3) for i in range(1, greatest(len(t) - 1, 1))]) AS gram
+          FROM norm WHERE len(t) >= 3),
+        model AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+        tot AS (SELECT sum(cnt) AS total FROM model),
+        lp AS (
+          SELECT doc_id,
+            CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS lp
+          FROM g JOIN model USING (gram) CROSS JOIN tot),
+        sc AS (
+          SELECT doc_id, count(*) AS n_grams,
+            round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+          FROM lp GROUP BY doc_id),
+        scl AS (
+          SELECT s.doc_id, d.lang, CAST(s.n_grams AS BIGINT) AS n_grams, s.avg_logp
+          FROM sc s JOIN documents d USING (doc_id)),
+        b AS (
+          SELECT lang,
+            percentile_disc(CAST(1 AS DOUBLE)/3) WITHIN GROUP (ORDER BY avg_logp) AS q1,
+            percentile_disc(CAST(2 AS DOUBLE)/3) WITHIN GROUP (ORDER BY avg_logp) AS q2
+          FROM scl GROUP BY lang),
+        a AS (
+          SELECT scl.doc_id, scl.lang, scl.n_grams, scl.avg_logp,
+            1 + (CASE WHEN scl.avg_logp > b.q1 THEN 1 ELSE 0 END)
+              + (CASE WHEN scl.avg_logp > b.q2 THEN 1 ELSE 0 END) AS bin
+          FROM scl JOIN b USING (lang))
+        SELECT doc_id, lang, n_grams, avg_logp,
+          CASE WHEN bin = 3 THEN 'head' WHEN bin = 1 THEN 'tail'
+               ELSE 'middle' END AS bucket
+        FROM a ORDER BY doc_id""")),
+
     Q("q164_semantic_dedup",
       (s, dir) => {
         // SemDeDup-style semantic dedup: the k-means partition is the
@@ -5868,6 +6027,7 @@ object Inventory {
     "q204_mix_budget_solver", "q205_gazetteer_redact", "q206_c4_line_filter",
     "q207_domain_blocklist", "q208_domain_cap_incremental",
     "q209_span_cut_incremental", "q210_fix_mojibake", "q211_countmin_freq",
+    "q212_audio_neardup", "q213_script_profile", "q214_ccnet_buckets",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -313,6 +313,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"unicode_normalize expects (text[, form]), got ${args.length} args")
       })
 
+    register(ext, "script_profile",
+      "script_profile(text) - one-pass Unicode-script counters " +
+        "(latin/cyrillic/greek/arabic/cjk/digit/space/other; disjoint, " +
+        "sum to code-point length) as a struct", {
+        case Seq(text) => ScriptProfileExpr(text)
+        case args => throw new IllegalArgumentException(
+          s"script_profile expects (text), got ${args.length} args")
+      })
+
     register(ext, "fix_mojibake",
       "fix_mojibake(text) - repair UTF-8-decoded-as-cp1252 ghost runs " +
         "(segment-wise inverse-map + strict re-decode; ASCII untouched)", {

@@ -234,6 +234,41 @@ object GopherSignalsExpr {
     StructField("dup5_chars", LongType, nullable = false)))
 }
 
+/** Unicode-script profile in one code-point pass
+  * (graft.functions.ScriptProfile.profile) — disjoint per-script
+  * counters summing to the code-point length; dominant-script and
+  * fraction columns derive in Column arithmetic so the DuckDB oracle
+  * replays them from RE2 `\p{Script}` counts exactly.
+  */
+case class ScriptProfileExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ScriptProfileExpr.schema
+  override def prettyName: String = "script_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.ScriptProfile.profile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScriptProfile.profile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptProfileExpr =
+    copy(child = newChild)
+}
+
+object ScriptProfileExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_latin", LongType, nullable = false),
+    StructField("n_cyrillic", LongType, nullable = false),
+    StructField("n_greek", LongType, nullable = false),
+    StructField("n_arabic", LongType, nullable = false),
+    StructField("n_cjk", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_space", LongType, nullable = false),
+    StructField("n_other", LongType, nullable = false)))
+}
+
 /** Common type handling for binary vector expressions over
   * array<float|double> children with double output.
   */
@@ -725,6 +760,10 @@ object NativeExprs {
   /** Column-level entry for FixMojibakeExpr. */
   def fixMojibake(text: Column): Column =
     ExpressionUtils.column(FixMojibakeExpr(ExpressionUtils.expression(text)))
+
+  /** Column-level entry for ScriptProfileExpr. */
+  def scriptProfile(text: Column): Column =
+    ExpressionUtils.column(ScriptProfileExpr(ExpressionUtils.expression(text)))
 
   /** Column-level entry for PHashExpr. */
   def phash(imageBytes: Column): Column =

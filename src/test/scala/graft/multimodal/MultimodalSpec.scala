@@ -213,6 +213,51 @@ class MultimodalSpec extends SparkSpec {
     assert(incr.forall { case (x, y) => !(historyIds(x) && historyIds(y)) })
   }
 
+  test("aHash: deterministic, gain-invariant to jitter, far across clips, degenerate-safe") {
+    val A = Multimodal.AudioCodec
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h1 = A.aHash(A.makeStructuredWav(7)).get
+    assert(h1 == A.aHash(A.makeStructuredWav(7)).get, "not deterministic")
+    // volume jitter re-encodes most bytes but preserves the energy order
+    val j = A.jitterWavGain(A.makeStructuredWav(7))
+    assert(!java.util.Arrays.equals(j, A.makeStructuredWav(7)), "jitter must change bytes")
+    assert(ham(h1, A.aHash(j).get) <= 3, s"jitter moved ${ham(h1, A.aHash(j).get)} bits")
+    // unrelated clips land far apart
+    val dists = (0 until 8).combinations(2).map { case Seq(x, y) =>
+      ham(A.aHash(A.makeStructuredWav(x * 13 + 1)).get,
+        A.aHash(A.makeStructuredWav(y * 13 + 1)).get)
+    }.toSeq
+    assert(dists.forall(_ > 10), s"unrelated clips too close: $dists")
+    // undecodable / too-short input declines instead of throwing
+    assert(A.aHash("not audio".getBytes("UTF-8")).isEmpty)
+    assert(A.aHash(null).isEmpty)
+  }
+
+  test("audioNearDups finds gain-jittered twins; incremental equals full minus history-internal") {
+    import spark.implicits._
+    val A = Multimodal.AudioCodec
+    def wav(i: Long) = A.makeStructuredWav(i * 13 + 1)
+    val history = ((0L to 5L).map(i => (i, "audio", wav(i), "s", "audio/wav")) :+
+      ((999L, "image", Multimodal.ImageCodec.makePng(5), "s", "image/png")))
+      .toDF("asset_id", "modality", "content", "source", "mime")
+    val batch = ((0L to 2L).map(i => (100L + i, "audio", A.jitterWavGain(wav(i)), "s", "audio/wav")) :+
+      ((103L, "audio", wav(3), "s", "audio/wav")))
+      .toDF("asset_id", "modality", "content", "source", "mime")
+
+    val full = Multimodal.audioNearDups(spark, history.unionByName(batch), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L)).subsetOf(full),
+      s"missing twins: $full")
+    assert(full.forall { case (x, y) => y - x == 100 }, s"false positives: $full")
+
+    val store = Multimodal.audioFingerprints(spark, history)
+    val incr = Multimodal.audioNearDupsIncremental(spark, batch, store, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val historyIds = (0L to 5L).toSet
+    val expected = full.filterNot { case (x, y) => historyIds(x) && historyIds(y) }
+    assert(incr == expected, s"missing=${expected -- incr} extra=${incr -- expected}")
+  }
+
   test("imageNearDups: banded pHash join finds jittered copies, never unrelated ones") {
     import spark.implicits._
     // 6 originals + jittered twins of the first three; audio row ignored

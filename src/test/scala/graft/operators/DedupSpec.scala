@@ -684,4 +684,35 @@ class DedupSpec extends SparkSpec {
     // C=1 blocks nothing: only (1,2) clears cos >= 0.9 → 2 drops
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("lshParamsFor: divisor pairs, S-curve optimality vs independent integration, monotone in t") {
+    // independent error measure: trapezoid rule at a DIFFERENT (finer)
+    // step than the implementation's midpoint 1e-3
+    def errRef(b: Int, r: Int, t: Double): Double = {
+      val step = 1e-4
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+      var fp = 0.0; var fn = 0.0; var s = 0.0
+      while (s < 1.0 - step / 2) {
+        val mid = (p(s) + p(s + step)) / 2
+        if (s + step / 2 < t) fp += mid * step else fn += (1 - mid) * step
+        s += step
+      }
+      0.5 * fp + 0.5 * fn
+    }
+    for (t <- Seq(0.3, 0.5, 0.8); k <- Seq(64, 128)) {
+      val (b, r) = Dedup.lshParamsFor(t, k)
+      assert(b * r == k && b >= 1 && r >= 1, s"($b,$r) not a divisor pair of $k")
+      // chosen pair is within integration slack of the independent optimum
+      val best = (1 to k).filter(k % _ == 0).map(bb => errRef(bb, k / bb, t)).min
+      assert(errRef(b, r, t) <= best + 1e-3,
+        s"t=$t k=$k: chose ($b,$r) err=${errRef(b, r, t)} vs best $best")
+    }
+    // higher thresholds want more rows per band (steeper S-curve, later rise)
+    val r03 = Dedup.lshParamsFor(0.3, 128)._2
+    val r08 = Dedup.lshParamsFor(0.8, 128)._2
+    assert(r08 > r03, s"rows should grow with threshold: r(0.3)=$r03 r(0.8)=$r08")
+    // the default q81 configuration (k=128, bands=32 → r=4) is what the
+    // tuner picks around its implied threshold (1/32)^(1/4) ≈ 0.42
+    assert(Dedup.lshParamsFor(0.42, 128) == ((32, 4)))
+  }
 }

@@ -662,4 +662,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(nat.exceptAll(ref).count() == 0 && ref.exceptAll(nat).count() == 0)
     }
   }
+
+  test("ccnetBuckets: per-language terciles, head strictly better than tail, ties share") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val b = TextAnalysis.ccnetBuckets(docs).cache()
+    val n = b.count()
+    assert(n == TextAnalysis.selfPerplexity(docs).count(), "bucketing must not drop scored docs")
+    assert(b.select("bucket").distinct().collect().map(_.getString(0)).toSet
+      == Set("head", "middle", "tail"))
+    // within every language, min(head score) >= max(tail score): the
+    // cuts are values, so the order property is exact, not statistical
+    val agg = b.groupBy("lang").pivot("bucket", Seq("head", "tail"))
+      .agg(min("avg_logp").as("mn"), max("avg_logp").as("mx"))
+      .collect()
+    agg.foreach { r =>
+      val headMin = r.getAs[Double]("head_mn")
+      val tailMax = r.getAs[Double]("tail_mx")
+      assert(headMin >= tailMax, s"lang ${r.get(0)}: head $headMin < tail $tailMax")
+    }
+    // tercile sizes are balanced up to ties sharing a bucket
+    val sizes = b.groupBy("lang", "bucket").count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)))
+    sizes.foreach { case (lang, cs) =>
+      val total = cs.sum
+      assert(cs.forall(c => c <= total / 3 + total / 6 + 2),
+        s"lang $lang buckets too skewed: ${cs.toSeq} of $total")
+    }
+    b.unpersist()
+  }
 }

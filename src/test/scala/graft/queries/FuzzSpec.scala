@@ -46,7 +46,7 @@ class FuzzSpec extends SparkSpec {
     assert(again == FuzzQueries.bundles.map { case (n, cs) => n -> FuzzQueries.bundleSql(cs) })
   }
 
-  test("all 340 cases: SQL and DataFrame-API programs agree row-for-row") {
+  test("all 344 cases: SQL and DataFrame-API programs agree row-for-row") {
     tables // register + cache the views before any spark.sql below
     val failures = FuzzQueries.cases.flatMap { c =>
       val viaSql = normalize(spark.sql(c.sql).head())
