@@ -1130,21 +1130,24 @@ object TextAnalysis {
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val model = charNgramModel(df, textCol, n)
     // empty model (no docs ≥ n chars): nothing is scorable — the same
     // empty shape ngramLogProbScore returns, not a require() blow-up
     if (model.isEmpty)
-      return df.select(col(idCol))
+      return df.select((idCol +: carryCols).map(col): _*)
         .withColumn("n_grams", lit(0L))
         .withColumn("avg_logp", lit(0.0))
         .filter(lit(false))
     val scorer = lmScorer(model, n)
     val norm = lower(trim(col(textCol)))
+    // carryCols ride the projection (ccnetBuckets carries the language
+    // this way — re-attaching it by id would be a corpus×corpus join)
     df.select(
-        col(idCol),
-        (length(norm) - (n - 1)).cast("long").as("n_grams"),
-        scorer(col(textCol)).as("avg_logp"))
+        (idCol +: carryCols).map(col) ++ Seq(
+          (length(norm) - (n - 1)).cast("long").as("n_grams"),
+          scorer(col(textCol)).as("avg_logp")): _*)
       .filter(col("n_grams") >= 1)
   }
 
@@ -1166,8 +1169,7 @@ object TextAnalysis {
       textCol: String = "text",
       langCol: String = "lang",
       nBuckets: Int = 3): DataFrame = {
-    val scored = selfPerplexity(df, idCol, textCol)
-      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val scored = selfPerplexity(df, idCol, textCol, carryCols = Seq(langCol))
     graft.quality.Outliers.quantileBin(scored, "avg_logp", Seq(langCol), nBuckets)
       .withColumn("bucket",
         when(col("avg_logp_bin") === nBuckets, lit("head"))

@@ -4880,13 +4880,21 @@ object Inventory {
         // re-read. The oracle rebuilds the cut text from the FULL
         // corpus detection restricted to batch docs (q199's rebuild
         // CTEs + q202's side filter; equivalence holds because history
-        // ids precede batch ids).
+        // ids precede batch ids). The cut output is lazily
+        // checkpointed before the deterministic emission sort: the
+        // range partitioner's sampling pass re-executes the last stage
+        // (join + rebuild over the window/collect_list pipeline),
+        // which is GC-amplified at scale (sf10 unpinned: 17-68 s
+        // swings, bench min 65 s; pinned: stable 14-21 s). The
+        // materialized frame is ONE BATCH's cut output — the bounded
+        // daily unit, not the corpus.
         Dedup.removeDuplicateSpansIncremental(
           t(s, dir, "documents").filter(col("doc_id") >= 250),
           Dedup.spanHashStore(
             t(s, dir, "documents").filter(col("doc_id") < 250),
             "doc_id", "text", w = 8),
           "doc_id", "text", w = 8)
+          .localCheckpoint(false)
           .orderBy("doc_id"),
       Some("""WITH base AS (
           SELECT doc_id, string_split(text, ' ') AS t FROM documents),

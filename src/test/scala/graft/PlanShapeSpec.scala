@@ -313,6 +313,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q213/q214: script profile is map-only; ccnet bucketing has no window and joins only broadcasts") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // script_profile: one native kernel call per row, nothing else
+    val profiled = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.NativeExprs.scriptProfile(col("text")).as("p"))
+      .select(col("doc_id"), col("p.*"))
+    val pPlan = planString(profiled)
+    assert(!pPlan.contains("Exchange"), s"script profile must not shuffle:\n$pPlan")
+    assert(!pPlan.contains("Join") && !pPlan.contains("Generate"),
+      s"script profile must not join or explode:\n$pPlan")
+    assert(!pPlan.contains("ScalaUDF"), s"script profile must stay native:\n$pPlan")
+    // ccnetBuckets: the tercile cut must be a bounded aggregate
+    // broadcast back into a compare — a rank/ntile window would funnel
+    // each language through one reducer at corpus scale
+    val bPlan = planString(graft.operators.TextAnalysis.ccnetBuckets(docs))
+    assert(!bPlan.contains("Window"), s"ccnetBuckets must not use a window:\n$bPlan")
+    assert(bPlan.contains("BroadcastHashJoin") || bPlan.contains("BroadcastNestedLoopJoin"),
+      s"the percentile cuts must attach by broadcast:\n$bPlan")
+    assert(!bPlan.contains("SortMergeJoin"),
+      s"no corpus-wide sort-merge join in the bucket attach:\n$bPlan")
+  }
+
   test("q186: golden-record shuffles carry (entity, field, value) triples, never full rows") {
     // the stacked frame drops every non-surviving column BEFORE its
     // count aggregation — the exchange that sizes with values must not
