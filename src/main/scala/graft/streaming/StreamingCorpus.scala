@@ -50,16 +50,33 @@ object StreamingCorpus {
     * Every stage is STATELESS map-only column work — no watermark, no
     * state store — so this runs at input rate and composes BEFORE
     * [[clean]], which is where the stateful dedup begins.
+    *
+    * `repairEncoding` inserts the round-9 mojibake REPAIR
+    * (`fix_mojibake`) between extraction and the noise gate:
+    * double-decoded ghost runs unwind to their intended text and the
+    * gate then drops only what repair could NOT save — recovering
+    * documents the gate alone throws away, at zero cost on clean text
+    * (the kernel's ASCII fast path returns the input buffer). Off by
+    * default: the repaired twin is a different corpus contract, opt in
+    * per deployment.
     */
   def ingestCrawl(
       pages: DataFrame,
       textCol: String = "text",
-      maxNoise: Double = 5.0): DataFrame =
-    pages
+      maxNoise: Double = 5.0,
+      repairEncoding: Boolean = false): DataFrame = {
+    val extracted = pages
       .withColumn(textCol, graft.operators.HtmlText.extractText(col(textCol)))
       .filter(length(col(textCol)) > 0)
+    val repaired =
+      if (repairEncoding)
+        extracted.withColumn(textCol,
+          org.apache.spark.sql.graft.NativeExprs.fixMojibake(col(textCol)))
+      else extracted
+    repaired
       .filter(TextAnalysis.encodingNoiseScore(col(textCol)) <= maxNoise)
       .withColumn(textCol, TextAnalysis.redactCards(col(textCol)))
+  }
 
   /** Streaming twin of [[graft.operators.TextAnalysis.c4Clean]]: the
     * C4 line/document rules continuously. Every rule is a stateless

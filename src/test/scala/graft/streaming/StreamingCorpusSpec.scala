@@ -60,6 +60,18 @@ class StreamingCorpusSpec extends SparkSpec {
       val batch = StreamingCorpus.ingestCrawl(pages.toDF("doc_id", "text"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(batch == got, "stateless gates must be batch/stream invariant")
+      // repairEncoding=true SAVES the mojibake page: the ghosts unwind
+      // to caf\u00E9 and the gate then passes the clean text (still
+      // stateless — batch form checked; the stream twin is the same
+      // column expression)
+      val repaired = StreamingCorpus.ingestCrawl(
+        pages.toDF("doc_id", "text"), repairEncoding = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(repaired.keySet == Set(1L, 3L),
+        s"repair must recover the ghost page: ${repaired.keySet}")
+      assert(repaired(3L).contains("caf\u00E9") && !repaired(3L).contains("caf\u00C3"),
+        "ghost pair must decode back to the accented character")
+      assert(repaired(1L) == got(1L), "clean pages are untouched by repair")
     } finally q.stop()
   }
 
