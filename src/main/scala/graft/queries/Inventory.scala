@@ -2984,6 +2984,57 @@ object Inventory {
                ELSE 'middle' END AS bucket
         FROM a ORDER BY doc_id""")),
 
+    Q("q215_data_card",
+      (s, dir) =>
+        // per-source corpus DATA CARD (the quantitative half of
+        // "Datasheets for Datasets"): volume, duplication, language
+        // mix, quality, encoding and PII indicators in ONE corpus
+        // aggregation plus a bounded (source, lang) mode. Every metric
+        // reuses an already-oracled kernel (q95/q96/q105/q213/q191/
+        // q102 fragments) so the card replays end-to-end.
+        graft.quality.DataCard.perSource(t(s, dir, "documents"))
+          .orderBy("source"),
+      Some("""WITH per AS (
+          SELECT source, lang, text,
+            len(regexp_split_to_array(trim(text), '\s+')) AS ntok,
+            len(text) AS nch,
+            md5(text) AS h,
+            CAST(round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              t -> list_contains(['the','a','an','and','or','of','to','in','is','it'],
+                lower(t)))) AS DOUBLE)
+              / len(regexp_split_to_array(trim(text), '\s+')), 4)
+              AS DECIMAL(18,6)) AS stopr,
+            len(regexp_extract_all(text, '\p{Latin}')) AS nlat,
+            CASE WHEN len(string_split_regex(text,
+              '(\x{00C3}[\x{0080}-\x{00BF}])|(\x{00E2}\x{20AC})|(\x{00C2}[\x{0020}\x{00A0}])|(\x{FFFD})'
+              )) - 1 > 0 THEN 1 ELSE 0 END AS noisy,
+            CASE WHEN regexp_matches(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+              THEN 1 ELSE 0 END AS hasmail
+          FROM documents),
+        base AS (
+          SELECT source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(ntok) AS BIGINT) AS n_tokens,
+            CAST(sum(nch) AS BIGINT) AS n_chars,
+            round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_rate,
+            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+            round(CAST(sum(stopr) AS DOUBLE) / count(*), 4) AS avg_stop_ratio,
+            round(CAST(sum(nlat) AS DOUBLE) / greatest(sum(nch), 1), 4) AS latin_frac,
+            CAST(sum(noisy) AS BIGINT) AS n_noisy_docs,
+            CAST(sum(hasmail) AS BIGINT) AS n_email_docs
+          FROM per GROUP BY source),
+        lc AS (SELECT source, lang, count(*) AS ln FROM documents GROUP BY 1, 2),
+        top AS (
+          SELECT source, lang AS top_lang, ln,
+            row_number() OVER (PARTITION BY source ORDER BY ln DESC, lang) AS rn
+          FROM lc)
+        SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.dup_rate, b.n_langs,
+          t.top_lang, round(CAST(t.ln AS DOUBLE) / b.n_docs, 4) AS top_lang_frac,
+          b.avg_stop_ratio, b.latin_frac, b.n_noisy_docs, b.n_email_docs
+        FROM base b JOIN top t ON t.source = b.source AND t.rn = 1
+        ORDER BY b.source""")),
+
     Q("q164_semantic_dedup",
       (s, dir) => {
         // SemDeDup-style semantic dedup: the k-means partition is the
@@ -6036,6 +6087,7 @@ object Inventory {
     "q207_domain_blocklist", "q208_domain_cap_incremental",
     "q209_span_cut_incremental", "q210_fix_mojibake", "q211_countmin_freq",
     "q212_audio_neardup", "q213_script_profile", "q214_ccnet_buckets",
+    "q215_data_card",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

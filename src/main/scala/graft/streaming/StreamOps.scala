@@ -156,6 +156,39 @@ object StreamOps {
         col("event_type"),
         col("n_users_approx"))
 
+  /** Windowed Count-Min frequency estimates for a WATCH LIST of items —
+    * exact per-item streaming counts over an unbounded item universe
+    * need one state row per (window, item); the CMS grid
+    * ([[graft.functions.CountMin]], the q211 aggregate) is mergeable
+    * CONSTANT-size state per window, the same argument
+    * [[windowedDistinctUsers]] makes for cardinality. The grid
+    * aggregates under the watermark and the watched items probe it
+    * DECLARATIVELY (q211's md5-cell arithmetic) after the window
+    * closes — one-sided estimates (never under), any item addressable
+    * after the fact, state size fixed at depth×width longs per window.
+    */
+  def windowedCmsFrequencies(
+      events: DataFrame,
+      watch: Seq[String],
+      itemCol: String = "event_type",
+      tsCol: String = "ts",
+      window_ : String = "10 minutes",
+      watermark: String = "1 hour",
+      depth: Int = 4,
+      width: Int = 2048): DataFrame = {
+    require(watch.nonEmpty, "need at least one watched item")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window_))
+      .agg(graft.functions.CountMin.sketch(
+        col(itemCol).cast("string"), depth, width).as("__sk"))
+      .select(col("window.start").as("w_start"), col("__sk"))
+      .withColumn("item", explode(array(watch.map(lit).toIndexedSeq: _*)))
+      .withColumn("n_est",
+        graft.functions.CountMin.estimate(col("__sk"), col("item"), depth, width))
+      .drop("__sk")
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: running per-user event
     * count and value sum, re-emitted on every update (update mode).
     * Demonstrates the arbitrary-state API for operators the built-in

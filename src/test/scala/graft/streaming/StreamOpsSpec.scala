@@ -138,6 +138,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCmsFrequencies: grid estimates equal exact counts at tiny load; batch twin agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF.toDF("ts", "user_id", "event_type")
+    val watch = Seq("click", "view", "ghost")
+    val q = StreamOps.windowedCmsFrequencies(events, watch, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("cms_out").outputMode("append").start()
+    try {
+      // [00:00,00:10): click×3, view×1; [00:10,00:20): view×2
+      val data = Seq((ts(1), 1L, "click"), (ts(2), 2L, "click"), (ts(3), 1L, "view"),
+        (ts(4), 3L, "click"), (ts(12), 3L, "view"), (ts(13), 1L, "view"))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 9L, "click")) // close windows
+      q.processAllAvailable()
+      val out = spark.table("cms_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val got = out.map { case (w, i, n) => (w.toString.substring(11, 16), i) -> n }.toMap
+      // 4×2048 cells over ≤2 distinct items per window: estimates are exact
+      assert(got == Map(
+        ("00:00", "click") -> 3L, ("00:00", "view") -> 1L, ("00:00", "ghost") -> 0L,
+        ("00:10", "click") -> 0L, ("00:10", "view") -> 2L, ("00:10", "ghost") -> 0L),
+        s"got $got")
+      // batch twin: the same column composition over the same frame
+      val batch = StreamOps.windowedCmsFrequencies(
+          data.toDF("ts", "user_id", "event_type"), watch, watermark = "0 seconds")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .collect().map(r => (r.getTimestamp(0).toString.substring(11, 16),
+          r.getString(1)) -> r.getLong(2)).toMap
+      assert(batch == got, "stream and batch grids must agree")
+    } finally q.stop()
+  }
+
   test("runningUserStats: custom keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
