@@ -204,6 +204,57 @@ object Classify {
   def registerSql(name: String, model: NbModel): Unit =
     graft.functions.GraftModels.register(name, "nb", nbScorer(model))
 
+  /** Precision/recall sweep of a scored binary gate — the calibration
+    * step between training a quality/language classifier (q175) and
+    * deploying it as a corpus filter: pick the threshold whose
+    * precision/recall trade matches the pipeline's loss budget.
+    *
+    * Scale shape: ONE aggregation collapses the corpus to a (score,
+    * label) histogram — bounded by the score's distinct values (scores
+    * arrive pre-rounded by convention) — and the threshold sweep runs
+    * over thresholds × histogram, both tiny. Never a per-threshold
+    * corpus pass. Metrics are 4dp-rounded ratios of exact counts, so
+    * the whole curve replays cross-engine; empty denominators yield
+    * NULL (no prediction made / no positives) rather than a fake 0.
+    *
+    * Output: (threshold, tp, fp, fn, precision, recall, f1) ordered by
+    * threshold.
+    */
+  def prCurve(
+      scored: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val hist = scored
+      .groupBy(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .agg(count(lit(1)).as("__n"))
+    val th = scored.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit).toIndexedSeq: _*)).as("threshold"))
+    val swept = th.crossJoin(hist)
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("__y") && col("__s") >= col("threshold"), col("__n"))
+          .otherwise(0L)).as("tp"),
+        sum(when(!col("__y") && col("__s") >= col("threshold"), col("__n"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__y") && col("__s") < col("threshold"), col("__n"))
+          .otherwise(0L)).as("fn"))
+    swept
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 4)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 4)))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
+          .otherwise(round(lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 4)))
+      .orderBy("threshold")
+  }
+
   /** Semi-supervised k-NN label propagation: each unlabeled vector takes
     * the cosine-weighted majority label of its k nearest labeled seeds —
     * the "label a small seed set by hand, spread it over the corpus by

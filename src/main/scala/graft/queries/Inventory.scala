@@ -3035,6 +3035,45 @@ object Inventory {
         FROM base b JOIN top t ON t.source = b.source AND t.rn = 1
         ORDER BY b.source""")),
 
+    Q("q216_pr_curve",
+      (s, dir) => {
+        // classifier-gate calibration: precision/recall/F1 sweep of a
+        // scored binary filter (here: "is English" gated on the q96
+        // stopword-ratio score) across deployment thresholds. The
+        // corpus collapses to a (score, label) histogram in ONE
+        // aggregation; the sweep runs over thresholds × histogram.
+        // Counts are exact, ratios 4dp-rounded — the whole curve
+        // replays in DuckDB.
+        val scored = t(s, dir, "documents").select(
+          (col("lang") === "en").as("is_en"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_score"))
+        Classify.prCurve(scored, "is_en", "stop_score",
+          Seq(0.02, 0.05, 0.08, 0.12, 0.2))
+      },
+      Some("""WITH sc AS (
+          SELECT (lang = 'en') AS y,
+            round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              t -> list_contains(['the','a','an','and','or','of','to','in','is','it'],
+                lower(t)))) AS DOUBLE)
+              / len(regexp_split_to_array(trim(text), '\s+')), 4) AS s
+          FROM documents),
+        th AS (
+          SELECT CAST(unnest([0.02, 0.05, 0.08, 0.12, 0.2]) AS DOUBLE) AS threshold),
+        m AS (
+          SELECT threshold,
+            CAST(sum(CASE WHEN y AND s >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN NOT y AND s >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN y AND s < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM th CROSS JOIN sc GROUP BY threshold)
+        SELECT threshold, tp, fp, fn,
+          CASE WHEN tp + fp = 0 THEN NULL
+               ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS precision,
+          CASE WHEN tp + fn = 0 THEN NULL
+               ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS recall,
+          CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+               ELSE round(CAST(2*tp AS DOUBLE) / (2*tp + fp + fn), 4) END AS f1
+        FROM m ORDER BY threshold""")),
+
     Q("q164_semantic_dedup",
       (s, dir) => {
         // SemDeDup-style semantic dedup: the k-means partition is the
@@ -6087,7 +6126,7 @@ object Inventory {
     "q207_domain_blocklist", "q208_domain_cap_incremental",
     "q209_span_cut_incremental", "q210_fix_mojibake", "q211_countmin_freq",
     "q212_audio_neardup", "q213_script_profile", "q214_ccnet_buckets",
-    "q215_data_card",
+    "q215_data_card", "q216_pr_curve",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

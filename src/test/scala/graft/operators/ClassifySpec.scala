@@ -152,4 +152,26 @@ class ClassifySpec extends SparkSpec {
       .orderBy(desc("count"), col("lang")).head().getString(0)
     assert(top == majority)
   }
+
+  test("prCurve: hand-computed sweep, null denominators, histogram == row-level definition") {
+    import spark.implicits._
+    // scores: positives at 0.9/0.7/0.3, negatives at 0.8/0.2/0.1
+    val scored = Seq(
+      (true, 0.9), (true, 0.7), (true, 0.3),
+      (false, 0.8), (false, 0.2), (false, 0.1)).toDF("y", "s")
+    val got = Classify.prCurve(scored, "y", "s", Seq(0.0, 0.5, 0.95))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))
+    // t=0.0: everything predicted positive → tp=3 fp=3 fn=0
+    assert(got(0) == ((0.0, 3L, 3L, 0L, Some(0.5), Some(1.0), Some(0.6667))))
+    // t=0.5: tp=2 (0.9,0.7) fp=1 (0.8) fn=1 (0.3)
+    assert(got(1) == ((0.5, 2L, 1L, 1L, Some(0.6667), Some(0.6667), Some(0.6667))))
+    // t=0.95: nothing predicted positive → precision NULL, recall 0
+    assert(got(2) == ((0.95, 0L, 0L, 3L, None, Some(0.0), Some(0.0))))
+    // no positives at all: recall and f1 must be NULL, not 0/0
+    val negOnly = Seq((false, 0.4), (false, 0.6)).toDF("y", "s")
+    val g2 = Classify.prCurve(negOnly, "y", "s", Seq(0.5)).head()
+    assert(g2.getLong(1) == 0 && g2.getLong(2) == 1 && g2.getLong(3) == 0)
+    assert(g2.isNullAt(5), "recall must be NULL with zero actual positives")
+  }
 }
