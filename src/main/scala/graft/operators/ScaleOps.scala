@@ -670,6 +670,71 @@ object ScaleOps {
       conv(substring(hex, 9, 8), 16, 10).cast("long")
   }
 
+  /** Token-budget SHARD assignment for training emission — the last
+    * step before files: every row gets shard = start_offset div
+    * budget, where start_offset is the EXACT cumulative token count of
+    * all rows before it in the total `orderCol` order (unique keys —
+    * [[corpusShuffleKey64]] output is the intended input). Whole
+    * documents are never split, so a shard's payload overshoots the
+    * budget by at most one document; `partitionBy("shard")` on the
+    * writer then yields fixed-budget training files in one pass.
+    *
+    * Scale shape — the global running sum WITHOUT a global window:
+    *  1. range-partition by orderCol (the emission sort's exchange),
+    *     pinned with a lazy localCheckpoint so both passes see the
+    *     same partitioning;
+    *  2. ONE bounded aggregate: per-partition token totals
+    *     (|partitions| rows) prefix-summed on the driver — the
+    *     classic partition-offset technique;
+    *  3. per-partition cumsum windows (each range partition is one
+    *     window partition — parallel across partitions) plus the
+    *     broadcast offset.
+    * The assignment is a pure function of (order, tokens, budget) —
+    * independent of the partition count because ANY contiguous range
+    * split yields the same global cumsum (spec-pinned at 1/3/7
+    * partitions) — and replays as one SQL window cumsum (q217's
+    * oracle).
+    */
+  def shardByTokenBudget(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      budget: Long,
+      parts: Int = 0): DataFrame = {
+    require(budget >= 1, "budget must be at least one token")
+    require(!df.columns.contains("shard") && !df.columns.contains("__pid"),
+      "shardByTokenBudget emits shard/__pid; rename the caller's columns")
+    val nPart = if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pinned = df
+      .repartitionByRange(nPart, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val sums = pinned.groupBy("__pid")
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // offset(pid) = total tokens of all partitions before pid
+    val before = sums.map(_._1).map { pid =>
+      pid -> sums.takeWhile(_._1 < pid).map(_._2).sum
+    }.toMap
+    val offExpr = if (before.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(before.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pinned
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      // `div`: exact integer division — a double round-trip would drift
+      // past 2^53 cumulative tokens
+      .withColumn("__start", offExpr + col("__cum") - col(tokenCol).cast("long"))
+      .withColumn("shard", expr(s"__start div ${budget}L"))
+      .drop("__pid", "__cum", "__start")
+  }
+
   /** Deterministic curriculum ordering for training emission: rows bin
     * into `nBins` equal-frequency difficulty bins on `valueCol`
     * (DISCRETE percentile boundaries — actual data values, so any

@@ -3074,6 +3074,30 @@ object Inventory {
                ELSE round(CAST(2*tp AS DOUBLE) / (2*tp + fp + fn), 4) END AS f1
         FROM m ORDER BY threshold""")),
 
+    Q("q217_shard_by_budget",
+      (s, dir) => {
+        // training-shard assignment: exact global token cumsum via the
+        // partition-offset technique (range exchange + bounded
+        // per-partition totals + parallel per-partition windows — no
+        // global window), shard = start_offset div budget. Whole docs
+        // never split; partitionBy("shard") on the writer yields
+        // fixed-budget files. The oracle is the single-window cumsum
+        // definition the distributed form must equal.
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        ScaleOps.shardByTokenBudget(docs, "doc_id", "n_tok", 4000L)
+          .select("doc_id", "n_tok", "shard")
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+          SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT doc_id, n_tok,
+          CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+            // 4000 AS BIGINT) AS shard
+        FROM s ORDER BY doc_id""")),
+
     Q("q164_semantic_dedup",
       (s, dir) => {
         // SemDeDup-style semantic dedup: the k-means partition is the
@@ -6126,7 +6150,7 @@ object Inventory {
     "q207_domain_blocklist", "q208_domain_cap_incremental",
     "q209_span_cut_incremental", "q210_fix_mojibake", "q211_countmin_freq",
     "q212_audio_neardup", "q213_script_profile", "q214_ccnet_buckets",
-    "q215_data_card", "q216_pr_curve",
+    "q215_data_card", "q216_pr_curve", "q217_shard_by_budget",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

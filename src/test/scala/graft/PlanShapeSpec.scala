@@ -336,6 +336,61 @@ class PlanShapeSpec extends SparkSpec {
       s"no corpus-wide sort-merge join in the bucket attach:\n$bPlan")
   }
 
+  test("q215/q216: data card and PR curve collapse the corpus in ONE aggregation pass each") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // data card: the only row-level window would be a (source, lang)
+    // mode computed the wrong way; the card's window must run over the
+    // bounded aggregate, i.e. AFTER an Aggregate node — assert no
+    // window sits directly on the scan side by counting corpus-wide
+    // exchanges instead: two aggregations (base + lang counts) and the
+    // tiny joins, nothing quadratic, no Generate over rows
+    val card = graft.quality.DataCard.perSource(docs)
+    val cPlan = planString(card)
+    assert(!cPlan.contains("SortMergeJoin"),
+      s"card joins are aggregate-sized and must broadcast:\n$cPlan")
+    assert(!cPlan.contains("Generate"), s"no row explosion in the card:\n$cPlan")
+    // PR curve: the corpus collapses to the histogram BEFORE the
+    // threshold cross join — the cross join must sit above an
+    // Aggregate, never against the raw scan
+    val scored = docs.select((col("lang") === "en").as("y"),
+      round(graft.operators.TextAnalysis.stopwordRatio(col("text")), 4).as("s"))
+    val curve = graft.operators.Classify.prCurve(scored, "y", "s", Seq(0.1, 0.2))
+    curve.write.format("noop").mode("overwrite").save() // materialize AQE's final plan
+    val root = curve.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        Seq(j.left, j.right)
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        Seq(j.left, j.right)
+    }
+    assert(joins.nonEmpty, s"threshold sweep should be a nested-loop cross join:\n$root")
+    joins.foreach { sides =>
+      assert(sides.exists(_.toString.contains("HashAggregate")),
+        s"the cross join must consume the HISTOGRAM aggregate, not the raw corpus:\n$root")
+    }
+  }
+
+  test("q217: the shard cumsum windows are per-partition — never one global window") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val plan = planString(
+      graft.operators.ScaleOps.shardByTokenBudget(docs, "doc_id", "n_tok", 4000L))
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"expected the per-partition cumsum window:\n$plan")
+    winSpecs.foreach { spec =>
+      assert(spec.contains("__pid"),
+        s"every window must partition by __pid (a global window funnels the corpus " +
+          s"through one task): windowspecdefinition($spec)\n$plan")
+    }
+  }
+
   test("q186: golden-record shuffles carry (entity, field, value) triples, never full rows") {
     // the stacked frame drops every non-surviving column BEFORE its
     // count aggregation — the exchange that sizes with values must not

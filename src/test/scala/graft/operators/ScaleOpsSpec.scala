@@ -737,4 +737,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pure1.collect().toSeq == pure2.collect().toSeq,
       "gumbelScale = 0 must be seed-independent")
   }
+
+  test("shardByTokenBudget: equals the single-window cumsum, at ANY partition count") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = (1L to 500L).map(i => (i, 1L + rng.nextInt(300).toLong)).toDF("id", "t")
+    // reference: the one-window definition on one partition
+    val ref = docs.coalesce(1)
+      .withColumn("cum", sum("t").over(
+        org.apache.spark.sql.expressions.Window.orderBy("id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("shard", expr("(cum - t) div 1000"))
+      .select("id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- Seq(1, 3, 7)) {
+      val got = ScaleOps.shardByTokenBudget(docs, "id", "t", 1000L, parts = p)
+        .select("id", "shard")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"parts=$p diverged: ${got.toSet.diff(ref.toSet).take(5)}")
+    }
+    // shard numbers are monotone along the order and payloads bounded:
+    // a shard never exceeds budget + one document (docs never split)
+    val assigned = ScaleOps.shardByTokenBudget(docs, "id", "t", 1000L)
+    val byShard = assigned.groupBy("shard").agg(sum("t").as("tot"), max("t").as("mx"))
+      .collect()
+    byShard.foreach { r =>
+      assert(r.getLong(1) <= 1000L + 300L, s"shard ${r.get(0)} overshoots: ${r.getLong(1)}")
+    }
+    val shards = assigned.orderBy("id").select("shard").collect().map(_.getLong(0))
+    assert(shards.sameElements(shards.sorted), "shards must be monotone in the order")
+  }
 }
