@@ -877,16 +877,32 @@ object Dedup {
     * fixpoint; if `maxIter` is hit first the labels would be silently
     * WRONG (local minima only), so the method THROWS instead — raise
     * maxIter for pathological chain-shaped components.
+    *
+    * Two fixed-cost trims, both exact (round-count and per-round
+    * shuffle volume only — labels are unchanged):
+    *  - hop 0 is FUSED into initialization: seeding each node with
+    *    min(self ∪ neighbors) costs the same one shuffle as the
+    *    id-distinct it replaces but starts the loop one hop ahead, so
+    *    every closure call pays one fewer (join + agg + count) round.
+    *  - the symmetric edge list is hash-distributed by the probe key
+    *    `b` ONCE and checkpointed (LogicalRDD keeps the physical
+    *    partitioning), so each round's edge-side exchange — 2|E| rows,
+    *    the biggest movement in the loop — happens once instead of
+    *    once per round; only the |V|-row label side moves per round.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .localCheckpoint(eager = false)
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-    var labels = edges.select(col("a").as("id"))
-      .union(edges.select(col("b").as("id")))
-      .distinct()
-      .withColumn("label", col("id"))
+      .repartition(col("b"))
+      .localCheckpoint(eager = false)
+    // hop 0: every pair participant appears as `a` in at least one
+    // direction of sym, so this covers exactly the distinct-id set
+    var labels = sym
+      .groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("label"))
       .localCheckpoint(eager = false)
     var changed = 1L
     var i = 0
