@@ -1256,6 +1256,36 @@ object Dedup {
       .select(pairs.columns.map(col) ++ Seq(col("split_a"), col("split_b")): _*)
   }
 
+  /** Leakage-FREE split construction — the prevention twin of the
+    * [[splitLeakage]] audit: assign every near-dup CLUSTER (not every
+    * row) to one split, so two near-identical documents can never land
+    * on opposite sides of a train/eval boundary. `pairs` is any
+    * (id_a, id_b) near-dup frame (MinHash, SimHash, embedding — the
+    * audit's compositional contract); rows untouched by any pair are
+    * their own singleton cluster. The cluster representative (component
+    * minimum id from [[nearDupClusters]]) becomes the split-hash key,
+    * reusing `ScaleOps.splitByGroup`'s md5 hex-prefix boundaries — the
+    * assignment is engine-replayable given the pair set.
+    *
+    * Scale shape: the closure runs over the PAIR list (collision-rate
+    * bounded, far smaller than the corpus); the corpus itself sees one
+    * left join against the (id, cluster) map plus a map-only hash —
+    * no window, no corpus shuffle beyond that join.
+    */
+  def splitByCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    val withRep = df.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster"), col(idCol).cast("long")))
+      .drop("cluster")
+    graft.operators.ScaleOps.splitByGroup(withRep, "cluster_rep", splits)
+  }
+
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val sa = shingleHashes(a, n)
     val sb = shingleHashes(b, n)

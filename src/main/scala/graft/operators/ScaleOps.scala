@@ -348,6 +348,66 @@ object ScaleOps {
     copies.unionByName(extra)
   }
 
+  /** Temperature-scaled (exponent-α) per-stratum token targets — the
+    * multilingual sampling rule of Lample & Conneau 2019 (XLM, §3.1;
+    * XLM-R trains with α = 0.3): stratum l with token share
+    * pₗ = nₗ / N is allocated qₗ ∝ pₗ^α of the budget, flattening the
+    * head (a 60% language gets well under 60% of the mix) and lifting
+    * the tail without the unbounded repetition a uniform mix would
+    * force on tiny languages. α = 1 reproduces natural proportions,
+    * α → 0 approaches uniform.
+    *
+    * One |strata|-bounded planning aggregate (the [[tokenBudgetRates]]
+    * shape — driver state is one row per language, never data).
+    * Determinism across engines: shares are rounded HALF_UP to 6
+    * decimals and the allocation floor(budget · share₆) is computed in
+    * exact BigDecimal — an oracle replays it as
+    * `floor(budget * CAST(round(share, 6) AS DECIMAL(18,6)))`, where
+    * the decimal multiply is exact, so no engine's float rounding can
+    * move a boundary. (Residual cross-engine risk is one ulp in `pow`
+    * landing a share exactly on a 5e-7 rounding boundary — the q203
+    * round-then-compare discipline.)
+    */
+  def temperatureTargets(
+      df: DataFrame,
+      strataCol: String,
+      tokenCol: String,
+      alpha: Double,
+      totalTokens: Long): Map[String, Long] = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(totalTokens >= 0, "token budget must be >= 0")
+    val avail = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol)
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .filter(_._2 > 0L)
+    val powed = avail.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val z = powed.map(_._2).sum
+    powed.map { case (s, p) =>
+      val share6 = BigDecimal(p / z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      s -> (BigDecimal(totalTokens) * share6)
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }.toMap
+  }
+
+  /** [[temperatureTargets]] realized with [[weightedTokenSample]]:
+    * the ready-to-pack α-temperature mix. Inherits the sampler's
+    * properties — token-proportional A-ES inclusion, tight attainment
+    * (overshoot ≤ one document per stratum), md5-deterministic and
+    * engine-replayable selection, ONE bounded per-stratum window after
+    * the one planning aggregate.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      tokenCol: String,
+      alpha: Double,
+      totalTokens: Long): DataFrame =
+    weightedTokenSample(df, keyCol, strataCol, tokenCol,
+      temperatureTargets(df, strataCol, tokenCol, alpha, totalTokens))
+
   /** Fail-fast guard for VERIFICATION-ONLY exhaustive operators.
     *
     * All-pairs self-joins (exact n-gram Jaccard q83, exact pairwise

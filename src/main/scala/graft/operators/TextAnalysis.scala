@@ -1343,4 +1343,87 @@ object TextAnalysis {
         coalesce(col("d5"), lit(0L)).cast("long").as("dup5_chars")))
     gopherDerive(joined, idCol)
   }
+
+  /** Document-level word-blocklist gate — the C4 "bad words" rule
+    * (Raffel et al. 2020, §2.2: drop any page containing a word from a
+    * curated blocklist), the DOC-grain complement of the line-level
+    * [[c4Clean]] and the url-grain `WebOps.blockDomains`. Words are
+    * matched as whole lowercase tokens on the split `[^a-z0-9']+`
+    * (apostrophes stay inside a word so "can't" is one token and a
+    * blocklist entry can target contractions) — substring hits inside
+    * longer words do NOT fire, the published rule's word-boundary
+    * semantics.
+    *
+    * Output = input + three audit columns, so the caller can gate
+    * (`filter(!col("blocked"))`), quarantine, or just measure:
+    *  - `bad_terms`: the DISTINCT blocklist words present, sorted and
+    *    space-joined (flat schema for the oracle hash);
+    *  - `n_bad_tokens`: total OCCURRENCES of blocklisted words;
+    *  - `blocked`: n_bad_tokens > 0.
+    *
+    * Scale shape: the blocklist rides into the plan as a literal array
+    * (curated lists are hundreds to a few thousand entries — parameter
+    * state, like the gazetteer of [[gazetteerRedact]]); the gate is one
+    * map-only projection over codegen'd array HOFs — no shuffle, no
+    * join, no UDF. For a list too big to inline, pre-join the tokens
+    * against a broadcast dictionary instead (the
+    * `WebOps.blockDomainsJoin` pattern).
+    */
+  def wordBlocklistGate(
+      df: DataFrame,
+      textCol: String,
+      words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must not be empty")
+    val dict = array(words.map(w => lit(w.toLowerCase)).distinct: _*)
+    val toks = split(lower(col(textCol)), "[^a-z0-9']+")
+    val hits = filter(toks, t => array_contains(dict, t))
+    df.withColumn("__hits", hits)
+      .withColumn("bad_terms",
+        concat_ws(" ", array_sort(array_distinct(col("__hits")))))
+      .withColumn("n_bad_tokens", size(col("__hits")).cast("long"))
+      .drop("__hits")
+      .withColumn("blocked", col("n_bad_tokens") > 0L)
+  }
+
+  /** Intra-document repeated-paragraph removal: keep the FIRST
+    * occurrence of every distinct paragraph (trim-normalized), drop
+    * later repeats, preserve original order. The REMOVAL counterpart of
+    * the repetition-ratio SIGNAL ([[repetitionRatio]], Gopher's
+    * duplicate-paragraph fraction): boilerplate that repeats inside one
+    * page (cookie banners between sections, templated footers after
+    * every article) never reaches the corpus-level dedup stages, which
+    * all compare ACROSS documents.
+    *
+    * Map-only: the dedup runs inside one `aggregate` HOF per row —
+    * fold the paragraph array left, appending a paragraph only when the
+    * kept-so-far array doesn't contain it. O(k²) `array_contains` per
+    * document on k paragraphs — k is tens, not thousands, and the
+    * quadratic term stays inside one codegen'd row function; no
+    * explode, no shuffle, document boundaries never cross partitions.
+    * Empty paragraphs (blank lines after trim) dedup like any other
+    * value: the first survives, repeats drop.
+    *
+    * Output = input + `clean_text` (kept paragraphs re-joined with
+    * `sep`), `n_paragraphs`, `n_dropped`.
+    */
+  def dropRepeatedParagraphs(
+      df: DataFrame,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val ps = transform(
+      split(col(textCol), java.util.regex.Pattern.quote(sep)),
+      p => trim(p))
+    val kept = aggregate(
+      ps,
+      array().cast("array<string>"),
+      (acc, p) => when(array_contains(acc, p), acc)
+        .otherwise(concat(acc, array(p))))
+    df.withColumn("__ps", ps)
+      .withColumn("__kept", kept)
+      .withColumn("clean_text", concat_ws(sep, col("__kept")))
+      .withColumn("n_paragraphs", size(col("__ps")).cast("long"))
+      .withColumn("n_dropped",
+        (size(col("__ps")) - size(col("__kept"))).cast("long"))
+      .drop("__ps", "__kept")
+  }
 }

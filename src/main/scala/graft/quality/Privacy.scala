@@ -59,4 +59,46 @@ object Privacy {
         count(lit(1)).as("class_size"),
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .filter(col("n_sensitive") < l)
+
+  /** ε-differentially-private group counts — the Laplace mechanism
+    * (Dwork et al., TCC 2006): each group's count is released as
+    * count + Lap(1/ε) (a COUNT query has sensitivity 1: one person
+    * moves one group count by one), the release-side complement of the
+    * k-anonymity/l-diversity AUDITS above. Publish `noised_count` only;
+    * the exact `class_size` column is returned for verification and
+    * must be dropped before release.
+    *
+    * The Laplace draw is DETERMINISTIC and engine-replayable (the
+    * engine's md5-uniform discipline, as in `ScaleOps
+    * .importanceResample`'s Gumbel): u = (52-bit md5 prefix of
+    * seed:groupkey + 0.5) / 2⁵² ∈ (0,1), noise = −(1/ε) · sign(u−½) ·
+    * ln(1 − 2|u−½|), rounded to 6 decimals for cross-engine hash
+    * stability. Deterministic noise is for AUDITABILITY of the
+    * pipeline, not a second privacy mechanism: publishing many releases
+    * of the same groups under the same seed spends no fresh randomness,
+    * so rotate seeds per release and account ε across releases.
+    *
+    * Scale shape: one groupBy (map-side partial agg) + a map-only noise
+    * projection; group keys must be non-null (the `tokenBudgetRates`
+    * stringification contract — bucket nulls under an explicit label
+    * first).
+    */
+  def dpNoisedCounts(
+      df: DataFrame,
+      groupCols: Seq[String],
+      epsilon: Double,
+      seed: Long = 42L): DataFrame = {
+    require(epsilon > 0.0, "epsilon must be > 0")
+    val key = concat_ws(":",
+      (lit(seed.toString) +: groupCols.map(c => col(c).cast("string"))): _*)
+    val u = (conv(substring(md5(key), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52 — exact long→double, exact division
+    val centered = u - lit(0.5)
+    val noise = round(
+      lit(-1.0 / epsilon) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)),
+      6)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("noised_count", round(col("class_size") + noise, 6))
+  }
 }

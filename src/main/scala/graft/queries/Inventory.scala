@@ -6104,7 +6104,192 @@ object Inventory {
           SELECT lang, doc_id, n_chars, row_number() OVER (
             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents) WHERE rk <= 3
-        ORDER BY lang, doc_id"""))
+        ORDER BY lang, doc_id""")),
+
+    Q("q218_word_blocklist",
+      (s, dir) =>
+        // C4's doc-level "bad words" rule: whole-token matches against a
+        // curated blocklist ('bitcoin' is absent from the fixture vocab,
+        // exercising the zero-hit arm). Map-only; the list rides as a
+        // literal array.
+        TextAnalysis.wordBlocklistGate(t(s, dir, "documents"), "text",
+            Seq("slow", "hash", "vector", "bitcoin"))
+          .select(col("doc_id"), col("bad_terms"), col("n_bad_tokens"),
+            col("blocked"))
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+              w -> w IN ('slow', 'hash', 'vector', 'bitcoin')) AS hits
+          FROM documents)
+        SELECT doc_id,
+          coalesce(array_to_string(list_sort(list_distinct(hits)), ' '), '')
+            AS bad_terms,
+          CAST(len(hits) AS BIGINT) AS n_bad_tokens,
+          len(hits) > 0 AS blocked
+        FROM tk ORDER BY doc_id""")),
+
+    Q("q219_temperature_sample",
+      (s, dir) => {
+        // α=0.3 temperature mixing (the XLM-R multilingual rule):
+        // per-language char shares smoothed by pow(·, 0.3), realized to
+        // a 50k-char budget via the A-ES weighted sampler. Targets are
+        // exact-decimal (floor(budget · round(share, 6))) so both
+        // engines compute the same allocation; the selection replays
+        // through the q142 md5-priority arithmetic.
+        val d = t(s, dir, "documents")
+        val targets = ScaleOps.temperatureTargets(d, "lang", "n_chars", 0.3, 50000L)
+        val tgtCol = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+          case (acc, (l, v)) => when(col("lang") === l, lit(v)).otherwise(acc)
+        }
+        ScaleOps.temperatureSample(d, "doc_id", "lang", "n_chars", 0.3, 50000L)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .withColumn("tgt_tokens", tgtCol)
+          .orderBy("lang")
+      },
+      Some("""WITH av AS (
+          SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n
+          FROM documents GROUP BY lang HAVING sum(n_chars) > 0),
+        z AS (SELECT sum(pow(n, 0.3)) AS z FROM av),
+        tg AS (
+          SELECT lang,
+            CAST(floor(50000 * CAST(round(pow(n, 0.3) / z.z, 6)
+              AS DECIMAL(18,6))) AS BIGINT) AS tgt
+          FROM av CROSS JOIN z),
+        s AS (
+          SELECT d.lang, d.doc_id, d.n_chars, tg.tgt,
+            CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+          FROM documents d JOIN tg ON d.lang = tg.lang),
+        r AS (
+          SELECT *, pow((hv + 0.5) / 4294967296.0,
+            1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS aes
+          FROM s),
+        c AS (
+          SELECT *, coalesce(sum(n_chars) OVER (PARTITION BY lang
+            ORDER BY aes DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM r)
+        SELECT lang, count(*) AS n_kept,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars, tgt AS tgt_tokens
+        FROM c WHERE cum < tgt GROUP BY lang, tgt ORDER BY lang""")),
+
+    Q("q220_paragraph_dedup",
+      (s, dir) => {
+        // intra-document repeated-paragraph removal: the fixture plants
+        // a templated banner twice in every doc, a repeated lead
+        // paragraph on the %3 arm, and a double blank line — all must
+        // collapse to their first occurrence, order preserved, inside
+        // one map-only HOF (no explode, no shuffle).
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            substring(col("text"), 1, 50),
+            lit("subscribe to our newsletter"),
+            substring(col("text"), 51, 50),
+            lit("subscribe to our newsletter"),
+            when(pmod(col("doc_id"), lit(3)) === 0, substring(col("text"), 1, 50))
+              .otherwise(lit("closing remarks")),
+            lit(""),
+            lit("")).as("text"))
+        TextAnalysis.dropRepeatedParagraphs(docs, "text")
+          .select("doc_id", "clean_text", "n_paragraphs", "n_dropped")
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, concat_ws(chr(10),
+            substr(text, 1, 50),
+            'subscribe to our newsletter',
+            substr(text, 51, 50),
+            'subscribe to our newsletter',
+            CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 50)
+                 ELSE 'closing remarks' END,
+            '', '') AS text
+          FROM documents),
+        t AS (
+          SELECT doc_id,
+            list_transform(string_split(text, chr(10)), p -> trim(p)) AS ps
+          FROM docs),
+        u AS (
+          SELECT doc_id, ps[i] AS p, i
+          FROM (SELECT doc_id, ps,
+                  unnest(generate_series(1, len(ps))) AS i FROM t)),
+        f AS (
+          SELECT doc_id, p, min(i) AS o FROM u GROUP BY doc_id, p),
+        r AS (
+          SELECT doc_id, string_agg(p, chr(10) ORDER BY o) AS clean_text,
+            CAST(count(*) AS BIGINT) AS n_kept
+          FROM f GROUP BY doc_id)
+        SELECT t.doc_id, r.clean_text,
+          CAST(len(t.ps) AS BIGINT) AS n_paragraphs,
+          CAST(len(t.ps) - r.n_kept AS BIGINT) AS n_dropped
+        FROM t JOIN r ON t.doc_id = r.doc_id
+        ORDER BY t.doc_id""")),
+
+    Q("q221_dp_noised_counts",
+      (s, dir) =>
+        // ε=0.5 Laplace-mechanism release of (lang, source) counts —
+        // the md5-derived draw makes even the NOISE replayable
+        // arithmetic (q203's Gumbel discipline applied to Laplace).
+        Privacy.dpNoisedCounts(t(s, dir, "documents"),
+            Seq("lang", "source"), epsilon = 0.5, seed = 7L)
+          .orderBy("lang", "source"),
+      Some("""WITH g AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size
+          FROM documents GROUP BY lang, source),
+        n AS (
+          SELECT *,
+            (CAST(CAST(('0x' || substr(md5('7:' || lang || ':' || source), 1, 13))
+               AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+          FROM g)
+        SELECT lang, source, class_size,
+          round(class_size +
+            round(-2.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6), 6)
+            AS noised_count
+        FROM n ORDER BY lang, source""")),
+
+    Q("q222_cluster_safe_split",
+      (s, dir) => {
+        // leakage-free split construction: consecutive-id chains at
+        // ids ≡ 1..3 (mod 10) form 4-node path components — the whole
+        // chain must land in ONE split (the distributed closure picks
+        // the rep; md5(rep) picks the split). The prevention twin of
+        // the q160 audit.
+        val d = t(s, dir, "documents")
+        val pairs = d.select(col("doc_id").as("id_a"))
+          .filter(pmod(col("id_a"), lit(10)).isin(1, 2, 3))
+          .join(d.select(col("doc_id").as("id_b")),
+            col("id_b") === col("id_a") + 1)
+        Dedup.splitByCluster(d, "doc_id", pairs)
+          .select("doc_id", "cluster_rep", "split")
+          .orderBy("doc_id")
+      },
+      Some("""WITH e AS (
+          SELECT a.doc_id AS u
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 10 IN (1, 2, 3)),
+        nodes AS (
+          SELECT DISTINCT v FROM (
+            SELECT u AS v FROM e UNION ALL SELECT u + 1 AS v FROM e)),
+        isl AS (
+          SELECT v, v - row_number() OVER (ORDER BY v) AS grp FROM nodes),
+        rep AS (
+          SELECT v, min(v) OVER (PARTITION BY grp) AS r FROM isl),
+        assigned AS (
+          SELECT d.doc_id,
+            CAST(coalesce(rep.r, d.doc_id) AS BIGINT) AS cluster_rep
+          FROM documents d LEFT JOIN rep ON rep.v = d.doc_id),
+        h AS (
+          SELECT doc_id, cluster_rep,
+            substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 8) AS hx
+          FROM assigned)
+        SELECT doc_id, cluster_rep,
+          CASE WHEN hx < 'cccccccc' THEN 'train'
+               WHEN hx < 'e6666665' THEN 'val'
+               ELSE 'test' END AS split
+        FROM h ORDER BY doc_id"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over

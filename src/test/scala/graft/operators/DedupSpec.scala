@@ -407,6 +407,36 @@ class DedupSpec extends SparkSpec {
     assert(ok.toSeq == Seq(1L))
   }
 
+  test("splitByCluster: a near-dup component never straddles a split boundary") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chains of 4 at 10k+1..10k+4 plus a star at 151-{152,153}
+    val pairs = ((1L to 200L).filter(i => i % 10 >= 1 && i % 10 <= 3 && i < 200)
+      .map(i => (i, i + 1)) ++ Seq((151L, 152L), (151L, 153L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.splitByCluster(docs, "doc_id", pairs)
+    // 1. every clustered doc shares its component's split
+    val comp = Dedup.nearDupClusters(pairs)
+    val leak = Dedup.splitLeakage(pairs, got, "doc_id", "split")
+    assert(leak.isEmpty, "no pair may straddle splits by construction")
+    val perCluster = got.join(comp.withColumnRenamed("id", "doc_id"), "doc_id")
+      .groupBy("cluster").agg(countDistinct("split").as("n"))
+      .collect()
+    assert(perCluster.forall(_.getLong(1) == 1L), "one split per component")
+    // 2. singletons use their own id as rep; everyone is assigned
+    val all = got.collect()
+    assert(all.length == 200 && all.forall(_.getAs[String]("split") != null))
+    val reps = got.filter(col("doc_id") === 5L).select("cluster_rep")
+      .head().getLong(0)
+    assert(reps == 5L, "untouched doc is its own singleton cluster")
+    // 3. the assignment is exactly splitByGroup on the cluster rep
+    val viaGroup = ScaleOps.splitByGroup(
+      got.drop("split"), "cluster_rep").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      == viaGroup)
+  }
+
   test("connectedComponentsAlternating == nearDupClusters; deep chains close in log rounds") {
     import spark.implicits._
     // same-contract equivalence on the shapes that distinguish CC

@@ -767,4 +767,30 @@ class ScaleOpsSpec extends SparkSpec {
     val shards = assigned.orderBy("id").select("shard").collect().map(_.getLong(0))
     assert(shards.sameElements(shards.sorted), "shards must be monotone in the order")
   }
+
+  test("temperatureTargets: α=1 is natural proportions, small α flattens toward uniform") {
+    import spark.implicits._
+    // two strata, 9:1 token split
+    val df = (1L to 90L).map(i => (i, "big", 100L)) ++
+      (91L to 100L).map(i => (i, "small", 100L))
+    val d = df.toDF("id", "lang", "t")
+    val nat = ScaleOps.temperatureTargets(d, "lang", "t", alpha = 1.0, totalTokens = 1000L)
+    // α=1: shares are the natural 0.9/0.1 (exact decimals here)
+    assert(nat == Map("big" -> 900L, "small" -> 100L))
+    val flat = ScaleOps.temperatureTargets(d, "lang", "t", alpha = 0.3, totalTokens = 1000L)
+    // α<1 lifts the tail and trims the head, monotonically in between
+    assert(flat("small") > 100L && flat("big") < 900L)
+    assert(flat("small") < flat("big"), "α>0 must preserve the ordering")
+    // allocations never exceed the budget (floor rounding per stratum)
+    assert(flat.values.sum <= 1000L && nat.values.sum <= 1000L)
+    // realization attains each target within one document's tokens
+    val mix = ScaleOps.temperatureSample(d, "id", "lang", "t", 0.3, 1000L)
+      .groupBy("lang").agg(sum("t").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    flat.foreach { case (l, tgt) =>
+      val got = mix.getOrElse(l, 0L)
+      assert(got <= tgt + 100L && (got >= tgt - 100L || tgt <= 100L),
+        s"$l attained $got vs target $tgt")
+    }
+  }
 }

@@ -690,4 +690,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
     b.unpersist()
   }
+
+  test("wordBlocklistGate: whole-token matches only, distinct sorted terms, occurrence count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the hashing was slow, slow and SLOW"), // 'hashing' must NOT hit 'hash'
+      (2L, "can't stop won't stop"),               // apostrophe token match
+      (3L, "a perfectly clean sentence"),
+      (4L, "vector Vector VECTOR hash")
+    ).toDF("id", "text")
+    val got = TextAnalysis.wordBlocklistGate(df, "text",
+        Seq("slow", "hash", "vector", "can't"))
+      .select("id", "bad_terms", "n_bad_tokens", "blocked")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "slow", 3L, true),          // hashing ≠ hash; slow ×3 case-folded
+      (2L, "can't", 1L, true),
+      (3L, "", 0L, false),
+      (4L, "hash vector", 4L, true)))  // sorted distinct terms, 4 occurrences
+  }
+
+  test("dropRepeatedParagraphs: first occurrence survives, order preserved, trim-normalized") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha\nbanner\nbeta\n banner \nalpha\ngamma"),
+      (2L, "one\n\ntwo\n\nthree"), // repeated empty paragraph collapses
+      (3L, "solo")
+    ).toDF("id", "text")
+    val got = TextAnalysis.dropRepeatedParagraphs(df, "text")
+      .select("id", "clean_text", "n_paragraphs", "n_dropped")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "alpha\nbanner\nbeta\ngamma", 6L, 2L), // ' banner ' trims into the dup
+      (2L, "one\n\ntwo\nthree", 5L, 1L),
+      (3L, "solo", 1L, 0L)))
+  }
 }

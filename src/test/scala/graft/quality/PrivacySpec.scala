@@ -53,4 +53,24 @@ class PrivacySpec extends SparkSpec {
     // the 3-row class has 2 diagnoses — diverse at l=2
     assert(!got.contains(("30-40", "941")))
   }
+
+  test("dpNoisedCounts: deterministic per seed, fresh seed = fresh draw, Laplace-bounded") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (s"u$i", s"g${i % 5}")).toDF("user", "grp")
+    val a = Privacy.dpNoisedCounts(rows, Seq("grp"), epsilon = 0.5, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = Privacy.dpNoisedCounts(rows, Seq("grp"), epsilon = 0.5, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b), "same seed must replay the identical release")
+    val c = Privacy.dpNoisedCounts(rows, Seq("grp"), epsilon = 0.5, seed = 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.map(_._3).toSeq != c.map(_._3).toSeq, "a fresh seed is a fresh draw")
+    a.foreach { case (g, exact, noised) =>
+      assert(exact == 40L, s"group $g exact count")
+      // 52-bit uniform → |noise| ≤ (1/ε)·ln(2⁵²) ≈ 72; and noise ≠ 0
+      // almost surely (u = 0.5 exactly is unreachable by construction)
+      assert(math.abs(noised - exact) <= 73.0, s"$g noise out of Laplace range")
+      assert(noised != exact.toDouble, s"$g drew zero noise")
+    }
+  }
 }
