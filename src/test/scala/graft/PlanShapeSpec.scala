@@ -391,6 +391,48 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q218/q220: blocklist gate and paragraph dedup are map-only — no exchange, no explode, no UDF") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val gated = graft.operators.TextAnalysis.wordBlocklistGate(
+      docs, "text", Seq("slow", "hash", "vector"))
+    val deduped = graft.operators.TextAnalysis.dropRepeatedParagraphs(docs, "text")
+    for ((name, frame) <- Seq("wordBlocklistGate" -> gated,
+        "dropRepeatedParagraphs" -> deduped)) {
+      val plan = planString(frame)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      assert(!plan.contains("Generate"), s"$name must not explode (in-row arrays only):\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$name must stay in native expressions:\n$plan")
+    }
+  }
+
+  test("q219/q221: temperature realization windows per-stratum; DP release is one aggregation, no window") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the A-ES cutoff window must partition by the stratum column — a
+    // global (unpartitioned) window would funnel the corpus through one
+    // task; per-language partitions are bounded by the pre-gate contract
+    val mixPlan = planString(graft.operators.ScaleOps.temperatureSample(
+      docs, "doc_id", "lang", "n_chars", 0.3, 50000L))
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(mixPlan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"expected the per-stratum cumsum window:\n$mixPlan")
+    winSpecs.foreach { spec =>
+      assert(spec.contains("lang"),
+        s"the sampler window must partition by the stratum: windowspecdefinition($spec)")
+    }
+    // DP noised counts: groupBy + map-only noise — no window, no join
+    val dpPlan = planString(graft.quality.Privacy.dpNoisedCounts(
+      docs, Seq("lang", "source"), epsilon = 0.5))
+    assert(!dpPlan.contains("Window"), s"DP release must not use a window:\n$dpPlan")
+    assert(!dpPlan.contains("Join"), s"DP release must not join:\n$dpPlan")
+    assert(dpPlan.contains("HashAggregate"),
+      s"DP release should be one hash aggregation:\n$dpPlan")
+  }
+
   test("q186: golden-record shuffles carry (entity, field, value) triples, never full rows") {
     // the stacked frame drops every non-surviving column BEFORE its
     // count aggregation — the exchange that sizes with values must not
