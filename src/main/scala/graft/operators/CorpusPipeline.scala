@@ -70,7 +70,10 @@ object CorpusPipeline {
   /** The FULL preparation pipeline — [[clean]] plus the remaining stages
     * a corpus passes on its way to a training run:
     *
-    *   PII scrub (map-only regexp chain — FIRST, so every downstream
+    *   word-blocklist gate (when `blocklist` is supplied — the
+    *       cheapest whole-document drop, before anything else spends
+    *       work on a page that cannot ship)
+    *     → PII scrub (map-only regexp chain — first TEXT REWRITE, so every downstream
     *       annotation, fingerprint, and dedup decision sees the text
     *       that will actually ship; two docs differing only in PII
     *       dedupe together)
@@ -98,7 +101,8 @@ object CorpusPipeline {
       evalDocs: Option[DataFrame] = None,
       chunk: Option[(Int, Int)] = None,
       splitBy: Option[(String, Seq[(String, Double)])] = None,
-      htmlInput: Boolean = false): DataFrame = {
+      htmlInput: Boolean = false,
+      blocklist: Seq[String] = Nil): DataFrame = {
     // stage 0 when the input is a crawl: markup → main text (map-only,
     // HtmlText's block-segmented link-density extraction); pages whose
     // every block was boilerplate vanish here, before any text gate
@@ -106,7 +110,18 @@ object CorpusPipeline {
       if (!htmlInput) docs
       else docs.withColumn(textCol, HtmlText.extractText(col(textCol)))
         .filter(length(col(textCol)) > 0)
-    val scrubbed = textual.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    // C4's doc-level bad-words gate, right after extraction: the
+    // cheapest whole-document drop runs before any annotation or
+    // fingerprinting spends work on a page that cannot ship (map-only;
+    // the audit columns don't ride — prepare's contract is the corpus,
+    // not the rejection report; run wordBlocklistGate standalone for
+    // that)
+    val admitted =
+      if (blocklist.isEmpty) textual
+      else TextAnalysis.wordBlocklistGate(textual, textCol, blocklist)
+        .filter(!col("blocked"))
+        .drop("bad_terms", "n_bad_tokens", "blocked")
+    val scrubbed = admitted.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       .filter(TextAnalysis.repetitionRatio(col(textCol)) <= maxRepetition)
     val cleaned = clean(scrubbed, idCol, textCol, cfg)
     val decontaminated = evalDocs

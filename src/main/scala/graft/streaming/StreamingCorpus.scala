@@ -64,7 +64,8 @@ object StreamingCorpus {
       pages: DataFrame,
       textCol: String = "text",
       maxNoise: Double = 5.0,
-      repairEncoding: Boolean = false): DataFrame = {
+      repairEncoding: Boolean = false,
+      blocklist: Seq[String] = Nil): DataFrame = {
     val extracted = pages
       .withColumn(textCol, graft.operators.HtmlText.extractText(col(textCol)))
       .filter(length(col(textCol)) > 0)
@@ -73,7 +74,15 @@ object StreamingCorpus {
         extracted.withColumn(textCol,
           org.apache.spark.sql.graft.NativeExprs.fixMojibake(col(textCol)))
       else extracted
-    repaired
+    // doc-level bad-words gate (the batch prepare's round-9 arm):
+    // stateless whole-token filter, same placement — right after
+    // extraction/repair, before anything spends work on the page
+    val admitted =
+      if (blocklist.isEmpty) repaired
+      else TextAnalysis.wordBlocklistGate(repaired, textCol, blocklist)
+        .filter(!col("blocked"))
+        .drop("bad_terms", "n_bad_tokens", "blocked")
+    admitted
       .filter(TextAnalysis.encodingNoiseScore(col(textCol)) <= maxNoise)
       .withColumn(textCol, TextAnalysis.redactCards(col(textCol)))
   }

@@ -98,6 +98,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(straddle.count() == 0, "all chunks of a document share one split")
   }
 
+  test("prepare with blocklist: blocked docs vanish before any stage, audit columns don't ride") {
+    // 'slow' appears in many fixture docs; the blocklist arm must (1)
+    // drop every doc containing it, (2) leave the survivor set exactly
+    // equal to prepare() of the pre-filtered input (gate placement is
+    // BEFORE all text stages), (3) not leak gate columns into prepare's
+    // output contract
+    val gated = CorpusPipeline.prepare(docs, blocklist = Seq("slow"))
+    assert(!gated.columns.contains("blocked") && !gated.columns.contains("bad_terms"),
+      "prepare returns the corpus, not the rejection report")
+    val survivors = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val manual = CorpusPipeline.prepare(
+      docs.filter(!col("text").rlike("(^|[^a-z0-9'])slow($|[^a-z0-9'])")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == manual, "blocklist gate ≡ pre-filtering the input")
+    assert(survivors.nonEmpty, "the fixture must keep some clean docs")
+  }
+
   test("clean() pins nothing in the CacheManager (leak-free composition)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()

@@ -75,6 +75,31 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestCrawl: the blocklist arm drops bad-word pages statelessly, batch-equal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clean = "the quick brown fox keeps running through the open field toward the river"
+    val dirty = s"$clean and then a casino advert interrupts everything"
+    val pages = Seq(
+      (1L, s"<p>$clean every single morning</p>"),
+      (2L, s"<p>$dirty</p>"),
+      (3L, s"<p>$clean casinos plural should not fire the whole-token rule</p>"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingCorpus.ingestCrawl(
+        in.toDF.toDF("doc_id", "text"), blocklist = Seq("casino"))
+      .writeStream.format("memory").queryName("crawl_bl_out").outputMode("append").start()
+    try {
+      in.addData(pages: _*)
+      q.processAllAvailable()
+      val got = spark.table("crawl_bl_out").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L), s"only the whole-token casino page drops: $got")
+      val batch = StreamingCorpus.ingestCrawl(
+          pages.toDF("doc_id", "text"), blocklist = Seq("casino"))
+        .collect().map(_.getLong(0)).toSet
+      assert(batch == got, "the blocklist gate must be batch/stream invariant")
+    } finally q.stop()
+  }
+
   test("c4CleanStream: line/document rules stream statelessly, carry survives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
