@@ -1286,6 +1286,98 @@ object Dedup {
     graft.operators.ScaleOps.splitByGroup(withRep, "cluster_rep", splits)
   }
 
+  /** Incremental advance of [[splitByCluster]]'s assignment store —
+    * split STABILITY under corpus growth: an already-assigned document
+    * never moves splits (a doc that served in an eval set must stay
+    * eval forever, or every benchmark number before the move is
+    * contaminated), while new documents join cluster-consistently.
+    *
+    * `store` is (idCol, cluster_rep, split) — [[splitByCluster]]'s
+    * output projection; `pairs` are the batch-touching near-dup pairs
+    * only (batch↔store ∪ batch↔batch — store-internal pairs never
+    * re-materialize, the `linkPairsIncremental` contract). The pair
+    * endpoints map to their current ENTITY (store rows → cluster_rep,
+    * batch rows → own id) and the entity-level graph — orders of
+    * magnitude smaller than the row graph — closes transitively
+    * (the `goldenRecordAdvance` shape).
+    *
+    * Per merged component:
+    *  - store members KEEP their split unconditionally (stability);
+    *    their `cluster_rep` re-keys to the component canon so future
+    *    advances see one entity;
+    *  - batch members inherit the component's store split when the
+    *    component touches EXACTLY ONE store split;
+    *  - a batch-only component hashes its canon through
+    *    `ScaleOps.splitByGroup`'s boundaries — bit-identical to what
+    *    [[splitByCluster]] would assign from scratch;
+    *  - a component BRIDGING store clusters of different splits is a
+    *    CONFLICT: stability forbids re-assigning either side, so its
+    *    batch members get a NULL split (quarantine — the caller must
+    *    not train on them) and the component is reported in the
+    *    returned `conflicts` frame (canon, n_splits).
+    *
+    * Returns (advancedStore, conflicts). Entity canon = the component's
+    * minimum id: store reps are their components' minima, so the
+    * entity-graph minimum equals the row-graph minimum and repeated
+    * advances agree with one batch closure over the union.
+    */
+  def splitByClusterIncremental(
+      store: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): (DataFrame, DataFrame) = {
+    // replay guard: an already-assigned id re-arriving in a batch is the
+    // store's row, not a new document — advancing twice with the same
+    // batch must be a no-op (the q208 incremental discipline)
+    val newBatch = batch.join(store.select(col(idCol)), Seq(idCol), "left_anti")
+    val idToEnt = store.select(col(idCol).cast("long").as("__id"),
+        col("cluster_rep").cast("long").as("__e"))
+      .unionByName(newBatch.select(col(idCol).cast("long").as("__id"),
+        col(idCol).cast("long").as("__e")))
+    val entPairs = pairs
+      .join(idToEnt.select(col("__id").as("id_a"), col("__e").as("ent_a")), Seq("id_a"))
+      .join(idToEnt.select(col("__id").as("id_b"), col("__e").as("ent_b")), Seq("id_b"))
+      .select(
+        least(col("ent_a"), col("ent_b")).as("id_a"),
+        greatest(col("ent_a"), col("ent_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    // tiny entity graph; consumed by the store re-key, the batch canon,
+    // and the inheritance aggregate — share the closure's blocks
+    val entToCanon = nearDupClusters(entPairs)
+      .select(col("id").as("__e"), col("cluster").as("__canon"))
+      .localCheckpoint(eager = false)
+    val storeAdv = store
+      .join(entToCanon, store("cluster_rep") === col("__e"), "left")
+      .withColumn("cluster_rep",
+        coalesce(col("__canon"), col("cluster_rep").cast("long")))
+      .drop("__e", "__canon")
+    // splits present per canonical component, over the ADVANCED store
+    // (one row per old cluster × split — bounded by the store's cluster
+    // count, not its row count, once distinct)
+    val canonSplits = storeAdv
+      .select(col("cluster_rep").as("__c"), col("split")).distinct()
+      .groupBy("__c")
+      .agg(countDistinct("split").as("__n"), min("split").as("__s"))
+    val batchCanon = newBatch
+      .join(entToCanon, newBatch(idCol).cast("long") === col("__e"), "left")
+      .withColumn("cluster_rep", coalesce(col("__canon"), col(idCol).cast("long")))
+      .drop("__e", "__canon")
+    val batchAssigned = graft.operators.ScaleOps
+      .splitByGroup(batchCanon, "cluster_rep", splits)
+      .join(canonSplits, col("cluster_rep") === col("__c"), "left")
+      .withColumn("split",
+        when(col("__n").isNull, col("split"))     // batch-only component
+          .when(col("__n") === 1, col("__s"))     // inherit the one store split
+          .otherwise(lit(null).cast("string")))   // bridging conflict
+      .drop("__c", "__n", "__s")
+    val conflicts = canonSplits.filter(col("__n") > 1)
+      .select(col("__c").as("cluster_rep"), col("__n").as("n_splits"))
+    (storeAdv.unionByName(batchAssigned.select(storeAdv.columns.map(col): _*)),
+      conflicts)
+  }
+
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val sa = shingleHashes(a, n)
     val sb = shingleHashes(b, n)

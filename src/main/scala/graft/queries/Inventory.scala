@@ -6289,7 +6289,99 @@ object Inventory {
           CASE WHEN hx < 'cccccccc' THEN 'train'
                WHEN hx < 'e6666665' THEN 'val'
                ELSE 'test' END AS split
-        FROM h ORDER BY doc_id"""))
+        FROM h ORDER BY doc_id""")),
+
+    Q("q223_split_advance_incremental",
+      (s, dir) => {
+        // split STABILITY under growth: docs < 400 are the assigned
+        // store (q222's chains); the batch brings its own chains plus
+        // three bridges — (151,451) merges a train cluster into a batch
+        // chain (inherit arm), (71,461)+(181,461) merge a val and a
+        // test cluster (conflict arm → the batch chain quarantines,
+        // store rows KEEP their splits). Batch-only chains must hash
+        // exactly as the batch operator would.
+        import s.implicits._
+        val d = t(s, dir, "documents")
+        val chain = d.select(col("doc_id").as("id_a"))
+          .filter(pmod(col("id_a"), lit(10)).isin(1, 2, 3))
+          .join(d.select(col("doc_id").as("id_b")),
+            col("id_b") === col("id_a") + 1)
+        val store = Dedup.splitByCluster(
+            d.filter(col("doc_id") < 400), "doc_id",
+            chain.filter(col("id_b") < 400))
+          .select(col("doc_id"), col("cluster_rep"), col("split"))
+        val batchPairs = chain.filter(col("id_a") >= 400)
+          .unionByName(Seq((151L, 451L), (71L, 461L), (181L, 461L))
+            .toDF("id_a", "id_b"))
+        val (adv, _) = Dedup.splitByClusterIncremental(
+          store, d.filter(col("doc_id") >= 400), "doc_id", batchPairs)
+        adv.select(col("doc_id"), col("cluster_rep"),
+            coalesce(col("split"), lit("quarantine")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE chain AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 10 IN (1, 2, 3)),
+        store_pairs AS (SELECT * FROM chain WHERE id_b < 400),
+        batch_pairs AS (
+          SELECT * FROM chain WHERE id_a >= 400
+          UNION ALL
+          SELECT * FROM (VALUES (151, 451), (71, 461), (181, 461)) v(id_a, id_b)),
+        all_pairs AS (
+          SELECT * FROM store_pairs UNION ALL SELECT * FROM batch_pairs),
+        se AS (SELECT id_a AS u FROM store_pairs),
+        snodes AS (SELECT DISTINCT v FROM (
+          SELECT u AS v FROM se UNION ALL SELECT u + 1 AS v FROM se)),
+        sisl AS (SELECT v, v - row_number() OVER (ORDER BY v) AS grp FROM snodes),
+        srep AS (SELECT v, min(v) OVER (PARTITION BY grp) AS r FROM sisl),
+        store0 AS (
+          SELECT d.doc_id, CAST(coalesce(srep.r, d.doc_id) AS BIGINT) AS rep0
+          FROM documents d LEFT JOIN srep ON srep.v = d.doc_id
+          WHERE d.doc_id < 400),
+        store_split AS (
+          SELECT doc_id, rep0,
+            CASE WHEN substr(md5(CAST(rep0 AS VARCHAR)), 1, 8) < 'cccccccc'
+                   THEN 'train'
+                 WHEN substr(md5(CAST(rep0 AS VARCHAR)), 1, 8) < 'e6666665'
+                   THEN 'val'
+                 ELSE 'test' END AS split
+          FROM store0),
+        edges AS (
+          SELECT id_a AS u, id_b AS w FROM all_pairs
+          UNION SELECT id_b, id_a FROM all_pairs),
+        gnodes AS (SELECT DISTINCT u AS v FROM edges),
+        reach(v, r) AS (
+          SELECT v, v FROM gnodes
+          UNION
+          SELECT reach.v, e.w FROM reach JOIN edges e ON e.u = reach.r),
+        canon AS (SELECT v, CAST(min(r) AS BIGINT) AS c FROM reach GROUP BY v),
+        adv_store AS (
+          SELECT ss.doc_id,
+            CAST(coalesce(c2.c, ss.rep0) AS BIGINT) AS cluster_rep, ss.split
+          FROM store_split ss LEFT JOIN canon c2 ON c2.v = ss.rep0),
+        binh AS (
+          SELECT cluster_rep AS c, count(DISTINCT split) AS n, min(split) AS s
+          FROM adv_store GROUP BY cluster_rep),
+        batch0 AS (
+          SELECT d.doc_id, CAST(coalesce(c2.c, d.doc_id) AS BIGINT) AS cluster_rep
+          FROM documents d LEFT JOIN canon c2 ON c2.v = d.doc_id
+          WHERE d.doc_id >= 400),
+        batch_assigned AS (
+          SELECT b.doc_id, b.cluster_rep,
+            CASE WHEN i.n IS NULL THEN
+                CASE WHEN substr(md5(CAST(b.cluster_rep AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                     WHEN substr(md5(CAST(b.cluster_rep AS VARCHAR)), 1, 8)
+                       < 'e6666665' THEN 'val'
+                     ELSE 'test' END
+              WHEN i.n = 1 THEN i.s
+              ELSE 'quarantine' END AS split
+          FROM batch0 b LEFT JOIN binh i ON i.c = b.cluster_rep)
+        SELECT doc_id, cluster_rep, split FROM adv_store
+        UNION ALL
+        SELECT doc_id, cluster_rep, split FROM batch_assigned
+        ORDER BY doc_id"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
