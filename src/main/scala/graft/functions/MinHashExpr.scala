@@ -70,6 +70,25 @@ object MinHash {
     new GenericArrayData(out)
   }
 
+  /** b-bit minhash with b = 1 (Li & König, WWW 2010): the LOWEST bit of
+    * each of the k signature components, packed little-endian into
+    * k/64 longs — a 64× compaction of the signature (128 perms: 1 KB →
+    * 16 bytes). Bit i of word i/64 = sig[i] & 1. Each bit matches
+    * across two documents with probability C + (1−C)·J, C = 1/2, so
+    * Ĵ = 2·(matching fraction) − 1 estimates Jaccard from two packed
+    * sketches alone — no shingle sets needed on either side.
+    */
+  def oneBit(sig: ArrayData): ArrayData = {
+    val k = sig.numElements()
+    val out = new Array[Long]((k + 63) / 64)
+    var i = 0
+    while (i < k) {
+      out(i >> 6) |= (sig.getLong(i) & 1L) << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-minimum signature of the shingle-hash array; null for empty input
     * (a doc with fewer than w tokens has no shingles, hence no signature).
     */
@@ -107,6 +126,12 @@ object MinHashSignatureExpr {
 object BandHashesExpr {
   def apply(sig: Column, bands: Int): Column =
     org.apache.spark.sql.graft.NativeExprs.bandHashes(sig, bands)
+}
+
+/** Column-level façade for the native 1-bit minhash sketch. */
+object OneBitMinHashExpr {
+  def apply(sig: Column): Column =
+    org.apache.spark.sql.graft.NativeExprs.oneBitMinHash(sig)
 }
 
 /** Primitive kernel for text → distinct w-shingle xxhash64 array, shared

@@ -755,6 +755,76 @@ object Dedup {
     if (eagerRelease) verified.localCheckpoint(true) else verified
   }
 
+  /** Jaccard estimate from two 1-bit minhash sketches (Li & König,
+    * WWW 2010, b = 1): each packed bit matches with probability
+    * C + (1−C)·J (C = ½ for b = 1), so Ĵ = 2·P̂ − 1 with P̂ = the
+    * matching-bit fraction — computed from 2×(k/64) longs with XOR +
+    * popcount, no shingle set on either side. Standard deviation
+    * ≈ 2·√(p(1−p)/k) ≈ 0.09 at k = 128 around J ≈ 0.8 — an ESTIMATE
+    * for screening and monitoring, not a verification. (C = ½ assumes
+    * the permutation domain is large relative to the sets — exact for
+    * this engine's 2⁶¹-space permutations.)
+    */
+  def oneBitJaccardEst(a: Column, b: Column, k: Int = 128): Column =
+    lit(1.0) - lit(2.0) * aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, e) => acc + e).cast("double") / lit(k.toDouble)
+
+  /** [[minHashNearDups]] with a 1-bit-sketch SCREEN between banding and
+    * exact verification — same output contract (verified exact-Jaccard
+    * pairs), cheaper verification stage. The banded candidate set
+    * includes false positives (hot-band collisions, sub-threshold
+    * near-misses) and plain [[minHashNearDups]] hauls BOTH shingle
+    * arrays through the verification join for every one of them — the
+    * widest exchange in the operator. Here candidates first join the
+    * 16-byte packed sketches ([[graft.functions.MinHash.oneBit]]),
+    * pairs estimating below `threshold − screenMargin` drop, and only
+    * the survivors haul shingle arrays for the exact verify.
+    *
+    * The screen is conservative, not exact: a true pair at J = t is
+    * dropped iff its estimate misses LOW by more than the margin —
+    * P(Ĵ < t − m) with sd ≈ 0.09 at k = 128, so the default m = 0.3
+    * (≈ 3.3 sd) bounds the per-pair miss rate near 5e-4 at the
+    * threshold and ≪ 1e-9 for the J ≥ 0.9 mass that dominates real
+    * duplicate clusters; m ≥ threshold + 1 disables the screen (Ĵ
+    * ranges in [−1, 1]). Screening trades that recall epsilon for
+    * shuffling 16 bytes instead of two shingle arrays per rejected
+    * candidate.
+    */
+  def minHashNearDupsBBit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucket: Int = 1024,
+      excludeShingles: Array[Long] = Array.empty,
+      screenMargin: Double = 0.3): DataFrame = {
+    val (withSig, pairIds) = minHashCandidates(
+      df, idCol, textCol, k, bands, w, seed, maxBucket, excludeShingles)
+    val sketches = withSig.select(col("id"),
+      graft.functions.OneBitMinHashExpr(col("sig")).as("bb"))
+    val screened = pairIds
+      .join(sketches.select(col("id").as("id_a"), col("bb").as("bb_a")), Seq("id_a"))
+      .join(sketches.select(col("id").as("id_b"), col("bb").as("bb_b")), Seq("id_b"))
+      .filter(oneBitJaccardEst(col("bb_a"), col("bb_b"), k) >=
+        lit(threshold - screenMargin))
+      .select("id_a", "id_b")
+    val shingles = withSig.select(col("id"), col("sh"))
+    val candidates = screened
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    candidates
+      .withColumn("jaccard", round(when(union === 0, 1.0).otherwise(inter / union), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Dedup (not just pairs): keep one representative per near-dup cluster —
     * the minimum id of each connected component approximated by "drop any
     * doc that has a near-dup with a smaller id" (one LSH pass; exact

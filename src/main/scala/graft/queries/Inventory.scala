@@ -6381,7 +6381,34 @@ object Inventory {
         SELECT doc_id, cluster_rep, split FROM adv_store
         UNION ALL
         SELECT doc_id, cluster_rep, split FROM batch_assigned
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Q("q224_dedup_minhash_bbit",
+      (s, dir) =>
+        // q81's near-dup pass with the 1-bit-sketch screen between
+        // banding and exact verification (Li & König b-bit minhash):
+        // rejected candidates cost a 16-byte sketch compare instead of
+        // hauling two shingle arrays. Same output contract — the screen
+        // at 0.5 − 0.3 = 0.2 cannot drop a J ≥ 0.9 true pair
+        // (P(Ĵ < 0.2 | J = 0.9) ≈ Binomial(128, .95) below 77 hits —
+        // beyond astronomic), so the q81 exhaustive oracle replays
+        // row-for-row.
+        Dedup.minHashNearDupsBBit(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, w = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+        ORDER BY id_a, id_b"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over

@@ -49,6 +49,29 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** 1-bit minhash sketch of a full signature (graft.functions.MinHash
+  * .oneBit): the low bit of each component packed into k/64 longs —
+  * Li & König's b-bit compaction (b = 1) as one codegen'd primitive
+  * loop. Null propagates (a null signature has no sketch).
+  */
+case class OneBitMinHashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "one_bit_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash.oneBit(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHash.oneBit($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): OneBitMinHashExpr =
+    copy(child = newChild)
+}
+
 /** Distinct w-word-shingle xxhash64 hashes of a text column, as one
   * codegen-friendly kernel (graft.functions.ShingleHash.shingleHashes) —
   * replaces a lower→trim→split→transform(slice→array_join→xxhash64)→
@@ -719,6 +742,10 @@ object NativeExprs {
   /** Column-level entry for BandHashesExpr. */
   def bandHashes(sig: Column, bands: Int): Column =
     ExpressionUtils.column(BandHashesExpr(ExpressionUtils.expression(sig), bands))
+
+  /** Column-level entry for OneBitMinHashExpr. */
+  def oneBitMinHash(sig: Column): Column =
+    ExpressionUtils.column(OneBitMinHashExpr(ExpressionUtils.expression(sig)))
 
   /** Column-level entry for NearestCellsExpr (cents row-major c × dim). */
   def nearestCells(vec: Column, cents: Array[Double], c: Int, nprobe: Int): Column =

@@ -437,6 +437,55 @@ class DedupSpec extends SparkSpec {
       == viaGroup)
   }
 
+  test("1-bit minhash: packing extracts signature parities; estimator tracks exact Jaccard") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // packing: bit i of the sketch == low bit of signature component i
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text").limit(20)
+      .withColumn("bb", graft.functions.OneBitMinHashExpr(col("sig")))
+      .collect()
+    sigs.foreach { r =>
+      val sig = r.getSeq[Long](r.fieldIndex("sig"))
+      val bb = r.getSeq[Long](r.fieldIndex("bb"))
+      assert(bb.length == 2, "128 components pack into 2 words")
+      sig.zipWithIndex.foreach { case (v, i) =>
+        val bit = (bb(i >> 6) >>> (i & 63)) & 1L
+        assert(bit == (v & 1L), s"bit $i mismatch")
+      }
+    }
+    // estimator: on pairs with known exact Jaccard, |Ĵ − J| stays within
+    // ~4 sd (sd ≈ 0.09 at k=128) — checked on the fixture's true pairs
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+    val sigAll = Dedup.minHashSignatures(docs, "doc_id", "text")
+      .withColumn("bb", graft.functions.OneBitMinHashExpr(col("sig")))
+      .select(col("id"), col("bb"))
+    val est = pairs
+      .join(sigAll.select(col("id").as("id_a"), col("bb").as("bb_a")), Seq("id_a"))
+      .join(sigAll.select(col("id").as("id_b"), col("bb").as("bb_b")), Seq("id_b"))
+      .withColumn("est", Dedup.oneBitJaccardEst(col("bb_a"), col("bb_b")))
+      .select("jaccard", "est").collect()
+    assert(est.nonEmpty, "fixture must contain near-dup pairs")
+    est.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.36,
+        s"estimate ${r.getDouble(1)} too far from exact ${r.getDouble(0)}")
+    }
+  }
+
+  test("minHashNearDupsBBit == minHashNearDups (screen is output-invariant on the fixture)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plain = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val screened = Dedup.minHashNearDupsBBit(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(screened == plain,
+      s"screen must not change the verified pair set: ${screened.diff(plain).take(3)} / ${plain.diff(screened).take(3)}")
+    // a disabled screen (margin past the estimator's range) is the identity
+    val disabled = Dedup.minHashNearDupsBBit(docs, "doc_id", "text",
+        threshold = 0.5, screenMargin = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(disabled == plain)
+  }
+
   test("splitByClusterIncremental: stability, inheritance, conflict quarantine, replay no-op") {
     import spark.implicits._
     val storeDocs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
