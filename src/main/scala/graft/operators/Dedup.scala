@@ -601,20 +601,27 @@ object Dedup {
       w: Int,
       seed: Long,
       maxBucket: Int,
-      excludeShingles: Array[Long]): (DataFrame, DataFrame) = {
+      excludeShingles: Array[Long],
+      oneperm: Boolean = false): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     // Native codegen'd signature kernel (MinHashSignatureExpr) — value-
     // identical to minHashSignature() but one tight primitive loop.
     // Shared lazily because BOTH sides of the candidate self-join and the
     // shingle re-attach scan it: without block sharing the 128-permutation
     // signature would be computed four times.
+    // `oneperm` swaps in the O(n + k) one-permutation kernel
+    // (OnePermSignatureExpr) — same banding/verification contract,
+    // value-INCOMPATIBLE signatures (don't mix kernels across a store).
     val rawSh = shingleHashes(col(textCol), w)
     val sh =
       if (excludeShingles.isEmpty) rawSh
       else array_except(rawSh, array(excludeShingles.map(lit).toIndexedSeq: _*))
+    val sigCol =
+      if (oneperm) graft.functions.OnePermSignatureExpr(col("sh"), k, seed)
+      else graft.functions.MinHashSignatureExpr(col("sh"), k, seed)
     val withSig = shareLazily(df
       .select(col(idCol).as("id"), sh.as("sh"))
-      .withColumn("sig", graft.functions.MinHashSignatureExpr(col("sh"), k, seed))
+      .withColumn("sig", sigCol)
       .filter(col("sig").isNotNull))
 
     // (id, band_hash) pairs — ids ONLY: the banded self-join must not
@@ -724,6 +731,14 @@ object Dedup {
     *                  decommissioning, wrap the call site with a reliable
     *                  `Dataset.checkpoint` instead of passing
     *                  eagerRelease=true.
+    * @param oneperm   swap the k-permutation signature kernel for
+    *                  ONE-PERMUTATION hashing with rotation densification
+    *                  ([[graft.functions.MinHash.signatureOneperm]]) —
+    *                  O(n + k) hashes per document instead of O(n·k)
+    *                  multiply-mods, with the same banding S-curve and the
+    *                  same exact-verified output contract. Signatures are
+    *                  value-incompatible across kernels: a store built one
+    *                  way cannot be probed the other way.
     * @return (id_a, id_b, jaccard) with id_a < id_b, verified
     */
   def minHashNearDups(
@@ -737,9 +752,10 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Int = 1024,
       excludeShingles: Array[Long] = Array.empty,
-      eagerRelease: Boolean = false): DataFrame = {
+      eagerRelease: Boolean = false,
+      oneperm: Boolean = false): DataFrame = {
     val (withSig, pairIds) = minHashCandidates(
-      df, idCol, textCol, k, bands, w, seed, maxBucket, excludeShingles)
+      df, idCol, textCol, k, bands, w, seed, maxBucket, excludeShingles, oneperm)
     val shingles = withSig.select(col("id"), col("sh"))
     val candidates = pairIds
       .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -6408,6 +6408,33 @@ object Inventory {
         WHERE len(a.sh) > 0 AND len(b.sh) > 0
           AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    Q("q225_dedup_minhash_oneperm",
+      (s, dir) =>
+        // q81's near-dup pass on the ONE-PERMUTATION kernel (Li, Owen &
+        // Zhang 2012 + rotation densification): O(n + k) hashes per doc
+        // instead of the k-permutation kernel's O(n·k) multiply-mods —
+        // the signature stage is the map-side hot loop of every minhash
+        // operator. Banding recall at the fixture's J ≥ 0.9 pairs is
+        // the same 1 − (1 − J⁴)³² ≈ 1 − 1e-15 S-curve (per-bin match
+        // probability is J), and the output is exact-verified either
+        // way, so the q81 exhaustive oracle replays row-for-row.
+        Dedup.minHashNearDups(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, w = 3, threshold = 0.5, oneperm = true)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
         ORDER BY id_a, id_b"""))
   )
 
@@ -6455,6 +6482,10 @@ object Inventory {
     "q209_span_cut_incremental", "q210_fix_mojibake", "q211_countmin_freq",
     "q212_audio_neardup", "q213_script_profile", "q214_ccnet_buckets",
     "q215_data_card", "q216_pr_curve", "q217_shard_by_budget",
+    "q218_word_blocklist", "q219_temperature_sample", "q220_paragraph_dedup",
+    "q221_dp_noised_counts", "q222_cluster_safe_split",
+    "q223_split_advance_incremental", "q224_dedup_minhash_bbit",
+    "q225_dedup_minhash_oneperm",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -49,6 +49,33 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** One-permutation minhash signature with rotation densification
+  * (graft.functions.MinHash.signatureOneperm): O(n + k) hashes per
+  * document vs the k-permutation kernel's O(n·k) — same banding and
+  * verification contract, different (incompatible) signature values.
+  */
+case class OnePermSignatureExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "oneperm_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash.signatureOneperm(input.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.MinHash.signatureOneperm($c, $k, ${seed}L);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): OnePermSignatureExpr =
+    copy(child = newChild)
+}
+
 /** 1-bit minhash sketch of a full signature (graft.functions.MinHash
   * .oneBit): the low bit of each component packed into k/64 longs —
   * Li & König's b-bit compaction (b = 1) as one codegen'd primitive
@@ -746,6 +773,11 @@ object NativeExprs {
   /** Column-level entry for OneBitMinHashExpr. */
   def oneBitMinHash(sig: Column): Column =
     ExpressionUtils.column(OneBitMinHashExpr(ExpressionUtils.expression(sig)))
+
+  /** Column-level entry for OnePermSignatureExpr. */
+  def onepermSignature(shingles: Column, k: Int, seed: Long): Column =
+    ExpressionUtils.column(
+      OnePermSignatureExpr(ExpressionUtils.expression(shingles), k, seed))
 
   /** Column-level entry for NearestCellsExpr (cents row-major c × dim). */
   def nearestCells(vec: Column, cents: Array[Double], c: Int, nprobe: Int): Column =
