@@ -29,6 +29,34 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.removeBoilerplate(emptyDocs, "doc_id", "text", minDocs = 2).count() == 0)
   }
 
+  test("round-9 operators: blocklist, paragraph dedup, temperature mix, DP counts, splits, b-bit/oneperm") {
+    assert(TextAnalysis.wordBlocklistGate(emptyDocs, "text", Seq("x")).count() == 0)
+    assert(TextAnalysis.dropRepeatedParagraphs(emptyDocs, "text").count() == 0)
+    // empty corpus ⇒ no strata ⇒ empty targets and an empty mix
+    assert(ScaleOps.temperatureTargets(
+      emptyDocs.withColumn("n", lit(1L)), "source", "n", 0.3, 1000L).isEmpty)
+    assert(ScaleOps.temperatureSample(
+      emptyDocs.withColumn("n", lit(1L)), "doc_id", "source", "n", 0.3, 1000L)
+      .count() == 0)
+    assert(graft.quality.Privacy.dpNoisedCounts(
+      emptyDocs, Seq("source"), epsilon = 1.0).count() == 0)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // empty pair graph ⇒ every doc is a singleton, still fully assigned
+    val docs2 = Seq((1L, "a", "s"), (2L, "b", "s")).toDF("doc_id", "text", "source")
+    val assigned = Dedup.splitByCluster(docs2, "doc_id", emptyPairs)
+    assert(assigned.count() == 2 &&
+      assigned.filter(col("split").isNull).count() == 0)
+    assert(Dedup.splitByCluster(emptyDocs, "doc_id", emptyPairs).count() == 0)
+    // incremental advance: empty batch and empty pairs are both no-ops
+    val store = assigned.select(col("doc_id"), col("cluster_rep"), col("split"))
+    val (advEmpty, confEmpty) = Dedup.splitByClusterIncremental(
+      store, emptyDocs, "doc_id", emptyPairs)
+    assert(advEmpty.count() == 2 && confEmpty.isEmpty)
+    // empty corpus through the sketch/oneperm near-dup paths
+    assert(Dedup.minHashNearDupsBBit(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashNearDups(emptyDocs, "doc_id", "text", oneperm = true).count() == 0)
+  }
+
   test("semantic dedup: empty corpus, empty batch against a store") {
     val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("id", "v")
     val cents = Similarity.centroids(emptyVecs, "id", "v", c = 8)
