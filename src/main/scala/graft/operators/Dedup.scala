@@ -544,6 +544,14 @@ object Dedup {
     * read; the hot-bucket cap applies to the COMBINED bucket population
     * so a boilerplate bucket spanning history and batch is still
     * bounded.
+    *
+    * `screenMargin` enables the 1-bit-sketch screen of
+    * [[minHashNearDupsBBit]] between banding and verification: sketches
+    * derive from the already-stored signatures (two ops per component —
+    * nothing new persists), and rejected candidates then cost a 16-byte
+    * compare instead of hauling the STORE's shingle arrays — on the
+    * daily-ingest path that shingle join is history's only non-metadata
+    * exchange. Same conservative-miss accounting as the batch operator.
     */
   def minHashNearDupsIncremental(
       newDocs: DataFrame,
@@ -556,7 +564,8 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L,
       maxBucket: Int = 1024,
-      excludeShingles: Array[Long] = Array.empty): DataFrame = {
+      excludeShingles: Array[Long] = Array.empty,
+      screenMargin: Option[Double] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val newSigs = shareLazily(
       minHashSignatures(newDocs, idCol, textCol, k, w, seed, excludeShingles))
@@ -574,8 +583,19 @@ object Dedup {
         (col("__new_a") === 1 || col("__new_b") === 1))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val screened = screenMargin match {
+      case Some(m) =>
+        val sketches = tagged.select(col("id"),
+          graft.functions.OneBitMinHashExpr(col("sig")).as("bb"))
+        pairIds
+          .join(sketches.select(col("id").as("id_a"), col("bb").as("bb_a")), Seq("id_a"))
+          .join(sketches.select(col("id").as("id_b"), col("bb").as("bb_b")), Seq("id_b"))
+          .filter(oneBitJaccardEst(col("bb_a"), col("bb_b"), k) >= lit(threshold - m))
+          .select("id_a", "id_b")
+      case None => pairIds
+    }
     val shingles = tagged.select(col("id"), col("sh"))
-    val candidates = pairIds
+    val candidates = screened
       .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")

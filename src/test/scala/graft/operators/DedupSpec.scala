@@ -484,6 +484,18 @@ class DedupSpec extends SparkSpec {
         threshold = 0.5, screenMargin = 2.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(disabled == plain)
+    // the incremental path's screen (sketches derived from stored
+    // signatures) is output-invariant too
+    val store = Dedup.minHashSignatures(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val incPlain = Dedup.minHashNearDupsIncremental(
+        docs.filter(col("doc_id") % 2 === 1), store, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incScreened = Dedup.minHashNearDupsIncremental(
+        docs.filter(col("doc_id") % 2 === 1), store, "doc_id", "text",
+        threshold = 0.5, screenMargin = Some(0.3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incScreened == incPlain)
   }
 
   test("one-permutation signatures: dense bins, densified empties, verified output parity") {
