@@ -1309,7 +1309,7 @@ object FuzzQueries {
     */
   lazy val sqlSurfaceCases: Seq[FuzzCase] = {
     val rng = new scala.util.Random(seed + 16)
-    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 16))
+    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 17))
   }
 
   /** One family-P case (see [[sqlSurfaceCases]]). The SQL text uses
@@ -1481,6 +1481,19 @@ object FuzzQueries {
           () => max(NativeExprs.scriptProfile(col("text")).getField("n_digit") * 10 +
             NativeExprs.scriptProfile(col("text")).getField("n_other")))
 
+      case 16 => // one-permutation signature + 1-bit sketch chain
+        val pred = docAtom(rng)
+        val w = 2 + rng.nextInt(3)
+        val k = Seq(64, 128)(rng.nextInt(2))
+        val sd = 1 + rng.nextInt(100)
+        doc(pred,
+          s"count(DISTINCT element_at(oneperm_signature(shingle_hashes(text, $w), $k, $sd), 1))",
+          s"sum(aggregate(one_bit_minhash(minhash_signature(shingle_hashes(text, $w), $k, $sd)), CAST(0 AS BIGINT), (a, x) -> a + bit_count(x)))",
+          () => countDistinct(element_at(NativeExprs.onepermSignature(
+            NativeExprs.shingleHashes(col("text"), w), k, sd.toLong), 1)),
+          () => sum(aggregate(NativeExprs.oneBitMinHash(
+            NativeExprs.minhashSignature(NativeExprs.shingleHashes(col("text"), w), k, sd.toLong)),
+            lit(0L), (a, x) => a + bit_count(x))))
       case _ => // banded levenshtein: in-cap values exact, -1 ≡ over-cap
         val pred = docAtom(rng)
         val cap = 3 + rng.nextInt(8)

@@ -60,6 +60,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"minhash_signature expects (shingles[, k[, seed]]), got ${args.length} args")
       })
 
+    register(ext, "oneperm_signature",
+      "oneperm_signature(shingles, k, seed) - one-permutation MinHash signature " +
+        "with rotation densification (O(n + k) per row; values are NOT " +
+        "compatible with minhash_signature's)", {
+        case Seq(sh, k, seed) => OnePermSignatureExpr(sh, intArg(k, "k"), longArg(seed, "seed"))
+        case Seq(sh, k)       => OnePermSignatureExpr(sh, intArg(k, "k"), 42L)
+        case Seq(sh)          => OnePermSignatureExpr(sh, 128, 42L)
+        case args => throw new IllegalArgumentException(
+          s"oneperm_signature expects (shingles[, k[, seed]]), got ${args.length} args")
+      })
+
+    register(ext, "one_bit_minhash",
+      "one_bit_minhash(sig) - low bit of each signature component packed " +
+        "into k/64 longs (Li-Konig b-bit minhash, b = 1)", {
+        case Seq(sig) => OneBitMinHashExpr(sig)
+        case args => throw new IllegalArgumentException(
+          s"one_bit_minhash expects (sig), got ${args.length} args")
+      })
+
     register(ext, "simhash",
       "simhash(text) - 64-bit SimHash fingerprint", {
         case Seq(text) => SimHashExpr(text)
