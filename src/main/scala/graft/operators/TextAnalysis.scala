@@ -1361,15 +1361,38 @@ object TextAnalysis {
     *  - `n_bad_tokens`: total OCCURRENCES of blocklisted words;
     *  - `blocked`: n_bad_tokens > 0.
     *
-    * Scale shape: the blocklist rides into the plan as a literal array
-    * (curated lists are hundreds to a few thousand entries — parameter
-    * state, like the gazetteer of [[gazetteerRedact]]); the gate is one
-    * map-only projection over codegen'd array HOFs — no shuffle, no
-    * join, no UDF. For a list too big to inline, pre-join the tokens
-    * against a broadcast dictionary instead (the
-    * `WebOps.blockDomainsJoin` pattern).
+    * Scale shape: the gate is ONE native byte-scan kernel per row
+    * ([[graft.functions.WordBlocklist]] via `WordBlocklistExpr`) against
+    * a shared hash-set dictionary — no token array, no interpreted HOF
+    * lambdas, no shuffle, no join (the first HOF formulation measured
+    * 140 µs/doc at sf10 — linear but constant-heavy; the kernel is the
+    * same one-pass shape as [[gopherSignals]]). The blocklist is
+    * parameter state (hundreds to a few thousand entries, like the
+    * gazetteer of [[gazetteerRedact]]); for a list too big for driver
+    * state, pre-join the tokens against a broadcast dictionary instead
+    * (the `WebOps.blockDomainsJoin` pattern).
     */
   def wordBlocklistGate(
+      df: DataFrame,
+      textCol: String,
+      words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must not be empty")
+    val h = org.apache.spark.sql.graft.NativeExprs
+      .wordBlocklistHits(col(textCol), words.map(_.toLowerCase).distinct)
+    df.withColumn("__h", h)
+      .withColumn("bad_terms", col("__h.bad_terms"))
+      .withColumn("n_bad_tokens", col("__h.n_bad_tokens"))
+      .drop("__h")
+      .withColumn("blocked", col("n_bad_tokens") > 0L)
+  }
+
+  /** Reference formulation of [[wordBlocklistGate]] with built-in
+    * higher-order functions only — kept as the semantic spec (the
+    * [[graft.operators.Dedup.simHashHof]] pattern): split on
+    * `[^a-z0-9']+`, filter by dictionary membership, distinct + sort +
+    * join. Value parity with the native kernel is spec-pinned.
+    */
+  private[graft] def wordBlocklistGateHof(
       df: DataFrame,
       textCol: String,
       words: Seq[String]): DataFrame = {

@@ -284,6 +284,41 @@ object GopherSignalsExpr {
     StructField("dup5_chars", LongType, nullable = false)))
 }
 
+/** C4 word-blocklist hits in one byte scan
+  * (graft.functions.WordBlocklist.hits): struct(bad_terms, n_bad_tokens)
+  * per row against a shared per-list dictionary — value-identical to
+  * the split/filter/distinct/sort HOF chain it replaces (spec-pinned),
+  * without materializing the token array.
+  */
+case class WordBlocklistExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = WordBlocklistExpr.schema
+  override def prettyName: String = "word_blocklist_hits"
+
+  @transient private lazy val dict = graft.functions.WordBlocklist.dict(words)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.WordBlocklist.hits(input.asInstanceOf[UTF8String], dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("blockDict", dict,
+      classOf[java.util.HashSet[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordBlocklist.hits($c, $dictRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordBlocklistExpr =
+    copy(child = newChild)
+}
+
+object WordBlocklistExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("bad_terms", StringType, nullable = false),
+    StructField("n_bad_tokens", LongType, nullable = false)))
+}
+
 /** Unicode-script profile in one code-point pass
   * (graft.functions.ScriptProfile.profile) — disjoint per-script
   * counters summing to the code-point length; dominant-script and
@@ -778,6 +813,11 @@ object NativeExprs {
   def onepermSignature(shingles: Column, k: Int, seed: Long): Column =
     ExpressionUtils.column(
       OnePermSignatureExpr(ExpressionUtils.expression(shingles), k, seed))
+
+  /** Column-level entry for WordBlocklistExpr. */
+  def wordBlocklistHits(text: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(
+      WordBlocklistExpr(ExpressionUtils.expression(text), words))
 
   /** Column-level entry for NearestCellsExpr (cents row-major c × dim). */
   def nearestCells(vec: Column, cents: Array[Double], c: Int, nprobe: Int): Column =

@@ -709,6 +709,20 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "can't", 1L, true),
       (3L, "", 0L, false),
       (4L, "hash vector", 4L, true)))  // sorted distinct terms, 4 occurrences
+    // native kernel ≡ HOF semantic spec, incl. on the fixture corpus
+    // (multi-byte delimiters, punctuation edges, empty hits)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+      .unionByName(df.select((col("id") + 1000L).as("id"), col("text")))
+    val native = TextAnalysis.wordBlocklistGate(corpus, "text",
+        Seq("slow", "hash", "vector", "can't"))
+      .select("id", "bad_terms", "n_bad_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val hof = TextAnalysis.wordBlocklistGateHof(corpus, "text",
+        Seq("slow", "hash", "vector", "can't"))
+      .select("id", "bad_terms", "n_bad_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(native.toSeq == hof.toSeq, "kernel must equal the HOF formulation")
   }
 
   test("dropRepeatedParagraphs: first occurrence survives, order preserved, trim-normalized") {
