@@ -6435,7 +6435,102 @@ object Inventory {
         WHERE len(a.sh) > 0 AND len(b.sh) > 0
           AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    Q("q226_training_data_run",
+      (s, dir) => {
+        // END-TO-END round-9 scenario (the q188 one-scenario pattern):
+        // crawl pages with a templated banner → doc-level bad-words
+        // gate → intra-doc paragraph dedup → token count →
+        // α-temperature language mix to a fixed budget → fixed-budget
+        // shard assignment → per-shard emission stats. Every stage is
+        // engine-replayable arithmetic, so the WHOLE run carries one
+        // hash oracle — the composition is the point: the gate feeds
+        // the cleaner feeds the mixer feeds the sharder with no glue.
+        val pages = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          concat_ws("\n",
+            lit("subscribe to our newsletter"),
+            substring(col("text"), 1, 80),
+            lit("subscribe to our newsletter"),
+            substring(col("text"), 81, 10000)).as("text"))
+        val admitted = TextAnalysis.wordBlocklistGate(pages, "text", Seq("vector"))
+          .filter(!col("blocked"))
+          .drop("bad_terms", "n_bad_tokens", "blocked")
+        val cleaned = TextAnalysis.dropRepeatedParagraphs(admitted, "text")
+          .withColumn("n_tok",
+            size(split(trim(col("clean_text")), "\\s+")).cast("long"))
+        val mixed = ScaleOps.temperatureSample(
+          cleaned, "doc_id", "lang", "n_tok", alpha = 0.3, totalTokens = 8000L)
+        ScaleOps.shardByTokenBudget(
+            mixed.select(col("doc_id"), col("lang"), col("n_tok")),
+            "doc_id", "n_tok", budget = 2000L)
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("shard")
+      },
+      Some("""WITH pages AS (
+          SELECT doc_id, lang, concat_ws(chr(10),
+            'subscribe to our newsletter',
+            substr(text, 1, 80),
+            'subscribe to our newsletter',
+            substr(text, 81, 10000)) AS text
+          FROM documents),
+        adm AS (
+          SELECT * FROM pages
+          WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                w -> w IN ('vector'))) = 0),
+        t AS (
+          SELECT doc_id, lang,
+            list_transform(string_split(text, chr(10)), p -> trim(p)) AS ps
+          FROM adm),
+        u AS (
+          SELECT doc_id, lang, ps[i] AS p, i FROM (
+            SELECT doc_id, lang, ps,
+              unnest(generate_series(1, len(ps))) AS i FROM t)),
+        f AS (SELECT doc_id, lang, p, min(i) AS o FROM u GROUP BY doc_id, lang, p),
+        r AS (
+          SELECT doc_id, lang, string_agg(p, chr(10) ORDER BY o) AS clean_text
+          FROM f GROUP BY doc_id, lang),
+        tok AS (
+          SELECT doc_id, lang,
+            CAST(len(regexp_split_to_array(trim(clean_text), '\s+')) AS BIGINT) AS n_tok
+          FROM r),
+        av AS (
+          SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS n
+          FROM tok GROUP BY lang HAVING sum(n_tok) > 0),
+        z AS (SELECT sum(pow(n, 0.3)) AS z FROM av),
+        tg AS (
+          SELECT lang,
+            CAST(floor(8000 * CAST(round(pow(n, 0.3) / z.z, 6)
+              AS DECIMAL(18,6))) AS BIGINT) AS tgt
+          FROM av CROSS JOIN z),
+        sln AS (
+          SELECT tok.doc_id, tok.lang, tok.n_tok, tg.tgt,
+            CAST(('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+          FROM tok JOIN tg ON tok.lang = tg.lang),
+        pr AS (
+          SELECT *, pow((hv + 0.5) / 4294967296.0,
+            1.0 / greatest(CAST(n_tok AS DOUBLE), 1.0)) AS aes
+          FROM sln),
+        cm AS (
+          SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang
+            ORDER BY aes DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM pr),
+        mixed AS (SELECT doc_id, lang, n_tok FROM cm WHERE cum < tgt),
+        sh AS (
+          SELECT doc_id, lang, n_tok,
+            CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tok) // 2000 AS BIGINT) AS shard
+          FROM mixed)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+          count(DISTINCT lang) AS n_langs
+        FROM sh GROUP BY shard ORDER BY shard"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -6485,7 +6580,7 @@ object Inventory {
     "q218_word_blocklist", "q219_temperature_sample", "q220_paragraph_dedup",
     "q221_dp_noised_counts", "q222_cluster_safe_split",
     "q223_split_advance_incremental", "q224_dedup_minhash_bbit",
-    "q225_dedup_minhash_oneperm",
+    "q225_dedup_minhash_oneperm", "q226_training_data_run",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
