@@ -20,16 +20,22 @@ import org.apache.spark.sql.functions.udaf
   * EXTENSION (no reference counterpart — the reference has no UDAFs,
   * SURVEY.md §2 "UDF/UDAF/UDTF: none").
   */
-class BottomKSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+class BottomKSketch(k: Int, hashInput: Boolean = true)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k > 0, "k must be positive")
 
   override def zero: Array[Long] = Array.empty
 
   /** Inputs are hashed here (xxhash64 of the long, seed 42 — same family
     * as the engine's other sketches) so callers pass raw values.
+    * `hashInput = false` skips that hash for callers whose values are
+    * ALREADY a uniform hash (e.g. the md5-60-bit shingle keys of
+    * `ScaleOps.kmvCorpusOverlap`, whose arithmetic a SQL oracle must
+    * replay — xxhash64-of-a-hash would break the replay for no
+    * uniformity gain).
     */
   override def reduce(buf: Array[Long], value: Long): Array[Long] = {
-    val h = MinHash.hashLong(value)
+    val h = if (hashInput) MinHash.hashLong(value) else value
     insert(buf, h)
   }
 

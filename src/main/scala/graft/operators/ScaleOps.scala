@@ -901,6 +901,72 @@ object ScaleOps {
           .as("jaccard_est"))
   }
 
+  /** Per-GROUP KMV overlap MATRIX — [[kmvCorpusOverlap]] generalized
+    * from one (a, b) pair to every pair of groups (sources, snapshots,
+    * language slices): which sources mirror each other is a mix-design
+    * input (two heavily-overlapping sources shouldn't both get full
+    * weight) and a dedup-planning input (route overlapping sources into
+    * the same near-dup partition first).
+    *
+    * Scale shape, better than the pairwise operator's: the corpus is
+    * scanned ONCE — per-group bottom-k sketches build through a
+    * MERGEABLE Aggregator ([[graft.functions.BottomKSketch]] with
+    * `hashInput = false`, map-side partial aggregation, k-long state
+    * per group) instead of a per-side sort — and the pairwise stage
+    * runs over |groups|² sketch pairs (parameter-bounded driver-scale
+    * rows, k longs each), never over data. Same md5-60-bit hash keys
+    * as [[kmvCorpusOverlap]]: every emitted estimate is replayable
+    * arithmetic, and the 60-bit values are non-negative so the
+    * aggregator's unsigned order, `array_sort`, and a SQL ORDER BY all
+    * agree. Output one row per unordered group pair (grp_a < grp_b):
+    * (grp_a, grp_b, k, union_k, d_a_est, d_b_est, jaccard_est).
+    */
+  def kmvOverlapMatrix(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      w: Int = 5,
+      k: Int = 1024): DataFrame = {
+    require(w >= 1, "shingle width must be >= 1")
+    require(k >= 2, "sketch size must be >= 2")
+    val toks = split(col(textCol), " ")
+    val nSh = (size(toks) - (w - 1)).cast("int")
+    val hashes = df
+      .select(col(groupCol).as("grp"), toks.as("__t"), nSh.as("__n"))
+      .where(col("__n") >= 1 && col("grp").isNotNull)
+      .select(col("grp"), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("p"))
+      .select(col("grp"),
+        conv(substring(
+          md5(array_join(slice(col("__t"), col("p") + 1, lit(w)), " ")),
+          1, 15), 16, 10).cast("long").as("h"))
+    val bottomK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKSketch(k, hashInput = false))
+    val sketches = hashes.groupBy("grp").agg(bottomK(col("h")).as("sk"))
+      .localCheckpoint(eager = false) // both sides of the pair join read it
+    val hashSpace = 1.152921504606846976e18 // 2^60
+    def estDistinct(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(round(
+          lit((k - 1).toDouble) / (array_max(sk).cast("double") / hashSpace), 4))
+    val su = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    sketches.select(col("grp").as("grp_a"), col("sk").as("sa"))
+      .join(sketches.select(col("grp").as("grp_b"), col("sk").as("sb")),
+        col("grp_a") < col("grp_b"))
+      .withColumn("su", su)
+      .select(
+        col("grp_a"), col("grp_b"),
+        lit(k).cast("int").as("k"),
+        size(col("su")).as("union_k"),
+        estDistinct(col("sa")).as("d_a_est"),
+        estDistinct(col("sb")).as("d_b_est"),
+        round(
+          size(filter(col("su"), x =>
+            array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+            .cast("double") / size(col("su")).cast("double"), 6)
+          .as("jaccard_est"))
+  }
+
   /** Mix-FEASIBILITY solver — the planning step the token-budget
     * family ([[tokenBudgetRates]]/[[weightedTokenSample]]/
     * [[upsampleToTokenBudget]]) assumes already happened: those take

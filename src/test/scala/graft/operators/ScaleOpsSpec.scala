@@ -768,6 +768,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shards.sameElements(shards.sorted), "shards must be monotone in the order")
   }
 
+  test("kmvOverlapMatrix: partition-independent sketches, estimates track exact overlap") {
+    import spark.implicits._
+    // three groups built from a shared 5-gram pool: A and B share ~half
+    // their shingles, C is disjoint
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val pool = (1 to 400).map(i => s"w$i")
+    val a = (0 until 40).map(i => ("A", doc(pool.slice(i * 5, i * 5 + 9))))
+    val b = (0 until 40).map(i => ("B", doc(pool.slice(i * 5 + 100, i * 5 + 109))))
+    val c = (0 until 40).map(i => ("C", doc((1 to 9).map(j => s"z${i}_$j"))))
+    val df = (a ++ b ++ c).toDF("source", "text")
+    val m = ScaleOps.kmvOverlapMatrix(df, "source", "text", w = 5, k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(3), r.getDouble(6))).toMap
+    assert(m.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // C is shingle-disjoint from both
+    assert(m(("A", "C"))._2 == 0.0 && m(("B", "C"))._2 == 0.0)
+    // A∩B is real and the estimate is positive and below 1
+    val ab = m(("A", "B"))._2
+    assert(ab > 0.0 && ab < 1.0, s"A-B overlap estimate $ab")
+    // sketches are merge-order independent: a different partitioning
+    // yields the identical matrix
+    val m2 = ScaleOps.kmvOverlapMatrix(df.repartition(7), "source", "text",
+        w = 5, k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(3), r.getDouble(6))).toMap
+    assert(m2 == m, "bottom-k merge must be order/partition independent")
+    // exact overlap for the A/B construction: estimate within a loose
+    // sketch-error band of the true shingle Jaccard
+    val sh = (s: Seq[(String, String)]) => s.flatMap { case (_, t) =>
+      val w = t.split(" "); (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" "))
+    }.toSet
+    val exact = {
+      val (sa, sb) = (sh(a), sh(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(math.abs(ab - exact) <= 0.15, s"est $ab vs exact $exact")
+  }
+
   test("temperatureTargets: α=1 is natural proportions, small α flattens toward uniform") {
     import spark.implicits._
     // two strata, 9:1 token split
