@@ -926,24 +926,16 @@ object ScaleOps {
       groupCol: String,
       textCol: String,
       w: Int = 5,
-      k: Int = 1024): DataFrame = {
-    require(w >= 1, "shingle width must be >= 1")
-    require(k >= 2, "sketch size must be >= 2")
-    val toks = split(col(textCol), " ")
-    val nSh = (size(toks) - (w - 1)).cast("int")
-    val hashes = df
-      .select(col(groupCol).as("grp"), toks.as("__t"), nSh.as("__n"))
-      .where(col("__n") >= 1 && col("grp").isNotNull)
-      .select(col("grp"), col("__t"),
-        explode(sequence(lit(0), col("__n") - 1)).as("p"))
-      .select(col("grp"),
-        conv(substring(
-          md5(array_join(slice(col("__t"), col("p") + 1, lit(w)), " ")),
-          1, 15), 16, 10).cast("long").as("h"))
-    val bottomK = org.apache.spark.sql.functions.udaf(
-      new graft.functions.BottomKSketch(k, hashInput = false))
-    val sketches = hashes.groupBy("grp").agg(bottomK(col("h")).as("sk"))
-      .localCheckpoint(eager = false) // both sides of the pair join read it
+      k: Int = 1024): DataFrame =
+    pairwiseFromSketches(
+      // both sides of the pair join read the sketch frame
+      kmvSketches(df, groupCol, textCol, w, k).localCheckpoint(eager = false), k)
+
+  /** The |groups|²-row pairwise stage shared by [[kmvOverlapMatrix]]
+    * and [[kmvOverlapMatrixAdvance]]: same estimate arithmetic as
+    * [[kmvCorpusOverlap]], over a (grp, sk) sketch frame.
+    */
+  private def pairwiseFromSketches(sketches: DataFrame, k: Int): DataFrame = {
     val hashSpace = 1.152921504606846976e18 // 2^60
     def estDistinct(sk: Column): Column =
       when(size(sk) < k, size(sk).cast("double"))
@@ -965,6 +957,66 @@ object ScaleOps {
             array_contains(col("sa"), x) && array_contains(col("sb"), x)))
             .cast("double") / size(col("su")).cast("double"), 6)
           .as("jaccard_est"))
+  }
+
+  /** Persistable per-group KMV sketch state for [[kmvOverlapMatrix]]:
+    * (grp, sk) with sk = the bottom-k md5-60-bit shingle keys. Store
+    * this (parquet) once per corpus; daily batches then advance it via
+    * [[kmvOverlapMatrixAdvance]] WITHOUT re-reading history — the
+    * whole point of the sketch being mergeable. Parameters (w, k) must
+    * match between store build and advance.
+    */
+  def kmvSketches(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      w: Int = 5,
+      k: Int = 1024): DataFrame = {
+    require(w >= 1, "shingle width must be >= 1")
+    require(k >= 2, "sketch size must be >= 2")
+    val toks = split(col(textCol), " ")
+    val nSh = (size(toks) - (w - 1)).cast("int")
+    val bottomK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKSketch(k, hashInput = false))
+    df.select(col(groupCol).as("grp"), toks.as("__t"), nSh.as("__n"))
+      .where(col("__n") >= 1 && col("grp").isNotNull)
+      .select(col("grp"), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("p"))
+      .select(col("grp"),
+        conv(substring(
+          md5(array_join(slice(col("__t"), col("p") + 1, lit(w)), " ")),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("grp")
+      .agg(bottomK(col("h")).as("sk"))
+  }
+
+  /** Incremental advance of the overlap-matrix state: merge a batch's
+    * sketches into the store (per-group bottom-k of the UNION — exact,
+    * because a bottom-k sketch is a mergeable sub-sketch of any
+    * superset) and re-emit the pairwise matrix from the merged
+    * sketches. History is touched only through its k-long sketch rows;
+    * the batch is scanned once. advance(store, batch) ≡
+    * rebuild(history ∪ batch) EXACTLY (not approximately) — the sketch
+    * of a union is the bottom-k of the two sketches' union, which the
+    * equivalence spec pins. Returns (newStore, matrix).
+    */
+  def kmvOverlapMatrixAdvance(
+      store: DataFrame,
+      batch: DataFrame,
+      groupCol: String,
+      textCol: String,
+      w: Int = 5,
+      k: Int = 1024): (DataFrame, DataFrame) = {
+    val batchSk = kmvSketches(batch, groupCol, textCol, w, k)
+    val bottomK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKSketch(k, hashInput = false))
+    val merged = store.select(col("grp"), col("sk"))
+      .unionByName(batchSk)
+      .select(col("grp"), explode(col("sk")).as("h"))
+      .groupBy("grp")
+      .agg(bottomK(col("h")).as("sk"))
+      .localCheckpoint(eager = false)
+    (merged, pairwiseFromSketches(merged, k))
   }
 
   /** Mix-FEASIBILITY solver — the planning step the token-budget

@@ -6593,6 +6593,74 @@ object Inventory {
         FROM agg a
         JOIN ks x ON x.source = a.grp_a
         JOIN ks y ON y.source = a.grp_b
+        ORDER BY a.grp_a, a.grp_b""")),
+
+    Q("q228_kmv_matrix_advance",
+      (s, dir) => {
+        // daily-ingest advance of the overlap-matrix state: sketches of
+        // the even-doc "history" merge with the odd-doc "batch" WITHOUT
+        // re-reading history. Bottom-k of a union == bottom-k of the
+        // sub-sketches' union (exact, not approximate), so the oracle
+        // is q227's full-rebuild replay verbatim.
+        val d = t(s, dir, "documents")
+        val store = ScaleOps.kmvSketches(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0), "source", "text",
+          w = 5, k = 256)
+        val (_, matrix) = ScaleOps.kmvOverlapMatrixAdvance(
+          store, d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "source", "text", w = 5, k = 256)
+        matrix.orderBy("grp_a", "grp_b")
+      },
+      Some("""WITH base AS (
+          SELECT source, string_split(text, ' ') AS t FROM documents),
+        nn AS (
+          SELECT source, t, len(t) - 4 AS ns FROM base WHERE len(t) >= 5),
+        pos AS (
+          SELECT source, t, unnest(generate_series(0, ns - 1)) AS p FROM nn),
+        shd AS (
+          SELECT DISTINCT source,
+            CAST(concat('0x',
+              substr(md5(array_to_string(t[p+1 : p+5], ' ')), 1, 15))
+              AS BIGINT) AS h
+          FROM pos),
+        rk AS (
+          SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS r
+          FROM shd),
+        sk AS (SELECT source, h FROM rk WHERE r <= 256),
+        ks AS (SELECT source, count(*) AS n, max(h) AS kth FROM sk GROUP BY source),
+        pairs AS (
+          SELECT a.source AS grp_a, b.source AS grp_b
+          FROM ks a JOIN ks b ON a.source < b.source),
+        joined AS (
+          SELECT p.grp_a, p.grp_b, s.h, s.source
+          FROM pairs p JOIN sk s ON s.source = p.grp_a OR s.source = p.grp_b),
+        g AS (
+          SELECT grp_a, grp_b, h,
+            max(CASE WHEN source = grp_a THEN 1 ELSE 0 END) AS in_a,
+            max(CASE WHEN source = grp_b THEN 1 ELSE 0 END) AS in_b
+          FROM joined GROUP BY grp_a, grp_b, h),
+        r2 AS (
+          SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS r
+          FROM g),
+        su AS (SELECT * FROM r2 WHERE r <= 256),
+        agg AS (
+          SELECT grp_a, grp_b, count(*) AS union_k,
+            sum(in_a * in_b) AS inter
+          FROM su GROUP BY grp_a, grp_b)
+        SELECT a.grp_a, a.grp_b,
+          CAST(256 AS INTEGER) AS k,
+          CAST(a.union_k AS INTEGER) AS union_k,
+          CASE WHEN x.n < 256 THEN CAST(x.n AS DOUBLE)
+               ELSE round(255.0 / (CAST(x.kth AS DOUBLE) / 1152921504606846976.0), 4)
+          END AS d_a_est,
+          CASE WHEN y.n < 256 THEN CAST(y.n AS DOUBLE)
+               ELSE round(255.0 / (CAST(y.kth AS DOUBLE) / 1152921504606846976.0), 4)
+          END AS d_b_est,
+          round(CAST(a.inter AS DOUBLE) / CAST(a.union_k AS DOUBLE), 6) AS jaccard_est
+        FROM agg a
+        JOIN ks x ON x.source = a.grp_a
+        JOIN ks y ON y.source = a.grp_b
         ORDER BY a.grp_a, a.grp_b"""))
   )
 
@@ -6644,7 +6712,7 @@ object Inventory {
     "q221_dp_noised_counts", "q222_cluster_safe_split",
     "q223_split_advance_incremental", "q224_dedup_minhash_bbit",
     "q225_dedup_minhash_oneperm", "q226_training_data_run",
-    "q227_kmv_overlap_matrix",
+    "q227_kmv_overlap_matrix", "q228_kmv_matrix_advance",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -804,6 +804,24 @@ class ScaleOpsSpec extends SparkSpec {
       sa.intersect(sb).size.toDouble / sa.union(sb).size
     }
     assert(math.abs(ab - exact) <= 0.15, s"est $ab vs exact $exact")
+
+    // incremental advance: sketch-merge of a split corpus equals the
+    // one-shot rebuild EXACTLY — bottom-k of a union is the bottom-k of
+    // the sub-sketches' union — and replaying the batch is a no-op on
+    // the matrix
+    val (h, bt) = (df.filter(length(col("text")) % 2 === 0),
+      df.filter(length(col("text")) % 2 =!= 0))
+    val store = ScaleOps.kmvSketches(h, "source", "text", w = 5, k = 64)
+    val (newStore, matIncr) = ScaleOps.kmvOverlapMatrixAdvance(
+      store, bt, "source", "text", w = 5, k = 64)
+    val viaIncr = matIncr.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getInt(3), r.getDouble(6))).toMap
+    assert(viaIncr == m, "advance(store, batch) must equal the full rebuild")
+    val sk1 = newStore.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val skFull = ScaleOps.kmvSketches(df, "source", "text", w = 5, k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(sk1 == skFull, "merged sketch state must equal the from-scratch state")
   }
 
   test("temperatureTargets: α=1 is natural proportions, small α flattens toward uniform") {
