@@ -189,6 +189,52 @@ object StreamOps {
       .drop("__sk")
   }
 
+  /** Windowed per-group KMV sketches — the streaming twin of
+    * `ScaleOps.kmvSketches` (q227/q228's state): per (event window,
+    * group) the bottom-k md5-60-bit shingle keys plus the distinct
+    * estimate, as CONSTANT k-long mergeable state per group per window
+    * (the same state-size argument as [[windowedCmsFrequencies]]).
+    * Closed-window sketch rows feed `kmvOverlapMatrixAdvance` directly
+    * — continuous overlap monitoring without ever re-reading history.
+    */
+  def windowedKmvSketches(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      window_ : String = "10 minutes",
+      watermark: String = "1 hour",
+      w: Int = 5,
+      k: Int = 1024): DataFrame = {
+    require(w >= 1 && k >= 2, "need shingle width >= 1 and sketch size >= 2")
+    val toks = split(col(textCol), " ")
+    val nSh = (size(toks) - (w - 1)).cast("int")
+    val bottomK = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKSketch(k, hashInput = false))
+    val hashSpace = 1.152921504606846976e18 // 2^60
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(groupCol).as("grp"), toks.as("__t"), nSh.as("__n"))
+      .where(col("__n") >= 1 && col("grp").isNotNull)
+      .select(col(tsCol), col("grp"), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("p"))
+      .select(col(tsCol), col("grp"),
+        conv(substring(
+          md5(array_join(slice(col("__t"), col("p") + 1, lit(w)), " ")),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window_),
+        col("grp"))
+      .agg(bottomK(col("h")).as("sk"))
+      .select(
+        col("window.start").as("w_start"), col("grp"), col("sk"),
+        when(size(col("sk")) < k, size(col("sk")).cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) /
+              (array_max(col("sk")).cast("double") / hashSpace), 4))
+          .as("d_est"))
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: running per-user event
     * count and value sum, re-emitted on every update (update mode).
     * Demonstrates the arbitrary-state API for operators the built-in

@@ -173,6 +173,61 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedKmvSketches: per-window sketches equal the batch operator; advance composes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val in = MemoryStream[(Timestamp, String, String)]
+    val docs = in.toDF.toDF("ts", "source", "text")
+    val q = StreamOps.windowedKmvSketches(docs, watermark = "0 seconds", k = 64)
+      .writeStream.format("memory").queryName("kmv_out").outputMode("append").start()
+    try {
+      val data = Seq(
+        (ts(1), "A", body), (ts(2), "B", body.replace("tok1 ", "other ")),
+        (ts(12), "A", body.toUpperCase))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), "Z", body))
+      q.processAllAvailable()
+      val got = spark.table("kmv_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString.substring(11, 16), r.getString(1)) ->
+          r.getSeq[Long](2).toSeq).toMap
+      assert(got.keySet ==
+        Set(("00:00", "A"), ("00:00", "B"), ("00:10", "A")))
+      // each (window, group) sketch equals the batch operator on that slice
+      for (((win, grp), sk) <- got) {
+        // ts → its 10-minute window start "HH:M0"
+        val slice = data.filter { case (t, g, _) =>
+          g == grp && t.toString.substring(11, 15) + "0" == win }
+        val batch = graft.operators.ScaleOps.kmvSketches(
+            slice.toDF("ts", "source", "text"), "source", "text", w = 5, k = 64)
+          .collect().map(r => r.getSeq[Long](1).toSeq).head
+        assert(sk == batch, s"($win, $grp) sketch diverged from batch")
+      }
+      // closed-window sketches feed the incremental matrix directly
+      val store = spark.table("kmv_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .select(col("grp"), col("sk"))
+        .select(col("grp"), explode(col("sk")).as("h"))
+        .groupBy("grp").agg(collect_list("h").as("hs"))
+        .select(col("grp"), sort_array(array_distinct(col("hs"))).as("sk"))
+      val (_, matrix) = graft.operators.ScaleOps.kmvOverlapMatrixAdvance(
+        store, Seq.empty[(String, String)].toDF("source", "text"),
+        "source", "text", w = 5, k = 64)
+      val ab = matrix.collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(6)).toMap
+      // A carries body ∪ BODY (26 + 26 shingles), B shares 25 of body's
+      // 26 (the swapped token is the FIRST, so it touches exactly one
+      // 5-shingle): exact J = 25 / 53, and k = 64 > |union| makes the
+      // estimate exact
+      assert(ab.get(("A", "B")).contains(
+        BigDecimal(25.0 / 53.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        s"sketch overlap must be the exact 25/53 at unsaturated k: $ab")
+    } finally q.stop()
+  }
+
   test("runningUserStats: custom keyed state accumulates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
