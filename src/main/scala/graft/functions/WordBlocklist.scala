@@ -29,12 +29,27 @@ object WordBlocklist {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], java.util.HashSet[UTF8String]]()
 
-  def dict(words: Seq[String]): java.util.HashSet[UTF8String] =
-    cache.computeIfAbsent(words, { ws =>
-      val s = new java.util.HashSet[UTF8String](ws.length * 2)
-      ws.foreach(w => s.add(UTF8String.fromString(w.toLowerCase)))
-      s
-    })
+  /** Bound for the dictionary cache: blocklists are parameter state (a
+    * handful of lists per job), so the cap exists only to keep a
+    * long-lived executor that sees many DISTINCT lists (dynamic or
+    * per-tenant blocklists) from retaining every one forever. Eviction
+    * is a full clear — rebuild is one pass over the word list, and a
+    * racing reader keeps its own reference safely.
+    */
+  private val MaxCachedDicts = 64
+
+  def dict(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val hit = cache.get(words)
+    if (hit != null) hit
+    else {
+      if (cache.size >= MaxCachedDicts) cache.clear()
+      cache.computeIfAbsent(words, { ws =>
+        val s = new java.util.HashSet[UTF8String](ws.length * 2)
+        ws.foreach(w => s.add(UTF8String.fromString(w.toLowerCase)))
+        s
+      })
+    }
+  }
 
   private def isTokenByte(x: Byte): Boolean =
     (x >= 'a' && x <= 'z') || (x >= '0' && x <= '9') || x == '\''

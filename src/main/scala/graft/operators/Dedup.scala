@@ -807,8 +807,13 @@ object Dedup {
       lit(0L), (acc, e) => acc + e).cast("double") / lit(k.toDouble)
 
   /** [[minHashNearDups]] with a 1-bit-sketch SCREEN between banding and
-    * exact verification — same output contract (verified exact-Jaccard
-    * pairs), cheaper verification stage. The banded candidate set
+    * exact verification — same output SHAPE (verified exact-Jaccard
+    * pairs) at a bounded recall epsilon: every emitted pair is exact
+    * and ≥ threshold, but a true pair can be screened out with the
+    * small probability quantified below, so output equality with
+    * [[minHashNearDups]] is statistical, not an invariant (DedupSpec's
+    * set-equality assertion holds on its fixture, by margin, not by
+    * contract). The banded candidate set
     * includes false positives (hot-band collisions, sub-threshold
     * near-misses) and plain [[minHashNearDups]] hauls BOTH shingle
     * arrays through the verification join for every one of them — the

@@ -382,6 +382,10 @@ object ScaleOps {
       .collect()
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
       .filter(_._2 > 0L)
+      // fixed summation order for z: collect() row order varies with
+      // partitioning, and FP addition is order-sensitive — a share an
+      // ulp from a 5e-7 rounding boundary must not flip across runs
+      .sortBy(_._1)
     val powed = avail.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
     val z = powed.map(_._2).sum
     powed.map { case (s, p) =>

@@ -6241,7 +6241,8 @@ object Inventory {
           FROM documents GROUP BY lang, source),
         n AS (
           SELECT *,
-            (CAST(CAST(('0x' || substr(md5('7:' || lang || ':' || source), 1, 13))
+            (CAST(CAST(('0x' || substr(
+               md5(md5('7') || md5(lang) || md5(source)), 1, 13))
                AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
           FROM g)
         SELECT lang, source, class_size,

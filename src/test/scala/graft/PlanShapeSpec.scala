@@ -426,7 +426,7 @@ class PlanShapeSpec extends SparkSpec {
     }
     // DP noised counts: groupBy + map-only noise — no window, no join
     val dpPlan = planString(graft.quality.Privacy.dpNoisedCounts(
-      docs, Seq("lang", "source"), epsilon = 0.5))
+      docs, Seq("lang", "source"), epsilon = 0.5, seed = 7L))
     assert(!dpPlan.contains("Window"), s"DP release must not use a window:\n$dpPlan")
     assert(!dpPlan.contains("Join"), s"DP release must not join:\n$dpPlan")
     assert(dpPlan.contains("HashAggregate"),

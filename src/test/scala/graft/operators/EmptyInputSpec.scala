@@ -39,7 +39,7 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs.withColumn("n", lit(1L)), "doc_id", "source", "n", 0.3, 1000L)
       .count() == 0)
     assert(graft.quality.Privacy.dpNoisedCounts(
-      emptyDocs, Seq("source"), epsilon = 1.0).count() == 0)
+      emptyDocs, Seq("source"), epsilon = 1.0, seed = 7L).count() == 0)
     val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     // empty pair graph ⇒ every doc is a singleton, still fully assigned
     val docs2 = Seq((1L, "a", "s"), (2L, "b", "s")).toDF("doc_id", "text", "source")

@@ -73,4 +73,44 @@ class PrivacySpec extends SparkSpec {
       assert(noised != exact.toDouble, s"$g drew zero noise")
     }
   }
+
+  test("dpNoisedCounts: public domain emits noised zeros and suppresses off-domain groups") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => (s"u$i", if (i == 40) "secret" else s"g${i % 2}"))
+      .toDF("user", "grp")
+    val domain = Seq("g0", "g1", "gEmpty").toDF("grp")
+    val out = Privacy.dpNoisedCounts(rows, Seq("grp"), epsilon = 0.5, seed = 7L,
+        publicDomain = Some(domain))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set("g0", "g1", "gEmpty"),
+      "exactly the public domain is released — the one-individual 'secret' group never appears")
+    assert(out("gEmpty")._1 == 0L && out("gEmpty")._2 != 0.0,
+      "an absent public group releases a noised zero")
+    val released = Privacy.dpRelease(Privacy.dpNoisedCounts(rows, Seq("grp"),
+      epsilon = 0.5, seed = 7L, publicDomain = Some(domain)))
+    assert(released.columns.toSeq == Seq("grp", "noised_count"),
+      "the release projection must exclude class_size")
+  }
+
+  test("dpNoisedCounts: release threshold gates data-dependent domains") {
+    import spark.implicits._
+    val rows = (1 to 41).map(i => (s"u$i", if (i == 41) "lone" else s"g${i % 2}"))
+      .toDF("user", "grp")
+    val out = Privacy.dpNoisedCounts(rows, Seq("grp"), epsilon = 0.5, seed = 7L,
+        releaseThreshold = Some(10.0))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("g0", "g1"),
+      "the size-1 group must fall below the stability threshold")
+  }
+
+  test("dpNoisedCounts: noise key is injective across group-column splits") {
+    import spark.implicits._
+    // ("a:b","c") vs ("a","b:c") — a ':'-join key would collide these
+    // into identical noise draws; the md5-block key must not
+    val rows = Seq(("a:b", "c"), ("a", "b:c")).toDF("x", "y")
+    val noise = Privacy.dpNoisedCounts(rows, Seq("x", "y"), epsilon = 0.5, seed = 7L)
+      .collect().map(r => r.getDouble(3) - r.getLong(2))
+    assert(noise.length == 2 && noise(0) != noise(1),
+      "colliding concat keys would draw identical correlated noise")
+  }
 }
