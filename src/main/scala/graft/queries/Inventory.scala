@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, Classify, Dedup, EntityResolution, HtmlText, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis, WebOps}
+import graft.operators.{Bpe, Classify, Dedup, DedupLedger, EntityResolution, HtmlText, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis, WebOps}
 import graft.quality.Privacy
 
 /** One declared operator: name, Spark implementation, optional DuckDB
@@ -6662,7 +6662,353 @@ object Inventory {
         FROM agg a
         JOIN ks x ON x.source = a.grp_a
         JOIN ks y ON y.source = a.grp_b
-        ORDER BY a.grp_a, a.grp_b"""))
+        ORDER BY a.grp_a, a.grp_b""")),
+
+    Q("q229_dedup_ledger",
+      (s, dir) => {
+        // cross-RUN exact-dedup ledger (DedupLedger): day 1 ingests
+        // docs < 300; day 2 is the realistic re-crawl — it OVERLAPS
+        // yesterday (docs ≥ 200) and contains its own in-batch copies
+        // (docs ≥ 450 re-fetched under new ids). The ledger must
+        // reject the overlap by md5 fingerprint (never by id), the
+        // in-batch dedup must keep the smallest id per fingerprint,
+        // and only the genuinely-new 300–499 originals come out. The
+        // md5-keyed ledger is pure replayable arithmetic, so the
+        // whole two-batch protocol carries a full hash oracle;
+        // idempotent replay (re-ingest accepts zero) is spec-pinned.
+        val root = scratchDir("graft-q229") + "/ledger"
+        val d = t(s, dir, "documents")
+        DedupLedger.ingest(s, root, d.filter(col("doc_id") < 300), "day1")
+        val recrawl = d.filter(col("doc_id") >= 200).unionByName(
+          d.filter(col("doc_id") >= 450)
+            .withColumn("doc_id", col("doc_id") + 1000))
+        DedupLedger.ingest(s, root, recrawl, "day2")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, lang, source, n_chars,
+            md5(lower(trim(text))) AS fp
+          FROM documents),
+        b1 AS (SELECT DISTINCT fp FROM f WHERE doc_id < 300),
+        b2r AS (
+          SELECT doc_id, lang, source, n_chars, fp FROM f WHERE doc_id >= 200
+          UNION ALL
+          SELECT doc_id + 1000 AS doc_id, lang, source, n_chars, fp
+          FROM f WHERE doc_id >= 450),
+        b2 AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM b2r)
+        SELECT doc_id, lang, source, n_chars FROM b2
+        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM b1)
+        ORDER BY doc_id""")),
+
+    Q("q230_ivf_append",
+      (s, dir) => {
+        // O(batch) IVF index APPEND: the day-0 index persists cell-
+        // partitioned with centroids trained on the base corpus; the
+        // batch (every 10th vector) appends against the FROZEN
+        // quantizer — history files are never read or rewritten. The
+        // query then probes the post-append index with nprobe = C = 16
+        // (probing every cell makes IVF exact by construction, q91's
+        // parameterization), so append ≡ rebuild is checked by the
+        // exhaustive top-k oracle over the WHOLE corpus: a batch
+        // vector mis-assigned, dropped, or duplicated by the append
+        // breaks the hash.
+        val root = scratchDir("graft-q230") + "/ivf"
+        val e = t(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") =!= 1)
+        val base = corpus.filter(col("vec_id") % 10 =!= 0)
+        val batch = corpus.filter(col("vec_id") % 10 === 0)
+        val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding", 16, iters = 2)
+        Similarity.writeIvfIndex(
+          Similarity.ivfIndex(base, "vec_id", "embedding", cents), root)
+        Similarity.appendIvfIndex(batch, "vec_id", "embedding", cents, root)
+        val q = e.filter(col("vec_id") === 1).select("embedding").head()
+          .getSeq[Float](0).toArray
+        Similarity.readIvfTopK(s, root, "vec_id", "embedding", cents, q,
+          k = 10, nprobe = 16, scale = 4)
+      },
+      // exact top-k oracle — same as q90/q91 (nprobe=C makes IVF exact;
+      // the appended index must contain exactly the corpus)
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        c AS (
+          SELECT b.vec_id,
+            round(
+              list_sum(list_transform(list_zip(b.embedding, q.qe),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qe,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+          FROM embeddings b, q WHERE b.vec_id <> 1)
+        SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    Q("q231_golden_advance",
+      (s, dir) => {
+        // the COMPOSED incremental ER step (goldenRecordAdvance) on a
+        // BRIDGING fixture: incremental linkage scores only
+        // batch-touching pairs, the ENTITY-level graph closes
+        // transitively, and the mergeable survivorship state re-keys +
+        // re-aggregates without re-reading history. Because the natural
+        // pair graph is all cliques (no batch row connects two distinct
+        // base entities), the batch additionally carries five synthetic
+        // CONNECTOR rows — for the five smallest near-miss base pairs
+        // (same type/block, name similarity just under threshold), a
+        // one-char name splice that scores >= 0.85 to BOTH sides — so
+        // the merge path (two existing golden records collapsing into
+        // one) actually executes. The connectors are deterministic
+        // replayable arithmetic (levenshtein + substr), so the oracle
+        // rebuilds them verbatim and replays q186's full closure over
+        // part + connectors, side-filtered to batch-touched entities
+        // (advance == rebuild, spec-pinned; this makes it driver-gated).
+        val p = t(s, dir, "part")
+          .withColumn("name_noun", element_at(split(col("p_name"), " "), -1))
+        val cut = p.agg(expr(
+          "percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey)"))
+          .head().getDouble(0).toLong
+        val maxKey = p.agg(max("p_partkey")).head().getLong(0)
+        val mode = Seq("p_type", "p_size")
+        val long = Seq("p_name")
+        val newest = Seq(("p_retailprice", "p_partkey"))
+        val base = p.filter(col("p_partkey") <= cut)
+        def nameSim(a: Column, b: Column): Column =
+          round(lit(1.0) - levenshtein(a, b).cast("double") /
+            greatest(length(a), length(b), lit(1)), 6)
+        val lhs = base.select(col("p_partkey").as("id_a"), col("p_name").as("an"),
+          col("p_brand"), col("name_noun"), col("p_type"),
+          col("p_size"), col("p_retailprice"))
+        val rhs = base.select(col("p_partkey").as("id_b"), col("p_name").as("bn"),
+          col("p_brand"), col("name_noun"), col("p_type"))
+        val conn = lhs.join(rhs, Seq("p_brand", "name_noun", "p_type"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("hn", concat(substring(col("bn"), 1, 1),
+            substring(col("an"), 2, 1000000)))
+          .withColumn("simn", nameSim(col("an"), col("bn")))
+          .withColumn("sha", nameSim(col("hn"), col("an")))
+          .withColumn("shb", nameSim(col("hn"), col("bn")))
+          .filter(round(lit(0.6) * col("simn") + lit(0.4), 6) < 0.85)
+          .filter(round(lit(0.6) * col("sha") + lit(0.4), 6) >= 0.85)
+          .filter(round(lit(0.6) * col("shb") + lit(0.4), 6) >= 0.85)
+          .filter(element_at(split(col("hn"), " "), -1) === col("name_noun"))
+          .orderBy("id_a", "id_b").limit(5)
+          .withColumn("__rn",
+            row_number().over(Window.orderBy("id_a", "id_b")).cast("long"))
+        val synth = conn.select(
+          (lit(maxKey) + col("__rn")).as("p_partkey"),
+          col("hn").as("p_name"),
+          col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"),
+          element_at(split(col("hn"), " "), -1).as("name_noun"))
+        val batch = p.filter(col("p_partkey") > cut)
+          .unionByName(synth.select(p.columns.map(col).toIndexedSeq: _*))
+        val store = EntityResolution.resolve(
+          base, "p_partkey",
+          blockCols = Seq("p_brand", "name_noun"),
+          fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
+          threshold = 0.85)
+        val state = EntityResolution.goldenRecordState(
+          store, "entity_id", mode, long, newest)
+        val (newState, remap) = EntityResolution.goldenRecordAdvance(
+          store, state, batch, "p_partkey",
+          blockCols = Seq("p_brand", "name_noun"),
+          fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
+          threshold = 0.85,
+          modeFields = mode, longestFields = long, newestFields = newest)
+        val touched = batch.select(col("p_partkey").as("__ent"))
+          .join(remap, Seq("__ent"), "left")
+          .select(coalesce(col("__canon"), col("__ent")).as("__ent"))
+          .unionByName(remap.select(col("__canon").as("__ent")))
+          .distinct()
+        EntityResolution.goldenRecordFromState(
+            newState.join(touched, Seq("__ent"), "left_semi"),
+            store, "entity_id", mode, long, newest)
+          .orderBy("entity_id")
+      },
+      // q186's full replay over part + the rebuilt connectors,
+      // side-filtered to batch-touched entities (every merged group
+      // contains a batch row, so "touched u merged" IS "contains a
+      // batch row"; connector keys are > cut by construction)
+      Some("""WITH RECURSIVE
+        cut AS (
+          SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey) AS c
+          FROM part),
+        mx AS (SELECT max(p_partkey) AS m FROM part),
+        candp AS (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+            a.p_name AS an, b.p_name AS bn,
+            a.p_brand, a.p_type, a.p_size, a.p_retailprice,
+            concat(substr(b.p_name, 1, 1), substr(a.p_name, 2, 1000000)) AS hn,
+            round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+              / greatest(len(a.p_name), len(b.p_name), 1), 6) AS simn
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand
+            AND string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+            AND a.p_type = b.p_type
+            AND a.p_partkey < b.p_partkey, cut
+          WHERE a.p_partkey <= c AND b.p_partkey <= c),
+        hsc AS (
+          SELECT *,
+            round(1.0 - CAST(levenshtein(hn, an) AS DOUBLE)
+              / greatest(len(hn), len(an), 1), 6) AS sha,
+            round(1.0 - CAST(levenshtein(hn, bn) AS DOUBLE)
+              / greatest(len(hn), len(bn), 1), 6) AS shb
+          FROM candp),
+        picked AS (
+          SELECT * FROM hsc
+          WHERE round(0.6 * simn + 0.4, 6) < 0.85
+            AND round(0.6 * sha + 0.4, 6) >= 0.85
+            AND round(0.6 * shb + 0.4, 6) >= 0.85
+            AND string_split(hn, ' ')[-1] = string_split(an, ' ')[-1]
+          ORDER BY id_a, id_b LIMIT 5),
+        conn AS (
+          SELECT *, row_number() OVER (ORDER BY id_a, id_b) AS rn FROM picked),
+        allp AS (
+          SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+          FROM part
+          UNION ALL
+          SELECT mx.m + conn.rn, conn.hn, conn.p_brand, conn.p_type,
+                 conn.p_size, conn.p_retailprice
+          FROM conn, mx),
+        pr AS (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+          FROM allp a JOIN allp b
+            ON a.p_brand = b.p_brand
+            AND string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+            AND a.p_partkey < b.p_partkey
+          WHERE round(
+              0.6 * (1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                     / greatest(len(a.p_name), len(b.p_name), 1)) +
+              0.4 * (1.0 - CAST(levenshtein(a.p_type, b.p_type) AS DOUBLE)
+                     / greatest(len(a.p_type), len(b.p_type), 1)), 6) >= 0.85),
+        e AS (SELECT id_a AS a, id_b AS b FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        r(id, lab) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b),
+        lab AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id),
+        res AS (
+          SELECT p.*, CAST(coalesce(l.cluster, p.p_partkey) AS BIGINT) AS entity_id
+          FROM allp p LEFT JOIN lab l ON l.id = p.p_partkey),
+        touched AS (
+          SELECT DISTINCT entity_id FROM res, cut WHERE p_partkey > c),
+        base AS (SELECT entity_id, count(*) AS n_members FROM res GROUP BY entity_id),
+        modep AS (
+          SELECT entity_id, p_type FROM (
+            SELECT entity_id, p_type,
+              row_number() OVER (PARTITION BY entity_id
+                ORDER BY cnt DESC, p_type ASC) AS rn
+            FROM (SELECT entity_id, p_type, count(*) AS cnt FROM res
+                  WHERE p_type IS NOT NULL GROUP BY entity_id, p_type))
+          WHERE rn = 1),
+        modec AS (
+          SELECT entity_id, p_size FROM (
+            SELECT entity_id, p_size,
+              row_number() OVER (PARTITION BY entity_id
+                ORDER BY cnt DESC, CAST(p_size AS VARCHAR) ASC) AS rn
+            FROM (SELECT entity_id, p_size, count(*) AS cnt FROM res
+                  WHERE p_size IS NOT NULL GROUP BY entity_id, p_size))
+          WHERE rn = 1),
+        longp AS (
+          SELECT entity_id, p_name FROM (
+            SELECT entity_id, p_name,
+              row_number() OVER (PARTITION BY entity_id
+                ORDER BY len(p_name) DESC, p_name ASC) AS rn
+            FROM res WHERE p_name IS NOT NULL)
+          WHERE rn = 1),
+        newp AS (
+          SELECT entity_id, p_retailprice FROM (
+            SELECT entity_id, p_retailprice,
+              row_number() OVER (PARTITION BY entity_id
+                ORDER BY p_partkey DESC) AS rn
+            FROM res)
+          WHERE rn = 1)
+        SELECT b.entity_id, b.n_members, m.p_type, c.p_size,
+               lo.p_name, n.p_retailprice
+        FROM base b
+        JOIN touched t USING (entity_id)
+        LEFT JOIN modep m USING (entity_id)
+        LEFT JOIN modec c USING (entity_id)
+        LEFT JOIN longp lo USING (entity_id)
+        LEFT JOIN newp n USING (entity_id)
+        ORDER BY entity_id""")),
+
+    Q("q232_mix_realization",
+      (s, dir) => {
+        // q204's mix plan REALIZED (mixAtMaxBudget): the solver's
+        // per-stratum allocations at the largest feasible 2-epoch
+        // budget (weights 1/2, 3/8, 1/8 — exact IEEE normalization,
+        // AND sized so BOTH sampler arms fire on this corpus: web
+        // binds at 2 epochs, code lands past 1 epoch, books under),
+        // with each stratum routed to the right sampler —
+        // alloc ≤ avail strata DOWN-sample by A-ES priorities (q142's
+        // machinery, copy_no = 1), alloc > avail strata UP-sample as
+        // floor(rate) full copies + an md5-selected fractional slice
+        // (q159's machinery). One scenario, one hash oracle over every
+        // emitted (doc, copy) — the q226 treatment for the composition.
+        val d = t(s, dir, "documents").withColumn("src",
+          when(pmod(col("doc_id"), lit(3)) === 0, "web")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "code")
+            .otherwise("books"))
+          .select("doc_id", "src", "n_chars")
+        ScaleOps.mixAtMaxBudget(d, "doc_id", "src", "n_chars",
+          Map("web" -> 0.5, "code" -> 0.375, "books" -> 0.125), maxEpochs = 2.0)
+          .orderBy("doc_id", "copy_no")
+      },
+      Some("""WITH s AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'web'
+                 WHEN doc_id % 3 = 1 THEN 'code'
+                 ELSE 'books' END AS src,
+            n_chars
+          FROM documents),
+        av AS (SELECT src, CAST(sum(n_chars) AS BIGINT) AS avail
+               FROM s GROUP BY src),
+        w AS (SELECT * FROM (VALUES ('web', 0.5), ('code', 0.375), ('books', 0.125))
+              t(src, wn)),
+        j AS (SELECT w.src, w.wn, coalesce(av.avail, 0) AS avail
+              FROM w LEFT JOIN av USING (src)),
+        ts AS (SELECT min(2.0 * avail / wn) AS tstar FROM j),
+        alloc AS (
+          SELECT j.src, j.avail, CAST(floor(j.wn * ts.tstar) AS BIGINT) AS alloc
+          FROM j, ts),
+        dn AS (
+          SELECT s.doc_id, s.src, s.n_chars, a.alloc AS tgt,
+            CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+          FROM s JOIN alloc a ON s.src = a.src AND a.alloc <= a.avail),
+        dr AS (
+          SELECT *, pow((hv + 0.5) / 4294967296.0,
+            1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS aes
+          FROM dn),
+        dc AS (
+          SELECT *, coalesce(sum(n_chars) OVER (PARTITION BY src
+            ORDER BY aes DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM dr),
+        down AS (
+          SELECT doc_id, src, n_chars, CAST(1 AS BIGINT) AS copy_no
+          FROM dc WHERE cum < tgt),
+        up0 AS (
+          SELECT s.doc_id, s.src, s.n_chars,
+            CAST(a.alloc AS DOUBLE) / CAST(a.avail AS DOUBLE) AS rate
+          FROM s JOIN alloc a ON s.src = a.src AND a.alloc > a.avail),
+        um AS (
+          SELECT *, CAST(floor(rate) AS BIGINT) AS nfull,
+            printf('%08x', CAST(least(floor((rate - floor(rate)) * 4294967296.0),
+              4294967295.0) AS BIGINT)) AS cut
+          FROM up0),
+        ucopies AS (
+          SELECT doc_id, src, n_chars,
+            unnest(generate_series(1, nfull)) AS copy_no
+          FROM um WHERE nfull >= 1),
+        uextra AS (
+          SELECT doc_id, src, n_chars, nfull + 1 AS copy_no FROM um
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cut)
+        SELECT doc_id, src, n_chars, copy_no FROM down
+        UNION ALL SELECT doc_id, src, n_chars, copy_no FROM ucopies
+        UNION ALL SELECT doc_id, src, n_chars, copy_no FROM uextra
+        ORDER BY doc_id, copy_no"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -6714,6 +7060,8 @@ object Inventory {
     "q223_split_advance_incremental", "q224_dedup_minhash_bbit",
     "q225_dedup_minhash_oneperm", "q226_training_data_run",
     "q227_kmv_overlap_matrix", "q228_kmv_matrix_advance",
+    "q229_dedup_ledger", "q230_ivf_append", "q231_golden_advance",
+    "q232_mix_realization",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
