@@ -1447,13 +1447,7 @@ object Dedup {
         col("cluster_rep").cast("long").as("__e"))
       .unionByName(newBatch.select(col(idCol).cast("long").as("__id"),
         col(idCol).cast("long").as("__e")))
-    val entPairs = pairs
-      .join(idToEnt.select(col("__id").as("id_a"), col("__e").as("ent_a")), Seq("id_a"))
-      .join(idToEnt.select(col("__id").as("id_b"), col("__e").as("ent_b")), Seq("id_b"))
-      .select(
-        least(col("ent_a"), col("ent_b")).as("id_a"),
-        greatest(col("ent_a"), col("ent_b")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b")).distinct()
+    val entPairs = entityPairGraph(pairs, idToEnt)
     // tiny entity graph; consumed by the store re-key, the batch canon,
     // and the inheritance aggregate — share the closure's blocks
     val entToCanon = nearDupClusters(entPairs)
@@ -1488,6 +1482,25 @@ object Dedup {
     (storeAdv.unionByName(batchAssigned.select(storeAdv.columns.map(col): _*)),
       conflicts)
   }
+
+  /** Contract row-level pairs to their ENTITY graph before closure:
+    * endpoints map through `idToEnt` (__id, __e), edges canonicalize as
+    * (least, greatest), self-loops drop, duplicates collapse. Shared by
+    * [[splitByClusterIncremental]] and
+    * [[graft.operators.EntityResolution.goldenRecordAdvance]]: the
+    * iterative closure then runs over ENTITIES — bounded by the number
+    * of clusters the batch touches, not by how many rows those clusters
+    * contain — which is what keeps the advance's fixpoint stage
+    * independent of corpus size (contraction pinned in PlanShapeSpec).
+    */
+  private[graft] def entityPairGraph(pairs: DataFrame, idToEnt: DataFrame): DataFrame =
+    pairs
+      .join(idToEnt.select(col("__id").as("id_a"), col("__e").as("ent_a")), Seq("id_a"))
+      .join(idToEnt.select(col("__id").as("id_b"), col("__e").as("ent_b")), Seq("id_b"))
+      .select(
+        least(col("ent_a"), col("ent_b")).as("id_a"),
+        greatest(col("ent_a"), col("ent_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
 
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val sa = shingleHashes(a, n)

@@ -696,13 +696,7 @@ object EntityResolution {
       threshold, roundScale, pairBudget)
     val idToEnt = store.select(col(idCol).as("__id"), col("entity_id").as("__e"))
       .unionByName(batch.select(col(idCol).as("__id"), col(idCol).as("__e")))
-    val entPairs = pairs
-      .join(idToEnt.select(col("__id").as("id_a"), col("__e").as("ent_a")), Seq("id_a"))
-      .join(idToEnt.select(col("__id").as("id_b"), col("__e").as("ent_b")), Seq("id_b"))
-      .select(
-        least(col("ent_a"), col("ent_b")).as("id_a"),
-        greatest(col("ent_a"), col("ent_b")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b")).distinct()
+    val entPairs = Dedup.entityPairGraph(pairs, idToEnt)
     val remap = Dedup.nearDupClusters(entPairs)
       .select(col("id").as("__ent"), col("cluster").as("__canon"))
       .filter(col("__ent") =!= col("__canon"))

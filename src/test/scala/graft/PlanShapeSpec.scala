@@ -624,6 +624,125 @@ class PlanShapeSpec extends SparkSpec {
       s"untouched store rows must bypass the re-rank via the anti side:\n$plan")
   }
 
+  private def withoutAqe[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q223: the split advance closes over the ENTITY graph and ships no text") {
+    import spark.implicits._
+    // contraction: a 60-row store cluster touched by 60 row-level pairs
+    // must enter the closure as ONE entity edge — the fixpoint stage's
+    // input is bounded by touched clusters, not their row counts
+    val store = (1L to 60L).map(i => (i, 1L, "train"))
+      .toDF("doc_id", "cluster_rep", "split")
+    val batch = Seq(1001L).toDF("doc_id")
+    val pairs = (1L to 60L).map(i => (i, 1001L)).toDF("id_a", "id_b")
+    val idToEnt = store.select(col("doc_id").as("__id"),
+        col("cluster_rep").as("__e"))
+      .unionByName(batch.select(col("doc_id").as("__id"),
+        col("doc_id").as("__e")))
+    val ep = graft.operators.Dedup.entityPairGraph(pairs, idToEnt).collect()
+    assert(ep.length == 1 && ep.head.getLong(0) == 1L && ep.head.getLong(1) == 1001L,
+      s"60 row pairs must contract to the single (1, 1001) entity edge, got ${ep.mkString(",")}")
+    // declared q223: the advance moves governance metadata only — no
+    // exchange of any kind may carry document text
+    val df = run("q223_split_advance_incremental")
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("text"),
+        s"split advance must prune text before any exchange, got $names")
+    }
+  }
+
+  test("q224: the 1-bit screen gates the shingle-array verify join") {
+    withoutAqe {
+      val plan = run("q224_dedup_minhash_bbit").queryExecution.executedPlan
+      val verifyJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.output.map(_.name).contains("sh_b") => j
+      }
+      assert(verifyJoins.nonEmpty, s"shingle verify join missing:\n$plan")
+      verifyJoins.foreach { j =>
+        // the screen is the bit_count estimate over the packed sketches —
+        // Catalyst may keep it as a Filter or fuse it into the bb-attach
+        // join's condition; either way it must sit in the verify join's
+        // SUBTREE (rejected candidates never haul shingle arrays)
+        val screens = j.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if f.condition.toString.contains("bit_count") => f
+          case bj: org.apache.spark.sql.execution.joins.BaseJoinExec
+              if bj.condition.exists(_.toString.contains("bit_count")) => bj
+        }
+        assert(screens.nonEmpty,
+          s"the 16-byte sketch screen must filter candidates BELOW the " +
+            s"shingle-array join (rejected pairs never haul shingles):\n$j")
+      }
+    }
+  }
+
+  test("q227: the pairwise overlap stage joins only (group, sketch) frames") {
+    withoutAqe {
+      val df = run("q227_kmv_overlap_matrix")
+      val plan = df.queryExecution.executedPlan
+      val pairJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(pairJoins.nonEmpty, s"grp_a < grp_b pair join missing:\n$plan")
+      pairJoins.foreach { j =>
+        val names = j.output.map(_.name).toSet
+        assert(names == Set("grp_a", "sa", "grp_b", "sb"),
+          s"pairwise stage must consume only the k-long sketch frame, got $names")
+      }
+      assert(!plan.toString.contains("text"),
+        s"corpus text must never reach the pairwise stage:\n$plan")
+    }
+  }
+
+  test("q228: the matrix advance touches history only through (grp, sk) sketch rows") {
+    import spark.implicits._
+    withoutAqe {
+      // the persisted-store path: history round-trips through parquet as
+      // k-long sketches — text is structurally unreachable by the advance
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("graft-kmvstore").toString
+      try {
+        graft.operators.ScaleOps.kmvSketches(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), "source", "text",
+            w = 5, k = 64)
+          .write.mode("overwrite").parquet(dir)
+        val store = spark.read.parquet(dir)
+        assert(store.schema.fieldNames.toSeq == Seq("grp", "sk"),
+          "the persisted history surface is sketches only")
+        val (newStore, matrix) = graft.operators.ScaleOps.kmvOverlapMatrixAdvance(
+          store, docs.filter(pmod(col("doc_id"), lit(2)) === 1), "source", "text",
+          w = 5, k = 64)
+        assert(newStore.schema.fieldNames.toSeq == Seq("grp", "sk"))
+        val plan = matrix.queryExecution.executedPlan
+        // the pairwise stage runs over the merged-checkpoint RDD: no file
+        // scan (in particular no documents re-scan) may appear in it
+        val fileScans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(fileScans.isEmpty,
+          s"matrix stage must read merged sketches, not rescan files:\n$plan")
+        assert(matrix.count() > 0)
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
