@@ -166,6 +166,40 @@ object Bench {
     (st, mt)
   }
 
+  /** IO/bandwidth anchor: write a fixed ~1 GB incompressible parquet
+    * frame under java.io.tmpdir, then time a full scan+sum of it —
+    * reported as (`io_write_s`, `io_anchor_s`) next to the CPU spin.
+    * The round-9 host drift (q148 unchanged-code 18.8 → 34.4 s at a
+    * FLAT calib_st_ms) was invisible to the CPU stamp because it was
+    * IO/bandwidth-level; with its own bandwidth stamp, every sweep is
+    * self-anchored and cross-round sf10 reads stop needing a same-day
+    * manual anchor query. xxhash64 columns defeat parquet encodings
+    * and page compression, so the file is ~raw-sized and the scan cost
+    * is dominated by the storage path, not codec speed. (The read runs
+    * straight after the write, so it measures the warm path — the same
+    * page-cache regime the sf0.1 fixtures are read under.)
+    */
+  private def ioAnchor(): (Double, Double) = {
+    val spark = GraftSession.get("graft-bench-io")
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-anchor").toString
+    try {
+      val df = spark.range(40000000L).select(
+        col("id"),
+        xxhash64(col("id")).as("h1"),
+        xxhash64(col("id"), lit(1L)).as("h2"))
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(dir)
+      val wr = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      spark.read.parquet(dir).agg(sum(col("h1")) + sum(col("h2"))).collect()
+      val rd = (System.nanoTime() - t1) / 1e9
+      (wr, rd)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.stop() // family children fork their own JVM-local sessions
+    }
+  }
+
   // --- child-side: time one family in THIS JVM ---------------------------
 
   private def runFamily(names: Seq[Q], sfDir: String): Seq[(String, Double)] = {
@@ -279,6 +313,7 @@ object Bench {
       println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir"}""")
     } else {
       val (calibSt, calibMt) = calibrate()
+      val (ioWrite, ioRead) = ioAnchor()
       val families = headline.map(_.name).grouped(8).toSeq
       val merged = families.flatMap { fam =>
         forkFamily(fam, sfDir) match {
@@ -292,7 +327,7 @@ object Bench {
       }
       val total = merged.map(_._2).sum
       val line =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
       // Also persist the full merged artifact to the repo: the driver's
       // stdout tail truncates long lines (BENCH_r06 lost 10 families and
       // parsed:null); a committed file can't be truncated.

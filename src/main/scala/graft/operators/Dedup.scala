@@ -989,7 +989,7 @@ object Dedup {
     * WRONG (local minima only), so the method THROWS instead — raise
     * maxIter for pathological chain-shaped components.
     *
-    * Two fixed-cost trims, both exact (round-count and per-round
+    * Three fixed-cost trims, all exact (round-count and per-round
     * shuffle volume only — labels are unchanged):
     *  - hop 0 is FUSED into initialization: seeding each node with
     *    min(self ∪ neighbors) costs the same one shuffle as the
@@ -1000,6 +1000,11 @@ object Dedup {
     *    partitioning), so each round's edge-side exchange — 2|E| rows,
     *    the biggest movement in the loop — happens once instead of
     *    once per round; only the |V|-row label side moves per round.
+    *  - each materialized round takes TWO propagation hops before its
+    *    checkpoint + convergence count, halving the per-round fixed
+    *    cost (job scheduling, block materialization, the count action)
+    *    that dominates when per-round data volumes are small — the
+    *    measured cost driver of the ER closure at sf0.1 (SCALE.md).
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
@@ -1015,24 +1020,46 @@ object Dedup {
       .agg(min(col("b")).as("__nmin"))
       .select(col("id"), least(col("id"), col("__nmin")).as("label"))
       .localCheckpoint(eager = false)
+    // one min-label propagation hop over the current labels (lazy — the
+    // caller decides what materializes)
+    def hop(from: DataFrame): DataFrame = {
+      val viaNeighbor = sym
+        .join(from, sym("b") === from("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min("label").as("nlabel"))
+      from
+        .join(viaNeighbor, from("id") === viaNeighbor("nid"), "left")
+        .select(
+          from("id"),
+          least(from("label"), coalesce(col("nlabel"), from("label"))).as("label"))
+    }
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val viaNeighbor = sym
-        .join(labels, sym("b") === labels("id"))
+      // TWO hops per materialized round: propagation work is unchanged
+      // (each hop was needed anyway), but the per-round FIXED cost —
+      // checkpoint materialization, the convergence-count job, stage
+      // scheduling — is paid once per two hops instead of once per hop,
+      // halving the fixed overhead that dominates at small per-round
+      // data volumes (the q186/q192 closure-cost audit, SCALE.md r9/r10).
+      // Convergence compares hop B against hop A's labels: hop B being a
+      // no-op proves hop A's output is the fixpoint.
+      val labA = hop(labels)
+      val hopB = sym
+        .join(labA, sym("b") === labA("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min("label").as("nlabel"))
-      val updated = labels
-        .join(viaNeighbor, labels("id") === viaNeighbor("nid"), "left")
+      val updated = labA
+        .join(hopB, labA("id") === hopB("nid"), "left")
         .select(
-          labels("id"),
-          labels("label"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("next"))
+          labA("id"),
+          labA("label"),
+          least(labA("label"), coalesce(col("nlabel"), labA("label"))).as("next"))
         .localCheckpoint(eager = false)
       changed = updated.filter(col("next") < col("label")).count()
       // `updated` is already block-shared; the projection reads its blocks
       labels = updated.select(col("id"), col("next").as("label"))
-      i += 1
+      i += 2
     }
     if (changed > 0)
       throw new IllegalStateException(

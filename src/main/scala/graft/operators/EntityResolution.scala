@@ -526,8 +526,14 @@ object EntityResolution {
     val schema = resolved.schema
     val stackFields = modeFields ++ longestFields
 
+    // membership and newest-by-order share the per-entity grain — ONE
+    // aggregation pass over resolved covers both (one fewer shuffle and
+    // one fewer join than aggregating them separately)
+    val newestAggs = newestFields.map { case (f, ord) =>
+      max(struct(col(ord).as("o"), col(f).as("v"))).getField("v").as(f)
+    }
     val base = resolved.groupBy(col(entityCol).as("__ent"))
-      .agg(count(lit(1)).as("n_members"))
+      .agg(count(lit(1)).as("n_members"), newestAggs: _*)
 
     val picked: Option[DataFrame] = if (stackFields.isEmpty) None else {
       val stacked = resolved
@@ -554,15 +560,7 @@ object EntityResolution {
       Some(winners.groupBy("__ent").agg(pivotAggs.head, pivotAggs.tail: _*))
     }
 
-    val newest: Option[DataFrame] = if (newestFields.isEmpty) None else {
-      val aggs = newestFields.map { case (f, ord) =>
-        max(struct(col(ord).as("o"), col(f).as("v"))).getField("v").as(f)
-      }
-      Some(resolved.groupBy(col(entityCol).as("__ent"))
-        .agg(aggs.head, aggs.tail: _*))
-    }
-
-    val joined = Seq(picked, newest).flatten
+    val joined = picked
       .foldLeft(base)((acc, d) => acc.join(d, Seq("__ent"), "left"))
     val outCols = col("__ent").as(entityCol) +: col("n_members") +:
       (stackFields ++ newestFields.map(_._1)).map(col)
@@ -724,8 +722,18 @@ object EntityResolution {
       newestFields: Seq[(String, String)] = Nil): DataFrame = {
     val schema = template.schema
     val stackFields = modeFields ++ longestFields
-    val base = state.filter(col("__kind") === "members")
-      .select(col("__ent"), col("__cnt").as("n_members"))
+    // membership and the newest pivot share the per-entity grain — one
+    // aggregation over the (members ∪ newest) state rows covers both
+    // (state is normalized: one members row and one newest row per
+    // (entity, field), so max-of-when is exact selection)
+    val newestAggs = newestFields.map { case (f, _) =>
+      max(when(col("__kind") === "newest" && col("__field") === f, col("__value")))
+        .cast(schema(f).dataType).as(f)
+    }
+    val base = state.filter(col("__kind").isin("members", "newest"))
+      .groupBy("__ent")
+      .agg(max(when(col("__kind") === "members", col("__cnt"))).as("n_members"),
+        newestAggs: _*)
     val picked =
       if (stackFields.isEmpty) None
       else {
@@ -744,17 +752,7 @@ object EntityResolution {
             .cast(schema(f).dataType).as(f))
         Some(winners.groupBy("__ent").agg(pivotAggs.head, pivotAggs.tail: _*))
       }
-    val newest =
-      if (newestFields.isEmpty) None
-      else {
-        val n = state.filter(col("__kind") === "newest")
-        val pivotAggs = newestFields.map { case (f, _) =>
-          max(when(col("__field") === f, col("__value")))
-            .cast(schema(f).dataType).as(f)
-        }
-        Some(n.groupBy("__ent").agg(pivotAggs.head, pivotAggs.tail: _*))
-      }
-    val joined = Seq(picked, newest).flatten
+    val joined = picked
       .foldLeft(base)((acc, d) => acc.join(d, Seq("__ent"), "left"))
     val outCols = col("__ent").as(entityCol) +: col("n_members") +:
       (stackFields ++ newestFields.map(_._1)).map(col)
