@@ -1529,6 +1529,109 @@ object Dedup {
         greatest(col("ent_a"), col("ent_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b")).distinct()
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * w-word shingles whose FIRST occurrence (by minimum id) is the
+    * document itself — the memorization-risk / contribution profile of
+    * a corpus. novelty ≈ 1 means the document adds genuinely new text;
+    * novelty ≈ 0 means everything in it already exists earlier, even
+    * when no single document matches it (the cross-document remix that
+    * whole-doc and near-dup dedup both miss). Curation uses it to rank
+    * what to keep when trimming to a token budget, and as the
+    * before/after metric for span-level dedup (q198/q209).
+    *
+    * Deterministic tie rule: "first" = smallest id — the exact-dedup
+    * keep-min convention, so repeated runs and the oracle agree.
+    *
+    * Scale shape: shingles hash to 64-bit map-side
+    * ([[shingleHashes]] — the native kernel); the exchanges carry
+    * (hash, id) pairs and the per-hash min aggregates map-side
+    * partially. Novelty counts are hash-invariant (counts of DISTINCT
+    * strings), so the DuckDB oracle replays on the shingle STRINGS —
+    * the q81 recall argument applied to counting.
+    */
+  def ngramNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(shingleHashes(col(textCol), w)).as("__h"))
+      .localCheckpoint(eager = false) // firsts + rejoin read it once
+    val firsts = sh.groupBy("__h").agg(min(col(idCol)).as("__first"))
+    sh.join(firsts, Seq("__h"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Cross-source duplication ATTRIBUTION: the near-dup pair mass
+    * aggregated to an unordered source×source matrix — which pipelines
+    * copy from which (mirror detection, license-laundering audits, and
+    * the "should source X even be ingested" call). Diagonal rows are
+    * within-source duplication. Pairs come from [[minHashNearDups]]
+    * under the caller's parameterization; the per-cell mean Jaccard
+    * sums the 6dp-rounded pair values in DECIMAL so the average is
+    * engine-exact (the q153 discipline).
+    *
+    * Scale: the pair list is the near-dup operator's output (id/hash
+    * shuffles only); attribution adds two id-keyed joins against the
+    * (id, source) projection and one |sources|²-bounded aggregate.
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1024): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, k, bands, w, threshold,
+      maxBucket = maxBucket)
+    val src = df.select(col(idCol), col(groupCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"), col(groupCol).as("__sa")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(groupCol).as("__sb")), Seq("id_b"))
+      .groupBy(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(
+          sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("avg_jaccard"))
+  }
+
+  /** Duplicate-cluster size HISTOGRAM: how duplication mass distributes
+    * across cluster sizes — the standard dedup-paper diagnostic (a few
+    * giant boilerplate clusters vs a long tail of doubles decide
+    * whether span-level or doc-level dedup pays). `totalDocs` (the
+    * corpus size) adds the size-1 row so shares sum to 1: ids never
+    * appearing in a pair are singletons by definition.
+    *
+    * Output: (cluster_size, n_clusters, n_docs) ascending — exact
+    * closure ([[nearDupClusters]]) so the histogram is replayable.
+    */
+  def dupClusterHistogram(pairs: DataFrame, totalDocs: Long): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sizes = nearDupClusters(pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val clustered = sizes.agg(sum("cluster_size")).head()
+    val inClusters = if (clustered.isNullAt(0)) 0L else clustered.getLong(0)
+    val singletons = totalDocs - inClusters
+    val single = Seq((1L, singletons)).toDF("cluster_size", "n_clusters")
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(single)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+  }
+
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val sa = shingleHashes(a, n)
     val sb = shingleHashes(b, n)

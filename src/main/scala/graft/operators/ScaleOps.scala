@@ -799,6 +799,46 @@ object ScaleOps {
       .drop("__pid", "__cum", "__start")
   }
 
+  /** Shard MANIFEST for a [[shardByTokenBudget]] emission — the
+    * integrity artifact a training run ships next to its shards: one
+    * row per shard with document count, exact token total, the id key
+    * range, and an ORDER-INDEPENDENT 60-bit content checksum
+    * (bit_xor of the md5-derived key of every member id). Any engine —
+    * Spark, DuckDB, the trainer's Python loader — recomputes the same
+    * checksum from the shard it actually read and catches a dropped,
+    * duplicated, or misrouted document before a single step trains on
+    * it.
+    *
+    * XOR is the right fold here: commutative/associative (so the
+    * aggregation is one map-side-partial pass with CONSTANT per-shard
+    * state — no per-shard id list ever materializes, unlike a
+    * concatenation digest), and mergeable across partial manifests.
+    * Its linearity is fine for INTEGRITY (random-corruption detection,
+    * where colliding a 60-bit xor requires an exact compensating id
+    * set) though not for adversarial tamper-proofing — a pipeline that
+    * needs the latter signs the manifest downstream.
+    *
+    * Scale: [[shardByTokenBudget]]'s cost plus one aggregation whose
+    * output is |shards| rows. Every emitted number is deterministic
+    * md5 arithmetic — full DuckDB oracle (q233).
+    */
+  def shardManifest(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    val key60 = conv(substring(md5(col(orderCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    shardByTokenBudget(df, orderCol, tokenCol, budget)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("total_tokens"),
+        min(col(orderCol)).as("first_id"),
+        max(col(orderCol)).as("last_id"),
+        bit_xor(key60).as("ids_xor60"))
+  }
+
   /** Deterministic curriculum ordering for training emission: rows bin
     * into `nBins` equal-frequency difficulty bins on `valueCol`
     * (DISCRETE percentile boundaries — actual data values, so any

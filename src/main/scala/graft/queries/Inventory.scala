@@ -7017,7 +7017,140 @@ object Inventory {
         SELECT doc_id, src, n_chars, copy_no FROM down
         UNION ALL SELECT doc_id, src, n_chars, copy_no FROM ucopies
         UNION ALL SELECT doc_id, src, n_chars, copy_no FROM uextra
-        ORDER BY doc_id, copy_no"""))
+        ORDER BY doc_id, copy_no""")),
+
+    Q("q233_shard_manifest",
+      (s, dir) =>
+        // the integrity artifact next to q217's shards: per shard,
+        // count / exact token total / id key range / an
+        // ORDER-INDEPENDENT 60-bit xor checksum of md5-derived id
+        // keys — constant aggregation state (no id list materializes),
+        // mergeable across partial manifests, recomputable by any
+        // engine from the shard it actually read.
+        ScaleOps.shardManifest(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", budget = 25000L)
+          .orderBy("shard"),
+      Some("""WITH sh AS (
+          SELECT doc_id, n_chars,
+            CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_chars) // 25000 AS BIGINT) AS shard
+          FROM documents)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+          min(doc_id) AS first_id, max(doc_id) AS last_id,
+          bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT)) AS ids_xor60
+        FROM sh GROUP BY shard ORDER BY shard""")),
+
+    Q("q234_ngram_novelty",
+      (s, dir) =>
+        // memorization-risk / contribution profile: the fraction of
+        // each doc's distinct 8-word shingles whose FIRST occurrence
+        // (min doc_id) is the doc itself — catches the cross-document
+        // remix that whole-doc and near-dup dedup both miss. Counts
+        // are hash-invariant (distinct strings), so the oracle replays
+        // on the shingle strings (the q81 argument applied to
+        // counting).
+        Dedup.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", w = 8)
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        nn AS (SELECT doc_id, t, len(t) - 7 AS ns FROM base WHERE len(t) >= 8),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS p FROM nn),
+        shd AS (
+          SELECT DISTINCT doc_id, array_to_string(t[p+1 : p+8], ' ') AS g
+          FROM pos),
+        firsts AS (SELECT g, min(doc_id) AS f FROM shd GROUP BY g)
+        SELECT s.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN fr.f = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          round(CAST(sum(CASE WHEN fr.f = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS novelty
+        FROM shd s JOIN firsts fr USING (g)
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
+    Q("q235_dup_attribution",
+      (s, dir) =>
+        // which sources copy from which: q81's near-dup pass
+        // aggregated to the unordered source-pair matrix (diagonal =
+        // within-source duplication); per-cell mean jaccard sums the
+        // 6dp pair values in DECIMAL so the average is engine-exact.
+        // Same exhaustive-recompute oracle + recall argument as q81.
+        Dedup.crossSourceDupMatrix(
+          t(s, dir, "documents"), "doc_id", "text", "source",
+          k = 128, bands = 32, w = 3, threshold = 0.5)
+          .orderBy("source_a", "source_b"),
+      Some("""WITH sh AS (
+          SELECT doc_id, source, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, source,
+                  string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        p AS (
+          SELECT a.source AS sa, b.source AS sb,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              >= 0.5)
+        SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+          count(*) AS n_pairs,
+          round(CAST(sum(CAST(j AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+            AS avg_jaccard
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q("q236_dup_cluster_histogram",
+      (s, dir) => {
+        // the dedup-paper diagnostic: duplication mass by cluster size
+        // (few giant boilerplate clusters vs a tail of doubles decides
+        // doc-level vs span-level dedup). Exact closure over q81's
+        // pairs; corpus singletons fill the size-1 row so n_docs sums
+        // to the corpus.
+        val d = t(s, dir, "documents")
+        Dedup.dupClusterHistogram(
+            Dedup.minHashNearDups(d, "doc_id", "text",
+              k = 128, bands = 32, w = 3, threshold = 0.5),
+            d.count())
+          .orderBy("cluster_size")
+      },
+      Some("""WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              >= 0.5),
+        e AS (SELECT id_a AS a, id_b AS b FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        r(id, lab) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b),
+        lab AS (SELECT id, min(lab) AS c FROM r GROUP BY id),
+        sz AS (SELECT c, count(*) AS cluster_size FROM lab GROUP BY c),
+        hist AS (
+          SELECT cluster_size, count(*) AS n_clusters FROM sz
+          GROUP BY cluster_size),
+        tot AS (SELECT count(*) AS n FROM documents),
+        incl AS (SELECT coalesce(sum(cluster_size), 0) AS m FROM sz),
+        single AS (
+          SELECT CAST(1 AS BIGINT) AS cluster_size,
+            CAST(tot.n - incl.m AS BIGINT) AS n_clusters
+          FROM tot, incl WHERE tot.n - incl.m > 0)
+        SELECT cluster_size, n_clusters,
+          CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+        FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
+        ORDER BY cluster_size"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -7070,7 +7203,8 @@ object Inventory {
     "q225_dedup_minhash_oneperm", "q226_training_data_run",
     "q227_kmv_overlap_matrix", "q228_kmv_matrix_advance",
     "q229_dedup_ledger", "q230_ivf_append", "q231_golden_advance",
-    "q232_mix_realization",
+    "q232_mix_realization", "q233_shard_manifest", "q234_ngram_novelty",
+    "q235_dup_attribution", "q236_dup_cluster_histogram",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -921,4 +921,59 @@ class DedupSpec extends SparkSpec {
     // tuner picks around its implied threshold (1/32)^(1/4) ≈ 0.42
     assert(Dedup.lshParamsFor(0.42, 128) == ((32, 4)))
   }
+
+  test("ngramNovelty: copies score 0, originals 1, remixes in between") {
+    import spark.implicits._
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // doc 3 = an exact copy of doc 1; doc 4 = a remix (first 8-gram of a,
+    // then b's tail — no new 8-gram of ITS own beyond the splice seams)
+    val docs = Seq((1L, a), (2L, b), (3L, a),
+      (4L, a.split(" ").take(8).mkString(" ") + " " + b))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L)._3 == 1.0, s"first occurrence is fully novel: ${got(1L)}")
+    assert(got(2L)._3 == 1.0)
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0,
+      s"an exact later copy contributes nothing: ${got(3L)}")
+    assert(got(4L)._3 > 0.0 && got(4L)._3 < 1.0,
+      s"a remix of earlier text sits strictly between: ${got(4L)}")
+    // counts are per-doc DISTINCT shingles
+    assert(got(1L)._1 == 5L, s"12 tokens -> 5 distinct 8-gram starts: ${got(1L)}")
+  }
+
+  test("dupClusterHistogram: sizes, singleton fill, and doc-mass conservation") {
+    import spark.implicits._
+    // components: {1,2,3} (a chain) and {10,11}; corpus of 10 docs
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusterHistogram(pairs, totalDocs = 10L)
+      .orderBy("cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5L, 5L), (2L, 1L, 2L), (3L, 1L, 3L)), s"got $got")
+    assert(got.map(_._3).sum == 10L, "doc mass must sum to the corpus")
+    // empty pair graph: everything is a singleton
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val lone = Dedup.dupClusterHistogram(empty, totalDocs = 3L).collect()
+    assert(lone.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+  }
+
+  test("crossSourceDupMatrix: attributes near-dup mass to unordered source pairs") {
+    import spark.implicits._
+    val txt = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, txt, "crawlA"), (2L, txt, "crawlB"),       // cross-source dup
+      (3L, txt + " x", "crawlB"),                      // near-dup of both
+      (4L, "completely different words here nothing shared at all between these", "crawlC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(docs, "doc_id", "text", "source",
+        threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.contains(("crawlA", "crawlB")), s"cross-source cell missing: $got")
+    assert(got(("crawlA", "crawlB")) == 2L, s"pairs (1,2) and (1,3): $got")
+    assert(got.getOrElse(("crawlB", "crawlB"), 0L) == 1L,
+      s"within-source pair (2,3) lands on the diagonal: $got")
+    assert(!got.keys.exists { case (a, b) => a > b }, "cells are unordered (a <= b)")
+  }
 }

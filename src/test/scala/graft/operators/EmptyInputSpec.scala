@@ -123,4 +123,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.selfPerplexity(emptyDocs).count() == 0)
     assert(TextAnalysis.charNgramModel(emptyDocs).count() == 0)
   }
+
+  test("round-10 additions: shard manifest, novelty, dup attribution, cluster histogram") {
+    val withTok = emptyDocs.withColumn("n", lit(1L))
+    assert(graft.operators.ScaleOps.shardManifest(withTok, "doc_id", "n", 100L).count() == 0)
+    assert(Dedup.ngramNovelty(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.crossSourceDupMatrix(
+      emptyDocs, "doc_id", "text", "source").count() == 0)
+    // empty pairs + empty corpus: no singleton row either
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupClusterHistogram(emptyPairs, totalDocs = 0L).count() == 0)
+  }
 }

@@ -768,6 +768,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shards.sameElements(shards.sorted), "shards must be monotone in the order")
   }
 
+  test("shardManifest: consistent with the shards; xor checksum catches a swapped id") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val docs = (1L to 400L).map(i => (i, 1L + rng.nextInt(200).toLong)).toDF("id", "t")
+    val man = ScaleOps.shardManifest(docs, "id", "t", budget = 2000L)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // manifest rows reconcile exactly with the shard assignment
+    val byShard = ScaleOps.shardByTokenBudget(docs, "id", "t", 2000L)
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum("t").as("tot"),
+        min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(man.keySet == byShard.keySet)
+    man.foreach { case (s, (n, tot, lo, hi, _)) =>
+      assert(byShard(s) == ((n, tot, lo, hi)), s"shard $s manifest drifted")
+    }
+    // integrity: a loader that read id 9 where id 8 belonged computes a
+    // DIFFERENT checksum for that shard (and only that shard)
+    def key60(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val shardOf8 = ScaleOps.shardByTokenBudget(docs, "id", "t", 2000L)
+      .filter(col("id") === 8L).select("shard").head().getLong(0)
+    val tampered = man(shardOf8)._5 ^ key60(8L) ^ key60(9999L)
+    assert(tampered != man(shardOf8)._5, "swapping a member must move the checksum")
+    // the xor fold is order-independent and mergeable: recomputing the
+    // checksum driver-side from the member ids reproduces it exactly
+    val members = ScaleOps.shardByTokenBudget(docs, "id", "t", 2000L)
+      .filter(col("shard") === shardOf8).select("id").collect().map(_.getLong(0))
+    assert(members.map(key60).reduce(_ ^ _) == man(shardOf8)._5,
+      "any engine must be able to recompute the shard checksum")
+  }
+
   test("kmvOverlapMatrix: partition-independent sketches, estimates track exact overlap") {
     import spark.implicits._
     // three groups built from a shared 5-gram pool: A and B share ~half
