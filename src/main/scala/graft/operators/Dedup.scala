@@ -1575,6 +1575,58 @@ object Dedup {
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Persisted state for [[ngramNoveltyIncremental]]: one (hash,
+    * first_id) row per distinct shingle — the smallest owner id seen so
+    * far. 16 bytes a row, and MERGEABLE by construction: min is
+    * associative/commutative, so the store of a union is the per-hash
+    * min of the sub-stores, exactly (not approximately).
+    */
+  def noveltyStore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame =
+    df.select(col(idCol), explode(shingleHashes(col(textCol), w)).as("__h"))
+      .groupBy("__h").agg(min(col(idCol)).as("__first"))
+
+  /** Daily-ingest advance of [[ngramNovelty]]: score the BATCH against
+    * history ∪ batch without re-reading history — history is touched
+    * only through its (hash, first_id) store rows. Merged minima are
+    * exact (see [[noveltyStore]]), so batch novelty here ==
+    * [[ngramNovelty]] over the full corpus side-filtered to the batch
+    * (spec-pinned; q237 makes it driver-gated), and replaying the same
+    * batch is a no-op on the store (min-merge is idempotent).
+    *
+    * Returns (newStore, batchNovelty). Same one-chain shape as the
+    * batch operator: each batch shingle moves once, the winner count
+    * semi-joins to batch ids, totals stay map-only.
+    */
+  def ngramNoveltyIncremental(
+      store: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): (DataFrame, DataFrame) = {
+    val merged = store
+      .unionByName(noveltyStore(batch, idCol, textCol, w))
+      .groupBy("__h").agg(min(col("__first")).as("__first"))
+      .localCheckpoint(eager = false) // feeds the persisted store AND the winner count
+    val batchIds = batch.select(col(idCol))
+    val novel = merged
+      .groupBy(col("__first").as(idCol))
+      .agg(count(lit(1)).as("n_novel"))
+      .join(batchIds, Seq(idCol), "left_semi")
+    val totals = batch
+      .select(col(idCol),
+        size(shingleHashes(col(textCol), w)).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val result = totals.join(novel, Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+    (merged, result)
+  }
+
   /** Cross-source duplication ATTRIBUTION: the near-dup pair mass
     * aggregated to an unordered source×source matrix — which pipelines
     * copy from which (mirror detection, license-laundering audits, and

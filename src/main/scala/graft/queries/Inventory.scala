@@ -7072,6 +7072,38 @@ object Inventory {
         FROM shd s JOIN firsts fr USING (g)
         GROUP BY s.doc_id ORDER BY s.doc_id""")),
 
+    Q("q237_novelty_incremental",
+      (s, dir) => {
+        // q234's daily-ingest twin: docs >= 250 score against the
+        // (hash, first_id) store of docs < 250 — history text never
+        // re-read, min-merge exact, so the oracle is the FULL-corpus
+        // novelty replay side-filtered to the batch.
+        val d = t(s, dir, "documents")
+        val store = Dedup.noveltyStore(
+          d.filter(col("doc_id") < 250), "doc_id", "text", w = 8)
+        Dedup.ngramNoveltyIncremental(
+            store, d.filter(col("doc_id") >= 250), "doc_id", "text", w = 8)
+          ._2.orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        nn AS (SELECT doc_id, t, len(t) - 7 AS ns FROM base WHERE len(t) >= 8),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS p FROM nn),
+        shd AS (
+          SELECT DISTINCT doc_id, array_to_string(t[p+1 : p+8], ' ') AS g
+          FROM pos),
+        firsts AS (SELECT g, min(doc_id) AS f FROM shd GROUP BY g)
+        SELECT s.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN fr.f = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          round(CAST(sum(CASE WHEN fr.f = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS novelty
+        FROM shd s JOIN firsts fr USING (g)
+        WHERE s.doc_id >= 250
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
     Q("q235_dup_attribution",
       (s, dir) =>
         // which sources copy from which: q81's near-dup pass
@@ -7205,6 +7237,7 @@ object Inventory {
     "q229_dedup_ledger", "q230_ivf_append", "q231_golden_advance",
     "q232_mix_realization", "q233_shard_manifest", "q234_ngram_novelty",
     "q235_dup_attribution", "q236_dup_cluster_histogram",
+    "q237_novelty_incremental",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -944,6 +944,33 @@ class DedupSpec extends SparkSpec {
     assert(got(1L)._1 == 5L, s"12 tokens -> 5 distinct 8-gram starts: ${got(1L)}")
   }
 
+  test("ngramNoveltyIncremental: advance == full rebuild side-filtered; min-merge idempotent") {
+    import spark.implicits._
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq((1L, a), (2L, b),
+      (3L, a),                                             // batch copy of history
+      (4L, a.split(" ").take(8).mkString(" ") + " " + b),  // batch remix
+      (5L, "brand new words entirely unseen before in any earlier document here"))
+      .toDF("doc_id", "text")
+    val store = Dedup.noveltyStore(docs.filter(col("doc_id") <= 2), "doc_id", "text", w = 8)
+    val (newStore, adv) = Dedup.ngramNoveltyIncremental(
+      store, docs.filter(col("doc_id") >= 3), "doc_id", "text", w = 8)
+    val want = Dedup.ngramNovelty(docs, "doc_id", "text", w = 8)
+      .filter(col("doc_id") >= 3).orderBy("doc_id").collect().toSeq
+    assert(adv.orderBy("doc_id").collect().toSeq == want,
+      "advance must equal the full rebuild on the batch")
+    // the advanced store IS the full-corpus store (min-merge exact)
+    val full = Dedup.noveltyStore(docs, "doc_id", "text", w = 8)
+      .orderBy("__h").collect().toSeq
+    assert(newStore.orderBy("__h").collect().toSeq == full)
+    // replaying the same batch is a no-op on the store and on the scores
+    val (replayStore, replay) = Dedup.ngramNoveltyIncremental(
+      newStore, docs.filter(col("doc_id") >= 3), "doc_id", "text", w = 8)
+    assert(replayStore.orderBy("__h").collect().toSeq == full)
+    assert(replay.orderBy("doc_id").collect().toSeq == want)
+  }
+
   test("dupClusterHistogram: sizes, singleton fill, and doc-mass conservation") {
     import spark.implicits._
     // components: {1,2,3} (a chain) and {10,11}; corpus of 10 docs
