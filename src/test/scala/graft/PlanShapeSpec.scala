@@ -743,6 +743,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q233/q234: manifest windows stay per-partition; novelty never rejoins the shingle stream") {
+    // q233 rides shardByTokenBudget: its cumsum windows must partition
+    // by __pid (the partition-offset technique) — a global window here
+    // would serialize the corpus through one task
+    val manPlan = planString(run("q233_shard_manifest"))
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(manPlan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"expected the per-partition cumsum window:\n$manPlan")
+    winSpecs.foreach { spec =>
+      assert(spec.contains("__pid"),
+        s"manifest cumsum must window per-partition: windowspecdefinition($spec)")
+    }
+    // q234's heavy exploded frame feeds ONE aggregation chain; the only
+    // join is the doc-level totals/novel merge — no join may consume
+    // the per-shingle __h stream (the 50M-row rejoin the sf10 rehearsal
+    // caught and the reformulation removed)
+    withoutAqe {
+      val plan = run("q234_ngram_novelty").queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty, "the doc-level totals/novel join must exist")
+      joins.foreach { j =>
+        val names = (j.left.output ++ j.right.output).map(_.name)
+        assert(!names.contains("__h"),
+          s"no join may consume the exploded shingle stream, got $names")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
