@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked child's stdout/stderr through RAW instead of routing
+// them through sbt's logger: the logger prefixes every stdout line with
+// "[info] " (and stderr with "[error] "), which breaks any line-based
+// JSON consumer of `runMain graft.Bench` / `graft.Verify` output — the
+// driver's bench parser never matched a summary line through round 10
+// because the line started with "[info] {", not "{".
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -167,10 +167,10 @@ object Bench {
   }
 
   /** IO/bandwidth anchor: write a fixed ~1 GB incompressible parquet
-    * frame under java.io.tmpdir, then time a full scan+sum of it —
-    * reported as (`io_write_s`, `io_anchor_s`) next to the CPU spin.
-    * The round-9 host drift (q148 unchanged-code 18.8 → 34.4 s at a
-    * FLAT calib_st_ms) was invisible to the CPU stamp because it was
+    * frame, then time a full scan+sum of it — reported as
+    * (`io_write_s`, `io_anchor_s`) next to the CPU spin. The round-9
+    * host drift (q148 unchanged-code 18.8 → 34.4 s at a FLAT
+    * calib_st_ms) was invisible to the CPU stamp because it was
     * IO/bandwidth-level; with its own bandwidth stamp, every sweep is
     * self-anchored and cross-round sf10 reads stop needing a same-day
     * manual anchor query. xxhash64 columns defeat parquet encodings
@@ -178,10 +178,21 @@ object Bench {
     * is dominated by the storage path, not codec speed. (The read runs
     * straight after the write, so it measures the warm path — the same
     * page-cache regime the sf0.1 fixtures are read under.)
+    *
+    * The probe lives under `target/io-anchor` in the repo (override
+    * with GRAFT_IO_ANCHOR_DIR) — the SAME filesystem the sf fixtures
+    * are read from on this host — NOT java.io.tmpdir, which on many
+    * hosts is tmpfs and would make the "IO anchor" a RAM-bandwidth
+    * number blind to the storage-path regressions it exists to
+    * attribute. (This host: /tmp and /root are both the one ext4
+    * device, but the default should not depend on that.)
     */
   private def ioAnchor(): (Double, Double) = {
     val spark = GraftSession.get("graft-bench-io")
-    val dir = java.nio.file.Files.createTempDirectory("graft-io-anchor").toString
+    val base = sys.env.getOrElse("GRAFT_IO_ANCHOR_DIR", "target/io-anchor")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(base), "probe").toString
     try {
       val df = spark.range(40000000L).select(
         col("id"),
@@ -337,7 +348,29 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
       }
+      // Emission order matters: the driver keeps only the LAST ~2 KB of
+      // stdout and parses the final JSON line it finds there. The full
+      // 120+-query line is ~4 KB, so when it prints last its head is cut
+      // and the driver's `parsed` stays null (every round through r10).
+      // So: full line FIRST (humans + logs; the complete map is also in
+      // BENCH_LOCAL.json), then a compact final line — totals, anchors,
+      // and the SLOWEST queries that fit a ~1.4 KB budget (the ones a
+      // plan audit reads first), with an explicit omitted-count so the
+      // truncation is visible, not silent.
       println(line)
+      val byCost = merged.sortBy(-_._2)
+      val budget = 1400
+      val picked = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      var used = 0
+      byCost.foreach { case (n, t) =>
+        val w = n.length + 12
+        if (used + w <= budget) { picked += ((n, t)); used += w }
+      }
+      val omitted = merged.size - picked.size
+      val compact =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(picked.toSeq)},"queries_omitted":$omitted,"full_map":"BENCH_LOCAL.json","sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
+      Console.out.flush()
+      println(compact)
     }
   }
 }

@@ -33,8 +33,11 @@ object WordBlocklist {
     * handful of lists per job), so the cap exists only to keep a
     * long-lived executor that sees many DISTINCT lists (dynamic or
     * per-tenant blocklists) from retaining every one forever. Eviction
-    * is a full clear — rebuild is one pass over the word list, and a
-    * racing reader keeps its own reference safely.
+    * drops ONE arbitrary entry per insert past the cap (not a full
+    * clear, which would rebuild all 64 hot entries on nearly every new
+    * list in a >64-distinct-list workload); a racing reader keeps its
+    * own reference safely, and a racing evictor at worst removes an
+    * extra entry — rebuild is one pass over that word list.
     */
   private val MaxCachedDicts = 64
 
@@ -42,7 +45,11 @@ object WordBlocklist {
     val hit = cache.get(words)
     if (hit != null) hit
     else {
-      if (cache.size >= MaxCachedDicts) cache.clear()
+      while (cache.size >= MaxCachedDicts) {
+        val it = cache.keySet().iterator()
+        if (it.hasNext) { it.next(); it.remove() } // evict one, keep the rest
+        else () // raced to empty — nothing to evict
+      }
       cache.computeIfAbsent(words, { ws =>
         val s = new java.util.HashSet[UTF8String](ws.length * 2)
         ws.foreach(w => s.add(UTF8String.fromString(w.toLowerCase)))

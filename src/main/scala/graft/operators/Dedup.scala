@@ -1044,7 +1044,11 @@ object Dedup {
       // data volumes (the q186/q192 closure-cost audit, SCALE.md r9/r10).
       // Convergence compares hop B against hop A's labels: hop B being a
       // no-op proves hop A's output is the fixpoint.
-      val labA = hop(labels)
+      // labA is checkpointed because it appears TWICE in `updated`'s plan
+      // (under hopB and directly): without the block cut, exchange reuse
+      // saves hop A's shuffle write but re-runs its post-shuffle
+      // join+aggregate compute for the second consumer.
+      val labA = hop(labels).localCheckpoint(eager = false)
       val hopB = sym
         .join(labA, sym("b") === labA("id"))
         .groupBy(sym("a").as("nid"))
@@ -1600,13 +1604,38 @@ object Dedup {
     * Returns (newStore, batchNovelty). Same one-chain shape as the
     * batch operator: each batch shingle moves once, the winner count
     * semi-joins to batch ids, totals stay map-only.
+    *
+    * PRECONDITION — monotone ids: every batch id must be strictly
+    * greater than every id already in the store. "First owner" is
+    * encoded as min(id), so min-merge equals arrival order ONLY under
+    * monotone ids; a batch id SMALLER than a historical owner would
+    * silently steal first-ownership (the new doc gets novelty credit
+    * for text history already had, and the historical doc's committed
+    * score goes stale — the ledger then double-credits those shingles).
+    * Natural ingest ids (timestamps, sequence numbers) satisfy this for
+    * free; pass `checkMonotoneIds = true` to enforce it with one small
+    * two-sided aggregate (an extra job — off by default because the
+    * check reads the whole store's __first column).
     */
   def ngramNoveltyIncremental(
       store: DataFrame,
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      w: Int = 8): (DataFrame, DataFrame) = {
+      w: Int = 8,
+      checkMonotoneIds: Boolean = false): (DataFrame, DataFrame) = {
+    if (checkMonotoneIds) {
+      // Engine-side comparison (id type agnostic); 1×1 frames, one job.
+      val viol = store.agg(max(col("__first")).as("__hi"))
+        .crossJoin(batch.agg(min(col(idCol)).as("__lo")))
+        .filter(col("__hi") >= col("__lo"))
+        .head(1)
+      if (viol.nonEmpty)
+        throw new IllegalArgumentException(
+          s"ngramNoveltyIncremental: batch min id ${viol.head.get(1)} <= " +
+            s"stored max first-owner ${viol.head.get(0)} — ids must be " +
+            "monotone across batches or min-merge rewrites history ownership")
+    }
     val merged = store
       .unionByName(noveltyStore(batch, idCol, textCol, w))
       .groupBy("__h").agg(min(col("__first")).as("__first"))
@@ -1686,6 +1715,14 @@ object Dedup {
     val clustered = sizes.agg(sum("cluster_size")).head()
     val inClusters = if (clustered.isNullAt(0)) 0L else clustered.getLong(0)
     val singletons = totalDocs - inClusters
+    // A totalDocs smaller than the clustered-doc count is an inconsistent
+    // input (pairs referencing ids outside the claimed corpus); fail loudly
+    // rather than letting the n_clusters > 0 filter silently drop a
+    // negative size-1 row and emit a histogram whose doc mass != corpus.
+    require(singletons >= 0,
+      s"dupClusterHistogram: totalDocs=$totalDocs is smaller than the " +
+        s"$inClusters docs appearing in clusters — the pair list references " +
+        "ids outside the claimed corpus")
     val single = Seq((1L, singletons)).toDF("cluster_size", "n_clusters")
       .filter(col("n_clusters") > 0)
     hist.unionByName(single)

@@ -35,6 +35,17 @@ import graft.operators.Dedup
   * year-old document scores novelty 0 here, unlike the
   * watermark-bounded streaming dedup whose state forgets beyond the
   * horizon — this store, like the DedupLedger, never forgets.
+  *
+  * PRECONDITION — monotone ids (inherited from
+  * `ngramNoveltyIncremental`): every batch's ids must be strictly
+  * greater than all ids in earlier batches. "First owner" is min(id),
+  * so min-merge equals arrival order only then; a smaller late id would
+  * steal first-ownership of shingles history already owns, and because
+  * `scores` is append-only the stolen-from document's committed score
+  * goes stale (double-credit). Streaming sources with monotone event
+  * ids (sequence numbers, ingest timestamps) satisfy this for free;
+  * validate at the source if ids can arrive out of order across
+  * batches. Within one batch order is irrelevant (min is commutative).
   */
 object StreamingNovelty {
 

@@ -971,6 +971,37 @@ class DedupSpec extends SparkSpec {
     assert(replay.orderBy("doc_id").collect().toSeq == want)
   }
 
+  test("ngramNoveltyIncremental: checkMonotoneIds rejects a batch id below history") {
+    import spark.implicits._
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((5L, a), (6L, a + " more")).toDF("doc_id", "text")
+    val store = Dedup.noveltyStore(docs, "doc_id", "text", w = 8)
+    // a LATE batch carrying an id smaller than a stored first-owner would
+    // steal ownership under min-merge; the opt-in guard must reject it
+    val late = Seq((2L, "totally fresh text never before seen anywhere at all today"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramNoveltyIncremental(store, late, "doc_id", "text", w = 8,
+        checkMonotoneIds = true)
+    }
+    assert(e.getMessage.contains("monotone"))
+    // a properly monotone batch passes the guard and scores normally
+    val ok = Seq((7L, "totally fresh text never before seen anywhere at all today"))
+      .toDF("doc_id", "text")
+    val (_, adv) = Dedup.ngramNoveltyIncremental(store, ok, "doc_id", "text",
+      w = 8, checkMonotoneIds = true)
+    assert(adv.count() == 1L)
+  }
+
+  test("dupClusterHistogram: inconsistent totalDocs fails loudly") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusterHistogram(pairs, totalDocs = 2L) // 3 docs are clustered
+    }
+    assert(e.getMessage.contains("smaller than"))
+  }
+
   test("dupClusterHistogram: sizes, singleton fill, and doc-mass conservation") {
     import spark.implicits._
     // components: {1,2,3} (a chain) and {10,11}; corpus of 10 docs
