@@ -773,6 +773,236 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q229: the ledger replay guard is an anti-join and reads fingerprints only") {
+    import spark.implicits._
+    // a real on-disk ledger: the filterNew plan must (a) reject replays
+    // via LeftAnti against the ledger scan and (b) read ONLY the fp
+    // column from it — the ledger's doc_id/batch metadata (and a fortiori
+    // any history text, which the ledger never stores) stays out of the
+    // replay guard's scan
+    val root = java.nio.file.Files.createTempDirectory("graft-q229pin").toString
+    val dir = root + "/ledger" // must not pre-exist (empty-dir parquet read)
+    try {
+      val day1 = Seq((1L, "alpha text one"), (2L, "beta text two"))
+        .toDF("doc_id", "text")
+      graft.operators.DedupLedger.ingest(spark, dir, day1, "day1")
+      val day2 = Seq((3L, "alpha text one"), (4L, "gamma text three"))
+        .toDF("doc_id", "text")
+      val guarded = graft.operators.DedupLedger.filterNew(spark, dir, day2)
+      val plan = guarded.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      assert(plan.toString.toLowerCase.contains("leftanti"),
+        s"replay guard must be an anti-join:\n$plan")
+      // the only file scan in the guard is the ledger itself, and it reads
+      // exactly ONE column — the fingerprint
+      val ledgerScans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(ledgerScans.nonEmpty, s"ledger scan missing:\n$plan")
+      ledgerScans.foreach { s =>
+        val names = s.output.map(_.name)
+        assert(names == Seq("fingerprint"),
+          s"the replay guard must read only the fingerprint column, got $names")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("q230: IVF append touches only assigned cells; the probe prunes partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q230pin").toString
+    try {
+      // four fixed cells on the unit circle; base covers all of them
+      val cents = Array(
+        0 -> Array(1.0, 0.0), 1 -> Array(-1.0, 0.0),
+        2 -> Array(0.0, 1.0), 3 -> Array(0.0, -1.0))
+      val base = Seq(
+        (1L, Array(0.9f, 0.1f)), (2L, Array(-0.8f, 0.1f)),
+        (3L, Array(0.1f, 0.9f)), (4L, Array(-0.1f, -0.9f)),
+        (5L, Array(0.95f, -0.05f))).toDF("vec_id", "embedding")
+      graft.operators.Similarity.writeIvfIndex(
+        graft.operators.Similarity.ivfIndex(base, "vec_id", "embedding", cents), dir)
+      def cellFiles(cell: Int): Map[String, Long] = {
+        val d = new java.io.File(s"$dir/cell=$cell")
+        if (!d.exists()) Map.empty
+        else d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.length()).toMap
+      }
+      val before = (0 to 3).map(cellFiles)
+      // the batch lands ENTIRELY in cell 0 — the other three cell
+      // directories must be byte-identical after the append (history is
+      // never read or rewritten: O(batch) work)
+      val batch = Seq((10L, Array(0.99f, 0.01f)), (11L, Array(0.97f, -0.02f)))
+        .toDF("vec_id", "embedding")
+      graft.operators.Similarity.appendIvfIndex(
+        batch, "vec_id", "embedding", cents, dir)
+      val after = (0 to 3).map(cellFiles)
+      (1 to 3).foreach { c =>
+        assert(after(c) == before(c),
+          s"append must not touch unassigned cell $c: ${before(c)} -> ${after(c)}")
+      }
+      assert(after(0).size > before(0).size,
+        s"the batch's cell must gain files: ${before(0)} -> ${after(0)}")
+      // probe with nprobe=1: the post-append read plans a partition prune
+      // to the single probed cell — history cells never enter the scan
+      val probe = graft.operators.Similarity.readIvfTopK(
+        spark, dir, "vec_id", "embedding", cents, Array(1.0f, 0.0f),
+        k = 3, nprobe = 1)
+      val scan = probe.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("probe scan missing"))
+      assert(scan.toString.contains("PartitionFilters: ["),
+        s"probe must prune by cell partition:\n$scan")
+      assert(scan.toString.contains("cell"),
+        s"partition filter must be on the cell column:\n$scan")
+      assert(probe.collect().map(_.getLong(0)).toSet == Set(1L, 5L, 10L)
+        || probe.count() == 3)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("q231: the golden-record advance closes over the ENTITY graph") {
+    import spark.implicits._
+    // store: two resolved entities {1,2,3}->1 and {4,5}->4; the batch row
+    // 100 links to members of BOTH ("aleta" scores 0.6 >= 0.5 to "alpha"
+    // and to "beta"; alpha-beta score 0.2 stays below). The advance must
+    // contract row-level pairs to entity edges before the closure: the
+    // remap is exactly the ENTITY-level merge {(4 -> 1), (100 -> 1)} —
+    // never the 5 row-level pairs the batch actually touched.
+    val store = Seq(
+      (1L, "b1", "alpha", 1L), (2L, "b1", "alpha", 1L), (3L, "b1", "alpha", 1L),
+      (4L, "b1", "beta", 4L), (5L, "b1", "beta", 4L))
+      .toDF("id", "blk", "name", "entity_id")
+    val state = graft.operators.EntityResolution.goldenRecordState(
+      store, "entity_id", modeFields = Seq("name"))
+    val batch = Seq((100L, "b1", "aleta")).toDF("id", "blk", "name")
+    val (newState, remap) = graft.operators.EntityResolution.goldenRecordAdvance(
+      store, state, batch, "id",
+      blockCols = Seq("blk"), fields = Seq(("name", 1.0)), threshold = 0.5,
+      modeFields = Seq("name"))
+    val got = remap.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((4L, 1L), (100L, 1L)),
+      s"remap must be entity-level (contracted), got $got")
+    assert(newState.filter(col("__ent") === 4L).isEmpty,
+      "merged-away entity 4 must not survive in the advanced state")
+  }
+
+  test("q232: the mix realization is map-only per-stratum (no data-side join)") {
+    val df = run("q232_mix_realization")
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the solver's plan is a driver-bounded |strata|-row collect whose
+    // allocations ride back as LITERALS — the realized emission has no
+    // join of any kind on the data path
+    val joins = unwrapped.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(joins.isEmpty,
+      s"realization must attach allocations as literals, not joins:\n$unwrapped")
+    // the down-sample arm ranks inside each stratum: every window
+    // partitions by the stratum column (a global window would serialize
+    // the corpus through one task)
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(unwrapped.toString).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"expected the per-stratum A-ES window:\n$unwrapped")
+    winSpecs.foreach { spec =>
+      assert(spec.contains("src"),
+        s"A-ES ranking must window per-stratum: windowspecdefinition($spec)")
+    }
+    // the up-sample arm fans out copies via explode (map-side), never a join
+    assert(unwrapped.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.nonEmpty, s"upsample copies must come from a Generate:\n$unwrapped")
+  }
+
+  test("q235: attribution consumes the pair list — no second shingle pass") {
+    val df = run("q235_dup_attribution")
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the source-attach side reads (doc_id, source) ONLY: no scan in the
+    // attribution stage may re-read text (the pair producer's own text
+    // scan sits behind its checkpoint; re-shingling here would double the
+    // corpus-width work the pair list already paid for)
+    val textScans = unwrapped.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.output.exists(_.name == "text") => s
+    }
+    assert(textScans.isEmpty,
+      s"attribution must not re-read text (pair list + (id, source) only):\n$unwrapped")
+    // no exchange past the pair producer carries shingles or signatures
+    unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+    }.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n.contains("sh") && n.startsWith("__")),
+        s"no exchange may carry shingle/signature columns, got $names")
+    }
+  }
+
+  test("q236: the histogram is a closure over pairs — id/label widths only") {
+    val df = run("q236_dup_cluster_histogram")
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the histogram consumes the pair closure's (id, cluster) labels: no
+    // text scan, and every exchange is id/label/count-width
+    val textScans = unwrapped.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.output.exists(_.name == "text") => s
+    }
+    assert(textScans.isEmpty,
+      s"histogram must consume pairs/labels, never text:\n$unwrapped")
+    val allowed = // "count" is the partial-aggregate buffer column
+      Set("id", "cluster", "cluster_size", "n_clusters", "n_docs", "count")
+    unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val names = e.output.map(_.name.replaceAll("#.*", ""))
+      assert(names.forall(n => allowed.contains(n) || n.startsWith("__")),
+        s"histogram exchanges must be id/label/count-width, got $names")
+    }
+  }
+
+  test("q237: history is (hash, first_id) rows; the semi-join pushes below the winner count") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val store = graft.operators.Dedup.noveltyStore(
+      docs.filter(col("doc_id") < 250), "doc_id", "text", w = 8)
+    val (newStore, res) = graft.operators.Dedup.ngramNoveltyIncremental(
+      store, docs.filter(col("doc_id") >= 250), "doc_id", "text", w = 8)
+    // (a) the persisted-history surface is exactly (__h, __first) — 16
+    // bytes a row; the advance structurally cannot re-read history text
+    assert(newStore.schema.fieldNames.toSeq == Seq("__h", "__first"),
+      "the novelty store surface must stay (hash, first_id)")
+    // (b) Catalyst pushes the batch-id semi-join BELOW the winner-count
+    // aggregate (its key IS the grouping key): non-batch winners are
+    // filtered before counting, so the aggregate's state is batch-sized
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val winnerAggs = res.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.name == "n_novel") ||
+            a.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty => a
+    }
+    val pushed = winnerAggs.exists(a =>
+      a.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty)
+    assert(pushed,
+      s"the batch semi-join must sit BELOW the winner aggregate:\n${res.queryExecution.optimizedPlan}")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
