@@ -7182,7 +7182,195 @@ object Inventory {
         SELECT cluster_size, n_clusters,
           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
         FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
-        ORDER BY cluster_size"""))
+        ORDER BY cluster_size""")),
+
+    Q("q238_streaming_governance",
+      (s, dir) => {
+        // the exactly-once GOVERNANCE pair — StreamingSplit +
+        // StreamingNovelty advance bodies — as ONE deterministic
+        // two-batch batch-mode scenario with the crash windows
+        // actually exercised (previously the twins' correctness rested
+        // on ScalaTest alone; both advance bodies are engine-replayable
+        // arithmetic, so the whole protocol carries a DuckDB
+        // latest-wins oracle). Batch 1 (docs < 300) bootstraps both
+        // twins; batch 2 (docs >= 300) brings its own chains plus
+        // three bridges — (151,351) merges a train cluster into a
+        // batch chain (inherit arm), (71,361)+(181,361) merge a val
+        // and a test cluster (conflict arm: the batch chain
+        // quarantines, store splits never move). For EACH twin, batch
+        // 2 is CRASHED mid-window — after the first-committing
+        // table's append (conflicts for the split twin, scores for
+        // the novelty twin) — then recovered by the real advanceBatch
+        // (which must skip the committed append on its txn marker and
+        // apply the last-committing merge exactly once), then fully
+        // REPLAYED (marker-proven no-op). Any double-append,
+        // double-merge, or skipped merge breaks the hash.
+        import s.implicits._
+        val root = scratchDir("graft-q238")
+        val store = graft.lake.VersionedTable(root + "/split_store", "doc_id")
+        val conflicts =
+          graft.lake.VersionedTable(root + "/split_conflicts", "cluster_rep")
+        val nstore = graft.lake.VersionedTable(root + "/nov_store", "__h")
+        val scores = graft.lake.VersionedTable(root + "/nov_scores", "doc_id")
+        val d = t(s, dir, "documents")
+        val batch1 = d.filter(col("doc_id") < 300)
+        val batch2 = d.filter(col("doc_id") >= 300)
+        val bridges = Seq((151L, 351L), (71L, 361L), (181L, 361L))
+          .toDF("id_a", "id_b")
+        // deterministic batch-touching pair source (q223's chain family:
+        // consecutive ids whose lower end is 1..3 mod 10, plus the
+        // bridges when both endpoints exist) — a pure function of its
+        // two inputs, as the replay argument requires
+        def pairsOf(b: DataFrame, st: DataFrame): DataFrame = {
+          val bi = b.select(col("doc_id"))
+          val ids = bi.unionByName(st.select(col("doc_id"))).distinct()
+          val chain = ids.select(col("doc_id").as("id_a"))
+            .filter(pmod(col("id_a"), lit(10)).isin(1, 2, 3))
+            .join(ids.select(col("doc_id").as("id_b")),
+              col("id_b") === col("id_a") + 1)
+          val cand = chain.unionByName(bridges
+            .join(ids.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+            .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
+          cand.join(bi.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+            .unionByName(
+              cand.join(bi.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
+            .distinct()
+        }
+        val cfg = graft.streaming.StreamingSplit.SplitConfig("doc_id")
+        // batch 1: the clean path, both twins
+        graft.streaming.StreamingSplit.advanceBatch(
+          store, conflicts, batch1, pairsOf, cfg, "q238", 1L)
+        graft.streaming.StreamingNovelty.advanceBatch(
+          nstore, scores, batch1, "doc_id", "text", 8, "q238", 1L)
+        // batch 2, split twin: crash AFTER the conflicts append (the
+        // first-committing table), then recover with the real advance
+        val preRows = store.read(s)
+        val (_, confRows) = Dedup.splitByClusterIncremental(
+          preRows, batch2, "doc_id", pairsOf(batch2, preRows), cfg.splits)
+        conflicts.appendIfNew(
+          confRows.withColumn("batch_id", lit(2L)), "q238", 2L)
+        graft.streaming.StreamingSplit.advanceBatch(
+          store, conflicts, batch2, pairsOf, cfg, "q238", 2L)
+        // batch 2, novelty twin: crash AFTER the scores append, recover
+        val preStore = nstore.read(s)
+        val (_, preScores) = Dedup.ngramNoveltyIncremental(
+          preStore, batch2, "doc_id", "text", w = 8)
+        scores.appendIfNew(
+          preScores.withColumn("batch_id", lit(2L)), "q238", 2L)
+        graft.streaming.StreamingNovelty.advanceBatch(
+          nstore, scores, batch2, "doc_id", "text", 8, "q238", 2L)
+        // full replay of batch 2: both last-table markers prove
+        // application — each must be a version-less no-op
+        graft.streaming.StreamingSplit.advanceBatch(
+          store, conflicts, batch2, pairsOf, cfg, "q238", 2L)
+        graft.streaming.StreamingNovelty.advanceBatch(
+          nstore, scores, batch2, "doc_id", "text", 8, "q238", 2L)
+        val st = store.read(s).select(col("doc_id"),
+          col("cluster_rep").cast("long").as("cluster_rep"),
+          coalesce(col("split"), lit("quarantine")).as("split"))
+        val sc = scores.read(s).select(col("doc_id"), col("n_shingles"),
+          col("n_novel"), col("novelty"), col("batch_id").as("nov_batch"))
+        val cf = conflicts.read(s).select(
+          col("cluster_rep").cast("long").as("cluster_rep"), col("n_splits"))
+        st.join(sc, Seq("doc_id"), "left")
+          .join(cf, Seq("cluster_rep"), "left")
+          .withColumn("n_splits", coalesce(col("n_splits"), lit(0L)))
+          .select("doc_id", "cluster_rep", "split", "n_shingles", "n_novel",
+            "novelty", "nov_batch", "n_splits")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE chain AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 10 IN (1, 2, 3)),
+        store_pairs AS (SELECT * FROM chain WHERE id_b < 300),
+        batch_pairs AS (
+          SELECT * FROM chain WHERE id_a >= 300
+          UNION ALL
+          SELECT * FROM (VALUES (151, 351), (71, 361), (181, 361)) v(id_a, id_b)),
+        all_pairs AS (
+          SELECT * FROM store_pairs UNION ALL SELECT * FROM batch_pairs),
+        se AS (SELECT id_a AS u FROM store_pairs),
+        snodes AS (SELECT DISTINCT v FROM (
+          SELECT u AS v FROM se UNION ALL SELECT u + 1 AS v FROM se)),
+        sisl AS (SELECT v, v - row_number() OVER (ORDER BY v) AS grp FROM snodes),
+        srep AS (SELECT v, min(v) OVER (PARTITION BY grp) AS r FROM sisl),
+        store0 AS (
+          SELECT d.doc_id, CAST(coalesce(srep.r, d.doc_id) AS BIGINT) AS rep0
+          FROM documents d LEFT JOIN srep ON srep.v = d.doc_id
+          WHERE d.doc_id < 300),
+        store_split AS (
+          SELECT doc_id, rep0,
+            CASE WHEN substr(md5(CAST(rep0 AS VARCHAR)), 1, 8) < 'cccccccc'
+                   THEN 'train'
+                 WHEN substr(md5(CAST(rep0 AS VARCHAR)), 1, 8) < 'e6666665'
+                   THEN 'val'
+                 ELSE 'test' END AS split
+          FROM store0),
+        edges AS (
+          SELECT id_a AS u, id_b AS w FROM all_pairs
+          UNION SELECT id_b, id_a FROM all_pairs),
+        gnodes AS (SELECT DISTINCT u AS v FROM edges),
+        reach(v, r) AS (
+          SELECT v, v FROM gnodes
+          UNION
+          SELECT reach.v, e.w FROM reach JOIN edges e ON e.u = reach.r),
+        canon AS (SELECT v, CAST(min(r) AS BIGINT) AS c FROM reach GROUP BY v),
+        adv_store AS (
+          SELECT ss.doc_id,
+            CAST(coalesce(c2.c, ss.rep0) AS BIGINT) AS cluster_rep, ss.split
+          FROM store_split ss LEFT JOIN canon c2 ON c2.v = ss.rep0),
+        binh AS (
+          SELECT cluster_rep AS c, count(DISTINCT split) AS n, min(split) AS s
+          FROM adv_store GROUP BY cluster_rep),
+        batch0 AS (
+          SELECT d.doc_id, CAST(coalesce(c2.c, d.doc_id) AS BIGINT) AS cluster_rep
+          FROM documents d LEFT JOIN canon c2 ON c2.v = d.doc_id
+          WHERE d.doc_id >= 300),
+        batch_assigned AS (
+          SELECT b.doc_id, b.cluster_rep,
+            CASE WHEN i.n IS NULL THEN
+                CASE WHEN substr(md5(CAST(b.cluster_rep AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                     WHEN substr(md5(CAST(b.cluster_rep AS VARCHAR)), 1, 8)
+                       < 'e6666665' THEN 'val'
+                     ELSE 'test' END
+              WHEN i.n = 1 THEN i.s
+              ELSE 'quarantine' END AS split
+          FROM batch0 b LEFT JOIN binh i ON i.c = b.cluster_rep),
+        split_all AS (
+          SELECT doc_id, cluster_rep, split FROM adv_store
+          UNION ALL SELECT doc_id, cluster_rep, split FROM batch_assigned),
+        conf AS (
+          SELECT c AS cluster_rep, CAST(n AS BIGINT) AS n_splits
+          FROM binh WHERE n > 1),
+        base AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents),
+        nn AS (SELECT doc_id, t, len(t) - 7 AS ns FROM base WHERE len(t) >= 8),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(0, ns - 1)) AS p FROM nn),
+        shd AS (
+          SELECT DISTINCT doc_id, array_to_string(t[p+1 : p+8], ' ') AS g
+          FROM pos),
+        firsts AS (SELECT g, min(doc_id) AS f FROM shd GROUP BY g),
+        nov AS (
+          SELECT s.doc_id, count(*) AS n_shingles,
+            CAST(sum(CASE WHEN fr.f = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_novel,
+            round(CAST(sum(CASE WHEN fr.f = s.doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS novelty,
+            CAST(CASE WHEN s.doc_id < 300 THEN 1 ELSE 2 END AS BIGINT)
+              AS nov_batch
+          FROM shd s JOIN firsts fr USING (g)
+          GROUP BY s.doc_id)
+        SELECT sa.doc_id, sa.cluster_rep, sa.split,
+          n.n_shingles, n.n_novel, n.novelty, n.nov_batch,
+          CAST(coalesce(cf.n_splits, 0) AS BIGINT) AS n_splits
+        FROM split_all sa
+        LEFT JOIN nov n USING (doc_id)
+        LEFT JOIN conf cf USING (cluster_rep)
+        ORDER BY sa.doc_id"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -7237,7 +7425,7 @@ object Inventory {
     "q229_dedup_ledger", "q230_ivf_append", "q231_golden_advance",
     "q232_mix_realization", "q233_shard_manifest", "q234_ngram_novelty",
     "q235_dup_attribution", "q236_dup_cluster_histogram",
-    "q237_novelty_incremental",
+    "q237_novelty_incremental", "q238_streaming_governance",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
