@@ -1044,11 +1044,16 @@ object Dedup {
       // data volumes (the q186/q192 closure-cost audit, SCALE.md r9/r10).
       // Convergence compares hop B against hop A's labels: hop B being a
       // no-op proves hop A's output is the fixpoint.
-      // labA is checkpointed because it appears TWICE in `updated`'s plan
-      // (under hopB and directly): without the block cut, exchange reuse
-      // saves hop A's shuffle write but re-runs its post-shuffle
-      // join+aggregate compute for the second consumer.
-      val labA = hop(labels).localCheckpoint(eager = false)
+      // labA appears TWICE in `updated`'s plan (under hopB and directly),
+      // so hop A's post-shuffle join+aggregate compute runs twice
+      // (exchange reuse covers the shuffle itself). Checkpointing labA
+      // to deduplicate that compute was MEASURED SLOWER — the extra
+      // materialization job costs ~0.7 s per q186 at sf0.1 (closure
+      // 2.0 -> 2.8 s, matched anchor, r11) while the duplicated
+      // compute on the label-width frame is smaller than that at every
+      // rehearsed SF; the per-round fixed cost this loop fights is
+      // exactly that kind of job, so labA stays lazy.
+      val labA = hop(labels)
       val hopB = sym
         .join(labA, sym("b") === labA("id"))
         .groupBy(sym("a").as("nid"))

@@ -545,19 +545,26 @@ object EntityResolution {
         .filter(col("__value").isNotNull)
       val counted = stacked
         .groupBy("__ent", "__field", "__value").agg(count(lit(1)).as("__cnt"))
-      val grain = org.apache.spark.sql.expressions.Window
-        .partitionBy("__ent", "__field")
-      val wMode = grain.orderBy(col("__cnt").desc, col("__value").asc)
-      val wLong = grain.orderBy(length(col("__value")).desc, col("__value").asc)
-      val modePick = counted.filter(col("__field").isin(modeFields: _*))
-        .withColumn("__rn", row_number().over(wMode))
-      val longPick = counted.filter(col("__field").isin(longestFields: _*))
-        .withColumn("__rn", row_number().over(wLong))
-      val winners = modePick.unionByName(longPick).filter(col("__rn") === 1)
-      val pivotAggs = stackFields.map(f =>
-        max(when(col("__field") === f, col("__value")))
-          .cast(schema(f).dataType).as(f))
-      Some(winners.groupBy("__ent").agg(pivotAggs.head, pivotAggs.tail: _*))
+      // Winner pick + pivot in ONE entity-grain aggregate: the policy
+      // orderings encode as struct minima — min(struct(-cnt, value)) is
+      // "largest count, then smallest value" and min(struct(-len, value))
+      // "longest, then smallest value" — exactly the former windows'
+      // (desc, asc) orderings (struct comparison is field-lexicographic,
+      // string order identical to the windows' column order). This
+      // replaces two (entity, field)-keyed window sorts + a union + the
+      // pivot groupBy with a single groupBy(entity): two fewer exchanges
+      // and no sorts on the survivorship path (r11 ER trim, SCALE.md).
+      val pickAggs =
+        modeFields.map(f =>
+          min(when(col("__field") === f,
+            struct((-col("__cnt")).as("k"), col("__value").as("v"))))
+            .getField("v").cast(schema(f).dataType).as(f)) ++
+        longestFields.map(f =>
+          min(when(col("__field") === f,
+            struct((-length(col("__value")).cast("long")).as("k"),
+              col("__value").as("v"))))
+            .getField("v").cast(schema(f).dataType).as(f))
+      Some(counted.groupBy("__ent").agg(pickAggs.head, pickAggs.tail: _*))
     }
 
     val joined = picked
@@ -738,19 +745,22 @@ object EntityResolution {
       if (stackFields.isEmpty) None
       else {
         val counted = state.filter(col("__kind") === "count")
-        val grain = org.apache.spark.sql.expressions.Window
-          .partitionBy("__ent", "__field")
-        val wMode = grain.orderBy(col("__cnt").desc, col("__value").asc)
-        val wLong = grain.orderBy(length(col("__value")).desc, col("__value").asc)
-        val modePick = counted.filter(col("__field").isin(modeFields: _*))
-          .withColumn("__rn", row_number().over(wMode))
-        val longPick = counted.filter(col("__field").isin(longestFields: _*))
-          .withColumn("__rn", row_number().over(wLong))
-        val winners = modePick.unionByName(longPick).filter(col("__rn") === 1)
-        val pivotAggs = stackFields.map(f =>
-          max(when(col("__field") === f, col("__value")))
-            .cast(schema(f).dataType).as(f))
-        Some(winners.groupBy("__ent").agg(pivotAggs.head, pivotAggs.tail: _*))
+        // winner pick + pivot as ONE entity-grain aggregate — the
+        // struct-minimum encoding of the policy orderings, exactly as in
+        // [[goldenRecord]] (measured there: 5.36 -> 4.14 s at sf0.1,
+        // identical anchor — two window sorts and the pivot exchange
+        // collapse into a single groupBy)
+        val pickAggs =
+          modeFields.map(f =>
+            min(when(col("__field") === f,
+              struct((-col("__cnt")).as("k"), col("__value").as("v"))))
+              .getField("v").cast(schema(f).dataType).as(f)) ++
+          longestFields.map(f =>
+            min(when(col("__field") === f,
+              struct((-length(col("__value")).cast("long")).as("k"),
+                col("__value").as("v"))))
+              .getField("v").cast(schema(f).dataType).as(f))
+        Some(counted.groupBy("__ent").agg(pickAggs.head, pickAggs.tail: _*))
       }
     val joined = picked
       .foldLeft(base)((acc, d) => acc.join(d, Seq("__ent"), "left"))
