@@ -1700,6 +1700,77 @@ object Dedup {
             count(lit(1)).cast("double"), 4).as("avg_jaccard"))
   }
 
+  /** Containment DIRECTION for near-dup pairs: is the pair a mutual
+    * duplicate, or does one document CONTAIN the other (a superset page
+    * vs its excerpt, an article vs its quoted fragment)? Doc-level
+    * survivor policies that ignore direction keep the excerpt and drop
+    * the superset half the time; this classifies each pair and
+    * recommends the drop side.
+    *
+    * The intersection size is RECOVERED from the pair's (rounded)
+    * Jaccard and the two distinct-shingle counts — |A∩B| =
+    * J·(|A|+|B|)/(1+J) — so no shingle array is ever re-attached: the
+    * operator is the pair list plus one id-keyed join against the
+    * (id, count) projection. With J rounded at 6dp the recovered value
+    * sits within 5e-7·(|A|+|B|) of the true integer, so the round-trip
+    * is EXACT for documents under ~10⁵ distinct shingles (far beyond
+    * web-document size at w=3) and the classification thresholds are
+    * insensitive to the residual at any size.
+    *
+    * Output per pair: counts, jaccard, both containments (4dp),
+    * `relation` ∈ duplicate | a_in_b | b_in_a | overlap, and `drop_id` —
+    * duplicates drop the larger id (keep-first), containments drop the
+    * contained side, plain overlaps drop nothing (null).
+    *
+    * Scope (honest limit): the pair list comes from MinHash banding at
+    * `threshold`, so only containments whose JACCARD clears it are
+    * classified — at t=0.5 that is "the contained doc is at least ~half
+    * the superset" (J = i/(a+b−i)). A small excerpt inside a much larger
+    * page has low Jaccard BY DESIGN of doc-level near-dup; finding those
+    * is the winnowing passage family's job ([[TextAnalysis.winnowNearDups]],
+    * q172/q173), not a doc-level pair scan.
+    */
+  def nearDupContainment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1024,
+      containAt: Double = 0.9): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, k, bands, w, threshold,
+      maxBucket = maxBucket)
+    val sizes = df.select(col(idCol),
+      size(shingleHashes(col(textCol), w)).cast("long").as("__n"))
+    val withN = pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+    val inter = round(
+      col("jaccard") * (col("n_a") + col("n_b")).cast("double") /
+        (lit(1.0) + col("jaccard")), 0).cast("long")
+    val contA = round(col("__i").cast("double") / col("n_a").cast("double"), 4)
+    val contB = round(col("__i").cast("double") / col("n_b").cast("double"), 4)
+    withN
+      .withColumn("__i", inter)
+      .withColumn("containment_a", contA)
+      .withColumn("containment_b", contB)
+      .withColumn("relation",
+        when(col("containment_a") >= containAt && col("containment_b") >= containAt,
+          "duplicate")
+          .when(col("containment_a") >= containAt, "a_in_b")
+          .when(col("containment_b") >= containAt, "b_in_a")
+          .otherwise("overlap"))
+      .withColumn("drop_id",
+        when(col("relation") === "duplicate", greatest(col("id_a"), col("id_b")))
+          .when(col("relation") === "a_in_b", col("id_a"))
+          .when(col("relation") === "b_in_a", col("id_b"))
+          .otherwise(lit(null).cast("long")))
+      .select("id_a", "id_b", "n_a", "n_b", "jaccard",
+        "containment_a", "containment_b", "relation", "drop_id")
+  }
+
   /** Duplicate-cluster size HISTOGRAM: how duplication mass distributes
     * across cluster sizes — the standard dedup-paper diagnostic (a few
     * giant boilerplate clusters vs a long tail of doubles decide

@@ -7184,6 +7184,54 @@ object Inventory {
         FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
         ORDER BY cluster_size""")),
 
+    Q("q239_containment_direction",
+      (s, dir) =>
+        // direction audit over q81's near-dup pairs: duplicate vs
+        // one-contains-the-other, with the drop-side recommendation a
+        // superset-aware survivor policy needs. |A∩B| is recovered from
+        // (jaccard, |A|, |B|) — no shingle re-attach; same exhaustive
+        // oracle + recall argument as q81/q235.
+        Dedup.nearDupContainment(t(s, dir, "documents"), "doc_id", "text",
+          k = 128, bands = 32, w = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              >= 0.5),
+        c AS (
+          SELECT *, CAST(round(jaccard * (n_a + n_b) / (1.0 + jaccard), 0)
+            AS BIGINT) AS i
+          FROM p),
+        r AS (
+          SELECT id_a, id_b, n_a, n_b, jaccard,
+            round(CAST(i AS DOUBLE) / n_a, 4) AS containment_a,
+            round(CAST(i AS DOUBLE) / n_b, 4) AS containment_b
+          FROM c)
+        SELECT id_a, id_b, n_a, n_b, jaccard, containment_a, containment_b,
+          CASE WHEN containment_a >= 0.9 AND containment_b >= 0.9
+                 THEN 'duplicate'
+               WHEN containment_a >= 0.9 THEN 'a_in_b'
+               WHEN containment_b >= 0.9 THEN 'b_in_a'
+               ELSE 'overlap' END AS relation,
+          CAST(CASE WHEN containment_a >= 0.9 AND containment_b >= 0.9
+                 THEN greatest(id_a, id_b)
+               WHEN containment_a >= 0.9 THEN id_a
+               WHEN containment_b >= 0.9 THEN id_b
+               ELSE NULL END AS BIGINT) AS drop_id
+        FROM r ORDER BY id_a, id_b""")),
+
     Q("q238_streaming_governance",
       (s, dir) => {
         // the exactly-once GOVERNANCE pair — StreamingSplit +
@@ -7426,6 +7474,7 @@ object Inventory {
     "q232_mix_realization", "q233_shard_manifest", "q234_ngram_novelty",
     "q235_dup_attribution", "q236_dup_cluster_histogram",
     "q237_novelty_incremental", "q238_streaming_governance",
+    "q239_containment_direction",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

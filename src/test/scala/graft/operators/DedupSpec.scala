@@ -993,6 +993,38 @@ class DedupSpec extends SparkSpec {
     assert(adv.count() == 1L)
   }
 
+  test("nearDupContainment: classifies duplicate / a_in_b / b_in_a / overlap with exact intersection recovery") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val big = words("w", 20)                                // 18 shingles (w=3)
+    val excerpt = big.split(" ").take(14).mkString(" ")     // 12 shingles, all in big
+    val e = words("w", 16) + " " + words("x", 4)            // 18 shingles
+    val f = words("w", 16) + " " + words("y", 4)            // 18, shares 14 with e
+    val docs = Seq(
+      (1L, excerpt), (2L, big),       // a_in_b: cont_a = 1.0, J = 12/18
+      (3L, big),                      // duplicate of 2 (J = 1)
+      (10L, e), (11L, f))             // overlap: cont = 14/18 < 0.9, J = 14/22
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDupContainment(docs, "doc_id", "text",
+        k = 128, bands = 32, w = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(7),
+          if (r.isNullAt(8)) -1L else r.getLong(8))).toMap
+    assert(got((1L, 2L)) == ((12L, 18L, "a_in_b", 1L)), s"got ${got.get((1L, 2L))}")
+    assert(got((1L, 3L)) == ((12L, 18L, "a_in_b", 1L)))
+    assert(got((2L, 3L)) == ((18L, 18L, "duplicate", 3L)),
+      "identical docs drop the larger id (keep-first)")
+    assert(got((10L, 11L))._3 == "overlap")
+    assert(got((10L, 11L))._4 == -1L, "overlap recommends no drop")
+    // intersection recovery from (rounded J, sizes) is exact here:
+    // containment_a of the excerpt is exactly 1.0
+    val row12 = Dedup.nearDupContainment(docs, "doc_id", "text",
+        k = 128, bands = 32, w = 3, threshold = 0.5)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).head()
+    assert(row12.getDouble(5) == 1.0 && math.abs(row12.getDouble(6) - 0.6667) < 1e-9)
+  }
+
   test("dupClusterHistogram: inconsistent totalDocs fails loudly") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
