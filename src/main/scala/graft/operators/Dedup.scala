@@ -1771,6 +1771,47 @@ object Dedup {
         "containment_a", "containment_b", "relation", "drop_id")
   }
 
+  /** Dedup SAVINGS report: what doc-level keep-first dedup would
+    * actually delete, in documents and characters, per source — the
+    * number that turns the cluster-size histogram's "is dedup worth
+    * it" hint into a budgetable answer ("source X is 38% duplicated
+    * chars; dropping them saves N tokens of training budget").
+    *
+    * Keep-first = the cluster's min id, which IS the closure label from
+    * [[nearDupClusters]] — so "dropped" is the map-only predicate
+    * id != cluster, no survivor join needed. Scale: the pair producer's
+    * cost + the closure + one per-source aggregate; the corpus frame
+    * contributes only (id, group, chars)-width rows.
+    */
+  def dedupSavings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      charsCol: String,
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1024): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, k, bands, w, threshold,
+      maxBucket = maxBucket)
+    val labels = nearDupClusters(pairs).withColumnRenamed("id", idCol)
+    val lab = df.select(col(idCol), col(groupCol), col(charsCol).cast("long").as("__ch"))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("cluster"), col(idCol)))
+    val dropped = col(idCol) =!= col("__cluster")
+    lab.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("docs_total"),
+        sum(when(dropped, 1L).otherwise(0L)).as("docs_dropped"),
+        sum(col("__ch")).as("chars_total"),
+        sum(when(dropped, col("__ch")).otherwise(0L)).as("chars_dropped"))
+      .withColumn("drop_pct",
+        round(col("chars_dropped").cast("double") /
+          greatest(col("chars_total"), lit(1L)).cast("double"), 4))
+  }
+
   /** Duplicate-cluster size HISTOGRAM: how duplication mass distributes
     * across cluster sizes — the standard dedup-paper diagnostic (a few
     * giant boilerplate clusters vs a long tail of doubles decide

@@ -1126,6 +1126,52 @@ object TextAnalysis {
     * per-gram aggregation state. n_grams is computed arithmetically
     * from the normalized length (= exactly the exploded gram count).
     */
+  /** Zipf PROFILE of the corpus vocabulary: the top-K token
+    * frequencies with their log-log coordinates and the least-squares
+    * Zipf exponent over them — the standard corpus-health diagnostic
+    * (a healthy natural-language crawl fits slope ≈ −1; boilerplate
+    * floods flatten the head, template spam steepens it; a tokenizer
+    * bug shows up as a kinked head before any downstream job runs).
+    *
+    * Scale: ONE token-count aggregate (map-side partials, state bounded
+    * by vocabulary) → TakeOrdered top-K (per-partition heaps, K rows to
+    * one task) → the fit is an aggregate over those K rows with the
+    * engine-exactness discipline of q153: ln per value (cross-engine ln
+    * parity, q145 precedent), 6dp round, DECIMAL sums, one final double
+    * division. The slope is base-invariant (a log-base change scales
+    * numerator and denominator identically), so ln is safe for a
+    * "log10-log10" exponent. Ties at the K boundary break (count desc,
+    * token asc) so the row set is deterministic.
+    */
+  def zipfProfile(
+      df: DataFrame,
+      textCol: String = "text",
+      topK: Int = 100): DataFrame = {
+    val counts = df
+      .select(explode(tokens(lower(trim(col(textCol))))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .orderBy(col("cnt").desc, col("token").asc).limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      .withColumn("log_rank", round(log(col("rank").cast("double")), 6))
+      .withColumn("log_freq", round(log(col("cnt").cast("double")), 6))
+    val dx = col("log_rank").cast("decimal(18,6)")
+    val dy = col("log_freq").cast("decimal(18,6)")
+    val fit = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(dx).as("__sx"), sum(dy).as("__sy"),
+      sum(dx * dy).as("__sxy"), sum(dx * dx).as("__sxx"))
+    ranked.crossJoin(broadcast(fit)) // 1x1 planning frame, the q227 shape
+      .withColumn("zipf_slope", round(
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"),
+        6))
+      .select("rank", "token", "cnt", "log_rank", "log_freq", "zipf_slope")
+  }
+
   def selfPerplexity(
       df: DataFrame,
       idCol: String = "doc_id",

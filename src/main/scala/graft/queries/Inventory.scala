@@ -7232,6 +7232,88 @@ object Inventory {
                ELSE NULL END AS BIGINT) AS drop_id
         FROM r ORDER BY id_a, id_b""")),
 
+    Q("q240_dedup_savings",
+      (s, dir) =>
+        // the budget answer behind q236's histogram: what doc-level
+        // keep-first dedup deletes, in docs and chars, per source.
+        // Keep-first = the closure's min-id label, so "dropped" is the
+        // map-only predicate id != cluster; oracle = q236's recursive
+        // closure + the same per-source aggregate.
+        Dedup.dedupSavings(t(s, dir, "documents"), "doc_id", "text",
+          "source", "n_chars", k = 128, bands = 32, w = 3, threshold = 0.5)
+          .orderBy("source"),
+      Some("""WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              >= 0.5),
+        e AS (SELECT id_a AS a, id_b AS b FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        r(id, lab) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b),
+        lab AS (SELECT id, min(lab) AS c FROM r GROUP BY id),
+        d AS (
+          SELECT doc.source, doc.n_chars,
+            CASE WHEN l.c IS NOT NULL AND l.c <> doc.doc_id THEN 1 ELSE 0 END
+              AS dropped
+          FROM documents doc LEFT JOIN lab l ON l.id = doc.doc_id)
+        SELECT source,
+          count(*) AS docs_total,
+          CAST(sum(dropped) AS BIGINT) AS docs_dropped,
+          CAST(sum(n_chars) AS BIGINT) AS chars_total,
+          CAST(sum(CASE WHEN dropped = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+            AS chars_dropped,
+          round(CAST(sum(CASE WHEN dropped = 1 THEN n_chars ELSE 0 END)
+              AS DOUBLE)
+            / greatest(CAST(sum(n_chars) AS DOUBLE), 1.0), 4) AS drop_pct
+        FROM d GROUP BY source ORDER BY source""")),
+
+    Q("q241_zipf_profile",
+      (s, dir) =>
+        // corpus-health diagnostic: top-100 token frequencies with
+        // their log-log coordinates and the least-squares Zipf
+        // exponent. ln per value + 6dp round + DECIMAL regression sums
+        // (the q153 discipline) make the fit engine-exact.
+        TextAnalysis.zipfProfile(t(s, dir, "documents"), "text", topK = 100)
+          .orderBy("rank"),
+      Some("""WITH tok AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          FROM documents),
+        counts AS (
+          SELECT token, count(*) AS cnt FROM tok
+          WHERE len(token) > 0 GROUP BY token),
+        top AS (
+          SELECT token, cnt,
+            row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+          FROM counts ORDER BY cnt DESC, token ASC LIMIT 100),
+        logs AS (
+          SELECT rank, token, cnt,
+            round(ln(CAST(rank AS DOUBLE)), 6) AS log_rank,
+            round(ln(CAST(cnt AS DOUBLE)), 6) AS log_freq
+          FROM top),
+        fit AS (
+          SELECT count(*) AS n,
+            sum(CAST(log_rank AS DECIMAL(18,6))) AS sx,
+            sum(CAST(log_freq AS DECIMAL(18,6))) AS sy,
+            sum(CAST(log_rank AS DECIMAL(18,6)) * CAST(log_freq AS DECIMAL(18,6)))
+              AS sxy,
+            sum(CAST(log_rank AS DECIMAL(18,6)) * CAST(log_rank AS DECIMAL(18,6)))
+              AS sxx
+          FROM logs)
+        SELECT rank, token, CAST(cnt AS BIGINT) AS cnt, log_rank, log_freq,
+          round(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        FROM logs, fit ORDER BY rank""")),
+
     Q("q238_streaming_governance",
       (s, dir) => {
         // the exactly-once GOVERNANCE pair — StreamingSplit +
@@ -7474,7 +7556,7 @@ object Inventory {
     "q232_mix_realization", "q233_shard_manifest", "q234_ngram_novelty",
     "q235_dup_attribution", "q236_dup_cluster_histogram",
     "q237_novelty_incremental", "q238_streaming_governance",
-    "q239_containment_direction",
+    "q239_containment_direction", "q240_dedup_savings", "q241_zipf_profile",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -1025,6 +1025,25 @@ class DedupSpec extends SparkSpec {
     assert(row12.getDouble(5) == 1.0 && math.abs(row12.getDouble(6) - 0.6667) < 1e-9)
   }
 
+  test("dedupSavings: keep-first drops non-label members, per-source chars accounted") {
+    import spark.implicits._
+    val txt = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, txt, "a", 50L), (2L, txt, "a", 60L),        // dup pair: 2 dropped
+      (3L, "completely different words here nothing shared at all between these",
+        "a", 40L),
+      (4L, txt + " x", "b", 70L))                      // near-dup of 1: dropped
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = Dedup.dedupSavings(docs, "doc_id", "text", "source", "n_chars",
+        k = 128, bands = 32, w = 3, threshold = 0.5)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // cluster {1,2,4} labels to 1: doc 2 (a) and doc 4 (b) drop
+    assert(got == Seq(("a", 3L, 1L, 150L, 60L), ("b", 1L, 1L, 70L, 70L)),
+      s"got $got")
+  }
+
   test("dupClusterHistogram: inconsistent totalDocs fails loudly") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

@@ -741,4 +741,28 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "one\n\ntwo\nthree", 5L, 1L),
       (3L, "solo", 1L, 0L)))
   }
+
+  test("zipfProfile: ranks by (count desc, token asc); slope matches the closed-form fit") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a b b c"), (2L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfProfile(docs, "text", topK = 10)
+      .orderBy("rank").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 8L), (2L, "b", 4L), (3L, "c", 2L)))
+    // expected slope from the same rounded-ln least squares, computed
+    // independently here (pure-doubles reference of the decimal pipeline)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val xs = Seq(1, 2, 3).map(r => r6(math.log(r.toDouble)))
+    val ys = Seq(8, 4, 2).map(c => r6(math.log(c.toDouble)))
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val want = r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    got.foreach(r => assert(math.abs(r.getDouble(5) - want) < 2e-6,
+      s"slope ${r.getDouble(5)} vs expected $want"))
+    // a perfect freq = C/rank corpus has slope exactly -1-ish: 8,4,2 over
+    // ranks 1,2,3 is NOT 1/r, so just pin the sign and range
+    assert(got.head.getDouble(5) < -0.5 && got.head.getDouble(5) > -2.0)
+  }
 }
