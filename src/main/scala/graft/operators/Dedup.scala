@@ -972,6 +972,39 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Contamination ATTRIBUTION by source: [[contaminationScore]]'s
+    * per-document eval-overlap fractions aggregated to the ingest
+    * pipeline that produced them — "which source leaks the benchmark"
+    * is the decontamination decision a corpus owner actually makes
+    * (drop the source, scrub it, or renegotiate its crawl). Mean
+    * contamination sums the 6dp per-doc fractions in DECIMAL so the
+    * average is engine-exact (the q153/q235 discipline).
+    *
+    * Scale: the score's cost (batch shingles semi-probed against the
+    * broadcast eval shingle set) + one id-keyed join against the
+    * (id, group) projection + a \|groups\|-bounded aggregate. Documents
+    * with zero shingles are outside the scored population (same
+    * contract as [[contaminationScore]]).
+    */
+  def contaminationAttribution(
+      df: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      w: Int = 8): DataFrame = {
+    val scored = contaminationScore(df, evalSet, idCol, textCol, w)
+    scored.join(df.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("docs_contaminated"),
+        round(
+          sum(col("contamination").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_contamination"),
+        max(col("contamination")).as("max_contamination"))
+  }
+
   /** EXACT near-dup clustering: connected components of the pair graph
     * via iterative min-label propagation — each node's label becomes the
     * minimum label among itself and its neighbors until a fixpoint.

@@ -270,6 +270,33 @@ object TextAnalysis {
     regexp_replace(phone, "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>")
   }
 
+  /** Per-document PII COUNTS by class — the measurement twin of
+    * [[redactPii]] (a governance dashboard needs "how much PII per
+    * source", not just scrubbed text). Counting uses the SAME
+    * sequential staging as the redaction — each class counts on the
+    * text with the previous classes already redacted — so overlapping
+    * classes never double-count (an email's digits can't also count as
+    * a phone) and count(class) == number of `<CLASS>` tokens redaction
+    * would emit. Map-only: four regex passes per row, no shuffle; the
+    * regex subset is deliberately Java/RE2-portable (q102 precedent),
+    * so counts replay exactly in DuckDB.
+    */
+  def piiProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssnRe = "\\d{3}-\\d{2}-\\d{4}"
+    val phoneRe = "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}"
+    val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ssnRe, "<SSN>")
+    val t3 = regexp_replace(t2, phoneRe, "<PHONE>")
+    df.select(col(idCol),
+      regexp_count(t0, lit(emailRe)).cast("long").as("n_email"),
+      regexp_count(t1, lit(ssnRe)).cast("long").as("n_ssn"),
+      regexp_count(t2, lit(phoneRe)).cast("long").as("n_phone"),
+      regexp_count(t3, lit(ipRe)).cast("long").as("n_ip"))
+  }
+
   /** Overlapping token-window chunking — long documents cut into
     * training-sized pieces. One chunk starts every `size - overlap`
     * tokens; a chunk's window is `size` tokens (the final chunk may be

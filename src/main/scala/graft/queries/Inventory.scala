@@ -7314,6 +7314,122 @@ object Inventory {
             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
         FROM logs, fit ORDER BY rank""")),
 
+    Q("q242_contamination_attribution",
+      (s, dir) => {
+        // which SOURCE leaks the benchmark: q170's per-doc eval-overlap
+        // fractions aggregated to the ingest pipeline — the number that
+        // decides drop-the-source vs scrub-it. Same eval slice as
+        // q106/q170 (docs % 50 == 0); mean sums 6dp fractions in
+        // DECIMAL (engine-exact).
+        val d = t(s, dir, "documents")
+        Dedup.contaminationAttribution(
+          d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", "source", w = 8)
+          .orderBy("source")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(array_to_string(w[i:i+7], ' ')) for i in range(1, greatest(len(w) - 6, 1))]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        ev AS (
+          SELECT flatten(list(sh)) AS all_sh FROM sh WHERE doc_id % 50 = 0),
+        scored AS (
+          SELECT s.doc_id,
+            CAST(len(list_intersect(s.sh, ev.all_sh)) AS BIGINT) AS n_shared,
+            round(CAST(len(list_intersect(s.sh, ev.all_sh)) AS DOUBLE)
+              / len(s.sh), 6) AS contamination
+          FROM sh s, ev
+          WHERE s.doc_id % 50 <> 0 AND len(s.sh) > 0)
+        SELECT d.source,
+          count(*) AS n_docs,
+          CAST(sum(CASE WHEN sc.n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_contaminated,
+          round(CAST(sum(CAST(sc.contamination AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*), 6) AS mean_contamination,
+          max(sc.contamination) AS max_contamination
+        FROM scored sc JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source""")),
+
+    Q("q243_pii_density",
+      (s, dir) => {
+        // PII density per source — the governance dashboard behind
+        // q102's scrub. The corpus is synthetic and PII-free, so a
+        // deterministic payload is injected into slices (emails+phones
+        // into doc_id % 3, SSNs+IPs into doc_id % 5) and the per-class
+        // counts use redactPii's sequential staging (no double-counts).
+        val d = t(s, dir, "documents")
+        val injected = d.withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" reach me: u"), col("doc_id").cast("string"),
+                lit("@mail.test or 415-555-01"),
+                lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" ssn 321-54-987"), (col("doc_id") % 10).cast("string"),
+                lit(" host 10.1."), (col("doc_id") % 256).cast("string"),
+                lit(".9")))
+              .otherwise(lit(""))))
+        TextAnalysis.piiProfile(injected, "doc_id", "text")
+          .join(d.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_email") + col("n_ssn") + col("n_phone") +
+              col("n_ip") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+            sum("n_email").as("emails"), sum("n_ssn").as("ssns"),
+            sum("n_phone").as("phones"), sum("n_ip").as("ips"))
+          .orderBy("source")
+      },
+      Some("""WITH inj AS (
+          SELECT doc_id, source,
+            text ||
+            CASE WHEN doc_id % 3 = 0 THEN
+              ' reach me: u' || CAST(doc_id AS VARCHAR) ||
+              '@mail.test or 415-555-01' ||
+              lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN
+              ' ssn 321-54-987' || CAST(doc_id % 10 AS VARCHAR) ||
+              ' host 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.9'
+            ELSE '' END AS t0
+          FROM documents),
+        staged AS (
+          SELECT doc_id, source, t0,
+            regexp_replace(t0,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+              AS t1
+          FROM inj),
+        staged2 AS (
+          SELECT *, regexp_replace(t1, '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS t2
+          FROM staged),
+        staged3 AS (
+          SELECT *, regexp_replace(t2,
+            '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g') AS t3
+          FROM staged2),
+        counts AS (
+          SELECT doc_id, source,
+            CAST(len(regexp_extract_all(t0,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+              AS n_email,
+            CAST(len(regexp_extract_all(t1, '\d{3}-\d{2}-\d{4}')) AS BIGINT)
+              AS n_ssn,
+            CAST(len(regexp_extract_all(t2,
+              '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phone,
+            CAST(len(regexp_extract_all(t3,
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip
+          FROM staged3)
+        SELECT source,
+          count(*) AS n_docs,
+          CAST(sum(CASE WHEN n_email + n_ssn + n_phone + n_ip > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+          CAST(sum(n_email) AS BIGINT) AS emails,
+          CAST(sum(n_ssn) AS BIGINT) AS ssns,
+          CAST(sum(n_phone) AS BIGINT) AS phones,
+          CAST(sum(n_ip) AS BIGINT) AS ips
+        FROM counts GROUP BY source ORDER BY source""")),
+
     Q("q238_streaming_governance",
       (s, dir) => {
         // the exactly-once GOVERNANCE pair — StreamingSplit +
@@ -7557,6 +7673,7 @@ object Inventory {
     "q235_dup_attribution", "q236_dup_cluster_histogram",
     "q237_novelty_incremental", "q238_streaming_governance",
     "q239_containment_direction", "q240_dedup_savings", "q241_zipf_profile",
+    "q242_contamination_attribution", "q243_pii_density",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -742,6 +742,30 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "solo", 1L, 0L)))
   }
 
+  test("piiProfile: counts per class with sequential staging (no double counts)") {
+    import spark.implicits._
+    val docs = Seq(
+      // an email whose local part is digit-heavy: must count ONCE as
+      // email, never as phone/ip (it is redacted before those passes)
+      (1L, "write 415.555.0137.99@mail.test today"),
+      (2L, "call (415) 555-0137 or 415-555-0137 ssn 123-45-6789 host 10.0.0.7"),
+      (3L, "no pii here at all"),
+      (4L, "ip only 192.168.10.20 twice 10.1.2.3"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((1L, 1L, 0L, 0L, 0L)), s"email swallows its digits: ${got(0)}")
+    assert(got(1) == ((2L, 0L, 1L, 2L, 1L)), s"each class once: ${got(1)}")
+    assert(got(2) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, 2L)))
+    // parity with redaction: count == number of tokens redactPii emits
+    val red = docs.select(TextAnalysis.redactPii(col("text")).as("c"))
+      .collect().map(_.getString(0)).mkString(" ")
+    assert("<EMAIL>".r.findAllIn(red).size == 1 && "<PHONE>".r.findAllIn(red).size == 2
+      && "<SSN>".r.findAllIn(red).size == 1 && "<IP>".r.findAllIn(red).size == 3)
+  }
+
   test("zipfProfile: ranks by (count desc, token asc); slope matches the closed-form fit") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a b b c"), (2L, "a a a a b b c")).toDF("doc_id", "text")
