@@ -38,6 +38,43 @@ object Validator {
     }
     Profile(rows, columns.length, rows - distinctRows, nullCounts)
   }
+
+  /** Functional-dependency VIOLATION audit: the groups where the claimed
+    * dependency lhs → rhs does NOT hold — the classic warehouse
+    * consistency check ("every customer key maps to one nation", "every
+    * source crawls one language") that catches merge bugs and dirty
+    * ingests before they poison joins downstream.
+    *
+    * Output: one row per violating lhs group — the lhs values, the
+    * number of DISTINCT rhs values observed (> 1 by definition of a
+    * violation), the group's row count, and a deterministic sample of
+    * the conflicting rhs values (sorted, capped at `sampleValues`,
+    * string-imaged so any rhs type surfaces flat).
+    *
+    * Scale: ONE aggregate keyed by lhs (map-side partial; distinct-rhs
+    * via a two-level groupBy so the per-group state is bounded by the
+    * distinct values actually present, and the sample via sorted
+    * `collect_set` is capped after slice). No joins, no windows.
+    */
+  def fdViolations(
+      df: DataFrame,
+      lhs: Seq[String],
+      rhs: String,
+      sampleValues: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perValue = df
+      .groupBy((lhs :+ rhs).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    perValue
+      .groupBy(lhs.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_distinct_rhs"),
+        sum(col("__c")).as("n_rows"),
+        concat_ws(",",
+          slice(array_sort(collect_set(col(rhs).cast("string"))), 1, sampleValues))
+          .as("rhs_sample"))
+      .filter(col("n_distinct_rhs") > 1)
+  }
 }
 
 object Cleaner {

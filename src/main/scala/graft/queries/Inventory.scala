@@ -7430,6 +7430,27 @@ object Inventory {
           CAST(sum(n_ip) AS BIGINT) AS ips
         FROM counts GROUP BY source ORDER BY source""")),
 
+    Q("q244_fd_violations",
+      (s, dir) =>
+        // warehouse consistency audit: groups violating the claimed
+        // functional dependency source -> lang, with distinct-rhs
+        // count, row mass, and a sorted capped sample of the
+        // conflicting values. One two-level aggregate, no joins.
+        graft.quality.Validator.fdViolations(
+          t(s, dir, "documents"), Seq("source"), "lang")
+          .orderBy("source"),
+      Some("""WITH pv AS (
+          SELECT source, lang, count(*) AS c
+          FROM documents GROUP BY source, lang),
+        v AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_rhs,
+            CAST(sum(c) AS BIGINT) AS n_rows,
+            array_to_string(list_sort(list(CAST(lang AS VARCHAR)))[1:5], ',')
+              AS rhs_sample
+          FROM pv GROUP BY source)
+        SELECT source, n_distinct_rhs, n_rows, rhs_sample FROM v
+        WHERE n_distinct_rhs > 1 ORDER BY source""")),
+
     Q("q238_streaming_governance",
       (s, dir) => {
         // the exactly-once GOVERNANCE pair — StreamingSplit +
@@ -7674,6 +7695,7 @@ object Inventory {
     "q237_novelty_incremental", "q238_streaming_governance",
     "q239_containment_direction", "q240_dedup_savings", "q241_zipf_profile",
     "q242_contamination_attribution", "q243_pii_density",
+    "q244_fd_violations",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

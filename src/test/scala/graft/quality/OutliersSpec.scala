@@ -119,4 +119,19 @@ class OutliersSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"bounds must broadcast, plan:\n$plan")
   }
+
+  test("fdViolations: only violating groups, counts and sorted capped sample") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "en"), ("a", "en"), ("a", "de"),   // violation: 2 rhs, 3 rows
+      ("b", "fr"), ("b", "fr"),                // holds — excluded
+      ("c", "zz"), ("c", "en"), ("c", "de"),   // violation: 3 rhs
+      ("d", null)).toDF("src", "lang")         // single (null) rhs — holds
+    val got = Validator.fdViolations(df, Seq("src"), "lang", sampleValues = 2)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("a", 2L, 3L, "de,en"),
+      ("c", 3L, 3L, "de,en")), s"got ${got.toSeq}") // sample capped at 2, sorted
+  }
 }
