@@ -1005,6 +1005,40 @@ object Dedup {
         max(col("contamination")).as("max_contamination"))
   }
 
+  /** Eval-side LEAKAGE: for each BENCHMARK document, the fraction of
+    * its shingles present anywhere in the training corpus — the flip
+    * side of [[contaminationScore]] (which scores train docs against
+    * the eval set). "Which benchmark items are burned and need
+    * re-drawing" is an eval-owner's question; per-source drop decisions
+    * are [[contaminationAttribution]]'s.
+    *
+    * Scale shape differs from the contamination direction ON PURPOSE:
+    * there the EVAL shingle set is small and broadcasts; here the
+    * train side is the whole corpus, so train shingles DISTINCT-
+    * aggregate (map-side partials) and the join shuffles 8-byte hashes
+    * keyed by hash — text never crosses the wire, and the eval side is
+    * tiny. Broadcasting the corpus (roles naively swapped) would OOM.
+    */
+  def evalLeakage(
+      evalSet: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    val trainSh = corpus
+      .select(explode(shingleHashes(col(textCol), w)).as("__h")).distinct()
+      .withColumn("__hit", lit(1))
+    val evalSh = evalSet
+      .select(col(idCol), explode(shingleHashes(col(textCol), w)).as("__h"))
+    evalSh.join(trainSh, Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_leaked"))
+      .withColumn("leakage",
+        round(col("n_leaked").cast("double") / col("n_shingles"), 6))
+  }
+
   /** EXACT near-dup clustering: connected components of the pair graph
     * via iterative min-label propagation — each node's label becomes the
     * minimum label among itself and its neighbors until a fixpoint.

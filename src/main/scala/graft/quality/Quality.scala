@@ -75,6 +75,47 @@ object Validator {
           .as("rhs_sample"))
       .filter(col("n_distinct_rhs") > 1)
   }
+
+  /** Referential-integrity AUDIT between a child table's foreign key
+    * and a parent table's key: orphan child rows (key present but no
+    * parent), null keys (reported separately — neither orphan nor
+    * matched), match mass, fan-out, and childless parents. The
+    * standard pre-join health check: a broken merge or a partial
+    * re-ingest shows up here before it silently drops rows from every
+    * downstream inner join.
+    *
+    * Scale: one key-width left join (parent side is DISTINCT keys —
+    * broadcastable for dimension-sized parents, hash join at scale),
+    * one child-key aggregate for fan-out, one anti-join for childless
+    * parents; the four result frames are 1×1 and cross-join (the q227
+    * planning-frame shape). Returns ONE row.
+    */
+  def refIntegrity(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ck = child.select(col(childKey).as("__k"))
+    val pk = parent.select(col(parentKey).as("__p")).distinct()
+    val base = ck.join(pk, col("__k") === col("__p"), "left")
+      .agg(
+        count(lit(1)).as("n_child_rows"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(when(col("__k").isNotNull && col("__p").isNull, 1L).otherwise(0L))
+          .as("n_orphan_rows"),
+        sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("n_matched_rows"))
+    val fan = ck.filter(col("__k").isNotNull)
+      .groupBy("__k").agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("max_fanout"),
+        count(lit(1)).as("n_distinct_child_keys"))
+    val parents = pk.agg(count(lit(1)).as("n_parents"))
+    val childless = pk
+      .join(ck.filter(col("__k").isNotNull).distinct(),
+        col("__p") === col("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_childless_parents"))
+    base.crossJoin(fan).crossJoin(parents).crossJoin(childless)
+  }
 }
 
 object Cleaner {

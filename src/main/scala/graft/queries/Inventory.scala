@@ -7451,6 +7451,73 @@ object Inventory {
         SELECT source, n_distinct_rhs, n_rows, rhs_sample FROM v
         WHERE n_distinct_rhs > 1 ORDER BY source""")),
 
+    Q("q245_eval_leakage",
+      (s, dir) => {
+        // the flip side of q242: per BENCHMARK doc, what fraction of
+        // its shingles the training corpus already contains — which
+        // eval items are burned. Train shingles distinct-aggregate and
+        // the join shuffles 8-byte hashes (broadcasting the corpus,
+        // i.e. naively swapping q170's roles, would OOM at scale).
+        val d = t(s, dir, "documents")
+        Dedup.evalLeakage(
+          d.filter(col("doc_id") % 50 === 0), d.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", w = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(array_to_string(w[i:i+7], ' ')) for i in range(1, greatest(len(w) - 6, 1))]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        tr AS (
+          SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 50 <> 0),
+        evs AS (
+          SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 50 = 0),
+        j AS (
+          SELECT e.doc_id, CASE WHEN t.h IS NULL THEN 0 ELSE 1 END AS hit
+          FROM evs e LEFT JOIN tr t ON e.h = t.h)
+        SELECT doc_id, count(*) AS n_shingles,
+          CAST(sum(hit) AS BIGINT) AS n_leaked,
+          round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS leakage
+        FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("q246_ref_integrity",
+      (s, dir) =>
+        // referential-integrity audit lineitem.l_orderkey -> orders
+        // with a synthetically broken parent (every 97th order dropped)
+        // so the orphan arm actually fires: orphan mass, match mass,
+        // fan-out, childless parents — one row.
+        graft.quality.Validator.refIntegrity(
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders").filter(col("o_orderkey") % 97 =!= 0),
+          "o_orderkey"),
+      Some("""WITH p AS (
+          SELECT DISTINCT o_orderkey AS pk FROM orders
+          WHERE o_orderkey % 97 <> 0),
+        c AS (SELECT l_orderkey AS ck FROM lineitem),
+        fl AS (SELECT ck, pk FROM c LEFT JOIN p ON ck = pk),
+        base AS (
+          SELECT count(*) AS n_child_rows,
+            CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_null_keys,
+            CAST(sum(CASE WHEN ck IS NOT NULL AND pk IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan_rows,
+            CAST(sum(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_matched_rows
+          FROM fl),
+        fan AS (
+          SELECT CAST(coalesce(max(c2), 0) AS BIGINT) AS max_fanout,
+            CAST(count(*) AS BIGINT) AS n_distinct_child_keys
+          FROM (SELECT ck, count(*) AS c2 FROM c WHERE ck IS NOT NULL
+                GROUP BY ck)),
+        par AS (SELECT CAST(count(*) AS BIGINT) AS n_parents FROM p),
+        cl AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_childless_parents FROM p
+          WHERE pk NOT IN (SELECT DISTINCT ck FROM c WHERE ck IS NOT NULL))
+        SELECT n_child_rows, n_null_keys, n_orphan_rows, n_matched_rows,
+          max_fanout, n_distinct_child_keys, n_parents, n_childless_parents
+        FROM base, fan, par, cl""")),
+
     Q("q238_streaming_governance",
       (s, dir) => {
         // the exactly-once GOVERNANCE pair — StreamingSplit +
@@ -7695,7 +7762,7 @@ object Inventory {
     "q237_novelty_incremental", "q238_streaming_governance",
     "q239_containment_direction", "q240_dedup_savings", "q241_zipf_profile",
     "q242_contamination_attribution", "q243_pii_density",
-    "q244_fd_violations",
+    "q244_fd_violations", "q245_eval_leakage", "q246_ref_integrity",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

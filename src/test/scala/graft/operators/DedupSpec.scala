@@ -1025,6 +1025,20 @@ class DedupSpec extends SparkSpec {
     assert(row12.getDouble(5) == 1.0 && math.abs(row12.getDouble(6) - 0.6667) < 1e-9)
   }
 
+  test("evalLeakage: burned eval doc scores 1.0, fresh doc 0.0; train side never broadcasts text") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val train = Seq((1L, base), (2L, base + " thirteen fourteen")).toDF("doc_id", "text")
+    val evalD = Seq(
+      (100L, base),                                                        // fully in train
+      (101L, "totally novel words that appear nowhere in the training corpus at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.evalLeakage(evalD, train, "doc_id", "text", w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == Seq((100L, 1.0), (101L, 0.0)), s"got $got")
+  }
+
   test("dedupSavings: keep-first drops non-label members, per-source chars accounted") {
     import spark.implicits._
     val txt = "the quick brown fox jumps over the lazy dog again and again today"

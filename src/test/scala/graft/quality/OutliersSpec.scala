@@ -120,6 +120,21 @@ class OutliersSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bounds must broadcast, plan:\n$plan")
   }
 
+  test("refIntegrity: orphans, null keys, fan-out, childless parents — one row") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Validator.refIntegrity(child, "fk", parent, "pk").head()
+    assert(r.getLong(0) == 6L, "child rows")
+    assert(r.getLong(1) == 1L, "one null key — neither orphan nor matched")
+    assert(r.getLong(2) == 1L, "99 is an orphan")
+    assert(r.getLong(3) == 4L, "matched rows")
+    assert(r.getLong(4) == 3L, "max fan-out is key 1")
+    assert(r.getLong(5) == 3L, "distinct non-null child keys")
+    assert(r.getLong(6) == 3L && r.getLong(7) == 1L, "parent 3 is childless")
+  }
+
   test("fdViolations: only violating groups, counts and sorted capped sample") {
     import spark.implicits._
     val df = Seq(
