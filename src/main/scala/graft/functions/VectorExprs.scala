@@ -86,6 +86,25 @@ object VectorKernels {
     ArrayData.toArrayData(java.util.Arrays.copyOf(bestC, filled))
   }
 
+  /** Quantized dot product: Σ floor(x_i · scale) · c_i, one fused pass.
+    * The floor-of-an-exact-product quantization is the engine's
+    * cross-engine float-determinism device (graft.functions
+    * .VectorMoments): floor(x·2^bits) is bit-identical in any IEEE
+    * engine, and the remaining multiply-adds run in ascending index
+    * order — the same sequence a SQL oracle's list_dot_product over the
+    * pre-quantized list executes, so projections match bit-for-bit.
+    */
+  def quantDot(v: ArrayData, comp: Array[Double], scale: Double, vF: Boolean): Double = {
+    val n = math.min(v.numElements(), comp.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += math.floor(elem(v, i, vF) * scale) * comp(i)
+      i += 1
+    }
+    acc
+  }
+
   /** planes is a dense row-major (count × dim) matrix. */
   def hyperplaneSig(v: ArrayData, planes: Array[Double], count: Int, vF: Boolean): Long = {
     val dim = planes.length / count

@@ -116,6 +116,45 @@ object Validator {
       .agg(count(lit(1)).as("n_childless_parents"))
     base.crossJoin(fan).crossJoin(parents).crossJoin(childless)
   }
+
+  /** Snapshot DIFF between two corpus versions keyed by `idCol`: one row
+    * per id with status `added` (new only), `removed` (old only),
+    * `changed` (both, payload fingerprints differ) or `unchanged`, plus
+    * the carried columns from whichever side has the row (new wins when
+    * both do). The release-audit primitive: what did this re-crawl /
+    * re-clean actually touch, before the new version is blessed.
+    *
+    * Scale: each side is projected to (id, md5-fingerprint, carry
+    * columns) BEFORE the full-outer join — the shuffle carries 16-byte
+    * fingerprints, never payload text. One join, no windows; at 100 TB
+    * this is the same id/hash-width shuffle discipline as the dedup
+    * ledger.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      payloadCols: Seq[String],
+      carryCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(payloadCols.nonEmpty, "snapshotDiff: payloadCols must be non-empty")
+    def fp(df: DataFrame, as: String, carryPrefix: String): DataFrame =
+      df.select(
+        (col(idCol).as("__id") +:
+          md5(concat_ws("\u0001", payloadCols.map(c => col(c).cast("string")): _*)).as(as) +:
+          carryCols.map(c => col(c).as(s"$carryPrefix$c"))): _*)
+    val o = fp(oldDf, "__fp_old", "__o_")
+    val n = fp(newDf, "__fp_new", "__n_")
+    val joined = o.join(n, Seq("__id"), "full_outer")
+    val status = when(col("__fp_old").isNull, "added")
+      .when(col("__fp_new").isNull, "removed")
+      .when(col("__fp_old") =!= col("__fp_new"), "changed")
+      .otherwise("unchanged")
+    joined.select(
+      (col("__id").as(idCol) +:
+        status.as("status") +:
+        carryCols.map(c => coalesce(col(s"__n_$c"), col(s"__o_$c")).as(c))): _*)
+  }
 }
 
 object Cleaner {

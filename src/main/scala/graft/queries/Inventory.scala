@@ -7704,7 +7704,194 @@ object Inventory {
         FROM split_all sa
         LEFT JOIN nov n USING (doc_id)
         LEFT JOIN conf cf USING (cluster_rep)
-        ORDER BY sa.doc_id"""))
+        ORDER BY sa.doc_id""")),
+
+    Q("q247_embedding_covariance",
+      (s, dir) =>
+        // exact fixed-point covariance of the embedding corpus: ONE
+        // mergeable d(d+1)/2-state aggregation (VectorMoments), the
+        // (i, j, cov) surface derived from the 1-row moments frame with
+        // pinned double ops — order/merge/engine-independent by
+        // construction (floor-quantized integer sums).
+        graft.operators.Embeddings
+          .covarianceDf(t(s, dir, "embeddings"), "embedding", 64)
+          .orderBy("i", "j"),
+      Some("""WITH q AS MATERIALIZED (
+          SELECT list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        expl AS MATERIALIZED (
+          SELECT i, qv[i] AS qi, qv FROM q, generate_series(1, 64) AS t(i)),
+        sums AS MATERIALIZED (
+          SELECT i, CAST(sum(qi) AS BIGINT) AS s FROM expl GROUP BY i),
+        gram AS MATERIALIZED (
+          SELECT e.i AS i, t.j AS j, CAST(sum(e.qi * e.qv[t.j]) AS BIGINT) AS g
+          FROM expl e, generate_series(1, 64) AS t(j)
+          WHERE t.j >= e.i GROUP BY e.i, t.j),
+        nrow AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM q)
+        SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+          (CAST(g.g AS DOUBLE) / nrow.nd
+           - (CAST(si.s AS DOUBLE) / nrow.nd) * (CAST(sj.s AS DOUBLE) / nrow.nd))
+          * 9.094947017729282e-13 AS cov
+        FROM gram g JOIN sums si ON si.i = g.i JOIN sums sj ON sj.i = g.j, nrow
+        ORDER BY i, j""")),
+
+    Q("q248_pca_projection",
+      (s, dir) => {
+        // top-2 principal components by fixed-iteration power iteration
+        // (40 rounds from the all-ones start, Rayleigh lambda, one
+        // deflation) over the fixed-point covariance; projection is
+        // map-only (QuantDotExpr, components broadcast as literals).
+        // Every float op runs in the same IEEE sequence the oracle's
+        // recursive CTE executes, so the scores hash-match bit-for-bit.
+        val e = t(s, dir, "embeddings")
+        val m = graft.operators.Embeddings.moments(e, "embedding", 64)
+        val comps = graft.operators.Embeddings.principalComponents(m, 64, k = 2)
+        graft.operators.Embeddings
+          .projectDf(e, "vec_id", "embedding", comps)
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        expl AS MATERIALIZED (
+          SELECT i, qv[i] AS qi, qv FROM q, generate_series(1, 64) AS t(i)),
+        sums AS MATERIALIZED (
+          SELECT i, CAST(sum(qi) AS BIGINT) AS s FROM expl GROUP BY i),
+        gram AS MATERIALIZED (
+          SELECT e.i AS i, t.j AS j, CAST(sum(e.qi * e.qv[t.j]) AS BIGINT) AS g
+          FROM expl e, generate_series(1, 64) AS t(j)
+          WHERE t.j >= e.i GROUP BY e.i, t.j),
+        nrow AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM q),
+        cov AS MATERIALIZED (
+          SELECT i.i AS i, j.j AS j,
+            (CAST(g.g AS DOUBLE) / nrow.nd
+             - (CAST(si.s AS DOUBLE) / nrow.nd) * (CAST(sj.s AS DOUBLE) / nrow.nd))
+            * 9.094947017729282e-13 AS c
+          FROM generate_series(1, 64) AS i(i)
+          JOIN generate_series(1, 64) AS j(j) ON true
+          JOIN gram g ON g.i = least(i.i, j.j) AND g.j = greatest(i.i, j.j)
+          JOIN sums si ON si.i = i.i JOIN sums sj ON sj.i = j.j, nrow),
+        cmat AS MATERIALIZED (
+          SELECT list(cl ORDER BY i) AS m FROM (
+            SELECT i, list(c ORDER BY j) AS cl FROM cov GROUP BY i)),
+        it1 AS (
+          SELECT 0 AS t, list_transform(range(1, 65), x -> 1.0 / sqrt(CAST(64 AS DOUBLE))) AS v
+          UNION ALL
+          SELECT t + 1, list_transform(
+              list_transform(m, r -> list_dot_product(r, v)),
+              x -> x / sqrt(list_dot_product(
+                list_transform(m, r -> list_dot_product(r, v)),
+                list_transform(m, r -> list_dot_product(r, v)))))
+          FROM it1, cmat WHERE t < 40),
+        pc1 AS MATERIALIZED (SELECT v FROM it1 WHERE t = 40),
+        l1 AS MATERIALIZED (
+          SELECT list_dot_product(v,
+            list_transform(m, r -> list_dot_product(r, v))) AS lam
+          FROM pc1, cmat),
+        c2 AS MATERIALIZED (
+          SELECT list_transform(range(1, 65),
+            i -> list_transform(range(1, 65), j -> m[i][j] - lam * v[i] * v[j])) AS m
+          FROM cmat, pc1, l1),
+        it2 AS (
+          SELECT 0 AS t, list_transform(range(1, 65), x -> 1.0 / sqrt(CAST(64 AS DOUBLE))) AS v
+          UNION ALL
+          SELECT t + 1, list_transform(
+              list_transform(m, r -> list_dot_product(r, v)),
+              x -> x / sqrt(list_dot_product(
+                list_transform(m, r -> list_dot_product(r, v)),
+                list_transform(m, r -> list_dot_product(r, v)))))
+          FROM it2, c2 WHERE t < 40),
+        pc2 AS MATERIALIZED (SELECT v FROM it2 WHERE t = 40),
+        mu AS MATERIALIZED (
+          SELECT list(CAST(s AS DOUBLE) / nd ORDER BY i) AS muv
+          FROM sums, nrow GROUP BY nd),
+        offs AS MATERIALIZED (
+          SELECT list_dot_product(muv, pc1.v) AS o1,
+                 list_dot_product(muv, pc2.v) AS o2
+          FROM mu, pc1, pc2)
+        SELECT q.vec_id,
+          (list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)), pc1.v)
+            - offs.o1) * 9.5367431640625e-07 AS pc1_score,
+          (list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)), pc2.v)
+            - offs.o2) * 9.5367431640625e-07 AS pc2_score
+        FROM q, pc1, pc2, offs
+        ORDER BY vec_id""")),
+
+    Q("q249_embedding_drift",
+      (s, dir) => {
+        // per-dimension mean drift between two corpus slices (even/odd
+        // vec_id — stand-in for encoder versions or time windows): the
+        // same exact fixed-point moments, grouped; map-side partials,
+        // 2·d-row surface.
+        val withG = t(s, dir, "embeddings")
+          .withColumn("grp", pmod(col("vec_id"), lit(2)))
+        graft.operators.Embeddings.groupMeans(withG, "grp", "embedding", 64)
+          .groupBy("i")
+          .agg(
+            max(when(col("grp") === 0, col("mean"))).as("mean_even"),
+            max(when(col("grp") === 1, col("mean"))).as("mean_odd"))
+          .select(col("i"), col("mean_even"), col("mean_odd"),
+            (col("mean_even") - col("mean_odd")).as("shift"))
+          .orderBy("i")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id % 2 AS grp, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        expl AS (SELECT grp, i, qv[i] AS qi FROM q, generate_series(1, 64) AS t(i)),
+        agg AS (
+          SELECT grp, i, CAST(sum(qi) AS BIGINT) AS s, count(*) AS n
+          FROM expl GROUP BY grp, i),
+        m AS (
+          SELECT grp, i,
+            (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 9.5367431640625e-07 AS mean
+          FROM agg)
+        SELECT CAST(i AS INT) AS i,
+          max(CASE WHEN grp = 0 THEN mean END) AS mean_even,
+          max(CASE WHEN grp = 1 THEN mean END) AS mean_odd,
+          max(CASE WHEN grp = 0 THEN mean END)
+            - max(CASE WHEN grp = 1 THEN mean END) AS shift
+        FROM m GROUP BY i ORDER BY i""")),
+
+    Q("q250_corpus_diff",
+      (s, dir) => {
+        // snapshot diff between two corpus versions (Validator
+        // .snapshotDiff): old drops doc_id%17=3 (-> 'added' in new),
+        // new drops %17=7 ('removed') and revises the text of %17=5
+        // ('changed'); the release audit aggregates per (source,
+        // status). Shuffle carries (id, md5, source) only — never text.
+        val d = t(s, dir, "documents")
+        val oldV = d.filter(col("doc_id") % 17 =!= 3)
+        val newV = d.filter(col("doc_id") % 17 =!= 7)
+          .withColumn("text",
+            when(col("doc_id") % 17 === 5, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")))
+        graft.quality.Validator
+          .snapshotDiff(oldV, newV, "doc_id", Seq("text", "lang"), Seq("source"))
+          .groupBy("source", "status")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("source", "status")
+      },
+      Some("""WITH old AS (
+          SELECT doc_id, md5(text || chr(1) || lang) AS fp, source
+          FROM documents WHERE doc_id % 17 <> 3),
+        neu AS (
+          SELECT doc_id,
+            md5(CASE WHEN doc_id % 17 = 5 THEN text || ' [rev2]' ELSE text END
+              || chr(1) || lang) AS fp,
+            source
+          FROM documents WHERE doc_id % 17 <> 7),
+        j AS (
+          SELECT coalesce(n.source, o.source) AS source,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 WHEN o.fp <> n.fp THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+        SELECT source, status, count(*) AS n
+        FROM j GROUP BY source, status ORDER BY source, status"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -7763,6 +7950,8 @@ object Inventory {
     "q239_containment_direction", "q240_dedup_savings", "q241_zipf_profile",
     "q242_contamination_attribution", "q243_pii_density",
     "q244_fd_violations", "q245_eval_leakage", "q246_ref_integrity",
+    "q247_embedding_covariance", "q248_pca_projection",
+    "q249_embedding_drift", "q250_corpus_diff",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

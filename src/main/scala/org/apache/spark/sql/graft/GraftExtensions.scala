@@ -152,6 +152,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"bottom_k expects (col, k), got ${args.length} args")
       })
 
+    register(ext, "quant_dot",
+      "quant_dot(vec, comp, scale) - fixed-point dot product: " +
+        "sum(floor(vec[i]*scale) * comp[i]) with comp an ARRAY<DOUBLE> literal " +
+        "(bit-deterministic projection kernel; graft.operators.Embeddings)", {
+        case Seq(v, comp, scaleE) =>
+          val compArr = if (comp.foldable) comp.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+            case other => throw new IllegalArgumentException(
+              s"quant_dot: comp must be an array<double> literal, got $other")
+          } else throw new IllegalArgumentException(
+            "quant_dot: comp must be a foldable array literal")
+          val scale = if (scaleE.foldable) scaleE.eval() match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: java.lang.Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"quant_dot: scale must be a numeric literal, got $other")
+          } else throw new IllegalArgumentException(
+            "quant_dot: scale must be a foldable numeric literal")
+          QuantDotExpr(v, compArr, scale)
+        case args => throw new IllegalArgumentException(
+          s"quant_dot expects (vec, comp, scale), got ${args.length} args")
+      })
+
+    register(ext, "vec_moments",
+      "vec_moments(vec, dim, bits) - exact fixed-point moments of an ARRAY<DOUBLE> " +
+        "column in one pass: struct(n, sums ARRAY<BIGINT>, gram ARRAY<BIGINT> upper-tri) " +
+        "of the quantized vectors floor(x*2^bits) (mean/covariance sufficient statistics, " +
+        "order- and merge-independent; graft.operators.Embeddings)", {
+        case Seq(child, dimExpr, bitsExpr) =>
+          val dim = intArg(dimExpr, "dim")
+          val bits = intArg(bitsExpr, "bits")
+          val uda = org.apache.spark.sql.functions.udaf(new graft.functions.VectorMoments(dim, bits))
+            .asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[Seq[Double], Array[Long], graft.functions.VectorMomentsState]]
+          org.apache.spark.sql.execution.aggregate.ScalaAggregator(uda, Seq(child))
+            .toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"vec_moments expects (vec, dim, bits), got ${args.length} args")
+      })
+
     register(ext, "cms_sketch",
       "cms_sketch(col, depth, width) - Count-Min sketch of a STRING column as a " +
         "flat depth*width LONG grid (row j cell = md5(j||':'||item) first-32-bits % width; " +

@@ -482,6 +482,45 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Double], count: In
     copy(child = newChild)
 }
 
+/** Quantized dot product against a constant component vector
+  * (graft.functions.VectorKernels.quantDot): the projection kernel of
+  * graft.operators.Embeddings — Σ floor(x_i·scale)·c_i in one fused
+  * codegen call, the component a per-task reference object. The floor
+  * quantization makes the score a bit-deterministic function of the
+  * vector in any IEEE engine (the engine's fixed-point determinism
+  * device), so PCA projections carry a full SQL oracle.
+  */
+case class QuantDotExpr(child: Expression, comp: Array[Double], scale: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quant_dot"
+
+  private def isFloatArray: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.VectorKernels.quantDot(
+      v.asInstanceOf[ArrayData], comp, scale, isFloatArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val compRef = ctx.addReferenceObj("comp", comp, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorKernels.quantDot($v, $compRef, $scale, $isFloatArray)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantDotExpr =
+    copy(child = newChild)
+}
+
 /** The nprobe nearest IVF cells of a vector
   * (graft.functions.VectorKernels.nearestCells): the whole
   * centroid-matrix scan is ONE kernel call with the matrix as a
@@ -848,6 +887,10 @@ object NativeExprs {
     ExpressionUtils.column(
       HyperplaneSigExpr(ExpressionUtils.expression(v), planes.flatten.toArray, planes.size))
   }
+
+  /** Column-level entry for QuantDotExpr (constant component vector). */
+  def quantDot(v: Column, comp: Array[Double], scale: Double): Column =
+    ExpressionUtils.column(QuantDotExpr(ExpressionUtils.expression(v), comp, scale))
 
   /** Column-level entry for UnicodeNormalizeExpr. */
   def unicodeNormalize(text: Column, form: String): Column = {

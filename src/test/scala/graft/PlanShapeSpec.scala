@@ -1003,6 +1003,64 @@ class PlanShapeSpec extends SparkSpec {
       s"the batch semi-join must sit BELOW the winner aggregate:\n${res.queryExecution.optimizedPlan}")
   }
 
+  test("q247/q248: ONE moments aggregate is the only shuffle; projection is map-only") {
+    // q247: the covariance surface derives from a single global
+    // aggregate (partial per partition, one SinglePartition exchange) —
+    // d(d+1)/2 longs of state, never a d²-row explode before the agg
+    val cov = run("q247_embedding_covariance")
+    val covPlan = planString(cov)
+    assert("Exchange SinglePartition".r.findAllIn(covPlan).length == 1,
+      s"q247 must aggregate exactly once:\n$covPlan")
+    assert(!covPlan.contains("Exchange hashpartitioning"),
+      s"q247 must not hash-shuffle rows:\n$covPlan")
+    // column pruning: the scan reads only the vector column
+    val scan = leaves(cov).map(_.toString).find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("embedding") && !scan.contains("label"),
+      s"q247 scan not pruned to the vector column:\n$scan")
+    // q248: the component solve is a bounded driver-side planning step
+    // (like k-means centroids); the RETURNED projection plan is pure
+    // map-only compute — no aggregate, no hash exchange, the fused
+    // quant_dot kernel per (row, component), plus the presentation sort
+    val proj = run("q248_pca_projection")
+    val projPlan = planString(proj)
+    assert(projPlan.contains("quant_dot"),
+      s"q248 must project through the fused QuantDotExpr kernel:\n$projPlan")
+    assert(!projPlan.contains("Exchange hashpartitioning")
+      && !projPlan.contains("Exchange SinglePartition")
+      && !projPlan.contains("HashAggregate"),
+      s"q248's projection must be map-only:\n$projPlan")
+  }
+
+  test("q249/q250: drift aggregates on the group key; diff shuffles fingerprints, not text") {
+    val drift = run("q249_embedding_drift")
+    val dPlan = planString(drift)
+    // two grouped aggregates (grp-moments, then the 64-row pivot) →
+    // at most two hash exchanges plus the presentation sort; the heavy
+    // stage state is 2 × (d(d+1)/2) longs, not row-wise
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(dPlan).length
+    assert(hashEx <= 2, s"q249 must shuffle at most twice, got $hashEx:\n$dPlan")
+    // q250: every exchange in the diff carries (id, md5, carry) — the
+    // raw payload text must be projected away BELOW the shuffle
+    val diff = run("q250_corpus_diff")
+    // AQE defers physical exchange insertion, so pin at the logical
+    // level: the full-outer join's INPUTS must already be projected to
+    // (id, fingerprint, carry) — raw text never reaches the join (and
+    // therefore never crosses its shuffle)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    val joins = diff.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == FullOuter => j
+    }
+    assert(joins.nonEmpty, "q250 should full-outer join the two versions")
+    joins.foreach { j =>
+      val inAttrs = (j.left.output ++ j.right.output).map(_.name)
+      assert(!inAttrs.contains("text"),
+        s"q250's join input carries raw text: $inAttrs")
+      assert(inAttrs.exists(_.startsWith("__fp")),
+        s"q250's join input should carry fingerprints: $inAttrs")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

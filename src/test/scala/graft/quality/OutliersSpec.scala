@@ -149,4 +149,47 @@ class OutliersSpec extends SparkSpec {
       ("a", 2L, 3L, "de,en"),
       ("c", 3L, 3L, "de,en")), s"got ${got.toSeq}") // sample capped at 2, sorted
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged with carried columns") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha", "web"), (2L, "beta", "web"), (3L, "gamma", "books"))
+      .toDF("id", "text", "source")
+    val neu = Seq(
+      (2L, "beta", "web"),          // unchanged
+      (3L, "gamma v2", "books"),    // changed
+      (4L, "delta", "wiki"))        // added; 1 removed
+      .toDF("id", "text", "source")
+    val got = Validator.snapshotDiff(old, neu, "id", Seq("text"), Seq("source"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, "removed", "web"),
+      (2L, "unchanged", "web"),
+      (3L, "changed", "books"),
+      (4L, "added", "wiki")), s"got ${got.toSeq}")
+  }
+
+  test("snapshotDiff: multi-column payload distinguishes field moves") {
+    import spark.implicits._
+    // ('ab','c') vs ('a','bc') must NOT collide — the  separator
+    val old = Seq((1L, "ab", "c")).toDF("id", "a", "b")
+    val neu = Seq((1L, "a", "bc")).toDF("id", "a", "b")
+    val r = Validator.snapshotDiff(old, neu, "id", Seq("a", "b")).head()
+    assert(r.getString(1) == "changed")
+  }
+
+  test("snapshotDiff plan: shuffle carries fingerprints, not payload text") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha", "web")).toDF("id", "text", "source")
+    val neu = Seq((1L, "alpha", "web")).toDF("id", "text", "source")
+    val plan = Validator.snapshotDiff(old, neu, "id", Seq("text"), Seq("source"))
+      .queryExecution.executedPlan.toString
+    // the join inputs are projected to (id, md5, carry) BEFORE the
+    // exchange: no raw `text` column may survive into the join schema
+    assert(!plan.contains("text#") ||
+      plan.indexOf("Exchange") < 0 ||
+      !plan.substring(plan.indexOf("Exchange")).contains("text#"),
+      s"payload text crossed the shuffle:\n$plan")
+  }
 }
