@@ -708,6 +708,74 @@ object ScaleOps {
       .filter(col("cnt") > lit(phi) * lit(n.toDouble))
   }
 
+  /** Deterministic SAMPLE quantiles: nearest-rank quantiles of the k
+    * rows whose md5-derived keys are smallest — a KMV sample, so the
+    * estimate is a pure function of the input SET (stable across runs,
+    * partitioning, and engines replaying the same md5 order; unlike
+    * `approx_percentile`, whose sketch is engine-internal and
+    * merge-order-sensitive). The scale path for "give me p50/p99 of a
+    * 100 TB column": TakeOrderedAndProject keeps per-partition top-k
+    * and merges k-row heaps — no global sort, no quantile-summary
+    * state; error is the usual sampling error of a k-row SRS (k=4096 →
+    * ~1.6% rank error at 95% confidence).
+    *
+    * Quantile rule: nearest-rank, index = max(1, ceil(q·m)) over the
+    * ascending sample — ceil of the IEEE double product, replayable
+    * verbatim in SQL. Output: (q, value, sample_size).
+    */
+  def sampleQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Int,
+      qs: Seq[Double],
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val h = md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string")))
+    val sample = df
+      .select(h.as("__h"), col(valueCol).cast("double").as("__v"))
+      .orderBy("__h").limit(k)
+    sample
+      .agg(count(lit(1)).as("m"),
+        sort_array(collect_list(col("__v"))).as("__vs"))
+      .select(explode(array(qs.map(lit): _*)).as("q"), col("m"), col("__vs"))
+      .select(col("q"),
+        element_at(col("__vs"),
+          greatest(lit(1L), ceil(col("q") * col("m"))).cast("int")).as("value"),
+        col("m").as("sample_size"))
+  }
+
+  /** Join-SKEW advisor: the heavy keys of a prospective join/groupBy
+    * key, each with its row count, corpus share, and the salt factor
+    * [[saltedJoin]] needs to cap any single (key, salt) task at
+    * `targetPerTask` rows — the planning report a 100 TB join runs
+    * FIRST, because one hot key is the difference between a 10-minute
+    * stage and a 10-hour straggler. ONE key-width aggregate (map-side
+    * partial) plus a 1×1 total frame; output is bounded by the number
+    * of keys above the gates.
+    */
+  def skewAdvisor(
+      df: DataFrame,
+      keyCol: String,
+      targetPerTask: Long,
+      minShare: Double = 0.0): DataFrame = {
+    require(targetPerTask > 0, "targetPerTask must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    // the share gate only participates when a positive threshold is
+    // given — minShare = 0 would otherwise admit EVERY key
+    val shareGate =
+      if (minShare > 0.0) col("share") >= minShare else lit(false)
+    counts.crossJoin(broadcast(total)) // 1x1 planning frame, the q227 shape
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .filter(col("n") > targetPerTask || shareGate)
+      .withColumn("salt",
+        ceil(col("n").cast("double") / lit(targetPerTask.toDouble)).cast("int"))
+      .select(col(keyCol), col("n"), col("share"), col("salt"))
+  }
+
   /** md5-derived shuffle key: the deterministic, ENGINE-REPLAYABLE
     * permutation every training-data emission needs — same md5
     * determinism idiom as [[stratifiedSample]]. Reading the corpus

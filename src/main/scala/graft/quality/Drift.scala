@@ -1,0 +1,121 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift statistics between two corpus slices (versions,
+  * sources, time windows, encoder runs) — the governance gate that
+  * catches "this re-crawl silently halved document lengths" or "the
+  * language mix moved 20 points" before a training run consumes it.
+  *
+  * Both statistics are built from EXACT integer counts, so every
+  * reported number is a pure function of the input sets — the engine's
+  * standard cross-engine determinism contract.
+  */
+object Drift {
+
+  /** Two-sample Kolmogorov–Smirnov statistic over a numeric column:
+    * D = max over values of |F_A(v) − F_B(v)|, with the max located by
+    * EXACT integer arithmetic — |cumA·n_B − cumB·n_A| in decimal(38,0)
+    * (no float CDFs, so ties and the argmax are unambiguous and
+    * engine-replayable); only the final D is surfaced as a double.
+    * Returns ONE row: (n_a, n_b, d_stat, at_value) — at_value is the
+    * smallest value attaining the max (deterministic tie-break).
+    *
+    * Scale shape: one value-keyed aggregate for per-value counts, then
+    * the distributed prefix sum via the PARTITION-OFFSET technique
+    * (range-repartition on value, per-partition window, per-partition
+    * totals collected as a bounded |partitions|-row planning step —
+    * shardByTokenBudget's idiom; NO global single-partition window),
+    * then TakeOrdered(1). At 100 TB the shuffle carries (value, two
+    * longs) rows — distinct values, not documents.
+    */
+  def ksDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    val spark = dfA.sparkSession
+    val a = dfA.select(col(valueCol).cast("long").as("v"))
+      .withColumn("__a", lit(1L)).withColumn("__b", lit(0L))
+    val b = dfB.select(col(valueCol).cast("long").as("v"))
+      .withColumn("__a", lit(0L)).withColumn("__b", lit(1L))
+    val perValue = a.unionByName(b)
+      .groupBy("v")
+      .agg(sum(col("__a")).as("ca"), sum(col("__b")).as("cb"))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pinned = perValue
+      .repartitionByRange(nPart, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    // bounded planning step: one row per partition
+    val sums = pinned.groupBy("__pid")
+      .agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val na = sums.map(_._2).sum
+    val nb = sums.map(_._3).sum
+    if (na == 0L || nb == 0L)
+      return pinned.sparkSession.emptyDataFrame
+        .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+          lit(0.0).as("d_stat"), lit(null).cast("long").as("at_value"))
+        .filter(lit(false))
+    def offsetExpr(totals: Map[Int, Long]) =
+      if (totals.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(totals.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*), col("__pid")), lit(0L))
+    val beforeA = sums.map(_._1).map { pid =>
+      pid -> sums.takeWhile(_._1 < pid).map(_._2).sum }.toMap
+    val beforeB = sums.map(_._1).map { pid =>
+      pid -> sums.takeWhile(_._1 < pid).map(_._3).sum }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pinned
+      .withColumn("__cca", offsetExpr(beforeA) + sum(col("ca")).over(w))
+      .withColumn("__ccb", offsetExpr(beforeB) + sum(col("cb")).over(w))
+      // exact integer cross-products: |cumA·n_B − cumB·n_A| — decimal so
+      // 100 TB counts (cum ≤ 10^12) cannot overflow the comparison
+      .withColumn("__ad",
+        abs(col("__cca").cast("decimal(38,0)") * lit(nb)
+          - col("__ccb").cast("decimal(38,0)") * lit(na)))
+      .orderBy(col("__ad").desc, col("v").asc).limit(1)
+      .select(
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        (col("__ad").cast("double") / (lit(na.toDouble) * lit(nb.toDouble)))
+          .as("d_stat"),
+        col("v").as("at_value"))
+  }
+
+  /** Population Stability Index over a categorical column: per-category
+    * shares on each side plus the PSI contribution
+    * (share_a − share_b)·ln(share_a/share_b), under the engine's ln
+    * discipline (q153/q241): ln rounded to 6dp at the value level, the
+    * product rounded to 6dp — cross-engine-stable doubles from exact
+    * integer shares. Categories present on only ONE side get a NULL
+    * psi and surface via `one_sided` (their true contribution is
+    * unbounded — the report shows them instead of silently clamping).
+    * One value-keyed aggregate + a 1×1 totals frame; output is
+    * |categories| rows.
+    */
+  def psiDrift(dfA: DataFrame, dfB: DataFrame, catCol: String): DataFrame = {
+    val a = dfA.select(col(catCol).cast("string").as("cat"))
+      .withColumn("__a", lit(1L)).withColumn("__b", lit(0L))
+    val b = dfB.select(col(catCol).cast("string").as("cat"))
+      .withColumn("__a", lit(0L)).withColumn("__b", lit(1L))
+    val perCat = a.unionByName(b)
+      .groupBy("cat")
+      .agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+    val totals = perCat.agg(
+      sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    perCat.crossJoin(broadcast(totals)) // 1x1 planning frame
+      .withColumn("share_a", col("n_a").cast("double") / col("__ta").cast("double"))
+      .withColumn("share_b", col("n_b").cast("double") / col("__tb").cast("double"))
+      .withColumn("one_sided", col("n_a") === 0L || col("n_b") === 0L)
+      .withColumn("psi",
+        when(col("one_sided"), lit(null).cast("double"))
+          .otherwise(round(
+            (col("share_a") - col("share_b"))
+              * round(log(col("share_a") / col("share_b")), 6), 6)))
+      .select(col("cat"), col("n_a"), col("n_b"),
+        col("share_a"), col("share_b"), col("one_sided"), col("psi"))
+  }
+}

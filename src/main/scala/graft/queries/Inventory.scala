@@ -7891,7 +7891,118 @@ object Inventory {
                  ELSE 'unchanged' END AS status
           FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
         SELECT source, status, count(*) AS n
-        FROM j GROUP BY source, status ORDER BY source, status"""))
+        FROM j GROUP BY source, status ORDER BY source, status""")),
+
+    Q("q251_sample_quantiles",
+      (s, dir) =>
+        // deterministic KMV-sample quantiles: nearest-rank percentiles
+        // of the k=400 rows with the smallest md5-derived keys —
+        // TakeOrderedAndProject, no global sort, engine-replayable
+        // (unlike approx_percentile's engine-internal sketch).
+        ScaleOps.sampleQuantiles(
+          t(s, dir, "orders"), "o_orderkey", "o_totalprice",
+          k = 400, qs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))
+          .orderBy("q"),
+      Some("""WITH s AS MATERIALIZED (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v
+          FROM orders
+          ORDER BY md5('0:' || CAST(o_orderkey AS VARCHAR)) LIMIT 400),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m, list(v ORDER BY v) AS vs FROM s),
+        qq AS (SELECT CAST(unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS DOUBLE) AS q)
+        SELECT q, vs[CAST(greatest(1, ceil(q * m)) AS INT)] AS value,
+          m AS sample_size
+        FROM qq, m ORDER BY q""")),
+
+    Q("q252_skew_advisor",
+      (s, dir) =>
+        // join-skew planning report: heavy l_suppkey keys with their
+        // share and the salt factor that caps any (key, salt) task at
+        // 600 rows — the report a 100 TB join runs before shuffling.
+        ScaleOps.skewAdvisor(
+          t(s, dir, "lineitem"), "l_suppkey",
+          targetPerTask = 600, minShare = 0.0105)
+          .orderBy("l_suppkey"),
+      Some("""WITH c AS (
+          SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+          CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+          CAST(ceil(CAST(n AS DOUBLE) / 600.0) AS INT) AS salt
+        FROM c, t
+        WHERE n > 600 OR CAST(n AS DOUBLE) / CAST(total AS DOUBLE) >= 0.0105
+        ORDER BY l_suppkey""")),
+
+    Q("q253_ks_drift",
+      (s, dir) => {
+        // two-sample Kolmogorov-Smirnov over document lengths, English
+        // vs the rest: exact-integer CDF cross-products locate the max
+        // (no float CDFs), distributed prefix sums via the
+        // partition-offset technique (no global window).
+        val d = t(s, dir, "documents")
+        graft.quality.Drift.ksDrift(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"),
+          "n_chars")
+      },
+      Some("""WITH u AS (
+          SELECT v, CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+          FROM (
+            SELECT CAST(n_chars AS BIGINT) AS v, 1 AS ca, 0 AS cb
+            FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT CAST(n_chars AS BIGINT) AS v, 0 AS ca, 1 AS cb
+            FROM documents WHERE lang <> 'en')
+          GROUP BY v),
+        t AS (SELECT
+          CAST((SELECT count(*) FROM documents WHERE lang = 'en') AS BIGINT) AS na,
+          CAST((SELECT count(*) FROM documents WHERE lang <> 'en') AS BIGINT) AS nb),
+        c AS (SELECT v,
+            sum(ca) OVER (ORDER BY v) AS cca,
+            sum(cb) OVER (ORDER BY v) AS ccb
+          FROM u),
+        d AS (SELECT v,
+            abs(CAST(cca AS HUGEINT) * nb - CAST(ccb AS HUGEINT) * na) AS ad
+          FROM c, t)
+        SELECT t.na AS n_a, t.nb AS n_b,
+          CAST(ad AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d_stat,
+          v AS at_value
+        FROM d, t ORDER BY ad DESC, v ASC LIMIT 1""")),
+
+    Q("q254_psi_drift",
+      (s, dir) => {
+        // Population Stability Index of the language mix between the
+        // even- and odd-id halves: per-category exact shares + the
+        // 6dp-rounded ln contribution (the q153/q241 ln discipline);
+        // one-sided categories surface with NULL psi instead of a
+        // silent clamp.
+        val d = t(s, dir, "documents")
+        graft.quality.Drift.psiDrift(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "lang")
+          .orderBy("cat")
+      },
+      Some("""WITH ab AS (
+          SELECT cat, CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+          FROM (
+            SELECT lang AS cat, 1 AS a, 0 AS b FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT lang AS cat, 0 AS a, 1 AS b FROM documents WHERE doc_id % 2 = 1)
+          GROUP BY cat),
+        t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+          FROM ab)
+        SELECT cat, n_a, n_b,
+          CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+          CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+          (n_a = 0 OR n_b = 0) AS one_sided,
+          CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            ELSE round(
+              (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+              * round(ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))), 6), 6)
+          END AS psi
+        FROM ab, t ORDER BY cat"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -7952,6 +8063,8 @@ object Inventory {
     "q244_fd_violations", "q245_eval_leakage", "q246_ref_integrity",
     "q247_embedding_covariance", "q248_pca_projection",
     "q249_embedding_drift", "q250_corpus_diff",
+    "q251_sample_quantiles", "q252_skew_advisor",
+    "q253_ks_drift", "q254_psi_drift",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -887,4 +887,48 @@ class ScaleOpsSpec extends SparkSpec {
         s"$l attained $got vs target $tgt")
     }
   }
+
+  test("sampleQuantiles: nearest-rank hand-check, partitioning-invariant, q=1 is the sample max") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // k >= n: the sample IS the population — nearest-rank is exact
+    val got = ScaleOps.sampleQuantiles(df, "id", "v", k = 1000,
+      qs = Seq(0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(0.25)._2 == 100L)
+    assert(got(0.25)._1 == 25.0)           // ceil(0.25*100) = 25
+    assert(got(0.5)._1 == 50.0)
+    assert(got(1.0)._1 == 100.0)           // q=1 -> the maximum
+    // deterministic under repartitioning (KMV order is a pure function
+    // of the md5 keys)
+    val a = ScaleOps.sampleQuantiles(df.repartition(7), "id", "v", 10, Seq(0.5))
+      .head.getDouble(1)
+    val b = ScaleOps.sampleQuantiles(df.coalesce(1), "id", "v", 10, Seq(0.5))
+      .head.getDouble(1)
+    assert(a == b)
+  }
+
+  test("sampleQuantiles plans the sample as TakeOrdered, not a global sort") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val plan = ScaleOps.sampleQuantiles(df, "id", "v", 10, Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample must be per-partition top-k, not a global sort:\n$plan")
+  }
+
+  test("skewAdvisor: heavy keys, exact share, salt caps tasks at the target") {
+    import spark.implicits._
+    // key 1: 10 rows, key 2: 4 rows, key 3: 1 row (total 15)
+    val df = (Seq.fill(10)(1) ++ Seq.fill(4)(2) ++ Seq(3)).toDF("k")
+    val got = ScaleOps.skewAdvisor(df, "k", targetPerTask = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(got.keySet == Set(1, 2), s"only keys above the target fire: $got")
+    assert(got(1) == ((10L, 10.0 / 15.0, 4)))  // ceil(10/3) = 4 salts
+    assert(got(2) == ((4L, 4.0 / 15.0, 2)))
+    // minShare pulls in below-target keys too
+    val withShare = ScaleOps.skewAdvisor(df, "k", targetPerTask = 100, minShare = 0.1)
+      .collect().map(_.getInt(0)).toSet
+    assert(withShare == Set(1, 2), "share gate fires independently of the row gate")
+  }
 }

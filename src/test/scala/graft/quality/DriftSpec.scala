@@ -1,0 +1,72 @@
+package graft.quality
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+
+  test("ksDrift: hand-checked D on a known pair, exact argmax and tie-break") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: F_A-F_B = 1/4 at 1, 2/4 at 2,
+    // 2/4 at 3 (3/4-1/4), 2/4 at 4, 1/4 at 5, 0 at 6 -> D = 1/2,
+    // first attained at v=2 (smallest value wins the tie against 3, 4)
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Drift.ksDrift(a, b, "v").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getLong(3) == 2L, s"tie must break to the smallest value, got ${r.getLong(3)}")
+  }
+
+  test("ksDrift: identical samples give D=0; disjoint ranges give D=1") {
+    import spark.implicits._
+    val x = Seq(10L, 20L, 30L).toDF("v")
+    assert(Drift.ksDrift(x, x, "v").head().getDouble(2) == 0.0)
+    val lo = Seq(1L, 2L).toDF("v")
+    val hi = Seq(100L, 200L).toDF("v")
+    assert(Drift.ksDrift(lo, hi, "v").head().getDouble(2) == 1.0)
+  }
+
+  test("ksDrift is partitioning-invariant (partition-offset prefix sums)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val a = d.filter(col("lang") === "en")
+    val b = d.filter(col("lang") =!= "en")
+    val r1 = Drift.ksDrift(a.repartition(13), b.repartition(5), "n_chars").head()
+    val r2 = Drift.ksDrift(a.coalesce(1), b.coalesce(1), "n_chars").head()
+    assert(r1.getDouble(2) == r2.getDouble(2))
+    assert(r1.getLong(3) == r2.getLong(3))
+  }
+
+  test("ksDrift: no global single-partition window in the plan") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val df = Drift.ksDrift(
+      d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"), "n_chars")
+    val exchanges = "Exchange SinglePartition".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    // the TakeOrdered(1) merge is the only single-partition gather;
+    // the prefix sum itself must stay range-partitioned
+    assert(exchanges <= 1,
+      s"prefix sum must not serialize into one partition:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("psiDrift: identical mixes give psi 0; sign tracks the share move; one-sided flags") {
+    import spark.implicits._
+    val a = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("zz")).toDF("lang")
+    val b = (Seq.fill(30)("en") ++ Seq.fill(60)("de") ++ Seq.fill(10)("fr")).toDF("lang")
+    val got = Drift.psiDrift(a, b, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(5), Option(r.get(6)).map(_.asInstanceOf[Double]))).toMap
+    // en: share 0.6 -> 0.3, positive contribution (down-weighted but
+    // (sa-sb) and ln(sa/sb) share sign) — PSI contributions are always >= 0
+    assert(got("en")._4.get > 0.0)
+    assert(got("de")._4.get > 0.0)
+    // one-sided categories carry NULL psi and the flag
+    assert(got("zz")._3 && got("zz")._4.isEmpty)
+    assert(got("fr")._3 && got("fr")._4.isEmpty)
+    assert(got("zz")._1 == 10L && got("zz")._2 == 0L)
+    // identical mixes: psi exactly 0 for every category
+    val same = Drift.psiDrift(a, a, "lang").collect()
+    assert(same.forall(r => r.getDouble(6) == 0.0))
+  }
+}
