@@ -183,6 +183,43 @@ object Embeddings {
     df.select(col(idCol) +: scores: _*)
   }
 
+  /** One-row embedding-space ISOTROPY report: is the space collapsing
+    * into a few directions? Surfaces n, dim, total variance (trace of
+    * the covariance), the top-2 eigenvalues and their variance shares —
+    * an isotropic space has share ≈ 1/d; a collapsed one puts most of
+    * the trace on PC1 (anisotropy degrades cosine-based retrieval, the
+    * classic embedding post-processing finding).
+    *
+    * Determinism: the trace is computed from EXACT integers first —
+    * Σ_i (n·G_ii − S_i²) in BigInt, one double conversion at the end —
+    * so no float-summation order exists to disagree on; eigenvalues
+    * come from the fixed-iteration power iteration. Cost: the one
+    * moments pass (the d(d+1)/2-state aggregate) + a driver-side O(d²)
+    * planning loop; the report row is built locally.
+    */
+  def isotropyReport(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      bits: Int = 20,
+      iters: Int = 40): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = moments(df, vecCol, dim, bits)
+    val scale = (1L << bits).toDouble
+    val inv = 1.0 / (scale * scale)
+    val traceNum = (0 until dim).map { i =>
+      BigInt(m.n) * BigInt(m.gram(VectorMoments.triIndex(dim, i, i))) -
+        BigInt(m.sums(i)) * BigInt(m.sums(i))
+    }.sum
+    val trace = (traceNum.toDouble / (m.n.toDouble * m.n.toDouble)) * inv
+    val comps = principalComponents(m, dim, k = 2, bits, iters)
+    val l1 = comps.head.lambda
+    val l2 = comps(1).lambda
+    Seq((m.n, dim, trace, l1, l2, l1 / trace, l2 / trace))
+      .toDF("n", "dim", "trace", "lambda1", "lambda2", "pc1_share", "pc2_share")
+  }
+
   /** Per-group per-dimension quantized means — the drift surface
     * between corpus slices (encoder versions, sources, time windows).
     * Output: (groupCol, i (1-based), mean). mean op order pinned:

@@ -8002,7 +8002,83 @@ object Inventory {
               * round(ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
                 / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))), 6), 6)
           END AS psi
-        FROM ab, t ORDER BY cat"""))
+        FROM ab, t ORDER BY cat""")),
+
+    Q("q255_embedding_isotropy",
+      (s, dir) =>
+        // one-row isotropy report: exact-integer trace + power-iteration
+        // top-2 eigenvalues and their variance shares — the
+        // embedding-space collapse probe (anisotropy degrades
+        // cosine retrieval).
+        graft.operators.Embeddings
+          .isotropyReport(t(s, dir, "embeddings"), "embedding", 64),
+      Some("""WITH RECURSIVE q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+          FROM embeddings),
+        expl AS MATERIALIZED (
+          SELECT i, qv[i] AS qi, qv FROM q, generate_series(1, 64) AS t(i)),
+        sums AS MATERIALIZED (
+          SELECT i, CAST(sum(qi) AS BIGINT) AS s FROM expl GROUP BY i),
+        gram AS MATERIALIZED (
+          SELECT e.i AS i, t.j AS j, CAST(sum(e.qi * e.qv[t.j]) AS BIGINT) AS g
+          FROM expl e, generate_series(1, 64) AS t(j)
+          WHERE t.j >= e.i GROUP BY e.i, t.j),
+        nrow AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(count(*) AS BIGINT) AS ni FROM q),
+        tr AS MATERIALIZED (
+          SELECT (CAST(sum(CAST(nrow.ni AS HUGEINT) * g.g
+                   - CAST(si.s AS HUGEINT) * si.s) AS DOUBLE)
+                  / (nrow.nd * nrow.nd)) * 9.094947017729282e-13 AS trace
+          FROM gram g JOIN sums si ON g.i = si.i AND g.j = si.i, nrow
+          GROUP BY nrow.nd),
+        cov AS MATERIALIZED (
+          SELECT i.i AS i, j.j AS j,
+            (CAST(g.g AS DOUBLE) / nrow.nd
+             - (CAST(si.s AS DOUBLE) / nrow.nd) * (CAST(sj.s AS DOUBLE) / nrow.nd))
+            * 9.094947017729282e-13 AS c
+          FROM generate_series(1, 64) AS i(i)
+          JOIN generate_series(1, 64) AS j(j) ON true
+          JOIN gram g ON g.i = least(i.i, j.j) AND g.j = greatest(i.i, j.j)
+          JOIN sums si ON si.i = i.i JOIN sums sj ON sj.i = j.j, nrow),
+        cmat AS MATERIALIZED (
+          SELECT list(cl ORDER BY i) AS m FROM (
+            SELECT i, list(c ORDER BY j) AS cl FROM cov GROUP BY i)),
+        it1 AS (
+          SELECT 0 AS t, list_transform(range(1, 65), x -> 1.0 / sqrt(CAST(64 AS DOUBLE))) AS v
+          UNION ALL
+          SELECT t + 1, list_transform(
+              list_transform(m, r -> list_dot_product(r, v)),
+              x -> x / sqrt(list_dot_product(
+                list_transform(m, r -> list_dot_product(r, v)),
+                list_transform(m, r -> list_dot_product(r, v)))))
+          FROM it1, cmat WHERE t < 40),
+        pc1 AS MATERIALIZED (SELECT v FROM it1 WHERE t = 40),
+        l1 AS MATERIALIZED (
+          SELECT list_dot_product(v,
+            list_transform(m, r -> list_dot_product(r, v))) AS lam
+          FROM pc1, cmat),
+        c2 AS MATERIALIZED (
+          SELECT list_transform(range(1, 65),
+            i -> list_transform(range(1, 65), j -> m[i][j] - lam * v[i] * v[j])) AS m
+          FROM cmat, pc1, l1),
+        it2 AS (
+          SELECT 0 AS t, list_transform(range(1, 65), x -> 1.0 / sqrt(CAST(64 AS DOUBLE))) AS v
+          UNION ALL
+          SELECT t + 1, list_transform(
+              list_transform(m, r -> list_dot_product(r, v)),
+              x -> x / sqrt(list_dot_product(
+                list_transform(m, r -> list_dot_product(r, v)),
+                list_transform(m, r -> list_dot_product(r, v)))))
+          FROM it2, c2 WHERE t < 40),
+        pc2 AS MATERIALIZED (SELECT v FROM it2 WHERE t = 40),
+        l2 AS MATERIALIZED (
+          SELECT list_dot_product(v,
+            list_transform(m, r -> list_dot_product(r, v))) AS lam
+          FROM pc2, c2)
+        SELECT nrow.ni AS n, CAST(64 AS INT) AS dim, tr.trace AS trace,
+          l1.lam AS lambda1, l2.lam AS lambda2,
+          l1.lam / tr.trace AS pc1_share, l2.lam / tr.trace AS pc2_share
+        FROM nrow, tr, l1, l2"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8064,7 +8140,7 @@ object Inventory {
     "q247_embedding_covariance", "q248_pca_projection",
     "q249_embedding_drift", "q250_corpus_diff",
     "q251_sample_quantiles", "q252_skew_advisor",
-    "q253_ks_drift", "q254_psi_drift",
+    "q253_ks_drift", "q254_psi_drift", "q255_embedding_isotropy",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

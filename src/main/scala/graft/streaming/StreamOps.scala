@@ -156,6 +156,70 @@ object StreamOps {
         col("event_type"),
         col("n_users_approx"))
 
+  /** Windowed PSI drift monitor: per event-time window, the Population
+    * Stability Index of a categorical column against a BASELINE mix
+    * (driver-resolved shares — the blessed corpus mix, a previous
+    * release's language distribution). The live alarm twin of
+    * `graft.quality.Drift.psiDrift`: "the language mix of what we're
+    * ingesting moved 20 points in the last hour".
+    *
+    * One stateful aggregate per window, whose state is |baseline|+1
+    * LONGS — per-category counts pivot into COLUMNS during aggregation
+    * (the baseline's category set is a driver constant), so no chained
+    * stateful operator and no unbounded category state: categories
+    * outside the baseline fold into `__other`, which surfaces as a
+    * coverage ratio rather than creating state. A stateless projection
+    * explodes the columns back to (window, category) rows with the
+    * batch operator's exact arithmetic (integer counts → shares →
+    * 6dp-ln PSI); zero-count categories get NULL psi + the one_sided
+    * flag, mirroring the batch report.
+    */
+  def windowedPsiDrift(
+      events: DataFrame,
+      tsCol: String,
+      catCol: String,
+      baseline: Map[String, Double],
+      window_ : String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    require(baseline.nonEmpty, "baseline mix must be non-empty")
+    require(baseline.values.forall(v => v > 0.0 && v <= 1.0),
+      "baseline shares must be in (0, 1]")
+    val cats = baseline.keys.toSeq.sorted
+    val catCounts = cats.map(c =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"__n_$c"))
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("__total"), catCounts: _*)
+    // stateless explode back to rows; per-category share uses the
+    // IN-BASELINE total so the shares compare like-for-like even when
+    // off-baseline categories appear (they surface via coverage)
+    val inBase = cats.map(c => col(s"__n_$c")).reduce(_ + _)
+    val perCat = cats.map { c =>
+      struct(lit(c).as("cat"), col(s"__n_$c").as("n"),
+        lit(baseline(c)).as("base_share"))
+    }
+    agg
+      .withColumn("__inbase", inBase)
+      .select(col("window.start").as("w_start"), col("__total"),
+        col("__inbase"), explode(array(perCat: _*)).as("e"))
+      .select(
+        col("w_start"),
+        col("e.cat").as("cat"),
+        col("e.n").as("n"),
+        (col("e.n").cast("double") / col("__inbase").cast("double")).as("share"),
+        col("e.base_share"),
+        (col("e.n") === 0L).as("one_sided"),
+        when(col("e.n") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("e.n").cast("double") / col("__inbase").cast("double")
+              - col("e.base_share"))
+              * round(log((col("e.n").cast("double") / col("__inbase").cast("double"))
+                / col("e.base_share")), 6), 6)).as("psi"),
+        (col("__inbase").cast("double") / col("__total").cast("double"))
+          .as("baseline_coverage"))
+  }
+
   /** Windowed Count-Min frequency estimates for a WATCH LIST of items —
     * exact per-item streaming counts over an unbounded item universe
     * need one state row per (window, item); the CMS grid

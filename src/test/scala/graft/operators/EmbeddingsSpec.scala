@@ -149,6 +149,23 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("isotropyReport: exact trace matches the covariance diagonal; shares ordered and bounded") {
+    val r = Embeddings.isotropyReport(emb, "embedding", Dim).head()
+    val (n, d, trace, l1, l2, s1, s2) = (r.getLong(0), r.getInt(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(n == emb.count() && d == Dim)
+    val m = Embeddings.moments(emb, "embedding", Dim)
+    val c = Embeddings.covariance(m, Dim)
+    val diagSum = (0 until Dim).map(i => c(i)(i)).sum
+    // the exact-integer trace and the per-entry-rounded diagonal sum
+    // agree to double precision (different rounding paths)
+    assert(math.abs(trace - diagSum) <= 1e-12 * math.abs(trace),
+      s"trace $trace vs diag-sum $diagSum")
+    assert(l1 > 0.0 && l2 > 0.0 && l1 >= l2 * (1.0 - 1e-9))
+    assert(l1 <= trace && s1 == l1 / trace && s2 == l2 / trace)
+    assert(s1 > 0.0 && s1 < 1.0 && s2 > 0.0 && s2 < 1.0)
+  }
+
   test("moments rejects wrong-dimension vectors loudly") {
     import spark.implicits._
     val bad = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("vec")

@@ -283,4 +283,48 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed == batchClosed)
     } finally q.stop()
   }
+
+  test("windowedPsiDrift: per-window PSI vs the baseline; batch twin agrees; one-sided + coverage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Map("en" -> 0.5, "de" -> 0.5)
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF.toDF("ts", "lang")
+    val q = StreamOps.windowedPsiDrift(events, "ts", "lang", baseline,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("psi_out").outputMode("append").start()
+    try {
+      // [00:00,00:10): en×3, de×1, zz×1 (off-baseline) → shares 3/4, 1/4,
+      // coverage 4/5; [00:10,00:20): de only → en is one-sided
+      in.addData((ts(1), "en"), (ts(2), "en"), (ts(3), "de"), (ts(4), "en"),
+        (ts(5), "zz"), (ts(12), "de"))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), "en")) // close windows
+      q.processAllAvailable()
+      val out = spark.table("psi_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .orderBy("w_start", "cat").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(5), Option(r.get(6)), r.getDouble(7)))
+      // window 1: de (n=1, share .25), en (n=3, share .75)
+      assert(out(0)._1 == "de" && out(0)._2 == 1L && out(0)._3 == 0.25)
+      assert(out(1)._1 == "en" && out(1)._2 == 3L && out(1)._3 == 0.75)
+      assert(out(0)._6 == 0.8 && out(1)._6 == 0.8, "off-baseline zz lowers coverage")
+      // PSI contributions positive on both moved categories
+      assert(out(0)._5.exists(_.asInstanceOf[Double] > 0.0))
+      assert(out(1)._5.exists(_.asInstanceOf[Double] > 0.0))
+      // window 2: en has zero rows → one_sided, NULL psi
+      assert(out(2)._1 == "de" && out(2)._3 == 1.0 && !out(2)._4)
+      assert(out(3)._1 == "en" && out(3)._2 == 0L && out(3)._4 && out(3)._5.isEmpty)
+      // the same code run in BATCH mode over the same rows agrees
+      val batch = Seq((ts(1), "en"), (ts(2), "en"), (ts(3), "de"), (ts(4), "en"),
+        (ts(5), "zz"), (ts(12), "de")).toDF("ts", "lang")
+      val twin = StreamOps.windowedPsiDrift(batch, "ts", "lang", baseline,
+          watermark = "0 seconds")
+        .orderBy("w_start", "cat").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(5), Option(r.get(6)), r.getDouble(7)))
+      assert(twin.toSeq == out.toSeq, "batch and stream must emit identical reports")
+    } finally q.stop()
+  }
 }
