@@ -776,6 +776,62 @@ object ScaleOps {
       .select(col(keyCol), col("n"), col("share"), col("salt"))
   }
 
+  /** JOIN-CARDINALITY estimate BEFORE the shuffle: per-side KMV
+    * sketches of the join keys (the [[kmvCorpusOverlap]] md5-60-bit
+    * machinery, built through the mergeable BottomK aggregator — one
+    * map-side-partial pass per side, k-long state), inclusion-exclusion
+    * for the overlapping key count, row-per-distinct-key multiplicities
+    * for the fan-out — so `est_join_rows ≈ |A⋈B|` is known from two
+    * O(k)-state aggregates before a single data row shuffles. The
+    * companion to [[skewAdvisor]]: advisor finds the hot keys, this
+    * sizes the output (a 100 TB join that would emit 10^15 rows is a
+    * bug you want caught at plan time).
+    *
+    * Every emitted number is md5-replayable arithmetic (the q201/q227
+    * estimate discipline: (k−1)/kth-smallest over the 2^60 space,
+    * 4dp-rounded) — full SQL oracle. Returns ONE row.
+    */
+  def joinCardinalityEstimate(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      k: Int = 1024): DataFrame = {
+    require(k >= 2, "sketch size must be >= 2")
+    val hashSpace = 1.152921504606846976e18 // 2^60
+    def h(c: Column) =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    def side(df: DataFrame, key: String, n: String, sk: String) =
+      df.select(h(col(key)).as("__h"))
+        .agg(count(lit(1)).as(n),
+          org.apache.spark.sql.functions
+            .udaf(new graft.functions.BottomKSketch(k, hashInput = false))
+            .apply(col("__h")).as(sk))
+    def estD(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(round(
+          lit((k - 1).toDouble) / (array_max(sk).cast("double") / hashSpace), 4))
+    side(left, leftKey, "n_a", "sa")
+      .crossJoin(side(right, rightKey, "n_b", "sb")) // 1x1 planning frames
+      .withColumn("su", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .withColumn("d_a_est", estD(col("sa")))
+      .withColumn("d_b_est", estD(col("sb")))
+      .withColumn("d_union_est", estD(col("su")))
+      .withColumn("overlap_keys_est",
+        greatest(lit(0.0),
+          round(col("d_a_est") + col("d_b_est") - col("d_union_est"), 4)))
+      .select(
+        lit(k).cast("int").as("k"),
+        col("n_a"), col("n_b"),
+        size(col("su")).as("union_k"),
+        col("d_a_est"), col("d_b_est"), col("d_union_est"),
+        col("overlap_keys_est"),
+        round(col("overlap_keys_est")
+          * (col("n_a").cast("double") / col("d_a_est"))
+          * (col("n_b").cast("double") / col("d_b_est")), 2)
+          .as("est_join_rows"))
+  }
+
   /** md5-derived shuffle key: the deterministic, ENGINE-REPLAYABLE
     * permutation every training-data emission needs — same md5
     * determinism idiom as [[stratifiedSample]]. Reading the corpus

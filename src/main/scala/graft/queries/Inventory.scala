@@ -8078,7 +8078,58 @@ object Inventory {
         SELECT nrow.ni AS n, CAST(64 AS INT) AS dim, tr.trace AS trace,
           l1.lam AS lambda1, l2.lam AS lambda2,
           l1.lam / tr.trace AS pc1_share, l2.lam / tr.trace AS pc2_share
-        FROM nrow, tr, l1, l2"""))
+        FROM nrow, tr, l1, l2""")),
+
+    Q("q256_join_cardinality",
+      (s, dir) =>
+        // pre-shuffle join-size estimate: per-side KMV key sketches
+        // (mergeable bottom-k over md5-60-bit keys), inclusion-exclusion
+        // overlap, multiplicity fan-out — |orders ⋈ customer| sized from
+        // two O(k)-state aggregates before any data row shuffles.
+        ScaleOps.joinCardinalityEstimate(
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey", k = 512),
+      Some("""WITH ha AS (
+          SELECT CAST(concat('0x',
+            substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM orders),
+        hb AS (
+          SELECT CAST(concat('0x',
+            substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM customer),
+        na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ha),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM hb),
+        sa AS (SELECT DISTINCT h FROM ha ORDER BY h LIMIT 512),
+        sb AS (SELECT DISTINCT h FROM hb ORDER BY h LIMIT 512),
+        su AS (
+          SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT 512),
+        ka AS (SELECT count(*) AS n, max(h) AS kth FROM sa),
+        kb AS (SELECT count(*) AS n, max(h) AS kth FROM sb),
+        ku AS (SELECT count(*) AS n, max(h) AS kth FROM su),
+        est AS (
+          SELECT
+            CASE WHEN ka.n < 512 THEN CAST(ka.n AS DOUBLE)
+              ELSE round(511.0 / (CAST(ka.kth AS DOUBLE) / 1152921504606846976.0), 4)
+            END AS d_a_est,
+            CASE WHEN kb.n < 512 THEN CAST(kb.n AS DOUBLE)
+              ELSE round(511.0 / (CAST(kb.kth AS DOUBLE) / 1152921504606846976.0), 4)
+            END AS d_b_est,
+            CASE WHEN ku.n < 512 THEN CAST(ku.n AS DOUBLE)
+              ELSE round(511.0 / (CAST(ku.kth AS DOUBLE) / 1152921504606846976.0), 4)
+            END AS d_union_est,
+            CAST(ku.n AS INTEGER) AS union_k
+          FROM ka, kb, ku),
+        ov AS (
+          SELECT greatest(0.0, round(d_a_est + d_b_est - d_union_est, 4))
+            AS overlap_keys_est
+          FROM est)
+        SELECT CAST(512 AS INTEGER) AS k, n_a, n_b, union_k,
+          d_a_est, d_b_est, d_union_est, overlap_keys_est,
+          round(overlap_keys_est
+            * (CAST(n_a AS DOUBLE) / d_a_est)
+            * (CAST(n_b AS DOUBLE) / d_b_est), 2) AS est_join_rows
+        FROM est, ov, na, nb"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8141,6 +8192,7 @@ object Inventory {
     "q249_embedding_drift", "q250_corpus_diff",
     "q251_sample_quantiles", "q252_skew_advisor",
     "q253_ks_drift", "q254_psi_drift", "q255_embedding_isotropy",
+    "q256_join_cardinality",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

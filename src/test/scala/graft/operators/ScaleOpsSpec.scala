@@ -931,4 +931,30 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(withShare == Set(1, 2), "share gate fires independently of the row gate")
   }
+
+  test("joinCardinalityEstimate: exact when sketches are unsaturated; tracks the true join size") {
+    import spark.implicits._
+    // A: keys 1..10 with 3 rows each; B: keys 6..15 with 2 rows each
+    // overlap = 5 keys -> true join rows = 5 * 3 * 2 = 30
+    val a = (1 to 10).flatMap(i => Seq.fill(3)(i.toLong)).toDF("ka")
+    val b = (6 to 15).flatMap(i => Seq.fill(2)(i.toLong)).toDF("kb")
+    val r = ScaleOps.joinCardinalityEstimate(a, "ka", b, "kb", k = 64).head()
+    assert(r.getLong(1) == 30L && r.getLong(2) == 20L)        // n_a, n_b
+    assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 10.0)  // exact distincts (k > d)
+    assert(r.getDouble(6) == 15.0)                            // union exact
+    assert(r.getDouble(7) == 5.0)                             // overlap exact
+    assert(r.getDouble(8) == 30.0, s"est_join_rows ${r.getDouble(8)}") // exact fan-out
+    // partitioning invariance (mergeable sketch, exact counts)
+    val r2 = ScaleOps.joinCardinalityEstimate(
+      a.repartition(7), "ka", b.repartition(3), "kb", k = 64).head()
+    assert(r2.getDouble(8) == 30.0 && r2.getDouble(7) == 5.0)
+    // saturated sketches on the real fixture: estimate within 25% of truth
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val est = ScaleOps.joinCardinalityEstimate(
+      orders, "o_custkey", cust, "c_custkey", k = 128).head().getDouble(8)
+    val truth = orders.join(cust, col("o_custkey") === col("c_custkey")).count()
+    assert(est > truth * 0.75 && est < truth * 1.25,
+      s"estimate $est vs true $truth")
+  }
 }
