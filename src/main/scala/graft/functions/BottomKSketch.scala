@@ -45,12 +45,30 @@ class BottomKSketch(k: Int, hashInput: Boolean = true)
   override def finish(buf: Array[Long]): Array[Long] = buf
 
   private def insert(buf: Array[Long], h: Long): Array[Long] = {
-    // unsigned order; buf is kept sorted ascending (unsigned), ≤ k long
-    if (buf.length >= k && java.lang.Long.compareUnsigned(h, buf.last) >= 0) buf
-    else if (java.util.Arrays.stream(buf).anyMatch(_ == h)) buf
+    // unsigned order; buf is kept sorted ascending (unsigned), ≤ k long.
+    // The common case (sketch full, h above the kth smallest) is one
+    // compare; a real insertion is an unsigned binary search plus two
+    // arraycopies — NOT an allocate-and-re-sort, which at 100 TB row
+    // counts costs O(k log k) boxed comparisons for each of the
+    // k·ln(n/k) expected insertions per task (caught by the q256 sf10
+    // rehearsal: the re-sort dominated the whole estimate).
+    if (buf.length >= k && java.lang.Long.compareUnsigned(h, buf(buf.length - 1)) >= 0) buf
     else {
-      val grown = (buf :+ h).sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0)
-      if (grown.length > k) grown.dropRight(grown.length - k) else grown
+      var lo = 0
+      var hi = buf.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Long.compareUnsigned(buf(mid), h)
+        if (c == 0) return buf // duplicate hash — sketch is a set
+        if (c < 0) lo = mid + 1 else hi = mid
+      }
+      val outLen = math.min(buf.length + 1, k)
+      val out = new Array[Long](outLen)
+      System.arraycopy(buf, 0, out, 0, lo)
+      out(lo) = h
+      val tail = math.min(buf.length - lo, outLen - lo - 1)
+      if (tail > 0) System.arraycopy(buf, lo, out, lo + 1, tail)
+      out
     }
   }
 
