@@ -776,6 +776,43 @@ object ScaleOps {
       .select(col(keyCol), col("n"), col("share"), col("salt"))
   }
 
+  /** [[sampleQuantiles]] PER GROUP — p50/p99 of a column for every
+    * language/source/shard in ONE pass: the value-carrying KMV
+    * aggregate ([[graft.functions.BottomKValues]], 2k longs of
+    * mergeable state per group, map-side partials) replaces the
+    * ORDER BY + LIMIT that cannot run per-group, then nearest-rank
+    * indexing over each group's sorted sample. Hash keys are the
+    * md5-60-bit image of `keyCol` (must be unique per row), so any
+    * engine replays the exact sample. Output: (groupCol, q, value,
+    * sample_size).
+    */
+  def sampleQuantilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      k: Int,
+      qs: Seq[Double],
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val h = conv(substring(
+      md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.BottomKValues
+        .sample(h, col(valueCol).cast("double"), k).as("__vals"))
+      .select(col(groupCol), sort_array(col("__vals")).as("__vs"),
+        size(col("__vals")).cast("long").as("m"))
+      .select(col(groupCol), col("__vs"), col("m"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .select(col(groupCol), col("q"),
+        element_at(col("__vs"),
+          greatest(lit(1L), ceil(col("q") * col("m"))).cast("int")).as("value"),
+        col("m").as("sample_size"))
+  }
+
   /** JOIN-CARDINALITY estimate BEFORE the shuffle: per-side KMV
     * sketches of the join keys (the [[kmvCorpusOverlap]] md5-60-bit
     * machinery, built through the mergeable BottomK aggregator — one

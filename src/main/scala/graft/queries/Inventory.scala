@@ -8129,7 +8129,35 @@ object Inventory {
           round(overlap_keys_est
             * (CAST(n_a AS DOUBLE) / d_a_est)
             * (CAST(n_b AS DOUBLE) / d_b_est), 2) AS est_join_rows
-        FROM est, ov, na, nb"""))
+        FROM est, ov, na, nb""")),
+
+    Q("q257_group_quantiles",
+      (s, dir) =>
+        // per-language document-length percentiles in ONE pass: the
+        // value-carrying KMV aggregate (2k longs of mergeable state per
+        // group) where ORDER BY + LIMIT per group cannot run; the
+        // nearest-rank rule over each group's md5-deterministic sample.
+        ScaleOps.sampleQuantilesByGroup(
+          t(s, dir, "documents"), "lang", "doc_id", "n_chars",
+          k = 200, qs = Seq(0.5, 0.9, 0.99))
+          .orderBy("lang", "q"),
+      Some("""WITH h AS (
+          SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+            CAST(concat('0x',
+              substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+          FROM documents),
+        r AS (
+          SELECT lang, v,
+            row_number() OVER (PARTITION BY lang ORDER BY hh) AS rn
+          FROM h),
+        s AS (SELECT lang, v FROM r WHERE rn <= 200),
+        g AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS m, list(v ORDER BY v) AS vs
+          FROM s GROUP BY lang),
+        qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        SELECT lang, q, vs[CAST(greatest(1, ceil(q * m)) AS INT)] AS value,
+          m AS sample_size
+        FROM g, qq ORDER BY lang, q"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8192,7 +8220,7 @@ object Inventory {
     "q249_embedding_drift", "q250_corpus_diff",
     "q251_sample_quantiles", "q252_skew_advisor",
     "q253_ks_drift", "q254_psi_drift", "q255_embedding_isotropy",
-    "q256_join_cardinality",
+    "q256_join_cardinality", "q257_group_quantiles",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -220,6 +220,47 @@ object StreamOps {
           .as("baseline_coverage"))
   }
 
+  /** Windowed deterministic sample QUANTILES — p50/p99 of a value per
+    * event-time window from BOUNDED state: the value-carrying KMV
+    * aggregate (`graft.functions.BottomKValues`, 2k longs per window,
+    * mergeable) where an ORDER BY per window is impossible in a
+    * stream. The streaming twin of
+    * `graft.operators.ScaleOps.sampleQuantilesByGroup`: same md5-60-bit
+    * sample, same nearest-rank rule, so a batch replay of the window's
+    * rows reproduces every emitted number. `keyCol` must be unique per
+    * row (the sample contract).
+    */
+  def windowedSampleQuantiles(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      k: Int,
+      qs: Seq[Double],
+      window_ : String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val h = conv(substring(
+      md5(concat_ws(":", lit("0"), col(keyCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(graft.functions.BottomKValues
+        .sample(h, col(valueCol).cast("double"), k).as("__vals"))
+      .select(col("window.start").as("w_start"),
+        sort_array(col("__vals")).as("__vs"),
+        size(col("__vals")).cast("long").as("m"))
+      .select(col("w_start"), col("__vs"), col("m"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .select(col("w_start"), col("q"),
+        element_at(col("__vs"),
+          greatest(lit(1L), ceil(col("q") * col("m"))).cast("int")).as("value"),
+        col("m").as("sample_size"))
+  }
+
   /** Windowed Count-Min frequency estimates for a WATCH LIST of items —
     * exact per-item streaming counts over an unbounded item universe
     * need one state row per (window, item); the CMS grid

@@ -1061,6 +1061,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q251/q256: planning estimators gather per-partition heaps, never sort data") {
+    // q251: the KMV sample is per-partition top-k + a k-heap merge
+    val sq = planString(run("q251_sample_quantiles"))
+    assert(sq.contains("TakeOrderedAndProject"),
+      s"q251's sample must plan as TakeOrdered:\n$sq")
+    assert(!sq.contains("SortMergeJoin"), s"q251 must not join:\n$sq")
+    // q256: two global sketch aggregates (one per side) and a 1x1
+    // nested-loop of the finished rows — no data-side shuffle join
+    val jc = planString(run("q256_join_cardinality"))
+    assert(!jc.contains("SortMergeJoin") && !jc.contains("ShuffledHashJoin"),
+      s"q256 must never shuffle-join data rows:\n$jc")
+    assert("Exchange SinglePartition".r.findAllIn(jc).length <= 2,
+      s"q256 is two O(k)-state aggregates:\n$jc")
+  }
+
+  test("q252/q254: drift/skew reports aggregate once on the key, totals broadcast") {
+    // the per-key counts aggregate feeds BOTH the report and the totals
+    // frame, so the initial plan prints its hash exchange once per
+    // consumer (AQE reuses the shuffle at runtime) — what must NOT
+    // appear is a shuffle JOIN or a third data pass
+    val sk = planString(run("q252_skew_advisor"))
+    assert("Exchange hashpartitioning".r.findAllIn(sk).length <= 2,
+      s"q252's only hash shuffle is the key aggregate (x2 consumers):\n$sk")
+    assert(!sk.contains("SortMergeJoin") && !sk.contains("ShuffledHashJoin"),
+      s"q252's totals must broadcast, not shuffle-join:\n$sk")
+    assert(sk.contains("BroadcastNestedLoopJoin") || sk.contains("BroadcastExchange"),
+      s"q252's totals must broadcast:\n$sk")
+    val psi = planString(run("q254_psi_drift"))
+    assert("Exchange hashpartitioning".r.findAllIn(psi).length <= 2,
+      s"q254's only hash shuffle is the category aggregate:\n$psi")
+    assert(!psi.contains("SortMergeJoin") && !psi.contains("ShuffledHashJoin"),
+      s"q254's totals must broadcast, not shuffle-join:\n$psi")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

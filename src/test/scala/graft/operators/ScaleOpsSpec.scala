@@ -932,6 +932,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(withShare == Set(1, 2), "share gate fires independently of the row gate")
   }
 
+  test("sampleQuantilesByGroup: exact per group when k >= group size; partitioning-invariant") {
+    import spark.implicits._
+    // group a: values 1..20; group b: values 101..110
+    val df = ((1 to 20).map(i => ("a", i.toLong, i.toDouble)) ++
+      (101 to 110).map(i => ("b", i.toLong, i.toDouble))).toDF("g", "id", "v")
+    val got = ScaleOps.sampleQuantilesByGroup(df, "g", "id", "v", k = 100,
+      qs = Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got(("a", 0.5)) == ((10.0, 20L)))   // ceil(0.5*20) = 10
+    assert(got(("a", 1.0)) == ((20.0, 20L)))
+    assert(got(("b", 0.5)) == ((105.0, 10L)))
+    assert(got(("b", 1.0)) == ((110.0, 10L)))
+    // saturated (k < group size): identical under any partitioning
+    val s1 = ScaleOps.sampleQuantilesByGroup(df.repartition(9), "g", "id", "v", 7, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val s2 = ScaleOps.sampleQuantilesByGroup(df.coalesce(1), "g", "id", "v", 7, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s1 == s2)
+  }
+
+  test("BottomKValues keeps the values of the k smallest hashes, merge-order-free") {
+    val agg = new graft.functions.BottomKValues(3)
+    // hashes 5,1,9,3 with values 50,10,90,30 -> keep h 1,3,5 -> values 10,30,50
+    val buf = Seq((5L, 50.0), (1L, 10.0), (9L, 90.0), (3L, 30.0))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf).toSeq == Seq(10.0, 30.0, 50.0))
+    // duplicate hash keeps the first value
+    val dup = agg.reduce(buf, (3L, 999.0))
+    assert(agg.finish(dup).toSeq == Seq(10.0, 30.0, 50.0))
+    // merging two partials equals the direct build
+    val left = Seq((5L, 50.0), (1L, 10.0)).foldLeft(agg.zero)(agg.reduce)
+    val right = Seq((9L, 90.0), (3L, 30.0)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(left, right)).toSeq == Seq(10.0, 30.0, 50.0))
+  }
+
   test("joinCardinalityEstimate: exact when sketches are unsaturated; tracks the true join size") {
     import spark.implicits._
     // A: keys 1..10 with 3 rows each; B: keys 6..15 with 2 rows each

@@ -284,6 +284,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedSampleQuantiles: exact per window below saturation; batch twin agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF.toDF("ts", "id", "v")
+    val q = StreamOps.windowedSampleQuantiles(events, "ts", "id", "v",
+        k = 100, qs = Seq(0.5, 1.0), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wsq_out").outputMode("append").start()
+    try {
+      // [00:00,00:10): values 1..4; [00:10,00:20): 100, 200
+      in.addData((ts(1), 1L, 1.0), (ts(2), 2L, 2.0), (ts(3), 3L, 3.0),
+        (ts(4), 4L, 4.0), (ts(12), 5L, 100.0), (ts(13), 6L, 200.0))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("wsq_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .orderBy("w_start", "q").collect()
+        .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      // window 1: p50 = ceil(.5*4)=2nd value = 2.0, max = 4.0
+      assert(out.toSeq == Seq((0.5, 2.0, 4L), (1.0, 4.0, 4L),
+        (0.5, 100.0, 2L), (1.0, 200.0, 2L)), s"got ${out.toSeq}")
+      // batch twin over the same rows emits the identical report
+      val batch = Seq((ts(1), 1L, 1.0), (ts(2), 2L, 2.0), (ts(3), 3L, 3.0),
+        (ts(4), 4L, 4.0), (ts(12), 5L, 100.0), (ts(13), 6L, 200.0))
+        .toDF("ts", "id", "v")
+      val twin = StreamOps.windowedSampleQuantiles(batch, "ts", "id", "v",
+          k = 100, qs = Seq(0.5, 1.0), watermark = "0 seconds")
+        .orderBy("w_start", "q").collect()
+        .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      assert(twin.toSeq == out.toSeq)
+    } finally q.stop()
+  }
+
   test("windowedPsiDrift: per-window PSI vs the baseline; batch twin agrees; one-sided + coverage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
