@@ -60,6 +60,7 @@ object Embeddings {
     * exact-integer-to-double conversion followed by double ops.
     */
   def covariance(m: VectorMomentsState, dim: Int, bits: Int = 20): Array[Array[Double]] = {
+    require(m.n > 0, "covariance of an empty corpus is undefined (n = 0)")
     val nd = m.n.toDouble
     val scale = (1L << bits).toDouble
     val inv = 1.0 / (scale * scale)
@@ -86,6 +87,7 @@ object Embeddings {
     val scale = (1L << bits).toDouble
     val inv = 1.0 / (scale * scale)
     momentsDf(df, vecCol, dim, bits)
+      .filter(col("n") > 0) // empty corpus: no covariance surface, not NaNs
       .select(col("n"), col("sums"), col("gram"),
         explode(sequence(lit(0), lit(dim - 1))).as("i0"))
       .select(col("n"), col("sums"), col("gram"), col("i0"),

@@ -740,6 +740,7 @@ object ScaleOps {
     sample
       .agg(count(lit(1)).as("m"),
         sort_array(collect_list(col("__v"))).as("__vs"))
+      .filter(col("m") > 0) // empty input: no quantile rows, not nulls
       .select(explode(array(qs.map(lit): _*)).as("q"), col("m"), col("__vs"))
       .select(col("q"),
         element_at(col("__vs"),
@@ -863,9 +864,11 @@ object ScaleOps {
         size(col("su")).as("union_k"),
         col("d_a_est"), col("d_b_est"), col("d_union_est"),
         col("overlap_keys_est"),
-        round(col("overlap_keys_est")
+        // an empty side has d_est = 0: the join emits nothing — surface
+        // 0.0, not the NULL of a 0/0 division
+        coalesce(round(col("overlap_keys_est")
           * (col("n_a").cast("double") / col("d_a_est"))
-          * (col("n_b").cast("double") / col("d_b_est")), 2)
+          * (col("n_b").cast("double") / col("d_b_est")), 2), lit(0.0))
           .as("est_join_rows"))
   }
 

@@ -21,6 +21,33 @@ class EmptyInputSpec extends SparkSpec {
     Seq.empty[(Long, Long, Long, String, Double)]
       .toDF("event_id", "user_id", "ts_sec", "event_type", "value")
 
+  test("round-11 second-wave operators: quantiles, skew, drift, diff, cardinality, embeddings") {
+    import spark.implicits._
+    val emptyIdVal = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(ScaleOps.sampleQuantiles(emptyIdVal, "id", "v", 10, Seq(0.5)).count() == 0)
+    assert(ScaleOps.sampleQuantilesByGroup(
+      emptyDocs, "source", "doc_id", "doc_id", 10, Seq(0.5)).count() == 0)
+    assert(ScaleOps.skewAdvisor(emptyDocs, "source", 10).count() == 0)
+    val card = ScaleOps.joinCardinalityEstimate(
+      emptyIdVal, "id", emptyIdVal, "id", 16).head()
+    assert(card.getLong(1) == 0L && card.getDouble(8) == 0.0,
+      "empty join estimate must be 0.0, not NULL")
+    assert(graft.quality.Drift.ksDrift(emptyIdVal, emptyIdVal, "v").count() == 0)
+    assert(graft.quality.Drift.psiDrift(emptyDocs, emptyDocs, "source").count() == 0)
+    assert(graft.quality.Validator.snapshotDiff(
+      emptyDocs, emptyDocs, "doc_id", Seq("text")).count() == 0)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Embeddings.covarianceDf(emptyVecs, "embedding", 4).count() == 0,
+      "empty corpus: no covariance rows, not NaNs")
+    assert(Embeddings.groupMeans(emptyVecs, "vec_id", "embedding", 4).count() == 0)
+    val mz = Embeddings.moments(emptyVecs, "embedding", 4)
+    assert(mz.n == 0L)
+    val ex = intercept[IllegalArgumentException] {
+      Embeddings.covariance(mz, 4)
+    }
+    assert(ex.getMessage.contains("empty"), "covariance must refuse n = 0 loudly")
+  }
+
   test("text operators: tfidf, invertedIndex, ngramCounts, dedupLines, removeBoilerplate") {
     assert(TextAnalysis.tfidf(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextAnalysis.invertedIndex(emptyDocs, "doc_id", "text").count() == 0)
