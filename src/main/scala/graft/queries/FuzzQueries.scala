@@ -1309,7 +1309,7 @@ object FuzzQueries {
     */
   lazy val sqlSurfaceCases: Seq[FuzzCase] = {
     val rng = new scala.util.Random(seed + 16)
-    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 17))
+    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 18))
   }
 
   /** One family-P case (see [[sqlSurfaceCases]]). The SQL text uses
@@ -1480,6 +1480,24 @@ object FuzzQueries {
             NativeExprs.scriptProfile(col("text")).getField("n_space")),
           () => max(NativeExprs.scriptProfile(col("text")).getField("n_digit") * 10 +
             NativeExprs.scriptProfile(col("text")).getField("n_other")))
+
+      case 17 => // fixed-point vector kernels: quant_dot + vec_moments
+        val pred = docAtom(rng)
+        val bits = 4 + rng.nextInt(8)
+        val scale = (1L << bits).toDouble
+        // quant_dot values are exact multiples of 0.5 (floor(x·2^b)·{.5,2})
+        // and sums stay far below 2^53, so the double sum is exact and
+        // order-independent — no fix6 needed
+        doc(pred,
+          s"sum(quant_dot(array(CAST(n_chars AS DOUBLE), CAST(length(lang) AS DOUBLE)), " +
+            s"array(0.5D, 2.0D), CAST($scale AS DOUBLE)))",
+          s"element_at(vec_moments(array(CAST(n_chars AS DOUBLE)), 1, $bits).sums, 1)",
+          () => sum(NativeExprs.quantDot(
+            array(col("n_chars").cast("double"), length(col("lang")).cast("double")),
+            Array(0.5, 2.0), scale)),
+          () => element_at(
+            graft.functions.VectorMoments.agg(
+              array(col("n_chars").cast("double")), 1, bits).getField("sums"), 1))
 
       case 16 => // one-permutation signature + 1-bit sketch chain
         val pred = docAtom(rng)
