@@ -117,6 +117,107 @@ object Validator {
     base.crossJoin(fan).crossJoin(parents).crossJoin(childless)
   }
 
+  /** Pearson CORRELATION matrix over numeric columns in ONE pass — the
+    * profiling companion to [[fdViolations]] for numeric pairs
+    * ("discount tracks quantity", "price is length times rate"):
+    * |cols| + |cols|(|cols|+1)/2 exact DECIMAL sums accumulate in a
+    * single aggregate (map-side partials, no second scan), and the
+    * (col_a, col_b, corr) surface derives from that one row. All sums
+    * are exact decimals, so every correlation is a pure function of the
+    * input set — order/merge/engine-independent (the engine's standard
+    * float discipline). Rows with a NULL in ANY profiled column are
+    * dropped first (listwise deletion — documented contract; pairwise
+    * deletion would need per-pair counts and gives non-PSD matrices).
+    * Zero-variance columns yield NULL correlations, not division blow-ups.
+    */
+  def correlationMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val clean = df.na.drop(cols)
+    def dec(c: String) = col(c).cast(s"decimal(18,$scale)")
+    val sums = cols.map(c => sum(dec(c)).as(s"__s_$c"))
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (i, j)
+    val prods = pairs.map { case (i, j) =>
+      sum(dec(cols(i)) * dec(cols(j))).as(s"__p_${i}_$j")
+    }
+    val agg = clean.agg(count(lit(1)).as("__n"), (sums ++ prods): _*)
+    val rows = pairs.map { case (i, j) =>
+      val nd = col("__n").cast("double")
+      val sx = col(s"__s_${cols(i)}").cast("double")
+      val sy = col(s"__s_${cols(j)}").cast("double")
+      val sxy = col(s"__p_${i}_$j").cast("double")
+      val sxx = col(s"__p_${i}_$i").cast("double")
+      val syy = col(s"__p_${j}_$j").cast("double")
+      val num = nd * sxy - sx * sy
+      val da = nd * sxx - sx * sx
+      val db = nd * syy - sy * sy
+      struct(
+        lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        when(da * db <= 0.0, lit(null).cast("double"))
+          .otherwise(num / sqrt(da * db)).as("corr"))
+    }
+    agg.select(col("__n").as("n"), explode(array(rows: _*)).as("e"))
+      .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
+        col("e.corr").as("corr"), col("n"))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns, in nats — the
+    * SOFT-dependency audit completing [[fdViolations]]' hard one: FD
+    * violations say "lang does not determine source"; MI says how much
+    * information the columns share anyway (≈0 = independent, ≈min(H)
+    * = one determines the other). Exact integer cell/margin counts;
+    * each cell's term goes through the engine's ln discipline
+    * (q153/q241: ln of an exact-count ratio, 6dp round, DECIMAL-exact
+    * sum), so the score replays in any engine. One cell aggregate
+    * (state bounded by the observed category product), two
+    * margin aggregates over CELLS (not data), one output row:
+    * (n, n_cells, h_a, h_b, mi).
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // ONE data scan: the cell frame (bounded by the observed category
+    // product) is checkpointed, and every margin/total/MI term derives
+    // from it — without this, the five consumers below would each
+    // re-scan the corpus
+    val cells = df
+      .select(col(colA).cast("string").as("__a"), col(colB).cast("string").as("__b"))
+      .na.drop(Seq("__a", "__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__nab"))
+      .localCheckpoint(false)
+    val ma = cells.groupBy("__a").agg(sum(col("__nab")).as("__na"))
+    val mb = cells.groupBy("__b").agg(sum(col("__nab")).as("__nb"))
+    val tot = cells.agg(sum(col("__nab")).as("__n"),
+      count(lit(1)).as("n_cells"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val miTerm = (d(col("__nab")) / d(col("__n"))) *
+      round(log((d(col("__nab")) * d(col("__n")))
+        / (d(col("__na")) * d(col("__nb")))), 6)
+    val mi = cells.join(ma, "__a").join(mb, "__b")
+      .crossJoin(broadcast(tot)) // 1x1 planning frame
+      .agg(sum(round(miTerm, 6).cast("decimal(18,6)")).as("__mi"))
+    def entropy(margin: DataFrame, cnt: String, as: String) = {
+      val t = (d(col(cnt)) / d(col("__n"))) *
+        round(log(d(col(cnt)) / d(col("__n"))), 6)
+      margin.crossJoin(broadcast(tot))
+        .agg(sum(round(t, 6).cast("decimal(18,6)")).as(as))
+    }
+    tot
+      .crossJoin(mi)
+      .crossJoin(entropy(ma, "__na", "__ha"))
+      .crossJoin(entropy(mb, "__nb", "__hb"))
+      .select(
+        col("__n").cast("long").as("n"),
+        col("n_cells").cast("long").as("n_cells"),
+        (lit(0.0) - col("__ha").cast("double")).as("h_a"),
+        (lit(0.0) - col("__hb").cast("double")).as("h_b"),
+        col("__mi").cast("double").as("mi"))
+  }
+
   /** Snapshot DIFF between two corpus versions keyed by `idCol`: one row
     * per id with status `added` (new only), `removed` (old only),
     * `changed` (both, payload fingerprints differ) or `unchanged`, plus

@@ -8157,7 +8157,114 @@ object Inventory {
         qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
         SELECT lang, q, vs[CAST(greatest(1, ceil(q * m)) AS INT)] AS value,
           m AS sample_size
-        FROM g, qq ORDER BY lang, q"""))
+        FROM g, qq ORDER BY lang, q""")),
+
+    Q("q258_correlation_matrix",
+      (s, dir) =>
+        // Pearson correlation matrix over lineitem's numeric columns in
+        // ONE pass: 4 + 10 exact DECIMAL sums in a single aggregate;
+        // every correlation derives from exact decimals, so the floats
+        // are engine-identical.
+        // scale 3 keeps the 2dp fixture values exact while the scaled
+        // int64 products stay inside DuckDB's DECIMAL(18) storage
+        graft.quality.Validator.correlationMatrix(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          scale = 3)
+          .orderBy("col_a", "col_b"),
+      Some("""WITH m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(l_quantity AS DECIMAL(18,3))) AS s0,
+            sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS s1,
+            sum(CAST(l_discount AS DECIMAL(18,3))) AS s2,
+            sum(CAST(l_tax AS DECIMAL(18,3))) AS s3,
+            sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS p00,
+            sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_extendedprice AS DECIMAL(18,3))) AS p01,
+            sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS p02,
+            sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS p03,
+            sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_extendedprice AS DECIMAL(18,3))) AS p11,
+            sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS p12,
+            sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS p13,
+            sum(CAST(l_discount AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS p22,
+            sum(CAST(l_discount AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS p23,
+            sum(CAST(l_tax AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS p33
+          FROM lineitem),
+        p AS (
+          SELECT col_a, col_b, sx, sy, sxy, sxx, syy, n FROM (
+            SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+              CAST(s0 AS DOUBLE) sx, CAST(s0 AS DOUBLE) sy, CAST(p00 AS DOUBLE) sxy,
+              CAST(p00 AS DOUBLE) sxx, CAST(p00 AS DOUBLE) syy, n FROM m
+            UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+              CAST(s0 AS DOUBLE), CAST(s1 AS DOUBLE), CAST(p01 AS DOUBLE),
+              CAST(p00 AS DOUBLE), CAST(p11 AS DOUBLE), n FROM m
+            UNION ALL SELECT 'l_quantity', 'l_discount',
+              CAST(s0 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(p02 AS DOUBLE),
+              CAST(p00 AS DOUBLE), CAST(p22 AS DOUBLE), n FROM m
+            UNION ALL SELECT 'l_quantity', 'l_tax',
+              CAST(s0 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(p03 AS DOUBLE),
+              CAST(p00 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM m
+            UNION ALL SELECT 'l_extendedprice', 'l_extendedprice',
+              CAST(s1 AS DOUBLE), CAST(s1 AS DOUBLE), CAST(p11 AS DOUBLE),
+              CAST(p11 AS DOUBLE), CAST(p11 AS DOUBLE), n FROM m
+            UNION ALL SELECT 'l_extendedprice', 'l_discount',
+              CAST(s1 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(p12 AS DOUBLE),
+              CAST(p11 AS DOUBLE), CAST(p22 AS DOUBLE), n FROM m
+            UNION ALL SELECT 'l_extendedprice', 'l_tax',
+              CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(p13 AS DOUBLE),
+              CAST(p11 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM m
+            UNION ALL SELECT 'l_discount', 'l_discount',
+              CAST(s2 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(p22 AS DOUBLE),
+              CAST(p22 AS DOUBLE), CAST(p22 AS DOUBLE), n FROM m
+            UNION ALL SELECT 'l_discount', 'l_tax',
+              CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(p23 AS DOUBLE),
+              CAST(p22 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM m
+            UNION ALL SELECT 'l_tax', 'l_tax',
+              CAST(s3 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(p33 AS DOUBLE),
+              CAST(p33 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM m))
+        SELECT col_a, col_b,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * syy - sy * sy) <= 0.0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                   * (CAST(n AS DOUBLE) * syy - sy * sy))
+          END AS corr, n
+        FROM p ORDER BY col_a, col_b""")),
+
+    Q("q259_mutual_information",
+      (s, dir) =>
+        // soft-dependency audit: mutual information (nats) between lang
+        // and source with both marginal entropies — completes the FD
+        // audit (q244 is the hard constraint, this the soft measure).
+        // Exact integer counts; ln under the 6dp DECIMAL discipline.
+        graft.quality.Validator.mutualInformation(
+          t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH cells AS (
+          SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nab
+          FROM documents GROUP BY 1, 2),
+        ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM cells GROUP BY a),
+        mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM cells GROUP BY b),
+        tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        mi AS (
+          SELECT CAST(sum(CAST(round(
+              (CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+              * round(ln((CAST(nab AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) AS mi
+          FROM cells JOIN ma USING (a) JOIN mb USING (b), tot),
+        ha AS (
+          SELECT CAST(sum(CAST(round(
+              (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+              * round(ln(CAST(na AS DOUBLE) / CAST(n AS DOUBLE)), 6), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) AS ha FROM ma, tot),
+        hb AS (
+          SELECT CAST(sum(CAST(round(
+              (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+              * round(ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)), 6), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) AS hb FROM mb, tot)
+        SELECT tot.n AS n, tot.n_cells AS n_cells,
+          0.0 - ha.ha AS h_a, 0.0 - hb.hb AS h_b, mi.mi AS mi
+        FROM tot, mi, ha, hb"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8221,6 +8328,7 @@ object Inventory {
     "q251_sample_quantiles", "q252_skew_advisor",
     "q253_ks_drift", "q254_psi_drift", "q255_embedding_isotropy",
     "q256_join_cardinality", "q257_group_quantiles",
+    "q258_correlation_matrix", "q259_mutual_information",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -150,6 +150,44 @@ class OutliersSpec extends SparkSpec {
       ("c", 3L, 3L, "de,en")), s"got ${got.toSeq}") // sample capped at 2, sorted
   }
 
+  test("correlationMatrix: perfect/anti/zero-variance arms, exact-decimal determinism") {
+    import spark.implicits._
+    // y = 2x (corr 1), z = -x (corr -1), w constant (zero variance -> NULL)
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i, -i.toDouble, 7.0))
+      .toDF("x", "y", "z", "w")
+    val got = Validator.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    assert(got.size == 10)
+    def c(a: String, b: String) = got((a, b)).get.asInstanceOf[Double]
+    assert(math.abs(c("x", "x") - 1.0) < 1e-12)
+    assert(math.abs(c("x", "y") - 1.0) < 1e-12)
+    assert(math.abs(c("x", "z") + 1.0) < 1e-12)
+    assert(got(("x", "w")).isEmpty, "zero variance must surface NULL, not a blow-up")
+    assert(got(("w", "w")).isEmpty)
+    // partitioning invariance: exact decimal sums
+    val a1 = Validator.correlationMatrix(df.repartition(7), Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val a2 = Validator.correlationMatrix(df.coalesce(1), Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(a1 == a2)
+  }
+
+  test("mutualInformation: identical columns share all entropy; independent share none") {
+    import spark.implicits._
+    // identical columns: MI == H (up to the 6dp ln grid)
+    val same = (1 to 90).map(i => (s"c${i % 3}", s"c${i % 3}")).toDF("a", "b")
+    val r1 = Validator.mutualInformation(same, "a", "b").head()
+    assert(r1.getLong(0) == 90L && r1.getLong(1) == 3L)
+    assert(math.abs(r1.getDouble(4) - r1.getDouble(2)) < 1e-5,
+      s"MI ${r1.getDouble(4)} should equal H_a ${r1.getDouble(2)}")
+    assert(r1.getDouble(2) > 1.0985 && r1.getDouble(2) < 1.0987, "H(uniform 3) = ln 3")
+    // independent uniform grid: MI exactly 0 on the 6dp grid
+    val indep = (0 until 90).map(i => (s"a${i % 3}", s"b${i / 30}")).toDF("a", "b")
+    val r2 = Validator.mutualInformation(indep, "a", "b").head()
+    assert(r2.getLong(1) == 9L)
+    assert(math.abs(r2.getDouble(4)) < 1e-9, s"independent MI ${r2.getDouble(4)}")
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged with carried columns") {
     import spark.implicits._
     val old = Seq(
