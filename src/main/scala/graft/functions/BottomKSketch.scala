@@ -39,8 +39,31 @@ class BottomKSketch(k: Int, hashInput: Boolean = true)
     insert(buf, h)
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    b.foldLeft(a)(insert)
+  /** Bulk two-pointer merge of two sorted buffers — O(|a|+|b|), not the
+    * per-element insert (which copies the whole array per element:
+    * O(k²) when two full sketches meet, a real constant on the
+    * partial-aggregation combine path every KMV consumer pays at every
+    * exchange). Result is bit-identical to the insert fold: the k
+    * unsigned-smallest of the deduplicated union.
+    */
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (b.length == 0) return a
+    if (a.length == 0) return b
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length && (i < a.length || j < b.length)) {
+      if (j >= b.length) { out(o) = a(i); i += 1 }
+      else if (i >= a.length) { out(o) = b(j); j += 1 }
+      else {
+        val c = java.lang.Long.compareUnsigned(a(i), b(j))
+        if (c < 0) { out(o) = a(i); i += 1 }
+        else if (c > 0) { out(o) = b(j); j += 1 }
+        else { out(o) = a(i); i += 1; j += 1 } // duplicate — a set keeps one
+      }
+      o += 1
+    }
+    if (o < out.length) java.util.Arrays.copyOf(out, o) else out
+  }
 
   override def finish(buf: Array[Long]): Array[Long] = buf
 

@@ -29,11 +29,31 @@ class BottomKValues(k: Int)
   override def reduce(buf: Array[Long], in: (Long, Double)): Array[Long] =
     insert(buf, in._1, java.lang.Double.doubleToLongBits(in._2))
 
+  /** Bulk two-pointer merge over the interleaved (hash, value) pairs —
+    * O(|a|+|b|) instead of the per-pair insert's O(k) array copy each
+    * (the BottomKSketch merge lesson applied to the value-carrying
+    * twin). On a duplicate hash the pair from `a` wins, exactly as the
+    * insert fold kept the first-seen value.
+    */
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var out = a
-    var i = 0
-    while (i < b.length) { out = insert(out, b(i), b(i + 1)); i += 2 }
-    out
+    if (b.length == 0) return a
+    if (a.length == 0) return b
+    val outN = math.min((a.length + b.length) / 2, k)
+    val out = new Array[Long](2 * outN)
+    var i = 0; var j = 0; var o = 0
+    while (o < outN && (i * 2 < a.length || j * 2 < b.length)) {
+      if (j * 2 >= b.length) { out(2 * o) = a(2 * i); out(2 * o + 1) = a(2 * i + 1); i += 1 }
+      else if (i * 2 >= a.length) { out(2 * o) = b(2 * j); out(2 * o + 1) = b(2 * j + 1); j += 1 }
+      else {
+        val c = java.lang.Long.compareUnsigned(a(2 * i), b(2 * j))
+        if (c <= 0) {
+          out(2 * o) = a(2 * i); out(2 * o + 1) = a(2 * i + 1); i += 1
+          if (c == 0) j += 1 // duplicate hash — a's (first-seen) value wins
+        } else { out(2 * o) = b(2 * j); out(2 * o + 1) = b(2 * j + 1); j += 1 }
+      }
+      o += 1
+    }
+    if (o < outN) java.util.Arrays.copyOf(out, 2 * o) else out
   }
 
   override def finish(buf: Array[Long]): Array[Double] = {

@@ -95,7 +95,11 @@ object VectorKernels {
     * pre-quantized list executes, so projections match bit-for-bit.
     */
   def quantDot(v: ArrayData, comp: Array[Double], scale: Double, vF: Boolean): Double = {
-    val n = math.min(v.numElements(), comp.length)
+    val n = v.numElements()
+    if (n != comp.length)
+      throw new IllegalArgumentException(
+        s"quant_dot: vector length $n != component length ${comp.length} — " +
+          "a truncated projection would be silently wrong (the VectorMoments dim contract)")
     var acc = 0.0
     var i = 0
     while (i < n) {

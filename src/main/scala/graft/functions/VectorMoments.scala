@@ -39,13 +39,19 @@ final case class VectorMomentsState(n: Long, sums: Array[Long], gram: Array[Long
   * EXTENSION (no reference counterpart — the reference has no vector
   * analytics; SURVEY.md §2 "UDF/UDAF/UDTF: none").
   */
-class VectorMoments(dim: Int, bits: Int)
+class VectorMoments(dim: Int, bits: Int, gram: Boolean = true)
     extends Aggregator[Seq[Double], Array[Long], VectorMomentsState] {
   require(dim > 0, "dim must be positive")
   require(bits >= 0 && bits <= 30, s"bits must be in [0,30], got $bits")
 
   private val scale = (1L << bits).toDouble
-  private val len = 1 + dim + dim * (dim + 1) / 2
+  // gram=false is the SUMS-ONLY arm: d+1 longs of state and d adds per
+  // row where the full kernel pays d(d+1)/2 multiply-adds and a ~17 KB
+  // buffer (d=64) — the right shape for consumers that need only the
+  // mean surface (Embeddings.groupMeans), a ~30× per-row constant on a
+  // 100 TB drift scan. Identical quantization and overflow contract;
+  // `finish` returns an EMPTY gram.
+  private val len = if (gram) 1 + dim + dim * (dim + 1) / 2 else 1 + dim
 
   override def zero: Array[Long] = new Array[Long](len)
 
@@ -58,15 +64,21 @@ class VectorMoments(dim: Int, bits: Int)
     while (i < dim) { q(i) = math.floor(vec(i) * scale).toLong; i += 1 }
     buf(0) = Math.addExact(buf(0), 1L)
     i = 0
-    var g = 1 + dim
     while (i < dim) {
       buf(1 + i) = Math.addExact(buf(1 + i), q(i))
-      var j = i
-      while (j < dim) {
-        buf(g) = Math.addExact(buf(g), Math.multiplyExact(q(i), q(j)))
-        j += 1; g += 1
-      }
       i += 1
+    }
+    if (gram) {
+      i = 0
+      var g = 1 + dim
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          buf(g) = Math.addExact(buf(g), Math.multiplyExact(q(i), q(j)))
+          j += 1; g += 1
+        }
+        i += 1
+      }
     }
     buf
   }
@@ -96,6 +108,14 @@ object VectorMoments {
     */
   def agg(vec: Column, dim: Int, bits: Int = 20): Column =
     udaf(new VectorMoments(dim, bits)).apply(vec)
+
+  /** Sums-only aggregate (n + per-dimension sums, EMPTY gram): d+1
+    * longs of state for mean-surface consumers — same quantization,
+    * same addExact overflow contract, ~d/2× cheaper per row than the
+    * full Gram kernel.
+    */
+  def sumsAgg(vec: Column, dim: Int, bits: Int = 20): Column =
+    udaf(new VectorMoments(dim, bits, gram = false)).apply(vec)
 
   /** Upper-triangle row-major index of (i, j), 0-based, i ≤ j. */
   def triIndex(dim: Int, i: Int, j: Int): Int =

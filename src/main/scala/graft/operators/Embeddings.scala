@@ -32,10 +32,14 @@ object Embeddings {
 
   /** One principal component: the unit direction, its Rayleigh-quotient
     * eigenvalue (covariance units, i.e. already scaled back from the
-    * fixed-point grid), and the projection offset dot(mu_q, v) in
-    * QUANTIZED units (used by [[projectDf]]).
+    * fixed-point grid), the projection offset dot(mu_q, v) in QUANTIZED
+    * units, and the `bits` the offset was computed under — carried
+    * INSIDE the component so [[projectDf]] cannot be handed a
+    * mismatched quantization grid (an independent bits parameter would
+    * silently shift and mis-scale every score).
     */
-  final case class Component(vector: Array[Double], lambda: Double, offset: Double)
+  final case class Component(
+      vector: Array[Double], lambda: Double, offset: Double, bits: Int)
 
   /** The one-pass moments aggregate as a 1-row DataFrame (n, sums, gram).
     * `vecCol` may be array<float> or array<double> — floats widen
@@ -159,7 +163,7 @@ object Embeddings {
     (0 until k).map { _ =>
       val (v, lam) = powerIteration(c, iters)
       c = Array.tabulate(dim, dim)((i, j) => c(i)(j) - lam * v(i) * v(j))
-      Component(v, lam, dot(muQ, v))
+      Component(v, lam, dot(muQ, v), bits)
     }
   }
 
@@ -172,9 +176,14 @@ object Embeddings {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      comps: Seq[Component],
-      bits: Int = 20): DataFrame = {
-    val scale = (1L << bits).toDouble
+      comps: Seq[Component]): DataFrame = {
+    require(comps.nonEmpty, "projectDf needs at least one component")
+    // the quantization grid rides inside each Component (set by
+    // principalComponents) — mixed grids in one projection call are a
+    // caller bug, failed loudly here
+    require(comps.map(_.bits).distinct.size == 1,
+      s"projectDf: components carry mixed bits ${comps.map(_.bits).distinct}")
+    val scale = (1L << comps.head.bits).toDouble
     val invScale = 1.0 / scale
     val vec = col(vecCol)
     val scores = comps.zipWithIndex.map { case (c, k) =>
@@ -234,8 +243,12 @@ object Embeddings {
       dim: Int,
       bits: Int = 20): DataFrame = {
     val invScale = 1.0 / (1L << bits).toDouble
+    // sums-only kernel: the drift surface needs just the d-long sums,
+    // so the grouped aggregate must not pay the d(d+1)/2 Gram it would
+    // discard (~30× the per-row hot-path cost at d=64, 17 KB → 0.5 KB
+    // of state per group)
     df.groupBy(col(groupCol))
-      .agg(VectorMoments.agg(col(vecCol).cast("array<double>"), dim, bits).as("m"))
+      .agg(VectorMoments.sumsAgg(col(vecCol).cast("array<double>"), dim, bits).as("m"))
       .select(col(groupCol), col("m.n").as("n"),
         posexplode(col("m.sums")).as(Seq("p", "s")))
       .select(col(groupCol), (col("p") + 1).cast("int").as("i"),

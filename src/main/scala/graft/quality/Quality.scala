@@ -129,6 +129,17 @@ object Validator {
     * dropped first (listwise deletion — documented contract; pairwise
     * deletion would need per-pair counts and gives non-PSD matrices).
     * Zero-variance columns yield NULL correlations, not division blow-ups.
+    *
+    * Magnitude contract, enforced LOUDLY: in non-ANSI mode a value at
+    * or beyond 10^(18-scale) would overflow its decimal(18,scale) cast
+    * to NULL — the sum would silently skip rows that `n` still counts
+    * and every correlation would come out wrong. The same aggregate
+    * therefore also tracks max(abs(value)) per column, and the result
+    * derivation raise_error's when the observed magnitudes could
+    * overflow the value cast (10^(18-scale)), the plain sums
+    * (decimal(28,scale): max·n budget) or the product sums
+    * (decimal(38,2·scale): max²·n budget) — the fail-loudly overflow
+    * discipline of VectorMoments.addExact, with no second scan.
     */
   def correlationMatrix(
       df: DataFrame,
@@ -138,18 +149,34 @@ object Validator {
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
     val clean = df.na.drop(cols)
     def dec(c: String) = col(c).cast(s"decimal(18,$scale)")
-    val sums = cols.map(c => sum(dec(c)).as(s"__s_$c"))
+    // internal columns keyed by INDEX, not raw name — a profiled column
+    // containing a dot or backtick must not break re-resolution
+    val sums = cols.zipWithIndex.map { case (c, i) => sum(dec(c)).as(s"__s_$i") }
+    val mxs = cols.zipWithIndex.map { case (c, i) =>
+      max(abs(col(c).cast("double"))).as(s"__mx_$i")
+    }
     val pairs = for {
       i <- cols.indices; j <- i until cols.size
     } yield (i, j)
     val prods = pairs.map { case (i, j) =>
       sum(dec(cols(i)) * dec(cols(j))).as(s"__p_${i}_$j")
     }
-    val agg = clean.agg(count(lit(1)).as("__n"), (sums ++ prods): _*)
+    val agg = clean.agg(count(lit(1)).as("__n"), (sums ++ prods ++ mxs): _*)
+    val ndG = col("__n").cast("double")
+    val mxAll = greatest(cols.indices.map(i => col(s"__mx_$i")): _*)
+    val overflowGate = mxAll >= least(
+      lit(math.pow(10, 18 - scale)),                 // the value cast itself
+      lit(math.pow(10, 28 - scale)) / ndG,           // Σ|v| vs decimal(28,scale)
+      sqrt(lit(math.pow(10, 38 - 2 * scale)) / ndG)) // Σ|v·v| vs decimal(38,2·scale)
+    val nOut = when(overflowGate, raise_error(concat(
+      lit(s"correlation_matrix: max |value| "), mxAll.cast("string"),
+      lit(s" over n="), col("__n").cast("string"),
+      lit(s" can overflow the decimal(18,$scale) sums — lower `scale` or pre-scale the columns"))))
+      .otherwise(col("__n"))
     val rows = pairs.map { case (i, j) =>
       val nd = col("__n").cast("double")
-      val sx = col(s"__s_${cols(i)}").cast("double")
-      val sy = col(s"__s_${cols(j)}").cast("double")
+      val sx = col(s"__s_$i").cast("double")
+      val sy = col(s"__s_$j").cast("double")
       val sxy = col(s"__p_${i}_$j").cast("double")
       val sxx = col(s"__p_${i}_$i").cast("double")
       val syy = col(s"__p_${j}_$j").cast("double")
@@ -161,7 +188,7 @@ object Validator {
         when(da * db <= 0.0, lit(null).cast("double"))
           .otherwise(num / sqrt(da * db)).as("corr"))
     }
-    agg.select(col("__n").as("n"), explode(array(rows: _*)).as("e"))
+    agg.select(nOut.as("n"), explode(array(rows: _*)).as("e"))
       .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
         col("e.corr").as("corr"), col("n"))
   }

@@ -185,8 +185,13 @@ object StreamOps {
     require(baseline.values.forall(v => v > 0.0 && v <= 1.0),
       "baseline shares must be in (0, 1]")
     val cats = baseline.keys.toSeq.sorted
-    val catCounts = cats.map(c =>
-      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"__n_$c"))
+    // pivot columns are named by the category's INDEX in the sorted
+    // baseline, not the raw string — a category containing a dot or
+    // backtick ("en.US") would otherwise break col() re-resolution at
+    // analysis time
+    val catCounts = cats.zipWithIndex.map { case (c, i) =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"__n_$i")
+    }
     val agg = events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_))
@@ -194,9 +199,9 @@ object StreamOps {
     // stateless explode back to rows; per-category share uses the
     // IN-BASELINE total so the shares compare like-for-like even when
     // off-baseline categories appear (they surface via coverage)
-    val inBase = cats.map(c => col(s"__n_$c")).reduce(_ + _)
-    val perCat = cats.map { c =>
-      struct(lit(c).as("cat"), col(s"__n_$c").as("n"),
+    val inBase = cats.indices.map(i => col(s"__n_$i")).reduce(_ + _)
+    val perCat = cats.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("cat"), col(s"__n_$i").as("n"),
         lit(baseline(c)).as("base_share"))
     }
     agg

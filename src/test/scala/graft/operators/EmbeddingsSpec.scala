@@ -149,6 +149,22 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("sums-only aggregate ≡ full moments on (n, sums); gram empty; state d+1 longs") {
+    import graft.functions.VectorMoments
+    // the round-12 groupMeans hot-path swap: identical n and sums,
+    // no Gram computed or carried
+    val full = emb.agg(VectorMoments.agg(
+        col("embedding").cast("array<double>"), Dim).as("m"))
+      .select("m.n", "m.sums", "m.gram").head()
+    val sums = emb.agg(VectorMoments.sumsAgg(
+        col("embedding").cast("array<double>"), Dim).as("m"))
+      .select("m.n", "m.sums", "m.gram").head()
+    assert(sums.getLong(0) == full.getLong(0))
+    assert(sums.getSeq[Long](1) == full.getSeq[Long](1))
+    assert(sums.getSeq[Long](2).isEmpty, "sums-only arm must carry an EMPTY gram")
+    assert(full.getSeq[Long](2).nonEmpty)
+  }
+
   test("isotropyReport: exact trace matches the covariance diagonal; shares ordered and bounded") {
     val r = Embeddings.isotropyReport(emb, "embedding", Dim).head()
     val (n, d, trace, l1, l2, s1, s2) = (r.getLong(0), r.getInt(1), r.getDouble(2),

@@ -172,6 +172,23 @@ class OutliersSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("correlationMatrix fails LOUDLY when a value could overflow the decimal sums") {
+    import spark.implicits._
+    // 10^(18-6) = 1e12: at scale 6 a value beyond it would cast to NULL
+    // in non-ANSI mode and silently skip rows the count keeps
+    val big = Seq((1.5e12, 1.0), (2.0, 2.0)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Validator.correlationMatrix(big, Seq("x", "y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("correlation_matrix")),
+      s"expected the overflow raise_error, got $e")
+    // in-budget magnitudes still pass
+    val ok = Seq((1.0e9, 1.0), (2.0, 2.0)).toDF("x", "y")
+    assert(Validator.correlationMatrix(ok, Seq("x", "y")).collect().length == 3)
+  }
+
   test("mutualInformation: identical columns share all entropy; independent share none") {
     import spark.implicits._
     // identical columns: MI == H (up to the 6dp ln grid)

@@ -361,4 +361,18 @@ class StreamOpsSpec extends SparkSpec {
       assert(twin.toSeq == out.toSeq, "batch and stream must emit identical reports")
     } finally q.stop()
   }
+
+  test("windowedPsiDrift: categories with dots/backticks survive the pivot (index-named columns)") {
+    import spark.implicits._
+    // "en.US" / "de`at" used to break col("__n_en.US") resolution at
+    // analysis time — the pivot now names columns by baseline index
+    val baseline = Map("en.US" -> 0.5, "de`at" -> 0.5)
+    val batch = Seq((ts(1), "en.US"), (ts(2), "en.US"), (ts(3), "de`at"))
+      .toDF("ts", "lang")
+    val out = StreamOps.windowedPsiDrift(batch, "ts", "lang", baseline,
+        watermark = "0 seconds")
+      .orderBy("cat").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("de`at", 1L, 1.0 / 3.0), ("en.US", 2L, 2.0 / 3.0)))
+  }
 }
