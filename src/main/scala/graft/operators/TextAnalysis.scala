@@ -876,6 +876,57 @@ object TextAnalysis {
       .filter(col("n_occurrences") >= minCount)
   }
 
+  /** Tokenizer FERTILITY audit: per-language tokens-per-word,
+    * tokens-per-char and bytes-per-token through a tokenizer closure
+    * (a registered BPE model — [[Bpe.registerSql]] /
+    * `graft.functions.GraftModels`). The trainer-side report for "this
+    * tokenizer taxes language X 3× over English": a fertility
+    * (tokens/word) far above the corpus norm means the model's merges
+    * never fire for that language and its documents pay more sequence
+    * positions per character of content — the standard multilingual
+    * tokenizer-health signal (Rust et al. 2021's fertility metric).
+    *
+    * All counters are exact integers over the engine's tokenizer
+    * convention (trim + `\s+`, lowercased — the q197 grid): words,
+    * UTF-8 chars and bytes of the words themselves (end-of-word
+    * markers excluded), subword tokens from the model. Ratios are
+    * 6dp-rounded doubles of exact-integer divisions — cross-engine
+    * replayable; zero denominators surface NULL, never NaN.
+    *
+    * Scale: the encode is the map-only native codegen kernel
+    * (BpeEncodeExpr, merge table broadcast); the ONLY shuffle is the
+    * |languages|-bounded aggregate. No explode — per-document counters
+    * fold the word array in place.
+    */
+  def tokenizerFertility(
+      df: DataFrame,
+      langCol: String,
+      textCol: String,
+      enc: Column => Column): DataFrame = {
+    val words = coalesce(
+      filter(split(trim(lower(col(textCol))), WhitespaceSplit), w => w =!= lit("")),
+      array().cast("array<string>"))
+    def ratio(num: Column, den: Column) =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    df.select(col(langCol).as("lang"),
+        size(enc(col(textCol))).cast("long").as("__nt"),
+        size(words).cast("long").as("__nw"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long")).as("__nc"),
+        aggregate(words, lit(0L), (acc, w) => acc + octet_length(w).cast("long")).as("__nb"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nc")).as("n_chars"),
+        sum(col("__nb")).as("n_bytes"),
+        sum(col("__nt")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_bytes"), col("n_tokens"),
+        ratio(col("n_tokens"), col("n_words")).as("tokens_per_word"),
+        ratio(col("n_tokens"), col("n_chars")).as("tokens_per_char"),
+        ratio(col("n_bytes"), col("n_tokens")).as("bytes_per_token"))
+  }
+
   /** Inverted index over mid-frequency terms: term → document-frequency
     * + full posting list (sorted doc ids, comma-joined for a flat
     * schema). Terms outside [minDf, maxDf] are dropped BEFORE any

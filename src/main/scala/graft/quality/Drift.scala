@@ -32,9 +32,13 @@ object Drift {
     */
   def ksDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
     val spark = dfA.sparkSession
-    val a = dfA.select(col(valueCol).cast("long").as("v"))
+    // the CDF is keyed on the ORIGINAL numeric value (widened to
+    // double — exact for integers up to 2^53); an integer truncation
+    // here would collapse continuous inputs (1.4 and 1.6 to one grid
+    // point) and silently change the statistic
+    val a = dfA.select(col(valueCol).cast("double").as("v"))
       .withColumn("__a", lit(1L)).withColumn("__b", lit(0L))
-    val b = dfB.select(col(valueCol).cast("long").as("v"))
+    val b = dfB.select(col(valueCol).cast("double").as("v"))
       .withColumn("__a", lit(0L)).withColumn("__b", lit(1L))
     val perValue = a.unionByName(b)
       .groupBy("v")
@@ -53,7 +57,7 @@ object Drift {
     if (na == 0L || nb == 0L)
       return pinned.sparkSession.emptyDataFrame
         .select(lit(na).as("n_a"), lit(nb).as("n_b"),
-          lit(0.0).as("d_stat"), lit(null).cast("long").as("at_value"))
+          lit(0.0).as("d_stat"), lit(null).cast("double").as("at_value"))
         .filter(lit(false))
     def offsetExpr(totals: Map[Int, Long]) =
       if (totals.isEmpty) lit(0L)
@@ -83,6 +87,89 @@ object Drift {
         (col("__ad").cast("double") / (lit(na.toDouble) * lit(nb.toDouble)))
           .as("d_stat"),
         col("v").as("at_value"))
+  }
+
+  /** [[ksDrift]] PER GROUP in one pass — the KS statistic of a numeric
+    * column between two corpus slices for EVERY language/source/shard
+    * at once, where the global statistic would hide per-slice shifts
+    * (a length collapse confined to one language disappears inside the
+    * corpus-wide CDF).
+    *
+    * Shape: per (group, side) the deterministic value-carrying KMV
+    * sample ([[graft.functions.BottomKValues]], 2k longs of mergeable
+    * state — the q257 machinery; hash = md5-60-bit image of `keyCol`,
+    * so any engine replays the exact sample), then the EXACT two-sample
+    * KS over the two samples: for every candidate value v in either
+    * sample, |cntA(≤v)·m_b − cntB(≤v)·m_a| in exact integers (≤ k², no
+    * floats), max located with the smallest-value tie-break. The
+    * statistic is exact FOR THE SAMPLES; sampling error is the usual
+    * KS-on-k-rows bound (~1.36·√(2/k) at 95%). Groups present on one
+    * side only surface with `one_sided` = true and NULL d_stat — never
+    * a silent drop.
+    *
+    * Scale: ONE (group, side)-keyed aggregate with bounded state is
+    * the only data shuffle; the pivot + candidate expansion + argmax
+    * run on |groups|-bounded frames already partitioned by group (the
+    * struct-minima argmax avoids any per-group window). Output:
+    * (groupCol, n_a, n_b, m_a, m_b, d_stat, at_value, one_sided).
+    */
+  def ksDriftByGroup(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(groupCol).as("__g"),
+        lit(tag).as("__side"),
+        conv(substring(
+          md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+          1, 15), 16, 10).cast("long").as("__h"),
+        col(valueCol).cast("double").as("__v"))
+    val samp = side(dfA, "a").unionByName(side(dfB, "b"))
+      .groupBy("__g", "__side")
+      .agg(count(lit(1)).as("__n"),
+        graft.functions.BottomKValues.sample(col("__h"), col("__v"), k).as("__vals"))
+    // pivot the two sides wide; arrays compare fine under max() and a
+    // group has at most one row per side
+    val wide = samp.groupBy("__g")
+      .agg(
+        coalesce(max(when(col("__side") === "a", col("__n"))), lit(0L)).as("n_a"),
+        coalesce(max(when(col("__side") === "b", col("__n"))), lit(0L)).as("n_b"),
+        coalesce(max(when(col("__side") === "a", col("__vals"))),
+          array().cast("array<double>")).as("__va"),
+        coalesce(max(when(col("__side") === "b", col("__vals"))),
+          array().cast("array<double>")).as("__vb"))
+      .withColumn("m_a", size(col("__va")).cast("long"))
+      .withColumn("m_b", size(col("__vb")).cast("long"))
+    val cand = wide
+      .select(col("__g"), col("n_a"), col("n_b"), col("m_a"), col("m_b"),
+        col("__va"), col("__vb"),
+        explode(array_distinct(concat(col("__va"), col("__vb")))).as("__cv"))
+      .withColumn("__ca",
+        size(filter(col("__va"), x => x <= col("__cv"))).cast("long"))
+      .withColumn("__cb",
+        size(filter(col("__vb"), x => x <= col("__cv"))).cast("long"))
+      // exact integer cross-products, ≤ k² — no float CDFs
+      .withColumn("__ad",
+        abs(col("__ca") * col("m_b") - col("__cb") * col("m_a")))
+    cand
+      .groupBy("__g", "n_a", "n_b", "m_a", "m_b")
+      // argmax with the smallest-value tie-break as ONE struct minimum
+      // (min over (−ad, v)) — no per-group window, no second sort
+      .agg(min(struct((col("__ad") * -1L).as("nad"), col("__cv").as("v"))).as("__best"))
+      .select(
+        col("__g").as(groupCol),
+        col("n_a"), col("n_b"), col("m_a"), col("m_b"),
+        when(col("m_a") === 0L || col("m_b") === 0L, lit(null).cast("double"))
+          .otherwise((col("__best.nad").cast("double") * -1.0)
+            / (col("m_a").cast("double") * col("m_b").cast("double"))).as("d_stat"),
+        when(col("m_a") === 0L || col("m_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("__best.v")).as("at_value"),
+        (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
   }
 
   /** Population Stability Index over a categorical column: per-category

@@ -1211,6 +1211,27 @@ object Inventory {
 
   // ================================================================ §2.C
 
+  /** Fixed BPE merge table for the q260 fertility audit — an INPUT
+    * artifact (the tokenizer under audit), not corpus-trained state:
+    * that is what lets the DuckDB oracle replay the greedy rank-
+    * priority encode from the same literal. Crafted to exercise
+    * multi-level merge chains on the fixture vocabulary ("table" and
+    * "window" merge to single tokens; "agg"/"join"/"str" partially).
+    */
+  private val fertilityMerges: Seq[(String, String)] = Seq(
+    "e" -> "</w>", "a" -> "</w>", "t" -> "a", "ta" -> "b", "tab" -> "l",
+    "tabl" -> "e</w>", "r" -> "o", "o" -> "w", "w" -> "i", "n" -> "d",
+    "wi" -> "nd", "wind" -> "ow", "window" -> "</w>", "s" -> "t",
+    "st" -> "r", "e" -> "a", "j" -> "o", "i" -> "n", "g" -> "g",
+    "a" -> "gg", "agg" -> "</w>", "q" -> "u", "h" -> "a", "s" -> "</w>")
+
+  /** [[fertilityMerges]] as a DuckDB list literal of 'left right' rank
+    * keys — interpolated into q260's oracle so the two engines share
+    * ONE merge table by construction.
+    */
+  private val fertilityMergesSql: String =
+    fertilityMerges.map { case (l, r) => s"'$l $r'" }.mkString("[", ", ", "]")
+
   private val extensions = Seq(
     Q("q80_dedup_exact",
       (s, dir) =>
@@ -7947,10 +7968,10 @@ object Inventory {
       Some("""WITH u AS (
           SELECT v, CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
           FROM (
-            SELECT CAST(n_chars AS BIGINT) AS v, 1 AS ca, 0 AS cb
+            SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS ca, 0 AS cb
             FROM documents WHERE lang = 'en'
             UNION ALL
-            SELECT CAST(n_chars AS BIGINT) AS v, 0 AS ca, 1 AS cb
+            SELECT CAST(n_chars AS DOUBLE) AS v, 0 AS ca, 1 AS cb
             FROM documents WHERE lang <> 'en')
           GROUP BY v),
         t AS (SELECT
@@ -8264,7 +8285,142 @@ object Inventory {
             AS DECIMAL(18,6))) AS DOUBLE) AS hb FROM mb, tot)
         SELECT tot.n AS n, tot.n_cells AS n_cells,
           0.0 - ha.ha AS h_a, 0.0 - hb.hb AS h_b, mi.mi AS mi
-        FROM tot, mi, ha, hb"""))
+        FROM tot, mi, ha, hb""")),
+
+    Q("q260_tokenizer_fertility",
+      (s, dir) => {
+        // per-language tokenizer-fertility audit through the registered
+        // named-model surface (Bpe.registerSql → GraftModels): exact
+        // word/char/byte/token counters + 6dp ratios. The merge table
+        // is a FIXED artifact (a fertility audit measures a GIVEN
+        // tokenizer against a corpus — the tokenizer is an input, like
+        // q205's gazetteer), which is exactly what makes the greedy
+        // encode fully oracle-replayable: the DuckDB twin re-runs the
+        // rank-priority merge loop per word type from the same literal
+        // table in a recursive CTE.
+        Bpe.registerSql(s, "fertility_probe", fertilityMerges)
+        val enc = graft.functions.GraftModels.resolve("fertility_probe", "bpe")
+        TextAnalysis
+          .tokenizerFertility(t(s, dir, "documents"), "lang", "text", enc)
+          .orderBy("lang")
+      },
+      Some(raw"""WITH RECURSIVE ws AS (
+          SELECT lang,
+            unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x <> '')) AS wd
+          FROM documents),
+        types AS (SELECT DISTINCT wd FROM ws),
+        enc AS (
+          SELECT wd,
+            list_append([wd[i] for i in range(1, length(wd) + 1)], '</w>') AS syms
+          FROM types
+          UNION ALL
+          SELECT wd, syms[1:ba-1] || [syms[ba] || syms[ba+1]] || syms[ba+2:] AS syms
+          FROM (
+            SELECT wd, syms, list_min(rks) AS br,
+              list_position(rks, list_min(rks)) AS ba
+            FROM (
+              SELECT wd, syms,
+                list_transform(range(1, len(syms)), i ->
+                  coalesce(nullif(list_position($fertilityMergesSql,
+                    syms[i] || ' ' || syms[i+1]), 0), 999999)) AS rks
+              FROM enc) t1) t2
+          WHERE br < 999999),
+        fin AS (
+          SELECT wd, CAST(len(syms) AS BIGINT) AS ntok
+          FROM (
+            SELECT wd, syms,
+              list_min(list_transform(range(1, len(syms)), i ->
+                coalesce(nullif(list_position($fertilityMergesSql,
+                  syms[i] || ' ' || syms[i+1]), 0), 999999))) AS br
+            FROM enc) t
+          WHERE br IS NULL OR br = 999999),
+        wagg AS (
+          SELECT ws.lang,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(length(ws.wd)) AS BIGINT) AS n_chars,
+            CAST(sum(strlen(ws.wd)) AS BIGINT) AS n_bytes,
+            CAST(sum(f.ntok) AS BIGINT) AS n_tokens
+          FROM ws JOIN fin f ON f.wd = ws.wd GROUP BY ws.lang),
+        docs AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang)
+        SELECT d.lang, d.n_docs,
+          coalesce(a.n_words, 0) AS n_words,
+          coalesce(a.n_chars, 0) AS n_chars,
+          coalesce(a.n_bytes, 0) AS n_bytes,
+          coalesce(a.n_tokens, 0) AS n_tokens,
+          CASE WHEN coalesce(a.n_words, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE), 6)
+          END AS tokens_per_word,
+          CASE WHEN coalesce(a.n_chars, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_tokens AS DOUBLE) / CAST(a.n_chars AS DOUBLE), 6)
+          END AS tokens_per_char,
+          CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_bytes AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+          END AS bytes_per_token
+        FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
+        ORDER BY d.lang""")),
+
+    Q("q261_group_ks_drift",
+      (s, dir) => {
+        // per-language KS drift in ONE pass (even- vs odd-id halves):
+        // q253's exact-integer statistic per group over deterministic
+        // value-carrying KMV samples (the q257 machinery) — exact KS
+        // per slice where the global statistic would average away a
+        // single language's length collapse.
+        val d = t(s, dir, "documents")
+        graft.quality.Drift.ksDriftByGroup(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "lang", "doc_id", "n_chars", k = 200)
+          .orderBy("lang")
+      },
+      Some("""WITH u AS (
+          SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+            CAST(n_chars AS DOUBLE) AS v,
+            CAST(concat('0x',
+              substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        r AS (
+          SELECT lang, side, v,
+            row_number() OVER (PARTITION BY lang, side ORDER BY h) AS rn
+          FROM u),
+        n AS (
+          SELECT lang,
+            CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM u GROUP BY lang),
+        s AS (
+          SELECT lang,
+            coalesce(list(v ORDER BY rn) FILTER (WHERE side = 'a'), []) AS va,
+            coalesce(list(v ORDER BY rn) FILTER (WHERE side = 'b'), []) AS vb
+          FROM r WHERE rn <= 200 GROUP BY lang),
+        m AS (
+          SELECT lang, va, vb,
+            CAST(len(va) AS BIGINT) AS m_a, CAST(len(vb) AS BIGINT) AS m_b
+          FROM s),
+        cand AS (
+          SELECT lang, m_a, m_b, va, vb,
+            unnest(list_distinct(va || vb)) AS cv
+          FROM m),
+        dd AS (
+          SELECT lang, m_a, m_b, cv,
+            abs(CAST(len(list_filter(va, x -> x <= cv)) AS BIGINT) * m_b
+              - CAST(len(list_filter(vb, x -> x <= cv)) AS BIGINT) * m_a) AS ad
+          FROM cand),
+        best AS (
+          SELECT lang, m_a, m_b, cv, ad,
+            row_number() OVER (PARTITION BY lang ORDER BY ad DESC, cv ASC) AS rk
+          FROM dd)
+        SELECT n.lang, n.n_a, n.n_b, b.m_a, b.m_b,
+          CASE WHEN b.m_a = 0 OR b.m_b = 0 THEN NULL
+            ELSE CAST(b.ad AS DOUBLE)
+              / (CAST(b.m_a AS DOUBLE) * CAST(b.m_b AS DOUBLE)) END AS d_stat,
+          CASE WHEN b.m_a = 0 OR b.m_b = 0 THEN NULL ELSE b.cv END AS at_value,
+          (b.m_a = 0 OR b.m_b = 0) AS one_sided
+        FROM n JOIN best b ON b.lang = n.lang AND b.rk = 1
+        ORDER BY n.lang"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8329,6 +8485,7 @@ object Inventory {
     "q253_ks_drift", "q254_psi_drift", "q255_embedding_isotropy",
     "q256_join_cardinality", "q257_group_quantiles",
     "q258_correlation_matrix", "q259_mutual_information",
+    "q260_tokenizer_fertility", "q261_group_ks_drift",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

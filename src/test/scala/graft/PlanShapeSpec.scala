@@ -1095,6 +1095,69 @@ class PlanShapeSpec extends SparkSpec {
       s"q254's totals must broadcast, not shuffle-join:\n$psi")
   }
 
+  test("q257: per-group quantiles are ONE BottomKValues aggregate — no per-group window or sort") {
+    val p = planString(run("q257_group_quantiles"))
+    // one hash exchange: the group aggregate whose 2k-long mergeable
+    // state replaces the ORDER BY + LIMIT that cannot run per group
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"q257 must shuffle exactly once (the group aggregate):\n$p")
+    assert(!p.contains("Window"), s"q257 must not plan a per-group window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q257 must not join:\n$p")
+    // the only sort is the presentation ORDER BY (range exchange)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1, s"q257 sorts once:\n$p")
+  }
+
+  test("q258: the correlation matrix is ONE aggregation over ONE scan — no second pass") {
+    val p = planString(run("q258_correlation_matrix"))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"q258 must scan lineitem exactly once (18 decimal sums in one aggregate):\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
+      s"q258's only exchange is the global-aggregate gather:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q258 must not join:\n$p")
+  }
+
+  test("q259: margins/totals/MI all derive from the checkpointed cell frame — corpus scanned once") {
+    val p = planString(run("q259_mutual_information"))
+    // the cell frame is a lazy localCheckpoint: every downstream
+    // consumer (two margins, totals, MI, entropies) reads the
+    // category-product-bounded RDD, and NO consumer re-scans parquet
+    assert(!p.contains("Scan parquet"),
+      s"q259's consumers must read the checkpointed cells, not re-scan the corpus:\n$p")
+    assert("ExistingRDD".r.findAllIn(p).length >= 3,
+      s"q259's margins/totals must derive from the shared cell frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q259's cell-frame joins stay in-memory width, never a data sort-merge:\n$p")
+  }
+
+  test("q260: tokenizer fertility is map-only into ONE language aggregate — no explode") {
+    val p = planString(run("q260_tokenizer_fertility"))
+    // per-document counters fold the word array in place (aggregate
+    // HOFs + the native bpe kernel) — no word-stream explode, so the
+    // only data shuffle is the |languages|-bounded aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"q260 must shuffle once (the lang aggregate):\n$p")
+    assert(!p.contains("Generate"), s"q260 must not explode the word stream:\n$p")
+    assert(p.contains("bpe_encode"),
+      s"q260 must encode through the native bpe kernel:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q260 must not join:\n$p")
+  }
+
+  test("q261: per-group KS shuffles samples twice, argmax is a struct-minimum — no window, no join") {
+    val p = planString(run("q261_group_ks_drift"))
+    // exchange 1: the (group, side) BottomKValues sample aggregate —
+    // the ONLY shuffle that sees data rows; exchange 2: the group
+    // pivot over |groups|×2 sample rows. The candidate expansion and
+    // the (−ad, v) struct-minimum argmax reuse the group partitioning.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"q261 is two bounded exchanges (sample agg + pivot):\n$p")
+    assert(!p.contains("Window"), s"q261's argmax must not plan a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q261 must not join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -789,4 +789,31 @@ class TextAnalysisSpec extends SparkSpec {
     // ranks 1,2,3 is NOT 1/r, so just pin the sign and range
     assert(got.head.getDouble(5) < -0.5 && got.head.getDouble(5) > -2.0)
   }
+
+  test("tokenizerFertility: exact counters + 6dp ratios; null/blank text; multibyte bytes") {
+    import spark.implicits._
+    val merges = Seq("a" -> "b", "ab" -> "</w>", "c" -> "</w>")
+    val enc = Bpe.encodeNative(spark, merges)
+    val df = Seq(
+      ("en", "ab c"),                      // "ab"→1 token, "c"→1 token
+      ("en", "   "),                       // blank: 0 words
+      ("de", null.asInstanceOf[String]),   // null: 0 words, 0 tokens
+      ("de", "AB ab"),                     // lowercased: 2×"ab" → 2 tokens
+      ("fr", "éé"))              // éé: 2 chars, 4 UTF-8 bytes, no merges → 3 syms
+      .toDF("lang", "text")
+    val got = TextAnalysis.tokenizerFertility(df, "lang", "text", enc)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), Option(r.get(6)), Option(r.get(7)), Option(r.get(8))))
+    assert(got(0) == ("de", 2L, 2L, 4L, 4L, 2L,
+      Some(1.0), Some(0.5), Some(2.0)), s"de row ${got(0)}")
+    assert(got(1) == ("en", 2L, 2L, 3L, 3L, 2L,
+      Some(1.0), Some(0.666667), Some(1.5)), s"en row ${got(1)}")
+    assert(got(2) == ("fr", 1L, 1L, 2L, 4L, 3L,
+      Some(3.0), Some(1.5), Some(1.333333)), s"fr row ${got(2)}")
+    // a language with ONLY empty docs: zero denominators surface NULL
+    val empt = TextAnalysis.tokenizerFertility(
+      Seq(("zz", "")).toDF("lang", "text"), "lang", "text", enc).head()
+    assert(empt.getLong(2) == 0L && empt.isNullAt(6) && empt.isNullAt(7) && empt.isNullAt(8))
+  }
 }

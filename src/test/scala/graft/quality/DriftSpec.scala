@@ -16,7 +16,7 @@ class DriftSpec extends SparkSpec {
     val r = Drift.ksDrift(a, b, "v").head()
     assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
     assert(r.getDouble(2) == 0.5)
-    assert(r.getLong(3) == 2L, s"tie must break to the smallest value, got ${r.getLong(3)}")
+    assert(r.getDouble(3) == 2.0, s"tie must break to the smallest value, got ${r.getDouble(3)}")
   }
 
   test("ksDrift: identical samples give D=0; disjoint ranges give D=1") {
@@ -28,6 +28,17 @@ class DriftSpec extends SparkSpec {
     assert(Drift.ksDrift(lo, hi, "v").head().getDouble(2) == 1.0)
   }
 
+  test("ksDrift: continuous doubles are NOT binned to an integer grid") {
+    import spark.implicits._
+    // 1.4 vs 1.6 used to collapse onto one grid point under the old
+    // cast("long"), reading D=0 for clearly shifted samples
+    val a = Seq(1.4, 1.4, 1.4).toDF("v")
+    val b = Seq(1.6, 1.6, 1.6).toDF("v")
+    val r = Drift.ksDrift(a, b, "v").head()
+    assert(r.getDouble(2) == 1.0, s"disjoint continuous samples must give D=1, got $r")
+    assert(r.getDouble(3) == 1.4)
+  }
+
   test("ksDrift is partitioning-invariant (partition-offset prefix sums)") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val a = d.filter(col("lang") === "en")
@@ -35,7 +46,7 @@ class DriftSpec extends SparkSpec {
     val r1 = Drift.ksDrift(a.repartition(13), b.repartition(5), "n_chars").head()
     val r2 = Drift.ksDrift(a.coalesce(1), b.coalesce(1), "n_chars").head()
     assert(r1.getDouble(2) == r2.getDouble(2))
-    assert(r1.getLong(3) == r2.getLong(3))
+    assert(r1.getDouble(3) == r2.getDouble(3))
   }
 
   test("ksDrift: no global single-partition window in the plan") {
@@ -48,6 +59,43 @@ class DriftSpec extends SparkSpec {
     // the prefix sum itself must stay range-partitioned
     assert(exchanges <= 1,
       s"prefix sum must not serialize into one partition:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("ksDriftByGroup: hand-checked per-group D; one-sided groups flagged, never dropped") {
+    import spark.implicits._
+    // g1 replays q253's hand example per group: A={1,2,3,4}, B={3,4,5,6}
+    // → D = 1/2 first attained at v=2; g2 exists on side A only
+    val a = Seq(("g1", 1L, 1.0), ("g1", 2L, 2.0), ("g1", 3L, 3.0),
+      ("g1", 4L, 4.0), ("g2", 9L, 7.0)).toDF("g", "k", "v")
+    val b = Seq(("g1", 5L, 3.0), ("g1", 6L, 4.0), ("g1", 7L, 5.0),
+      ("g1", 8L, 6.0)).toDF("g", "k", "v")
+    val got = Drift.ksDriftByGroup(a, b, "g", "k", "v", k = 100)
+      .orderBy("g").collect()
+    val g1 = got(0)
+    assert(g1.getString(0) == "g1" && g1.getLong(1) == 4L && g1.getLong(2) == 4L)
+    assert(g1.getLong(3) == 4L && g1.getLong(4) == 4L) // k > n: sample is exact
+    assert(g1.getDouble(5) == 0.5)
+    assert(g1.getDouble(6) == 2.0, s"tie must break to the smallest value, got $g1")
+    assert(!g1.getBoolean(7))
+    val g2 = got(1)
+    assert(g2.getString(0) == "g2" && g2.getLong(1) == 1L && g2.getLong(2) == 0L)
+    assert(g2.isNullAt(5) && g2.isNullAt(6) && g2.getBoolean(7),
+      s"one-sided group must surface with NULL d_stat, got $g2")
+  }
+
+  test("ksDriftByGroup is partitioning-invariant and window-free") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val a = d.filter(col("doc_id") % 2 === 0)
+    val b = d.filter(col("doc_id") % 2 === 1)
+    def run(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Drift.ksDriftByGroup(x, y, "lang", "doc_id", "n_chars", k = 50)
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(run(a.repartition(13), b.repartition(5)) == run(a.coalesce(1), b.coalesce(1)))
+    // plan: the struct-minima argmax replaces any per-group window/sort
+    val plan = Drift.ksDriftByGroup(a, b, "lang", "doc_id", "n_chars", k = 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-group KS must not plan a window:\n$plan")
   }
 
   test("psiDrift: identical mixes give psi 0; sign tracks the share move; one-sided flags") {
