@@ -131,6 +131,38 @@ object TextAnalysis {
     }
   }
 
+  /** Language-ID CONFUSION audit: [[langId]]'s predictions
+    * cross-tabulated against a labeled language column — the
+    * classifier-health report a routing pipeline runs before trusting
+    * the cheap heuristic at 100 TB ("where does the router send German
+    * docs it mislabels?"). One row per observed (label, pred) cell
+    * with the exact count, the share of the label's row mass
+    * (6dp-rounded — the row-normalized confusion matrix), and the
+    * diagonal flag.
+    *
+    * Scale: langId is map-only expressions; the ONE data shuffle is
+    * the (label, pred) cell aggregate (map-side partials, state
+    * bounded by |labels|·|languages+1|); the label margins derive from
+    * the CHECKPOINTED cell frame (the q259 idiom — no second corpus
+    * scan).
+    */
+  def langIdConfusion(
+      df: DataFrame,
+      labelCol: String,
+      textCol: String): DataFrame = {
+    val cells = df
+      .select(col(labelCol).cast("string").as("label"),
+        langId(col(textCol)).as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val margins = cells.groupBy("label").agg(sum(col("n")).as("__lt"))
+    cells.join(margins, "label")
+      .select(col("label"), col("pred"), col("n"),
+        round(col("n").cast("double") / col("__lt").cast("double"), 6)
+          .as("share_of_label"),
+        (col("label") === col("pred")).as("is_correct"))
+  }
+
   /** 64-bit document fingerprint: polynomial rolling hash over the
     * normalized (lowercased, whitespace-collapsed) text, built from
     * per-token xxhash64 values combined order-sensitively:

@@ -172,6 +172,47 @@ object Drift {
         (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
   }
 
+  /** [[psiDrift]] for a NUMERIC column: equal-frequency bins cut on
+    * side A's DISCRETE quantile boundaries (percentile_disc — actual
+    * data values, so bin assignment is exact and engine-reproducible;
+    * the q135 binning discipline), both sides bucketed by those same
+    * boundaries, then the categorical PSI over the bin labels — the
+    * standard practice for numeric PSI (bin on the baseline, score the
+    * candidate). Side A is the BASELINE by contract: its boundaries
+    * are the frozen artifact a monitoring pipeline reuses.
+    *
+    * Scale: the B−1 boundaries are a DRIVER-SIDE bounded planning step
+    * (one aggregate over A collecting B−1 values — the k-means
+    * centroid / ksDrift partition-offset rationale), inlined as
+    * LITERALS into a map-only comparison fold per side; attaching them
+    * as a 1×1 frame instead would re-execute the boundary aggregate
+    * under every branch of the PSI union. Then [[psiDrift]]'s one
+    * |bins|-bounded aggregate — each side is scanned exactly once.
+    */
+  def psiDriftBinned(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val boundaryExprs = (1 until nBins).map { b =>
+      val p = b.toDouble / nBins
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$valueCol`)").as(s"__q$b")
+    }
+    // ONE bounded row: B−1 discrete boundary values (NULL on empty A —
+    // every row then lands in bin 1 and A's emptiness surfaces through
+    // psiDrift's one_sided flags, never a crash)
+    val bs = dfA.agg(boundaryExprs.head, boundaryExprs.tail: _*).head()
+    val bin = (0 until nBins - 1)
+      .map { i =>
+        if (bs.isNullAt(i)) lit(0)
+        else when(col(valueCol) > lit(bs.get(i)), 1).otherwise(0)
+      }
+      .reduce(_ + _) + 1
+    def binned(df: DataFrame) = df.withColumn("bin", bin.cast("int"))
+    psiDrift(binned(dfA), binned(dfB), "bin")
+  }
+
   /** Population Stability Index over a categorical column: per-category
     * shares on each side plus the PSI contribution
     * (share_a − share_b)·ln(share_a/share_b), under the engine's ln

@@ -8420,7 +8420,91 @@ object Inventory {
           CASE WHEN b.m_a = 0 OR b.m_b = 0 THEN NULL ELSE b.cv END AS at_value,
           (b.m_a = 0 OR b.m_b = 0) AS one_sided
         FROM n JOIN best b ON b.lang = n.lang AND b.rk = 1
-        ORDER BY n.lang"""))
+        ORDER BY n.lang""")),
+
+    Q("q262_langid_confusion",
+      (s, dir) =>
+        // classifier-health audit: q97's language-ID heuristic
+        // cross-tabulated against the labeled lang column — exact
+        // (label, pred) cell counts, row-normalized shares, diagonal
+        // flag; margins derive from the checkpointed cell frame.
+        TextAnalysis
+          .langIdConfusion(t(s, dir, "documents"), "lang", "text")
+          .orderBy("label", "pred"),
+      Some("""WITH s AS (
+          SELECT doc_id, lang,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS de,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['the','and','of','to','is','that','you','with'], t))) AS en,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['el','la','de','que','los','una','por','con'], t))) AS es,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['le','les','des','est','dans','une','pour','que'], t))) AS fr,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['的','是','了','在','我','有','他','这'], t)))
+              + len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+          FROM documents),
+        p AS (
+          SELECT lang AS label,
+            CASE WHEN coalesce(greatest(de, en, es, fr, zh), 0) = 0 THEN 'und'
+                 WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+                 WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+                 WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+                 WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+                 ELSE 'zh' END AS pred
+          FROM s),
+        cells AS (
+          SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY label, pred),
+        m AS (SELECT label, CAST(sum(n) AS BIGINT) AS lt FROM cells GROUP BY label)
+        SELECT c.label, c.pred, c.n,
+          round(CAST(c.n AS DOUBLE) / CAST(m.lt AS DOUBLE), 6) AS share_of_label,
+          (c.label = c.pred) AS is_correct
+        FROM cells c JOIN m USING (label)
+        ORDER BY label, pred""")),
+
+    Q("q263_psi_binned",
+      (s, dir) => {
+        // numeric PSI: document lengths binned on the BASELINE's
+        // (even-id half's) discrete quartile boundaries — the q135
+        // binning discipline — then the categorical PSI over bins.
+        val d = t(s, dir, "documents")
+        graft.quality.Drift.psiDriftBinned(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "n_chars", nBins = 4)
+          .orderBy("cat")
+      },
+      Some("""WITH bd AS (
+          SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+            percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS q2,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+          FROM documents WHERE doc_id % 2 = 0),
+        abr AS (
+          SELECT CAST(1 + (CASE WHEN n_chars > q1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > q2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_chars > q3 THEN 1 ELSE 0 END) AS VARCHAR) AS cat,
+            CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+            CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b
+          FROM documents, bd),
+        ab AS (
+          SELECT cat, CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+          FROM abr GROUP BY cat),
+        t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+          FROM ab)
+        SELECT cat, n_a, n_b,
+          CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+          CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+          (n_a = 0 OR n_b = 0) AS one_sided,
+          CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            ELSE round(
+              (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+              * round(ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))), 6), 6)
+          END AS psi
+        FROM ab, t ORDER BY cat"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8486,6 +8570,7 @@ object Inventory {
     "q256_join_cardinality", "q257_group_quantiles",
     "q258_correlation_matrix", "q259_mutual_information",
     "q260_tokenizer_fertility", "q261_group_ks_drift",
+    "q262_langid_confusion", "q263_psi_binned",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

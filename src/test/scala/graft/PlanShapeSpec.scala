@@ -1158,6 +1158,34 @@ class PlanShapeSpec extends SparkSpec {
       s"q261 must not join:\n$p")
   }
 
+  test("q262: confusion margins derive from the checkpointed cell frame; one data shuffle") {
+    val p = planString(run("q262_langid_confusion"))
+    // langId is map-only expressions; the cell aggregate is the one
+    // data shuffle, and the label margins re-read the checkpointed
+    // cells (the q259 idiom), never the corpus
+    assert(!p.contains("Scan parquet"),
+      s"q262's margins must read the checkpointed cells, not re-scan the corpus:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"q262 shuffles only cell-width frames:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q262's margin join is broadcast-width:\n$p")
+  }
+
+  test("q263: binned PSI inlines driver-resolved boundaries — no boundary re-execution per branch") {
+    val p = planString(run("q263_psi_binned"))
+    // the B−1 quantile boundaries are literals (a bounded planning
+    // step); each side is scanned once per perCat consumer statically
+    // and AQE reuses the category exchange at runtime (q254's shape).
+    // A 1×1-frame attach instead re-executed the boundary aggregate
+    // under every union branch (8 scans, 5 single-partition gathers).
+    assert("Scan parquet".r.findAllIn(p).length <= 4,
+      s"q263 must not re-execute the boundary aggregate per branch:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      s"q263's only gather is the totals frame:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q263's totals must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

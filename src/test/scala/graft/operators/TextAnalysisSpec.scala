@@ -816,4 +816,21 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(("zz", "")).toDF("lang", "text"), "lang", "text", enc).head()
     assert(empt.getLong(2) == 0L && empt.isNullAt(6) && empt.isNullAt(7) && empt.isNullAt(8))
   }
+
+  test("langIdConfusion: exact cells, row-normalized shares, diagonal flag, und arm") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat and the dog"), // → en (correct)
+      ("en", "el que la con"),       // → es (the mislabel cell)
+      ("de", "der und das ist"),     // → de (correct)
+      ("de", ""))                    // → und (no signal)
+      .toDF("lang", "text")
+    val got = TextAnalysis.langIdConfusion(df, "lang", "text")
+      .orderBy("label", "pred").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("de", "de", 1L, 0.5, true), ("de", "und", 1L, 0.5, false),
+      ("en", "en", 1L, 0.5, true), ("en", "es", 1L, 0.5, false)), s"got ${got.toSeq}")
+  }
 }

@@ -98,6 +98,25 @@ class DriftSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"per-group KS must not plan a window:\n$plan")
   }
 
+  test("psiDriftBinned: identical sides give psi 0 per bin; a shifted side lands one-sided") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // A vs itself: 4 equal-frequency bins, shares .25/.25, psi 0
+    val self = Drift.psiDriftBinned(a, a, "v", nBins = 4)
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(6)))
+    assert(self.toSeq == Seq(("1", 25L, 25L, 0.0), ("2", 25L, 25L, 0.0),
+      ("3", 25L, 25L, 0.0), ("4", 25L, 25L, 0.0)), s"got ${self.toSeq}")
+    // every B value above A's top boundary: bins 1-3 one-sided, bin 4
+    // carries all of B
+    val b = (1 to 40).map(i => (i.toLong, 1000.0 + i)).toDF("id", "v")
+    val shift = Drift.psiDriftBinned(a, b, "v", nBins = 4)
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(5)))
+    assert(shift.toSeq == Seq(("1", 25L, 0L, true), ("2", 25L, 0L, true),
+      ("3", 25L, 0L, true), ("4", 25L, 40L, false)), s"got ${shift.toSeq}")
+  }
+
   test("psiDrift: identical mixes give psi 0; sign tracks the share move; one-sided flags") {
     import spark.implicits._
     val a = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("zz")).toDF("lang")
