@@ -1913,6 +1913,65 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
   }
 
+  /** Dedup THRESHOLD-SENSITIVITY sweep: for each candidate Jaccard
+    * threshold, the surviving pair count, the distinct documents
+    * touched by any surviving pair (the upper bound on what keep-first
+    * dedup can remove), and the decimal-exact mean Jaccard of the
+    * retained pairs — the budget report behind "what does raising the
+    * threshold from 0.8 to 0.7 actually buy" that every dedup rollout
+    * wants BEFORE re-running the pipeline at a new setting.
+    *
+    * Consistency contract: pairs are verified EXACT Jaccards from ONE
+    * [[minHashNearDups]] pass at min(thresholds) (banding is
+    * threshold-independent; the verify filter is the only gate), so
+    * the row for threshold T is exactly the pair set the operator
+    * itself would emit at T — the sweep is a free byproduct of one
+    * pass, never |grid| re-runs of the pipeline.
+    *
+    * Scale: the pair frame (id/jaccard width, checkpointed once —
+    * both consumers read it) × |grid| is the largest frame; the
+    * distinct-doc count shuffles (threshold, id) pairs. Thresholds
+    * with zero survivors still get a row (the grid is the left side).
+    */
+  def thresholdSensitivity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholds: Seq[Double],
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0.0 && t <= 1.0),
+      "thresholds must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = minHashNearDups(df, idCol, textCol, k, bands, w,
+      threshold = thresholds.min, maxBucket = maxBucket)
+      .localCheckpoint(eager = false) // pair stats + doc counts both read it
+    val byT = pairs
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        explode(array(thresholds.sorted.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val stats = byT.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard").cast("decimal(18,6)")).as("__js"))
+    val docs = byT
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs_in_pairs"))
+    val grid = thresholds.sorted.toDF("threshold")
+    grid
+      .join(stats, Seq("threshold"), "left")
+      .join(docs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_in_pairs"), lit(0L)).as("n_docs_in_pairs"),
+        when(coalesce(col("n_pairs"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(round(col("__js").cast("double") / col("n_pairs").cast("double"), 6))
+          .as("mean_jaccard"))
+  }
+
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val sa = shingleHashes(a, n)
     val sb = shingleHashes(b, n)

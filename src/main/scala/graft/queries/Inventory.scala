@@ -8504,7 +8504,55 @@ object Inventory {
               * round(ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
                 / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))), 6), 6)
           END AS psi
-        FROM ab, t ORDER BY cat"""))
+        FROM ab, t ORDER BY cat""")),
+
+    Q("q264_threshold_sensitivity",
+      (s, dir) =>
+        // dedup budget sweep: per candidate threshold, surviving pair
+        // count, distinct docs touched, decimal-exact mean Jaccard —
+        // ONE verified-pair pass at min(thresholds) (banding is
+        // threshold-independent), never |grid| pipeline re-runs. Same
+        // exhaustive oracle + recall contract as q81/q239.
+        Dedup.thresholdSensitivity(t(s, dir, "documents"), "doc_id", "text",
+          thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+          k = 128, bands = 32, w = 3)
+          .orderBy("threshold"),
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents)),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              >= 0.5),
+        g AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+        f AS (
+          SELECT g.threshold, p.id_a, p.id_b, p.jaccard
+          FROM g JOIN p ON p.jaccard >= g.threshold),
+        st AS (
+          SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+            sum(CAST(jaccard AS DECIMAL(18,6))) AS js
+          FROM f GROUP BY threshold),
+        dc AS (
+          SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs_in_pairs
+          FROM (SELECT threshold, id_a AS id FROM f
+                UNION ALL SELECT threshold, id_b FROM f)
+          GROUP BY threshold)
+        SELECT g.threshold,
+          coalesce(st.n_pairs, 0) AS n_pairs,
+          coalesce(dc.n_docs_in_pairs, 0) AS n_docs_in_pairs,
+          CASE WHEN coalesce(st.n_pairs, 0) = 0 THEN NULL
+            ELSE round(CAST(js AS DOUBLE) / CAST(st.n_pairs AS DOUBLE), 6)
+          END AS mean_jaccard
+        FROM g LEFT JOIN st USING (threshold) LEFT JOIN dc USING (threshold)
+        ORDER BY threshold"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8570,7 +8618,7 @@ object Inventory {
     "q256_join_cardinality", "q257_group_quantiles",
     "q258_correlation_matrix", "q259_mutual_information",
     "q260_tokenizer_fertility", "q261_group_ks_drift",
-    "q262_langid_confusion", "q263_psi_binned",
+    "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -1186,6 +1186,20 @@ class PlanShapeSpec extends SparkSpec {
       s"q263's totals must broadcast:\n$p")
   }
 
+  test("q264: the threshold sweep consumes ONE checkpointed pair frame — no per-threshold re-run") {
+    val p = planString(run("q264_threshold_sensitivity"))
+    // the minhash+verify pass runs once inside the checkpoint; both
+    // consumers (pair stats, distinct-doc counts) read the pair RDD —
+    // zero corpus re-scans, no banding join in the outer plan. The
+    // remaining joins assemble |grid|-row frames (AQE broadcasts them
+    // at runtime).
+    assert(!p.contains("Scan parquet"),
+      s"q264 must not re-run the pair pipeline per threshold:\n$p")
+    assert("ExistingRDD".r.findAllIn(p).length >= 2,
+      s"q264's two consumers must share the checkpointed pairs:\n$p")
+    assert(!p.contains("Window"), s"q264 must not plan a window:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -1099,4 +1099,29 @@ class DedupSpec extends SparkSpec {
       s"within-source pair (2,3) lands on the diagonal: $got")
     assert(!got.keys.exists { case (a, b) => a > b }, "cells are unordered (a <= b)")
   }
+
+  test("thresholdSensitivity: hand-checked grid rows; zero-survivor thresholds keep a row") {
+    import spark.implicits._
+    // A=B identical (j=1.0); D/E share 3 of 5 distinct w=3 shingles
+    // (inter 3, union 5 → j=0.6); C disjoint from everything
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "zz yy xx ww vv uu tt ss"),
+      (4L, "t1 t2 t3 t4 t5 t6"), (5L, "t2 t3 t4 t5 t6 t7"))
+      .toDF("doc_id", "text")
+    val got = Dedup.thresholdSensitivity(docs, "doc_id", "text",
+        thresholds = Seq(0.5, 0.7, 0.99))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (0.5, 2L, 4L, Some(0.8)),    // (1,2)@1.0 + (4,5)@0.6, docs {1,2,4,5}
+      (0.7, 1L, 2L, Some(1.0)),    // only the identical pair survives
+      (0.99, 1L, 2L, Some(1.0))), s"got ${got.toSeq}")
+    // a grid entirely above every pair still yields rows, with NULL mean
+    val none = Dedup.thresholdSensitivity(
+      docs.filter(col("doc_id") >= 3L), "doc_id", "text", thresholds = Seq(0.9))
+      .collect()
+    assert(none.length == 1 && none(0).getLong(1) == 0L && none(0).isNullAt(3))
+  }
 }
