@@ -266,6 +266,55 @@ object StreamOps {
         col("m").as("sample_size"))
   }
 
+  /** Windowed tokenizer-FERTILITY monitor: per event-time window and
+    * language, the exact word/char/byte/token counters and 6dp ratios
+    * of `graft.operators.TextAnalysis.tokenizerFertility`, live — the
+    * ingest-side alarm for "the crawl just started feeding us a
+    * language this tokenizer taxes 3×" (sequence-budget blowups show
+    * up here before the packing stage pays them). The per-document
+    * counters are STATELESS map-only projections (native bpe kernel,
+    * fold-in-place word counters); the one stateful aggregate carries
+    * five longs per (window, language) — bounded by the language set,
+    * mergeable, watermark-expired. A batch replay of the window's rows
+    * through the batch operator reproduces every emitted number
+    * (spec-pinned).
+    */
+  def windowedFertility(
+      events: DataFrame,
+      tsCol: String,
+      langCol: String,
+      textCol: String,
+      enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      window_ : String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val words = coalesce(
+      filter(split(trim(lower(col(textCol))),
+        graft.operators.TextAnalysis.WhitespaceSplit), w => w =!= lit("")),
+      array().cast("array<string>"))
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(langCol).as("lang"),
+        size(enc(col(textCol))).cast("long").as("__nt"),
+        size(words).cast("long").as("__nw"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long")).as("__nc"),
+        aggregate(words, lit(0L), (acc, w) => acc + octet_length(w).cast("long")).as("__nb"))
+      .groupBy(window(col(tsCol), window_), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nc")).as("n_chars"),
+        sum(col("__nb")).as("n_bytes"),
+        sum(col("__nt")).as("n_tokens"))
+      .select(col("window.start").as("w_start"), col("lang"),
+        col("n_docs"), col("n_words"), col("n_chars"), col("n_bytes"),
+        col("n_tokens"),
+        ratio(col("n_tokens"), col("n_words")).as("tokens_per_word"),
+        ratio(col("n_tokens"), col("n_chars")).as("tokens_per_char"),
+        ratio(col("n_bytes"), col("n_tokens")).as("bytes_per_token"))
+  }
+
   /** Windowed Count-Min frequency estimates for a WATCH LIST of items —
     * exact per-item streaming counts over an unbounded item universe
     * need one state row per (window, item); the CMS grid

@@ -318,6 +318,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedFertility: per-window per-lang counters match the batch operator's grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val enc = graft.operators.Bpe.encodeNative(spark,
+      Seq("a" -> "b", "ab" -> "</w>", "c" -> "</w>"))
+    val in = MemoryStream[(Timestamp, String, String)]
+    val events = in.toDF.toDF("ts", "lang", "text")
+    val q = StreamOps.windowedFertility(events, "ts", "lang", "text", enc,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wf_out").outputMode("append").start()
+    try {
+      // [00:00,00:10): en {"ab c", "ab"}; [00:10,00:20): de {"c c"}
+      in.addData((ts(1), "en", "ab c"), (ts(2), "en", "ab"), (ts(12), "de", "c c"))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), "en", "x")) // close windows
+      q.processAllAvailable()
+      val out = spark.table("wf_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .orderBy("w_start", "lang").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8), r.getDouble(9)))
+      // en: 2 docs, 3 words, 5 chars/bytes, 3 tokens (ab</w>, c</w>, ab</w>)
+      assert(out.toSeq == Seq(
+        ("en", 2L, 3L, 5L, 5L, 3L, 1.0, 0.6, 1.666667),
+        ("de", 1L, 2L, 2L, 2L, 2L, 1.0, 1.0, 1.0)), s"got ${out.toSeq}")
+      // batch twin over the same rows emits the identical grid
+      val batch = Seq((ts(1), "en", "ab c"), (ts(2), "en", "ab"), (ts(12), "de", "c c"))
+        .toDF("ts", "lang", "text")
+      val twin = StreamOps.windowedFertility(batch, "ts", "lang", "text", enc,
+          watermark = "0 seconds")
+        .orderBy("w_start", "lang").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8), r.getDouble(9)))
+      assert(twin.toSeq == out.toSeq, "batch and stream must emit identical grids")
+    } finally q.stop()
+  }
+
   test("windowedPsiDrift: per-window PSI vs the baseline; batch twin agrees; one-sided + coverage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
