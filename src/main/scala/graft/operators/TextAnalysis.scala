@@ -959,6 +959,39 @@ object TextAnalysis {
         ratio(col("n_bytes"), col("n_tokens")).as("bytes_per_token"))
   }
 
+  /** Vocabulary-COVERAGE (UNK-rate) audit: per language, the share of
+    * subword occurrences a FIXED vocabulary cannot express — the
+    * deployment gate next to [[tokenizerFertility]] ("the frozen vocab
+    * drops 4% of Greek subwords; retrain or expand before the packing
+    * stage emits -1s"). `encIds` is the registered id encoder
+    * (`Bpe.encodeToIds` / `bpe_encode_ids(text, 'name')`), whose
+    * contract maps out-of-vocabulary subwords to -1 — an explicit UNK,
+    * never a silent drop; this operator is that contract's corpus-level
+    * report. Exact integer counts; unk_rate is the 6dp-rounded double
+    * of an exact division (NULL when a language has no tokens).
+    *
+    * Scale: map-only native encode + id mapping; ONE
+    * |languages|-bounded aggregate, counters folded in place.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      langCol: String,
+      textCol: String,
+      encIds: Column => Column): DataFrame = {
+    val ids = encIds(col(textCol))
+    df.select(col(langCol).as("lang"),
+        size(ids).cast("long").as("__nt"),
+        size(filter(ids, i => i === lit(-1))).cast("long").as("__nu"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nu")).as("n_unk"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_unk"),
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_unk").cast("double")
+            / col("n_tokens").cast("double"), 6)).as("unk_rate"))
+  }
+
   /** Inverted index over mid-frequency terms: term → document-frequency
     * + full posting list (sorted doc ids, comma-joined for a flat
     * schema). Terms outside [minDf, maxDf] are dropped BEFORE any

@@ -1232,6 +1232,22 @@ object Inventory {
   private val fertilityMergesSql: String =
     fertilityMerges.map { case (l, r) => s"'$l $r'" }.mkString("[", ", ", "]")
 
+  /** Fixed vocabulary for the q265 coverage audit: the symbols the
+    * q260 merge table emits on the fixture, MINUS a deliberate hole
+    * ('j', 'q', 'z', 'jo', 'qu') so the UNK arm actually fires —
+    * "join"/"query"/z-words surface -1s. An input artifact like
+    * [[fertilityMerges]]; ids by list position.
+    */
+  private val fertilityVocab: Seq[String] = Seq(
+    "</w>", "a", "b", "c", "d", "e", "f", "g", "h", "i", "k", "l", "m",
+    "n", "o", "p", "r", "s", "t", "u", "v", "w", "x", "y",
+    "e</w>", "a</w>", "ta", "tab", "tabl", "table</w>", "ro", "ow", "wi",
+    "nd", "wind", "window</w>", "st", "str", "ea", "in", "gg", "agg",
+    "agg</w>", "ha", "s</w>")
+
+  private val fertilityVocabSql: String =
+    fertilityVocab.map(s => s"'$s'").mkString("[", ", ", "]")
+
   private val extensions = Seq(
     Q("q80_dedup_exact",
       (s, dir) =>
@@ -8552,7 +8568,70 @@ object Inventory {
             ELSE round(CAST(js AS DOUBLE) / CAST(st.n_pairs AS DOUBLE), 6)
           END AS mean_jaccard
         FROM g LEFT JOIN st USING (threshold) LEFT JOIN dc USING (threshold)
-        ORDER BY threshold"""))
+        ORDER BY threshold""")),
+
+    Q("q265_vocab_coverage",
+      (s, dir) => {
+        // UNK-rate audit through the registered id surface: share of
+        // subword occurrences the frozen vocabulary maps to -1, per
+        // language — q260's deployment companion. Merge table AND
+        // vocabulary are fixed input artifacts, so the oracle replays
+        // the whole id pipeline.
+        val encIds = graft.operators.Bpe
+          .encodeToIds(s, fertilityMerges, fertilityVocab.zipWithIndex)
+        TextAnalysis
+          .vocabCoverage(t(s, dir, "documents"), "lang", "text", encIds)
+          .orderBy("lang")
+      },
+      Some(raw"""WITH RECURSIVE ws AS (
+          SELECT lang,
+            unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x <> '')) AS wd
+          FROM documents),
+        types AS (SELECT DISTINCT wd FROM ws),
+        enc AS (
+          SELECT wd,
+            list_append([wd[i] for i in range(1, length(wd) + 1)], '</w>') AS syms
+          FROM types
+          UNION ALL
+          SELECT wd, syms[1:ba-1] || [syms[ba] || syms[ba+1]] || syms[ba+2:] AS syms
+          FROM (
+            SELECT wd, syms, list_min(rks) AS br,
+              list_position(rks, list_min(rks)) AS ba
+            FROM (
+              SELECT wd, syms,
+                list_transform(range(1, len(syms)), i ->
+                  coalesce(nullif(list_position($fertilityMergesSql,
+                    syms[i] || ' ' || syms[i+1]), 0), 999999)) AS rks
+              FROM enc) t1) t2
+          WHERE br < 999999),
+        fin AS (
+          SELECT wd, CAST(len(syms) AS BIGINT) AS nt,
+            CAST(len(list_filter(syms,
+              sy -> NOT list_contains($fertilityVocabSql, sy))) AS BIGINT) AS nu
+          FROM (
+            SELECT wd, syms,
+              list_min(list_transform(range(1, len(syms)), i ->
+                coalesce(nullif(list_position($fertilityMergesSql,
+                  syms[i] || ' ' || syms[i+1]), 0), 999999))) AS br
+            FROM enc) t
+          WHERE br IS NULL OR br = 999999),
+        wagg AS (
+          SELECT ws.lang,
+            CAST(sum(f.nt) AS BIGINT) AS n_tokens,
+            CAST(sum(f.nu) AS BIGINT) AS n_unk
+          FROM ws JOIN fin f ON f.wd = ws.wd GROUP BY ws.lang),
+        docs AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang)
+        SELECT d.lang, d.n_docs,
+          coalesce(a.n_tokens, 0) AS n_tokens,
+          coalesce(a.n_unk, 0) AS n_unk,
+          CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_unk AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+          END AS unk_rate
+        FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
+        ORDER BY d.lang"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8619,6 +8698,7 @@ object Inventory {
     "q258_correlation_matrix", "q259_mutual_information",
     "q260_tokenizer_fertility", "q261_group_ks_drift",
     "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
+    "q265_vocab_coverage",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -1200,6 +1200,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q264 must not plan a window:\n$p")
   }
 
+  test("q265: vocab coverage is map-only into ONE language aggregate — q260's shape") {
+    val p = planString(run("q265_vocab_coverage"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"q265 must shuffle once (the lang aggregate):\n$p")
+    assert(!p.contains("Generate"), s"q265 must not explode the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q265 must not join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

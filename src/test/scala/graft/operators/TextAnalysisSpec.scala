@@ -817,6 +817,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empt.getLong(2) == 0L && empt.isNullAt(6) && empt.isNullAt(7) && empt.isNullAt(8))
   }
 
+  test("vocabCoverage: UNK occurrences counted exactly; empty language surfaces NULL rate") {
+    import spark.implicits._
+    val merges = Seq("a" -> "b", "ab" -> "</w>", "c" -> "</w>")
+    val vocab = Seq("ab</w>" -> 0, "c</w>" -> 1) // everything else is an UNK
+    val encIds = Bpe.encodeToIds(spark, merges, vocab)
+    val df = Seq(
+      ("en", "ab c q"),                  // ab</w>, c</w>, then q,</w> both UNK → 4 tokens, 2 unk
+      ("de", null.asInstanceOf[String])) // 0 tokens → NULL rate
+      .toDF("lang", "text")
+    val got = TextAnalysis.vocabCoverage(df, "lang", "text", encIds)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("de", 1L, 0L, 0L, None),
+      ("en", 1L, 4L, 2L, Some(0.5))), s"got ${got.toSeq}")
+  }
+
   test("langIdConfusion: exact cells, row-normalized shares, diagonal flag, und arm") {
     import spark.implicits._
     val df = Seq(
