@@ -172,6 +172,54 @@ object Drift {
         (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
   }
 
+  /** [[psiDrift]] PER GROUP: the categorical mix shift between two
+    * corpus slices for every language/shard at once — the PSI
+    * companion to [[ksDriftByGroup]] ("the source mix moved 20 points,
+    * but only inside German"). Same exact-integer shares and 6dp-ln
+    * discipline as the global operator, with shares computed against
+    * the GROUP's totals; one-sided (group, category) cells flag
+    * instead of clamping.
+    *
+    * Scale: ONE (group, cat)-keyed aggregate over data (map-side
+    * partials) is checkpointed; group totals and the report both
+    * derive from that bounded cell frame (the q259/q262 idiom — no
+    * second corpus scan). Output: (groupCol, cat, n_a, n_b, share_a,
+    * share_b, one_sided, psi).
+    */
+  def psiDriftByGroup(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      groupCol: String,
+      catCol: String): DataFrame = {
+    def side(df: DataFrame, a: Long, b: Long) =
+      df.select(col(groupCol).cast("string").as("__g"),
+        col(catCol).cast("string").as("cat"))
+        .withColumn("__a", lit(a)).withColumn("__b", lit(b))
+    val cells = side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
+      .groupBy("__g", "cat")
+      .agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+      .localCheckpoint(false)
+    val totals = cells.groupBy("__g")
+      .agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    // a group entirely absent from one side has a zero total: its
+    // shares are undefined — NULL, never a 0/0 NaN (and the DuckDB
+    // twin's CASE mirrors this exactly)
+    def share(n: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      when(t === 0L, lit(null).cast("double"))
+        .otherwise(n.cast("double") / t.cast("double"))
+    cells.join(totals, Seq("__g"))
+      .withColumn("share_a", share(col("n_a"), col("__ta")))
+      .withColumn("share_b", share(col("n_b"), col("__tb")))
+      .withColumn("one_sided", col("n_a") === 0L || col("n_b") === 0L)
+      .withColumn("psi",
+        when(col("one_sided"), lit(null).cast("double"))
+          .otherwise(round(
+            (col("share_a") - col("share_b"))
+              * round(log(col("share_a") / col("share_b")), 6), 6)))
+      .select(col("__g").as(groupCol), col("cat"), col("n_a"), col("n_b"),
+        col("share_a"), col("share_b"), col("one_sided"), col("psi"))
+  }
+
   /** [[psiDrift]] for a NUMERIC column: equal-frequency bins cut on
     * side A's DISCRETE quantile boundaries (percentile_disc — actual
     * data values, so bin assignment is exact and engine-reproducible;

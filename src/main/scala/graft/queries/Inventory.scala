@@ -8631,7 +8631,47 @@ object Inventory {
             ELSE round(CAST(a.n_unk AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
           END AS unk_rate
         FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
-        ORDER BY d.lang"""))
+        ORDER BY d.lang""")),
+
+    Q("q266_group_psi_drift",
+      (s, dir) => {
+        // per-language source-mix PSI between the even/odd halves —
+        // q254's statistic per slice, shares against GROUP totals,
+        // totals derived from the checkpointed cell frame.
+        val d = t(s, dir, "documents")
+        graft.quality.Drift.psiDriftByGroup(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "lang", "source")
+          .orderBy("lang", "cat")
+      },
+      Some("""WITH ab AS (
+          SELECT lang, cat,
+            CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+          FROM (
+            SELECT lang, source AS cat, 1 AS a, 0 AS b
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT lang, source AS cat, 0 AS a, 1 AS b
+            FROM documents WHERE doc_id % 2 = 1)
+          GROUP BY lang, cat),
+        t AS (
+          SELECT lang, CAST(sum(n_a) AS BIGINT) AS ta,
+            CAST(sum(n_b) AS BIGINT) AS tb
+          FROM ab GROUP BY lang),
+        j AS (
+          SELECT ab.lang, ab.cat, ab.n_a, ab.n_b,
+            CASE WHEN t.ta = 0 THEN NULL
+              ELSE CAST(ab.n_a AS DOUBLE) / CAST(t.ta AS DOUBLE) END AS share_a,
+            CASE WHEN t.tb = 0 THEN NULL
+              ELSE CAST(ab.n_b AS DOUBLE) / CAST(t.tb AS DOUBLE) END AS share_b,
+            (ab.n_a = 0 OR ab.n_b = 0) AS one_sided
+          FROM ab JOIN t USING (lang))
+        SELECT lang, cat, n_a, n_b, share_a, share_b, one_sided,
+          CASE WHEN one_sided THEN NULL
+            ELSE round((share_a - share_b)
+              * round(ln(share_a / share_b), 6), 6) END AS psi
+        FROM j ORDER BY lang, cat"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8698,7 +8738,7 @@ object Inventory {
     "q258_correlation_matrix", "q259_mutual_information",
     "q260_tokenizer_fertility", "q261_group_ks_drift",
     "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
-    "q265_vocab_coverage",
+    "q265_vocab_coverage", "q266_group_psi_drift",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -1209,6 +1209,16 @@ class PlanShapeSpec extends SparkSpec {
       s"q265 must not join:\n$p")
   }
 
+  test("q266: per-group PSI derives totals from the checkpointed cell frame — one data shuffle") {
+    val p = planString(run("q266_group_psi_drift"))
+    assert(!p.contains("Scan parquet"),
+      s"q266's totals/report must read the checkpointed cells, not re-scan the corpus:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"q266 shuffles only cell-width frames (cells agg + totals agg):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q266's totals join is broadcast-width:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

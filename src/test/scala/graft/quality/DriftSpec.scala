@@ -117,6 +117,30 @@ class DriftSpec extends SparkSpec {
       ("3", 25L, 0L, true), ("4", 25L, 40L, false)), s"got ${shift.toSeq}")
   }
 
+  test("psiDriftByGroup: single-group frame reproduces the global operator; absent groups get NULL shares") {
+    import spark.implicits._
+    val a = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("zz"))
+      .map(("g1", _)).toDF("g", "lang")
+    val b = (Seq.fill(30)("en") ++ Seq.fill(60)("de") ++ Seq.fill(10)("fr"))
+      .map(("g1", _)).toDF("g", "lang")
+    val global = Drift.psiDrift(a.drop("g"), b.drop("g"), "lang")
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), Option(r.get(6))))
+    val grouped = Drift.psiDriftByGroup(a, b, "g", "lang")
+      .orderBy("cat").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), Option(r.get(7))))
+    assert(grouped.toSeq == global.toSeq,
+      s"per-group on one group must equal the global report:\n$grouped\n$global")
+    // a group entirely missing from side B: NULL shares (no 0/0 NaN),
+    // one_sided on every cell
+    val a2 = a.unionByName(Seq(("g2", "en")).toDF("g", "lang"))
+    val g2 = Drift.psiDriftByGroup(a2, b, "g", "lang")
+      .filter(col("g") === "g2").head()
+    assert(g2.getLong(2) == 1L && g2.getLong(3) == 0L)
+    assert(!g2.isNullAt(4) && g2.isNullAt(5), s"absent-side share must be NULL: $g2")
+    assert(g2.getBoolean(6) && g2.isNullAt(7))
+  }
+
   test("psiDrift: identical mixes give psi 0; sign tracks the share move; one-sided flags") {
     import spark.implicits._
     val a = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("zz")).toDF("lang")
