@@ -144,7 +144,36 @@ object Validator {
   def correlationMatrix(
       df: DataFrame,
       cols: Seq[String],
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6): DataFrame =
+    corrCore(df, Nil, cols, scale, roundDp = None)
+
+  /** [[correlationMatrix]] PER GROUP — the dependency audit for every
+    * region/language/source slice at once ("discount tracks quantity,
+    * but only in returns"): the identical exact-DECIMAL sums run as a
+    * GROUPED aggregate (map-side partials, state bounded by
+    * |cols|²·|groups|), and every (group, col_a, col_b, corr) row
+    * derives from its group's sums with the same pinned double ops.
+    * Same listwise-null and overflow contracts, gated per group
+    * (raise_error names the first offending group's magnitudes).
+    */
+  def correlationMatrixByGroup(
+      df: DataFrame,
+      groupCol: String,
+      cols: Seq[String],
+      scale: Int = 6): DataFrame =
+    corrCore(df, Seq(groupCol), cols, scale, roundDp = Some(12))
+
+  private def corrCore(
+      df: DataFrame,
+      groupCols: Seq[String],
+      cols: Seq[String],
+      scale: Int,
+      // the grouped surface rounds corr to 12dp: per-slice sums hit
+      // decimal->double conversion points where Spark and DuckDB differ
+      // by 1 ULP (observed on the q267 fixture: ...30959730 vs ...32);
+      // 12dp is far below any analytical meaning and far above the ULP.
+      // The GLOBAL surface stays unrounded - q258's hash is pinned on it.
+      roundDp: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
     val clean = df.na.drop(cols)
@@ -161,7 +190,10 @@ object Validator {
     val prods = pairs.map { case (i, j) =>
       sum(dec(cols(i)) * dec(cols(j))).as(s"__p_${i}_$j")
     }
-    val agg = clean.agg(count(lit(1)).as("__n"), (sums ++ prods ++ mxs): _*)
+    // groupBy(Nil) is the global single-row aggregate — one code path
+    // for both surfaces
+    val agg = clean.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), (sums ++ prods ++ mxs): _*)
     val ndG = col("__n").cast("double")
     val mxAll = greatest(cols.indices.map(i => col(s"__mx_$i")): _*)
     val overflowGate = mxAll >= least(
@@ -186,11 +218,14 @@ object Validator {
       struct(
         lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
         when(da * db <= 0.0, lit(null).cast("double"))
-          .otherwise(num / sqrt(da * db)).as("corr"))
+          .otherwise(roundDp.foldLeft(num / sqrt(da * db))((c, d) => round(c, d)))
+          .as("corr"))
     }
-    agg.select(nOut.as("n"), explode(array(rows: _*)).as("e"))
-      .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
-        col("e.corr").as("corr"), col("n"))
+    agg.select(groupCols.map(col) ++
+        Seq(nOut.as("n"), explode(array(rows: _*)).as("e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
+        col("e.corr").as("corr"), col("n")): _*)
   }
 
   /** MUTUAL INFORMATION between two categorical columns, in nats — the

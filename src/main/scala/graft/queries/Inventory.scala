@@ -8671,7 +8671,76 @@ object Inventory {
           CASE WHEN one_sided THEN NULL
             ELSE round((share_a - share_b)
               * round(ln(share_a / share_b), 6), 6) END AS psi
-        FROM j ORDER BY lang, cat"""))
+        FROM j ORDER BY lang, cat""")),
+
+    Q("q267_group_correlation",
+      (s, dir) =>
+        // q258's Pearson matrix PER return-flag slice: the same 18
+        // exact-decimal sums as ONE grouped aggregate; every
+        // correlation derives from its group's sums with the pinned
+        // double ops.
+        graft.quality.Validator.correlationMatrixByGroup(
+          t(s, dir, "lineitem"), "l_returnflag",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          scale = 3)
+          .orderBy("l_returnflag", "col_a", "col_b"),
+      Some("""WITH m AS (
+          SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(l_quantity AS DECIMAL(18,3))) AS s0,
+            sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS s1,
+            sum(CAST(l_discount AS DECIMAL(18,3))) AS s2,
+            sum(CAST(l_tax AS DECIMAL(18,3))) AS s3,
+            sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS p00,
+            sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_extendedprice AS DECIMAL(18,3))) AS p01,
+            sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS p02,
+            sum(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS p03,
+            sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_extendedprice AS DECIMAL(18,3))) AS p11,
+            sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS p12,
+            sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS p13,
+            sum(CAST(l_discount AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS p22,
+            sum(CAST(l_discount AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS p23,
+            sum(CAST(l_tax AS DECIMAL(18,3)) * CAST(l_tax AS DECIMAL(18,3))) AS p33
+          FROM lineitem GROUP BY l_returnflag),
+        p AS (
+          SELECT g, col_a, col_b, sx, sy, sxy, sxx, syy, n FROM (
+            SELECT g, 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+              CAST(s0 AS DOUBLE) sx, CAST(s0 AS DOUBLE) sy, CAST(p00 AS DOUBLE) sxy,
+              CAST(p00 AS DOUBLE) sxx, CAST(p00 AS DOUBLE) syy, n FROM m
+            UNION ALL SELECT g, 'l_quantity', 'l_extendedprice',
+              CAST(s0 AS DOUBLE), CAST(s1 AS DOUBLE), CAST(p01 AS DOUBLE),
+              CAST(p00 AS DOUBLE), CAST(p11 AS DOUBLE), n FROM m
+            UNION ALL SELECT g, 'l_quantity', 'l_discount',
+              CAST(s0 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(p02 AS DOUBLE),
+              CAST(p00 AS DOUBLE), CAST(p22 AS DOUBLE), n FROM m
+            UNION ALL SELECT g, 'l_quantity', 'l_tax',
+              CAST(s0 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(p03 AS DOUBLE),
+              CAST(p00 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM m
+            UNION ALL SELECT g, 'l_extendedprice', 'l_extendedprice',
+              CAST(s1 AS DOUBLE), CAST(s1 AS DOUBLE), CAST(p11 AS DOUBLE),
+              CAST(p11 AS DOUBLE), CAST(p11 AS DOUBLE), n FROM m
+            UNION ALL SELECT g, 'l_extendedprice', 'l_discount',
+              CAST(s1 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(p12 AS DOUBLE),
+              CAST(p11 AS DOUBLE), CAST(p22 AS DOUBLE), n FROM m
+            UNION ALL SELECT g, 'l_extendedprice', 'l_tax',
+              CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(p13 AS DOUBLE),
+              CAST(p11 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM m
+            UNION ALL SELECT g, 'l_discount', 'l_discount',
+              CAST(s2 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(p22 AS DOUBLE),
+              CAST(p22 AS DOUBLE), CAST(p22 AS DOUBLE), n FROM m
+            UNION ALL SELECT g, 'l_discount', 'l_tax',
+              CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(p23 AS DOUBLE),
+              CAST(p22 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM m
+            UNION ALL SELECT g, 'l_tax', 'l_tax',
+              CAST(s3 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(p33 AS DOUBLE),
+              CAST(p33 AS DOUBLE), CAST(p33 AS DOUBLE), n FROM m))
+        SELECT g AS l_returnflag, col_a, col_b,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * syy - sy * sy) <= 0.0 THEN NULL
+            ELSE round((CAST(n AS DOUBLE) * sxy - sx * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                   * (CAST(n AS DOUBLE) * syy - sy * sy)), 12)
+          END AS corr, n
+        FROM p ORDER BY l_returnflag, col_a, col_b"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8738,7 +8807,7 @@ object Inventory {
     "q258_correlation_matrix", "q259_mutual_information",
     "q260_tokenizer_fertility", "q261_group_ks_drift",
     "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
-    "q265_vocab_coverage", "q266_group_psi_drift",
+    "q265_vocab_coverage", "q266_group_psi_drift", "q267_group_correlation",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

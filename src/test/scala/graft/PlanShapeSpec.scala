@@ -1219,6 +1219,16 @@ class PlanShapeSpec extends SparkSpec {
       s"q266's totals join is broadcast-width:\n$p")
   }
 
+  test("q267: grouped correlation is ONE grouped aggregate over ONE scan — q258's shape per slice") {
+    val p = planString(run("q267_group_correlation"))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"q267 must scan lineitem exactly once:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"q267's exchanges are the group aggregate (+ presentation sort):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q267 must not join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -172,6 +172,28 @@ class OutliersSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("correlationMatrixByGroup: each slice equals the filtered global matrix (12dp grid)") {
+    import spark.implicits._
+    val df = (1 to 60).map { i =>
+      val g = if (i % 2 == 0) "even" else "odd"
+      // different dependency per slice: y=2x on even, y=-x+noise-free on odd
+      val y = if (i % 2 == 0) 2.0 * i else -i.toDouble
+      (g, i.toDouble, y)
+    }.toDF("g", "x", "y")
+    val grouped = Validator.correlationMatrixByGroup(df, "g", Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    Seq("even", "odd").foreach { g =>
+      val global = Validator.correlationMatrix(df.filter(col("g") === g), Seq("x", "y"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      global.foreach { case ((a, b), c) =>
+        assert(grouped((g, a, b)) == math.round(c * 1e12) / 1e12.toDouble ||
+          math.abs(grouped((g, a, b)) - c) < 1e-12,
+          s"slice $g pair ($a,$b): ${grouped((g, a, b))} vs $c")
+      }
+    }
+    assert(grouped(("even", "x", "y")) == 1.0 && grouped(("odd", "x", "y")) == -1.0)
+  }
+
   test("correlationMatrix fails LOUDLY when a value could overflow the decimal sums") {
     import spark.implicits._
     // 10^(18-6) = 1e12: at scale 6 a value beyond it would cast to NULL
