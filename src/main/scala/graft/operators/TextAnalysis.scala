@@ -934,13 +934,24 @@ object TextAnalysis {
       df: DataFrame,
       langCol: String,
       textCol: String,
+      enc: Column => Column): DataFrame =
+    fertilityReport(fertilityCounters(df, langCol, textCol, enc))
+
+  /** The mergeable counter state behind [[tokenizerFertility]]: one row
+    * per language with the five exact integer counters — the PERSISTED
+    * STORE of the incremental fertility monitor (six longs per
+    * language; [[fertilityAdvance]] folds batches in without ever
+    * re-reading history text, the engine's incremental-store
+    * contract).
+    */
+  def fertilityCounters(
+      df: DataFrame,
+      langCol: String,
+      textCol: String,
       enc: Column => Column): DataFrame = {
     val words = coalesce(
       filter(split(trim(lower(col(textCol))), WhitespaceSplit), w => w =!= lit("")),
       array().cast("array<string>"))
-    def ratio(num: Column, den: Column) =
-      when(den === 0L, lit(null).cast("double"))
-        .otherwise(round(num.cast("double") / den.cast("double"), 6))
     df.select(col(langCol).as("lang"),
         size(enc(col(textCol))).cast("long").as("__nt"),
         size(words).cast("long").as("__nw"),
@@ -952,11 +963,40 @@ object TextAnalysis {
         sum(col("__nc")).as("n_chars"),
         sum(col("__nb")).as("n_bytes"),
         sum(col("__nt")).as("n_tokens"))
-      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
-        col("n_bytes"), col("n_tokens"),
-        ratio(col("n_tokens"), col("n_words")).as("tokens_per_word"),
-        ratio(col("n_tokens"), col("n_chars")).as("tokens_per_char"),
-        ratio(col("n_bytes"), col("n_tokens")).as("bytes_per_token"))
+  }
+
+  /** Fold a NEW batch into a persisted fertility-counter store: exact
+    * integer sums are trivially mergeable, so the advance is
+    * union + one |languages|-bounded re-aggregate over counter ROWS —
+    * history documents are never re-encoded or re-read (the
+    * tileHashStore/noveltyStore scaling argument, at its simplest).
+    * advance(advance(empty, b1), b2) ≡ counters(b1 ∪ b2) exactly
+    * (spec-pinned and q268 hash-gated through the full-corpus oracle).
+    */
+  def fertilityAdvance(
+      store: DataFrame,
+      batch: DataFrame,
+      langCol: String,
+      textCol: String,
+      enc: Column => Column): DataFrame =
+    store.unionByName(fertilityCounters(batch, langCol, textCol, enc))
+      .groupBy("lang")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("n_tokens")).as("n_tokens"))
+
+  /** Derive the ratio surface from a counter store (map-only). */
+  def fertilityReport(counters: DataFrame): DataFrame = {
+    def ratio(num: Column, den: Column) =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    counters.select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+      col("n_bytes"), col("n_tokens"),
+      ratio(col("n_tokens"), col("n_words")).as("tokens_per_word"),
+      ratio(col("n_tokens"), col("n_chars")).as("tokens_per_char"),
+      ratio(col("n_bytes"), col("n_tokens")).as("bytes_per_token"))
   }
 
   /** Vocabulary-COVERAGE (UNK-rate) audit: per language, the share of

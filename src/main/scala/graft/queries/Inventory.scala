@@ -1248,6 +1248,67 @@ object Inventory {
   private val fertilityVocabSql: String =
     fertilityVocab.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** q260's full-corpus oracle — ALSO the q268 gate: the incremental
+    * advance must reproduce the full-corpus report bit-for-bit.
+    */
+  private val fertilityOracleSql: String = raw"""WITH RECURSIVE ws AS (
+          SELECT lang,
+            unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x <> '')) AS wd
+          FROM documents),
+        types AS (SELECT DISTINCT wd FROM ws),
+        enc AS (
+          SELECT wd,
+            list_append([wd[i] for i in range(1, length(wd) + 1)], '</w>') AS syms
+          FROM types
+          UNION ALL
+          SELECT wd, syms[1:ba-1] || [syms[ba] || syms[ba+1]] || syms[ba+2:] AS syms
+          FROM (
+            SELECT wd, syms, list_min(rks) AS br,
+              list_position(rks, list_min(rks)) AS ba
+            FROM (
+              SELECT wd, syms,
+                list_transform(range(1, len(syms)), i ->
+                  coalesce(nullif(list_position($fertilityMergesSql,
+                    syms[i] || ' ' || syms[i+1]), 0), 999999)) AS rks
+              FROM enc) t1) t2
+          WHERE br < 999999),
+        fin AS (
+          SELECT wd, CAST(len(syms) AS BIGINT) AS ntok
+          FROM (
+            SELECT wd, syms,
+              list_min(list_transform(range(1, len(syms)), i ->
+                coalesce(nullif(list_position($fertilityMergesSql,
+                  syms[i] || ' ' || syms[i+1]), 0), 999999))) AS br
+            FROM enc) t
+          WHERE br IS NULL OR br = 999999),
+        wagg AS (
+          SELECT ws.lang,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(length(ws.wd)) AS BIGINT) AS n_chars,
+            CAST(sum(strlen(ws.wd)) AS BIGINT) AS n_bytes,
+            CAST(sum(f.ntok) AS BIGINT) AS n_tokens
+          FROM ws JOIN fin f ON f.wd = ws.wd GROUP BY ws.lang),
+        docs AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang)
+        SELECT d.lang, d.n_docs,
+          coalesce(a.n_words, 0) AS n_words,
+          coalesce(a.n_chars, 0) AS n_chars,
+          coalesce(a.n_bytes, 0) AS n_bytes,
+          coalesce(a.n_tokens, 0) AS n_tokens,
+          CASE WHEN coalesce(a.n_words, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE), 6)
+          END AS tokens_per_word,
+          CASE WHEN coalesce(a.n_chars, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_tokens AS DOUBLE) / CAST(a.n_chars AS DOUBLE), 6)
+          END AS tokens_per_char,
+          CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_bytes AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+          END AS bytes_per_token
+        FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
+        ORDER BY d.lang"""
+
   private val extensions = Seq(
     Q("q80_dedup_exact",
       (s, dir) =>
@@ -8320,63 +8381,7 @@ object Inventory {
           .tokenizerFertility(t(s, dir, "documents"), "lang", "text", enc)
           .orderBy("lang")
       },
-      Some(raw"""WITH RECURSIVE ws AS (
-          SELECT lang,
-            unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-              x -> x <> '')) AS wd
-          FROM documents),
-        types AS (SELECT DISTINCT wd FROM ws),
-        enc AS (
-          SELECT wd,
-            list_append([wd[i] for i in range(1, length(wd) + 1)], '</w>') AS syms
-          FROM types
-          UNION ALL
-          SELECT wd, syms[1:ba-1] || [syms[ba] || syms[ba+1]] || syms[ba+2:] AS syms
-          FROM (
-            SELECT wd, syms, list_min(rks) AS br,
-              list_position(rks, list_min(rks)) AS ba
-            FROM (
-              SELECT wd, syms,
-                list_transform(range(1, len(syms)), i ->
-                  coalesce(nullif(list_position($fertilityMergesSql,
-                    syms[i] || ' ' || syms[i+1]), 0), 999999)) AS rks
-              FROM enc) t1) t2
-          WHERE br < 999999),
-        fin AS (
-          SELECT wd, CAST(len(syms) AS BIGINT) AS ntok
-          FROM (
-            SELECT wd, syms,
-              list_min(list_transform(range(1, len(syms)), i ->
-                coalesce(nullif(list_position($fertilityMergesSql,
-                  syms[i] || ' ' || syms[i+1]), 0), 999999))) AS br
-            FROM enc) t
-          WHERE br IS NULL OR br = 999999),
-        wagg AS (
-          SELECT ws.lang,
-            CAST(count(*) AS BIGINT) AS n_words,
-            CAST(sum(length(ws.wd)) AS BIGINT) AS n_chars,
-            CAST(sum(strlen(ws.wd)) AS BIGINT) AS n_bytes,
-            CAST(sum(f.ntok) AS BIGINT) AS n_tokens
-          FROM ws JOIN fin f ON f.wd = ws.wd GROUP BY ws.lang),
-        docs AS (
-          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-          FROM documents GROUP BY lang)
-        SELECT d.lang, d.n_docs,
-          coalesce(a.n_words, 0) AS n_words,
-          coalesce(a.n_chars, 0) AS n_chars,
-          coalesce(a.n_bytes, 0) AS n_bytes,
-          coalesce(a.n_tokens, 0) AS n_tokens,
-          CASE WHEN coalesce(a.n_words, 0) = 0 THEN NULL
-            ELSE round(CAST(a.n_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE), 6)
-          END AS tokens_per_word,
-          CASE WHEN coalesce(a.n_chars, 0) = 0 THEN NULL
-            ELSE round(CAST(a.n_tokens AS DOUBLE) / CAST(a.n_chars AS DOUBLE), 6)
-          END AS tokens_per_char,
-          CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL
-            ELSE round(CAST(a.n_bytes AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
-          END AS bytes_per_token
-        FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
-        ORDER BY d.lang""")),
+      Some(fertilityOracleSql)),
 
     Q("q261_group_ks_drift",
       (s, dir) => {
@@ -8740,7 +8745,25 @@ object Inventory {
               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 12)
           END AS corr, n
-        FROM p ORDER BY l_returnflag, col_a, col_b"""))
+        FROM p ORDER BY l_returnflag, col_a, col_b""")),
+
+    Q("q268_fertility_incremental",
+      (s, dir) => {
+        // incremental fertility store: two batch advances over the
+        // six-longs-per-language counter store reproduce the FULL
+        // corpus report — history text never re-encoded. The oracle is
+        // q260's full-corpus SQL verbatim, so the hash gate IS the
+        // incremental ≡ full proof.
+        Bpe.registerSql(s, "fertility_probe", fertilityMerges)
+        val enc = graft.functions.GraftModels.resolve("fertility_probe", "bpe")
+        val d = t(s, dir, "documents")
+        val store1 = TextAnalysis.fertilityCounters(
+          d.filter(col("doc_id") % 2 === 0), "lang", "text", enc)
+        val store2 = TextAnalysis.fertilityAdvance(
+          store1, d.filter(col("doc_id") % 2 === 1), "lang", "text", enc)
+        TextAnalysis.fertilityReport(store2).orderBy("lang")
+      },
+      Some(fertilityOracleSql))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8808,6 +8831,7 @@ object Inventory {
     "q260_tokenizer_fertility", "q261_group_ks_drift",
     "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
     "q265_vocab_coverage", "q266_group_psi_drift", "q267_group_correlation",
+    "q268_fertility_incremental",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

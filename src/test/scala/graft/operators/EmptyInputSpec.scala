@@ -48,6 +48,34 @@ class EmptyInputSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty"), "covariance must refuse n = 0 loudly")
   }
 
+  test("round-12 operators: fertility, coverage, per-group KS/PSI/corr, confusion, threshold sweep") {
+    import spark.implicits._
+    val enc = Bpe.encodeNative(spark, Seq("a" -> "b"))
+    val encIds = Bpe.encodeToIds(spark, Seq("a" -> "b"), Seq("ab" -> 0))
+    assert(TextAnalysis.tokenizerFertility(emptyDocs, "source", "text", enc).count() == 0)
+    assert(TextAnalysis.vocabCoverage(emptyDocs, "source", "text", encIds).count() == 0)
+    assert(TextAnalysis.langIdConfusion(emptyDocs, "source", "text").count() == 0)
+    val emptyGkv = Seq.empty[(String, Long, Double)].toDF("g", "k", "v")
+    assert(graft.quality.Drift.ksDriftByGroup(
+      emptyGkv, emptyGkv, "g", "k", "v", k = 10).count() == 0)
+    assert(graft.quality.Drift.psiDriftByGroup(
+      emptyDocs, emptyDocs, "source", "text").count() == 0)
+    // empty BASELINE: boundaries are NULL → everything lands in bin 1
+    // and A's emptiness surfaces through one_sided, never a crash
+    val oneRow = Seq(("x", 1L, 2.0)).toDF("g", "k", "v")
+    val pb = graft.quality.Drift.psiDriftBinned(emptyGkv, oneRow, "v", nBins = 4)
+      .collect()
+    assert(pb.length == 1 && pb(0).getBoolean(5), s"got ${pb.toSeq}")
+    assert(graft.quality.Drift.psiDriftBinned(emptyGkv, emptyGkv, "v").count() == 0)
+    val emptyXy = Seq.empty[(String, Double, Double)].toDF("g", "x", "y")
+    assert(graft.quality.Validator.correlationMatrixByGroup(
+      emptyXy, "g", Seq("x", "y")).count() == 0)
+    // the grid survives an empty corpus: every threshold row present, 0s
+    val sweep = Dedup.thresholdSensitivity(
+      emptyDocs, "doc_id", "text", thresholds = Seq(0.5, 0.8)).orderBy("threshold").collect()
+    assert(sweep.length == 2 && sweep.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+  }
+
   test("text operators: tfidf, invertedIndex, ngramCounts, dedupLines, removeBoilerplate") {
     assert(TextAnalysis.tfidf(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextAnalysis.invertedIndex(emptyDocs, "doc_id", "text").count() == 0)

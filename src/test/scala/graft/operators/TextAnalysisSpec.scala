@@ -835,6 +835,31 @@ class TextAnalysisSpec extends SparkSpec {
       ("en", 1L, 4L, 2L, Some(0.5))), s"got ${got.toSeq}")
   }
 
+  test("fertilityAdvance: two advances ≡ full-corpus counters; untouched languages persist") {
+    import spark.implicits._
+    val merges = Seq("a" -> "b", "ab" -> "</w>", "c" -> "</w>")
+    val enc = Bpe.encodeNative(spark, merges)
+    val b1 = Seq(("en", "ab c"), ("fr", "éé")).toDF("lang", "text")
+    val b2 = Seq(("en", "ab"), ("de", "c c")).toDF("lang", "text")
+    val advanced = TextAnalysis.fertilityAdvance(
+      TextAnalysis.fertilityCounters(b1, "lang", "text", enc),
+      b2, "lang", "text", enc)
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    val full = TextAnalysis.fertilityCounters(
+      b1.unionByName(b2), "lang", "text", enc)
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(advanced == full, s"advance must equal the full recount:\n$advanced\n$full")
+    // fr appears only in batch 1 — the advance must carry it through
+    assert(advanced.exists(_.head == "fr"))
+    // empty batch is a no-op
+    val noop = TextAnalysis.fertilityAdvance(
+      TextAnalysis.fertilityCounters(b1, "lang", "text", enc),
+      Seq.empty[(String, String)].toDF("lang", "text"), "lang", "text", enc)
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(noop == TextAnalysis.fertilityCounters(b1, "lang", "text", enc)
+      .orderBy("lang").collect().map(_.toSeq).toSeq)
+  }
+
   test("langIdConfusion: exact cells, row-normalized shares, diagonal flag, und arm") {
     import spark.implicits._
     val df = Seq(
