@@ -315,6 +315,34 @@ object StreamOps {
         ratio(col("n_bytes"), col("n_tokens")).as("bytes_per_token"))
   }
 
+  /** Windowed language-ID CONFUSION monitor: per event-time window,
+    * the (label, predicted) cell counts of the q97 heuristic against
+    * the labeled language — the live router-health twin of
+    * `graft.operators.TextAnalysis.langIdConfusion` ("the crawler's
+    * labels and the router started disagreeing on French an hour
+    * ago"). Scoring is stateless map-only expressions; the ONE
+    * stateful aggregate carries a long per (window, label, pred) —
+    * bounded by |labels|·|languages+1|. Counts only (shares divide by
+    * a per-(window, label) margin, which would need a second chained
+    * stateful aggregate — the consumer derives them from the closed
+    * cells, exactly as the batch operator does from its cell frame).
+    */
+  def windowedLangIdConfusion(
+      events: DataFrame,
+      tsCol: String,
+      labelCol: String,
+      textCol: String,
+      window_ : String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(labelCol).cast("string").as("label"),
+        graft.operators.TextAnalysis.langId(col(textCol)).as("pred"))
+      .groupBy(window(col(tsCol), window_), col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("label"), col("pred"),
+        col("n"), (col("label") === col("pred")).as("is_correct"))
+
   /** Windowed Count-Min frequency estimates for a WATCH LIST of items —
     * exact per-item streaming counts over an unbounded item universe
     * need one state row per (window, item); the CMS grid

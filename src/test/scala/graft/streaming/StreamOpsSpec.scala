@@ -355,6 +355,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedLangIdConfusion: per-window cells match the batch twin; diagonal flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val events = in.toDF.toDF("ts", "lang", "text")
+    val q = StreamOps.windowedLangIdConfusion(events, "ts", "lang", "text",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wlc_out").outputMode("append").start()
+    try {
+      // window 1: en correct ×2 + one es-looking mislabel; window 2: de correct
+      in.addData(
+        (ts(1), "en", "the cat and the dog"), (ts(2), "en", "the and of"),
+        (ts(3), "en", "el que la con"), (ts(12), "de", "der und das ist"))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), "en", "x"))
+      q.processAllAvailable()
+      val out = spark.table("wlc_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .orderBy("w_start", "label", "pred").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+      assert(out.toSeq == Seq(
+        ("en", "en", 2L, true), ("en", "es", 1L, false), ("de", "de", 1L, true)),
+        s"got ${out.toSeq}")
+      // batch twin over the same rows
+      val batch = Seq(
+        (ts(1), "en", "the cat and the dog"), (ts(2), "en", "the and of"),
+        (ts(3), "en", "el que la con"), (ts(12), "de", "der und das ist"))
+        .toDF("ts", "lang", "text")
+      val twin = StreamOps.windowedLangIdConfusion(batch, "ts", "lang", "text",
+          watermark = "0 seconds")
+        .orderBy("w_start", "label", "pred").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+      assert(twin.toSeq == out.toSeq)
+    } finally q.stop()
+  }
+
   test("windowedPsiDrift: per-window PSI vs the baseline; batch twin agrees; one-sided + coverage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
