@@ -172,6 +172,67 @@ object Drift {
         (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
   }
 
+  /** Per-group QUANTILE drift: p50/p99-style location shifts of a
+    * numeric column between two corpus slices, for every
+    * language/source at once — the LOCATION companion to
+    * [[ksDriftByGroup]] (shape) and [[psiDriftByGroup]] (mix): "p99
+    * document length halved, but only in French". Per (group, side)
+    * the deterministic value-carrying KMV sample (the q257 machinery,
+    * 2k longs of mergeable state), then the nearest-rank quantile of
+    * each side's sorted sample and the plain double delta. Groups
+    * present on one side surface with NULLs and `one_sided` — never
+    * dropped.
+    *
+    * Scale: ONE (group, side)-keyed aggregate over data is the only
+    * shuffle; the pivot and quantile indexing run on |groups|-bounded
+    * frames already partitioned by group. Output: (groupCol, q,
+    * value_a, value_b, delta, m_a, m_b, one_sided).
+    */
+  def quantileDriftByGroup(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      k: Int,
+      qs: Seq[Double],
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(groupCol).as("__g"),
+        lit(tag).as("__side"),
+        conv(substring(
+          md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+          1, 15), 16, 10).cast("long").as("__h"),
+        col(valueCol).cast("double").as("__v"))
+    val samp = side(dfA, "a").unionByName(side(dfB, "b"))
+      .groupBy("__g", "__side")
+      .agg(graft.functions.BottomKValues.sample(col("__h"), col("__v"), k).as("__vals"))
+    val wide = samp.groupBy("__g")
+      .agg(
+        sort_array(coalesce(max(when(col("__side") === "a", col("__vals"))),
+          array().cast("array<double>"))).as("__va"),
+        sort_array(coalesce(max(when(col("__side") === "b", col("__vals"))),
+          array().cast("array<double>"))).as("__vb"))
+      .withColumn("m_a", size(col("__va")).cast("long"))
+      .withColumn("m_b", size(col("__vb")).cast("long"))
+    def at(vs: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+      when(m === 0L, lit(null).cast("double"))
+        .otherwise(element_at(vs,
+          greatest(lit(1L), ceil(col("q") * m)).cast("int")))
+    wide
+      .select(col("__g"), col("m_a"), col("m_b"), col("__va"), col("__vb"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .select(col("__g").as(groupCol), col("q"),
+        at(col("__va"), col("m_a")).as("value_a"),
+        at(col("__vb"), col("m_b")).as("value_b"),
+        (at(col("__vb"), col("m_b")) - at(col("__va"), col("m_a"))).as("delta"),
+        col("m_a"), col("m_b"),
+        (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
+  }
+
   /** [[psiDrift]] PER GROUP: the categorical mix shift between two
     * corpus slices for every language/shard at once — the PSI
     * companion to [[ksDriftByGroup]] ("the source mix moved 20 points,

@@ -8763,7 +8763,50 @@ object Inventory {
           store1, d.filter(col("doc_id") % 2 === 1), "lang", "text", enc)
         TextAnalysis.fertilityReport(store2).orderBy("lang")
       },
-      Some(fertilityOracleSql))
+      Some(fertilityOracleSql)),
+
+    Q("q269_group_quantile_drift",
+      (s, dir) => {
+        // per-language p50/p90/p99 length shifts between the even/odd
+        // halves — the LOCATION drift next to q261 (shape) and q266
+        // (mix); nearest-rank over the q257 deterministic samples.
+        val d = t(s, dir, "documents")
+        graft.quality.Drift.quantileDriftByGroup(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "lang", "doc_id", "n_chars", k = 200, qs = Seq(0.5, 0.9, 0.99))
+          .orderBy("lang", "q")
+      },
+      Some("""WITH u AS (
+          SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+            CAST(n_chars AS DOUBLE) AS v,
+            CAST(concat('0x',
+              substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        r AS (
+          SELECT lang, side, v,
+            row_number() OVER (PARTITION BY lang, side ORDER BY h) AS rn
+          FROM u),
+        sgrp AS (
+          SELECT lang,
+            coalesce(list(v ORDER BY v) FILTER (WHERE side = 'a'), []) AS va,
+            coalesce(list(v ORDER BY v) FILTER (WHERE side = 'b'), []) AS vb
+          FROM r WHERE rn <= 200 GROUP BY lang),
+        m AS (
+          SELECT lang, va, vb,
+            CAST(len(va) AS BIGINT) AS m_a, CAST(len(vb) AS BIGINT) AS m_b
+          FROM sgrp),
+        qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        SELECT lang, q,
+          CASE WHEN m_a = 0 THEN NULL
+            ELSE va[CAST(greatest(1, ceil(q * m_a)) AS INT)] END AS value_a,
+          CASE WHEN m_b = 0 THEN NULL
+            ELSE vb[CAST(greatest(1, ceil(q * m_b)) AS INT)] END AS value_b,
+          CASE WHEN m_a = 0 OR m_b = 0 THEN NULL
+            ELSE vb[CAST(greatest(1, ceil(q * m_b)) AS INT)]
+               - va[CAST(greatest(1, ceil(q * m_a)) AS INT)] END AS delta,
+          m_a, m_b, (m_a = 0 OR m_b = 0) AS one_sided
+        FROM m, qq ORDER BY lang, q"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8831,7 +8874,7 @@ object Inventory {
     "q260_tokenizer_fertility", "q261_group_ks_drift",
     "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
     "q265_vocab_coverage", "q266_group_psi_drift", "q267_group_correlation",
-    "q268_fertility_incremental",
+    "q268_fertility_incremental", "q269_group_quantile_drift",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -1229,6 +1229,15 @@ class PlanShapeSpec extends SparkSpec {
       s"q267 must not join:\n$p")
   }
 
+  test("q269: per-group quantile drift is two bounded exchanges, no window — q261's shape") {
+    val p = planString(run("q269_group_quantile_drift"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"q269 is two bounded exchanges (sample agg + pivot):\n$p")
+    assert(!p.contains("Window"), s"q269 must not plan a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q269 must not join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -117,6 +117,25 @@ class DriftSpec extends SparkSpec {
       ("3", 25L, 0L, true), ("4", 25L, 40L, false)), s"got ${shift.toSeq}")
   }
 
+  test("quantileDriftByGroup: hand-checked deltas below saturation; one-sided arm") {
+    import spark.implicits._
+    val a = Seq(("g1", 1L, 1.0), ("g1", 2L, 2.0), ("g1", 3L, 3.0),
+      ("g1", 4L, 4.0), ("g2", 9L, 7.0)).toDF("g", "k", "v")
+    val b = Seq(("g1", 5L, 11.0), ("g1", 6L, 12.0), ("g1", 7L, 13.0),
+      ("g1", 8L, 14.0)).toDF("g", "k", "v")
+    val got = Drift.quantileDriftByGroup(a, b, "g", "k", "v",
+        k = 100, qs = Seq(0.5, 1.0))
+      .orderBy("g", "q").collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), r.getBoolean(7)))
+    // k > n: sample exact → p50 = 2nd value, p100 = max; delta = +10
+    assert(got.toSeq == Seq(
+      ("g1", 0.5, Some(2.0), Some(12.0), Some(10.0), false),
+      ("g1", 1.0, Some(4.0), Some(14.0), Some(10.0), false),
+      ("g2", 0.5, Some(7.0), None, None, true),
+      ("g2", 1.0, Some(7.0), None, None, true)), s"got ${got.toSeq}")
+  }
+
   test("psiDriftByGroup: single-group frame reproduces the global operator; absent groups get NULL shares") {
     import spark.implicits._
     val a = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("zz"))
