@@ -109,10 +109,19 @@ object VectorKernels {
     acc
   }
 
-  /** planes is a dense row-major (count × dim) matrix. */
+  /** planes is a dense row-major (count × dim) matrix. Throws on a
+    * vector/plane dimension mismatch — a silently truncated dot
+    * product would bucket every mismatched vector by a projection of
+    * its prefix (the [[quantDot]] contract; LSH recall would degrade
+    * with no error anywhere).
+    */
   def hyperplaneSig(v: ArrayData, planes: Array[Double], count: Int, vF: Boolean): Long = {
     val dim = planes.length / count
-    val n = math.min(v.numElements(), dim)
+    val n = v.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_sig: vector length $n != plane dimension $dim — " +
+          "a truncated projection would silently mis-bucket (the quantDot dim contract)")
     var sig = 0L
     var p = 0
     while (p < count) {

@@ -783,9 +783,15 @@ object ScaleOps {
     * mergeable state per group, map-side partials) replaces the
     * ORDER BY + LIMIT that cannot run per-group, then nearest-rank
     * indexing over each group's sorted sample. Hash keys are the
-    * md5-60-bit image of `keyCol` (must be unique per row), so any
-    * engine replays the exact sample. Output: (groupCol, q, value,
-    * sample_size).
+    * md5-60-bit image of `keyCol`, so any engine replays the exact
+    * sample. Output: (groupCol, q, value, sample_size).
+    *
+    * CONTRACT: `keyCol` must be UNIQUE per row — duplicate keys hash
+    * identically and at most one survives into the KMV sample with a
+    * nondeterministic value (the BottomKValues caller contract). Rows
+    * with a NULL key are FILTERED before hashing (concat_ws drops NULL
+    * args, so they would all collapse onto md5("0")'s slot and bias
+    * the sample); feed a surrogate key if NULL-keyed rows must count.
     */
   def sampleQuantilesByGroup(
       df: DataFrame,
@@ -801,7 +807,8 @@ object ScaleOps {
     val h = conv(substring(
       md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
       1, 15), 16, 10).cast("long")
-    df.groupBy(col(groupCol))
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(graft.functions.BottomKValues
         .sample(h, col(valueCol).cast("double"), k).as("__vals"))
       .select(col(groupCol), sort_array(col("__vals")).as("__vs"),

@@ -107,6 +107,15 @@ object Drift {
     * side only surface with `one_sided` = true and NULL d_stat — never
     * a silent drop.
     *
+    * CONTRACT: `keyCol` must be UNIQUE per row within each side (the
+    * [[graft.functions.BottomKValues]] sample contract — duplicate
+    * keys hash identically, so at most one of them survives into the
+    * KMV sample with a nondeterministic value). Rows whose `keyCol` is
+    * NULL are FILTERED before hashing (they would all collapse onto
+    * one hash — concat_ws drops NULL args — and silently bias the
+    * sample); they are therefore excluded from n_a/n_b too, which
+    * keeps the reported counts consistent with the sampled population.
+    *
     * Scale: ONE (group, side)-keyed aggregate with bounded state is
     * the only data shuffle; the pivot + candidate expansion + argmax
     * run on |groups|-bounded frames already partitioned by group (the
@@ -123,12 +132,13 @@ object Drift {
       seed: Long = 0L): DataFrame = {
     require(k > 0, "k must be positive")
     def side(df: DataFrame, tag: String) =
-      df.select(col(groupCol).as("__g"),
-        lit(tag).as("__side"),
-        conv(substring(
-          md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
-          1, 15), 16, 10).cast("long").as("__h"),
-        col(valueCol).cast("double").as("__v"))
+      df.filter(col(keyCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          lit(tag).as("__side"),
+          conv(substring(
+            md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+            1, 15), 16, 10).cast("long").as("__h"),
+          col(valueCol).cast("double").as("__v"))
     val samp = side(dfA, "a").unionByName(side(dfB, "b"))
       .groupBy("__g", "__side")
       .agg(count(lit(1)).as("__n"),
@@ -183,6 +193,10 @@ object Drift {
     * present on one side surface with NULLs and `one_sided` — never
     * dropped.
     *
+    * Same `keyCol` CONTRACT as [[ksDriftByGroup]]: keys must be unique
+    * per row within a side, and NULL-key rows are filtered before
+    * hashing rather than silently collapsing onto one sample slot.
+    *
     * Scale: ONE (group, side)-keyed aggregate over data is the only
     * shuffle; the pivot and quantile indexing run on |groups|-bounded
     * frames already partitioned by group. Output: (groupCol, q,
@@ -201,12 +215,13 @@ object Drift {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must be in (0, 1]")
     def side(df: DataFrame, tag: String) =
-      df.select(col(groupCol).as("__g"),
-        lit(tag).as("__side"),
-        conv(substring(
-          md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
-          1, 15), 16, 10).cast("long").as("__h"),
-        col(valueCol).cast("double").as("__v"))
+      df.filter(col(keyCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          lit(tag).as("__side"),
+          conv(substring(
+            md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+            1, 15), 16, 10).cast("long").as("__h"),
+          col(valueCol).cast("double").as("__v"))
     val samp = side(dfA, "a").unionByName(side(dfB, "b"))
       .groupBy("__g", "__side")
       .agg(graft.functions.BottomKValues.sample(col("__h"), col("__v"), k).as("__vals"))
@@ -245,7 +260,11 @@ object Drift {
     * partials) is checkpointed; group totals and the report both
     * derive from that bounded cell frame (the q259/q262 idiom — no
     * second corpus scan). Output: (groupCol, cat, n_a, n_b, share_a,
-    * share_b, one_sided, psi).
+    * share_b, one_sided, psi). The group column keeps its ORIGINAL
+    * type (like the sibling ksDriftByGroup/quantileDriftByGroup), so
+    * the three per-slice drift reports join on the group key without a
+    * cast; only the category is string-coerced (it is a label by
+    * construction).
     */
   def psiDriftByGroup(
       dfA: DataFrame,
@@ -253,7 +272,7 @@ object Drift {
       groupCol: String,
       catCol: String): DataFrame = {
     def side(df: DataFrame, a: Long, b: Long) =
-      df.select(col(groupCol).cast("string").as("__g"),
+      df.select(col(groupCol).as("__g"),
         col(catCol).cast("string").as("cat"))
         .withColumn("__a", lit(a)).withColumn("__b", lit(b))
     val cells = side(dfA, 1L, 0L).unionByName(side(dfB, 0L, 1L))
@@ -297,6 +316,14 @@ object Drift {
     * as a 1×1 frame instead would re-execute the boundary aggregate
     * under every branch of the PSI union. Then [[psiDrift]]'s one
     * |bins|-bounded aggregate — each side is scanned exactly once.
+    *
+    * NULL/NaN `valueCol` rows are FILTERED from BOTH sides before
+    * binning: percentile_disc ignores NULLs when cutting the baseline
+    * boundaries, so a NULL row was never ranked into any bin — letting
+    * it fall into bin 1 (NULL comparisons map to `otherwise(0)`) would
+    * silently inflate bin 1's share on dirty columns. The PSI is a
+    * statement about values the boundaries were cut from; NULL-rate
+    * drift is [[graft.quality.Quality]]'s null-count surface.
     */
   def psiDriftBinned(
       dfA: DataFrame,
@@ -308,17 +335,23 @@ object Drift {
       val p = b.toDouble / nBins
       expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$valueCol`)").as(s"__q$b")
     }
+    // NaN filtered alongside NULL: Spark ranks NaN above every double
+    // (so it WOULD land in the top bin) while the boundaries coming
+    // back as literals compare NaN > b to false (bin 1) — either way a
+    // non-value the baseline ranking never saw
+    def clean(df: DataFrame) = df.filter(
+      col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
     // ONE bounded row: B−1 discrete boundary values (NULL on empty A —
     // every row then lands in bin 1 and A's emptiness surfaces through
     // psiDrift's one_sided flags, never a crash)
-    val bs = dfA.agg(boundaryExprs.head, boundaryExprs.tail: _*).head()
+    val bs = clean(dfA).agg(boundaryExprs.head, boundaryExprs.tail: _*).head()
     val bin = (0 until nBins - 1)
       .map { i =>
         if (bs.isNullAt(i)) lit(0)
         else when(col(valueCol) > lit(bs.get(i)), 1).otherwise(0)
       }
       .reduce(_ + _) + 1
-    def binned(df: DataFrame) = df.withColumn("bin", bin.cast("int"))
+    def binned(df: DataFrame) = clean(df).withColumn("bin", bin.cast("int"))
     psiDrift(binned(dfA), binned(dfB), "bin")
   }
 

@@ -153,8 +153,12 @@ object Validator {
     * GROUPED aggregate (map-side partials, state bounded by
     * |cols|²·|groups|), and every (group, col_a, col_b, corr) row
     * derives from its group's sums with the same pinned double ops.
-    * Same listwise-null and overflow contracts, gated per group
-    * (raise_error names the first offending group's magnitudes).
+    * Same listwise-null and overflow contracts, gated per group: the
+    * raise_error names the offending GROUP KEY alongside its max
+    * magnitude and row count, so the failure localizes to a slice.
+    * The gate is deliberately CONSERVATIVE — it bounds Σ|v| and Σv² by
+    * max|v|·n, so it can fire on data whose actual sums would still
+    * fit; lowering `scale` (or pre-scaling the hot column) clears it.
     */
   def correlationMatrixByGroup(
       df: DataFrame,
@@ -200,10 +204,17 @@ object Validator {
       lit(math.pow(10, 18 - scale)),                 // the value cast itself
       lit(math.pow(10, 28 - scale)) / ndG,           // Σ|v| vs decimal(28,scale)
       sqrt(lit(math.pow(10, 38 - 2 * scale)) / ndG)) // Σ|v·v| vs decimal(38,2·scale)
+    // the grouped surface names the offending group key in the error —
+    // "which slice?" is the first question a per-group gate firing asks
+    val groupTag =
+      if (groupCols.isEmpty) lit("")
+      else concat(lit(" in group ("),
+        concat_ws(", ", groupCols.map(c => col(c).cast("string")): _*), lit(")"))
     val nOut = when(overflowGate, raise_error(concat(
       lit(s"correlation_matrix: max |value| "), mxAll.cast("string"),
-      lit(s" over n="), col("__n").cast("string"),
-      lit(s" can overflow the decimal(18,$scale) sums — lower `scale` or pre-scale the columns"))))
+      lit(s" over n="), col("__n").cast("string"), groupTag,
+      lit(s" can overflow the decimal(18,$scale) sums (conservative max·n bound)" +
+        " — lower `scale` or pre-scale the columns"))))
       .otherwise(col("__n"))
     val rows = pairs.map { case (i, j) =>
       val nd = col("__n").cast("double")

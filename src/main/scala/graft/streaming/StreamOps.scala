@@ -233,7 +233,9 @@ object StreamOps {
     * `graft.operators.ScaleOps.sampleQuantilesByGroup`: same md5-60-bit
     * sample, same nearest-rank rule, so a batch replay of the window's
     * rows reproduces every emitted number. `keyCol` must be unique per
-    * row (the sample contract).
+    * row (the sample contract); NULL-key rows are filtered before
+    * hashing, matching the batch twin (they would otherwise collapse
+    * onto one hash slot and bias the sample).
     */
   def windowedSampleQuantiles(
       events: DataFrame,
@@ -251,6 +253,7 @@ object StreamOps {
       md5(concat_ws(":", lit("0"), col(keyCol).cast("string"))),
       1, 15), 16, 10).cast("long")
     events
+      .filter(col(keyCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_))
       .agg(graft.functions.BottomKValues

@@ -47,4 +47,19 @@ class VectorParitySpec extends SparkSpec {
       .filter(col("nat") =!= col("hof")).count()
     assert(mism == 0)
   }
+
+  test("native hyperplane signature throws LOUDLY on a dimension mismatch") {
+    // a silently truncated projection would bucket mismatched vectors
+    // by a prefix — LSH recall degrades with no error anywhere (the
+    // quantDot dim contract)
+    val planes = VectorFunctions.randomPlanes(48, 8) // embeddings are 64-dim
+    val e = intercept[Exception] {
+      emb.select(VectorFunctions.hyperplaneSignature(col("embedding"), planes))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("hyperplane_sig")),
+      s"expected the loud dim-mismatch error, got $e")
+  }
 }

@@ -179,4 +179,57 @@ class DriftSpec extends SparkSpec {
     val same = Drift.psiDrift(a, a, "lang").collect()
     assert(same.forall(r => r.getDouble(6) == 0.0))
   }
+
+  test("ksDriftByGroup / quantileDriftByGroup: NULL-key rows are filtered, not collapsed") {
+    import spark.implicits._
+    // three NULL-key rows used to hash identically (concat_ws drops
+    // NULL args), so at most one survived into the KMV sample with a
+    // nondeterministic value; now they are excluded from the sample
+    // AND the counts, so the report describes the sampled population
+    val a = Seq(("g1", Some(1L), 1.0), ("g1", Some(2L), 2.0),
+      ("g1", None, 100.0), ("g1", None, 200.0), ("g1", None, 300.0))
+      .toDF("g", "k", "v")
+    val b = Seq(("g1", Some(5L), 1.0), ("g1", Some(6L), 2.0)).toDF("g", "k", "v")
+    val ks = Drift.ksDriftByGroup(a, b, "g", "k", "v", k = 10).head()
+    assert(ks.getLong(1) == 2L && ks.getLong(2) == 2L,
+      s"NULL-key rows must not count into n_a/n_b: $ks")
+    assert(ks.getDouble(5) == 0.0, s"identical non-null-key sides must read D=0: $ks")
+    val qd = Drift.quantileDriftByGroup(a, b, "g", "k", "v", k = 10, qs = Seq(1.0)).head()
+    assert(qd.getDouble(2) == 2.0 && qd.getDouble(3) == 2.0,
+      s"the NULL-key 100/200/300 values must not enter the sample: $qd")
+  }
+
+  test("psiDriftBinned: NULL and NaN values are filtered from both sides") {
+    import spark.implicits._
+    // percentile_disc ignores NULLs when cutting the baseline
+    // boundaries, so a NULL row was never ranked anywhere; letting it
+    // fall through when().otherwise(0) into bin 1 inflated bin 1's
+    // share on dirty columns
+    val clean = (1 to 100).map(i => (i.toLong, Some(i.toDouble))).toDF("id", "v")
+    val dirtyA = clean.unionByName(
+      Seq((900L, None: Option[Double]), (901L, None)).toDF("id", "v"))
+    val dirtyB = clean.unionByName(
+      Seq((902L, Some(Double.NaN)), (903L, None)).toDF("id", "v"))
+    val got = Drift.psiDriftBinned(dirtyA, dirtyB, "v", nBins = 4)
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(6)))
+    assert(got.toSeq == Seq(("1", 25L, 25L, 0.0), ("2", 25L, 25L, 0.0),
+      ("3", 25L, 25L, 0.0), ("4", 25L, 25L, 0.0)),
+      s"NULL/NaN rows must not land in any bin: ${got.toSeq}")
+  }
+
+  test("psiDriftByGroup preserves the group column's original type") {
+    import spark.implicits._
+    // the three per-slice drift reports join on the group key; a
+    // string coercion here broke that for integer-keyed slices
+    val a = Seq((1L, "en"), (1L, "de"), (2L, "en")).toDF("g", "lang")
+    val b = Seq((1L, "en"), (1L, "de"), (2L, "en")).toDF("g", "lang")
+    val out = Drift.psiDriftByGroup(a, b, "g", "lang")
+    assert(out.schema("g").dataType == org.apache.spark.sql.types.LongType,
+      s"group key must keep its type, got ${out.schema("g").dataType}")
+    val ks = Drift.ksDriftByGroup(a.withColumn("k", col("lang")).withColumn("v", lit(1.0)),
+      b.withColumn("k", col("lang")).withColumn("v", lit(1.0)), "g", "k", "v", k = 10)
+    // joinable on the shared key without casts
+    assert(out.join(ks, "g").count() > 0)
+  }
 }

@@ -211,6 +211,20 @@ class OutliersSpec extends SparkSpec {
     assert(Validator.correlationMatrix(ok, Seq("x", "y")).collect().length == 3)
   }
 
+  test("correlationMatrixByGroup's overflow error names the offending group") {
+    import spark.implicits._
+    // only slice "hot" overflows; the error must localize to it
+    val df = Seq(("hot", 1.5e12, 1.0), ("hot", 2.0, 2.0),
+      ("cold", 3.0, 4.0), ("cold", 5.0, 6.0)).toDF("g", "x", "y")
+    val e = intercept[Exception] {
+      Validator.correlationMatrixByGroup(df, "g", Seq("x", "y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("correlation_matrix") && m.contains("hot")),
+      s"the per-group gate must name the slice, got $e")
+  }
+
   test("mutualInformation: identical columns share all entropy; independent share none") {
     import spark.implicits._
     // identical columns: MI == H (up to the 6dp ln grid)
