@@ -213,7 +213,85 @@ object Bench {
 
   // --- child-side: time one family in THIS JVM ---------------------------
 
-  private def runFamily(names: Seq[Q], sfDir: String): Seq[(String, Double)] = {
+  /** Best-KNOWN per-query times from the repo's committed
+    * BENCH_REF.json — the baseline the in-sweep re-stamp compares
+    * against. The last sweep's raw artifact (BENCH_LOCAL.json) is the
+    * WRONG reference: when the previous sweep itself ran in a
+    * contended window, its inflated values would mask the next
+    * window's outliers (r12's six 6–10× queries would have set their
+    * own bar). So the reference RATCHETS: the parent writes
+    * elementwise min(old ref, this sweep) after every full run at the
+    * SAME sf, and a transient window can never raise it. A real code
+    * regression makes its query re-stamp once per sweep forever with
+    * first≈retry — exactly the evidence a regression should leave.
+    * Missing/sf-mismatched file → empty map → no re-stamps.
+    */
+  private def readRef(sfDir: String): Map[String, Double] =
+    try {
+      val f = new java.io.File("BENCH_REF.json")
+      if (!f.exists()) Map.empty
+      else {
+        val s = scala.io.Source.fromFile(f, "UTF-8")
+        val line = try s.getLines().mkString("\n") finally s.close()
+        if (!line.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else {
+          val qStart = line.indexOf("\"queries\":{")
+          if (qStart < 0) Map.empty
+          else {
+            val body = line.substring(qStart + 11, line.indexOf('}', qStart))
+            val pair = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+            pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Ratchet BENCH_REF.json with this sweep's results (same-sf only;
+    * a targeted sf10 audit must not seed sf0.1 references). A full
+    * parent sweep at a DIFFERENT sf than the existing file's must not
+    * clobber the ratchet either — the file is scoped to the driver's
+    * artifact-of-record sf, so a casual sf0.001 smoke run leaves the
+    * sf0.1 reference intact (it just records no refs of its own).
+    */
+  private def writeRef(sfDir: String, merged: Seq[(String, Double)]): Unit =
+    try {
+      val f = new java.io.File("BENCH_REF.json")
+      if (f.exists() && readRef(sfDir).isEmpty) {
+        System.err.println(
+          s"[bench] BENCH_REF.json holds another sf's ratchet; not overwriting for $sfDir")
+        return
+      }
+      val old = readRef(sfDir)
+      val next = (old.keySet ++ merged.map(_._1)).toSeq.sorted.map { n =>
+        val vs = old.get(n).toSeq ++ merged.collectFirst { case (`n`, v) => v }.toSeq
+        n -> vs.min
+      }
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_REF.json"), "UTF-8")
+      try w.println(s"""{"sf":"$sfDir","queries":${queriesJson(next)}}""")
+      finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_REF.json write failed: ${e.getMessage}")
+    }
+
+  /** == In-sweep self-attribution ==
+    * A contended host window during one family used to masquerade as a
+    * per-query regression (r6 q177 2.7×; r12 six queries at 6–10× on
+    * byte-identical code) and cost a round of isolated-JVM re-runs to
+    * disprove. So the sweep now attributes itself: any query whose
+    * min-of-3 exceeds [[RestampFactor]]× its committed BENCH_LOCAL
+    * value is immediately re-stamped (one more min-of-3, same JVM,
+    * seconds later) and BOTH stamps land in the artifact. A real code
+    * regression reproduces in the retry; a transient window does not —
+    * the artifact itself now carries the evidence, and the reported
+    * value is the min of both stamps (the engine's cost, which is what
+    * min-of-3 always estimated). GRAFT_BENCH_NO_RESTAMP=1 disables
+    * (e.g. for deliberately-contended A/B experiments).
+    */
+  private val RestampFactor = 2.0
+
+  private def runFamily(
+      names: Seq[Q],
+      sfDir: String): (Seq[(String, Double)], Seq[(String, Double, Double)]) = {
     val spark = GraftSession.get("graft-bench")
     // Untimed warm-up at the smallest sf: loads Parquet/codegen/exchange
     // classes and JIT-compiles the hot paths so per-query timings measure
@@ -237,8 +315,8 @@ object Bench {
     // internal persists (q81/q101) stay COLD: the cache manager would
     // otherwise dedupe on the logical plan and hand a later run the
     // first run's materialized signatures.
-    val results = names.map { q =>
-      val times = (1 to 3).map { _ =>
+    def stamp(q: Q): Double =
+      (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -246,15 +324,37 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
+      }.min
+    val refs =
+      if (sys.env.get("GRAFT_BENCH_NO_RESTAMP").contains("1")) Map.empty[String, Double]
+      else readRef(sfDir)
+    val restamps = scala.collection.mutable.ListBuffer.empty[(String, Double, Double)]
+    val results = names.map { q =>
+      val first = stamp(q)
+      val value = refs.get(q.name) match {
+        case Some(ref) if first > RestampFactor * ref =>
+          val retry = stamp(q)
+          restamps += ((q.name, first, retry))
+          math.min(first, retry)
+        case _ => first
       }
-      q.name -> times.min
+      q.name -> value
     }
     spark.stop()
-    results
+    (results, restamps.toSeq)
   }
 
   private def queriesJson(results: Seq[(String, Double)]): String =
     results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+  /** Both stamps of every in-sweep re-stamp, as {"name":[first,retry]}
+    * — the window evidence the artifact-of-record carries so a
+    * contended driver window can never again masquerade as a
+    * regression (first≫retry = transient window; first≈retry = real).
+    */
+  private def restampsJson(rs: Seq[(String, Double, Double)]): String =
+    rs.map { case (k, a, b) => "\"" + k + f"\":[$a%.3f,$b%.3f]" }
+      .mkString("{", ",", "}")
 
   // --- parent-side: fork one JVM per family, merge the lines -------------
 
@@ -262,7 +362,9 @@ object Bench {
     * props, classpath) on one family of queries; returns the child's
     * parsed (name, seconds) pairs, or None if the child failed.
     */
-  private def forkFamily(family: Seq[String], sfDir: String): Option[Seq[(String, Double)]] = {
+  private def forkFamily(
+      family: Seq[String],
+      sfDir: String): Option[(Seq[(String, Double)], Seq[(String, Double, Double)])] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
     val cmd = new java.util.ArrayList[String]()
@@ -292,6 +394,18 @@ object Bench {
       val body = jsonLine.substring(qStart + 11, jsonLine.indexOf('}', qStart))
       val pair = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
       val rs = pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      val rsStart = jsonLine.indexOf("\"restamps\":{")
+      val restamps =
+        if (rsStart < 0) Seq.empty[(String, Double, Double)]
+        else {
+          val rbody = jsonLine.substring(rsStart + 12, jsonLine.indexOf('}', rsStart))
+          val rpair = """"([A-Za-z0-9_]+)":\[([0-9.]+),([0-9.]+)\]""".r
+          rpair.findAllMatchIn(rbody)
+            .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+        }
+      val childCalib = """"calib_pre_ms":([0-9.]+),"calib_post_ms":([0-9.]+)""".r
+        .findFirstMatchIn(jsonLine)
+        .map(m => (m.group(1).toDouble, m.group(2).toDouble))
       // Per-family progress line, printed AS the child exits, so a
       // truncated driver tail still carries most families even if the
       // final merged line is cut (BENCH_r06 lost q01–q64 that way).
@@ -302,9 +416,13 @@ object Bench {
       // the same global calibration — see SCALE.md); a per-family stamp
       // makes the next such window attributable from the artifact alone.
       val famCalib = spin(200000000L)
-      println(f"""{"family_done":"${family.head}","calib_st_ms":$famCalib%.1f,"queries":${queriesJson(rs)}}""")
+      val windowJson = childCalib
+        .map { case (pre, post) =>
+          f""","calib_pre_ms":$pre%.1f,"calib_post_ms":$post%.1f""" }
+        .getOrElse("")
+      println(f"""{"family_done":"${family.head}","calib_st_ms":$famCalib%.1f$windowJson,"restamps":${restampsJson(restamps)},"queries":${queriesJson(rs)}}""")
       Console.out.flush()
-      Some(rs)
+      Some((rs, restamps))
     }
   }
 
@@ -319,26 +437,40 @@ object Bench {
 
     if (sys.env.get("GRAFT_BENCH_CHILD").contains("1")) {
       // Child: time my family in-process and report one line up.
-      val results = runFamily(headline, sfDir)
+      // calib_pre/post bracket THE FAMILY'S OWN window (the parent's
+      // per-family stamp lands after the child exits — close, but the
+      // child's own pre/post pair classifies the exact segment the
+      // queries ran in: pre≈post≈committed = clean window, either
+      // elevated = contended segment, attributable from the artifact).
+      spin(50000000L) // JIT warm for the spin itself
+      val calibPre = spin(200000000L)
+      val (results, restamps) = runFamily(headline, sfDir)
+      val calibPost = spin(200000000L)
       val total = results.map(_._2).sum
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(results)},"sf":"$sfDir"}""")
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(results)},"restamps":${restampsJson(restamps)},"calib_pre_ms":$calibPre%.1f,"calib_post_ms":$calibPost%.1f,"sf":"$sfDir"}""")
     } else {
       val (calibSt, calibMt) = calibrate()
       val (ioWrite, ioRead) = ioAnchor()
       val families = headline.map(_.name).grouped(8).toSeq
+      val allRestamps = scala.collection.mutable.ListBuffer.empty[(String, Double, Double)]
       val merged = families.flatMap { fam =>
         forkFamily(fam, sfDir) match {
-          case Some(rs) => rs
+          case Some((rs, restamps)) =>
+            allRestamps ++= restamps
+            rs
           case None =>
             // Fallback: a child that cannot launch (unexpected classpath
             // shape) still gets timed — in this JVM, old single-process
             // behavior — rather than silently dropping its queries.
-            runFamily(headline.filter(q => fam.contains(q.name)), sfDir)
+            val (rs, restamps) =
+              runFamily(headline.filter(q => fam.contains(q.name)), sfDir)
+            allRestamps ++= restamps
+            rs
         }
       }
       val total = merged.map(_._2).sum
       val line =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"restamps":${restampsJson(allRestamps.toSeq)},"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
       // Also persist the full merged artifact to the repo: the driver's
       // stdout tail truncates long lines (BENCH_r06 lost 10 families and
       // parsed:null); a committed file can't be truncated.
@@ -348,6 +480,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
       }
+      writeRef(sfDir, merged)
       // Emission order matters: the driver keeps only the LAST ~2 KB of
       // stdout and parses the final JSON line it finds there. The full
       // 120+-query line is ~4 KB, so when it prints last its head is cut
@@ -368,7 +501,7 @@ object Bench {
       }
       val omitted = merged.size - picked.size
       val compact =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(picked.toSeq)},"queries_omitted":$omitted,"full_map":"BENCH_LOCAL.json","sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(picked.toSeq)},"queries_omitted":$omitted,"restamped":${allRestamps.size},"full_map":"BENCH_LOCAL.json","sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
       Console.out.flush()
       println(compact)
     }
