@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Bpe, Classify, Dedup, DedupLedger, EntityResolution, HtmlText, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis, WebOps}
+import graft.operators.{Bpe, Classify, Unigram, Dedup, DedupLedger, EntityResolution, HtmlText, Packing, ScaleOps, Sessionize, Similarity, TextAnalysis, WebOps}
 import graft.quality.Privacy
 
 /** One declared operator: name, Spark implementation, optional DuckDB
@@ -1308,6 +1308,96 @@ object Inventory {
           END AS bytes_per_token
         FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
         ORDER BY d.lang"""
+
+  /** Fixed unigram-LM piece table for q270/q271 — an INPUT artifact
+    * like [[fertilityMerges]] (the tokenizer under audit, not
+    * corpus-trained state), which is what lets DuckDB replay the
+    * Viterbi DP from the same literals. Every logprob is an EXACT
+    * binary fraction (multiples of 1/8), so DP sums, comparisons, and
+    * ties are bit-identical in any IEEE-754 engine. Crafted against
+    * the fixture vocabulary: word-final pieces ("table</w>"),
+    * word-internal pieces ("wind", "qu"), an ENGINEERED exact tie on
+    * "join" ("join</w>" at −4.0 vs "jo"+"in</w>" = −2.0 + −2.0 —
+    * earliest-start wins, pinning the tie-break cross-engine), and
+    * steep single-symbol scores (−8.0) so multi-piece paths dominate
+    * where they exist. Singles cover the corpus charset, so the −100
+    * unk arm stays spec-only (UnigramSpec fires it on 'x'/'z').
+    */
+  private val unigramPieces: Seq[(String, Double)] =
+    ("abcdefghijklmnopqrstuvwy".map(ch => ch.toString -> -8.0) :+
+      ("</w>" -> -4.0)) ++ Seq(
+      "a</w>" -> -3.0, "the</w>" -> -2.5, "agg</w>" -> -3.0,
+      "table</w>" -> -3.5, "ta" -> -2.0, "ble</w>" -> -2.5,
+      "wind" -> -2.5, "ow</w>" -> -2.0,
+      "val" -> -2.0, "ue</w>" -> -2.0,
+      "str" -> -2.0, "eam</w>" -> -2.25,
+      "qu" -> -2.0, "ery</w>" -> -2.25,
+      "jo" -> -2.0, "in</w>" -> -2.0, "join</w>" -> -4.0,
+      "row</w>" -> -2.5, "scan</w>" -> -3.0, "sort</w>" -> -3.0,
+      "slow</w>" -> -3.0, "small</w>" -> -3.25, "fast</w>" -> -3.0,
+      "hash</w>" -> -3.0, "key</w>" -> -2.5, "line</w>" -> -2.75,
+      "part</w>" -> -2.75, "sp" -> -2.0, "ark</w>" -> -2.25,
+      "dat" -> -2.0, "mer" -> -2.25, "ge</w>" -> -2.25,
+      "ord" -> -2.25, "er</w>" -> -2.0, "fil" -> -2.25,
+      "ter</w>" -> -2.25, "gr" -> -2.0, "oup</w>" -> -2.25,
+      "col" -> -2.25, "umn</w>" -> -2.5, "cust" -> -2.5, "om" -> -2.0,
+      "batch</w>" -> -3.25, "big</w>" -> -2.75, "vec" -> -2.25,
+      "tor</w>" -> -2.25, "dup</w>" -> -2.75)
+
+  private val unigramPiecesSql: String =
+    unigramPieces.map(p => s"'${p._1}'").mkString("[", ", ", "]")
+  private val unigramLpsSql: String =
+    unigramPieces.map(p => s"CAST(${p._2} AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** The shared DuckDB replay of the unigram Viterbi DP (q270/q271):
+    * per distinct word type, forward DP over word-framed symbols
+    * (chars + '</w>') maximizing summed piece logprobs — invalid
+    * candidates price at −1e18 (the kernel skips them; a valid path
+    * always exists through singles, so the sentinel never wins), ties
+    * go to the FIRST index of the max (= earliest start = longest
+    * piece, the kernel's j-ascending strict-> rule) — then a backtrack
+    * recursion materializes the piece list. Ends with `seg(wd,
+    * pieces)` plus `ws(doc_id, lang, i, wd)` for assembly.
+    */
+  private val unigramDpSql: String = raw"""base AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> x <> '') AS wds
+          FROM documents),
+        ws AS (
+          SELECT doc_id, lang, i, wds[i] AS wd FROM (
+            SELECT doc_id, lang, wds,
+              unnest(generate_series(1, len(wds))) AS i FROM base)),
+        types AS (SELECT DISTINCT wd FROM ws),
+        symt AS (
+          SELECT wd,
+            list_append([wd[i] for i in range(1, length(wd) + 1)], '</w>') AS s
+          FROM types),
+        dp AS (
+          SELECT wd, s, CAST(1 AS BIGINT) AS i,
+            [CAST(0.0 AS DOUBLE)] AS best, [CAST(0 AS BIGINT)] AS bp
+          FROM symt
+          UNION ALL
+          SELECT wd, s, i + 1,
+            list_append(best, scs[list_position(scs, list_max(scs))]),
+            list_append(bp, CAST(list_position(scs, list_max(scs)) AS BIGINT))
+          FROM (
+            SELECT wd, s, i, best, bp,
+              list_transform(range(1, i + 1), j ->
+                best[j] + coalesce(
+                  ($unigramLpsSql)[nullif(list_position($unigramPiecesSql,
+                    array_to_string(s[j:i], '')), 0)],
+                  CASE WHEN j = i THEN -100.0 ELSE -1e18 END)) AS scs
+            FROM dp WHERE i <= len(s)) t0),
+        bt AS (
+          SELECT wd, s, bp, CAST(len(s) + 1 AS BIGINT) AS k,
+            CAST([] AS VARCHAR[]) AS pieces
+          FROM dp WHERE i = len(s) + 1
+          UNION ALL
+          SELECT wd, s, bp, bp[k] AS k,
+            list_prepend(array_to_string(s[bp[k]:k-1], ''), pieces)
+          FROM bt WHERE k > 1),
+        seg AS (SELECT wd, pieces FROM bt WHERE k = 1)"""
 
   private val extensions = Seq(
     Q("q80_dedup_exact",
@@ -8806,7 +8896,87 @@ object Inventory {
             ELSE vb[CAST(greatest(1, ceil(q * m_b)) AS INT)]
                - va[CAST(greatest(1, ceil(q * m_a)) AS INT)] END AS delta,
           m_a, m_b, (m_a = 0 OR m_b = 0) AS one_sided
-        FROM m, qq ORDER BY lang, q"""))
+        FROM m, qq ORDER BY lang, q""")),
+
+    Q("q270_unigram_roundtrip",
+      (s, dir) => {
+        // unigram-LM (Kudo 2018) encode + round trip under a FROZEN
+        // (piece, logprob) table through the registered named-model
+        // surface (Unigram.registerIdsSql → GraftModels): per document
+        // the Viterbi segmentation, token count, and the decode∘encode
+        // ≡ tokenizer-normalized-text identity. The piece table is an
+        // input artifact with exact-binary-fraction logprobs, so the
+        // max-log-prob DP — including the engineered "join" tie —
+        // replays bit-identically in DuckDB's recursive CTE (the q260
+        // discipline for the second tokenizer family).
+        Unigram.registerIdsSql(s, "unigram_probe", unigramPieces)
+        val enc = graft.functions.GraftModels.resolve("unigram_probe", "unigram")
+        val norm = array_join(TextAnalysis.tokens(lower(col("text"))), " ")
+        t(s, dir, "documents")
+          .select(col("doc_id"), enc(col("text")).as("__tk"), norm.as("__norm"))
+          .select(col("doc_id"),
+            size(col("__tk")).cast("long").as("n_tokens"),
+            array_join(col("__tk"), " ").as("tokens"),
+            (Unigram.decode(col("__tk")) === coalesce(col("__norm"), lit("")))
+              .as("round_trip"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH RECURSIVE $unigramDpSql,
+        doc AS (
+          SELECT ws.doc_id,
+            CAST(sum(len(seg.pieces)) AS BIGINT) AS n_tokens,
+            string_agg(array_to_string(seg.pieces, ' '), ' ' ORDER BY ws.i) AS tokens,
+            string_agg(array_to_string(seg.pieces, ''), '' ORDER BY ws.i) AS cat,
+            string_agg(ws.wd, ' ' ORDER BY ws.i) AS norm
+          FROM ws JOIN seg ON seg.wd = ws.wd
+          GROUP BY ws.doc_id)
+        SELECT d.doc_id,
+          coalesce(t2.n_tokens, 0) AS n_tokens,
+          coalesce(t2.tokens, '') AS tokens,
+          (rtrim(replace(coalesce(t2.cat, ''), '</w>', ' '))
+            = coalesce(t2.norm, '')) AS round_trip
+        FROM documents d LEFT JOIN doc t2 ON d.doc_id = t2.doc_id
+        ORDER BY d.doc_id""")),
+
+    Q("q271_unigram_fertility",
+      (s, dir) => {
+        // q260's per-language fertility audit under the SECOND
+        // tokenizer family: the identical counter/ratio surface with
+        // the unigram Viterbi encoder swapped in by model name — the
+        // audit-portability the GraftModels kind system exists for.
+        Unigram.registerSql(s, "unigram_probe", unigramPieces)
+        val enc = graft.functions.GraftModels.resolve("unigram_probe", "unigram")
+        TextAnalysis
+          .tokenizerFertility(t(s, dir, "documents"), "lang", "text", enc)
+          .orderBy("lang")
+      },
+      Some(raw"""WITH RECURSIVE $unigramDpSql,
+        wagg AS (
+          SELECT ws.lang,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(length(ws.wd)) AS BIGINT) AS n_chars,
+            CAST(sum(strlen(ws.wd)) AS BIGINT) AS n_bytes,
+            CAST(sum(len(seg.pieces)) AS BIGINT) AS n_tokens
+          FROM ws JOIN seg ON seg.wd = ws.wd GROUP BY ws.lang),
+        docs AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang)
+        SELECT d.lang, d.n_docs,
+          coalesce(a.n_words, 0) AS n_words,
+          coalesce(a.n_chars, 0) AS n_chars,
+          coalesce(a.n_bytes, 0) AS n_bytes,
+          coalesce(a.n_tokens, 0) AS n_tokens,
+          CASE WHEN coalesce(a.n_words, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE), 6)
+          END AS tokens_per_word,
+          CASE WHEN coalesce(a.n_chars, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_tokens AS DOUBLE) / CAST(a.n_chars AS DOUBLE), 6)
+          END AS tokens_per_char,
+          CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL
+            ELSE round(CAST(a.n_bytes AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+          END AS bytes_per_token
+        FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
+        ORDER BY d.lang"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -8875,6 +9045,7 @@ object Inventory {
     "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
     "q265_vocab_coverage", "q266_group_psi_drift", "q267_group_correlation",
     "q268_fertility_incremental", "q269_group_quantile_drift",
+    "q270_unigram_roundtrip", "q271_unigram_fertility",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -422,6 +422,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "tokenizer-normalized text (Bpe.registerIdsSql); UNK ids drop",
       modelFn("bpe_decode", "bpe_decode"))
 
+    register(ext, "unigram_encode",
+      "unigram_encode(text, 'model') - max-log-prob Viterbi subword encoding under a " +
+        "registered unigram-LM piece table (Unigram.registerSql)",
+      modelFn("unigram_encode", "unigram"))
+
+    register(ext, "unigram_encode_ids",
+      "unigram_encode_ids(text, 'model') - unigram token-id array under a registered " +
+        "piece table + vocabulary (Unigram.registerIdsSql); OOV pieces -> -1",
+      modelFn("unigram_encode_ids", "unigram_ids"))
+
+    register(ext, "unigram_decode",
+      "unigram_decode(ids, 'model') - detokenize a unigram token-id array back to " +
+        "tokenizer-normalized text (Unigram.registerIdsSql); UNK ids drop",
+      modelFn("unigram_decode", "unigram_decode"))
+
     register(ext, "nb_score",
       "nb_score(text, 'model') - struct(pred, score) under a registered Naive Bayes " +
         "micro-model (Classify.registerSql)",

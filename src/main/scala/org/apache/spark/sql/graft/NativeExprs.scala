@@ -771,6 +771,41 @@ case class BpeEncodeExpr(
     copy(child = newChild)
 }
 
+/** Unigram-LM (Kudo 2018) Viterbi encoding against a broadcast
+  * (piece, logprob) table (graft.functions.UnigramEncode.encode) — the
+  * second tokenizer family next to BpeEncodeExpr, same codegen shape:
+  * max-log-prob segmentation per whitespace word over frozen scores,
+  * deterministic earliest-start tie-break, single-symbol unk fallback.
+  * Segmentation parity with the driver-side trainer's DP is by shared
+  * kernel (UnigramEncode.segmentWord), pinned in UnigramSpec.
+  */
+case class UnigramEncodeExpr(
+    child: Expression,
+    piecesBc: Broadcast[graft.functions.UnigramEncode.PieceModel])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.UnigramEncode.encode(
+      input.asInstanceOf[UTF8String], piecesBc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("unigramPiecesBc", piecesBc, classOf[Broadcast[_]].getName)
+    val piecesVar = ctx.addMutableState(
+      "graft.functions.UnigramEncode.PieceModel", "graftUnigramPieces",
+      v => s"$v = (graft.functions.UnigramEncode.PieceModel) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnigramEncode.encode($c, $piecesVar);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
+    copy(child = newChild)
+}
+
 /** One-pass Naive Bayes scoring against a broadcast micro-unit model
   * (graft.functions.NbScore.score) — the map-only, shuffle-free twin of
   * graft.operators.Classify.nbScore, which is what lets the classifier
@@ -935,4 +970,10 @@ object NativeExprs {
       text: Column,
       ranks: Broadcast[graft.functions.BpeEncode.RankModel]): Column =
     ExpressionUtils.column(BpeEncodeExpr(ExpressionUtils.expression(text), ranks))
+
+  /** Column-level entry for UnigramEncodeExpr. */
+  def unigramEncode(
+      text: Column,
+      pieces: Broadcast[graft.functions.UnigramEncode.PieceModel]): Column =
+    ExpressionUtils.column(UnigramEncodeExpr(ExpressionUtils.expression(text), pieces))
 }
