@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class UnsupportedFormatException(format: String)
     extends IllegalArgumentException(
-      s"Unsupported file format: '$format' (expected one of 'csv', 'json', 'orc', 'parquet', 'text', 'binary')")
+      s"Unsupported file format: '$format' (expected one of 'csv', 'json', 'orc', 'parquet', 'text', 'binary', 'warc')")
 
 /** Source readers — reference `scripts/...pyspark.py:59-71`.
   *
@@ -67,6 +67,31 @@ object Sources {
   def binaryFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile").load(path)
 
+  /** WARC crawl-container source (EXTENSION): one row per WARC record
+    * across every file under `path` — (path, warc_type, url, fetch_ts,
+    * record_id, mime, http_status, payload), with http payloads
+    * unwrapped to their BODY bytes ([[WarcParse]]; ISO 28500 framing,
+    * `.warc.gz` multi-member gzip transparent). Parallelism follows
+    * [[binaryFiles]]: one file = one row upstream of the flatMap, so
+    * crawl shards should be many moderate files (the Common Crawl
+    * layout, ~1 GB segments) rather than one giant archive. The
+    * records-per-file expansion happens executor-side — nothing but
+    * the file listing ever touches the driver.
+    */
+  def warc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    binaryFiles(spark, path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        WarcParse.records(bytes).map(r =>
+          (p, r.warc_type, r.url, r.fetch_ts, r.record_id, r.mime,
+            r.http_status, r.payload))
+      }
+      .toDF("path", "warc_type", "url", "fetch_ts", "record_id", "mime",
+        "http_status", "payload")
+  }
+
   /** Format dispatch — reference `:59,:67,:72-77`; json/orc are
     * extension formats behind the same typed-failure contract.
     *
@@ -91,6 +116,7 @@ object Sources {
       case "parquet" => parquet(spark, path)
       case "text"    => text(spark, path)
       case "binary"  => binaryFiles(spark, path)
+      case "warc"    => warc(spark, path)
       case other     => throw UnsupportedFormatException(other)
     }
 }

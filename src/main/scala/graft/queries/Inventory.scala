@@ -8976,7 +8976,151 @@ object Inventory {
             ELSE round(CAST(a.n_bytes AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
           END AS bytes_per_token
         FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
-        ORDER BY d.lang"""))
+        ORDER BY d.lang""")),
+
+    Q("q273_warc_ingest",
+      (s, dir) => {
+        // the COMPLETE crawl-container chain: per-source multi-record
+        // WARC files are SYNTHESIZED in-plan with byte-exact ISO 28500
+        // framing (Content-Length = octet_length over the UTF-8 http
+        // block), parsed back by the WarcParse kernel, then the q187
+        // extraction + canonical-URL + q207-style blocklist stages run
+        // over the RECOVERED frame. The oracle replays the post-parse
+        // arithmetic directly on documents (parse ∘ synthesize =
+        // identity), so any framing drift — a mis-sliced payload, a
+        // swallowed header, a charset-confused length — corrupts the
+        // recovered text or URL and fails the hash. The per-source
+        // collect_list is FIXTURE CONSTRUCTION (building the archive
+        // bytes to parse), not a production shape — production reads
+        // real segment files through Sources.warc, where parallelism
+        // is per file and nothing aggregates.
+        val did = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>Page "), did, lit(" of "), col("source"),
+          lit("</title><style>p{color:red}</style></head><body>"),
+          lit("<nav><a href=\"/\">Home navigation link</a> " +
+            "<a href=\"/arc\">Archive of everything</a></nav>"),
+          lit("<h1>Document number "), did,
+          lit(" retrieved from source "), col("source"), lit(" &amp; friends</h1>"),
+          lit("<p>"), col("text"), lit("</p>"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("<div class=\"rel\"><a href=\"/r1\">Read the related story here</a> " +
+              "<a href=\"/r2\">And another related one</a></div>"))
+            .otherwise(
+              lit("<p>Closing editorial remark long enough to clear the gate.</p>")),
+          lit("<footer><a href=\"/tos\">Terms</a> <a href=\"/p\">Privacy</a></footer>"),
+          lit("<script>track()</script></body></html>"))
+        val host = concat(col("source"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(".BadCrawl.NET"))
+            .otherwise(lit(".Example.COM")))
+        val url = concat(lit("HTTPS://"), host, lit(":443/doc/"), did,
+          lit("?utm_source=mail"))
+        val http = concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+          html)
+        val rec = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+          lit("\r\nWARC-Date: 2026-01-02T03:04:05Z\r\nWARC-Record-ID: <urn:uuid:doc-"),
+          did,
+          lit(">\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+          octet_length(http).cast("string"), lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+        val files = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), rec.as("rec"))
+          .groupBy("source")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+              x => x.getField("rec")), "").as("warc"))
+        val recs = files
+          .select(explode(
+            graft.io.WarcParse.recordsCol(col("warc").cast("binary"))).as("r"))
+          .select(col("r.url").as("url"), col("r.fetch_ts").as("fetch_ts"),
+            col("r.mime").as("mime"),
+            col("r.http_status").cast("long").as("http_status"),
+            col("r.payload").cast("string").as("html"))
+        val extracted = recs.select(
+          regexp_extract(col("url"), "/doc/(\\d+)", 1).cast("long").as("doc_id"),
+          WebOps.canonicalizeUrl(col("url")).as("canonical_url"),
+          col("fetch_ts"), col("mime"), col("http_status"),
+          HtmlText.extractTitle(col("html")).as("title"),
+          HtmlText.extractText(col("html")).as("extracted"))
+        WebOps.blockDomains(extracted, "canonical_url", Seq("badcrawl.net"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, source,
+            '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || ' of ' || source
+            || '</title><style>p{color:red}</style></head><body>'
+            || '<nav><a href="/">Home navigation link</a> <a href="/arc">Archive of everything</a></nav>'
+            || '<h1>Document number ' || CAST(doc_id AS VARCHAR)
+            || ' retrieved from source ' || source || ' &amp; friends</h1>'
+            || '<p>' || text || '</p>'
+            || CASE WHEN doc_id % 3 = 0
+               THEN '<div class="rel"><a href="/r1">Read the related story here</a> <a href="/r2">And another related one</a></div>'
+               ELSE '<p>Closing editorial remark long enough to clear the gate.</p>' END
+            || '<footer><a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'
+            || '<script>track()</script></body></html>' AS html
+          FROM documents
+          WHERE doc_id % 7 <> 0),
+        stripped AS (
+          SELECT doc_id, source,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?s)<!--.*?-->', '', 'g'),
+              '(?is)<script(>|[ \t\r\n/][^>]*>).*?</script>', '', 'g'),
+              '(?is)<style(>|[ \t\r\n/][^>]*>).*?</style>', '', 'g'),
+              '(?is)<noscript(>|[ \t\r\n/][^>]*>).*?</noscript>', '', 'g'),
+              '(?is)<head(>|[ \t\r\n/][^>]*>).*?</head>', '', 'g') AS s
+          FROM h),
+        blocked AS (
+          SELECT doc_id, source,
+            string_split_regex(
+              regexp_replace(
+                regexp_replace(s, '[\r\n\t]', ' ', 'g'),
+                '(?is)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|pre|form|fieldset|figure|figcaption|hr|br)(>|[ \t\r\n/][^>]*>)',
+                chr(10), 'g'),
+              '\n') AS blks
+          FROM stripped),
+        b AS (
+          SELECT doc_id, i, blks[i] AS blk
+          FROM blocked, LATERAL (SELECT unnest(range(1, len(blks) + 1)) AS i)),
+        vis AS (
+          SELECT doc_id, i, blk,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(blk, '<[^>]*>', '', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')) AS txt
+          FROM b),
+        lc AS (
+          SELECT doc_id, i,
+            coalesce(list_sum([len(trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(l, '<[^>]*>', '', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')))
+              for l in regexp_extract_all(blk, '(?is)<a(>|[ \t\r\n/][^>]*>)(.*?)</a>', 2)]), 0) AS linkchars
+          FROM vis),
+        kept AS (
+          SELECT v.doc_id, v.i, v.txt
+          FROM vis v JOIN lc USING (doc_id, i)
+          WHERE len(v.txt) >= 25 AND linkchars <= 0.5 * len(v.txt)),
+        agg AS (
+          SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS extracted
+          FROM kept GROUP BY doc_id)
+        SELECT hh.doc_id,
+          'https://' || hh.source || '.example.com/doc/' || CAST(hh.doc_id AS VARCHAR)
+            AS canonical_url,
+          '2026-01-02T03:04:05Z' AS fetch_ts,
+          'text/html' AS mime,
+          CAST(200 AS BIGINT) AS http_status,
+          trim(regexp_replace(
+            regexp_extract(hh.html, '(?is)<title(>|[ \t\r\n/][^>]*>)(.*?)</title>', 2),
+            '[ \t\r\n]+', ' ', 'g')) AS title,
+          coalesce(a.extracted, '') AS extracted
+        FROM h hh LEFT JOIN agg a USING (doc_id)
+        ORDER BY hh.doc_id"""))
   )
 
   /** Differential fuzz bundles (FuzzQueries): 340 generated cases over
@@ -9045,7 +9189,7 @@ object Inventory {
     "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
     "q265_vocab_coverage", "q266_group_psi_drift", "q267_group_correlation",
     "q268_fertility_incremental", "q269_group_quantile_drift",
-    "q270_unigram_roundtrip", "q271_unigram_fertility",
+    "q270_unigram_roundtrip", "q271_unigram_fertility", "q273_warc_ingest",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
