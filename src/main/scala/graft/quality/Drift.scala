@@ -248,6 +248,41 @@ object Drift {
         (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
   }
 
+  /** Resolve the PER-GROUP baseline samples the windowed drift twins
+    * compare against (`graft.streaming.StreamOps.windowedKsDriftByGroup`
+    * / `windowedQuantileDriftByGroup`): per group the population count
+    * and the deterministic value-carrying KMV sample — the same
+    * md5-60-bit hash and k as the batch operators, so stream-vs-
+    * baseline numbers replay exactly. The collect is MODEL STATE
+    * (|groups|-bounded, the k-means-centroid rationale), resolved once
+    * at stream-build time and frozen into the plan as map literals.
+    * Group keys are stringified (the map-literal key type); the stream
+    * side looks up with the same cast and REPORTS the original column.
+    * Same `keyCol` contract as [[ksDriftByGroup]] (unique per row;
+    * NULL keys filtered).
+    */
+  def baselineSamples(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      k: Int,
+      seed: Long = 0L): Map[String, (Long, Array[Double])] = {
+    require(k > 0, "k must be positive")
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        graft.functions.BottomKValues.sample(
+          conv(substring(
+            md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+            1, 15), 16, 10).cast("long"),
+          col(valueCol).cast("double"), k).as("__vals"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2).toArray.sorted))
+      .toMap
+  }
+
   /** [[psiDrift]] PER GROUP: the categorical mix shift between two
     * corpus slices for every language/shard at once — the PSI
     * companion to [[ksDriftByGroup]] ("the source mix moved 20 points,

@@ -269,6 +269,154 @@ object StreamOps {
         col("m").as("sample_size"))
   }
 
+  /** Windowed PER-GROUP KS drift monitor: for every (event-time
+    * window, group) the exact two-sample Kolmogorov–Smirnov statistic
+    * of the window's value distribution against a DRIVER-RESOLVED
+    * baseline sample (`graft.quality.Drift.baselineSamples` — model
+    * state like the k-means centroids, |groups|-bounded, frozen at
+    * query start) — the live twin of `Drift.ksDriftByGroup` ("French
+    * document lengths collapsed in the last ten minutes"). Same
+    * md5-60-bit KMV samples, same exact-integer candidate argmax, same
+    * smallest-value tie-break, so a batch replay of a window's rows
+    * against the same baseline reproduces every number (spec-pinned).
+    *
+    * Structure: ONE stateful aggregate (the value-carrying KMV,
+    * 2k longs per (window, group), mergeable, watermark-expired); the
+    * candidate expansion + argmax run as STATELESS array expressions
+    * on the closed aggregate row — a second grouped argmax would be a
+    * chained stateful aggregate, which append-mode streams forbid.
+    * That inlines the batch operator's documented O(k²) candidate
+    * scan per row (bounded: ≤ k² lambda evals per closed window-group,
+    * state is k-bounded regardless of data size).
+    *
+    * Groups absent from the baseline surface with `one_sided` = true
+    * and NULL d_stat — never a silent drop. Same `keyCol` contract as
+    * the batch twin (unique per row; NULL keys filtered).
+    */
+  def windowedKsDriftByGroup(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      baseline: Map[String, (Long, Array[Double])],
+      k: Int,
+      window_ : String = "10 minutes",
+      watermark: String = "1 hour",
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(baseline.nonEmpty, "baseline samples must be non-empty")
+    val groups = baseline.keys.toSeq.sorted
+    // baseline as foldable map literals (group → sorted sample, group
+    // → population count): Catalyst collapses them once, per-row cost
+    // is the map lookup
+    val bVals = map_from_arrays(lit(groups.toArray),
+      array(groups.map(g => lit(baseline(g)._2.sorted)): _*))
+    val bNs = map_from_arrays(lit(groups.toArray),
+      lit(groups.map(g => baseline(g)._1).toArray))
+    val h = conv(substring(
+      md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val agg = events
+      .filter(col(keyCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(groupCol))
+      .agg(count(lit(1)).as("n_b"),
+        graft.functions.BottomKValues
+          .sample(h, col(valueCol).cast("double"), k).as("__vb"))
+    val withBase = agg.select(
+      col("window.start").as("w_start"), col(groupCol),
+      element_at(bNs, col(groupCol).cast("string")).as("n_a"),
+      col("n_b"),
+      coalesce(element_at(bVals, col(groupCol).cast("string")),
+        array().cast("array<double>")).as("__va"),
+      col("__vb"))
+      .withColumn("m_a", size(col("__va")).cast("long"))
+      .withColumn("m_b", size(col("__vb")).cast("long"))
+    // exact integer cross-products over the candidate union, argmax as
+    // ONE struct array-minimum (min over (−ad, v)) — the batch twin's
+    // arithmetic verbatim, stateless here
+    val best = array_min(transform(
+      array_distinct(concat(col("__va"), col("__vb"))),
+      v => struct(
+        (abs(size(filter(col("__va"), x => x <= v)).cast("long") * col("m_b")
+          - size(filter(col("__vb"), x => x <= v)).cast("long") * col("m_a"))
+          * -1L).as("nad"),
+        v.as("v"))))
+    withBase
+      .withColumn("__best", best)
+      .select(
+        col("w_start"), col(groupCol), col("n_a"), col("n_b"),
+        col("m_a"), col("m_b"),
+        when(col("m_a") === 0L || col("m_b") === 0L, lit(null).cast("double"))
+          .otherwise((col("__best.nad").cast("double") * -1.0)
+            / (col("m_a").cast("double") * col("m_b").cast("double"))).as("d_stat"),
+        when(col("m_a") === 0L || col("m_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("__best.v")).as("at_value"),
+        (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
+  }
+
+  /** Windowed PER-GROUP QUANTILE drift: p50/p99-style location shifts
+    * of each (window, group) against the driver-resolved baseline
+    * sample — the LOCATION companion to [[windowedKsDriftByGroup]]
+    * (shape) and [[windowedPsiDrift]] (mix), live. Nearest-rank over
+    * the same deterministic KMV samples as the batch
+    * `Drift.quantileDriftByGroup`; a batch replay of a window's rows
+    * reproduces every number (spec-pinned). One stateful aggregate;
+    * the quantile indexing and the qs expansion are stateless on the
+    * closed row. Groups absent from the baseline surface with NULLs
+    * and `one_sided`.
+    */
+  def windowedQuantileDriftByGroup(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      baseline: Map[String, (Long, Array[Double])],
+      k: Int,
+      qs: Seq[Double],
+      window_ : String = "10 minutes",
+      watermark: String = "1 hour",
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(baseline.nonEmpty, "baseline samples must be non-empty")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val groups = baseline.keys.toSeq.sorted
+    val bVals = map_from_arrays(lit(groups.toArray),
+      array(groups.map(g => lit(baseline(g)._2.sorted)): _*))
+    val h = conv(substring(
+      md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val agg = events
+      .filter(col(keyCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(groupCol))
+      .agg(graft.functions.BottomKValues
+        .sample(h, col(valueCol).cast("double"), k).as("__vb"))
+    def at(vs: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+      when(m === 0L, lit(null).cast("double"))
+        .otherwise(element_at(vs,
+          greatest(lit(1L), ceil(col("q") * m)).cast("int")))
+    agg.select(
+        col("window.start").as("w_start"), col(groupCol),
+        coalesce(element_at(bVals, col(groupCol).cast("string")),
+          array().cast("array<double>")).as("__va"),
+        sort_array(col("__vb")).as("__vbs"))
+      .withColumn("m_a", size(col("__va")).cast("long"))
+      .withColumn("m_b", size(col("__vbs")).cast("long"))
+      .select(col("w_start"), col(groupCol), col("m_a"), col("m_b"),
+        col("__va"), col("__vbs"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .select(col("w_start"), col(groupCol), col("q"),
+        at(col("__va"), col("m_a")).as("value_a"),
+        at(col("__vbs"), col("m_b")).as("value_b"),
+        (at(col("__vbs"), col("m_b")) - at(col("__va"), col("m_a"))).as("delta"),
+        col("m_a"), col("m_b"),
+        (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
+  }
+
   /** Windowed tokenizer-FERTILITY monitor: per event-time window and
     * language, the exact word/char/byte/token counters and 6dp ratios
     * of `graft.operators.TextAnalysis.tokenizerFertility`, live — the

@@ -448,4 +448,112 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq(("de`at", 1L, 1.0 / 3.0), ("en.US", 2L, 2.0 / 3.0)))
   }
+
+  test("windowedKsDriftByGroup: per-(window, group) KS vs baseline equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: group x = {1..4}, group y = {10, 20}
+    val baseDf = Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0),
+      (4L, "x", 4.0), (5L, "y", 10.0), (6L, "y", 20.0)).toDF("id", "grp", "v")
+    val baseline = graft.quality.Drift.baselineSamples(baseDf, "grp", "id", "v", k = 100)
+    assert(baseline("x")._1 == 4L && baseline("y")._1 == 2L)
+
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF.toDF("ts", "id", "grp", "v")
+    val q = StreamOps.windowedKsDriftByGroup(events, "ts", "grp", "id", "v",
+        baseline, k = 100, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wks_out").outputMode("append").start()
+    try {
+      // window [00:00,00:10): x shifted up (5,6,7), y unchanged (10,20),
+      // z unseen in the baseline
+      val windowRows = Seq((ts(1), 11L, "x", 5.0), (ts(2), 12L, "x", 6.0),
+        (ts(3), 13L, "x", 7.0), (ts(4), 14L, "y", 10.0),
+        (ts(5), 15L, "y", 20.0), (ts(6), 16L, "z", 1.0))
+      in.addData(windowRows: _*)
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 99L, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("wks_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .select("grp", "n_a", "n_b", "m_a", "m_b", "d_stat", "at_value", "one_sided")
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          if (r.isNullAt(6)) Double.NaN else r.getDouble(6),
+          r.getBoolean(7))).sortBy(_._1)
+      // batch twin: the SAME baseline rows vs the window's rows
+      val winDf = windowRows.toDF("ts", "id", "grp", "v")
+      val batch = graft.quality.Drift.ksDriftByGroup(
+          baseDf, winDf, "grp", "id", "v", k = 100)
+        .select("grp", "n_a", "n_b", "m_a", "m_b", "d_stat", "at_value", "one_sided")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          if (r.isNullAt(6)) Double.NaN else r.getDouble(6),
+          r.getBoolean(7))).sortBy(_._1)
+      // the stream emits only window-ACTIVE groups; the batch twin also
+      // reports baseline-only groups — compare on the intersection
+      val streamGroups = streamed.map(_._1).toSet
+      val batchShared = batch.filter(t => streamGroups(t._1))
+      // z: unseen in baseline → one_sided, NULL n_a/d_stat (the stream
+      // surfaces -1 sentinel for the null n_a in this tuple-ization)
+      val z = streamed.find(_._1 == "z").get
+      assert(z._8 && z._6.isNaN && z._2 == -1L)
+      // x and y: every number equals the batch operator's
+      def cmp(a: (String, Long, Long, Long, Long, Double, Double, Boolean),
+          b: (String, Long, Long, Long, Long, Double, Double, Boolean)) = {
+        assert(a._1 == b._1); assert(a._3 == b._3)
+        assert(a._4 == b._4); assert(a._5 == b._5)
+        assert(a._6 == b._6 || (a._6.isNaN && b._6.isNaN))
+        assert(a._7 == b._7 || (a._7.isNaN && b._7.isNaN))
+        assert(a._8 == b._8)
+      }
+      streamed.filter(_._1 != "z").zip(batchShared.filter(_._1 != "z"))
+        .foreach { case (a, b) => cmp(a, b); assert(a._2 == b._2) }
+      // and the shifted group actually drifted while the stable one didn't
+      val x = streamed.find(_._1 == "x").get
+      val y = streamed.find(_._1 == "y").get
+      assert(x._6 > y._6)
+    } finally q.stop()
+  }
+
+  test("windowedQuantileDriftByGroup: per-(window, group) quantile deltas equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseDf = Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0),
+      (4L, "x", 4.0), (5L, "y", 10.0), (6L, "y", 20.0)).toDF("id", "grp", "v")
+    val baseline = graft.quality.Drift.baselineSamples(baseDf, "grp", "id", "v", k = 100)
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = in.toDF.toDF("ts", "id", "grp", "v")
+    val qs = Seq(0.5, 1.0)
+    val q = StreamOps.windowedQuantileDriftByGroup(events, "ts", "grp", "id", "v",
+        baseline, k = 100, qs = qs, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wqd_out").outputMode("append").start()
+    try {
+      val windowRows = Seq((ts(1), 11L, "x", 5.0), (ts(2), 12L, "x", 6.0),
+        (ts(3), 13L, "x", 7.0), (ts(4), 14L, "y", 10.0), (ts(5), 15L, "y", 20.0))
+      in.addData(windowRows: _*)
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 99L, "x", 0.0))
+      q.processAllAvailable()
+      def tup(r: org.apache.spark.sql.Row) = (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7))
+      val streamed = spark.table("wqd_out")
+        .filter(col("w_start") < "2024-01-01 01:00:00")
+        .select("grp", "q", "value_a", "value_b", "delta", "m_a", "m_b", "one_sided")
+        .collect().map(tup).sortBy(t => (t._1, t._2))
+      val batch = graft.quality.Drift.quantileDriftByGroup(
+          baseDf, windowRows.toDF("ts", "id", "grp", "v"),
+          "grp", "id", "v", k = 100, qs = qs)
+        .select("grp", "q", "value_a", "value_b", "delta", "m_a", "m_b", "one_sided")
+        .collect().map(tup).sortBy(t => (t._1, t._2))
+      assert(streamed.length == 4) // 2 groups × 2 quantiles
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream ${streamed.toSeq} vs batch ${batch.toSeq}")
+    } finally q.stop()
+  }
 }
