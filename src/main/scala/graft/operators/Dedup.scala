@@ -306,6 +306,28 @@ object Dedup {
             " ")).as("text_dedup"))
   }
 
+  /** Cut every [[contaminationSpans]] span out of its training
+    * document — the REMOVAL arm of span-level decontamination (q200
+    * names the ranges; this excises them and keeps the surrounding
+    * text, the [[removeDuplicateSpans]] shape pointed at a held-out
+    * benchmark instead of at the corpus itself). Returns one row per
+    * training document: (idCol, n_spans, n_dup_tokens, text_dedup) —
+    * documents with no contaminated span pass through unchanged.
+    *
+    * Scale: inherits both parents' shapes — the only data shuffles
+    * carry (hash, id, pos), the held-out shingle set semi-joins
+    * (broadcast when benchmark-sized), and the cut is a map-side
+    * indexed filter after one id-width join.
+    */
+  def decontaminateSpans(
+      train: DataFrame,
+      heldOut: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame =
+    cutSpans(train, contaminationSpans(train, heldOut, idCol, textCol, w),
+      idCol, textCol)
+
   /** [[removeDuplicateSpans]] against a persisted [[spanHashStore]]:
     * cut every batch span that [[duplicateSpansIncremental]] detects
     * (history shingle or earlier-in-batch), keep the surrounding text.

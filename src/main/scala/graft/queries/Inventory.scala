@@ -8978,6 +8978,344 @@ object Inventory {
         FROM docs d LEFT JOIN wagg a ON a.lang = d.lang
         ORDER BY d.lang""")),
 
+    Q("q272_crawl_to_shards",
+      (s, dir) => {
+        // THE FLAGSHIP SCENARIO: the complete public-recipe training-
+        // data pipeline as ONE composition with no glue — crawl pages →
+        // HTML extraction (q187) → mojibake repair (q210) → C4 line
+        // cleaning (q206) → Gopher quality gate (q183) → SimHash
+        // near-dup dedup (q148) → span-level decontamination against a
+        // held-out benchmark (q200) → PII scrub (q102) → temperature-α
+        // language mix (q219/q226) → fixed-budget shards + integrity
+        // manifest (q217/q233). Every stage is the REAL operator the
+        // stage query declares, every stage's arithmetic is engine-
+        // replayable, so the WHOLE run carries one hash oracle: the
+        // final manifest digests the surviving doc ids and exact token
+        // totals, so a drift ANYWHERE upstream — one mis-kept line, one
+        // extra dedup pair, one mis-cut span — changes the output hash.
+        // The benchmark slice (doc_id % 10 = 9) is held OUT of the
+        // crawl and used only as the decontamination reference (the
+        // q200 protocol); the crawl page injects a deterministic email
+        // + one cp1252 mojibake ghost per doc so the scrub and repair
+        // stages demonstrably fire.
+        val d = t(s, dir, "documents")
+        val crawl = d.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+        val bench = d.filter(pmod(col("doc_id"), lit(10)) === 9)
+          .select("doc_id", "text")
+        val did = col("doc_id").cast("string")
+        val gA = lit("\u00C3\u00A9") // cp1252 ghost pair of U+00E9 (q210 arm A)
+        val html = concat(
+          lit("<html><head><title>Page "), did, lit(" of "), col("source"),
+          lit("</title><style>p{color:red}</style></head><body>"),
+          lit("<nav><a href=\"/\">Home navigation link</a> " +
+            "<a href=\"/arc\">Archive of everything</a></nav>"),
+          lit("<h1>Document number "), did,
+          lit(" retrieved from source "), col("source"), lit(" &amp; friends</h1>"),
+          lit("<p>"), col("text"), lit(". Contact u"), did,
+          lit("@ex-mail.org for caf"), gA,
+          lit(" details. It was all verified again.</p>"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("<div class=\"rel\"><a href=\"/r1\">Read the related story here</a> " +
+              "<a href=\"/r2\">And another related one</a></div>"))
+            .otherwise(
+              lit("<p>Closing editorial remark long enough to clear the gate.</p>")),
+          lit("<footer><a href=\"/tos\">Terms</a> <a href=\"/p\">Privacy</a></footer>"),
+          lit("<script>track()</script></body></html>"))
+        // 1. extraction  2. mojibake repair
+        val repaired = crawl
+          .select(col("doc_id"),
+            org.apache.spark.sql.graft.NativeExprs.fixMojibake(
+              HtmlText.extractText(html)).as("text"))
+        // 3. C4 line cleaning (blocks are the lines), then flatten the
+        //    line structure for the token-grain stages
+        val flat = TextAnalysis.c4Clean(repaired, "doc_id", "text")
+          .select(col("doc_id"),
+            regexp_replace(col("clean_text"), "\n", " ").as("text"))
+        // 4. Gopher gate (published thresholds)
+        val surv = flat.join(
+          TextAnalysis.gopherSignals(flat).filter(col("passes_gopher"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        // 5. near-dup dedup: smaller id of each pair survives
+        val pairs = Dedup.simHashMd5NearDups(
+          surv, "doc_id", "text", maxDist = 3, maxBucket = 100000)
+        val deduped = surv.join(
+          pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        // 6. span-level decontamination vs the held-out benchmark
+        val decon = Dedup.decontaminateSpans(
+          deduped, bench, "doc_id", "text", w = 8)
+        // 7. PII scrub + exact token count (+ lang rejoined by id)
+        val scrubbed = decon
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(col("text_dedup")).as("text"))
+          .join(crawl.select("doc_id", "lang"), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        // 8. temperature-α language mix to a fixed token budget
+        val mixed = ScaleOps.temperatureSample(
+          scrubbed, "doc_id", "lang", "n_tok", alpha = 0.3, totalTokens = 8000L)
+        // 9. fixed-budget shards + integrity manifest
+        ScaleOps.shardManifest(
+            mixed.select("doc_id", "n_tok"), "doc_id", "n_tok", budget = 2000L)
+          .orderBy("shard")
+      },
+      Some("""WITH crawl AS (
+          SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 10 <> 9),
+        h AS (
+          SELECT doc_id, lang, source,
+            '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || ' of ' || source
+            || '</title><style>p{color:red}</style></head><body>'
+            || '<nav><a href="/">Home navigation link</a> <a href="/arc">Archive of everything</a></nav>'
+            || '<h1>Document number ' || CAST(doc_id AS VARCHAR)
+            || ' retrieved from source ' || source || ' &amp; friends</h1>'
+            || '<p>' || text || '. Contact u' || CAST(doc_id AS VARCHAR)
+            || '@ex-mail.org for caf' || chr(195) || chr(169)
+            || ' details. It was all verified again.</p>'
+            || CASE WHEN doc_id % 3 = 0
+               THEN '<div class="rel"><a href="/r1">Read the related story here</a> <a href="/r2">And another related one</a></div>'
+               ELSE '<p>Closing editorial remark long enough to clear the gate.</p>' END
+            || '<footer><a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'
+            || '<script>track()</script></body></html>' AS html
+          FROM crawl),
+        stripped AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?s)<!--.*?-->', '', 'g'),
+              '(?is)<script(>|[ \t\r\n/][^>]*>).*?</script>', '', 'g'),
+              '(?is)<style(>|[ \t\r\n/][^>]*>).*?</style>', '', 'g'),
+              '(?is)<noscript(>|[ \t\r\n/][^>]*>).*?</noscript>', '', 'g'),
+              '(?is)<head(>|[ \t\r\n/][^>]*>).*?</head>', '', 'g') AS s
+          FROM h),
+        blocked AS (
+          SELECT doc_id,
+            string_split_regex(
+              regexp_replace(
+                regexp_replace(s, '[\r\n\t]', ' ', 'g'),
+                '(?is)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|pre|form|fieldset|figure|figcaption|hr|br)(>|[ \t\r\n/][^>]*>)',
+                chr(10), 'g'),
+              '\n') AS blks
+          FROM stripped),
+        bb AS (
+          SELECT doc_id, i, blks[i] AS blk
+          FROM blocked, LATERAL (SELECT unnest(range(1, len(blks) + 1)) AS i)),
+        vis AS (
+          SELECT doc_id, i, blk,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(blk, '<[^>]*>', '', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')) AS txt
+          FROM bb),
+        lc AS (
+          SELECT doc_id, i,
+            coalesce(list_sum([len(trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(l, '<[^>]*>', '', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')))
+              for l in regexp_extract_all(blk, '(?is)<a(>|[ \t\r\n/][^>]*>)(.*?)</a>', 2)]), 0) AS linkchars
+          FROM vis),
+        kept AS (
+          SELECT v.doc_id, v.i, v.txt
+          FROM vis v JOIN lc USING (doc_id, i)
+          WHERE len(v.txt) >= 25 AND linkchars <= 0.5 * len(v.txt)),
+        agg AS (
+          SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS extracted
+          FROM kept GROUP BY doc_id),
+        fx AS (
+          SELECT doc_id, replace(extracted, chr(195)||chr(169), chr(233)) AS t
+          FROM agg),
+        c4 AS (
+          SELECT doc_id,
+            array_to_string(list_transform(ks, l -> trim(l)), chr(10)) AS clean_text
+          FROM (
+            SELECT doc_id,
+              list_filter(string_split(t, chr(10)), l ->
+                regexp_matches(trim(l), '([.!?]["'']?|["''])$')
+                AND len(string_split_regex(trim(l), '[ \t\n\f\r]+')) >= 5
+                AND NOT contains(lower(trim(l)), 'javascript')) AS ks
+            FROM fx
+            WHERE NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum'))),
+        flat AS (
+          SELECT doc_id, replace(clean_text, chr(10), ' ') AS t
+          FROM c4
+          WHERE len(string_split_regex(clean_text, '[.!?]')) - 1 >= 3),
+        gbase AS (
+          SELECT doc_id,
+            string_split_regex(trim(lower(t)), '\s+') AS ws,
+            len(regexp_replace(trim(lower(t)), '\s', '', 'g')) AS wchars,
+            trim(lower(t)) AS tl
+          FROM flat WHERE length(trim(t)) > 0),
+        gwords AS (
+          SELECT doc_id, len(ws) AS wc, wchars,
+            len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+            len(tl) - len(replace(tl, '#', '')) AS hash_chars,
+            (len(tl) - len(replace(tl, '...', ''))) // 3 AS ellipses
+          FROM gbase),
+        gg AS (
+          SELECT b2.doc_id, n.n, array_to_string(b2.ws[i.i : i.i + n.n - 1], ' ') AS gram
+          FROM gbase b2, (VALUES (2),(3),(4),(5)) n(n),
+            unnest(generate_series(1, len(b2.ws) - n.n + 1)) i(i)
+          WHERE len(b2.ws) >= n.n),
+        gcnt AS (
+          SELECT doc_id, n, gram, count(*) AS c, len(gram) - (n - 1) AS gchars
+          FROM gg GROUP BY ALL),
+        gtops AS (
+          SELECT doc_id,
+            max(CASE WHEN n = 2 THEN tc END) AS t2,
+            max(CASE WHEN n = 3 THEN tc END) AS t3,
+            max(CASE WHEN n = 4 THEN tc END) AS t4
+          FROM (
+            SELECT doc_id, n, c * gchars AS tc
+            FROM gcnt
+            QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) = 1)
+          GROUP BY doc_id),
+        gdups AS (
+          SELECT doc_id, sum((c - 1) * gchars) AS d5
+          FROM gcnt WHERE n = 5 AND c > 1 GROUP BY doc_id),
+        gfr AS (
+          SELECT w.doc_id,
+            CAST(w.wc AS BIGINT) AS word_count,
+            round(w.wchars * 1000000.0 / w.wc, 0) / 1000000.0 AS mean_word_len,
+            round(w.alpha_words * 1000000.0 / w.wc, 0) / 1000000.0 AS alpha_word_frac,
+            round((w.hash_chars + w.ellipses) * 1000000.0 / w.wc, 0) / 1000000.0
+              AS symbol_word_ratio,
+            round(coalesce(t2g.t2, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top2gram_frac,
+            round(coalesce(t2g.t3, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top3gram_frac,
+            round(coalesce(t2g.t4, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top4gram_frac,
+            least(round(coalesce(d2g.d5, 0) * 1000000.0 / w.wchars, 0) / 1000000.0, 1.0)
+              AS dup5gram_frac
+          FROM gwords w LEFT JOIN gtops t2g USING (doc_id) LEFT JOIN gdups d2g USING (doc_id)),
+        surv AS (
+          SELECT f2.doc_id, f2.t
+          FROM flat f2 JOIN gfr USING (doc_id)
+          WHERE word_count BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8
+            AND top2gram_frac < 0.20 AND top3gram_frac < 0.18
+            AND top4gram_frac < 0.16 AND dup5gram_frac < 0.15),
+        stok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(t)), '\s+')) AS tok
+          FROM surv WHERE length(trim(t)) > 0),
+        sh2 AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+            CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+          FROM stok),
+        votes AS (
+          SELECT doc_id, j,
+            CASE WHEN 2 * sum((hi >> j) & 1) >= count(*)
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS hb,
+            CASE WHEN 2 * sum((lo >> j) & 1) >= count(*)
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS lb
+          FROM sh2 CROSS JOIN generate_series(0, 31) t(j)
+          GROUP BY doc_id, j),
+        fp AS (
+          SELECT doc_id, sum(hb) AS fp_hi, sum(lb) AS fp_lo
+          FROM votes GROUP BY doc_id),
+        allfp AS (
+          SELECT s3.doc_id, coalesce(f.fp_hi, 0) AS fp_hi, coalesce(f.fp_lo, 0) AS fp_lo
+          FROM surv s3 LEFT JOIN fp f USING (doc_id)),
+        dupids AS (
+          SELECT DISTINCT b3.doc_id
+          FROM allfp a3 JOIN allfp b3 ON a3.doc_id < b3.doc_id
+          WHERE bit_count(xor(a3.fp_hi, b3.fp_hi))
+              + bit_count(xor(a3.fp_lo, b3.fp_lo)) <= 3),
+        ded AS (
+          SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dupids)),
+        dtb AS (SELECT doc_id, t, string_split(t, ' ') AS tt FROM ded),
+        tpos AS (
+          SELECT doc_id, tt, unnest(generate_series(0, len(tt) - 8)) AS pos
+          FROM dtb WHERE len(tt) >= 8),
+        tsh AS (
+          SELECT doc_id, pos, md5(array_to_string(tt[pos+1 : pos+8], ' ')) AS hh
+          FROM tpos),
+        bsh AS (
+          SELECT DISTINCT md5(array_to_string(bt[p+1 : p+8], ' ')) AS hh
+          FROM (
+            SELECT bt, unnest(generate_series(0, len(bt) - 8)) AS p
+            FROM (SELECT string_split(text, ' ') AS bt
+                  FROM documents WHERE doc_id % 10 = 9)
+            WHERE len(bt) >= 8)),
+        hits AS (SELECT t4.doc_id, t4.pos FROM tsh t4 JOIN bsh USING (hh)),
+        brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                 THEN 1 ELSE 0 END AS b
+          FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+          FROM brk),
+        sp AS (
+          SELECT doc_id, g, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+          FROM isl GROUP BY doc_id, g),
+        spl AS (
+          SELECT doc_id,
+            list(struct_pack(start_tok := start_tok, end_tok := end_tok)) AS spans
+          FROM sp GROUP BY doc_id),
+        cut AS (
+          SELECT d4.doc_id,
+            CASE WHEN spl.spans IS NULL THEN d4.t
+              ELSE array_to_string(list_transform(
+                list_filter(range(1, len(d4.tt) + 1), i ->
+                  len(list_filter(spl.spans, s5 ->
+                    (i - 1) >= s5.start_tok AND (i - 1) <= s5.end_tok)) = 0),
+                i -> d4.tt[i]), ' ')
+            END AS t
+          FROM dtb d4 LEFT JOIN spl USING (doc_id)),
+        pii AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+              '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS t
+          FROM cut),
+        tok2 AS (
+          SELECT p2.doc_id, c2.lang,
+            CAST(len(regexp_split_to_array(trim(p2.t), '\s+')) AS BIGINT) AS n_tok
+          FROM pii p2 JOIN crawl c2 USING (doc_id)),
+        av AS (
+          SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS n
+          FROM tok2 GROUP BY lang HAVING sum(n_tok) > 0),
+        z AS (SELECT sum(pow(n, 0.3)) AS z FROM av),
+        tg AS (
+          SELECT lang,
+            CAST(floor(8000 * CAST(round(pow(n, 0.3) / z.z, 6)
+              AS DECIMAL(18,6))) AS BIGINT) AS tgt
+          FROM av CROSS JOIN z),
+        sln AS (
+          SELECT tok2.doc_id, tok2.lang, tok2.n_tok, tg.tgt,
+            CAST(('0x' || substr(md5(CAST(tok2.doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+          FROM tok2 JOIN tg ON tok2.lang = tg.lang),
+        pr AS (
+          SELECT *, pow((hv + 0.5) / 4294967296.0,
+            1.0 / greatest(CAST(n_tok AS DOUBLE), 1.0)) AS aes
+          FROM sln),
+        cm AS (
+          SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang
+            ORDER BY aes DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM pr),
+        mixed AS (SELECT doc_id, lang, n_tok FROM cm WHERE cum < tgt),
+        shd AS (
+          SELECT doc_id, n_tok,
+            CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tok) // 2000 AS BIGINT) AS shard
+          FROM mixed)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+          min(doc_id) AS first_id, max(doc_id) AS last_id,
+          bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT)) AS ids_xor60
+        FROM shd GROUP BY shard ORDER BY shard""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -9189,7 +9527,8 @@ object Inventory {
     "q262_langid_confusion", "q263_psi_binned", "q264_threshold_sensitivity",
     "q265_vocab_coverage", "q266_group_psi_drift", "q267_group_correlation",
     "q268_fertility_incremental", "q269_group_quantile_drift",
-    "q270_unigram_roundtrip", "q271_unigram_fertility", "q273_warc_ingest",
+    "q270_unigram_roundtrip", "q271_unigram_fertility",
+    "q272_crawl_to_shards", "q273_warc_ingest",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
