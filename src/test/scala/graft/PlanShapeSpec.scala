@@ -1238,6 +1238,50 @@ class PlanShapeSpec extends SparkSpec {
       s"q269 must not join:\n$p")
   }
 
+  test("q270: unigram encode+roundtrip is map-only up to the presentation sort") {
+    val p = planString(run("q270_unigram_roundtrip"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 0,
+      s"q270 is per-document arithmetic — no hash shuffle:\n$p")
+    assert(p.contains("unigram_encode"),
+      s"q270 must encode through the native unigram kernel:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q270 must not join:\n$p")
+  }
+
+  test("q271: unigram fertility is map-only into ONE language aggregate — q260's shape") {
+    val p = planString(run("q271_unigram_fertility"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"q271 must shuffle once (the lang aggregate):\n$p")
+    assert(!p.contains("Generate"), s"q271 must not explode the word stream:\n$p")
+    assert(p.contains("unigram_encode"),
+      s"q271 must encode through the native unigram kernel:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q271 must not join:\n$p")
+  }
+
+  test("q272: the crawl-to-shards composition shards via the partition-offset cumsum") {
+    // the final plan starts at shardByTokenBudget's checkpoint boundary
+    // (upstream stages materialize into the checkpointed frame and are
+    // pinned by their own stage queries) — what must hold HERE is the
+    // emission shape: the cumsum window is per-__pid, never a global
+    // single-partition window, and nothing degenerates to all-pairs
+    val p = planString(run("q272_crawl_to_shards"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q272 has an all-pairs join:\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"q272's shard cumsum must ride the partition-offset window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"q272 must not plan a global single-partition exchange:\n$p")
+  }
+
+  test("q273: warc parse + extract chain never degenerates to an all-pairs join") {
+    val p = planString(run("q273_warc_ingest"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q273 has an all-pairs join:\n$p")
+    assert(p.contains("Generate"),
+      s"q273 must explode parsed records executor-side:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
