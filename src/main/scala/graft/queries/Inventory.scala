@@ -9027,21 +9027,34 @@ object Inventory {
             org.apache.spark.sql.graft.NativeExprs.fixMojibake(
               HtmlText.extractText(html)).as("text"))
         // 3. C4 line cleaning (blocks are the lines), then flatten the
-        //    line structure for the token-grain stages
+        //    line structure for the token-grain stages.
+        //    Each stage frame below feeds TWO+ downstream consumers
+        //    (the gate probe + the survivor join; the pair generator +
+        //    the anti-join; the shingler + the cut) — without sharing,
+        //    the whole extract/regex chain re-executes once per path
+        //    through the DAG (measured: 33.8 s → 11.1 s at sf0.1 — the
+        //    checkpointed composition costs ≈ the sum of its nine
+        //    stage queries, which is the floor), so
+        //    each multi-consumer frame is lazily checkpointed (the
+        //    q264 shared-pairs idiom; executor-local blocks, no
+        //    CacheManager pin).
         val flat = TextAnalysis.c4Clean(repaired, "doc_id", "text")
           .select(col("doc_id"),
             regexp_replace(col("clean_text"), "\n", " ").as("text"))
+          .localCheckpoint(false)
         // 4. Gopher gate (published thresholds)
         val surv = flat.join(
           TextAnalysis.gopherSignals(flat).filter(col("passes_gopher"))
             .select("doc_id"),
           Seq("doc_id"), "left_semi")
+          .localCheckpoint(false)
         // 5. near-dup dedup: smaller id of each pair survives
         val pairs = Dedup.simHashMd5NearDups(
           surv, "doc_id", "text", maxDist = 3, maxBucket = 100000)
         val deduped = surv.join(
           pairs.select(col("id_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
+          .localCheckpoint(false)
         // 6. span-level decontamination vs the held-out benchmark
         val decon = Dedup.decontaminateSpans(
           deduped, bench, "doc_id", "text", w = 8)
@@ -9052,6 +9065,7 @@ object Inventory {
           .join(crawl.select("doc_id", "lang"), Seq("doc_id"))
           .select(col("doc_id"), col("lang"),
             size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          .localCheckpoint(false)
         // 8. temperature-α language mix to a fixed token budget
         val mixed = ScaleOps.temperatureSample(
           scrubbed, "doc_id", "lang", "n_tok", alpha = 0.3, totalTokens = 8000L)
