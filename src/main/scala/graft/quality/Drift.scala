@@ -117,9 +117,10 @@ object Drift {
     * keeps the reported counts consistent with the sampled population.
     *
     * Scale: ONE (group, side)-keyed aggregate with bounded state is
-    * the only data shuffle; the pivot + candidate expansion + argmax
-    * run on |groups|-bounded frames already partitioned by group (the
-    * struct-minima argmax avoids any per-group window). Output:
+    * the only data shuffle; the pivot and the [[ksBest]] sorted-merge
+    * argmax (one O(m log m) pass over the two samples — no candidate
+    * explode, no per-group window) run on |groups|-bounded frames
+    * already partitioned by group. Output:
     * (groupCol, n_a, n_b, m_a, m_b, d_stat, at_value, one_sided).
     */
   def ksDriftByGroup(
@@ -155,22 +156,12 @@ object Drift {
           array().cast("array<double>")).as("__vb"))
       .withColumn("m_a", size(col("__va")).cast("long"))
       .withColumn("m_b", size(col("__vb")).cast("long"))
-    val cand = wide
-      .select(col("__g"), col("n_a"), col("n_b"), col("m_a"), col("m_b"),
-        col("__va"), col("__vb"),
-        explode(array_distinct(concat(col("__va"), col("__vb")))).as("__cv"))
-      .withColumn("__ca",
-        size(filter(col("__va"), x => x <= col("__cv"))).cast("long"))
-      .withColumn("__cb",
-        size(filter(col("__vb"), x => x <= col("__cv"))).cast("long"))
-      // exact integer cross-products, ≤ k² — no float CDFs
-      .withColumn("__ad",
-        abs(col("__ca") * col("m_b") - col("__cb") * col("m_a")))
-    cand
-      .groupBy("__g", "n_a", "n_b", "m_a", "m_b")
-      // argmax with the smallest-value tie-break as ONE struct minimum
-      // (min over (−ad, v)) — no per-group window, no second sort
-      .agg(min(struct((col("__ad") * -1L).as("nad"), col("__cv").as("v"))).as("__best"))
+    wide
+      // one O(m log m) sorted-merge pass per group replaces the
+      // explode-candidates formulation (O(k²) interpreted HOF lambdas
+      // per group — the r12 advice item); output bit-identical
+      .withColumn("__best",
+        ksBest(col("__va"), col("__vb"), col("m_a"), col("m_b")))
       .select(
         col("__g").as(groupCol),
         col("n_a"), col("n_b"), col("m_a"), col("m_b"),
@@ -180,6 +171,62 @@ object Drift {
         when(col("m_a") === 0L || col("m_b") === 0L, lit(null).cast("double"))
           .otherwise(col("__best.v")).as("at_value"),
         (col("m_a") === 0L || col("m_b") === 0L).as("one_sided"))
+  }
+
+  /** Exact two-sample KS argmax over two samples in ONE O(m log m)
+    * pass (m = m_a + m_b): merge-sort the side-tagged values, walk
+    * them once with running counts, and evaluate the exact integer
+    * cross-product |cumA·m_b − cumB·m_a| at every value BOUNDARY
+    * (evaluating inside a run of equal values would use a partial
+    * CDF — a point on neither step function, which can exceed the
+    * true maximum when a-rows and b-rows interleave within the run).
+    * Returns struct(nad, v): nad = −(max |·|), v the SMALLEST value
+    * attaining it — bit-identical to the explode-distinct-candidates
+    * formulation it replaces (struct-min over (−ad, v)), which cost
+    * O(k²) interpreted HOF lambdas per group (the r12 advice item).
+    * Pure stateless array expressions, so the streaming twin can run
+    * it on a closed aggregate row where a second grouped argmax would
+    * be a forbidden chained stateful aggregate.
+    */
+  private[graft] def ksBest(
+      va: org.apache.spark.sql.Column,
+      vb: org.apache.spark.sql.Column,
+      ma: org.apache.spark.sql.Column,
+      mb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val merged = array_sort(concat(
+      transform(va, v => struct(v.as("v"), lit(1L).as("da"), lit(0L).as("db"))),
+      transform(vb, v => struct(v.as("v"), lit(0L).as("da"), lit(1L).as("db")))))
+    // state: running counts, the pending previous value, and the best
+    // candidate so far (nad starts at the impossible sentinel +1; real
+    // candidates are ≤ 0, so the first boundary always takes)
+    val init = struct(lit(0L).as("ca"), lit(0L).as("cb"),
+      lit(null).cast("double").as("prev"),
+      lit(1L).as("nad"), lit(null).cast("double").as("bestv"))
+    aggregate(
+      merged,
+      init,
+      (st, e) => {
+        val boundary = st("prev").isNotNull && (e("v") =!= st("prev"))
+        val candNad = abs(st("ca") * mb - st("cb") * ma) * -1L
+        val take = boundary && (st("bestv").isNull || candNad < st("nad"))
+        struct(
+          (st("ca") + e("da")).as("ca"),
+          (st("cb") + e("db")).as("cb"),
+          e("v").as("prev"),
+          when(take, candNad).otherwise(st("nad")).as("nad"),
+          when(take, st("prev")).otherwise(st("bestv")).as("bestv"))
+      },
+      st => {
+        // the final boundary: full counts at the largest value (its ad
+        // is 0 by construction — it matters only for the all-zero tie,
+        // where earlier/smaller v still wins by the strict <)
+        val candNad = abs(st("ca") * mb - st("cb") * ma) * -1L
+        val take = st("prev").isNotNull &&
+          (st("bestv").isNull || candNad < st("nad"))
+        struct(
+          when(take, candNad).otherwise(st("nad")).as("nad"),
+          when(take, st("prev")).otherwise(st("bestv")).as("v"))
+      })
   }
 
   /** Per-group QUANTILE drift: p50/p99-style location shifts of a

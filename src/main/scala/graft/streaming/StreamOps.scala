@@ -282,12 +282,10 @@ object StreamOps {
     *
     * Structure: ONE stateful aggregate (the value-carrying KMV,
     * 2k longs per (window, group), mergeable, watermark-expired); the
-    * candidate expansion + argmax run as STATELESS array expressions
-    * on the closed aggregate row — a second grouped argmax would be a
-    * chained stateful aggregate, which append-mode streams forbid.
-    * That inlines the batch operator's documented O(k²) candidate
-    * scan per row (bounded: ≤ k² lambda evals per closed window-group,
-    * state is k-bounded regardless of data size).
+    * KS argmax runs as STATELESS array expressions on the closed
+    * aggregate row (`Drift.ksBest`, one O(m log m) sorted-merge pass —
+    * a second grouped argmax would be a chained stateful aggregate,
+    * which append-mode streams forbid).
     *
     * Groups absent from the baseline surface with `one_sided` = true
     * and NULL d_stat — never a silent drop. Same `keyCol` contract as
@@ -333,16 +331,11 @@ object StreamOps {
       col("__vb"))
       .withColumn("m_a", size(col("__va")).cast("long"))
       .withColumn("m_b", size(col("__vb")).cast("long"))
-    // exact integer cross-products over the candidate union, argmax as
-    // ONE struct array-minimum (min over (−ad, v)) — the batch twin's
-    // arithmetic verbatim, stateless here
-    val best = array_min(transform(
-      array_distinct(concat(col("__va"), col("__vb"))),
-      v => struct(
-        (abs(size(filter(col("__va"), x => x <= v)).cast("long") * col("m_b")
-          - size(filter(col("__vb"), x => x <= v)).cast("long") * col("m_a"))
-          * -1L).as("nad"),
-        v.as("v"))))
+    // the batch twin's exact-integer argmax, as the SAME O(m log m)
+    // sorted-merge kernel (Drift.ksBest) — stateless array expressions
+    // on the closed aggregate row
+    val best = graft.quality.Drift.ksBest(
+      col("__va"), col("__vb"), col("m_a"), col("m_b"))
     withBase
       .withColumn("__best", best)
       .select(

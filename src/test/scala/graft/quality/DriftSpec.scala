@@ -232,4 +232,40 @@ class DriftSpec extends SparkSpec {
     // joinable on the shared key without casts
     assert(out.join(ks, "g").count() > 0)
   }
+
+  test("ksBest: the sorted-merge argmax equals the brute-force distinct-candidate definition") {
+    import spark.implicits._
+    // brute force: for every distinct value v, ad = |#(a<=v)*mb - #(b<=v)*ma|;
+    // max ad, ties to the smallest v — the definition ksBest must equal
+    def brute(a: Seq[Double], b: Seq[Double]): (Long, Double) = {
+      val (ma, mb) = (a.size.toLong, b.size.toLong)
+      (a ++ b).distinct.sorted.map { v =>
+        val ad = math.abs(a.count(_ <= v) * mb - b.count(_ <= v) * ma)
+        (-ad, v)
+      }.min
+    }
+    val rnd = new scala.util.Random(13)
+    // deliberately tie-heavy small-domain samples so equal-value runs
+    // interleave a- and b-elements (the partial-CDF trap the boundary
+    // rule exists for), plus empty-ish and disjoint shapes
+    val cases: Seq[(Seq[Double], Seq[Double])] =
+      Seq(
+        (Seq(1.0, 1.0, 2.0), Seq(1.0, 3.0)),
+        (Seq(1.0), Seq(1.0)),
+        (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)),
+        (Seq(2.0, 2.0, 2.0), Seq(2.0, 2.0))) ++
+        (1 to 20).map { _ =>
+          (Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(5).toDouble),
+            Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(5).toDouble))
+        }
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+      .withColumn("best", graft.quality.Drift.ksBest(
+        col("a"), col("b"), size(col("a")).cast("long"), size(col("b")).cast("long")))
+      .select(col("i"), col("best.nad"), col("best.v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(df(i) == brute(a, b), s"case $i: a=$a b=$b got ${df(i)} want ${brute(a, b)}")
+    }
+  }
 }
