@@ -92,6 +92,38 @@ object Sources {
         "http_status", "payload")
   }
 
+  /** [[warc]]'s CONSTANT-MEMORY twin — the 100 TB ingest path. [[warc]]
+    * rides the binaryFile source, which materializes each file as ONE
+    * byte-array row (fine for moderate segments, gigabytes per task on
+    * real ~1 GB crawl archives, hard 2 GB ceiling). This variant lists
+    * the files through the same source but projects ONLY `path` (the
+    * binaryFile reader prunes `content`, so nothing is read at listing
+    * time), then each task opens its files through the Hadoop
+    * filesystem and walks [[WarcParse.recordsStream]] — one record in
+    * memory at a time, whatever the archive size. Same schema, same
+    * record semantics (shared framing kernel), parity spec-pinned.
+    */
+  def warcStreamed(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val confBc = org.apache.spark.sql.graft.SparkBridge.broadcastHadoopConf(
+      spark.sparkContext)
+    binaryFiles(spark, path)
+      .select("path")
+      .as[String]
+      .mapPartitions { paths =>
+        val conf = org.apache.spark.sql.graft.SparkBridge.hadoopConf(confBc)
+        paths.flatMap { p =>
+          val hPath = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+          val fs = hPath.getFileSystem(conf)
+          WarcParse.recordsStream(fs.open(hPath)).map(r =>
+            (p, r.warc_type, r.url, r.fetch_ts, r.record_id, r.mime,
+              r.http_status, r.payload))
+        }
+      }
+      .toDF("path", "warc_type", "url", "fetch_ts", "record_id", "mime",
+        "http_status", "payload")
+  }
+
   /** Format dispatch — reference `:59,:67,:72-77`; json/orc are
     * extension formats behind the same typed-failure contract.
     *

@@ -1,5 +1,8 @@
 package graft.io
 
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, EOFException, InputStream, PushbackInputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
@@ -18,13 +21,22 @@ import org.apache.spark.sql.functions.udf
   * decodes concatenated members in one stream, so both layouts read
   * through the same arm.
   *
+  * The parser is STREAMING ([[recordsStream]]): it reads one record at
+  * a time off an InputStream and holds only the current record's
+  * payload — constant memory in the FILE size, which is what lets a
+  * task walk a ~1 GB crawl segment without materializing it (the
+  * binaryFile source's whole-file byte array would hold gigabytes per
+  * task). The byte-array form ([[records]]) delegates to it, so there
+  * is exactly one framing implementation.
+  *
   * HTTP unwrapping: records whose Content-Type is `application/http`
-  * carry a full HTTP message as payload; the parser splits status
-  * line / headers / body, surfacing the response's own Content-Type
+  * carry a full HTTP message as payload; the parser splits start line
+  * / headers / body, surfacing the response's own Content-Type
   * (lowercased, parameters stripped) as `mime` and the BODY as
-  * `payload` — the bytes the text pipeline wants. Non-HTTP records
-  * (warcinfo, metadata, resource) pass their block through untouched
-  * with the WARC-level Content-Type.
+  * `payload` — the bytes the text pipeline wants. Requests (start
+  * line ends with the version) unwrap with no status. Non-HTTP
+  * records (warcinfo, metadata, resource) pass their block through
+  * untouched with the WARC-level Content-Type.
   *
   * Malformed framing throws with the byte offset (the engine's loud-
   * guard rule: a corrupt container surfaces as a task error naming the
@@ -46,53 +58,93 @@ object WarcParse {
       http_status: Option[Int],
       payload: Array[Byte])
 
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
-
-  /** Decode ALL gzip members of a concatenated-member stream (the
-    * standard .warc.gz layout: one member per record).
+  /** Headers can't plausibly exceed this; a longer "line" means the
+    * stream isn't WARC (or the gzip layer was skipped) — fail loudly
+    * with the offset instead of buffering garbage without bound.
     */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
-    try in.transferTo(out) finally in.close()
-    out.toByteArray
-  }
+  private val MaxHeaderLine = 1 << 20
 
-  /** Read one CRLF-terminated ASCII/UTF-8 header line starting at
-    * `off`; returns (line-without-CRLF, offset-after-CRLF).
+  /** Streaming parse: one record at a time off `in0` (gzip-transparent
+    * via a 2-byte magic sniff; concatenated members decode as one
+    * stream). The iterator owns the stream and closes it on
+    * exhaustion; abandoning it mid-file leaves closing to the caller
+    * (Spark task completion, for the Sources.warcStreamed path).
     */
-  private def readLine(bytes: Array[Byte], off: Int): (String, Int) = {
-    var i = off
-    while (i < bytes.length - 1 && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-    if (i >= bytes.length - 1)
-      throw new IllegalArgumentException(
-        s"WARC: unterminated header line at byte $off (no CRLF before EOF)")
-    (new String(bytes, off, i - off, java.nio.charset.StandardCharsets.UTF_8), i + 2)
-  }
+  def recordsStream(in0: InputStream): Iterator[WarcRecord] = {
+    val sniff = new PushbackInputStream(new BufferedInputStream(in0), 2)
+    val b1 = sniff.read()
+    val b2 = sniff.read()
+    if (b2 >= 0) sniff.unread(b2)
+    if (b1 >= 0) sniff.unread(b1)
+    val decoded: InputStream =
+      if (b1 == 0x1f && b2 == 0x8b)
+        new java.util.zip.GZIPInputStream(sniff)
+      else sniff
+    // pushback over the decoded stream: the inter-record CRLF skipper
+    // must return the first non-CRLF byte (the next record's 'W')
+    val in = new PushbackInputStream(new BufferedInputStream(decoded), 1)
 
-  /** Parse every record of one WARC file's bytes (gzip-transparent). */
-  def records(raw: Array[Byte]): Seq[WarcRecord] = {
-    val bytes = if (isGzip(raw)) gunzipAll(raw) else raw
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var off = 0
-    while (off < bytes.length) {
-      // inter-record CRLFs (the two-CRLF trailer, plus tolerated padding)
-      while (off < bytes.length && (bytes(off) == '\r' || bytes(off) == '\n')) off += 1
-      if (off < bytes.length) {
-        val recStart = off
-        val (version, afterV) = readLine(bytes, off)
+    new Iterator[WarcRecord] {
+      private var consumed = 0L // decoded-byte offset, for error text
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      private def readLine(): String = {
+        val buf = new ByteArrayOutputStream(128)
+        val start = consumed
+        var b = in.read()
+        while (b >= 0) {
+          consumed += 1
+          if (b == '\r') {
+            val n = in.read()
+            if (n == '\n') { consumed += 1; return new String(buf.toByteArray, UTF_8) }
+            throw new IllegalArgumentException(
+              s"WARC: bare CR inside header line at byte $start")
+          }
+          buf.write(b)
+          if (buf.size > MaxHeaderLine)
+            throw new IllegalArgumentException(
+              s"WARC: header line at byte $start exceeds $MaxHeaderLine bytes — not a WARC stream?")
+          b = in.read()
+        }
+        throw new IllegalArgumentException(
+          s"WARC: unterminated header line at byte $start (no CRLF before EOF)")
+      }
+
+      private def readFullyOrThrow(n: Long, recStart: Long): Array[Byte] = {
+        if (n > Int.MaxValue - 8)
+          throw new IllegalArgumentException(
+            s"WARC: record at byte $recStart declares Content-Length $n — beyond a single in-memory payload")
+        val out = new Array[Byte](n.toInt)
+        var off = 0
+        while (off < n) {
+          val r = in.read(out, off, n.toInt - off)
+          if (r < 0)
+            throw new IllegalArgumentException(
+              s"WARC: record at byte $recStart declares Content-Length $n " +
+                s"but only ${off} payload bytes remain")
+          off += r
+          consumed += r
+        }
+        out
+      }
+
+      private def advance(): Unit = {
+        // inter-record CRLFs (the two-CRLF trailer, plus tolerated padding)
+        var b = in.read()
+        while (b == '\r' || b == '\n') { consumed += 1; b = in.read() }
+        if (b < 0) { done = true; in.close(); return }
+        in.unread(b)
+        val recStart = consumed
+        val version = readLine()
         if (!version.startsWith("WARC/"))
           throw new IllegalArgumentException(
             s"WARC: expected version line at byte $recStart, got '${version.take(40)}'")
-        off = afterV
         val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
-        var done = false
-        while (!done) {
-          val (line, next) = readLine(bytes, off)
-          off = next
-          if (line.isEmpty) done = true
+        var blank = false
+        while (!blank) {
+          val line = readLine()
+          if (line.isEmpty) blank = true
           else {
             val c = line.indexOf(':')
             if (c < 0)
@@ -107,12 +159,7 @@ object WarcParse {
           case None => throw new IllegalArgumentException(
             s"WARC: record at byte $recStart has no Content-Length")
         }
-        if (off + clen > bytes.length)
-          throw new IllegalArgumentException(
-            s"WARC: record at byte $recStart declares Content-Length $clen " +
-              s"but only ${bytes.length - off} bytes remain")
-        val block = java.util.Arrays.copyOfRange(bytes, off, off + clen.toInt)
-        off += clen.toInt
+        val block = readFullyOrThrow(clen, recStart)
         val wtype = headers.getOrElse("warc-type", "")
         val ctype = headers.getOrElse("content-type", "")
         val (mime, status, payload) =
@@ -120,7 +167,7 @@ object WarcParse {
             parseHttp(block, recStart)
           else
             (headers.get("content-type").map(cleanMime), None, block)
-        out += WarcRecord(
+        nextRec = WarcRecord(
           warc_type = wtype,
           url = headers.get("warc-target-uri"),
           fetch_ts = headers.get("warc-date"),
@@ -129,9 +176,29 @@ object WarcParse {
           http_status = status,
           payload = payload)
       }
+
+      override def hasNext: Boolean = {
+        if (!done && nextRec == null) advance()
+        !done
+      }
+
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("WARC stream exhausted")
+        val r = nextRec
+        nextRec = null
+        r
+      }
     }
-    out.toSeq
   }
+
+  /** Parse every record of one WARC file's bytes (gzip-transparent) —
+    * [[recordsStream]] over the array; one framing implementation.
+    */
+  def records(raw: Array[Byte]): Seq[WarcRecord] =
+    try recordsStream(new ByteArrayInputStream(raw)).toSeq
+    catch { case e: EOFException =>
+      throw new IllegalArgumentException(s"WARC: truncated gzip stream: ${e.getMessage}")
+    }
 
   /** Content-Type → bare lowercased mime (parameters stripped). */
   private def cleanMime(ct: String): String = {
@@ -142,7 +209,7 @@ object WarcParse {
   /** Split an application/http block into (mime, status, body). */
   private def parseHttp(
       block: Array[Byte],
-      recStart: Int): (Option[String], Option[Int], Array[Byte]) = {
+      recStart: Long): (Option[String], Option[Int], Array[Byte]) = {
     // header/body boundary: first CRLFCRLF
     var i = 0
     while (i < block.length - 3 &&
@@ -151,7 +218,7 @@ object WarcParse {
     if (i >= block.length - 3)
       throw new IllegalArgumentException(
         s"WARC: http payload of record at byte $recStart has no header/body boundary")
-    val head = new String(block, 0, i, java.nio.charset.StandardCharsets.UTF_8)
+    val head = new String(block, 0, i, UTF_8)
     val body = java.util.Arrays.copyOfRange(block, i + 4, block.length)
     val lines = head.split("\r\n")
     val startParts = lines.head.split(" ", 3)

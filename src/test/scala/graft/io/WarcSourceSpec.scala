@@ -133,6 +133,39 @@ class WarcSourceSpec extends SparkSpec {
     assert(row.getString(3) == "<p>in-plan café</p>")
   }
 
+  test("warcStreamed: constant-memory path emits byte-identical rows to warc (plain + gz)") {
+    val dir = Files.createTempDirectory("warcstream").toFile
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes(UTF_8)); g.close()
+      bo.toByteArray
+    }
+    writeFile(dir, "a.warc",
+      (record("response", Some("https://s.example.com/1"), httpBlock("<p>one café</p>")) +
+        record("metadata", Some("https://s.example.com/1"),
+          "k: v", ctype = "application/warc-fields")).getBytes(UTF_8))
+    writeFile(dir, "b.warc.gz",
+      gz(record("response", Some("https://s.example.com/2"), httpBlock("<p>two</p>"))) ++
+        gz(record("response", Some("https://s.example.com/3"), httpBlock("<p>three</p>"))))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("warc_type"), col("url"), col("fetch_ts"), col("record_id"),
+        col("mime"), col("http_status"), col("payload").cast("string").as("body"))
+      .orderBy("url", "warc_type")
+      .collect().map(_.toString).toSeq
+    val eager = canon(Sources.warc(spark, dir.getAbsolutePath))
+    val streamed = canon(Sources.warcStreamed(spark, dir.getAbsolutePath))
+    assert(eager.size == 4 && streamed == eager,
+      s"streamed $streamed\nvs eager $eager")
+    // the listing must NOT read file contents: content is pruned from
+    // the binaryFile scan (the property that makes this path constant-
+    // memory at any archive size)
+    val scan = Sources.warcStreamed(spark, dir.getAbsolutePath)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<path:string>"),
+      s"warcStreamed's listing scan must prune content:\n$scan")
+  }
+
   test("format dispatch: 'warc' routes, unknown still fails typed") {
     val dir = Files.createTempDirectory("warcdisp").toFile
     writeFile(dir, "seg.warc",
