@@ -87,6 +87,44 @@ object StreamingCorpus {
       .withColumn(textCol, TextAnalysis.redactCards(col(textCol)))
   }
 
+  /** The WARC crawl-CONTAINER front door, streaming: an unbounded
+    * stream of segment FILES in (`spark.readStream.format("binaryFile")`
+    * — the file source's exactly-once checkpointing applies per
+    * segment), one text/html 200 response per row out, with the URL
+    * canonicalized and the domain blocklist applied — the container
+    * stage of the batch chain q273 pins, continuously. Everything is
+    * STATELESS map-only work (the `recordsCol` parse runs once per
+    * segment row, executor-side; canonicalize/blocklist are column
+    * predicates), so this composes BEFORE [[ingestCrawl]] (extraction,
+    * repair, gates) which composes before [[clean]] (stateful dedup) —
+    * the full crawl chain warc → extract → canonical → blocklist as
+    * one unbroken stream. Non-html records, non-200 responses, and
+    * URL-less records are dropped here by contract (the crawl chain
+    * wants pages); read the container through [[graft.io.Sources.warc]]
+    * batch-side when every record matters.
+    */
+  def ingestWarc(
+      segments: DataFrame,
+      textCol: String = "text",
+      blockedDomains: Seq[String] = Nil): DataFrame = {
+    val recs = segments
+      .select(col("path"),
+        explode(graft.io.WarcParse.recordsCol(col("content"))).as("r"))
+      .select(col("path"),
+        col("r.url").as("__url"),
+        col("r.fetch_ts").as("fetch_ts"),
+        col("r.mime").as("mime"),
+        col("r.http_status").as("http_status"),
+        col("r.payload").cast("string").as(textCol))
+      .filter(col("mime") === "text/html" && col("http_status") === 200 &&
+        col("__url").isNotNull)
+      .withColumn("canonical_url",
+        graft.operators.WebOps.canonicalizeUrl(col("__url")))
+      .drop("__url")
+    if (blockedDomains.isEmpty) recs
+    else graft.operators.WebOps.blockDomains(recs, "canonical_url", blockedDomains)
+  }
+
   /** Streaming twin of [[graft.operators.TextAnalysis.c4Clean]]: the
     * C4 line/document rules continuously. Every rule is a stateless
     * scalar predicate or a filter HOF over the in-row line array — no

@@ -75,6 +75,78 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestWarc: segment files stream in, canonical blocklisted html pages come out; batch-equal") {
+    import spark.implicits._
+    def http(body: String) =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n$body"
+    def rec(url: String, block: String,
+        ctype: String = "application/http; msgtype=response",
+        status: String = "") = {
+      val clen = block.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"WARC-Date: 2026-01-02T03:04:05Z\r\nWARC-Record-ID: <urn:uuid:x>\r\n" +
+        s"Content-Type: $ctype\r\nContent-Length: $clen\r\n\r\n$block\r\n\r\n"
+    }
+    val seg1 =
+      rec("HTTPS://News.Example.COM:443/a?utm_source=m",
+        http("<p>page one body carries enough visible words to clear the block gate.</p>")) +
+        rec("https://ads.bad.net/x", http("<p>blocked page</p>")) +
+        rec("https://news.example.com/img",
+          "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG") // non-html drops
+    val seg2 = rec("https://other.example.com/b",
+      http("<p>page two body carries enough visible words to clear the block gate.</p>"))
+    val dir = java.nio.file.Files.createTempDirectory("warcstreamspec").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("warcstreamckpt").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "seg1.warc").toPath,
+      seg1.getBytes("UTF-8"))
+    // the binaryFile STREAMING source requires the schema up front
+    // (same physical schema the batch source infers)
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    val q = StreamingCorpus.ingestWarc(
+        spark.readStream.format("binaryFile").schema(binSchema)
+          .load(dir.getAbsolutePath),
+        blockedDomains = Seq("bad.net"))
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second segment arrives later: the file source picks it up
+      java.nio.file.Files.write(new java.io.File(dir, "seg2.warc").toPath,
+        seg2.getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.table("warc_stream_out")
+        .select("canonical_url", "text", "mime", "http_status")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got.keySet == Set(
+        "https://news.example.com/a", // scheme/host lowercased, :443 and utm dropped
+        "https://other.example.com/b"),
+        s"blocklisted + non-html records must drop: ${got.keySet}")
+      assert(got("https://news.example.com/a").startsWith("<p>page one body"))
+      // batch equivalence: ingestWarc consumes SEGMENT bytes, so the
+      // honest batch twin is the binaryFile read of the same dir
+      val batch2 = StreamingCorpus.ingestWarc(
+          graft.io.Sources.binaryFiles(spark, dir.getAbsolutePath),
+          blockedDomains = Seq("bad.net"))
+        .select("canonical_url", "text")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(batch2 == got, "stateless container stage must be batch/stream invariant")
+      // and it composes into ingestCrawl: extraction runs on the body
+      val chained = StreamingCorpus.ingestCrawl(
+          StreamingCorpus.ingestWarc(
+            graft.io.Sources.binaryFiles(spark, dir.getAbsolutePath),
+            blockedDomains = Seq("bad.net")),
+          maxNoise = 1000.0)
+        .select("canonical_url", "text")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(chained.values.toSet == Set(
+        "page one body carries enough visible words to clear the block gate.",
+        "page two body carries enough visible words to clear the block gate."),
+        s"warc -> extract chain must yield visible text: $chained")
+    } finally q.stop()
+  }
+
   test("ingestCrawl: the blocklist arm drops bad-word pages statelessly, batch-equal") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
