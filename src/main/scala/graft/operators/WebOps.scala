@@ -212,4 +212,148 @@ object WebOps {
         capPerDomain(storeTouched.unionByName(batchNew), domainCol, idCol, orderCol, k))
       .select(store.columns.map(col): _*) // using-column joins moved keys first
   }
+
+  // ---------------------------------------------------------- robots.txt
+
+  /** The characters the robots path-pattern → regex translation must
+    * escape, in application order (backslash FIRST, '*' handled
+    * separately as the wildcard, '$' separately as the end anchor).
+    * Shared with the q274 oracle builder so both engines apply the
+    * IDENTICAL replace chain.
+    */
+  val robotsEscapeChars: Seq[String] =
+    Seq("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^")
+
+  /** Robots path pattern → anchored regex (RFC 9309 §2.2.3 matching:
+    * '*' matches any span, a TRAILING '$' anchors the end, everything
+    * else is literal). Built as a deterministic replace chain — no
+    * regex-escape builtin exists in both engines, so the chain IS the
+    * cross-engine contract ([[robotsEscapeChars]] order, then inner
+    * '$'s escaped, then '*' → '.*', '^' prefixed).
+    */
+  def robotsPatternRegex(pat: Column): Column = {
+    val endsAnchor = pat.endsWith("$")
+    val bodyCol = when(endsAnchor, pat.substr(lit(1), length(pat) - 1)).otherwise(pat)
+    val escaped = robotsEscapeChars.foldLeft(bodyCol) { (c, ch) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(ch), // literal find
+        java.util.regex.Matcher.quoteReplacement("\\" + ch))
+    }
+    val escDollar = regexp_replace(escaped,
+      java.util.regex.Pattern.quote("$"),
+      java.util.regex.Matcher.quoteReplacement("\\$"))
+    val wild = regexp_replace(escDollar,
+      java.util.regex.Pattern.quote("*"),
+      java.util.regex.Matcher.quoteReplacement(".*"))
+    concat(lit("^"), wild, when(endsAnchor, lit("$")).otherwise(lit("")))
+  }
+
+  /** Parse a per-host robots.txt table into the EFFECTIVE rule set for
+    * one user agent (RFC 9309): comment-stripped lines split into
+    * `user-agent:` groups (a group = a maximal run of user-agent lines
+    * plus the rules that follow); the agent matches a group when one of
+    * its tokens is '*' or a case-insensitive PREFIX of the agent; the
+    * group(s) with the LONGEST matching token win ('*' counts 0 —
+    * specific beats wildcard), and only their allow/disallow rules
+    * apply. Empty-pattern rules are the standard no-ops and drop here.
+    *
+    * Output: (hostCol, pattern, allow, plen, rx) — `rx` is the
+    * [[robotsPatternRegex]] translation, carried so the gate and the
+    * oracle match with the same compiled form.
+    *
+    * Scale: robots tables are per-HOST config data (millions of rows at
+    * worst, bytes each), so the windows here run over config-sized
+    * frames and the result broadcasts in [[robotsDecision]] — the
+    * corpus itself never shuffles for policy.
+    */
+  def robotsRules(
+      robots: DataFrame,
+      hostCol: String,
+      txtCol: String,
+      agent: String): DataFrame = {
+    require(agent.nonEmpty, "agent must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h").orderBy("__ln")
+    val lines = robots
+      .select(lower(col(hostCol)).as("__h"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("__ln", "__raw")))
+      .select(col("__h"), col("__ln"),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__l"))
+      .filter(col("__l") =!= "")
+      .select(col("__h"), col("__ln"),
+        lower(trim(regexp_extract(col("__l"), "^([^:]+):", 1))).as("__key"),
+        trim(regexp_extract(col("__l"), "^[^:]+:(.*)$", 1)).as("__val"))
+      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+    val grouped = lines
+      .withColumn("__prev", lag(col("__key"), 1).over(w))
+      .withColumn("__gstart",
+        when(col("__key") === "user-agent" &&
+          (col("__prev").isNull || col("__prev") =!= "user-agent"), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__gstart"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val matchedUas = grouped
+      .filter(col("__key") === "user-agent")
+      .select(col("__h"), col("__grp"), lower(col("__val")).as("__ua"))
+      .filter(col("__ua") === "*" ||
+        lit(agent.toLowerCase).startsWith(col("__ua")))
+      .withColumn("__spec",
+        when(col("__ua") === "*", lit(0)).otherwise(length(col("__ua"))))
+    val best = matchedUas.groupBy("__h").agg(max(col("__spec")).as("__bestspec"))
+    val chosen = matchedUas.join(best, Seq("__h"))
+      .filter(col("__spec") === col("__bestspec"))
+      .select("__h", "__grp").distinct()
+    grouped
+      .filter(col("__key").isin("allow", "disallow") && col("__val") =!= "")
+      .join(chosen, Seq("__h", "__grp"), "left_semi")
+      .select(col("__h").as(hostCol),
+        col("__val").as("pattern"),
+        (col("__key") === "allow").as("allow"),
+        length(col("__val")).cast("long").as("plen"))
+      .withColumn("rx", robotsPatternRegex(col("pattern")))
+  }
+
+  /** Annotate a URL frame with the robots decision under an effective
+    * rule set ([[robotsRules]]): per URL, the rules of its host whose
+    * pattern matches the PATH are ranked by (longest pattern, allow
+    * over disallow on ties — the RFC 9309 precedence), and `allowed`
+    * is true when no rule matches, when the host has no robots entry
+    * (the crawl default), or when the winning rule allows. Adds
+    * (allowed, matched_pattern, matched_allow); compose a `.filter` for
+    * the gate form. The rule table broadcasts (config-sized vs the
+    * corpus); the decision itself is map-only array expressions.
+    */
+  def robotsDecision(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame,
+      hostCol: String = "host"): DataFrame = {
+    val ruleType =
+      "array<struct<pattern:string,allow:boolean,plen:bigint,rx:string>>"
+    val rs = broadcast(rules
+      .groupBy(lower(col(hostCol)).as("__rh"))
+      .agg(collect_list(
+        struct(col("pattern"), col("allow"), col("plen"), col("rx"))).as("__rules")))
+    val p0 = urlParts(col(urlCol)).getField("path")
+    val out = urls
+      .withColumn("__h", lower(urlParts(col(urlCol)).getField("host")))
+      .withColumn("__p", when(p0 === "", lit("/")).otherwise(p0))
+      .join(rs, col("__h") === col("__rh"), "left")
+      .withColumn("__m",
+        filter(coalesce(col("__rules"), array().cast(ruleType)),
+          r => regexp_like(col("__p"), r("rx"))))
+      .withColumn("__best",
+        array_min(transform(col("__m"), r => struct(
+          (r("plen") * -1L).as("np"),
+          when(r("allow"), 0).otherwise(1).as("ar"),
+          r("pattern").as("pat")))))
+      .withColumn("allowed",
+        size(col("__m")) === 0 || col("__best.ar") === 0)
+      .withColumn("matched_pattern",
+        when(size(col("__m")) === 0, lit(null).cast("string"))
+          .otherwise(col("__best.pat")))
+      .withColumn("matched_allow",
+        when(size(col("__m")) === 0, lit(null).cast("boolean"))
+          .otherwise(col("__best.ar") === 0))
+    out.drop("__h", "__p", "__rh", "__rules", "__m", "__best")
+  }
 }

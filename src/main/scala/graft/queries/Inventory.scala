@@ -1399,6 +1399,20 @@ object Inventory {
           FROM bt WHERE k > 1),
         seg AS (SELECT wd, pieces FROM bt WHERE k = 1)"""
 
+  /** DuckDB form of `WebOps.robotsPatternRegex`: the IDENTICAL replace
+    * chain (escape order from `WebOps.robotsEscapeChars`, then inner
+    * '$'s, then '*' → '.*', '^' prefix, optional trailing anchor),
+    * generated from the same list so the two engines cannot drift.
+    */
+  private def robotsRegexSql(c: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val body = s"(CASE WHEN $c LIKE '%$$' THEN substr($c, 1, length($c) - 1) ELSE $c END)"
+    val chain = (WebOps.robotsEscapeChars :+ "$").foldLeft(body) { (acc, ch) =>
+      s"replace($acc, ${q(ch)}, ${q("\\" + ch)})"
+    }
+    s"('^' || replace($chain, '*', '.*') || (CASE WHEN $c LIKE '%$$' THEN '$$' ELSE '' END))"
+  }
+
   private val extensions = Seq(
     Q("q80_dedup_exact",
       (s, dir) =>
@@ -9330,6 +9344,116 @@ object Inventory {
             AS BIGINT)) AS ids_xor60
         FROM shd GROUP BY shard ORDER BY shard""")),
 
+    Q("q274_robots_gate",
+      (s, dir) => {
+        // crawl-policy compliance (RFC 9309): per-host robots.txt →
+        // the effective rule set for ONE agent (group runs, longest
+        // agent-prefix specificity beats '*') → per-URL decision
+        // (longest pattern wins, allow wins ties, trailing-$ anchors,
+        // '*' wildcards, no-match/no-robots ⇒ allowed). The robots
+        // text is a FIXED input artifact (the policy under audit, the
+        // q260/q270 discipline); the pattern→regex translation is the
+        // SHARED replace chain (WebOps.robotsEscapeChars), so both
+        // engines compile the identical regex and the decision matrix
+        // carries a FULL hash oracle. The URL mix exercises every
+        // precedence arm: unmatched paths, prefix disallow, longer
+        // allow overriding, $-anchored wildcard hit AND miss, and an
+        // exact allow/disallow tie.
+        val robotsTxt = Seq(
+          "# crawl policy", "User-agent: *", "Disallow: /", "",
+          "User-agent: graftbot", "Disallow: /deep/", "Allow: /deep/pub",
+          "Disallow: /*.pdf$", "Allow: /mixed", "Disallow: /mixed")
+          .mkString("\n")
+        val d = t(s, dir, "documents")
+        val robots = d
+          .select(concat(col("source"), lit(".example.com")).as("host")).distinct()
+          .withColumn("robots_txt", lit(robotsTxt))
+        val rules = WebOps.robotsRules(robots, "host", "robots_txt", "graftbot/1.3")
+        val did = col("doc_id").cast("string")
+        val path = when(pmod(col("doc_id"), lit(6)) === 0, concat(lit("/open/doc"), did))
+          .when(pmod(col("doc_id"), lit(6)) === 1, concat(lit("/deep/secret/"), did))
+          .when(pmod(col("doc_id"), lit(6)) === 2, concat(lit("/deep/pub/"), did))
+          .when(pmod(col("doc_id"), lit(6)) === 3, concat(lit("/files/r"), did, lit(".pdf")))
+          .when(pmod(col("doc_id"), lit(6)) === 4, concat(lit("/files/r"), did, lit(".pdfx")))
+          .otherwise(lit("/mixed"))
+        val urls = d.select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com"), path).as("url"))
+        WebOps.robotsDecision(urls, "url", rules)
+          // matched_allow is derivable (allowed + a non-empty pattern)
+          // and a NULLABLE BOOLEAN renders engine-differently in the
+          // driver's hasher; the declared surface keeps total columns
+          .select(col("doc_id"), col("url"), col("allowed"),
+            coalesce(col("matched_pattern"), lit("")).as("matched_pattern"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH hosts AS (
+          SELECT DISTINCT source || '.example.com' AS host FROM documents),
+        rawl AS (
+          SELECT host, i AS ln, trim(regexp_replace(ls[i], '#.*$$', '')) AS l
+          FROM (SELECT host, string_split(
+            '# crawl policy' || chr(10) || 'User-agent: *' || chr(10)
+            || 'Disallow: /' || chr(10) || chr(10)
+            || 'User-agent: graftbot' || chr(10) || 'Disallow: /deep/' || chr(10)
+            || 'Allow: /deep/pub' || chr(10) || 'Disallow: /*.pdf$$' || chr(10)
+            || 'Allow: /mixed' || chr(10) || 'Disallow: /mixed',
+            chr(10)) AS ls FROM hosts),
+            LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
+        kv AS (
+          SELECT host, ln,
+            lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS k,
+            trim(regexp_extract(l, '^[^:]+:(.*)$$', 1)) AS v
+          FROM rawl WHERE l <> ''),
+        kv2 AS (SELECT * FROM kv WHERE k IN ('user-agent', 'allow', 'disallow')),
+        g1 AS (SELECT *, lag(k) OVER (PARTITION BY host ORDER BY ln) AS pk FROM kv2),
+        g2 AS (
+          SELECT *, sum(CASE WHEN k = 'user-agent'
+              AND (pk IS NULL OR pk <> 'user-agent') THEN 1 ELSE 0 END)
+            OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS g
+          FROM g1),
+        uam AS (
+          SELECT host, g,
+            CASE WHEN lower(v) = '*' THEN 0 ELSE length(v) END AS spec
+          FROM g2 WHERE k = 'user-agent'
+            AND (lower(v) = '*' OR starts_with('graftbot/1.3', lower(v)))),
+        chosen AS (
+          SELECT DISTINCT host, g FROM uam
+          WHERE spec = (SELECT max(spec) FROM uam u2 WHERE u2.host = uam.host)),
+        rules AS (
+          SELECT g2.host, v AS pattern, (k = 'allow') AS allow,
+            CAST(length(v) AS BIGINT) AS plen,
+            ${robotsRegexSql("v")} AS rx
+          FROM g2 JOIN chosen USING (host, g)
+          WHERE k IN ('allow', 'disallow') AND v <> ''),
+        urls AS (
+          SELECT doc_id,
+            source || '.example.com' AS host,
+            CASE doc_id % 6
+              WHEN 0 THEN '/open/doc' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/deep/secret/' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN '/deep/pub/' || CAST(doc_id AS VARCHAR)
+              WHEN 3 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
+              WHEN 4 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdfx'
+              ELSE '/mixed' END AS path
+          FROM documents),
+        u2 AS (
+          SELECT doc_id, host, path,
+            'https://' || host || path AS url
+          FROM urls),
+        m AS (
+          SELECT u3.doc_id, r.pattern, r.allow, r.plen
+          FROM u2 u3 JOIN rules r
+            ON r.host = u3.host AND regexp_matches(u3.path, r.rx)),
+        best AS (
+          SELECT doc_id, pattern, allow
+          FROM m
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+            ORDER BY plen DESC, (CASE WHEN allow THEN 0 ELSE 1 END), pattern) = 1)
+        SELECT u4.doc_id, u4.url,
+          coalesce(b.allow, TRUE) AS allowed,
+          coalesce(b.pattern, '') AS matched_pattern
+        FROM u2 u4 LEFT JOIN best b USING (doc_id)
+        ORDER BY u4.doc_id""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -9542,7 +9666,7 @@ object Inventory {
     "q265_vocab_coverage", "q266_group_psi_drift", "q267_group_correlation",
     "q268_fertility_incremental", "q269_group_quantile_drift",
     "q270_unigram_roundtrip", "q271_unigram_fertility",
-    "q272_crawl_to_shards", "q273_warc_ingest",
+    "q272_crawl_to_shards", "q273_warc_ingest", "q274_robots_gate",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

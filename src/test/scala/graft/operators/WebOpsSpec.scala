@@ -159,4 +159,66 @@ class WebOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(keptSmall == origSmall)
   }
+
+  test("robotsRules: group runs, agent prefix specificity, empty-pattern no-ops") {
+    import spark.implicits._
+    val txt = Seq(
+      "# policy",
+      "User-agent: *",
+      "Disallow: /",
+      "",
+      "User-agent: graftbot",
+      "User-agent: otherbot", // run of UA lines = ONE group
+      "Disallow: /deep/",
+      "Allow: /deep/pub",
+      "Disallow:",            // empty pattern = no-op, must drop
+      "Disallow: /*.pdf$").mkString("\n")
+    val robots = Seq(("Ex.COM", txt)).toDF("host", "robots_txt")
+    // graftbot-1.0 starts with 'graftbot' (len 8) > '*' (0) -> only the
+    // specific group's rules survive; host lowercased
+    val rules = WebOps.robotsRules(robots, "host", "robots_txt", "Graftbot-1.0".toLowerCase)
+      .orderBy("pattern").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    assert(rules.toSeq == Seq(
+      ("ex.com", "/*.pdf$", false, 7L),
+      ("ex.com", "/deep/", false, 6L),
+      ("ex.com", "/deep/pub", true, 9L)), s"got ${rules.toSeq}")
+    // an unmatched agent falls back to the '*' group
+    val fallback = WebOps.robotsRules(robots, "host", "robots_txt", "strangebot")
+      .collect().map(r => (r.getString(1), r.getBoolean(2)))
+    assert(fallback.toSeq == Seq(("/", false)))
+  }
+
+  test("robotsDecision: longest match wins, allow wins ties, $ anchors, no-robots allows") {
+    import spark.implicits._
+    val txt = Seq(
+      "User-agent: *",
+      "Disallow: /deep/",
+      "Allow: /deep/pub",
+      "Disallow: /*.pdf$",
+      "Allow: /mixed",
+      "Disallow: /mixed").mkString("\n")
+    val rules = WebOps.robotsRules(
+      Seq(("ex.com", txt)).toDF("host", "robots_txt"), "host", "robots_txt", "anybot")
+    val urls = Seq(
+      (1L, "https://ex.com/open/x"),          // no match -> allowed
+      (2L, "https://ex.com/deep/secret"),     // /deep/ -> disallowed
+      (3L, "https://ex.com/deep/pub/a"),      // /deep/pub (9) beats /deep/ (6) -> allowed
+      (4L, "https://ex.com/files/r.pdf"),     // /*.pdf$ -> disallowed
+      (5L, "https://ex.com/files/r.pdfx"),    // $ anchor must NOT match -> allowed
+      (6L, "https://ex.com/mixed"),           // allow/disallow tie -> allow wins
+      (7L, "https://nobots.net/anything"))    // host without robots -> allowed
+      .toDF("id", "url")
+    val got = WebOps.robotsDecision(urls, "url", rules)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (1L, true, None),
+      (2L, false, Some("/deep/")),
+      (3L, true, Some("/deep/pub")),
+      (4L, false, Some("/*.pdf$")),
+      (5L, true, None),
+      (6L, true, Some("/mixed")),
+      (7L, true, None)), s"got ${got.toSeq}")
+  }
 }
