@@ -100,6 +100,20 @@ object HtmlText {
         blockTagRe, "\n"),
       "\n")
 
+  /** Outlink hrefs of a page, in document order: every quoted
+    * `href="…"` / `href='…'` attribute value of an `<a>` tag — the raw
+    * frontier-expansion surface (compose `WebOps.resolveHref` +
+    * `canonicalizeUrl` to turn them into graph edges; q275 pins the
+    * chain). Values are returned verbatim (relative refs, fragments,
+    * mailto: — the resolver decides what survives). Unquoted href
+    * values are out of scope — negligible in served HTML and ambiguous
+    * to delimit.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a[ \t\r\n][^>]*?href[ \t\r\n]*=[ \t\r\n]*[\"']([^\"']*)[\"']"),
+      lit(1))
+
   /** Characters of visible text inside `<a>` anchors of a raw block. */
   private def linkChars(block: Column): Column =
     aggregate(

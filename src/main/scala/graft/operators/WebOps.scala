@@ -213,6 +213,39 @@ object WebOps {
       .select(store.columns.map(col): _*) // using-column joins moved keys first
   }
 
+  /** Resolve an href against its page's base URL (the pragmatic
+    * RFC 3986 §5 subset a crawler frontier needs): absolute refs pass
+    * through; protocol-relative (`//host/…`) take the base scheme;
+    * root-relative (`/…`) take scheme://host[:port]; anything else is
+    * relative to the base path's directory (up to its last '/').
+    * Fragments, empty hrefs, and non-fetchable schemes (mailto,
+    * javascript, tel, data) resolve to NULL — filter, don't fetch.
+    * Dot-segment normalization (`../`) is deliberately out of scope:
+    * canonical dedup keys come from [[canonicalizeUrl]], and unresolved
+    * dot segments are rare enough in served hrefs that a frontier
+    * treats them as distinct URLs (documented trade, not an oversight).
+    */
+  def resolveHref(baseUrl: Column, href: Column): Column = {
+    val p = urlParts(baseUrl)
+    val scheme = lower(p.getField("scheme"))
+    val host = lower(p.getField("host"))
+    val port = p.getField("port")
+    val hostPort = concat(host,
+      when(port =!= "", concat(lit(":"), port)).otherwise(lit("")))
+    val root = concat(scheme, lit("://"), hostPort)
+    val basePath = when(p.getField("path") === "", lit("/"))
+      .otherwise(p.getField("path"))
+    val dir = regexp_replace(basePath, "[^/]*$", "")
+    val h = trim(href)
+    when(scheme === "", lit(null).cast("string")) // unparseable base
+      .when(h === "" || h.startsWith("#") ||
+        lower(h).rlike("^(mailto|javascript|tel|data):"), lit(null).cast("string"))
+      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+      .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+      .when(h.startsWith("/"), concat(root, h))
+      .otherwise(concat(root, dir, h))
+  }
+
   // ---------------------------------------------------------- robots.txt
 
   /** The characters the robots path-pattern → regex translation must

@@ -9454,6 +9454,53 @@ object Inventory {
         FROM u2 u4 LEFT JOIN best b USING (doc_id)
         ORDER BY u4.doc_id""")),
 
+    Q("q275_outlink_graph",
+      (s, dir) => {
+        // outlink extraction → href resolution → canonical dedup keys:
+        // the frontier-expansion chain that turns crawled pages into a
+        // LINK GRAPH (feeds GraphOps' pagerank/degrees — q139's graph,
+        // built from pages instead of dedup pairs). Every arm fires:
+        // absolute (passes through), protocol-relative (takes the base
+        // scheme, host lowercased by canonicalize), root-relative with
+        // a tracking param (utm dropped, real param kept), relative
+        // (resolved against the base path's directory), fragment +
+        // mailto (resolve to NULL and drop). The ORACLE derives the
+        // expected edges INDEPENDENTLY (direct construction from the
+        // synthesis arithmetic, not an algorithm replay) — the
+        // strongest oracle form: extraction regex, resolution CASE,
+        // and canonicalization must all land exactly.
+        val d = t(s, dir, "documents")
+        val did = col("doc_id").cast("string")
+        val base = concat(lit("https://"), col("source"), lit(".example.com/doc/"), did)
+        val html = concat(
+          lit("<html><body><a href=\"https://ext.partner.org/a/"), did,
+          lit("\">partner</a>"),
+          lit("<a href='//Cdn.Example.COM/widget'>cdn</a>"),
+          lit("<a href=\"/doc/"), (col("doc_id") + 1).cast("string"),
+          lit("?utm_source=x&ref=2\">next</a>"),
+          lit("<a href=\"related/"), (col("doc_id") + 2).cast("string"),
+          lit("\">rel</a>"),
+          lit("<a href=\"#top\">t</a><a href=\"mailto:a@b.co\">m</a></body></html>"))
+        d.select(col("doc_id"), base.as("__base"),
+            HtmlText.extractLinks(html).as("__hrefs"))
+          .select(col("doc_id"), col("__base"), explode(col("__hrefs")).as("__href"))
+          .select(col("doc_id"),
+            WebOps.canonicalizeUrl(
+              WebOps.resolveHref(col("__base"), col("__href"))).as("dst"))
+          .filter(col("dst").isNotNull && col("dst") =!= "")
+          .orderBy("doc_id", "dst")
+      },
+      Some("""WITH e AS (
+          SELECT doc_id, unnest([
+            'https://ext.partner.org/a/' || CAST(doc_id AS VARCHAR),
+            'https://cdn.example.com/widget',
+            'https://' || source || '.example.com/doc/'
+              || CAST(doc_id + 1 AS VARCHAR) || '?ref=2',
+            'https://' || source || '.example.com/doc/related/'
+              || CAST(doc_id + 2 AS VARCHAR)
+          ]) AS dst FROM documents)
+        SELECT doc_id, dst FROM e ORDER BY doc_id, dst""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -9667,6 +9714,7 @@ object Inventory {
     "q268_fertility_incremental", "q269_group_quantile_drift",
     "q270_unigram_roundtrip", "q271_unigram_fertility",
     "q272_crawl_to_shards", "q273_warc_ingest", "q274_robots_gate",
+    "q275_outlink_graph",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -221,4 +221,27 @@ class WebOpsSpec extends SparkSpec {
       (6L, true, Some("/mixed")),
       (7L, true, None)), s"got ${got.toSeq}")
   }
+  test("resolveHref: every resolution arm, non-fetchable schemes drop, dir-relative") {
+    import spark.implicits._
+    val rows = Seq(
+      ("https://Ex.COM:8080/a/b/page.html", "https://other.org/x"),   // absolute
+      ("https://ex.com/a/b/page.html", "//CDN.ex.com/w.js"),          // protocol-relative
+      ("https://ex.com/a/b/page.html", "/rooted?q=1"),                // root-relative
+      ("https://ex.com/a/b/page.html", "sib.html"),                   // dir-relative
+      ("https://ex.com", "sib.html"),                                 // empty base path -> '/'
+      ("https://ex.com/a/", "#frag"),                                 // fragment drops
+      ("https://ex.com/a/", "mailto:x@y.z"),                          // mailto drops
+      ("https://ex.com/a/", "data:text/plain;base64,AA"),             // data drops
+      ("not a url", "sib.html"))                                      // unparseable base
+      .toDF("base", "href")
+    val got = rows.select(WebOps.resolveHref(col("base"), col("href")).as("r"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(
+      Some("https://other.org/x"),
+      Some("https://CDN.ex.com/w.js"),     // scheme attached; canonicalize lowercases later
+      Some("https://ex.com/rooted?q=1"),
+      Some("https://ex.com/a/b/sib.html"),
+      Some("https://ex.com/sib.html"),
+      None, None, None, None), s"got ${got.toSeq}")
+  }
 }
