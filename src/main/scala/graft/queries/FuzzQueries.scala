@@ -57,7 +57,7 @@ object FuzzQueries {
   val nLateral = 20
   val nFilter = 20
   val nFrame = 20
-  val nSurface = 32
+  val nSurface = 40
 
   /** One generated case: dialect-neutral SQL producing a single summary
     * row, plus an independent DataFrame-API program with identical
@@ -1309,7 +1309,7 @@ object FuzzQueries {
     */
   lazy val sqlSurfaceCases: Seq[FuzzCase] = {
     val rng = new scala.util.Random(seed + 16)
-    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 18))
+    (0 until nSurface).map(i => surfaceCase(f"fzP$i%03d", rng, i % 20))
   }
 
   /** One family-P case (see [[sqlSurfaceCases]]). The SQL text uses
@@ -1499,6 +1499,27 @@ object FuzzQueries {
             graft.functions.VectorMoments.agg(
               array(col("n_chars").cast("double")), 1, bits).getField("sums"), 1))
 
+      case 18 => // outlink harvest + href resolution (the q275 chain)
+        val pred = docAtom(rng)
+        doc(pred,
+          "sum(size(html_links('<a href=\"/a\">x</a><a href=\"' || lang || '\">y</a>')))",
+          "count(DISTINCT resolve_href('https://' || source || '.example.com/p/q', lang))",
+          () => sum(size(graft.operators.HtmlText.extractLinks(
+            concat(lit("<a href=\"/a\">x</a><a href=\""), col("lang"), lit("\">y</a>"))))),
+          () => countDistinct(graft.operators.WebOps.resolveHref(
+            concat(lit("https://"), col("source"), lit(".example.com/p/q")),
+            col("lang"))))
+      case 19 => // unigram named model: encode + id round trip
+        val pred = docAtom(rng)
+        def uids(c: Column) =
+          graft.functions.GraftModels.resolve("fz_uni", "unigram_ids")(c)
+        doc(pred,
+          "sum(size(unigram_encode(text, 'fz_uni')))",
+          "sum(length(unigram_decode(unigram_encode_ids(text, 'fz_uni'), 'fz_uni')))",
+          () => sum(size(
+            graft.functions.GraftModels.resolve("fz_uni", "unigram")(col("text")))),
+          () => sum(length(
+            graft.functions.GraftModels.resolve("fz_uni", "unigram_decode")(uids(col("text"))))))
       case 16 => // one-permutation signature + 1-bit sketch chain
         val pred = docAtom(rng)
         val w = 2 + rng.nextInt(3)

@@ -248,6 +248,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"html_text expects (html), got ${args.length} args")
       })
 
+    register(ext, "html_links",
+      "html_links(html) - quoted href values of <a> tags, in document order", {
+        case Seq(html) =>
+          expression(graft.operators.HtmlText.extractLinks(column(html)))
+        case args => throw new IllegalArgumentException(
+          s"html_links expects (html), got ${args.length} args")
+      })
+
+    register(ext, "resolve_href",
+      "resolve_href(base_url, href) - absolute URL per the crawler RFC 3986 subset; " +
+        "fragments and mailto/javascript/tel/data resolve NULL", {
+        case Seq(base, href) =>
+          expression(graft.operators.WebOps.resolveHref(column(base), column(href)))
+        case args => throw new IllegalArgumentException(
+          s"resolve_href expects (base_url, href), got ${args.length} args")
+      })
+
     register(ext, "html_title",
       "html_title(html) - visible text of the page title ('' when absent)", {
         case Seq(html) =>

@@ -70,6 +70,10 @@ class FuzzSpec extends SparkSpec {
       graft.operators.Classify.nbTrain(docs, "lang", "text", vocab = 256))
     graft.operators.TextAnalysis.registerLmSql("fz_lm",
       graft.operators.TextAnalysis.charNgramModel(docs, "text", 3), 3)
+    // the kind-19 unigram round-trip cases need all three kinds under
+    // one name (unigram/unigram_ids/unigram_decode)
+    graft.operators.Unigram.registerIdsSql(spark, "fz_uni",
+      graft.operators.Unigram.train(docs, "text", vocabSize = 48))
 
     assert(FuzzQueries.sqlSurfaceCases.size == FuzzQueries.nSurface)
     assert(FuzzQueries.sqlSurfaceCases.map(_.id).distinct.size == FuzzQueries.nSurface)
