@@ -1282,6 +1282,26 @@ class PlanShapeSpec extends SparkSpec {
       s"q273 must explode parsed records executor-side:\n$p")
   }
 
+  test("q274: the robots rule table broadcasts; the corpus never shuffles for policy") {
+    val p = planString(run("q274_robots_gate"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q274's rule join must broadcast (config-sized rules vs the corpus):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q274 must not shuffle the corpus for policy:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q274 must not plan an all-pairs join:\n$p")
+  }
+
+  test("q275: outlink chain is map-only (explode + column arithmetic) up to the sort") {
+    val p = planString(run("q275_outlink_graph"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 0,
+      s"q275 is per-document arithmetic — no hash shuffle:\n$p")
+    assert(p.contains("Generate"),
+      s"q275 must explode harvested hrefs in-row:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q275 must not join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
