@@ -9501,6 +9501,81 @@ object Inventory {
           ]) AS dst FROM documents)
         SELECT doc_id, dst FROM e ORDER BY doc_id, dst""")),
 
+    Q("q276_crawl_frontier",
+      (s, dir) => {
+        // the NEXT-CRAWL-ROUND composition, closing the crawl loop the
+        // round-13 pieces opened: pages → outlink harvest + resolution
+        // (q275) → canonical dedup keys → robots-gate the DESTINATIONS
+        // (q274's policy, graftbot agent) → anti-join the already-
+        // crawled canonical set → the ranked frontier (new URL,
+        // reference count). Link mix per page: an external partner URL
+        // (no robots entry ⇒ allowed, never crawled), a shared CDN
+        // asset (one frontier row referenced by every page), a same-
+        // host next-doc link at +20 (same host because source =
+        // doc_id % 20, so the anti-join FIRES for all but the last 20
+        // docs — the already-crawled exclusion demonstrably works), a
+        // related/ path (allowed, new), a /deep/internal/ link (robots
+        // prefix disallow drops it) and a .pdf link (the $-anchored
+        // wildcard drops it). The oracle derives the frontier
+        // INDEPENDENTLY (construction, not replay).
+        val d = t(s, dir, "documents")
+        val did = col("doc_id").cast("string")
+        val robotsTxt = Seq(
+          "User-agent: *", "Disallow: /", "",
+          "User-agent: graftbot", "Disallow: /deep/", "Allow: /deep/pub",
+          "Disallow: /*.pdf$", "Allow: /mixed", "Disallow: /mixed")
+          .mkString("\n")
+        val robots = d
+          .select(concat(col("source"), lit(".example.com")).as("host")).distinct()
+          .withColumn("robots_txt", lit(robotsTxt))
+        val rules = WebOps.robotsRules(robots, "host", "robots_txt", "graftbot/1.3")
+        val base = concat(lit("https://"), col("source"), lit(".example.com/doc/"), did)
+        val html = concat(
+          lit("<html><body><a href=\"https://ext.partner.org/a/"), did,
+          lit("\">partner</a>"),
+          lit("<a href='//Cdn.Example.COM/widget'>cdn</a>"),
+          lit("<a href=\"/doc/"), (col("doc_id") + 20).cast("string"),
+          lit("?utm_source=x\">next</a>"),
+          lit("<a href=\"related/"), (col("doc_id") + 2).cast("string"),
+          lit("\">rel</a>"),
+          lit("<a href=\"/deep/internal/"), did, lit("\">private</a>"),
+          lit("<a href=\"/files/n"), did, lit(".pdf\">pdf</a></body></html>"))
+        val edges = d
+          .select(col("doc_id"), base.as("__base"),
+            HtmlText.extractLinks(html).as("__hrefs"))
+          .select(col("__base"), explode(col("__hrefs")).as("__href"))
+          .select(WebOps.canonicalizeUrl(
+            WebOps.resolveHref(col("__base"), col("__href"))).as("dst"))
+          .filter(col("dst").isNotNull && col("dst") =!= "")
+        val gated = WebOps.robotsDecision(edges, "dst", rules)
+          .filter(col("allowed"))
+          .select("dst")
+        val crawled = d.select(
+          concat(lit("https://"), col("source"), lit(".example.com/doc/"), did)
+            .as("dst"))
+        gated.join(crawled, Seq("dst"), "left_anti")
+          .groupBy("dst").agg(count(lit(1)).as("n_refs"))
+          .orderBy("dst")
+      },
+      Some("""WITH cand AS (
+          SELECT doc_id, unnest([
+            'https://ext.partner.org/a/' || CAST(doc_id AS VARCHAR),
+            'https://cdn.example.com/widget',
+            'https://' || source || '.example.com/doc/'
+              || CAST(doc_id + 20 AS VARCHAR),
+            'https://' || source || '.example.com/doc/related/'
+              || CAST(doc_id + 2 AS VARCHAR)
+          ]) AS dst
+          FROM documents),
+        crawled AS (
+          SELECT 'https://' || source || '.example.com/doc/'
+            || CAST(doc_id AS VARCHAR) AS dst
+          FROM documents)
+        SELECT dst, count(*) AS n_refs
+        FROM cand
+        WHERE dst NOT IN (SELECT dst FROM crawled)
+        GROUP BY dst ORDER BY dst""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -9714,7 +9789,7 @@ object Inventory {
     "q268_fertility_incremental", "q269_group_quantile_drift",
     "q270_unigram_roundtrip", "q271_unigram_fertility",
     "q272_crawl_to_shards", "q273_warc_ingest", "q274_robots_gate",
-    "q275_outlink_graph",
+    "q275_outlink_graph", "q276_crawl_frontier",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -1302,6 +1302,16 @@ class PlanShapeSpec extends SparkSpec {
       s"q275 must not join:\n$p")
   }
 
+  test("q276: frontier composition — broadcast rule gate, anti-join, no all-pairs") {
+    val p = planString(run("q276_crawl_frontier"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q276's robots rule join must broadcast:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"q276's crawled-set exclusion must plan as an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q276 must not plan an all-pairs join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
