@@ -84,7 +84,15 @@ object Sources {
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        WarcParse.records(bytes).map(r =>
+        // Framing errors carry only the byte offset; prepend the file so a
+        // corrupt segment in a many-file crawl attributes itself.
+        val recs =
+          try WarcParse.records(bytes)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"$p: ${e.getMessage}", e)
+          }
+        recs.map(r =>
           (p, r.warc_type, r.url, r.fetch_ts, r.record_id, r.mime,
             r.http_status, r.payload))
       }
@@ -112,10 +120,47 @@ object Sources {
       .as[String]
       .mapPartitions { paths =>
         val conf = org.apache.spark.sql.graft.SparkBridge.hadoopConf(confBc)
+        // recordsStream closes the file stream only on EXHAUSTION; this
+        // slot + task-completion hook cover every other exit — limit/take
+        // plans that abandon the iterator mid-file, downstream failures,
+        // framing errors — so long-lived executors never accumulate open
+        // FSDataInputStreams. Files open sequentially within a partition
+        // (flatMap drains one file's iterator before the next opens), so
+        // one slot suffices.
+        var open: java.io.InputStream = null
+        def closeOpen(): Unit = {
+          if (open != null) {
+            try open.close() catch { case _: java.io.IOException => () }
+            open = null
+          }
+        }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOpen())
         paths.flatMap { p =>
           val hPath = new org.apache.hadoop.fs.Path(new java.net.URI(p))
           val fs = hPath.getFileSystem(conf)
-          WarcParse.recordsStream(fs.open(hPath)).map(r =>
+          val stream = fs.open(hPath)
+          open = stream
+          val inner = WarcParse.recordsStream(stream)
+          val guarded = new Iterator[WarcParse.WarcRecord] {
+            private def scoped[A](body: => A): A =
+              try body
+              catch {
+                case e: IllegalArgumentException =>
+                  closeOpen()
+                  // framing errors carry only the byte offset — name the file
+                  throw new IllegalArgumentException(s"$p: ${e.getMessage}", e)
+                case e: Throwable =>
+                  closeOpen(); throw e
+              }
+            override def hasNext: Boolean = {
+              val h = scoped(inner.hasNext)
+              if (!h) open = null // recordsStream closed it on exhaustion
+              h
+            }
+            override def next(): WarcParse.WarcRecord = scoped(inner.next())
+          }
+          guarded.map(r =>
             (p, r.warc_type, r.url, r.fetch_ts, r.record_id, r.mime,
               r.http_status, r.payload))
         }

@@ -108,11 +108,20 @@ object HtmlText {
     * mailto: — the resolver decides what survives). Unquoted href
     * values are out of scope — negligible in served HTML and ambiguous
     * to delimit.
+    *
+    * The closing quote is paired with the OPENING one via alternation
+    * (`"…"` or `'…'`), not a shared class — `href="it's"` yields
+    * `it's`, not `it` — and since RE2 has no backreferences, the match
+    * captures the value WITH its quotes and strips them after (one
+    * regex keeps document order across quote styles, which two
+    * concatenated per-style extracts would lose).
     */
   def extractLinks(html: Column): Column =
-    regexp_extract_all(html,
-      lit("(?is)<a[ \t\r\n][^>]*?href[ \t\r\n]*=[ \t\r\n]*[\"']([^\"']*)[\"']"),
-      lit(1))
+    transform(
+      regexp_extract_all(html,
+        lit("(?is)<a[ \t\r\n][^>]*?href[ \t\r\n]*=[ \t\r\n]*(\"[^\"]*\"|'[^']*')"),
+        lit(1)),
+      q => substring(q, lit(2), length(q) - 2))
 
   /** Characters of visible text inside `<a>` anchors of a raw block. */
   private def linkChars(block: Column): Column =

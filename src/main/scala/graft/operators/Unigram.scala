@@ -100,6 +100,15 @@ object Unigram {
       }
     }
     val singles = freq.keys.filter(symLen(_) == 1).toSeq.sorted
+    // Singles are the guaranteed-coverage floor and are never pruned, so a
+    // vocabSize below |singles| is unreachable: the prune loop would clamp
+    // keepMultis to 0 and spin forever with vocab.size pinned at |singles|.
+    // Fail loudly instead of hanging the driver.
+    require(vocabSize >= singles.size,
+      s"vocabSize=$vocabSize is below the single-symbol floor of " +
+        s"${singles.size} pieces (corpus charset + '$EndOfWord'); singles " +
+        "are never pruned, so training cannot reach that size — raise " +
+        s"vocabSize to at least ${singles.size}")
     val multis = freq.toSeq
       .filter { case (p, _) => symLen(p) > 1 }
       .sortBy { case (p, c) => (-c * symLen(p), p) }

@@ -347,13 +347,16 @@ object WebOps {
 
   /** Annotate a URL frame with the robots decision under an effective
     * rule set ([[robotsRules]]): per URL, the rules of its host whose
-    * pattern matches the PATH are ranked by (longest pattern, allow
-    * over disallow on ties — the RFC 9309 precedence), and `allowed`
-    * is true when no rule matches, when the host has no robots entry
-    * (the crawl default), or when the winning rule allows. Adds
-    * (allowed, matched_pattern, matched_allow); compose a `.filter` for
-    * the gate form. The rule table broadcasts (config-sized vs the
-    * corpus); the decision itself is map-only array expressions.
+    * pattern matches the PATH-PLUS-QUERY (RFC 9309 §2.2.2 — the match
+    * target is the path with the query appended after '?', so
+    * `Disallow: /search?q=` patterns can fire) are ranked by (longest
+    * pattern, allow over disallow on ties — the RFC 9309 precedence),
+    * and `allowed` is true when no rule matches, when the host has no
+    * robots entry (the crawl default), or when the winning rule
+    * allows. Adds (allowed, matched_pattern, matched_allow); compose a
+    * `.filter` for the gate form. The rule table broadcasts
+    * (config-sized vs the corpus); the decision itself is map-only
+    * array expressions.
     */
   def robotsDecision(
       urls: DataFrame,
@@ -367,9 +370,12 @@ object WebOps {
       .agg(collect_list(
         struct(col("pattern"), col("allow"), col("plen"), col("rx"))).as("__rules")))
     val p0 = urlParts(col(urlCol)).getField("path")
+    val q0 = urlParts(col(urlCol)).getField("query")
     val out = urls
       .withColumn("__h", lower(urlParts(col(urlCol)).getField("host")))
-      .withColumn("__p", when(p0 === "", lit("/")).otherwise(p0))
+      .withColumn("__p", concat(
+        when(p0 === "", lit("/")).otherwise(p0),
+        when(q0 =!= "", concat(lit("?"), q0)).otherwise(lit(""))))
       .join(rs, col("__h") === col("__rh"), "left")
       .withColumn("__m",
         filter(coalesce(col("__rules"), array().cast(ruleType)),

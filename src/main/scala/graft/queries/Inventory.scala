@@ -9357,12 +9357,15 @@ object Inventory {
         // engines compile the identical regex and the decision matrix
         // carries a FULL hash oracle. The URL mix exercises every
         // precedence arm: unmatched paths, prefix disallow, longer
-        // allow overriding, $-anchored wildcard hit AND miss, and an
-        // exact allow/disallow tie.
+        // allow overriding, $-anchored wildcard hit AND miss, an
+        // exact allow/disallow tie, and a QUERY-string pattern
+        // (RFC 9309 matches path+query, so `Disallow: /open/*?sid=`
+        // fires on `/open/docN?sid=5` and misses the same path bare).
         val robotsTxt = Seq(
           "# crawl policy", "User-agent: *", "Disallow: /", "",
           "User-agent: graftbot", "Disallow: /deep/", "Allow: /deep/pub",
-          "Disallow: /*.pdf$", "Allow: /mixed", "Disallow: /mixed")
+          "Disallow: /*.pdf$", "Allow: /mixed", "Disallow: /mixed",
+          "Disallow: /open/*?sid=")
           .mkString("\n")
         val d = t(s, dir, "documents")
         val robots = d
@@ -9370,7 +9373,10 @@ object Inventory {
           .withColumn("robots_txt", lit(robotsTxt))
         val rules = WebOps.robotsRules(robots, "host", "robots_txt", "graftbot/1.3")
         val did = col("doc_id").cast("string")
-        val path = when(pmod(col("doc_id"), lit(6)) === 0, concat(lit("/open/doc"), did))
+        val path = when(pmod(col("doc_id"), lit(6)) === 0,
+            concat(lit("/open/doc"), did,
+              when(pmod(col("doc_id"), lit(12)) === 0, lit("?sid=5"))
+                .otherwise(lit(""))))
           .when(pmod(col("doc_id"), lit(6)) === 1, concat(lit("/deep/secret/"), did))
           .when(pmod(col("doc_id"), lit(6)) === 2, concat(lit("/deep/pub/"), did))
           .when(pmod(col("doc_id"), lit(6)) === 3, concat(lit("/files/r"), did, lit(".pdf")))
@@ -9395,7 +9401,8 @@ object Inventory {
             || 'Disallow: /' || chr(10) || chr(10)
             || 'User-agent: graftbot' || chr(10) || 'Disallow: /deep/' || chr(10)
             || 'Allow: /deep/pub' || chr(10) || 'Disallow: /*.pdf$$' || chr(10)
-            || 'Allow: /mixed' || chr(10) || 'Disallow: /mixed',
+            || 'Allow: /mixed' || chr(10) || 'Disallow: /mixed' || chr(10)
+            || 'Disallow: /open/*?sid=',
             chr(10)) AS ls FROM hosts),
             LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
         kv AS (
@@ -9429,6 +9436,7 @@ object Inventory {
             source || '.example.com' AS host,
             CASE doc_id % 6
               WHEN 0 THEN '/open/doc' || CAST(doc_id AS VARCHAR)
+                || (CASE WHEN doc_id % 12 = 0 THEN '?sid=5' ELSE '' END)
               WHEN 1 THEN '/deep/secret/' || CAST(doc_id AS VARCHAR)
               WHEN 2 THEN '/deep/pub/' || CAST(doc_id AS VARCHAR)
               WHEN 3 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'

@@ -166,6 +166,41 @@ class WarcSourceSpec extends SparkSpec {
       s"warcStreamed's listing scan must prune content:\n$scan")
   }
 
+  test("framing errors through the sources name the offending FILE") {
+    val dir = Files.createTempDirectory("warcbadfile").toFile
+    writeFile(dir, "ok.warc",
+      record("response", Some("https://e.example.com/1"),
+        httpBlock("<p>fine</p>")).getBytes(UTF_8))
+    writeFile(dir, "corrupt.warc", "HELLO/1.0\r\n\r\n".getBytes(UTF_8))
+    def rootMessages(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    val e1 = intercept[Exception] {
+      Sources.warc(spark, dir.getAbsolutePath).count()
+    }
+    assert(rootMessages(e1).exists(m =>
+      m.contains("corrupt.warc") && m.contains("version line")),
+      s"eager path must name the file: ${rootMessages(e1)}")
+    val e2 = intercept[Exception] {
+      Sources.warcStreamed(spark, dir.getAbsolutePath).count()
+    }
+    assert(rootMessages(e2).exists(m =>
+      m.contains("corrupt.warc") && m.contains("version line")),
+      s"streamed path must name the file: ${rootMessages(e2)}")
+  }
+
+  test("warcStreamed: an abandoned iterator (limit plan) completes cleanly") {
+    val dir = Files.createTempDirectory("warcabandon").toFile
+    // many records in one file so a limit(1) abandons the stream mid-file;
+    // the task-completion hook owns the close — no error, no hang
+    val many = (1 to 50).map(i =>
+      record("response", Some(s"https://l.example.com/$i"),
+        httpBlock(s"<p>rec $i</p>"))).mkString("")
+    writeFile(dir, "many.warc", many.getBytes(UTF_8))
+    val one = Sources.warcStreamed(spark, dir.getAbsolutePath).limit(1).collect()
+    assert(one.length == 1)
+  }
+
   test("format dispatch: 'warc' routes, unknown still fails typed") {
     val dir = Files.createTempDirectory("warcdisp").toFile
     writeFile(dir, "seg.warc",

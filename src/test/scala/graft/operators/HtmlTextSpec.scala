@@ -83,6 +83,21 @@ class HtmlTextSpec extends SparkSpec {
     assert(!got.values.exists(_ == null))
   }
 
+  test("extractLinks: quote pairing, document order across quote styles, odd hrefs") {
+    val html = "<html><body>" +
+      "<a href=\"it's\">apostrophe inside double quotes survives</a>" +
+      "<a href='say \"hi\"'>double quote inside single quotes survives</a>" +
+      "<a href = \"/spaced\">whitespace around = tolerated</a>" +
+      "<a class='x' href='/second-attr'>href not first attribute</a>" +
+      "<a href=\"\">empty href kept verbatim (resolver drops it)</a>" +
+      "<a name=\"anchor-no-href\">no href, no link</a>" +
+      "</body></html>"
+    val got = Seq(Tuple1(html)).toDF("html")
+      .select(HtmlText.extractLinks(col("html")).as("l")).head.getSeq[String](0)
+    assert(got == Seq("it's", "say \"hi\"", "/spaced", "/second-attr", ""),
+      s"got $got")
+  }
+
   test("keptBlocks + visibleText expose the block grain; brutal tag soup splits consistently") {
     val soup = "<TABLE><TR><TD>cell one has plenty of characters inside" +
       "</TD><TD>cell two also has plenty of characters</TD></TR></TABLE>" +

@@ -115,6 +115,17 @@ class UnigramSpec extends SparkSpec {
     assert(e.getMessage.contains("kind"))
   }
 
+  test("train: vocabSize below the single-symbol floor fails loudly, never hangs") {
+    // corpus charset {a..j} + '</w>' = 11 singles; singles are never
+    // pruned, so vocabSize=5 is unreachable — must throw, not spin
+    val corpus = Seq(("abc def ghij" * 3)).toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(corpus, "text", vocabSize = 5)
+    }
+    assert(e.getMessage.contains("single-symbol floor"))
+    assert(e.getMessage.contains("vocabSize"))
+  }
+
   test("train segments a skewed corpus into reusable pieces (EM actually moves)") {
     // "est</w>" appears in 14/26 words; EM should keep it as one piece
     val corpus = Seq(

@@ -221,6 +221,30 @@ class WebOpsSpec extends SparkSpec {
       (6L, true, Some("/mixed")),
       (7L, true, None)), s"got ${got.toSeq}")
   }
+  test("robotsDecision: patterns match path PLUS query (RFC 9309 §2.2.2)") {
+    import spark.implicits._
+    val txt = Seq(
+      "User-agent: *",
+      "Disallow: /search?q=",
+      "Disallow: /*?*session=").mkString("\n")
+    val rules = WebOps.robotsRules(
+      Seq(("ex.com", txt)).toDF("host", "robots_txt"), "host", "robots_txt", "anybot")
+    val urls = Seq(
+      (1L, "https://ex.com/search?q=cats"),       // literal ?-pattern fires
+      (2L, "https://ex.com/search"),              // same path, no query -> allowed
+      (3L, "https://ex.com/p?a=1&session=9"),     // wildcard query pattern fires
+      (4L, "https://ex.com/p?a=1"))               // query present, pattern misses
+      .toDF("id", "url")
+    val got = WebOps.robotsDecision(urls, "url", rules)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (1L, false, Some("/search?q=")),
+      (2L, true, None),
+      (3L, false, Some("/*?*session=")),
+      (4L, true, None)), s"got ${got.toSeq}")
+  }
+
   test("resolveHref: every resolution arm, non-fetchable schemes drop, dir-relative") {
     import spark.implicits._
     val rows = Seq(
