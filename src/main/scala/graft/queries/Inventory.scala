@@ -9495,6 +9495,15 @@ object Inventory {
           .select(col("doc_id"),
             WebOps.canonicalizeUrl(
               WebOps.resolveHref(col("__base"), col("__href"))).as("dst"))
+          // The q272 composition rule applies to the engine's own newest
+          // query: without a barrier the canonical chain (extract →
+          // explode → resolve → canonicalize) evaluates ~4× — the dst
+          // filter pushes the expression below the project (2×) and the
+          // presentation range-sort's sampling pass re-executes the
+          // child (2×). Lazily checkpoint the computed frame so the
+          // chain runs ONCE (probed 1.1 s warm vs 6.6 s un-barriered,
+          // SCALE.md round 13).
+          .localCheckpoint(false)
           .filter(col("dst").isNotNull && col("dst") =!= "")
           .orderBy("doc_id", "dst")
       },
@@ -9554,6 +9563,11 @@ object Inventory {
           .select(col("__base"), explode(col("__hrefs")).as("__href"))
           .select(WebOps.canonicalizeUrl(
             WebOps.resolveHref(col("__base"), col("__href"))).as("dst"))
+          // q272 composition rule (see q275): barrier the computed dst
+          // so the canonical chain evaluates once — downstream the
+          // filter, the robots decision's urlParts, and the anti-join
+          // all re-derive it otherwise.
+          .localCheckpoint(false)
           .filter(col("dst").isNotNull && col("dst") =!= "")
         val gated = WebOps.robotsDecision(edges, "dst", rules)
           .filter(col("allowed"))
