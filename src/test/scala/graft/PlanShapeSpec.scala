@@ -1318,6 +1318,23 @@ class PlanShapeSpec extends SparkSpec {
       s"q276 must not plan an all-pairs join:\n$p")
   }
 
+  test("q277: frontier advance emits from the store barrier — per-host window, no all-pairs") {
+    // the two advances materialize behind lazy checkpoints (the q272
+    // boundary judgment: each advance's joins are pinned by the
+    // operator spec); what must hold HERE is the emission shape — the
+    // politeness cap is a per-host window over the barrier leaf, never
+    // a global single-partition window, and nothing degenerates
+    val p = planString(run("q277_frontier_advance"))
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"q277 must emit from the checkpointed store:\n$p")
+    assert(p.contains("windowspecdefinition(host"),
+      s"q277's politeness cap must be a per-host window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"q277 must not plan a global single-partition exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q277 must not plan an all-pairs join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -245,6 +245,57 @@ class WebOpsSpec extends SparkSpec {
       (4L, true, None)), s"got ${got.toSeq}")
   }
 
+  test("frontierAdvance: advance ∘ advance ≡ one-shot; transition, counts, gate, cap") {
+    import spark.implicits._
+    val txt = Seq("User-agent: *", "Disallow: /private/").mkString("\n")
+    val rules = WebOps.robotsRules(
+      Seq(("a.com", txt), ("b.com", txt)).toDF("host", "robots_txt"),
+      "host", "robots_txt", "anybot")
+    // batch 1 crawls p1/p2; batch 2 crawls p3 AND the a.com/x that
+    // batch 1 discovered (the candidate-then-crawled transition)
+    val b1Edges = Seq(
+      "https://a.com/x", "https://a.com/x",      // 2 refs accumulate
+      "https://b.com/y",
+      "https://a.com/private/z",                 // robots drops at entry
+      "https://a.com/p1").toDF("url")            // already crawled this batch
+    val b1Crawled = Seq("https://a.com/p1", "https://b.com/p2").toDF("url")
+    val b2Edges = Seq(
+      "https://a.com/x",                          // 3rd ref — but crawled below
+      "https://b.com/y", "https://b.com/y",       // grows 1 -> 3
+      "https://c.org/new").toDF("url")            // no robots -> allowed
+    val b2Crawled = Seq("https://a.com/p3", "https://a.com/x").toDF("url")
+
+    val (f1, v1) = WebOps.frontierAdvance(b1Edges, b1Crawled, rules,
+      WebOps.emptyFrontierStore(spark), WebOps.emptyVisitedStore(spark))
+    val (f2, v2) = WebOps.frontierAdvance(b2Edges, b2Crawled, rules, f1, v1)
+
+    val gotF = f2.orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(gotF == Seq(
+      ("https://b.com/y", "b.com", 3L),
+      ("https://c.org/new", "c.org", 1L)), s"got $gotF")
+    assert(v2.as[String].collect().sorted.toSeq == Seq(
+      "https://a.com/p1", "https://a.com/p3", "https://a.com/x",
+      "https://b.com/p2"))
+
+    // one-shot over the union ≡ the two-step advance (the q277 identity)
+    val (fAll, vAll) = WebOps.frontierAdvance(
+      b1Edges.unionByName(b2Edges), b1Crawled.unionByName(b2Crawled), rules,
+      WebOps.emptyFrontierStore(spark), WebOps.emptyVisitedStore(spark))
+    assert(fAll.orderBy("url").collect().toSeq == f2.orderBy("url").collect().toSeq)
+    assert(vAll.orderBy("url").collect().toSeq == v2.orderBy("url").collect().toSeq)
+
+    // politeness emission: top-k per host by (n_refs desc, url asc),
+    // never mutating the store
+    val manyB = (1 to 5).map(i => s"https://b.com/m$i").toDF("url")
+    val (f3, _) = WebOps.frontierAdvance(manyB, b2Crawled.limit(0), rules, f2, v2)
+    val next = WebOps.frontierNext(f3, 2).orderBy("url").collect()
+      .map(_.getString(0)).toSeq
+    assert(next == Seq("https://b.com/y", "https://b.com/m1", "https://c.org/new")
+      .sorted, s"got $next") // y (3 refs) + m1 (tie broken by url) + c.org's only
+    assert(f3.count() == 7, "emission must not shrink the store")
+  }
+
   test("resolveHref: every resolution arm, non-fetchable schemes drop, dir-relative") {
     import spark.implicits._
     val rows = Seq(
