@@ -1148,7 +1148,18 @@ object Inventory {
       deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY src),
       nn AS (SELECT count(*) AS n FROM nodes),
       r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
-    val its = (1 to iters).map { i =>
+    base + pageRankIterSql(iters) +
+      s"\n      SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id"
+  }
+
+  /** The unrolled PageRank iterations r1..rN as CTE text, expecting
+    * `directed(src, dst)`, `nodes(id)`, `deg(src, deg)`, `nn(n)` and
+    * `r0(id, rank)` CTEs in scope — shared by q139 (numeric ids over
+    * the near-dup graph) and q278 (URL-string ids over the real link
+    * graph) so the DECIMAL(38,20) replay discipline exists once.
+    */
+  private def pageRankIterSql(iters: Int): String =
+    (1 to iters).map { i =>
       s""",
       r$i AS (
         SELECT nodes.id,
@@ -1162,8 +1173,6 @@ object Inventory {
             JOIN deg ON d.src = deg.src
           GROUP BY d.dst) c ON nodes.id = c.id)"""
     }.mkString
-    base + its + s"\n      SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id"
-  }
 
   /** TPC-H Q3 (shipping priority), adapted: revenue of BUILDING-segment
     * orders placed before a date with lineitems shipped after it.
@@ -9716,6 +9725,106 @@ object Inventory {
         WHERE rk <= 3
         ORDER BY url""")),
 
+    Q("q278_pagerank_frontier",
+      (s, dir) => {
+        // PageRank-prioritized frontier — the standard crawl-priority
+        // recipe, composing q275's REAL link graph into GraphOps'
+        // decimal-exact PageRank (the q139 replay discipline) and
+        // ranking q276's frontier by each candidate URL's CENTRALITY
+        // instead of its raw reference count. The graph keeps ALL six
+        // resolved outlinks per page (robots-disallowed pages still
+        // receive and pass link mass — policy gates what you FETCH,
+        // not how the web links); the frontier emission then applies
+        // the robots gate + crawled anti-join exactly as q276. Every
+        // frontier URL is a graph node by construction (it has an
+        // inbound edge), so the rank join is total. The oracle
+        // re-derives the edges by construction and replays the
+        // identical three unrolled decimal iterations over URL-string
+        // node ids (pageRankIterSql — shared text with q139's oracle).
+        val d = t(s, dir, "documents")
+        val did = col("doc_id").cast("string")
+        val robotsTxt = Seq(
+          "User-agent: *", "Disallow: /", "",
+          "User-agent: graftbot", "Disallow: /deep/", "Allow: /deep/pub",
+          "Disallow: /*.pdf$", "Allow: /mixed", "Disallow: /mixed")
+          .mkString("\n")
+        val robots = d
+          .select(concat(col("source"), lit(".example.com")).as("host")).distinct()
+          .withColumn("robots_txt", lit(robotsTxt))
+        val rules = WebOps.robotsRules(robots, "host", "robots_txt", "graftbot/1.3")
+        val base = concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), did)
+        val html = concat(
+          lit("<html><body><a href=\"https://ext.partner.org/a/"), did,
+          lit("\">partner</a>"),
+          lit("<a href='//Cdn.Example.COM/widget'>cdn</a>"),
+          lit("<a href=\"/doc/"), (col("doc_id") + 20).cast("string"),
+          lit("?utm_source=x\">next</a>"),
+          lit("<a href=\"related/"), (col("doc_id") + 2).cast("string"),
+          lit("\">rel</a>"),
+          lit("<a href=\"/deep/internal/"), did, lit("\">private</a>"),
+          lit("<a href=\"/files/n"), did, lit(".pdf\">pdf</a></body></html>"))
+        val edges = d
+          .select(col("doc_id"), col("source")).repartition(32) // q277's note
+          .select(base.as("id_a"), HtmlText.extractLinks(html).as("__hrefs"))
+          .select(col("id_a"), explode(col("__hrefs")).as("__href"))
+          .select(col("id_a"), WebOps.canonicalizeUrl(
+            WebOps.resolveHref(col("id_a"), col("__href"))).as("id_b"))
+          .filter(col("id_b").isNotNull && col("id_b") =!= "")
+          .localCheckpoint(false) // chain once: pagerank + frontier read it
+        val ranks = graft.operators.GraphOps.pageRank(edges, iterations = 3)
+        val cand = edges.select(col("id_b").as("dst")).distinct()
+        val gated = WebOps.robotsDecision(cand, "dst", rules)
+          .filter(col("allowed")).select("dst")
+        val crawled = d.select(concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), did).as("dst"))
+        gated.join(crawled, Seq("dst"), "left_anti")
+          .join(ranks.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("dst").as("url"), col("rank"))
+          .orderBy("url")
+      },
+      Some("""WITH pages AS (
+          SELECT doc_id, source,
+            'https://' || source || '.example.com/doc/'
+              || CAST(doc_id AS VARCHAR) AS src
+          FROM documents),
+        edges AS (
+          SELECT src, unnest([
+            'https://ext.partner.org/a/' || CAST(doc_id AS VARCHAR),
+            'https://cdn.example.com/widget',
+            'https://' || source || '.example.com/doc/'
+              || CAST(doc_id + 20 AS VARCHAR),
+            'https://' || source || '.example.com/doc/related/'
+              || CAST(doc_id + 2 AS VARCHAR),
+            'https://' || source || '.example.com/deep/internal/'
+              || CAST(doc_id AS VARCHAR),
+            'https://' || source || '.example.com/files/n'
+              || CAST(doc_id AS VARCHAR) || '.pdf'
+          ]) AS dst
+          FROM pages),
+        directed AS (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS id FROM directed),
+        deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+        + pageRankIterSql(3) + """,
+        cand AS (
+          SELECT DISTINCT dst FROM (
+            SELECT unnest([
+              'https://ext.partner.org/a/' || CAST(doc_id AS VARCHAR),
+              'https://cdn.example.com/widget',
+              'https://' || source || '.example.com/doc/'
+                || CAST(doc_id + 20 AS VARCHAR),
+              'https://' || source || '.example.com/doc/related/'
+                || CAST(doc_id + 2 AS VARCHAR)
+            ]) AS dst FROM pages))
+        SELECT c.dst AS url, round(r3.rank, 6) AS rank
+        FROM cand c JOIN r3 ON c.dst = r3.id
+        WHERE c.dst NOT IN (SELECT src FROM pages)
+        ORDER BY url""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -9930,6 +10039,7 @@ object Inventory {
     "q270_unigram_roundtrip", "q271_unigram_fertility",
     "q272_crawl_to_shards", "q273_warc_ingest", "q274_robots_gate",
     "q275_outlink_graph", "q276_crawl_frontier", "q277_frontier_advance",
+    "q278_pagerank_frontier",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

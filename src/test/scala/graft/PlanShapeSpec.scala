@@ -1335,6 +1335,21 @@ class PlanShapeSpec extends SparkSpec {
       s"q277 must not plan an all-pairs join:\n$p")
   }
 
+  test("q278: rank-joined frontier — no all-pairs, no global single-partition window") {
+    // the link-graph chain and each PageRank iteration live behind
+    // GC-tracked checkpoints (GraphOps' constant-size-plan discipline);
+    // the final plan joins the gated candidates to the rank leaf
+    val p = planString(run("q278_pagerank_frontier"))
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"q278 must read the checkpointed rank frame:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"q278's crawled-set exclusion must plan as an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q278 must not plan an all-pairs join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"q278 must not plan a global single-partition exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution
