@@ -246,6 +246,38 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** The ratcheted best-known single-thread calib of this host (ms) —
+    * the CLEAN-window reference the per-family window CLASS is judged
+    * against. Lives in BENCH_REF.json next to the query ratchet (same
+    * min-elementwise discipline: a contended sweep can never raise it).
+    */
+  private def readCalibRef(): Option[Double] =
+    try {
+      val f = new java.io.File("BENCH_REF.json")
+      if (!f.exists()) None
+      else {
+        val s = scala.io.Source.fromFile(f, "UTF-8")
+        val line = try s.getLines().mkString("\n") finally s.close()
+        """"calib_ms":([0-9.]+)""".r.findFirstMatchIn(line).map(_.group(1).toDouble)
+      }
+    } catch { case _: Throwable => None }
+
+  /** Family window class from its bracketing calib pair vs the clean
+    * reference: both stamps near the reference = "clean"; either
+    * moderately above = "elevated"; grossly above = "contended". The
+    * class is judged on the WORSE of pre/post (a window that degrades
+    * mid-family should not read clean), and the reference is the min
+    * of the committed ratchet and this sweep's own best family (so a
+    * first run without a ratchet still classifies self-relatively —
+    * a contended-THROUGHOUT first sweep reads clean-relative until a
+    * later clean sweep ratchets the reference down, which is the best
+    * any self-contained stamp can do).
+    */
+  private def windowClass(pre: Double, post: Double, ref: Double): String = {
+    val r = math.max(pre, post) / ref
+    if (r <= 1.15) "clean" else if (r <= 1.5) "elevated" else "contended"
+  }
+
   /** Ratchet BENCH_REF.json with this sweep's results (same-sf only;
     * a targeted sf10 audit must not seed sf0.1 references). A full
     * parent sweep at a DIFFERENT sf than the existing file's must not
@@ -253,7 +285,10 @@ object Bench {
     * artifact-of-record sf, so a casual sf0.001 smoke run leaves the
     * sf0.1 reference intact (it just records no refs of its own).
     */
-  private def writeRef(sfDir: String, merged: Seq[(String, Double)]): Unit =
+  private def writeRef(
+      sfDir: String,
+      merged: Seq[(String, Double)],
+      sweepCalib: Option[Double]): Unit =
     try {
       val f = new java.io.File("BENCH_REF.json")
       if (f.exists() && readRef(sfDir).isEmpty) {
@@ -266,8 +301,11 @@ object Bench {
         val vs = old.get(n).toSeq ++ merged.collectFirst { case (`n`, v) => v }.toSeq
         n -> vs.min
       }
+      // ratchet the clean-window calib reference alongside the queries
+      val calibNext = (readCalibRef().toSeq ++ sweepCalib.toSeq).reduceOption((a: Double, b: Double) => math.min(a, b))
+      val calibJson = calibNext.map(c => f""""calib_ms":$c%.1f,""").getOrElse("")
       val w = new java.io.PrintWriter(new java.io.File("BENCH_REF.json"), "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","queries":${queriesJson(next)}}""")
+      try w.println(s"""{"sf":"$sfDir",$calibJson"queries":${queriesJson(next)}}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_REF.json write failed: ${e.getMessage}")
@@ -364,7 +402,8 @@ object Bench {
     */
   private def forkFamily(
       family: Seq[String],
-      sfDir: String): Option[(Seq[(String, Double)], Seq[(String, Double, Double)])] = {
+      sfDir: String): Option[(Seq[(String, Double)], Seq[(String, Double, Double)],
+        Option[(Double, Double)])] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
     val cmd = new java.util.ArrayList[String]()
@@ -422,7 +461,7 @@ object Bench {
         .getOrElse("")
       println(f"""{"family_done":"${family.head}","calib_st_ms":$famCalib%.1f$windowJson,"restamps":${restampsJson(restamps)},"queries":${queriesJson(rs)}}""")
       Console.out.flush()
-      Some((rs, restamps))
+      Some((rs, restamps, childCalib))
     }
   }
 
@@ -453,24 +492,58 @@ object Bench {
       val (ioWrite, ioRead) = ioAnchor()
       val families = headline.map(_.name).grouped(8).toSeq
       val allRestamps = scala.collection.mutable.ListBuffer.empty[(String, Double, Double)]
+      // per-family window evidence: (family head, members, child pre/post)
+      val famWindows = scala.collection.mutable.ListBuffer
+        .empty[(String, Seq[String], Option[(Double, Double)])]
       val merged = families.flatMap { fam =>
         forkFamily(fam, sfDir) match {
-          case Some((rs, restamps)) =>
+          case Some((rs, restamps, childCalib)) =>
             allRestamps ++= restamps
+            famWindows += ((fam.head, fam, childCalib))
             rs
           case None =>
             // Fallback: a child that cannot launch (unexpected classpath
             // shape) still gets timed — in this JVM, old single-process
             // behavior — rather than silently dropping its queries.
+            val pre = spin(200000000L)
             val (rs, restamps) =
               runFamily(headline.filter(q => fam.contains(q.name)), sfDir)
+            val post = spin(200000000L)
             allRestamps ++= restamps
+            famWindows += ((fam.head, fam, Some((pre, post))))
             rs
         }
       }
       val total = merged.map(_._2).sum
+      // == Per-family window CLASS, machine-readable at the stamp grain ==
+      // A sweep-wide contended window (r13: every family's calib elevated
+      // together) defeats the in-sweep restamp — both stamps share the
+      // window — so the artifact now tags each family with a class judged
+      // against the RATCHETED clean-calib reference, and every query
+      // inherits its family's class. A per-query regression read in an
+      // "elevated"/"contended" family adjudicates itself from the
+      // artifact; no hand audit. Reference = min(committed ratchet, this
+      // sweep's best family calib stamp).
+      val sweepBest = famWindows.flatMap(_._3).flatMap(c => Seq(c._1, c._2))
+        .reduceOption((a: Double, b: Double) => math.min(a, b))
+      val calibRef = (readCalibRef().toSeq ++ sweepBest.toSeq).reduceOption((a: Double, b: Double) => math.min(a, b))
+      val windowsJson = famWindows.map { case (head, members, calib) =>
+        val (pre, post, cls) = (calib, calibRef) match {
+          case (Some((a, b)), Some(ref)) => (a, b, windowClass(a, b, ref))
+          case (Some((a, b)), None) => (a, b, "unknown")
+          case _ => (-1.0, -1.0, "unknown")
+        }
+        val qs = members.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f""""$head":{"pre_ms":$pre%.1f,"post_ms":$post%.1f,"class":"$cls","queries":$qs}"""
+      }.mkString("{", ",", "}")
+      val nContended = famWindows.count { case (_, _, calib) =>
+        (calib, calibRef) match {
+          case (Some((a, b)), Some(ref)) => windowClass(a, b, ref) != "clean"
+          case _ => false
+        }
+      }
       val line =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"restamps":${restampsJson(allRestamps.toSeq)},"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(merged)},"restamps":${restampsJson(allRestamps.toSeq)},"windows":$windowsJson,"calib_ref_ms":${calibRef.getOrElse(-1.0)}%.1f,"sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
       // Also persist the full merged artifact to the repo: the driver's
       // stdout tail truncates long lines (BENCH_r06 lost 10 families and
       // parsed:null); a committed file can't be truncated.
@@ -480,7 +553,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
       }
-      writeRef(sfDir, merged)
+      writeRef(sfDir, merged, sweepBest)
       // Emission order matters: the driver keeps only the LAST ~2 KB of
       // stdout and parses the final JSON line it finds there. The full
       // 120+-query line is ~4 KB, so when it prints last its head is cut
@@ -501,7 +574,7 @@ object Bench {
       }
       val omitted = merged.size - picked.size
       val compact =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(picked.toSeq)},"queries_omitted":$omitted,"restamped":${allRestamps.size},"full_map":"BENCH_LOCAL.json","sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(picked.toSeq)},"queries_omitted":$omitted,"restamped":${allRestamps.size},"windows_not_clean":$nContended,"full_map":"BENCH_LOCAL.json","sf":"$sfDir","families":${families.size},"calib_st_ms":$calibSt%.1f,"calib_mt_ms":$calibMt%.1f,"io_write_s":$ioWrite%.2f,"io_anchor_s":$ioRead%.2f}"""
       Console.out.flush()
       println(compact)
     }
