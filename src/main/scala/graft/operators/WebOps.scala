@@ -350,6 +350,94 @@ object WebOps {
       hostCol: String = "host"): DataFrame =
     capPerDomain(frontierStore, hostCol, urlCol, "n_refs", k)
 
+  // ------------------------------------------------------------ sitemaps
+
+  /** `<url>` entries of a sitemap URLSET document (sitemaps.org
+    * protocol): array of (loc, lastmod) structs, in document order.
+    * `loc` is entity-decoded (sitemap XML escapes `&` as `&amp;`) and
+    * whitespace-trimmed; `lastmod` is empty-string when absent (the
+    * optional field, regexp_extract's no-match convention — never
+    * null). Pure Java∩RE2 column regexes (no backreferences, no
+    * lookaround), the q187/q274 replay discipline, so an external
+    * engine replays the extraction character-identically. A
+    * `<sitemapindex>` document yields the empty array here (the tag
+    * boundary `(>|whitespace)` keeps `<sitemap…` from matching
+    * `<sitemapindex>`), and vice versa for [[sitemapIndexEntries]] —
+    * one frame of fetched sitemap docs can hold both kinds.
+    */
+  def sitemapUrlEntries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?is)<url(>|[ \t\r\n][^>]*>)(.*?)</url>"), lit(2)),
+      b => struct(
+        HtmlText.decodeEntities(trim(regexp_extract(b,
+          "(?is)<loc(>|[ \t\r\n][^>]*>)[ \t\r\n]*(.*?)[ \t\r\n]*</loc>", 2))).as("loc"),
+        trim(regexp_extract(b,
+          "(?is)<lastmod(>|[ \t\r\n][^>]*>)[ \t\r\n]*(.*?)[ \t\r\n]*</lastmod>", 2))
+          .as("lastmod")))
+
+  /** Child sitemap locations of a `<sitemapindex>` document: array of
+    * decoded loc strings, document order. Empty for urlset docs.
+    */
+  def sitemapIndexEntries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml,
+        lit("(?is)<sitemap(>|[ \t\r\n][^>]*>)(.*?)</sitemap>"), lit(2)),
+      b => HtmlText.decodeEntities(trim(regexp_extract(b,
+        "(?is)<loc(>|[ \t\r\n][^>]*>)[ \t\r\n]*(.*?)[ \t\r\n]*</loc>", 2))))
+
+  /** Crawl-seed extraction over a frame of FETCHED sitemap documents
+    * `(urlCol, xmlCol)` — the robots.txt companion (robots.txt's
+    * `Sitemap:` lines point at these): walk the sitemap-index tree to
+    * `maxDepth` levels and emit every urlset entry reached, as
+    * `(sitemap_url, loc, lastmod, depth)`.
+    *
+    * Roots are the frame rows NO other row's index references (the
+    * fetch frontier's entry points); each level's index entries
+    * semi-join back to the frame by URL to find their documents — a
+    * referenced child that was never fetched simply contributes
+    * nothing (fetch-driven, not error-driven), and a cyclic or
+    * self-referencing index terminates at the depth bound. A diamond
+    * (two indexes referencing one child) emits the child's entries
+    * once per DEPTH it first appears at, deduplicated within each
+    * level — sitemap trees are two levels in practice, so the bound
+    * and the per-level dedup are the whole story. Driver loop is
+    * maxDepth-bounded and data-independent (the GraphOps iteration
+    * discipline); each level is one semi-join + map-only extraction.
+    */
+  def sitemapSeeds(
+      sitemaps: DataFrame,
+      urlCol: String,
+      xmlCol: String,
+      maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 10, "maxDepth must be in [1, 10]")
+    val base = sitemaps
+      .select(col(urlCol).as("__sm_url"), col(xmlCol).as("__sm_xml"))
+      .localCheckpoint(false) // re-joined once per level
+    val allChildren = base
+      .select(explode(sitemapIndexEntries(col("__sm_xml"))).as("__c"))
+      .distinct()
+    var frontier = base.join(allChildren,
+      col("__sm_url") === col("__c"), "left_anti")
+    var out: DataFrame = null
+    for (d <- 0 until maxDepth) {
+      val entries = frontier
+        .select(col("__sm_url").as("sitemap_url"),
+          explode(sitemapUrlEntries(col("__sm_xml"))).as("__e"))
+        .select(col("sitemap_url"), col("__e.loc").as("loc"),
+          col("__e.lastmod").as("lastmod"), lit(d.toLong).as("depth"))
+      out = if (out == null) entries else out.unionByName(entries)
+      if (d < maxDepth - 1) {
+        val childLocs = frontier
+          .select(explode(sitemapIndexEntries(col("__sm_xml"))).as("__c"))
+          .distinct()
+        frontier = base.join(childLocs,
+            col("__sm_url") === col("__c"), "left_semi")
+          .localCheckpoint(false)
+      }
+    }
+    out
+  }
+
   /** Resolve an href against its page's base URL (the pragmatic
     * RFC 3986 §5 subset a crawler frontier needs): absolute refs pass
     * through; protocol-relative (`//host/…`) take the base scheme;

@@ -9825,6 +9825,91 @@ object Inventory {
         WHERE c.dst NOT IN (SELECT src FROM pages)
         ORDER BY url""")),
 
+    Q("q280_sitemap_seeds",
+      (s, dir) => {
+        // sitemap (XML) SEED ingestion — the crawl-seed companion to
+        // the robots gate (robots.txt's `Sitemap:` lines point at
+        // these): per-host sitemap-INDEX documents referencing two
+        // urlset children are synthesized byte-exact, walked by
+        // WebOps.sitemapSeeds (index recursion from unreferenced
+        // roots), and the harvested locs are robots-gated (q274's
+        // graftbot policy). Entry arms per doc: plain loc WITH
+        // lastmod-when-even, an &amp;-escaped query loc (entity
+        // decode), a /deep/priv loc (prefix disallow), a /deep/pub loc
+        // (longer allow wins), and a .pdf loc ($-anchored disallow).
+        // The oracle derives (loc, lastmod, allowed) INDEPENDENTLY by
+        // construction — extraction regexes, the index walk, entity
+        // decode, and the robots precedence must all land exactly.
+        val d = t(s, dir, "documents")
+        val did = col("doc_id").cast("string")
+        val host = concat(col("source"), lit(".example.com"))
+        val lastmod = concat(lit("2026-01-"),
+          lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"))
+        val path = when(pmod(col("doc_id"), lit(5)) === 0, concat(lit("/doc/"), did))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("/doc/"), did, lit("?a=1&amp;b=2")))
+          .when(pmod(col("doc_id"), lit(5)) === 2, concat(lit("/deep/priv/"), did))
+          .when(pmod(col("doc_id"), lit(5)) === 3, concat(lit("/deep/pub/"), did))
+          .otherwise(concat(lit("/files/f"), did, lit(".pdf")))
+        val entryXml = concat(
+          lit("  <url>\n    <loc> https://"), host, path, lit(" </loc>\n"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("    <lastmod>"), lastmod, lit("</lastmod>\n")))
+            .otherwise(lit("")),
+          lit("  </url>\n"))
+        // per-(host, parity) urlset children + one index per host — the
+        // per-host collect_list is FIXTURE construction (q273's note)
+        val children = d
+          .select(host.as("host"), pmod(col("doc_id"), lit(2)).as("par"),
+            col("doc_id"), entryXml.as("e"))
+          .groupBy("host", "par")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("e")))),
+              x => x.getField("e")), "").as("body"))
+          .select(
+            concat(lit("https://"), col("host"),
+              when(col("par") === 0, lit("/sm/a.xml"))
+                .otherwise(lit("/sm/b.xml"))).as("url"),
+            concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"), col("body"),
+              lit("</urlset>")).as("xml"))
+        val roots = d.select(host.as("host")).distinct()
+          .select(
+            concat(lit("https://"), col("host"), lit("/sitemap.xml")).as("url"),
+            concat(
+              lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n  <sitemap>\n    <loc>https://"),
+              col("host"),
+              lit("/sm/a.xml</loc>\n  </sitemap>\n  <sitemap><loc>https://"),
+              col("host"),
+              lit("/sm/b.xml</loc></sitemap>\n</sitemapindex>")).as("xml"))
+        val seeds = WebOps.sitemapSeeds(
+          roots.unionByName(children), "url", "xml", maxDepth = 2)
+        val robotsTxt = Seq(
+          "User-agent: *", "Disallow: /", "",
+          "User-agent: graftbot", "Disallow: /deep/", "Allow: /deep/pub",
+          "Disallow: /*.pdf$", "Allow: /mixed", "Disallow: /mixed")
+          .mkString("\n")
+        val robots = d.select(host.as("h2")).distinct()
+          .withColumn("robots_txt", lit(robotsTxt))
+        val rules = WebOps.robotsRules(robots, "h2", "robots_txt", "graftbot/1.3")
+        WebOps.robotsDecision(seeds, "loc", rules, hostCol = "h2")
+          .select(col("loc"), col("lastmod"), col("allowed"))
+          .orderBy("loc")
+      },
+      Some("""SELECT
+          'https://' || source || '.example.com' ||
+            CASE doc_id % 5
+              WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+              WHEN 2 THEN '/deep/priv/' || CAST(doc_id AS VARCHAR)
+              WHEN 3 THEN '/deep/pub/' || CAST(doc_id AS VARCHAR)
+              ELSE '/files/f' || CAST(doc_id AS VARCHAR) || '.pdf' END AS loc,
+          CASE WHEN doc_id % 2 = 0
+               THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               ELSE '' END AS lastmod,
+          (doc_id % 5) IN (0, 1, 3) AS allowed
+        FROM documents
+        ORDER BY loc""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -10039,7 +10124,7 @@ object Inventory {
     "q270_unigram_roundtrip", "q271_unigram_fertility",
     "q272_crawl_to_shards", "q273_warc_ingest", "q274_robots_gate",
     "q275_outlink_graph", "q276_crawl_frontier", "q277_frontier_advance",
-    "q278_pagerank_frontier",
+    "q278_pagerank_frontier", "q280_sitemap_seeds",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

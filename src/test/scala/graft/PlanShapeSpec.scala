@@ -1350,6 +1350,16 @@ class PlanShapeSpec extends SparkSpec {
       s"q278 must not plan a global single-partition exchange:\n$p")
   }
 
+  test("q280: sitemap walk — broadcast rule gate, no all-pairs, no global window") {
+    val p = planString(run("q280_sitemap_seeds"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q280's robots rule join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q280 must not plan an all-pairs join:\n$p")
+    assert(!p.contains("SinglePartition") || !p.contains("windowspecdefinition"),
+      s"q280 must not plan a global single-partition window:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

@@ -296,6 +296,64 @@ class WebOpsSpec extends SparkSpec {
     assert(f3.count() == 7, "emission must not shrink the store")
   }
 
+  test("sitemap entries: whitespace, entities, optional lastmod, kind separation") {
+    import spark.implicits._
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc> https://ex.com/a?x=1&amp;y=2 </loc>
+        |    <lastmod>2026-01-05</lastmod>
+        |  </url>
+        |  <url><loc>https://ex.com/b</loc></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex>
+        |  <sitemap>
+        |    <loc>https://ex.com/sm/1.xml</loc>
+        |  </sitemap>
+        |  <sitemap><loc>https://ex.com/sm/2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val r = Seq((urlset, index)).toDF("us", "ix")
+      .select(WebOps.sitemapUrlEntries(col("us")).as("e"),
+        WebOps.sitemapIndexEntries(col("us")).as("usIdx"),
+        WebOps.sitemapUrlEntries(col("ix")).as("ixUrls"),
+        WebOps.sitemapIndexEntries(col("ix")).as("kids")).head
+    val entries = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(entries == Seq(
+      ("https://ex.com/a?x=1&y=2", "2026-01-05"), // decoded &, trimmed
+      ("https://ex.com/b", "")),                  // optional lastmod -> empty
+      s"got $entries")
+    assert(r.getSeq[String](1).isEmpty && r.getSeq[org.apache.spark.sql.Row](2).isEmpty,
+      "kind separation: urlset has no index entries, index has no url entries")
+    assert(r.getSeq[String](3) ==
+      Seq("https://ex.com/sm/1.xml", "https://ex.com/sm/2.xml"))
+  }
+
+  test("sitemapSeeds: index recursion from unreferenced roots; cycles stop at the bound") {
+    import spark.implicits._
+    def urlset(locs: String*): String =
+      "<urlset>" + locs.map(l => s"<url><loc>$l</loc></url>").mkString + "</urlset>"
+    def index(kids: String*): String =
+      "<sitemapindex>" + kids.map(k => s"<sitemap><loc>$k</loc></sitemap>").mkString +
+        "</sitemapindex>"
+    val frame = Seq(
+      ("https://ex.com/sitemap.xml", index("https://ex.com/sm/a.xml", "https://ex.com/sm/missing.xml")),
+      ("https://ex.com/sm/a.xml", urlset("https://ex.com/1", "https://ex.com/2")),
+      ("https://other.org/root.xml", urlset("https://other.org/solo")), // root WITH entries
+      ("https://loop.net/self.xml", index("https://loop.net/self.xml")) // self-cycle
+    ).toDF("url", "xml")
+    val got = WebOps.sitemapSeeds(frame, "url", "xml", maxDepth = 3)
+      .orderBy("loc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("https://ex.com/sm/a.xml", "https://ex.com/1", 1L),
+      ("https://ex.com/sm/a.xml", "https://ex.com/2", 1L),
+      ("https://other.org/root.xml", "https://other.org/solo", 0L)),
+      s"missing child contributes nothing, self-cycle terminates: $got")
+  }
+
   test("resolveHref: every resolution arm, non-fetchable schemes drop, dir-relative") {
     import spark.implicits._
     val rows = Seq(
