@@ -9910,6 +9910,86 @@ object Inventory {
         FROM documents
         ORDER BY loc""")),
 
+    Q("q281_wet_wat_sidecars",
+      (s, dir) => {
+        // Common Crawl's WET (text-conversion) and WAT (metadata)
+        // sidecars are WARC-framed, so the ONE framing implementation
+        // (WarcParse) ingests them as-is — this query proves the
+        // sidecar path: per-source WET archives (warcinfo +
+        // `conversion` records carrying text/plain payloads) and WAT
+        // archives (warcinfo + `metadata` records carrying JSON) are
+        // synthesized byte-exact (the q273 discipline), parsed back,
+        // and joined by target URI. Non-http records pass their block
+        // through untouched with the WARC-level Content-Type — a
+        // mis-sliced payload or swallowed header corrupts the
+        // recovered text length or the JSON field extraction and
+        // fails the hash. JSON fields are pulled with shared-subset
+        // regexes (not a JSON library) so both engines extract
+        // character-identically.
+        val did = col("doc_id").cast("string")
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), did)
+        def rec(wtype: String, ctype: String, payload: Column): Column = concat(
+          lit(s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: "), url,
+          lit("\r\nWARC-Date: 2026-01-02T03:04:05Z\r\nWARC-Record-ID: <urn:uuid:" +
+            s"$wtype-"), did,
+          lit(s">\r\nContent-Type: $ctype\r\nContent-Length: "),
+          octet_length(payload).cast("string"), lit("\r\n\r\n"), payload,
+          lit("\r\n\r\n"))
+        val warcinfo = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "Content-Type: application/warc-fields\r\nContent-Length: 19\r\n\r\n" +
+          "software: graft/1.0\r\n\r\n"
+        val watJson = concat(
+          lit("{\"url\":\""), url, lit("\",\"n_chars\":"),
+          col("n_chars").cast("string"),
+          lit(",\"lang\":\""), col("lang"), lit("\"}"))
+        val d = t(s, dir, "documents")
+        def archive(body: Column) = concat(lit(warcinfo), body)
+        val files = d
+          .select(col("source"), col("doc_id"),
+            rec("conversion", "text/plain", col("text")).as("wet"),
+            rec("metadata", "application/json", watJson).as("wat"))
+          .groupBy("source")
+          .agg(
+            archive(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("wet")))),
+              x => x.getField("wet")), "")).as("wet_file"),
+            archive(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("wat")))),
+              x => x.getField("wat")), "")).as("wat_file"))
+          .localCheckpoint(false) // both parses read the same fixture frame
+        def parsed(fileCol: String, keep: String) = files
+          .select(explode(
+            graft.io.WarcParse.recordsCol(col(fileCol).cast("binary"))).as("r"))
+          .filter(col("r.warc_type") === keep) // warcinfo passes through, drops here
+          .select(col("r.url").as("url"), col("r.mime").as(s"${keep}_mime"),
+            col("r.payload").as("payload"))
+        val wet = parsed("wet_file", "conversion")
+          .select(col("url"), col("conversion_mime").as("wet_mime"),
+            length(col("payload")).cast("long").as("wet_len"))
+        val wat = parsed("wat_file", "metadata")
+          .select(col("url"), col("metadata_mime").as("wat_mime"),
+            regexp_extract(col("payload").cast("string"),
+              "\"n_chars\":([0-9]+)", 1).cast("long").as("wat_n_chars"),
+            regexp_extract(col("payload").cast("string"),
+              "\"lang\":\"([^\"]*)\"", 1).as("wat_lang"))
+        wet.join(wat, Seq("url"))
+          .select(
+            regexp_extract(col("url"), "/doc/(\\d+)", 1).cast("long").as("doc_id"),
+            col("url"), col("wet_mime"), col("wat_mime"),
+            col("wet_len"), col("wat_n_chars"), col("wat_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          'text/plain' AS wet_mime,
+          'application/json' AS wat_mime,
+          CAST(octet_length(encode(text)) AS BIGINT) AS wet_len,
+          CAST(n_chars AS BIGINT) AS wat_n_chars,
+          lang AS wat_lang
+        FROM documents
+        ORDER BY doc_id""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -10124,7 +10204,7 @@ object Inventory {
     "q270_unigram_roundtrip", "q271_unigram_fertility",
     "q272_crawl_to_shards", "q273_warc_ingest", "q274_robots_gate",
     "q275_outlink_graph", "q276_crawl_frontier", "q277_frontier_advance",
-    "q278_pagerank_frontier", "q280_sitemap_seeds",
+    "q278_pagerank_frontier", "q280_sitemap_seeds", "q281_wet_wat_sidecars",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",
