@@ -1174,6 +1174,267 @@ object Inventory {
           GROUP BY d.dst) c ON nodes.id = c.id)"""
     }.mkString
 
+  /** q272's full nine-stage manifest oracle — shared VERBATIM with
+    * q279 (the incremental flagship): incremental ≡ full means the two
+    * declared queries produce the identical manifest, so one oracle
+    * text serves both and can never drift between them.
+    */
+  private def crawlToShardsOracleSql: String = """WITH crawl AS (
+          SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 10 <> 9),
+        h AS (
+          SELECT doc_id, lang, source,
+            '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || ' of ' || source
+            || '</title><style>p{color:red}</style></head><body>'
+            || '<nav><a href="/">Home navigation link</a> <a href="/arc">Archive of everything</a></nav>'
+            || '<h1>Document number ' || CAST(doc_id AS VARCHAR)
+            || ' retrieved from source ' || source || ' &amp; friends</h1>'
+            || '<p>' || text || '. Contact u' || CAST(doc_id AS VARCHAR)
+            || '@ex-mail.org for caf' || chr(195) || chr(169)
+            || ' details. It was all verified again.</p>'
+            || CASE WHEN doc_id % 3 = 0
+               THEN '<div class="rel"><a href="/r1">Read the related story here</a> <a href="/r2">And another related one</a></div>'
+               ELSE '<p>Closing editorial remark long enough to clear the gate.</p>' END
+            || '<footer><a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'
+            || '<script>track()</script></body></html>' AS html
+          FROM crawl),
+        stripped AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?s)<!--.*?-->', '', 'g'),
+              '(?is)<script(>|[ \t\r\n/][^>]*>).*?</script>', '', 'g'),
+              '(?is)<style(>|[ \t\r\n/][^>]*>).*?</style>', '', 'g'),
+              '(?is)<noscript(>|[ \t\r\n/][^>]*>).*?</noscript>', '', 'g'),
+              '(?is)<head(>|[ \t\r\n/][^>]*>).*?</head>', '', 'g') AS s
+          FROM h),
+        blocked AS (
+          SELECT doc_id,
+            string_split_regex(
+              regexp_replace(
+                regexp_replace(s, '[\r\n\t]', ' ', 'g'),
+                '(?is)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|pre|form|fieldset|figure|figcaption|hr|br)(>|[ \t\r\n/][^>]*>)',
+                chr(10), 'g'),
+              '\n') AS blks
+          FROM stripped),
+        bb AS (
+          SELECT doc_id, i, blks[i] AS blk
+          FROM blocked, LATERAL (SELECT unnest(range(1, len(blks) + 1)) AS i)),
+        vis AS (
+          SELECT doc_id, i, blk,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(blk, '<[^>]*>', '', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')) AS txt
+          FROM bb),
+        lc AS (
+          SELECT doc_id, i,
+            coalesce(list_sum([len(trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(l, '<[^>]*>', '', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '[ \t\r\n]+', ' ', 'g')))
+              for l in regexp_extract_all(blk, '(?is)<a(>|[ \t\r\n/][^>]*>)(.*?)</a>', 2)]), 0) AS linkchars
+          FROM vis),
+        kept AS (
+          SELECT v.doc_id, v.i, v.txt
+          FROM vis v JOIN lc USING (doc_id, i)
+          WHERE len(v.txt) >= 25 AND linkchars <= 0.5 * len(v.txt)),
+        agg AS (
+          SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS extracted
+          FROM kept GROUP BY doc_id),
+        fx AS (
+          SELECT doc_id, replace(extracted, chr(195)||chr(169), chr(233)) AS t
+          FROM agg),
+        c4 AS (
+          SELECT doc_id,
+            array_to_string(list_transform(ks, l -> trim(l)), chr(10)) AS clean_text
+          FROM (
+            SELECT doc_id,
+              list_filter(string_split(t, chr(10)), l ->
+                regexp_matches(trim(l), '([.!?]["'']?|["''])$')
+                AND len(string_split_regex(trim(l), '[ \t\n\f\r]+')) >= 5
+                AND NOT contains(lower(trim(l)), 'javascript')) AS ks
+            FROM fx
+            WHERE NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum'))),
+        flat AS (
+          SELECT doc_id, replace(clean_text, chr(10), ' ') AS t
+          FROM c4
+          WHERE len(string_split_regex(clean_text, '[.!?]')) - 1 >= 3),
+        gbase AS (
+          SELECT doc_id,
+            string_split_regex(trim(lower(t)), '\s+') AS ws,
+            len(regexp_replace(trim(lower(t)), '\s', '', 'g')) AS wchars,
+            trim(lower(t)) AS tl
+          FROM flat WHERE length(trim(t)) > 0),
+        gwords AS (
+          SELECT doc_id, len(ws) AS wc, wchars,
+            len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+            len(tl) - len(replace(tl, '#', '')) AS hash_chars,
+            (len(tl) - len(replace(tl, '...', ''))) // 3 AS ellipses
+          FROM gbase),
+        gg AS (
+          SELECT b2.doc_id, n.n, array_to_string(b2.ws[i.i : i.i + n.n - 1], ' ') AS gram
+          FROM gbase b2, (VALUES (2),(3),(4),(5)) n(n),
+            unnest(generate_series(1, len(b2.ws) - n.n + 1)) i(i)
+          WHERE len(b2.ws) >= n.n),
+        gcnt AS (
+          SELECT doc_id, n, gram, count(*) AS c, len(gram) - (n - 1) AS gchars
+          FROM gg GROUP BY ALL),
+        gtops AS (
+          SELECT doc_id,
+            max(CASE WHEN n = 2 THEN tc END) AS t2,
+            max(CASE WHEN n = 3 THEN tc END) AS t3,
+            max(CASE WHEN n = 4 THEN tc END) AS t4
+          FROM (
+            SELECT doc_id, n, c * gchars AS tc
+            FROM gcnt
+            QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) = 1)
+          GROUP BY doc_id),
+        gdups AS (
+          SELECT doc_id, sum((c - 1) * gchars) AS d5
+          FROM gcnt WHERE n = 5 AND c > 1 GROUP BY doc_id),
+        gfr AS (
+          SELECT w.doc_id,
+            CAST(w.wc AS BIGINT) AS word_count,
+            round(w.wchars * 1000000.0 / w.wc, 0) / 1000000.0 AS mean_word_len,
+            round(w.alpha_words * 1000000.0 / w.wc, 0) / 1000000.0 AS alpha_word_frac,
+            round((w.hash_chars + w.ellipses) * 1000000.0 / w.wc, 0) / 1000000.0
+              AS symbol_word_ratio,
+            round(coalesce(t2g.t2, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top2gram_frac,
+            round(coalesce(t2g.t3, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top3gram_frac,
+            round(coalesce(t2g.t4, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top4gram_frac,
+            least(round(coalesce(d2g.d5, 0) * 1000000.0 / w.wchars, 0) / 1000000.0, 1.0)
+              AS dup5gram_frac
+          FROM gwords w LEFT JOIN gtops t2g USING (doc_id) LEFT JOIN gdups d2g USING (doc_id)),
+        surv AS (
+          SELECT f2.doc_id, f2.t
+          FROM flat f2 JOIN gfr USING (doc_id)
+          WHERE word_count BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8
+            AND top2gram_frac < 0.20 AND top3gram_frac < 0.18
+            AND top4gram_frac < 0.16 AND dup5gram_frac < 0.15),
+        stok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(t)), '\s+')) AS tok
+          FROM surv WHERE length(trim(t)) > 0),
+        sh2 AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+            CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+          FROM stok),
+        votes AS (
+          SELECT doc_id, j,
+            CASE WHEN 2 * sum((hi >> j) & 1) >= count(*)
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS hb,
+            CASE WHEN 2 * sum((lo >> j) & 1) >= count(*)
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS lb
+          FROM sh2 CROSS JOIN generate_series(0, 31) t(j)
+          GROUP BY doc_id, j),
+        fp AS (
+          SELECT doc_id, sum(hb) AS fp_hi, sum(lb) AS fp_lo
+          FROM votes GROUP BY doc_id),
+        allfp AS (
+          SELECT s3.doc_id, coalesce(f.fp_hi, 0) AS fp_hi, coalesce(f.fp_lo, 0) AS fp_lo
+          FROM surv s3 LEFT JOIN fp f USING (doc_id)),
+        dupids AS (
+          SELECT DISTINCT b3.doc_id
+          FROM allfp a3 JOIN allfp b3 ON a3.doc_id < b3.doc_id
+          WHERE bit_count(xor(a3.fp_hi, b3.fp_hi))
+              + bit_count(xor(a3.fp_lo, b3.fp_lo)) <= 3),
+        ded AS (
+          SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dupids)),
+        dtb AS (SELECT doc_id, t, string_split(t, ' ') AS tt FROM ded),
+        tpos AS (
+          SELECT doc_id, tt, unnest(generate_series(0, len(tt) - 8)) AS pos
+          FROM dtb WHERE len(tt) >= 8),
+        tsh AS (
+          SELECT doc_id, pos, md5(array_to_string(tt[pos+1 : pos+8], ' ')) AS hh
+          FROM tpos),
+        bsh AS (
+          SELECT DISTINCT md5(array_to_string(bt[p+1 : p+8], ' ')) AS hh
+          FROM (
+            SELECT bt, unnest(generate_series(0, len(bt) - 8)) AS p
+            FROM (SELECT string_split(text, ' ') AS bt
+                  FROM documents WHERE doc_id % 10 = 9)
+            WHERE len(bt) >= 8)),
+        hits AS (SELECT t4.doc_id, t4.pos FROM tsh t4 JOIN bsh USING (hh)),
+        brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                 THEN 1 ELSE 0 END AS b
+          FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+          FROM brk),
+        sp AS (
+          SELECT doc_id, g, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+          FROM isl GROUP BY doc_id, g),
+        spl AS (
+          SELECT doc_id,
+            list(struct_pack(start_tok := start_tok, end_tok := end_tok)) AS spans
+          FROM sp GROUP BY doc_id),
+        cut AS (
+          SELECT d4.doc_id,
+            CASE WHEN spl.spans IS NULL THEN d4.t
+              ELSE array_to_string(list_transform(
+                list_filter(range(1, len(d4.tt) + 1), i ->
+                  len(list_filter(spl.spans, s5 ->
+                    (i - 1) >= s5.start_tok AND (i - 1) <= s5.end_tok)) = 0),
+                i -> d4.tt[i]), ' ')
+            END AS t
+          FROM dtb d4 LEFT JOIN spl USING (doc_id)),
+        pii AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+              '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS t
+          FROM cut),
+        tok2 AS (
+          SELECT p2.doc_id, c2.lang,
+            CAST(len(regexp_split_to_array(trim(p2.t), '\s+')) AS BIGINT) AS n_tok
+          FROM pii p2 JOIN crawl c2 USING (doc_id)),
+        av AS (
+          SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS n
+          FROM tok2 GROUP BY lang HAVING sum(n_tok) > 0),
+        z AS (SELECT sum(pow(n, 0.3)) AS z FROM av),
+        tg AS (
+          SELECT lang,
+            CAST(floor(8000 * CAST(round(pow(n, 0.3) / z.z, 6)
+              AS DECIMAL(18,6))) AS BIGINT) AS tgt
+          FROM av CROSS JOIN z),
+        sln AS (
+          SELECT tok2.doc_id, tok2.lang, tok2.n_tok, tg.tgt,
+            CAST(('0x' || substr(md5(CAST(tok2.doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+          FROM tok2 JOIN tg ON tok2.lang = tg.lang),
+        pr AS (
+          SELECT *, pow((hv + 0.5) / 4294967296.0,
+            1.0 / greatest(CAST(n_tok AS DOUBLE), 1.0)) AS aes
+          FROM sln),
+        cm AS (
+          SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang
+            ORDER BY aes DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM pr),
+        mixed AS (SELECT doc_id, lang, n_tok FROM cm WHERE cum < tgt),
+        shd AS (
+          SELECT doc_id, n_tok,
+            CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tok) // 2000 AS BIGINT) AS shard
+          FROM mixed)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+          min(doc_id) AS first_id, max(doc_id) AS last_id,
+          bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT)) AS ids_xor60
+        FROM shd GROUP BY shard ORDER BY shard"""
+
   /** TPC-H Q3 (shipping priority), adapted: revenue of BUILDING-segment
     * orders placed before a date with lineitems shipped after it.
     */
@@ -9097,261 +9358,112 @@ object Inventory {
             mixed.select("doc_id", "n_tok"), "doc_id", "n_tok", budget = 2000L)
           .orderBy("shard")
       },
-      Some("""WITH crawl AS (
-          SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 10 <> 9),
-        h AS (
-          SELECT doc_id, lang, source,
-            '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || ' of ' || source
-            || '</title><style>p{color:red}</style></head><body>'
-            || '<nav><a href="/">Home navigation link</a> <a href="/arc">Archive of everything</a></nav>'
-            || '<h1>Document number ' || CAST(doc_id AS VARCHAR)
-            || ' retrieved from source ' || source || ' &amp; friends</h1>'
-            || '<p>' || text || '. Contact u' || CAST(doc_id AS VARCHAR)
-            || '@ex-mail.org for caf' || chr(195) || chr(169)
-            || ' details. It was all verified again.</p>'
-            || CASE WHEN doc_id % 3 = 0
-               THEN '<div class="rel"><a href="/r1">Read the related story here</a> <a href="/r2">And another related one</a></div>'
-               ELSE '<p>Closing editorial remark long enough to clear the gate.</p>' END
-            || '<footer><a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'
-            || '<script>track()</script></body></html>' AS html
-          FROM crawl),
-        stripped AS (
-          SELECT doc_id,
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-              html,
-              '(?s)<!--.*?-->', '', 'g'),
-              '(?is)<script(>|[ \t\r\n/][^>]*>).*?</script>', '', 'g'),
-              '(?is)<style(>|[ \t\r\n/][^>]*>).*?</style>', '', 'g'),
-              '(?is)<noscript(>|[ \t\r\n/][^>]*>).*?</noscript>', '', 'g'),
-              '(?is)<head(>|[ \t\r\n/][^>]*>).*?</head>', '', 'g') AS s
-          FROM h),
-        blocked AS (
-          SELECT doc_id,
-            string_split_regex(
-              regexp_replace(
-                regexp_replace(s, '[\r\n\t]', ' ', 'g'),
-                '(?is)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|pre|form|fieldset|figure|figcaption|hr|br)(>|[ \t\r\n/][^>]*>)',
-                chr(10), 'g'),
-              '\n') AS blks
-          FROM stripped),
-        bb AS (
-          SELECT doc_id, i, blks[i] AS blk
-          FROM blocked, LATERAL (SELECT unnest(range(1, len(blks) + 1)) AS i)),
-        vis AS (
-          SELECT doc_id, i, blk,
-            trim(regexp_replace(
-              replace(replace(replace(replace(replace(replace(
-                regexp_replace(blk, '<[^>]*>', '', 'g'),
-                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-              '[ \t\r\n]+', ' ', 'g')) AS txt
-          FROM bb),
-        lc AS (
-          SELECT doc_id, i,
-            coalesce(list_sum([len(trim(regexp_replace(
-              replace(replace(replace(replace(replace(replace(
-                regexp_replace(l, '<[^>]*>', '', 'g'),
-                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-              '[ \t\r\n]+', ' ', 'g')))
-              for l in regexp_extract_all(blk, '(?is)<a(>|[ \t\r\n/][^>]*>)(.*?)</a>', 2)]), 0) AS linkchars
-          FROM vis),
-        kept AS (
-          SELECT v.doc_id, v.i, v.txt
-          FROM vis v JOIN lc USING (doc_id, i)
-          WHERE len(v.txt) >= 25 AND linkchars <= 0.5 * len(v.txt)),
-        agg AS (
-          SELECT doc_id, string_agg(txt, chr(10) ORDER BY i) AS extracted
-          FROM kept GROUP BY doc_id),
-        fx AS (
-          SELECT doc_id, replace(extracted, chr(195)||chr(169), chr(233)) AS t
-          FROM agg),
-        c4 AS (
-          SELECT doc_id,
-            array_to_string(list_transform(ks, l -> trim(l)), chr(10)) AS clean_text
-          FROM (
-            SELECT doc_id,
-              list_filter(string_split(t, chr(10)), l ->
-                regexp_matches(trim(l), '([.!?]["'']?|["''])$')
-                AND len(string_split_regex(trim(l), '[ \t\n\f\r]+')) >= 5
-                AND NOT contains(lower(trim(l)), 'javascript')) AS ks
-            FROM fx
-            WHERE NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum'))),
-        flat AS (
-          SELECT doc_id, replace(clean_text, chr(10), ' ') AS t
-          FROM c4
-          WHERE len(string_split_regex(clean_text, '[.!?]')) - 1 >= 3),
-        gbase AS (
-          SELECT doc_id,
-            string_split_regex(trim(lower(t)), '\s+') AS ws,
-            len(regexp_replace(trim(lower(t)), '\s', '', 'g')) AS wchars,
-            trim(lower(t)) AS tl
-          FROM flat WHERE length(trim(t)) > 0),
-        gwords AS (
-          SELECT doc_id, len(ws) AS wc, wchars,
-            len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
-            len(tl) - len(replace(tl, '#', '')) AS hash_chars,
-            (len(tl) - len(replace(tl, '...', ''))) // 3 AS ellipses
-          FROM gbase),
-        gg AS (
-          SELECT b2.doc_id, n.n, array_to_string(b2.ws[i.i : i.i + n.n - 1], ' ') AS gram
-          FROM gbase b2, (VALUES (2),(3),(4),(5)) n(n),
-            unnest(generate_series(1, len(b2.ws) - n.n + 1)) i(i)
-          WHERE len(b2.ws) >= n.n),
-        gcnt AS (
-          SELECT doc_id, n, gram, count(*) AS c, len(gram) - (n - 1) AS gchars
-          FROM gg GROUP BY ALL),
-        gtops AS (
-          SELECT doc_id,
-            max(CASE WHEN n = 2 THEN tc END) AS t2,
-            max(CASE WHEN n = 3 THEN tc END) AS t3,
-            max(CASE WHEN n = 4 THEN tc END) AS t4
-          FROM (
-            SELECT doc_id, n, c * gchars AS tc
-            FROM gcnt
-            QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) = 1)
-          GROUP BY doc_id),
-        gdups AS (
-          SELECT doc_id, sum((c - 1) * gchars) AS d5
-          FROM gcnt WHERE n = 5 AND c > 1 GROUP BY doc_id),
-        gfr AS (
-          SELECT w.doc_id,
-            CAST(w.wc AS BIGINT) AS word_count,
-            round(w.wchars * 1000000.0 / w.wc, 0) / 1000000.0 AS mean_word_len,
-            round(w.alpha_words * 1000000.0 / w.wc, 0) / 1000000.0 AS alpha_word_frac,
-            round((w.hash_chars + w.ellipses) * 1000000.0 / w.wc, 0) / 1000000.0
-              AS symbol_word_ratio,
-            round(coalesce(t2g.t2, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top2gram_frac,
-            round(coalesce(t2g.t3, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top3gram_frac,
-            round(coalesce(t2g.t4, 0) * 1000000.0 / w.wchars, 0) / 1000000.0 AS top4gram_frac,
-            least(round(coalesce(d2g.d5, 0) * 1000000.0 / w.wchars, 0) / 1000000.0, 1.0)
-              AS dup5gram_frac
-          FROM gwords w LEFT JOIN gtops t2g USING (doc_id) LEFT JOIN gdups d2g USING (doc_id)),
-        surv AS (
-          SELECT f2.doc_id, f2.t
-          FROM flat f2 JOIN gfr USING (doc_id)
-          WHERE word_count BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
-            AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8
-            AND top2gram_frac < 0.20 AND top3gram_frac < 0.18
-            AND top4gram_frac < 0.16 AND dup5gram_frac < 0.15),
-        stok AS (
-          SELECT doc_id, unnest(string_split_regex(trim(lower(t)), '\s+')) AS tok
-          FROM surv WHERE length(trim(t)) > 0),
-        sh2 AS (
-          SELECT doc_id,
-            CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
-            CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
-          FROM stok),
-        votes AS (
-          SELECT doc_id, j,
-            CASE WHEN 2 * sum((hi >> j) & 1) >= count(*)
-                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS hb,
-            CASE WHEN 2 * sum((lo >> j) & 1) >= count(*)
-                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS lb
-          FROM sh2 CROSS JOIN generate_series(0, 31) t(j)
-          GROUP BY doc_id, j),
-        fp AS (
-          SELECT doc_id, sum(hb) AS fp_hi, sum(lb) AS fp_lo
-          FROM votes GROUP BY doc_id),
-        allfp AS (
-          SELECT s3.doc_id, coalesce(f.fp_hi, 0) AS fp_hi, coalesce(f.fp_lo, 0) AS fp_lo
-          FROM surv s3 LEFT JOIN fp f USING (doc_id)),
-        dupids AS (
-          SELECT DISTINCT b3.doc_id
-          FROM allfp a3 JOIN allfp b3 ON a3.doc_id < b3.doc_id
-          WHERE bit_count(xor(a3.fp_hi, b3.fp_hi))
-              + bit_count(xor(a3.fp_lo, b3.fp_lo)) <= 3),
-        ded AS (
-          SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dupids)),
-        dtb AS (SELECT doc_id, t, string_split(t, ' ') AS tt FROM ded),
-        tpos AS (
-          SELECT doc_id, tt, unnest(generate_series(0, len(tt) - 8)) AS pos
-          FROM dtb WHERE len(tt) >= 8),
-        tsh AS (
-          SELECT doc_id, pos, md5(array_to_string(tt[pos+1 : pos+8], ' ')) AS hh
-          FROM tpos),
-        bsh AS (
-          SELECT DISTINCT md5(array_to_string(bt[p+1 : p+8], ' ')) AS hh
-          FROM (
-            SELECT bt, unnest(generate_series(0, len(bt) - 8)) AS p
-            FROM (SELECT string_split(text, ' ') AS bt
-                  FROM documents WHERE doc_id % 10 = 9)
-            WHERE len(bt) >= 8)),
-        hits AS (SELECT t4.doc_id, t4.pos FROM tsh t4 JOIN bsh USING (hh)),
-        brk AS (
-          SELECT doc_id, pos,
-            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
-                 THEN 1 ELSE 0 END AS b
-          FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        isl AS (
-          SELECT doc_id, pos,
-            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-                         ROWS UNBOUNDED PRECEDING) AS g
-          FROM brk),
-        sp AS (
-          SELECT doc_id, g, min(pos) AS start_tok, max(pos) + 7 AS end_tok
-          FROM isl GROUP BY doc_id, g),
-        spl AS (
-          SELECT doc_id,
-            list(struct_pack(start_tok := start_tok, end_tok := end_tok)) AS spans
-          FROM sp GROUP BY doc_id),
-        cut AS (
-          SELECT d4.doc_id,
-            CASE WHEN spl.spans IS NULL THEN d4.t
-              ELSE array_to_string(list_transform(
-                list_filter(range(1, len(d4.tt) + 1), i ->
-                  len(list_filter(spl.spans, s5 ->
-                    (i - 1) >= s5.start_tok AND (i - 1) <= s5.end_tok)) = 0),
-                i -> d4.tt[i]), ' ')
-            END AS t
-          FROM dtb d4 LEFT JOIN spl USING (doc_id)),
-        pii AS (
-          SELECT doc_id,
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-              '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
-              '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
-              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS t
-          FROM cut),
-        tok2 AS (
-          SELECT p2.doc_id, c2.lang,
-            CAST(len(regexp_split_to_array(trim(p2.t), '\s+')) AS BIGINT) AS n_tok
-          FROM pii p2 JOIN crawl c2 USING (doc_id)),
-        av AS (
-          SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS n
-          FROM tok2 GROUP BY lang HAVING sum(n_tok) > 0),
-        z AS (SELECT sum(pow(n, 0.3)) AS z FROM av),
-        tg AS (
-          SELECT lang,
-            CAST(floor(8000 * CAST(round(pow(n, 0.3) / z.z, 6)
-              AS DECIMAL(18,6))) AS BIGINT) AS tgt
-          FROM av CROSS JOIN z),
-        sln AS (
-          SELECT tok2.doc_id, tok2.lang, tok2.n_tok, tg.tgt,
-            CAST(('0x' || substr(md5(CAST(tok2.doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) AS hv
-          FROM tok2 JOIN tg ON tok2.lang = tg.lang),
-        pr AS (
-          SELECT *, pow((hv + 0.5) / 4294967296.0,
-            1.0 / greatest(CAST(n_tok AS DOUBLE), 1.0)) AS aes
-          FROM sln),
-        cm AS (
-          SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang
-            ORDER BY aes DESC, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-          FROM pr),
-        mixed AS (SELECT doc_id, lang, n_tok FROM cm WHERE cum < tgt),
-        shd AS (
-          SELECT doc_id, n_tok,
-            CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-              - n_tok) // 2000 AS BIGINT) AS shard
-          FROM mixed)
-        SELECT shard, count(*) AS n_docs,
-          CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-          min(doc_id) AS first_id, max(doc_id) AS last_id,
-          bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-            AS BIGINT)) AS ids_xor60
-        FROM shd GROUP BY shard ORDER BY shard""")),
+      Some(crawlToShardsOracleSql)),
+
+    Q("q279_crawl_advance",
+      (s, dir) => {
+        // THE FLAGSHIP'S OPERATIONAL TWIN: q272's nine stages as a
+        // DAILY-BATCH advance against persisted stores — the form a
+        // recurring ingest actually runs. Per day, stages 1–4
+        // (extract → repair → C4 → Gopher) are batch-local; stage 5
+        // advances a persisted simhash FINGERPRINT store
+        // (simHashMd5NearDupsVsStore — history text never
+        // re-fingerprinted; the store holds EVERY gopher survivor,
+        // dropped-or-not, because the full pass's min-id rule counts
+        // pairs against dropped docs too); stage 6 cuts spans against
+        // the frozen benchmark SHINGLE store (built once); stage 7
+        // appends the scrubbed (doc_id, lang, n_tok) LEDGER. Stages
+        // 8–9 (temperature-α mix + shards + manifest) are
+        // EMISSION-time functions of the accumulated metadata ledger
+        // (the frontierNext argument: a global budget can't be
+        // advanced per-batch without discarding information the next
+        // batch legitimately changes). Days split at the 80th
+        // percentile of crawl doc_id — MONOTONE batches, the
+        // precondition that makes min-id-survives dedup
+        // merge-exact. Incremental ≡ full: the two days' union is
+        // q272's corpus, so the oracle is q272's manifest oracle
+        // VERBATIM (crawlToShardsOracleSql — shared text, zero
+        // drift possible). Store reads between days sit behind
+        // barriers (standing in for the table read a real deployment
+        // does; the exactly-once commit protocol is
+        // StreamingFlagship's, crash windows spec-pinned there).
+        val d = t(s, dir, "documents")
+        val crawl = d.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+        val bench = d.filter(pmod(col("doc_id"), lit(10)) === 9)
+          .select("doc_id", "text")
+        val cut = crawl.agg(expr(
+          "percentile_disc(0.8) WITHIN GROUP (ORDER BY doc_id)"))
+          .head().getDouble(0).toLong
+        val benchStore = Dedup.heldOutShingles(bench, "doc_id", "text", w = 8)
+          .localCheckpoint(false)
+        val did = col("doc_id").cast("string")
+        val gA = lit("\u00C3\u00A9") // cp1252 ghost pair of U+00E9 (q272's fixture)
+        val html = concat(
+          lit("<html><head><title>Page "), did, lit(" of "), col("source"),
+          lit("</title><style>p{color:red}</style></head><body>"),
+          lit("<nav><a href=\"/\">Home navigation link</a> " +
+            "<a href=\"/arc\">Archive of everything</a></nav>"),
+          lit("<h1>Document number "), did,
+          lit(" retrieved from source "), col("source"), lit(" &amp; friends</h1>"),
+          lit("<p>"), col("text"), lit(". Contact u"), did,
+          lit("@ex-mail.org for caf"), gA,
+          lit(" details. It was all verified again.</p>"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("<div class=\"rel\"><a href=\"/r1\">Read the related story here</a> " +
+              "<a href=\"/r2\">And another related one</a></div>"))
+            .otherwise(
+              lit("<p>Closing editorial remark long enough to clear the gate.</p>")),
+          lit("<footer><a href=\"/tos\">Terms</a> <a href=\"/p\">Privacy</a></footer>"),
+          lit("<script>track()</script></body></html>"))
+        // one day's advance: (pre-batch fp store) → (post fp store,
+        // ledger rows). Stage frames barrier where 2+ consumers read
+        // them (the q272 composition rule).
+        def advance(batch0: org.apache.spark.sql.DataFrame,
+            fpStore: org.apache.spark.sql.DataFrame) = {
+          val batch = batch0.select("doc_id", "source", "text", "lang")
+            .repartition(32) // one-row-group fixture artifact (q277's note)
+          val repaired = batch
+            .select(col("doc_id"),
+              org.apache.spark.sql.graft.NativeExprs.fixMojibake(
+                HtmlText.extractText(html)).as("text"))
+          val flat = TextAnalysis.c4Clean(repaired, "doc_id", "text")
+            .select(col("doc_id"),
+              regexp_replace(col("clean_text"), "\n", " ").as("text"))
+            .localCheckpoint(false)
+          val surv = flat.join(
+            TextAnalysis.gopherSignals(flat).filter(col("passes_gopher"))
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+            .localCheckpoint(false)
+          val fps = Dedup.simHashMd5Fingerprints(surv, "doc_id", "text")
+            .localCheckpoint(false)
+          val pairs = Dedup.simHashMd5NearDupsVsStore(
+            fps, fpStore, maxDist = 3, maxBucket = 100000)
+          val deduped = surv.join(
+            pairs.select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          val decon = Dedup.decontaminateSpansVsStore(
+            deduped, benchStore, "doc_id", "text", w = 8)
+          val ledgerRows = decon
+            .select(col("doc_id"),
+              TextAnalysis.redactPii(col("text_dedup")).as("text"))
+            .join(batch.select("doc_id", "lang"), Seq("doc_id"))
+            .select(col("doc_id"), col("lang"),
+              size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+          (fpStore.unionByName(fps), ledgerRows)
+        }
+        val fp0 = Dedup.simHashMd5Fingerprints(crawl.limit(0), "doc_id", "text")
+        val (fp1, led1) = advance(crawl.filter(col("doc_id") <= cut), fp0)
+        val (_, led2) = advance(crawl.filter(col("doc_id") > cut),
+          fp1.localCheckpoint(false))
+        val ledger = led1.localCheckpoint(false).unionByName(led2)
+        val mixed = ScaleOps.temperatureSample(
+          ledger, "doc_id", "lang", "n_tok", alpha = 0.3, totalTokens = 8000L)
+        ScaleOps.shardManifest(
+            mixed.select("doc_id", "n_tok"), "doc_id", "n_tok", budget = 2000L)
+          .orderBy("shard")
+      },
+      Some(crawlToShardsOracleSql)),
 
     Q("q274_robots_gate",
       (s, dir) => {
@@ -10204,7 +10316,8 @@ object Inventory {
     "q270_unigram_roundtrip", "q271_unigram_fertility",
     "q272_crawl_to_shards", "q273_warc_ingest", "q274_robots_gate",
     "q275_outlink_graph", "q276_crawl_frontier", "q277_frontier_advance",
-    "q278_pagerank_frontier", "q280_sitemap_seeds", "q281_wet_wat_sidecars",
+    "q278_pagerank_frontier", "q279_crawl_advance", "q280_sitemap_seeds",
+    "q281_wet_wat_sidecars",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -1274,6 +1274,20 @@ class PlanShapeSpec extends SparkSpec {
       s"q272 must not plan a global single-partition exchange:\n$p")
   }
 
+  test("q279: the incremental flagship shares q272's emission shape — no global window") {
+    // the per-day advances live behind store barriers (each stage's
+    // joins pinned by DedupSpec's incremental ≡ full arms); the final
+    // plan is the ledger-driven mix + partition-offset shard cumsum,
+    // exactly q272's pinned emission
+    val p = planString(run("q279_crawl_advance"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q279 has an all-pairs join:\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"q279's shard cumsum must ride the partition-offset window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"q279 must not plan a global single-partition exchange:\n$p")
+  }
+
   test("q273: warc parse + extract chain never degenerates to an all-pairs join") {
     val p = planString(run("q273_warc_ingest"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

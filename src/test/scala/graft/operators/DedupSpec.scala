@@ -151,6 +151,50 @@ class DedupSpec extends SparkSpec {
     assert(exhaustive.contains((1L, 2L, 0)), "exact dup must pair at distance 0")
   }
 
+  test("simHashMd5NearDupsVsStore: run-over-monotone-batches ≡ one full pass") {
+    import spark.implicits._
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // dup of 1 (batch 1)
+      (3L, "completely different words entirely unrelated content here"),
+      (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1/2 (batch 2)
+      (5L, "completely different words entirely unrelated content there"), // near 3
+      (6L, "utterly novel sentence with no twin anywhere in sight"))
+      .toDF("id", "text")
+    val b1 = all.filter(col("id") <= 3)
+    val b2 = all.filter(col("id") > 3)
+    val fps1 = Dedup.simHashMd5Fingerprints(b1, "id", "text")
+    val fps2 = Dedup.simHashMd5Fingerprints(b2, "id", "text")
+    val empty = fps1.limit(0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val inc =
+      rows(Dedup.simHashMd5NearDupsVsStore(fps1, empty, maxDist = 3, maxBucket = 1000)) ++
+        rows(Dedup.simHashMd5NearDupsVsStore(fps2, fps1, maxDist = 3, maxBucket = 1000))
+    val full = rows(Dedup.simHashMd5NearDups(all, "id", "text", maxDist = 3, maxBucket = 1000))
+    assert(inc.sorted == full.sorted, s"inc $inc vs full $full")
+    assert(inc.exists { case (a, b, _) => a <= 3 && b > 3 },
+      "a cross-batch pair must surface through the store side")
+  }
+
+  test("decontaminateSpansVsStore ≡ decontaminateSpans (hash-store form)") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro words then alpha beta gamma delta epsilon zeta eta theta closing remarks after"),
+      (2L, "no overlap with the held out benchmark text at all in this row"))
+      .toDF("doc_id", "text")
+    val store = Dedup.heldOutShingles(bench, "doc_id", "text", w = 8)
+    val a = Dedup.decontaminateSpans(train, bench, "doc_id", "text", w = 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.decontaminateSpansVsStore(train, store, "doc_id", "text", w = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.head.getAs[Long]("n_spans") >= 1, "the contaminated span must be found")
+  }
+
   test("native MinHashSignatureExpr is value-identical to the HOF formulation") {
     import graft.functions.MinHashSignatureExpr
     val sh = Dedup.shingleHashes(col("text"), 3)
