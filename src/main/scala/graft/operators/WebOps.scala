@@ -175,6 +175,28 @@ object WebOps {
       .drop("__rk")
   }
 
+  /** [[capPerDomain]] with a PER-GROUP budget column instead of a
+    * constant k — the shape a crawl-delay-driven fetch schedule needs
+    * (each host's budget = ⌊window / its crawl delay⌋, so k varies by
+    * host). Keeps each group's top `budgetCol` rows by (orderCol desc,
+    * idCol asc — total order, deterministic); a budget ≤ 0 emits
+    * nothing for that group. Same single shuffle + bounded per-group
+    * sort as the constant-k form.
+    */
+  def capPerDomainBudget(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      orderCol: String,
+      budgetCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col(budgetCol))
+      .drop("__rk")
+  }
+
   /** Daily-ingest twin of [[capPerDomain]]: advance a persisted
     * survivor set with a new batch WITHOUT re-reading corpus history.
     * The store IS the capped output so far (≤ k rows per domain — the
@@ -529,9 +551,26 @@ object WebOps {
       txtCol: String,
       agent: String): DataFrame = {
     require(agent.nonEmpty, "agent must be non-empty")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__h").orderBy("__ln")
-    val lines = robots
+    val (grouped, chosen) = robotsChosenGroups(robots, hostCol, txtCol, agent)
+    grouped
+      .filter(col("__key").isin("allow", "disallow") && col("__val") =!= "")
+      .join(chosen, Seq("__h", "__grp"), "left_semi")
+      .select(col("__h").as(hostCol),
+        col("__val").as("pattern"),
+        (col("__key") === "allow").as("allow"),
+        length(col("__val")).cast("long").as("plen"))
+      .withColumn("rx", robotsPatternRegex(col("pattern")))
+  }
+
+  /** Comment-stripped (host, line-no, key, value) robots lines — the
+    * shared parse under [[robotsRules]]/[[robotsSitemaps]]/
+    * [[robotsCrawlDelay]] (one tokenizer, zero drift between them).
+    */
+  private def robotsKv(
+      robots: DataFrame,
+      hostCol: String,
+      txtCol: String): DataFrame =
+    robots
       .select(lower(col(hostCol)).as("__h"),
         posexplode(split(col(txtCol), "\n")).as(Seq("__ln", "__raw")))
       .select(col("__h"), col("__ln"),
@@ -540,7 +579,24 @@ object WebOps {
       .select(col("__h"), col("__ln"),
         lower(trim(regexp_extract(col("__l"), "^([^:]+):", 1))).as("__key"),
         trim(regexp_extract(col("__l"), "^[^:]+:(.*)$", 1)).as("__val"))
-      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+
+  /** Group-numbered robots lines + the (host, group) pairs of the
+    * agent's CHOSEN group(s) — the RFC 9309 group-selection machinery
+    * shared by the rule and crawl-delay readers. Crawl-delay lines
+    * ride the grouping (they are group members like allow/disallow);
+    * including them cannot move a group boundary (only user-agent
+    * transitions start groups), so [[robotsRules]] output is
+    * unaffected.
+    */
+  private def robotsChosenGroups(
+      robots: DataFrame,
+      hostCol: String,
+      txtCol: String,
+      agent: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h").orderBy("__ln")
+    val lines = robotsKv(robots, hostCol, txtCol)
+      .filter(col("__key").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val grouped = lines
       .withColumn("__prev", lag(col("__key"), 1).over(w))
       .withColumn("__gstart",
@@ -560,14 +616,48 @@ object WebOps {
     val chosen = matchedUas.join(best, Seq("__h"))
       .filter(col("__spec") === col("__bestspec"))
       .select("__h", "__grp").distinct()
+    (grouped, chosen)
+  }
+
+  /** `Sitemap:` discovery from robots.txt — the sitemaps.org extension
+    * line that points crawlers at their seed documents. Group-
+    * INDEPENDENT by the protocol (a Sitemap line applies regardless of
+    * which user-agent group surrounds it), so no agent parameter.
+    * Returns (hostCol, sitemap_url) — distinct, every non-empty value
+    * kept verbatim (the fetcher resolves/validates). Composes with
+    * [[sitemapSeeds]]: discover here, fetch, walk the index tree.
+    */
+  def robotsSitemaps(
+      robots: DataFrame,
+      hostCol: String,
+      txtCol: String): DataFrame =
+    robotsKv(robots, hostCol, txtCol)
+      .filter(col("__key") === "sitemap" && col("__val") =!= "")
+      .select(col("__h").as(hostCol), col("__val").as("sitemap_url"))
+      .distinct()
+
+  /** Effective `Crawl-delay:` (seconds) for one agent: the minimum
+    * numeric value among the agent's CHOSEN group(s) — same group
+    * selection as [[robotsRules]], so the delay always comes from the
+    * group whose rules bind the agent. Non-numeric values drop (the
+    * standard lenient read of this de-facto directive; it is not in
+    * RFC 9309). Hosts with no parsable delay are absent — join left
+    * and coalesce to the crawler's default. Returns
+    * (hostCol, crawl_delay) with crawl_delay DOUBLE.
+    */
+  def robotsCrawlDelay(
+      robots: DataFrame,
+      hostCol: String,
+      txtCol: String,
+      agent: String): DataFrame = {
+    require(agent.nonEmpty, "agent must be non-empty")
+    val (grouped, chosen) = robotsChosenGroups(robots, hostCol, txtCol, agent)
     grouped
-      .filter(col("__key").isin("allow", "disallow") && col("__val") =!= "")
+      .filter(col("__key") === "crawl-delay" &&
+        col("__val").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .join(chosen, Seq("__h", "__grp"), "left_semi")
-      .select(col("__h").as(hostCol),
-        col("__val").as("pattern"),
-        (col("__key") === "allow").as("allow"),
-        length(col("__val")).cast("long").as("plen"))
-      .withColumn("rx", robotsPatternRegex(col("pattern")))
+      .groupBy(col("__h").as(hostCol))
+      .agg(min(col("__val").cast("double")).as("crawl_delay"))
   }
 
   /** Annotate a URL frame with the robots decision under an effective

@@ -10102,6 +10102,135 @@ object Inventory {
         FROM documents
         ORDER BY doc_id""")),
 
+    Q("q282_polite_fetch_schedule",
+      (s, dir) => {
+        // the POLITE fetch schedule, closing the seed side of the
+        // crawl loop: robots.txt → `Sitemap:` DISCOVERY (group-free)
+        // → fetch the discovered roots, walk the index tree (q280's
+        // machinery — an undiscovered STALE root sits in the corpus
+        // and provably never contributes) → robots-gate the harvested
+        // locs (graftbot policy; the '*' group disallows EVERYTHING
+        // and carries Crawl-delay 99, so group selection demonstrably
+        // matters for rules AND delay) → per-host fetch budget =
+        // ⌊window / crawl-delay⌋ (hosts without a parsable delay take
+        // the crawler default) → the top-budget locs per host by
+        // (lastmod desc, loc). The oracle derives (host, loc, lastmod,
+        // budget) INDEPENDENTLY by construction.
+        val d = t(s, dir, "documents")
+        val did = col("doc_id").cast("string")
+        val host = concat(col("source"), lit(".example.com"))
+        val srcN = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+        // delay by host: srcN%5==4 -> none (crawler default 20 s);
+        // else srcN%3: 0 -> 30, 1 -> 10, 2 -> 4  (60 s window ->
+        // budgets 2 / 6 / 15; default -> 3)
+        val delayLine = when(pmod(srcN, lit(5)) === 4, lit(""))
+          .otherwise(concat(lit("Crawl-delay: "),
+            when(pmod(srcN, lit(3)) === 0, lit("30"))
+              .when(pmod(srcN, lit(3)) === 1, lit("10"))
+              .otherwise(lit("4")), lit("\n")))
+        val robotsTxt = concat(
+          lit("Sitemap: https://"), host, lit("/sitemap.xml\n"),
+          lit("User-agent: *\nDisallow: /\nCrawl-delay: 99\n\n"),
+          lit("User-agent: graftbot\nDisallow: /deep/\nAllow: /deep/pub\n"),
+          lit("Disallow: /*.pdf$\n"), delayLine)
+        val robots = d.select(host.as("host"), col("source")).distinct()
+          .select(col("host"), robotsTxt.as("robots_txt"))
+          .localCheckpoint(false) // discovery + rules + delay read it
+        // per-(host, parity) urlset children + one INDEX per host +
+        // one STALE root robots never lists (q280's fixture machinery)
+        val lastmod = concat(lit("2026-01-"),
+          lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"))
+        val path = when(pmod(col("doc_id"), lit(5)) === 0, concat(lit("/doc/"), did))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("/doc/"), did, lit("?a=1&amp;b=2")))
+          .when(pmod(col("doc_id"), lit(5)) === 2, concat(lit("/deep/priv/"), did))
+          .when(pmod(col("doc_id"), lit(5)) === 3, concat(lit("/deep/pub/"), did))
+          .otherwise(concat(lit("/files/f"), did, lit(".pdf")))
+        val entryXml = concat(
+          lit("  <url>\n    <loc> https://"), host, path, lit(" </loc>\n"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("    <lastmod>"), lastmod, lit("</lastmod>\n")))
+            .otherwise(lit("")),
+          lit("  </url>\n"))
+        val children = d
+          .select(host.as("host"), pmod(col("doc_id"), lit(2)).as("par"),
+            col("doc_id"), entryXml.as("e"))
+          .groupBy("host", "par")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("e")))),
+              x => x.getField("e")), "").as("body"))
+          .select(
+            concat(lit("https://"), col("host"),
+              when(col("par") === 0, lit("/sm/a.xml"))
+                .otherwise(lit("/sm/b.xml"))).as("url"),
+            concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"), col("body"),
+              lit("</urlset>")).as("xml"))
+        val hostsOnly = d.select(host.as("host")).distinct()
+        val roots = hostsOnly
+          .select(
+            concat(lit("https://"), col("host"), lit("/sitemap.xml")).as("url"),
+            concat(
+              lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n  <sitemap>\n    <loc>https://"),
+              col("host"),
+              lit("/sm/a.xml</loc>\n  </sitemap>\n  <sitemap><loc>https://"),
+              col("host"),
+              lit("/sm/b.xml</loc></sitemap>\n</sitemapindex>")).as("xml"))
+        val stale = hostsOnly
+          .select(
+            concat(lit("https://"), col("host"), lit("/stale.xml")).as("url"),
+            concat(lit("<urlset><url><loc>https://"), col("host"),
+              lit("/stale/never</loc></url></urlset>")).as("xml"))
+        // fetch closure: only DISCOVERED roots are fetched; children
+        // come back through the walk. The stale root never enters.
+        val discovered = WebOps.robotsSitemaps(robots, "host", "robots_txt")
+        val fetchedRoots = roots.unionByName(stale)
+          .join(discovered.select(col("sitemap_url").as("url")), Seq("url"),
+            "left_semi")
+        val seeds = WebOps.sitemapSeeds(
+          fetchedRoots.unionByName(children), "url", "xml", maxDepth = 2)
+        val rules = WebOps.robotsRules(robots, "host", "robots_txt", "graftbot/1.3")
+        val gated = WebOps.robotsDecision(seeds, "loc", rules)
+          .filter(col("allowed"))
+          .withColumn("host", lower(WebOps.urlParts(col("loc")).getField("host")))
+          .select("host", "loc", "lastmod")
+        val delays = WebOps.robotsCrawlDelay(robots, "host", "robots_txt", "graftbot/1.3")
+        val budgeted = gated
+          .join(delays, Seq("host"), "left")
+          .withColumn("budget",
+            floor(lit(60.0) / coalesce(col("crawl_delay"), lit(20.0))).cast("long"))
+        WebOps.capPerDomainBudget(budgeted, "host", "loc", "lastmod", "budget")
+          .select(col("host"), col("loc"), col("lastmod"), col("budget"))
+          .orderBy("loc")
+      },
+      Some("""WITH e AS (
+          SELECT doc_id,
+            source || '.example.com' AS host,
+            CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS n,
+            'https://' || source || '.example.com' ||
+              CASE doc_id % 5
+                WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+                WHEN 1 THEN '/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+                WHEN 3 THEN '/deep/pub/' || CAST(doc_id AS VARCHAR)
+                ELSE NULL END AS loc,
+            CASE WHEN doc_id % 2 = 0
+                 THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 ELSE '' END AS lastmod
+          FROM documents
+          WHERE doc_id % 5 IN (0, 1, 3)),
+        b AS (
+          SELECT *,
+            CASE WHEN n % 5 = 4 THEN 3
+                 WHEN n % 3 = 0 THEN 2
+                 WHEN n % 3 = 1 THEN 6
+                 ELSE 15 END AS budget
+          FROM e)
+        SELECT host, loc, lastmod, CAST(budget AS BIGINT) AS budget
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY host ORDER BY lastmod DESC, loc) AS rk
+              FROM b)
+        WHERE rk <= budget
+        ORDER BY loc""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -10317,7 +10446,7 @@ object Inventory {
     "q272_crawl_to_shards", "q273_warc_ingest", "q274_robots_gate",
     "q275_outlink_graph", "q276_crawl_frontier", "q277_frontier_advance",
     "q278_pagerank_frontier", "q279_crawl_advance", "q280_sitemap_seeds",
-    "q281_wet_wat_sidecars",
+    "q281_wet_wat_sidecars", "q282_polite_fetch_schedule",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

@@ -296,6 +296,51 @@ class WebOpsSpec extends SparkSpec {
     assert(f3.count() == 7, "emission must not shrink the store")
   }
 
+  test("robotsSitemaps group-free; robotsCrawlDelay follows the chosen group") {
+    import spark.implicits._
+    val txt = Seq(
+      "Sitemap: https://ex.com/sitemap.xml", // before any group
+      "User-agent: *",
+      "Disallow: /",
+      "Crawl-delay: 10",
+      "",
+      "User-agent: graftbot",
+      "Allow: /",
+      "Crawl-delay: 2.5",
+      "Crawl-delay: fast",                   // non-numeric drops
+      "Sitemap: https://ex.com/sm/extra.xml" // inside a group — still global
+    ).mkString("\n")
+    val robots = Seq(("Ex.COM", txt)).toDF("host", "robots_txt")
+    val sm = WebOps.robotsSitemaps(robots, "host", "robots_txt")
+      .orderBy("sitemap_url").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(sm.toSeq == Seq(
+      ("ex.com", "https://ex.com/sitemap.xml"),
+      ("ex.com", "https://ex.com/sm/extra.xml")), s"got ${sm.toSeq}")
+    def delay(agent: String): Option[Double] =
+      WebOps.robotsCrawlDelay(robots, "host", "robots_txt", agent)
+        .collect().headOption.map(_.getDouble(1))
+    assert(delay("graftbot/1.0").contains(2.5),
+      "the specific group's delay binds the matching agent")
+    assert(delay("strangebot").contains(10.0),
+      "an unmatched agent falls back to the '*' group's delay")
+    // the extra line kinds must not disturb the rule reader
+    val rules = WebOps.robotsRules(robots, "host", "robots_txt", "graftbot/1.0")
+      .collect().map(r => (r.getString(1), r.getBoolean(2)))
+    assert(rules.toSeq == Seq(("/", true)), s"got ${rules.toSeq}")
+  }
+
+  test("capPerDomainBudget: per-group budget column; non-positive budgets emit nothing") {
+    import spark.implicits._
+    val df = Seq(
+      ("a.com", 1L, 9.0, 2L), ("a.com", 2L, 8.0, 2L), ("a.com", 3L, 7.0, 2L),
+      ("b.com", 4L, 5.0, 1L), ("b.com", 5L, 6.0, 1L),
+      ("c.org", 6L, 1.0, 0L))
+      .toDF("domain", "id", "score", "budget")
+    val kept = WebOps.capPerDomainBudget(df, "domain", "id", "score", "budget")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 5L), s"got $kept")
+  }
+
   test("sitemap entries: whitespace, entities, optional lastmod, kind separation") {
     import spark.implicits._
     val urlset =
