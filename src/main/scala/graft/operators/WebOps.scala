@@ -460,6 +460,36 @@ object WebOps {
     out
   }
 
+  /** Re-crawl candidate selection — the freshness loop sitemaps exist
+    * for: join harvested seed entries (locCol, lastmodCol — ISO-8601
+    * dates compare lexicographically) against the visited store
+    * (urlCol, fetchTsCol) and keep the URLs worth fetching, with a
+    * `reason` column: 'new' (never fetched) or 'stale' (lastmod
+    * strictly after the recorded fetch). A fetched page whose lastmod
+    * is EMPTY (the optional field) or not newer is fresh and DROPS —
+    * the conservative read: a site that doesn't advertise changes
+    * doesn't get re-fetched on every pass (re-crawl cadence for such
+    * hosts is a scheduler policy, not a sitemap signal). One key-width
+    * join; map-only otherwise. Compose [[capPerDomainBudget]] /
+    * [[frontierNext]] downstream for the politeness-capped fetch list.
+    */
+  def recrawlCandidates(
+      seeds: DataFrame,
+      visited: DataFrame,
+      locCol: String = "loc",
+      lastmodCol: String = "lastmod",
+      urlCol: String = "url",
+      fetchTsCol: String = "fetch_ts"): DataFrame =
+    seeds
+      .join(visited.select(col(urlCol).as(locCol), col(fetchTsCol)),
+        Seq(locCol), "left")
+      .withColumn("reason",
+        when(col(fetchTsCol).isNull, "new")
+          .when(col(lastmodCol) =!= "" && col(lastmodCol) > col(fetchTsCol),
+            "stale")
+          .otherwise(lit(null).cast("string")))
+      .filter(col("reason").isNotNull)
+
   /** Resolve an href against its page's base URL (the pragmatic
     * RFC 3986 §5 subset a crawler frontier needs): absolute refs pass
     * through; protocol-relative (`//host/…`) take the base scheme;

@@ -10231,6 +10231,49 @@ object Inventory {
         WHERE rk <= budget
         ORDER BY loc""")),
 
+    Q("q283_recrawl_selection",
+      (s, dir) => {
+        // FRESHNESS-driven re-crawl selection — the loop sitemap
+        // lastmod entries exist for: harvested seeds join the visited
+        // store's fetch timestamps, and a URL is worth fetching when
+        // it was never fetched ('new') or its advertised lastmod
+        // postdates the recorded fetch ('stale'); fetched pages that
+        // are fresh, or advertise no lastmod, DROP (conservative — a
+        // silent site doesn't get re-fetched every pass). Per doc:
+        // lastmod = 2026-01-(id%28+1), visited covers id%4≠3 at fetch
+        // ts 2026-01-14 — so all three outcomes fire and the oracle
+        // derives (loc, lastmod, reason) independently by arithmetic.
+        // Odd docs advertise NO lastmod (the optional field): fetched
+        // ones drop, unfetched ones are still 'new'.
+        val d = t(s, dir, "documents")
+        val did = col("doc_id").cast("string")
+        val loc = concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), did)
+        val lastmod = when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("2026-01-"),
+              lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")))
+          .otherwise(lit(""))
+        val seeds = d.select(loc.as("loc"), lastmod.as("lastmod"))
+        val visited = d.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+          .select(loc.as("url"), lit("2026-01-14").as("fetch_ts"))
+        WebOps.recrawlCandidates(seeds, visited)
+          .select(col("loc"), col("lastmod"), col("reason"))
+          .orderBy("loc")
+      },
+      Some("""SELECT
+          'https://' || source || '.example.com/doc/'
+            || CAST(doc_id AS VARCHAR) AS loc,
+          CASE WHEN doc_id % 2 = 0
+               THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               ELSE '' END AS lastmod,
+          CASE WHEN doc_id % 4 = 3 THEN 'new'
+               WHEN doc_id % 2 = 0 AND doc_id % 28 + 1 > 14 THEN 'stale'
+               ELSE NULL END AS reason
+        FROM documents
+        WHERE doc_id % 4 = 3
+           OR (doc_id % 2 = 0 AND doc_id % 28 + 1 > 14)
+        ORDER BY loc""")),
+
     Q("q273_warc_ingest",
       (s, dir) => {
         // the COMPLETE crawl-container chain: per-source multi-record
@@ -10447,6 +10490,7 @@ object Inventory {
     "q275_outlink_graph", "q276_crawl_frontier", "q277_frontier_advance",
     "q278_pagerank_frontier", "q279_crawl_advance", "q280_sitemap_seeds",
     "q281_wet_wat_sidecars", "q282_polite_fetch_schedule",
+    "q283_recrawl_selection",
     "q148_simhash_md5", "q149_lake_merge", "q151_heavy_tokens",
     "q153_ngram_perplexity", "q154_cohort_retention", "q155_lake_zone_read",
     "q156_lake_bloom_read", "q157_lake_changes", "q158_lake_ivm",

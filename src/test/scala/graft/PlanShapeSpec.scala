@@ -1374,6 +1374,24 @@ class PlanShapeSpec extends SparkSpec {
       s"q280 must not plan a global single-partition window:\n$p")
   }
 
+  test("q281: sidecar parse joins WET to WAT on url — no all-pairs, explode in-row") {
+    val p = planString(run("q281_wet_wat_sidecars"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q281 must not plan an all-pairs join:\n$p")
+    assert(p.contains("Generate"),
+      s"q281 must explode parsed records executor-side:\n$p")
+  }
+
+  test("q282: polite schedule — broadcast rule gate, per-host budget window, no all-pairs") {
+    val p = planString(run("q282_polite_fetch_schedule"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q282's robots rule join must broadcast:\n$p")
+    assert(p.contains("windowspecdefinition(host"),
+      s"q282's budget cap must be a per-host window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q282 must not plan an all-pairs join:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q01") {
     // AQE only materializes codegen spans in the FINAL plan — execute
     // first (4-row result), then inspect the same QueryExecution

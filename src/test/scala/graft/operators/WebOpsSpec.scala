@@ -341,6 +341,29 @@ class WebOpsSpec extends SparkSpec {
     assert(kept == Seq(1L, 2L, 5L), s"got $kept")
   }
 
+  test("recrawlCandidates: new + stale kept, fresh and unknown-lastmod fetched drop") {
+    import spark.implicits._
+    val seeds = Seq(
+      ("https://ex.com/a", "2026-02-01"), // fetched earlier -> stale
+      ("https://ex.com/b", "2026-01-01"), // fetched later -> fresh, drops
+      ("https://ex.com/c", ""),           // fetched, no lastmod -> drops
+      ("https://ex.com/d", "2026-01-10"), // never fetched -> new
+      ("https://ex.com/e", ""))           // never fetched, no lastmod -> still new
+      .toDF("loc", "lastmod")
+    val visited = Seq(
+      ("https://ex.com/a", "2026-01-15"),
+      ("https://ex.com/b", "2026-01-15"),
+      ("https://ex.com/c", "2026-01-15"))
+      .toDF("url", "fetch_ts")
+    val got = WebOps.recrawlCandidates(seeds, visited)
+      .orderBy("loc").collect()
+      .map(r => (r.getString(0), r.getAs[String]("reason"))).toSeq
+    assert(got == Seq(
+      ("https://ex.com/a", "stale"),
+      ("https://ex.com/d", "new"),
+      ("https://ex.com/e", "new")), s"got $got")
+  }
+
   test("sitemap entries: whitespace, entities, optional lastmod, kind separation") {
     import spark.implicits._
     val urlset =
