@@ -133,14 +133,42 @@ object HtmlText {
 
   /** Extracted main text: surviving blocks joined with newlines; empty
     * string when nothing survives (filter on it, don't gate on null).
+    *
+    * Shape note (r14 optimization): the gate needs each block's visible
+    * text twice (length + link-density denominator) and the output needs
+    * it once more, and HOF lambda bodies get no common-subexpression
+    * elimination — the naive `filter(…, visibleText)` + `transform(…,
+    * visibleText)` composition paid the 8-regex [[visibleText]] chain
+    * ~3× per block (measured: q187 2.0 → 1.1 s at sf0.1). So the block
+    * text is computed ONCE into a struct, the gate reads the
+    * materialized fields, and the projection extracts the text. Gate
+    * semantics and output are character-identical to [[keptBlocks]] +
+    * [[visibleText]] (spec-pinned in HtmlTextSpec).
     */
   def extractText(
       html: Column,
       minChars: Int = 25,
       maxLinkDensity: Double = 0.5): Column =
-    array_join(
-      transform(keptBlocks(html, minChars, maxLinkDensity), visibleText(_)),
-      "\n")
+    array_join(keptBlockTexts(html, minChars, maxLinkDensity), "\n")
+
+  /** Visible texts of the blocks that pass both boilerplate gates — the
+    * one-pass core of [[extractText]] (each block's visible text is
+    * computed once, gates read the materialized struct fields). Exposed
+    * so callers needing BOTH the joined text and the kept-block count
+    * (q187) evaluate the chain once instead of once per output column.
+    */
+  def keptBlockTexts(
+      html: Column,
+      minChars: Int = 25,
+      maxLinkDensity: Double = 0.5): Column =
+    transform(
+      filter(
+        transform(rawBlocks(html),
+          b => struct(visibleText(b).as("t"), linkChars(b).as("lc"))),
+        s => length(s.getField("t")) >= minChars &&
+          s.getField("lc").cast("double") <=
+            lit(maxLinkDensity) * length(s.getField("t")).cast("double")),
+      s => s.getField("t"))
 
   /** The raw blocks that pass both boilerplate gates — exposed so
     * callers can count kept/dropped blocks or inspect densities.

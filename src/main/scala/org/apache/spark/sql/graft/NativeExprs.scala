@@ -21,6 +21,35 @@ import graft.functions.{MinHash, ShingleHash}
   * Catalyst extensions.
   */
 
+/** `rlike` for DYNAMIC patterns with a compiled-Pattern cache
+  * (graft.functions.RegexCache): value-identical to `RLike` (unanchored
+  * `find`), but the pattern-per-row recompilation that `RLike` pays when
+  * its pattern operand is non-foldable is amortized across rows — the
+  * shape of every rule-table gate (robots policy patterns evaluated per
+  * URL inside an array HOF). Both eval paths route through the same
+  * static kernel, so interpreted HOF-lambda evaluation and whole-stage
+  * codegen agree.
+  */
+case class RlikeCachedExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "rlike_cached"
+
+  override def nullSafeEval(s: Any, re: Any): Any =
+    graft.functions.RegexCache.find(
+      s.asInstanceOf[UTF8String], re.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, re) =>
+      s"${ev.value} = graft.functions.RegexCache.find($s, $re);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RlikeCachedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature as a whole-stage-codegen-friendly expression:
   * doGenCode emits a call to the static primitive-loop kernel
   * (graft.functions.MinHash.signature) — no boxing, no interpreted
@@ -842,6 +871,11 @@ case class NbScoreExpr(
 }
 
 object NativeExprs {
+  /** Column-level entry for RlikeCachedExpr. */
+  def rlikeCached(str: Column, pattern: Column): Column =
+    ExpressionUtils.column(RlikeCachedExpr(
+      ExpressionUtils.expression(str), ExpressionUtils.expression(pattern)))
+
   /** Column-level entry for RepetitionRatioExpr. */
   def repetitionRatio(text: Column, n: Int): Column =
     ExpressionUtils.column(RepetitionRatioExpr(ExpressionUtils.expression(text), n))

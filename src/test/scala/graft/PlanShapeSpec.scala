@@ -1353,11 +1353,14 @@ class PlanShapeSpec extends SparkSpec {
     // the link-graph chain and each PageRank iteration live behind
     // GC-tracked checkpoints (GraphOps' constant-size-plan discipline);
     // the final plan joins the gated candidates to the rank leaf
+    // r14: the whole gate/anti-join/rank-join subtree now sits below an
+    // emission barrier (the q275 composition rule — the range sort's
+    // sampling pass must not re-run it), so the declared plan is
+    // checkpoint-read → range sort. The anti-join + no-all-pairs shape
+    // of the subtree itself stays pinned through q276 (same chain).
     val p = planString(run("q278_pagerank_frontier"))
     assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
-      s"q278 must read the checkpointed rank frame:\n$p")
-    assert(p.contains("LeftAnti"),
-      s"q278's crawled-set exclusion must plan as an anti-join:\n$p")
+      s"q278 must read the checkpointed (gated ⋈ rank) frame:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q278 must not plan an all-pairs join:\n$p")
     assert(!p.contains("SinglePartition"),
