@@ -86,17 +86,14 @@ object Dedup {
   /** (doc, tile_no, md5) stream — the map-only tiling stage shared by
     * the batch and incremental substring dedup paths.
     */
-  private def tileStream(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nTiles = floor(size(toks) / w).cast("int")
+  private def tileStream(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    // aligned-tile arm of the ShingleMd5 kernel — the shingleStreamPos
+    // rationale (no token-array copy per generated row, compiled pass)
     docs
-      .select(col(idCol).as("__id"), toks.as("__t"), nTiles.as("__n"))
-      .where(col("__n") >= 1)
-      .select(col("__id"), col("__t"),
-        explode(sequence(lit(0), col("__n") - 1)).as("tile_no"))
-      .select(col("__id"), col("tile_no"),
-        md5(array_join(slice(col("__t"), col("tile_no") * w + 1, lit(w)), " ")).as("h"))
-  }
+      .select(col(idCol).as("__id"),
+        org.apache.spark.sql.graft.NativeExprs
+          .md5ShingleStream(col(textCol), w, aligned = true).as("__hs"))
+      .select(col("__id"), posexplode(col("__hs")).as(Seq("tile_no", "h")))
 
   /** Map-side text reconstruction from a (__id, tile_no) dropped-tile
     * stream: collapse to per-doc drop-lists (id-width shuffle), join the
@@ -175,17 +172,22 @@ object Dedup {
     * tiles). Map-only; md5 so any engine replays the assignment.
     */
   private def shingleStreamPos(
-      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nSh = (size(toks) - (w - 1)).cast("int")
+      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    // hash every position INSIDE the row (one native kernel call per
+    // doc — ShingleMd5 md5s byte ranges of the original text), then
+    // explode only (pos, 32-hex). The previous explode-then-hash shape
+    // carried the FULL token array through the Generate, copying it
+    // into every position's UnsafeRow — O(tokens²) bytes per doc
+    // (guide §2.3 "project before the exchange", applied to the
+    // generator); an array-HOF formulation instead pays interpreted
+    // per-element lambda evaluation. Values identical (kernel doc
+    // proves byte-range equivalence); posexplode's 0-based pos == the
+    // old sequence pos.
     docs
-      .select(col(idCol).as("__id"), toks.as("__t"), nSh.as("__n"))
-      .where(col("__n") >= 1)
-      .select(col("__id"), col("__t"),
-        explode(sequence(lit(0), col("__n") - 1)).as("pos"))
-      .select(col("__id"), col("pos"),
-        md5(array_join(slice(col("__t"), col("pos") + 1, lit(w)), " ")).as("h"))
-  }
+      .select(col(idCol).as("__id"),
+        org.apache.spark.sql.graft.NativeExprs
+          .md5ShingleStream(col(textCol), w, aligned = false).as("__hs"))
+      .select(col("__id"), posexplode(col("__hs")).as(Seq("pos", "h")))
 
   /** Duplicated shingle occurrences: (doc, pos) whose w-shingle TEXT
     * occurred earlier in the corpus (global (doc, pos) order — the first

@@ -9471,7 +9471,11 @@ object Inventory {
           maxDist = 3, maxBucket = 100000)
         val dropped = pairs1.select(col("id_b").as("doc_id"))
           .unionByName(pairs2.select(col("id_b").as("doc_id"))).distinct()
+        // two consumers inside the span cut (shingler + cut join) —
+        // barrier so the pair anti-join runs once (q272's deduped
+        // checkpoint)
         val deduped = surv.join(dropped, Seq("doc_id"), "left_anti")
+          .localCheckpoint(false)
         val decon = Dedup.decontaminateSpansVsStore(
           deduped, benchStore, "doc_id", "text", w = 8)
         val ledger = decon

@@ -50,6 +50,31 @@ case class RlikeCachedExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** md5 shingle/tile stream of the span-dedup family as ONE native call
+  * (graft.functions.ShingleMd5): array of 32-hex md5s, one per
+  * overlapping w-token position (aligned=false) or per w-aligned tile
+  * (aligned=true) — value-identical to
+  * `transform(positions, i => md5(array_join(slice(split(text," "),…))))`
+  * but a single compiled pass hashing byte ranges of the original text.
+  */
+case class Md5ShingleStreamExpr(child: Expression, w: Int, aligned: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "md5_shingle_stream"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.ShingleMd5.stream(input.asInstanceOf[UTF8String], w, aligned)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleMd5.stream($c, $w, $aligned);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5ShingleStreamExpr =
+    copy(child = newChild)
+}
+
 /** MinHash signature as a whole-stage-codegen-friendly expression:
   * doGenCode emits a call to the static primitive-loop kernel
   * (graft.functions.MinHash.signature) — no boxing, no interpreted
@@ -875,6 +900,11 @@ object NativeExprs {
   def rlikeCached(str: Column, pattern: Column): Column =
     ExpressionUtils.column(RlikeCachedExpr(
       ExpressionUtils.expression(str), ExpressionUtils.expression(pattern)))
+
+  /** Column-level entry for Md5ShingleStreamExpr. */
+  def md5ShingleStream(text: Column, w: Int, aligned: Boolean): Column =
+    ExpressionUtils.column(
+      Md5ShingleStreamExpr(ExpressionUtils.expression(text), w, aligned))
 
   /** Column-level entry for RepetitionRatioExpr. */
   def repetitionRatio(text: Column, n: Int): Column =
