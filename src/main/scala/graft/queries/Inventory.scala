@@ -3419,7 +3419,9 @@ object Inventory {
         // ntile window). head = least-perplexing third. The oracle
         // replays the LM score through q153's CTEs, the cuts through
         // percentile_disc, and the same fixed-order bucket CASE.
-        TextAnalysis.ccnetBuckets(t(s, dir, "documents"))
+        // one-row-group fixture artifact (q277's note): parallelize the
+        // model-build explode + scoring map instead of one scan task
+        TextAnalysis.ccnetBuckets(t(s, dir, "documents").repartition(32))
           .orderBy("doc_id"),
       Some("""WITH norm AS (
           SELECT doc_id, lower(trim(text)) AS t FROM documents),
@@ -5718,7 +5720,9 @@ object Inventory {
         // Gumbel-top-k. Every number — both LM averages, the weight,
         // the md5-derived Gumbel, the selection itself — is replayable
         // arithmetic, so SAMPLING carries a full hash oracle.
-        val d = t(s, dir, "documents")
+        // one-row-group fixture artifact (q277's note): both model
+        // builds explode trigrams map-side — fan across the cores
+        val d = t(s, dir, "documents").repartition(32)
         ScaleOps.importanceResample(
           d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
           d.filter(pmod(col("doc_id"), lit(7)) === 0),
@@ -6030,7 +6034,10 @@ object Inventory {
         // DECIMAL(18,6) exact sums make the score engine-independent;
         // the char-ngram vocabulary is bounded, so the model broadcasts
         // at any corpus scale and scoring stays map-side.
-        TextAnalysis.selfPerplexity(t(s, dir, "documents"))
+        // one-row-group fixture artifact: the model build's trigram
+        // explode+partial-agg otherwise runs in the scan's single task
+        // (q277's note) — fan the corpus across the cores first
+        TextAnalysis.selfPerplexity(t(s, dir, "documents").repartition(32))
           .orderBy("doc_id"),
       Some("""WITH norm AS (
           SELECT doc_id, lower(trim(text)) AS t FROM documents),
@@ -8833,7 +8840,10 @@ object Inventory {
         // (label, pred) cell counts, row-normalized shares, diagonal
         // flag; margins derive from the checkpointed cell frame.
         TextAnalysis
-          .langIdConfusion(t(s, dir, "documents"), "lang", "text")
+          .langIdConfusion(
+            t(s, dir, "documents")
+              .repartition(32), // one-row-group fixture artifact (q277's note)
+            "lang", "text")
           .orderBy("label", "pred"),
       Some("""WITH s AS (
           SELECT doc_id, lang,
@@ -8917,7 +8927,10 @@ object Inventory {
         // ONE verified-pair pass at min(thresholds) (banding is
         // threshold-independent), never |grid| pipeline re-runs. Same
         // exhaustive oracle + recall contract as q81/q239.
-        Dedup.thresholdSensitivity(t(s, dir, "documents"), "doc_id", "text",
+        Dedup.thresholdSensitivity(
+          t(s, dir, "documents")
+            .repartition(32), // one-row-group fixture artifact (q277's note)
+          "doc_id", "text",
           thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
           k = 128, bands = 32, w = 3)
           .orderBy("threshold"),
@@ -8968,7 +8981,10 @@ object Inventory {
         val encIds = graft.operators.Bpe
           .encodeToIds(s, fertilityMerges, fertilityVocab.zipWithIndex)
         TextAnalysis
-          .vocabCoverage(t(s, dir, "documents"), "lang", "text", encIds)
+          .vocabCoverage(
+            t(s, dir, "documents")
+              .repartition(32), // one-row-group fixture artifact (q277's note)
+            "lang", "text", encIds)
           .orderBy("lang")
       },
       Some(raw"""WITH RECURSIVE ws AS (
