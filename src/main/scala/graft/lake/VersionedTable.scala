@@ -317,7 +317,19 @@ final class VersionedTable private (
     * magnitude smaller than the table; a batch too large to collect is
     * a full rewrite anyway — call `overwrite`).
     */
-  def merge(updates: DataFrame): Snapshot = mergeTxn(updates, None)
+  def merge(updates: DataFrame): Snapshot = mergeTxn(materialized(updates), None)
+
+  /** Barrier for update frames that feed SEVERAL actions of one commit
+    * (the emptiness probe, [[merge]]'s update-key collect, and the data
+    * write): without it the whole upstream chain — often an expensive
+    * incremental-advance computation — re-executes once per action
+    * (guide §7.2 duplicate work across actions; measured on
+    * q238_streaming_governance: the split/novelty advance chains ran
+    * 2-3× per commit). Lazy localCheckpoint: materializes inside the
+    * first action, later actions read the cached rows.
+    */
+  private def materialized(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
 
   private def mergeTxn(updates: DataFrame, txn: Option[(String, Long)]): Snapshot = {
     val spark = updates.sparkSession
@@ -446,15 +458,20 @@ final class VersionedTable private (
     lastTxn(appId) match {
       case Some(last) if last >= batchId =>
         snapshot(currentVersion()) // replay — already applied, no commit
-      case _ if updates.isEmpty =>
-        // an empty batch applied zero times IS exactly once; skipping
-        // the commit keeps the log free of no-op versions
-        val v = currentVersion()
-        if (v == 0) Snapshot(0, Seq.empty) else snapshot(v)
       case _ =>
-        val txn = Some(appId -> batchId)
-        if (currentVersion() == 0) appendTxn(updates, txn)
-        else mergeTxn(updates, txn)
+        // barrier BEFORE the emptiness probe: probe + key collect +
+        // write all read the one materialization (see [[materialized]])
+        val u = materialized(updates)
+        if (u.isEmpty) {
+          // an empty batch applied zero times IS exactly once; skipping
+          // the commit keeps the log free of no-op versions
+          val v = currentVersion()
+          if (v == 0) Snapshot(0, Seq.empty) else snapshot(v)
+        } else {
+          val txn = Some(appId -> batchId)
+          if (currentVersion() == 0) appendTxn(u, txn)
+          else mergeTxn(u, txn)
+        }
     }
   }
 
@@ -470,10 +487,13 @@ final class VersionedTable private (
     lastTxn(appId) match {
       case Some(last) if last >= batchId =>
         snapshot(currentVersion()) // replay — already applied, no commit
-      case _ if df.isEmpty =>
-        val v = currentVersion()
-        if (v == 0) Snapshot(0, Seq.empty) else snapshot(v)
-      case _ => appendTxn(df, Some(appId -> batchId))
+      case _ =>
+        // same barrier as [[upsertIfNew]]: probe + write, one compute
+        val d = materialized(df)
+        if (d.isEmpty) {
+          val v = currentVersion()
+          if (v == 0) Snapshot(0, Seq.empty) else snapshot(v)
+        } else appendTxn(d, Some(appId -> batchId))
     }
   }
 

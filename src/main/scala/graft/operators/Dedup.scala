@@ -1816,7 +1816,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       w: Int = 8,
-      checkMonotoneIds: Boolean = false): (DataFrame, DataFrame) = {
+      checkMonotoneIds: Boolean = false,
+      batchStore: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     if (checkMonotoneIds) {
       // Engine-side comparison (id type agnostic); 1×1 frames, one job.
       val viol = store.agg(max(col("__first")).as("__hi"))
@@ -1829,8 +1830,12 @@ object Dedup {
             s"stored max first-owner ${viol.head.get(0)} — ids must be " +
             "monotone across batches or min-merge rewrites history ownership")
     }
+    // a caller that also needs the batch's (hash, min-id) frame for its
+    // own store maintenance (StreamingNovelty's touched-hash slice)
+    // passes it in pre-materialized, so the batch is shingled once, not
+    // once here and again for the slice
     val merged = store
-      .unionByName(noveltyStore(batch, idCol, textCol, w))
+      .unionByName(batchStore.getOrElse(noveltyStore(batch, idCol, textCol, w)))
       .groupBy("__h").agg(min(col("__first")).as("__first"))
       .localCheckpoint(eager = false) // feeds the persisted store AND the winner count
     val batchIds = batch.select(col(idCol))

@@ -50,6 +50,17 @@ object Inventory {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan fan-out for the single-row-group parquet fixtures (SCALE.md):
+    * a parquet row group is indivisible, so a one-row-group file gives
+    * scan parallelism 1 no matter what maxPartitionBytes says, and
+    * map-heavy first stages must fan out explicitly. Derived from the
+    * session (local[N] → N; a cluster → its registered cores) — never a
+    * literal core count, which would cap those stages at the literal
+    * on any larger cluster. Real lakes have thousands of row groups
+    * and skip the repartition entirely.
+    */
+  private def fanout(s: SparkSession): Int = s.sparkContext.defaultParallelism
+
   /** Scratch directory for queries that materialize persisted-state
     * parquet (the q149–q161 lake convention, q188, q193): registered
     * for recursive deletion at JVM exit, so repeated bench/Verify runs
@@ -3421,7 +3432,7 @@ object Inventory {
         // percentile_disc, and the same fixed-order bucket CASE.
         // one-row-group fixture artifact (q277's note): parallelize the
         // model-build explode + scoring map instead of one scan task
-        TextAnalysis.ccnetBuckets(t(s, dir, "documents").repartition(32))
+        TextAnalysis.ccnetBuckets(t(s, dir, "documents").repartition(fanout(s)))
           .orderBy("doc_id"),
       Some("""WITH norm AS (
           SELECT doc_id, lower(trim(text)) AS t FROM documents),
@@ -5722,7 +5733,7 @@ object Inventory {
         // arithmetic, so SAMPLING carries a full hash oracle.
         // one-row-group fixture artifact (q277's note): both model
         // builds explode trigrams map-side — fan across the cores
-        val d = t(s, dir, "documents").repartition(32)
+        val d = t(s, dir, "documents").repartition(fanout(s))
         ScaleOps.importanceResample(
           d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
           d.filter(pmod(col("doc_id"), lit(7)) === 0),
@@ -6037,7 +6048,7 @@ object Inventory {
         // one-row-group fixture artifact: the model build's trigram
         // explode+partial-agg otherwise runs in the scan's single task
         // (q277's note) — fan the corpus across the cores first
-        TextAnalysis.selfPerplexity(t(s, dir, "documents").repartition(32))
+        TextAnalysis.selfPerplexity(t(s, dir, "documents").repartition(fanout(s)))
           .orderBy("doc_id"),
       Some("""WITH norm AS (
           SELECT doc_id, lower(trim(text)) AS t FROM documents),
@@ -7252,10 +7263,12 @@ object Inventory {
         // (advance == rebuild, spec-pinned; this makes it driver-gated).
         val p = t(s, dir, "part")
           .withColumn("name_noun", element_at(split(col("p_name"), " "), -1))
-        val cut = p.agg(expr(
-          "percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey)"))
-          .head().getDouble(0).toLong
-        val maxKey = p.agg(max("p_partkey")).head().getLong(0)
+        // one planning job for both scalars (was two separate scans)
+        val cutRow = p.agg(
+          expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey)"),
+          max("p_partkey")).head()
+        val cut = cutRow.getDouble(0).toLong
+        val maxKey = cutRow.getLong(1)
         val mode = Seq("p_type", "p_size")
         val long = Seq("p_name")
         val newest = Seq(("p_retailprice", "p_partkey"))
@@ -7294,13 +7307,22 @@ object Inventory {
           col("hn").as("p_name"),
           col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"),
           element_at(split(col("hn"), " "), -1).as("name_noun"))
+        // barrier: the batch (whose lineage carries the connector
+        // SEARCH self-join) feeds FOUR consumers inside the advance
+        // (linkage slim projection, idToEnt, batch survivorship state,
+        // touched set) — without it the search chain re-executes per
+        // consumer (guide §7.2; measured 4 evaluations at sf0.1)
         val batch = p.filter(col("p_partkey") > cut)
           .unionByName(synth.select(p.columns.map(col).toIndexedSeq: _*))
+          .localCheckpoint(false)
+        // barrier: the resolved store feeds the survivorship state, the
+        // incremental linkage, and the entity map — one materialization
         val store = EntityResolution.resolve(
           base, "p_partkey",
           blockCols = Seq("p_brand", "name_noun"),
           fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
           threshold = 0.85)
+          .localCheckpoint(false)
         val state = EntityResolution.goldenRecordState(
           store, "entity_id", mode, long, newest)
         val (newState, remap) = EntityResolution.goldenRecordAdvance(
@@ -8842,7 +8864,7 @@ object Inventory {
         TextAnalysis
           .langIdConfusion(
             t(s, dir, "documents")
-              .repartition(32), // one-row-group fixture artifact (q277's note)
+              .repartition(fanout(s)), // one-row-group fixture artifact (q277's note)
             "lang", "text")
           .orderBy("label", "pred"),
       Some("""WITH s AS (
@@ -8929,7 +8951,7 @@ object Inventory {
         // exhaustive oracle + recall contract as q81/q239.
         Dedup.thresholdSensitivity(
           t(s, dir, "documents")
-            .repartition(32), // one-row-group fixture artifact (q277's note)
+            .repartition(fanout(s)), // one-row-group fixture artifact (q277's note)
           "doc_id", "text",
           thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
           k = 128, bands = 32, w = 3)
@@ -8983,7 +9005,7 @@ object Inventory {
         TextAnalysis
           .vocabCoverage(
             t(s, dir, "documents")
-              .repartition(32), // one-row-group fixture artifact (q277's note)
+              .repartition(fanout(s)), // one-row-group fixture artifact (q277's note)
             "lang", "text", encIds)
           .orderBy("lang")
       },
@@ -9459,7 +9481,7 @@ object Inventory {
         // 4) without moving a single row differently; measured 13.2 →
         // ~7 s at sf0.1, ledger rows identical (OPTIMIZATION_r14.md).
         val batch = crawl.select("doc_id", "source", "text", "lang")
-          .repartition(32) // one-row-group fixture artifact (q277's note)
+          .repartition(fanout(s)) // one-row-group fixture artifact (q277's note)
         val repaired = batch
           .select(col("doc_id"),
             org.apache.spark.sql.graft.NativeExprs.fixMojibake(
@@ -9661,7 +9683,7 @@ object Inventory {
         d
           // one-row-group fixture artifact: fan the 2-column input
           // across the cores before the regex chain (q277's note)
-          .select(col("doc_id"), col("source")).repartition(32)
+          .select(col("doc_id"), col("source")).repartition(fanout(s))
           .select(col("doc_id"), base.as("__base"),
             HtmlText.extractLinks(html).as("__hrefs"))
           .select(col("doc_id"), col("__base"), explode(col("__hrefs")).as("__href"))
@@ -9733,7 +9755,7 @@ object Inventory {
         val edges = d
           // one-row-group fixture artifact: fan the 2-column input
           // across the cores before the regex chain (q277's note)
-          .select(col("doc_id"), col("source")).repartition(32)
+          .select(col("doc_id"), col("source")).repartition(fanout(s))
           .select(col("doc_id"), base.as("__base"),
             HtmlText.extractLinks(html).as("__hrefs"))
           .select(col("__base"), explode(col("__hrefs")).as("__href"))
@@ -9827,7 +9849,7 @@ object Inventory {
           // expensive part, so fan the 2-column input across the cores
           // before it. Real lakes have thousands of row groups and skip
           // this.
-          .select(col("doc_id"), col("source")).repartition(32)
+          .select(col("doc_id"), col("source")).repartition(fanout(s))
           .select(pmod(col("doc_id"), lit(3)).as("__day"), base.as("__base"),
             HtmlText.extractLinks(html).as("__hrefs"))
           .select(col("__day"), col("__base"), explode(col("__hrefs")).as("__href"))
@@ -9925,7 +9947,7 @@ object Inventory {
           lit("<a href=\"/deep/internal/"), did, lit("\">private</a>"),
           lit("<a href=\"/files/n"), did, lit(".pdf\">pdf</a></body></html>"))
         val edges = d
-          .select(col("doc_id"), col("source")).repartition(32) // q277's note
+          .select(col("doc_id"), col("source")).repartition(fanout(s)) // q277's note
           .select(base.as("id_a"), HtmlText.extractLinks(html).as("__hrefs"))
           .select(col("id_a"), explode(col("__hrefs")).as("__href"))
           .select(col("id_a"), WebOps.canonicalizeUrl(

@@ -70,17 +70,23 @@ object StreamingNovelty {
       if (store.currentVersion() == 0)
         Dedup.noveltyStore(batch.limit(0), idCol, textCol, w)
       else store.read(spark)
+    // the batch's (hash, min-id) frame feeds BOTH the min-merge and the
+    // touched-hash slice below — materialize it once instead of
+    // shingling the batch twice (guide §7.2)
+    val batchStore = Dedup.noveltyStore(batch, idCol, textCol, w)
+      .localCheckpoint(eager = false)
     val (merged, batchScores) =
-      Dedup.ngramNoveltyIncremental(pre, batch, idCol, textCol, w)
+      Dedup.ngramNoveltyIncremental(pre, batch, idCol, textCol, w,
+        batchStore = Some(batchStore))
     scores.appendIfNew(
       batchScores.withColumn("batch_id", lit(batchId)), appId, batchId)
     // MERGE only the hashes the batch touched: minima for untouched
     // hashes are unchanged by min-merge, so the semi-join slice is the
     // exact delta (plus unchanged-but-touched rows, which upsert to
     // their own value — idempotent)
-    val touched = Dedup.noveltyStore(batch, idCol, textCol, w).select("__h")
     store.upsertIfNew(
-      merged.join(touched, Seq("__h"), "left_semi"), appId, batchId): Unit
+      merged.join(batchStore.select("__h"), Seq("__h"), "left_semi"),
+      appId, batchId): Unit
   }
 
   /** Start the exactly-once streaming novelty sink: unbounded document
