@@ -26,8 +26,46 @@ object PlanDump {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     new File(outDir).mkdirs()
     val spark = GraftSession.get("graft-plandump")
+    // `pagerank_iteration` pseudo query: the UN-checkpointed per-
+    // iteration subtree of GraphOps.pageRank over the fixture's doc-id
+    // chain edges — localCheckpoint truncates lineage, so the declared
+    // graph queries' dumps never show the loop body (r14 verdict #6);
+    // this dump is the standing plan evidence for the hoisted degree
+    // join (ONE adjacency join per iteration).
+    val pseudo: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "pagerank_iteration" -> { () =>
+        import org.apache.spark.sql.functions._
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val edges = d.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        val directed = edges
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .localCheckpoint(false)
+        val outDeg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
+        val adj = directed.repartition(col("src")).join(outDeg, Seq("src"))
+          .localCheckpoint(false)
+        val nodes = adj.select(col("src").as("id")).distinct()
+          .localCheckpoint(false)
+        val n = nodes.count()
+        val rank0 = nodes.withColumn("rank", lit(1.0 / n))
+        graft.operators.GraphOps.pageRankIteration(adj, nodes, rank0, 0.85, n)
+      })
+    pseudo.foreach { case (name, build) =>
+      if (names(name)) {
+        try {
+          val plan = build().queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          val w = new PrintWriter(new File(outDir, s"${name}_$tag.txt"), "UTF-8")
+          try w.println(plan) finally w.close()
+          println(s"[plandump] wrote ${name}_$tag.txt")
+        } catch { case e: Throwable =>
+          System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+        }
+      }
+    }
     val qs = (Inventory.all ++ Bench.productionTwins).filter(q => names(q.name))
-    val missing = names -- qs.map(_.name).toSet
+    val missing = names -- qs.map(_.name).toSet -- pseudo.keySet
     if (missing.nonEmpty)
       System.err.println(s"[plandump] unknown queries: ${missing.mkString(", ")}")
     qs.foreach { q =>

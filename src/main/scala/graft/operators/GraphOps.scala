@@ -60,20 +60,38 @@ object GraphOps {
 
     var rank = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      val contrib = adj
-        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"),
-          (col("rank") / col("deg")).cast("decimal(38,20)").as("c"))
-        .groupBy("id")
-        .agg(sum(col("c")).as("in")) // exact decimal sum: order-independent
-      rank = nodes
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("in").cast("double"), lit(0.0))).as("rank"))
+      rank = pageRankIteration(adj, nodes, rank, damping, n)
         .localCheckpoint(false) // truncate lineage; constant-size plan per step
     }
     rank.select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** ONE PageRank iteration body, UN-checkpointed — factored out so the
+    * plan-evidence dump (graft.PlanDump's `pagerank_iteration` pseudo
+    * query) can explain the per-iteration subtree BEFORE localCheckpoint
+    * truncates lineage: the r14 plans showed only the post-barrier sort,
+    * leaving the hoisted-degree-join claim (2 joins → 1 in the loop)
+    * without plan evidence. The body is exactly what [[pageRank]]'s loop
+    * executes: one join against the pre-partitioned (src, dst, deg)
+    * adjacency, one exact-decimal aggregate, one node-width left join.
+    */
+  private[graft] def pageRankIteration(
+      adj: DataFrame,
+      nodes: DataFrame,
+      rank: DataFrame,
+      damping: Double,
+      n: Long): DataFrame = {
+    val contrib = adj
+      .join(rank.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst").as("id"),
+        (col("rank") / col("deg")).cast("decimal(38,20)").as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("in")) // exact decimal sum: order-independent
+    nodes
+      .join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        (lit((1 - damping) / n) +
+          lit(damping) * coalesce(col("in").cast("double"), lit(0.0))).as("rank"))
   }
 
   /** Degree centrality of an undirected edge list: neighbors per node —

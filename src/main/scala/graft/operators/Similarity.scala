@@ -684,14 +684,25 @@ object Similarity {
       kRrf: Int = 60,
       topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val contribs = rankings.map { case (df, scoreCol) =>
-      df.select(
-          col(idCol),
-          row_number()
-            .over(Window.orderBy(col(scoreCol).desc, col(idCol).asc))
-            .as("rank"))
+      // rank = 1 + |rows strictly ahead| under the total order
+      // (score desc, id asc) — identical to the former unpartitioned
+      // row_number window (ids are unique within a retriever's pool),
+      // but computed as a broadcast inequality self-join + an id-keyed
+      // count, so NO single-partition WindowExec appears in any query
+      // path (the r14-verdict scale hazard: a global window moves the
+      // whole pool to one task; the join's pair count is poolK² —
+      // bounded, and partitioned across the cluster)
+      val pool = df.select(col(idCol), col(scoreCol).as("__s"))
+      val peers = pool.select(col(idCol).as("__pid"), col("__s").as("__ps"))
+      pool
+        .join(broadcast(peers),
+          col("__ps") > col("__s") ||
+            (col("__ps") === col("__s") && col("__pid") < col(idCol)),
+          "left")
+        .groupBy(col(idCol))
+        .agg((count(col("__pid")) + lit(1L)).as("rank"))
         .select(
           col(idCol),
           round(lit(1.0) / (lit(kRrf.toDouble) + col("rank")), 6)

@@ -8056,6 +8056,12 @@ object Inventory {
           graft.lake.VersionedTable(root + "/split_conflicts", "cluster_rep")
         val nstore = graft.lake.VersionedTable(root + "/nov_store", "__h")
         val scores = graft.lake.VersionedTable(root + "/nov_scores", "doc_id")
+        // NO scan fan-out here, deliberately: tried
+        // repartition(fanout(s)) (15.6 s) and the barriered variant
+        // (14.5 s) against 10.4 s without — the protocol is ~40 small
+        // jobs and the extra tasks/shuffles cost more than the
+        // single-task shingle passes (q277's fan-out note does NOT
+        // generalize to many-small-job protocols)
         val d = t(s, dir, "documents")
         val batch1 = d.filter(col("doc_id") < 300)
         val batch2 = d.filter(col("doc_id") >= 300)
@@ -9353,7 +9359,13 @@ object Inventory {
           lit("<footer><a href=\"/tos\">Terms</a> <a href=\"/p\">Privacy</a></footer>"),
           lit("<script>track()</script></body></html>"))
         // 1. extraction  2. mojibake repair
+        // one-row-group fixture artifact (q277's note): without the
+        // fan-out the whole extract→repair→C4→Gopher map chain runs in
+        // the scan's SINGLE task (probed: c4Clean alone 3.5 s warm on
+        // one task at sf0.1) — q279 gained this in r14, q272 had not
         val repaired = crawl
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(fanout(s))
           .select(col("doc_id"),
             org.apache.spark.sql.graft.NativeExprs.fixMojibake(
               HtmlText.extractText(html)).as("text"))
@@ -9687,9 +9699,14 @@ object Inventory {
           .select(col("doc_id"), base.as("__base"),
             HtmlText.extractLinks(html).as("__hrefs"))
           .select(col("doc_id"), col("__base"), explode(col("__hrefs")).as("__href"))
+          // resolve in its OWN projection: canonicalizeUrl reads its
+          // input ~10× (urlParts field extractions), and inlining the
+          // resolve when-chain into each read multiplies the regex work
+          // ~3× (probed 2.7 → 0.96 s warm at sf0.1; CollapseProject
+          // keeps the non-cheap multi-referenced alias separate)
           .select(col("doc_id"),
-            WebOps.canonicalizeUrl(
-              WebOps.resolveHref(col("__base"), col("__href"))).as("dst"))
+            WebOps.resolveHref(col("__base"), col("__href")).as("__r"))
+          .select(col("doc_id"), WebOps.canonicalizeUrl(col("__r")).as("dst"))
           // The q272 composition rule applies to the engine's own newest
           // query: without a barrier the canonical chain (extract →
           // explode → resolve → canonicalize) evaluates ~4× — the dst
@@ -9759,8 +9776,9 @@ object Inventory {
           .select(col("doc_id"), base.as("__base"),
             HtmlText.extractLinks(html).as("__hrefs"))
           .select(col("__base"), explode(col("__hrefs")).as("__href"))
-          .select(WebOps.canonicalizeUrl(
-            WebOps.resolveHref(col("__base"), col("__href"))).as("dst"))
+          // split projections: see q275's resolve/canonicalize note
+          .select(WebOps.resolveHref(col("__base"), col("__href")).as("__r"))
+          .select(WebOps.canonicalizeUrl(col("__r")).as("dst"))
           // q272 composition rule (see q275): barrier the computed dst
           // so the canonical chain evaluates once — downstream the
           // filter, the robots decision's urlParts, and the anti-join
@@ -9853,8 +9871,10 @@ object Inventory {
           .select(pmod(col("doc_id"), lit(3)).as("__day"), base.as("__base"),
             HtmlText.extractLinks(html).as("__hrefs"))
           .select(col("__day"), col("__base"), explode(col("__hrefs")).as("__href"))
-          .select(col("__day"), WebOps.canonicalizeUrl(
-            WebOps.resolveHref(col("__base"), col("__href"))).as("url"))
+          // split projections: see q275's resolve/canonicalize note
+          .select(col("__day"),
+            WebOps.resolveHref(col("__base"), col("__href")).as("__r"))
+          .select(col("__day"), WebOps.canonicalizeUrl(col("__r")).as("url"))
           .filter(col("url").isNotNull && col("url") =!= "")
           .localCheckpoint(false)
         def pages(docs: org.apache.spark.sql.DataFrame) =
@@ -9950,8 +9970,10 @@ object Inventory {
           .select(col("doc_id"), col("source")).repartition(fanout(s)) // q277's note
           .select(base.as("id_a"), HtmlText.extractLinks(html).as("__hrefs"))
           .select(col("id_a"), explode(col("__hrefs")).as("__href"))
-          .select(col("id_a"), WebOps.canonicalizeUrl(
-            WebOps.resolveHref(col("id_a"), col("__href"))).as("id_b"))
+          // split projections: see q275's resolve/canonicalize note
+          .select(col("id_a"),
+            WebOps.resolveHref(col("id_a"), col("__href")).as("__r"))
+          .select(col("id_a"), WebOps.canonicalizeUrl(col("__r")).as("id_b"))
           .filter(col("id_b").isNotNull && col("id_b") =!= "")
           .localCheckpoint(false) // chain once: pagerank + frontier read it
         val ranks = graft.operators.GraphOps.pageRank(edges, iterations = 3)
