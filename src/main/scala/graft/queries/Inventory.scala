@@ -3989,6 +3989,9 @@ object Inventory {
         // (both engines hash injectively w.h.p.), the q83 convention.
         Dedup.jaccardPrefixJoin(
             t(s, dir, "documents"), "doc_id", "text", 0.3, w = 3)
+          // barrier before the presentation sort: the range exchange's
+          // sampling pass re-executes the pair-scoring stage (q275 rule)
+          .localCheckpoint(false)
           .orderBy("id_a", "id_b"),
       Some("""WITH sh AS (
           SELECT doc_id, list_distinct(
@@ -4085,6 +4088,12 @@ object Inventory {
         // longest→smallest value, newest→greatest order key). The
         // oracle replays the FULL chain: linkage, recursive-CTE
         // closure, then each policy as a windowed GROUP BY.
+        // barrier: goldenRecord reads `resolved` in TWO aggregation
+        // passes and the presentation sort's sampling re-executes the
+        // last stage — one materialization instead of three partial
+        // re-runs (A/B at sf0.1 was window-noise-level locally, 4.05
+        // vs 4.30 s; kept for the structural win — the resolve join
+        // re-ran per consumer)
         val resolved = EntityResolution.resolve(
           t(s, dir, "part")
             .withColumn("name_noun", element_at(split(col("p_name"), " "), -1)),
@@ -4092,6 +4101,7 @@ object Inventory {
           blockCols = Seq("p_brand", "name_noun"),
           fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
           threshold = 0.85)
+          .localCheckpoint(false)
         EntityResolution.goldenRecord(
             resolved, "entity_id",
             modeFields = Seq("p_type", "p_size"),
@@ -4180,6 +4190,11 @@ object Inventory {
           blockCols = Seq("p_brand", "name_noun"),
           fields = Seq(("p_name", 0.6), ("p_type", 0.4)),
           threshold = 0.85)
+          // barrier: the planning percentile collect plus four state/
+          // touched consumers below re-ran the resolve chain per
+          // action without it (the q231 pattern; local A/B 5.51 vs
+          // 6.00 s, window-noise-level — kept for the structural win)
+          .localCheckpoint(false)
         val cut = resolved.agg(expr(
           "percentile_disc(0.8) WITHIN GROUP (ORDER BY p_partkey)"))
           .head().getDouble(0).toLong
