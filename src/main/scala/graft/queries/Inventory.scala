@@ -9546,7 +9546,10 @@ object Inventory {
         val ledger = decon
           .select(col("doc_id"),
             TextAnalysis.redactPii(col("text_dedup")).as("text"))
-          .join(batch.select("doc_id", "lang"), Seq("doc_id"))
+          // lang joins from the raw crawl projection, NOT `batch`: the
+          // same rows, but batch would re-pay the fan-out exchange in
+          // this separate action (no cross-action shuffle reuse)
+          .join(crawl.select("doc_id", "lang"), Seq("doc_id"))
           .select(col("doc_id"), col("lang"),
             size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
           // the mix's planning aggregate (temperatureTargets' bounded
